@@ -1,13 +1,44 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.TextClean
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Queries are contributed by per-slice modules under `graft.queries`; each
+  * module pairs the Spark implementation with its DuckDB oracle SQL where
+  * the operator is deterministic (SURVEY.md §2's query-id column).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  private val modules: Seq[QueryModule] = Seq(
+    TextQueries
+  )
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's whole preprocessing lifecycle in one plan: scan →
+    * dropna → clean chain → label → per-language stats.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").na.drop()
+    TextClean.clean(docs)
+      .withColumn("label", when(col("lang") === "en", 1).otherwise(0))
+      .groupBy(col("lang"), col("label"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("text_length")), 6).as("avg_len"))
+      .orderBy(col("lang"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    modules.flatMap(_.queries).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys → driver's rows-only check
+    * (reserved for RNG/hash/ML-dependent operators). */
+  def oracleSql: Map[String, String] =
+    modules.flatMap(_.oracle).toMap
 }

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table loader for the driver-generated star schema + LLM-pipeline
+  * fixtures (TESTDATA.md / FIXTURES.md §A).
+  *
+  * Design note (100 TB): all tables are loaded as plain parquet scans so
+  * Catalyst can push filters/projections into the file source
+  * (`PushedFilters` / `ReadSchema`). Never `.cache()` at load time — let the
+  * caller decide; at cluster scale a blanket cache of a 100 TB fact table is
+  * a failure mode, not an optimization.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark
+    * rejects by default (PARQUET_TYPE_ILLEGAL). Read nanos as long and
+    * rebuild a micros TimestampType column (truncation toward zero —
+    * matches DuckDB's nanos→micros narrowing), so downstream operators see
+    * a uniform TIMESTAMP schema.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestamp_micros(ts div 1000)"))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}

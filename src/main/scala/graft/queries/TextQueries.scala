@@ -1,0 +1,122 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.TextClean
+
+/** Preprocessing-surface queries (SURVEY.md §2.2–2.4): scan/project, dropna,
+  * string clean chain, filter, case/when label normalization, counts,
+  * group-by counts, in-engine aggregate stats.
+  *
+  * Oracle discipline (SURVEY.md §2.7): trailing total ORDER BY, derived
+  * integers cast to BIGINT on both sides, doubles rounded to 6, UTC.
+  */
+object TextQueries extends QueryModule {
+
+  val queries: Map[String, Q] = Map(
+    // S1/S3 + P2: scan with projection + pushed predicate. At scale the
+    // filter and the 3-column projection must reach the parquet reader
+    // (PushedFilters + ReadSchema) — verified in PlanSpec.
+    "q_scan_project" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") < lit("2000-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    // P1: dropna — IsNotNull predicates pushed to the scan.
+    "q_dropna" -> ((s, d) =>
+      Tables.documents(s, d).na.drop()
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))),
+
+    // F1-F4 + P3: the reference clean chain over documents.text.
+    "q_string_clean" -> ((s, d) =>
+      TextClean.clean(Tables.documents(s, d))
+        .select(col("doc_id"), col("text").as("clean_text"), col("text_length"))
+        .orderBy(col("doc_id"))),
+
+    // P5: predicate filter on computed length.
+    "q_filter_length" -> ((s, d) =>
+      Tables.documents(s, d)
+        .filter(length(col("text")) > 250)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))),
+
+    // P4/F5: conditional projection (label normalization analogue).
+    "q_case_when" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("label"))
+        .orderBy(col("doc_id"))),
+
+    // A2: global count.
+    "q_count" -> ((s, d) =>
+      Tables.lineitem(s, d).agg(count(lit(1)).as("n"))),
+
+    // A1: group-by count → partial+final HashAggregate, one shuffle on the
+    // group key; at 100 TB this is the canonical map-side-combine agg.
+    "q_groupby_count" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"))),
+
+    // A3: in-engine stats (replaces the reference's driver-side pandas
+    // stats at preprocessing.py:152-161 — never collect at scale).
+    "q_agg_stats" -> ((s, d) =>
+      Tables.documents(s, d)
+        .agg(
+          round(avg(length(col("text"))), 6).as("avg_len"),
+          max(length(col("text"))).cast("long").as("max_len"),
+          min(length(col("text"))).cast("long").as("min_len"))),
+
+    // P6: bernoulli sample — engine-internal RNG, NOT oracle-declared
+    // (rows-only check + property tests in SampleSpec).
+    "q_sample" -> ((s, d) =>
+      Tables.documents(s, d).sample(withReplacement = false, 0.2, seed = 42)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '2000-01-01'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_dropna" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id IS NOT NULL AND text IS NOT NULL AND lang IS NOT NULL
+        |  AND source IS NOT NULL AND n_chars IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_string_clean" -> {
+      val cleaned = TextClean.cleanTextSql("text")
+      s"""SELECT doc_id, $cleaned AS clean_text,
+         |  CAST(length($cleaned) AS BIGINT) AS text_length
+         |FROM documents WHERE length($cleaned) > 0
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "q_filter_length" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE length(text) > 250 ORDER BY doc_id""".stripMargin,
+
+    "q_case_when" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS label
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_count" ->
+      "SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem",
+
+    "q_groupby_count" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_agg_stats" ->
+      """SELECT round(avg(length(text)), 6) AS avg_len,
+        |  CAST(max(length(text)) AS BIGINT) AS max_len,
+        |  CAST(min(length(text)) AS BIGINT) AS min_len
+        |FROM documents""".stripMargin
+  )
+}

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.ml.feature.StopWordsRemover
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Tokenization + token-level text analysis as pure Catalyst expressions.
+  *
+  * Mirrors the reference's MLlib stages relationally so their aggregation
+  * cores are oracle-checkable (SURVEY.md §2.5 M1/M2/M4/M6):
+  *   - `tokenize` = Tokenizer semantics (lowercase, split on whitespace),
+  *     `/root/reference/model_logistic_regression.py:88-91`
+  *   - `removeStopwords` = StopWordsRemover semantics (default English
+  *     list, order/duplicates preserved),
+  *     `/root/reference/model_logistic_regression.py:93-96`
+  *
+  * All functions are higher-order-function / built-in based — whole-stage
+  * codegen keeps them fused with the scan at 100 TB; no UDFs.
+  */
+object TokenOps {
+
+  /** Spark MLlib's default English stoplist (the exact 181-word list the
+    * reference persists in its StopWordsRemover stage metadata). */
+  lazy val englishStopwords: Seq[String] =
+    StopWordsRemover.loadDefaultStopWords("english").toSeq
+
+  /** Tokenizer semantics: lowercase, split on runs of whitespace. */
+  def tokenize(text: Column): Column = split(lower(text), "\\s+")
+
+  /** Keep tokens not in the stoplist; preserves order and duplicates
+    * (unlike array_except, which would dedup). */
+  def removeStopwords(tokens: Column,
+      stop: Seq[String] = englishStopwords): Column =
+    filter(tokens, t => !t.isin(stop: _*))
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    size(tokenize(text)).cast("long")
+
+  /** BPE-ish regex token count: alnum/apostrophe runs. */
+  def regexTokenCount(text: Column): Column =
+    size(split(text, "[^a-zA-Z0-9']+")).cast("long")
+
+  /** Order-invariant bag-of-words fingerprint: md5 over the sorted set of
+    * tokens. Word-order-permuted duplicates collide — the cheap first-pass
+    * signal in a dedup cascade before MinHash. */
+  def bagOfWordsFingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(split(text, " ")))))
+
+  /** Deterministic document quality score in [0,1] from length, stopword
+    * ratio, and mean token length (heuristics only — no RNG, no model),
+    * so it stays DuckDB-oracle-checkable. */
+  def qualityScore(text: Column, stop: Seq[String] = englishStopwords)
+      : (Column, Column, Column) = {
+    val toks = tokenize(text)
+    val nTok = size(toks).cast("double")
+    val nStop = size(filter(toks, t => t.isin(stop: _*))).cast("double")
+    val stopRatio = nStop / nTok
+    val avgTokLen = length(regexp_replace(text, " ", "")).cast("double") / nTok
+    val q = round(
+      lit(0.5) * least(nTok / 100.0, lit(1.0)) +
+      lit(0.3) * (lit(1.0) - stopRatio) +
+      lit(0.2) * least(avgTokLen / 10.0, lit(1.0)), 6)
+    (nTok.cast("long"), round(stopRatio, 6), q)
+  }
+
+  /** SQL-escape a stoplist for a DuckDB IN (...) list. */
+  def sqlList(words: Seq[String]): String =
+    words.map(w => "'" + w.replace("'", "''") + "'").mkString(", ")
+}

@@ -1,0 +1,177 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{LangId, TokenOps}
+
+/** Tokenization + text-analysis relational queries (SURVEY.md §7 step 2):
+  * the relational cores of the MLlib fits (IDF document frequency,
+  * CountVectorizer vocabulary top-k, TF-IDF ranking) made oracle-checkable
+  * before any MLlib code runs, plus token counting, quality scoring, and
+  * fingerprinting from the LLM-pipeline extension surface.
+  */
+object TokenQueries extends QueryModule {
+
+  private val stop = TokenOps.englishStopwords
+  private def toks(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.documents(s, d).select(col("doc_id"),
+      explode(TokenOps.tokenize(col("text"))).as("token"))
+
+  val queries: Map[String, Q] = Map(
+    // Explode → global token counts. One shuffle (hash on token) with
+    // map-side partial aggregation; at 100 TB this is the canonical
+    // wordcount shape and needs nothing exotic.
+    "q_token_explode" -> ((s, d) =>
+      toks(s, d).groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("token"))),
+
+    // StopWordsRemover's relational core: content-token counts per doc.
+    "q_stopword_filter" -> ((s, d) =>
+      toks(s, d).filter(!col("token").isin(stop: _*))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_content"))
+        .orderBy(col("doc_id"))),
+
+    // IDF.fit's relational core (M4): per-term document frequency with
+    // minDocFreq=5 (reference hyperparameter).
+    "q_term_df" -> ((s, d) =>
+      toks(s, d).groupBy(col("token"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") >= 5)
+        .orderBy(col("token"))),
+
+    // CountVectorizer.fit's relational core (M6): top-k vocabulary by
+    // total term frequency among terms with df >= minDF. count+
+    // countDistinct in ONE aggregate (single shuffle), top-k via
+    // TakeOrderedAndProject — no full sort at scale.
+    "q_vocab_topk" -> ((s, d) =>
+      toks(s, d).groupBy(col("token"))
+        .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") >= 3)
+        .select(col("token"), col("tf"))
+        .orderBy(col("tf").desc, col("token"))
+        .limit(100)),
+
+    // TF-IDF top-3 terms per document. df side is vocabulary-sized →
+    // broadcast join (no shuffle of the tf side); corpus size N enters
+    // via a broadcast 1-row cross join, keeping the whole thing one lazy
+    // plan (no driver-side .count()). Rank on the ROUNDED score so the
+    // window ordering is engine-portable.
+    "q_tfidf_topk" -> ((s, d) => {
+      val t = toks(s, d)
+      val tf = t.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      val df = t.groupBy(col("token")).agg(countDistinct(col("doc_id")).as("df"))
+      val n = Tables.documents(s, d).agg(count(lit(1)).as("nd"))
+      val scored = tf.join(broadcast(df), "token").crossJoin(broadcast(n))
+        .withColumn("score",
+          round(col("tf") * log((col("nd") + lit(1.0)) / (col("df") + lit(1.0))), 6))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("token"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("token"), col("score"))
+        .orderBy(col("doc_id"), col("token"))
+    }),
+
+    // Token counting: whitespace + BPE-ish regex.
+    "q_token_count" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TokenOps.tokenCount(col("text")).as("n_ws_tokens"),
+        TokenOps.regexTokenCount(col("text")).as("n_re_tokens"))
+        .orderBy(col("doc_id"))),
+
+    // Deterministic quality scoring (length/stopword/token-shape).
+    "q_quality_score" -> ((s, d) => {
+      val (nTok, stopRatio, q) = TokenOps.qualityScore(col("text"))
+      Tables.documents(s, d).select(
+        col("doc_id"), nTok.as("n_tokens"),
+        stopRatio.as("stop_ratio"), q.as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Order-invariant bag-of-words fingerprint (dedup cascade stage 1).
+    "q_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TokenOps.bagOfWordsFingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))),
+
+    // Marker-word language ID — deterministic but the marker lists are
+    // library-internal, so verified rows-only + unit tests (LangIdSpec).
+    "q_lang_id" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        LangId.detectText(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id")))
+  )
+
+  private val stopSql = TokenOps.sqlList(stop)
+  private val toksSql =
+    "SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents"
+
+  val oracle: Map[String, String] = Map(
+    "q_token_explode" ->
+      s"""SELECT token, CAST(count(*) AS BIGINT) AS n FROM ($toksSql)
+         |GROUP BY token ORDER BY token""".stripMargin,
+
+    "q_stopword_filter" ->
+      s"""SELECT doc_id, CAST(count(*) AS BIGINT) AS n_content FROM ($toksSql)
+         |WHERE token NOT IN ($stopSql)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_term_df" ->
+      s"""SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |FROM ($toksSql) GROUP BY token
+         |HAVING count(DISTINCT doc_id) >= 5 ORDER BY token""".stripMargin,
+
+    "q_vocab_topk" ->
+      s"""SELECT token, tf FROM (
+         |  SELECT token, CAST(count(*) AS BIGINT) AS tf,
+         |         count(DISTINCT doc_id) AS df
+         |  FROM ($toksSql) GROUP BY token)
+         |WHERE df >= 3 ORDER BY tf DESC, token LIMIT 100""".stripMargin,
+
+    "q_tfidf_topk" ->
+      s"""WITH toks AS ($toksSql),
+         |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+         |       FROM toks GROUP BY doc_id, token),
+         |df AS (SELECT token, count(DISTINCT doc_id) AS df
+         |       FROM toks GROUP BY token),
+         |n AS (SELECT count(*) AS nd FROM documents)
+         |SELECT doc_id, token, score FROM (
+         |  SELECT tf.doc_id, tf.token,
+         |    round(tf.tf * ln((n.nd + 1.0) / (df.df + 1.0)), 6) AS score,
+         |    row_number() OVER (PARTITION BY tf.doc_id
+         |      ORDER BY round(tf.tf * ln((n.nd + 1.0) / (df.df + 1.0)), 6) DESC,
+         |               tf.token) AS rn
+         |  FROM tf JOIN df ON tf.token = df.token CROSS JOIN n)
+         |WHERE rn <= 3 ORDER BY doc_id, token""".stripMargin,
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(regexp_split_to_array(text, '[^a-zA-Z0-9'']+')) AS BIGINT)
+        |    AS n_re_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_quality_score" ->
+      s"""WITH q AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |      t -> t IN ($stopSql))) AS DOUBLE) AS n_stop,
+         |    CAST(length(replace(text, ' ', '')) AS DOUBLE) AS n_char
+         |  FROM documents)
+         |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+         |  round(n_stop / n_tok, 6) AS stop_ratio,
+         |  round(0.5 * least(n_tok / 100.0, 1.0)
+         |      + 0.3 * (1.0 - n_stop / n_tok)
+         |      + 0.2 * least((n_char / n_tok) / 10.0, 1.0), 6) AS quality
+         |FROM q ORDER BY doc_id""".stripMargin,
+
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -15,7 +15,8 @@ object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
     TextQueries,
-    TokenQueries
+    TokenQueries,
+    RelationalQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,250 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Dedup
+
+/** Star-schema relational layer (SURVEY.md §7 step 5): equi joins
+  * (broadcast + shuffled), semi/anti joins, exact dedup, distinct
+  * counting, top-k, set operations, rollup.
+  *
+  * Money-sum determinism: `sum(double)` is addition-order-dependent, and
+  * even per-row `round(double, 2)` differs across engines (Spark rounds
+  * the double's shortest decimal rendering, DuckDB the exact binary
+  * value). Money aggregates therefore convert to EXACT integer cents
+  * first — `round(x * 100)` is unambiguous because the source data is
+  * 2dp — sum exactly as DECIMAL (no 64-bit overflow even at 100 TB), and
+  * divide back to dollars once, at the end. This is also what a
+  * production ledger pipeline should do anyway.
+  */
+object RelationalQueries extends QueryModule {
+
+  /** Exact integer cents of a 2dp-valued double column. */
+  private def cents(c: Column): Column = round(c * 100, 0).cast("long")
+  private def centsSql(e: String): String = s"CAST(round($e * 100) AS BIGINT)"
+
+  // Per-lineitem revenue in units of 1e-4 dollars, exact:
+  // price_cents * (100 - discount_percent). DECIMAL(20,0) term so the
+  // sum is a 38-digit exact accumulator on both engines.
+  private def revenueTerm =
+    (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+      .cast("decimal(20,0)")
+  private val revenueTermSql =
+    s"CAST(${centsSql("l_extendedprice")} * (100 - ${centsSql("l_discount")}) AS DECIMAL(20,0))"
+
+  /** Exact decimal sum rendered as dollars (double). */
+  private def dollars(sumCol: Column, scale: Double): Column =
+    sumCol.cast("double") / scale
+
+  val queries: Map[String, Q] = Map(
+    // 4-dim star join. region/nation are tiny → explicit broadcast;
+    // customer/orders are left to Catalyst + AQE (at 100 TB they exceed
+    // any broadcast threshold and become shuffled hash / sort-merge on
+    // the join keys — forcing broadcast here would be a scale bug).
+    "q_join_star" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val n = broadcast(Tables.nation(s, d))
+      val r = broadcast(Tables.region(s, d))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("l_returnflag"))
+        .agg(dollars(sum(revenueTerm), 1e4).as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("r_name"), col("l_returnflag"))
+    }),
+
+    // TPC-H Q1 shape: wide aggregate over the fact table, single shuffle
+    // on the (tiny-cardinality) group key with map-side partial agg.
+    "q_agg_pricing" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dollars(sum(cents(col("l_quantity")).cast("decimal(20,0)")), 1e2)
+            .as("sum_qty"),
+          dollars(sum(cents(col("l_extendedprice")).cast("decimal(20,0)")), 1e2)
+            .as("sum_base_price"),
+          dollars(sum(revenueTerm), 1e4).as("sum_disc_price"),
+          (sum(cents(col("l_discount"))).cast("double") /
+            (count(lit(1)) * lit(100.0))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    // Left-semi: customers with at least one finished order (EXISTS).
+    "q_semi_join" -> ((s, d) => {
+      val o = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+      Tables.customer(s, d)
+        .join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Left-anti: parts with no 1999 shipment (NOT EXISTS).
+    "q_anti_join" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1999-01-01").cast("timestamp") &&
+                col("l_shipdate") < lit("2000-01-01").cast("timestamp"))
+      Tables.part(s, d)
+        .join(li, col("p_partkey") === col("l_partkey"), "left_anti")
+        .select(col("p_partkey"), col("p_name"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // Deterministic exact dedup (survivor = min doc_id per key).
+    "q_dedup_exact" -> ((s, d) =>
+      Dedup.exact(Tables.documents(s, d), Seq("lang", "source"), col("doc_id"))
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("lang"), col("source"))),
+
+    // Duplicate-group statistics (aggregation form, no window).
+    "q_dedup_stats" -> ((s, d) =>
+      Dedup.dupStats(Tables.documents(s, d), Seq("lang", "source"), "doc_id")
+        .orderBy(col("lang"), col("source"))),
+
+    // Exact distinct count per group (shuffle on group+distinct key,
+    // Spark expands to two-phase agg automatically).
+    "q_count_distinct" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"))
+        .orderBy(col("l_returnflag"))),
+
+    // HLL++ approximate distinct — deterministic per engine but not
+    // cross-engine, so rows-only + accuracy property test (DedupSpec).
+    "q_approx_distinct" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("n_parts_approx"))
+        .orderBy(col("l_returnflag"))),
+
+    // Top-k: TakeOrderedAndProject — never a full global sort at scale.
+    "q_topk" -> ((s, d) =>
+      Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .limit(10)),
+
+    // Set ops over dimension keys.
+    "q_set_intersect" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .intersect(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+        .orderBy(col("nationkey"))),
+
+    "q_set_except" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .except(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+        .orderBy(col("nationkey"))),
+
+    "q_set_union" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("nationkey"),
+          lit("c").as("side")).distinct()
+        .unionByName(Tables.supplier(s, d)
+          .select(col("s_nationkey").as("nationkey"), lit("s").as("side"))
+          .distinct())
+        .orderBy(col("nationkey"), col("side"))),
+
+    // Rollup (grouping sets); group cols coalesced so NULL-ordering
+    // differences between engines can't perturb the compare.
+    "q_rollup" -> ((s, d) =>
+      Tables.orders(s, d)
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"))
+        .orderBy(col("status"), col("priority")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_join_star" ->
+      s"""SELECT r_name, l_returnflag,
+         |  CAST(sum($revenueTermSql) AS DOUBLE) / 1e4 AS revenue,
+         |  CAST(count(*) AS BIGINT) AS n_lines
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, l_returnflag
+         |ORDER BY r_name, l_returnflag""".stripMargin,
+
+    "q_agg_pricing" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(sum(CAST(${centsSql("l_quantity")} AS DECIMAL(20,0))) AS DOUBLE) / 1e2 AS sum_qty,
+         |  CAST(sum(CAST(${centsSql("l_extendedprice")} AS DECIMAL(20,0))) AS DOUBLE) / 1e2 AS sum_base_price,
+         |  CAST(sum($revenueTermSql) AS DOUBLE) / 1e4 AS sum_disc_price,
+         |  CAST(sum(${centsSql("l_discount")}) AS DOUBLE) / (count(*) * 100.0) AS avg_disc,
+         |  CAST(count(*) AS BIGINT) AS count_order
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_partkey = p_partkey
+        |    AND l_shipdate >= TIMESTAMP '1999-01-01'
+        |    AND l_shipdate < TIMESTAMP '2000-01-01')
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT doc_id, lang, source FROM (
+        |  SELECT doc_id, lang, source,
+        |    row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn = 1
+        |ORDER BY lang, source""".stripMargin,
+
+    "q_dedup_stats" ->
+      """SELECT lang, source, CAST(min(doc_id) AS BIGINT) AS doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_dups
+        |FROM documents GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin,
+
+    "q_count_distinct" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q_set_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT
+        |SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+
+    "q_set_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT
+        |SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+
+    "q_set_union" ->
+      """SELECT nationkey, side FROM (
+        |  SELECT DISTINCT c_nationkey AS nationkey, 'c' AS side FROM customer
+        |  UNION ALL
+        |  SELECT DISTINCT s_nationkey AS nationkey, 's' AS side FROM supplier)
+        |ORDER BY nationkey, side""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin
+  )
+}

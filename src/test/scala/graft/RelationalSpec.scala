@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, TokenOps}
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Dedup.exact keeps min-tiebreak survivor and is idempotent") {
+    val df = Seq((3L, "a"), (1L, "a"), (2L, "b"), (5L, "a"))
+      .toDF("id", "k")
+    val out = Dedup.exact(df, Seq("k"), $"id")
+      .as[(Long, String)].collect().sortBy(_._2)
+    assert(out.toSeq === Seq((1L, "a"), (2L, "b")))
+    val once = Dedup.exact(df, Seq("k"), $"id")
+    val twice = Dedup.exact(once, Seq("k"), $"id")
+    assert(once.collect().toSet === twice.collect().toSet)
+  }
+
+  test("Dedup.exactByFingerprint collapses word-order permutations") {
+    val df = Seq((1L, "spark is fast"), (2L, "fast is spark"), (3L, "other doc"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactByFingerprint(df,
+      TokenOps.bagOfWordsFingerprint($"text"), $"doc_id")
+    assert(out.select("doc_id").as[Long].collect().toSet === Set(1L, 3L))
+  }
+
+  test("approx_count_distinct within 5% of exact") {
+    val li = Tables.lineitem(spark, sf01)
+    val exact = li.select(countDistinct($"l_partkey")).as[Long].head()
+    val approx = li.select(approx_count_distinct($"l_partkey", 0.02)).as[Long].head()
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx=$approx exact=$exact")
+  }
+
+  test("star join broadcasts small dims (plan check)") {
+    val plan = SparkEntry.queries("q_join_star")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val plan = SparkEntry.queries("q_topk")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
+  }
+}

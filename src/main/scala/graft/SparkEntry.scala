@@ -16,7 +16,8 @@ object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     TextQueries,
     TokenQueries,
-    RelationalQueries
+    RelationalQueries,
+    EventQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics over a timestamped fact table (batch forms;
+  * streaming counterparts in graft.streaming).
+  *
+  * Scale notes: every operator here shuffles once, on the entity key
+  * (`user_id`) or the time bucket — never on the raw event id. Window
+  * functions sort per-partition only (keys are hashed apart); the tumbling/
+  * sliding aggregations are plain hash aggs with map-side combine.
+  */
+object EventOps {
+
+  /** Top-k rows per key by `order` columns (deterministic — pass explicit
+    * tiebreaks). One shuffle on `keys`. */
+  def topPerKey(df: DataFrame, keys: Seq[String], order: Seq[Column], k: Int)
+      : DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
+  /** Running (cumulative) total of `valueCol` per key in (ts, tiebreak)
+    * order. Uses exact integer cents so the running double is
+    * reproducible across engines/runs. */
+  def runningTotal(df: DataFrame, key: String, ts: String, tiebreak: String,
+      valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts), col(tiebreak))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_cents",
+        sum(round(col(valueCol) * 100, 0).cast("long")).over(w))
+      .withColumn("cum_value", col("cum_cents").cast("double") / 100.0)
+  }
+
+  /** Tumbling-window counts+sums; `width` e.g. "1 hour". Emits
+    * window_start as a flat timestamp column. */
+  def tumbling(df: DataFrame, ts: String, width: String): DataFrame =
+    df.groupBy(window(col(ts), width).getField("start").as("window_start"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("value") * 100, 0).cast("long")).cast("double") / 100.0)
+          .as("total_value"))
+
+  /** Hopping (sliding) window counts: `width` window every `slide`. Each
+    * event lands in width/slide buckets — the blowup is explicit in the
+    * plan (generator), not hidden state. */
+  def sliding(df: DataFrame, ts: String, width: String, slide: String)
+      : DataFrame =
+    df.groupBy(window(col(ts), width, slide).getField("start").as("window_start"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Gap-based sessionization: a new session starts after `gapMinutes` of
+    * inactivity. Two stacked windows (lag → running sum of break flags),
+    * both partitioned by the entity key — one shuffle total. Session ids
+    * are per-user ordinals (deterministic with the event-id tiebreak). */
+  def sessionize(df: DataFrame, key: String, ts: String, tiebreak: String,
+      gapMinutes: Int): DataFrame = {
+    val order = Window.partitionBy(col(key)).orderBy(col(ts), col(tiebreak))
+    val cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    df.withColumn("__prev_us", lag(unix_micros(col(ts)), 1).over(order))
+      .withColumn("__brk",
+        when(col("__prev_us").isNull ||
+          unix_micros(col(ts)) - col("__prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("__brk")).over(cum))
+      .drop("__prev_us", "__brk")
+  }
+
+  /** Session-level rollup from sessionize output. */
+  def sessionStats(df: DataFrame, key: String, ts: String): DataFrame =
+    df.groupBy(col(key), col("session_id"))
+      .agg(min(col(ts)).as("session_start"), max(col(ts)).as("session_end"),
+        count(lit(1)).as("n_events"))
+}

@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.EventOps
+
+/** Windowed event analytics + JSON extraction (SURVEY.md §7 step 6, §2.7).
+  * All timestamps are UTC micros; interval math is done on unix_micros /
+  * epoch_us integers so both engines compare exactly.
+  */
+object EventQueries extends QueryModule {
+
+  val queries: Map[String, Q] = Map(
+    // Ranking window: top-3 events per user by value.
+    "q_window_rank" -> ((s, d) =>
+      EventOps.topPerKey(Tables.events(s, d), Seq("user_id"),
+          Seq(col("value").desc, col("event_id")), 3)
+        .select(col("user_id"), col("event_id"), col("value"), col("rn"))
+        .orderBy(col("user_id"), col("rn"))),
+
+    // Cumulative sum per user in event-time order (exact cents).
+    "q_running_sum" -> ((s, d) =>
+      EventOps.runningTotal(Tables.events(s, d),
+          "user_id", "ts", "event_id", "value")
+        .select(col("user_id"), col("event_id"), col("cum_value"))
+        .orderBy(col("user_id"), col("event_id"))),
+
+    // Tumbling 1-hour aggregation via Spark's window() operator.
+    "q_tumbling_count" -> ((s, d) =>
+      EventOps.tumbling(Tables.events(s, d), "ts", "1 hour")
+        .orderBy(col("window_start"))),
+
+    // Hopping 1h window every 30min.
+    "q_sliding_count" -> ((s, d) =>
+      EventOps.sliding(Tables.events(s, d), "ts", "1 hour", "30 minutes")
+        .orderBy(col("window_start"))),
+
+    // JSON path extraction from the props column.
+    "q_json_extract" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy(col("event_id"))),
+
+    // Aggregate over an extracted JSON field, grouped by event type.
+    "q_json_agg" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))),
+
+    // Gap-based sessionization (30-minute inactivity) → session stats.
+    "q_sessionize" -> ((s, d) =>
+      EventOps.sessionStats(
+        EventOps.sessionize(Tables.events(s, d), "user_id", "ts", "event_id", 30),
+        "user_id", "ts")
+        .orderBy(col("user_id"), col("session_id")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_window_rank" ->
+      """SELECT user_id, event_id, value, CAST(rn AS BIGINT) AS rn FROM (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY value DESC, event_id) AS rn
+        |  FROM events) WHERE rn <= 3
+        |ORDER BY user_id, rn""".stripMargin,
+
+    "q_running_sum" ->
+      """SELECT user_id, event_id,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0
+        |    AS cum_value
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    "q_tumbling_count" ->
+      """SELECT date_trunc('hour', ts) AS window_start,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+        |    AS total_value
+        |FROM events GROUP BY 1 ORDER BY window_start""".stripMargin,
+
+    "q_sliding_count" ->
+      """WITH x AS (
+        |  SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+        |                 time_bucket(INTERVAL '30 minutes', ts)
+        |                   - INTERVAL '30 minutes']) AS window_start
+        |  FROM events)
+        |SELECT window_start, CAST(count(*) AS BIGINT) AS n
+        |FROM x GROUP BY window_start ORDER BY window_start""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_json_agg" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+        |    AS sum_k,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |y AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_id
+        |  FROM x)
+        |SELECT user_id, session_id, min(ts) AS session_start,
+        |  max(ts) AS session_end, CAST(count(*) AS BIGINT) AS n_events
+        |FROM y GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin
+  )
+}

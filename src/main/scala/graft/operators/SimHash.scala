@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** 64-bit SimHash near-duplicate fingerprinting.
+  *
+  * simhash(doc) = bit i set iff Σ_tokens (bit i of xxhash64(token) ? +1 : -1) > 0.
+  * Near-duplicates land within a small Hamming distance. The whole
+  * fingerprint is ONE row-local HOF fold (aggregate over the token array
+  * maintaining 64 signed counters) — no shuffle, no UDF; at 100 TB it
+  * runs at scan speed and the only shuffle is the 16-bit-chunk candidate
+  * join (standard 4-chunk pigeonhole: Hamming <= 3 ⇒ some chunk equal).
+  */
+object SimHash {
+
+  private val bitIdx = sequence(lit(0), lit(63))
+
+  /** 64-bit simhash of a token array column. */
+  def simhash64(tokens: Column): Column =
+    aggregate(
+      tokens,
+      array_repeat(lit(0L), 64),
+      (acc, t) => zip_with(acc,
+        transform(bitIdx, i =>
+          when(call_function("shiftright", xxhash64(t), i.cast("int"))
+            .bitwiseAND(1) === 1, 1L).otherwise(-1L)),
+        (a, b) => a + b),
+      acc => aggregate(
+        zip_with(acc, bitIdx, (c, i) =>
+          when(c > 0, call_function("shiftleft", lit(1L), i.cast("int")))
+            .otherwise(lit(0L))),
+        lit(0L), (x, y) => x.bitwiseOR(y)))
+
+  def hamming(a: Column, b: Column): Column =
+    call_function("bit_count", a.bitwiseXOR(b))
+
+  /** The four 16-bit chunks of a simhash (pigeonhole banding for
+    * Hamming <= 3 candidate generation). */
+  def chunks(h: Column): Column =
+    array((0 until 4).map { j =>
+      struct(lit(j).as("chunk_id"),
+        call_function("shiftright", h, lit(j * 16).cast("int"))
+          .bitwiseAND(0xFFFFL).as("chunk"))
+    }: _*)
+
+  /** Near-dup pairs by simhash: candidates share a 16-bit chunk, verified
+    * by full Hamming distance <= maxHamming. */
+  def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val h = df.select(col(idCol),
+      simhash64(TokenOps.tokenize(col(textCol))).as("simhash"))
+    val ex = h.select(col(idCol), col("simhash"),
+      explode(chunks(col("simhash"))).as("c"))
+      .select(col(idCol), col("simhash"),
+        col("c.chunk_id").as("chunk_id"), col("c.chunk").as("chunk"))
+    val a = ex.select(col(idCol).as("id_a"), col("simhash").as("h_a"),
+      col("chunk_id"), col("chunk"))
+    val b = ex.select(col(idCol).as("id_b"), col("simhash").as("h_b"),
+      col("chunk_id"), col("chunk"))
+    a.join(b, Seq("chunk_id", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hamming(col("h_a"), col("h_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

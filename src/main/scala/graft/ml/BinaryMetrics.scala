@@ -1,0 +1,52 @@
+package graft.ml
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** In-engine binned ROC / AUC (replaces the reference's driver-side
+  * sklearn ROC, `model_logistic_regression.py:276-280`).
+  *
+  * Exact ROC needs a global sort by score — a single-partition window at
+  * 100 TB. Instead scores are binned (default 1000 buckets): one hash
+  * aggregation over the full data (map-side combined), then the running
+  * TP/FP sums run over ≤`bins` rows, which is driver-trivial but kept
+  * in-engine. AUC error vs exact is O(1/bins).
+  */
+object BinaryMetrics {
+
+  /** ROC points from (score in [0,1], label in {0,1}). Returns
+    * (threshold_bin, fpr, tpr) ordered by descending threshold. */
+  def binnedRoc(df: DataFrame, scoreCol: String, labelCol: String,
+      bins: Int = 1000): DataFrame = {
+    val binned = df.select(
+        least(floor(col(scoreCol) * bins), lit(bins - 1)).as("bin"),
+        col(labelCol).cast("long").as("y"))
+      .groupBy(col("bin"))
+      .agg(sum(col("y")).as("pos"), (count(lit(1)) - sum(col("y"))).as("neg"))
+    val w = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = binned.agg(sum(col("pos")), sum(col("neg"))).head()
+    val (p, n) = (totals.getLong(0), totals.getLong(1))
+    binned
+      .withColumn("tp", sum(col("pos")).over(w))
+      .withColumn("fp", sum(col("neg")).over(w))
+      .select(col("bin"),
+        (col("fp").cast("double") / n).as("fpr"),
+        (col("tp").cast("double") / p).as("tpr"))
+      .orderBy(col("bin").desc)
+  }
+
+  /** Trapezoidal AUC over the binned ROC. */
+  def binnedAuc(df: DataFrame, scoreCol: String, labelCol: String,
+      bins: Int = 1000): Double = {
+    val roc = binnedRoc(df, scoreCol, labelCol, bins)
+    val w = Window.orderBy(col("bin").desc)
+    roc
+      .withColumn("prev_fpr", lag(col("fpr"), 1, 0.0).over(w))
+      .withColumn("prev_tpr", lag(col("tpr"), 1, 0.0).over(w))
+      .select(sum((col("fpr") - col("prev_fpr")) *
+        (col("tpr") + col("prev_tpr")) / 2.0))
+      .head().getDouble(0)
+  }
+}

@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ml.{BinaryMetrics, SentimentPipeline}
+
+/** ML pipeline queries (SURVEY.md §2.5). Model fits are RNG/float-
+  * iteration dependent → rows-only checks + golden-tolerance specs
+  * (MLPipelineSpec); the RELATIONAL cores (confusion matrix, binned ROC)
+  * are oracle-checked over a deterministic rule-based score, exactly the
+  * "materialized prediction column" strategy from SURVEY.md §2.4 A4.
+  */
+object MLQueries extends QueryModule {
+
+  // Deterministic stand-in classifier for oracle purposes:
+  // label = (lang = 'en'), score = min(n_chars/500, 0.999), pred = score > 0.5.
+  private def labeled(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      when(col("lang") === "en", 1L).otherwise(0L).as("label"),
+      least(col("n_chars").cast("double") / 500.0, lit(0.999)).as("score"))
+
+  val queries: Map[String, Q] = Map(
+    // Confusion-matrix aggregation (in-engine A4 replacement).
+    "q_confusion_pairs" -> ((s, d) =>
+      labeled(s, d)
+        .withColumn("prediction", (col("score") > 0.5).cast("long"))
+        .groupBy(col("label"), col("prediction"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("label"), col("prediction"))),
+
+    // Binned ROC over the deterministic score (M13's window workload).
+    "q_roc_binned" -> ((s, d) =>
+      BinaryMetrics.binnedRoc(labeled(s, d), "score", "label", bins = 100)
+        .select(col("bin").cast("long").as("bin"),
+          round(col("fpr"), 6).as("fpr"), round(col("tpr"), 6).as("tpr"))
+        .orderBy(col("bin").desc)),
+
+    // LR sentiment pipeline end-to-end (fit + transform on the 80/20
+    // reference split) — rows-only: L-BFGS float iterations.
+    "q_ml_lr_predictions" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          when(col("lang") === "en", 1.0).otherwise(0.0).as("label"))
+      val (train, test) = SentimentPipeline.split(docs)
+      val model = SentimentPipeline
+        .pipeline(SentimentPipeline.logisticRegression()).fit(train)
+      model.transform(test)
+        .select(col("doc_id"), col("label").cast("long").as("label"),
+          col("prediction").cast("long").as("prediction"),
+          round(element_at(vector_to_array(col("probability")), 2), 4).as("p1"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // NB pipeline confusion matrix (rows-only).
+    "q_ml_nb_confusion" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("text"),
+          when(col("lang") === "en", 1.0).otherwise(0.0).as("label"))
+      val (train, test) = SentimentPipeline.split(docs)
+      val model = SentimentPipeline
+        .pipeline(SentimentPipeline.naiveBayes()).fit(train)
+      SentimentPipeline.confusionMatrix(model.transform(test))
+    }),
+
+    // LinearSVC pipeline confusion matrix (rows-only).
+    "q_ml_svc_confusion" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("text"),
+          when(col("lang") === "en", 1.0).otherwise(0.0).as("label"))
+      val (train, test) = SentimentPipeline.split(docs)
+      val model = SentimentPipeline
+        .pipeline(SentimentPipeline.linearSvc()).fit(train)
+      SentimentPipeline.confusionMatrix(model.transform(test))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_confusion_pairs" ->
+      """SELECT CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS label,
+        |  CAST(CASE WHEN least(n_chars / 500.0, 0.999) > 0.5 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS prediction,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM documents GROUP BY 1, 2 ORDER BY label, prediction""".stripMargin,
+
+    "q_roc_binned" ->
+      """WITH b AS (
+        |  SELECT CAST(least(floor(least(n_chars / 500.0, 0.999) * 100), 99)
+        |    AS BIGINT) AS bin,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |g AS (SELECT bin, sum(y) AS pos, count(*) - sum(y) AS neg
+        |      FROM b GROUP BY bin),
+        |t AS (SELECT CAST(sum(pos) AS DOUBLE) AS p, CAST(sum(neg) AS DOUBLE) AS n
+        |      FROM g)
+        |SELECT bin,
+        |  round(CAST(sum(neg) OVER (ORDER BY bin DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / t.n, 6)
+        |    AS fpr,
+        |  round(CAST(sum(pos) OVER (ORDER BY bin DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / t.p, 6)
+        |    AS tpr
+        |FROM g CROSS JOIN t
+        |ORDER BY bin DESC""".stripMargin
+  )
+}

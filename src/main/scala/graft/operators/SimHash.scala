@@ -35,6 +35,25 @@ object SimHash {
   def hamming(a: Column, b: Column): Column =
     call_function("bit_count", a.bitwiseXOR(b))
 
+  /** Simhash via explode + 64 codegen'd bit-sum aggregates (one shuffle
+    * on the doc id). Semantically identical to [[simhash64]], but the
+    * per-row HOF fold must not feed derived columns: CollapseProject
+    * inlines the whole fold into each consumer (4x for the chunk keys),
+    * all interpreted. This form tokenizes once and stays in codegen. */
+  def simhashAgg(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ex = df.select(col(idCol),
+        explode(TokenOps.tokenize(col(textCol))).as("t"))
+      .select(col(idCol), xxhash64(col("t")).as("h"))
+    val sums = (0 until 64).map(i =>
+      sum(when(call_function("shiftright", col("h"), lit(i))
+        .bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"__b$i"))
+    ex.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
+      .select(col(idCol),
+        (0 until 64).map(i =>
+          when(col(s"__b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_.bitwiseOR(_)).as("simhash"))
+  }
+
   /** The four 16-bit chunks of a simhash (pigeonhole banding for
     * Hamming <= 3 candidate generation). */
   def chunks(h: Column): Column =
@@ -48,8 +67,7 @@ object SimHash {
     * by full Hamming distance <= maxHamming. */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val h = df.select(col(idCol),
-      simhash64(TokenOps.tokenize(col(textCol))).as("simhash"))
+    val h = simhashAgg(df, idCol, textCol)
     val ex = h.select(col(idCol), col("simhash"),
       explode(chunks(col("simhash"))).as("c"))
       .select(col(idCol), col("simhash"),

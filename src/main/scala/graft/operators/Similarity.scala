@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
 
 /** Dense-vector similarity search over an `array<float>` embedding column.
   *
@@ -29,6 +30,15 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Same math and summation order as [[cosine]], but through the
+    * codegen'd [[graft.functions.DotProduct]] expression — the HOF form
+    * pays one interpreted lambda dispatch per element, which dominates
+    * all-pairs joins (measured ~50x on the bench near-dup query). Caller
+    * must VectorFunctions.register the session. */
+  def cosineFast(a: Column, b: Column): Column =
+    VectorFunctions.vec_dot(a, b) /
+      (sqrt(VectorFunctions.vec_dot(a, a)) * sqrt(VectorFunctions.vec_dot(b, b)))
+
   private def toDouble(c: Column): Column = c.cast("array<double>")
 
   /** Exact top-k most-cosine-similar vectors to the vector with id
@@ -36,12 +46,13 @@ object Similarity {
     * TakeOrderedAndProject (never a full sort). */
   def bruteForceTopK(embeddings: DataFrame, idCol: String, vecCol: String,
       queryId: Long, k: Int): DataFrame = {
+    VectorFunctions.register(embeddings.sparkSession)
     val e = embeddings.withColumn("__v", toDouble(col(vecCol)))
     val q = e.filter(col(idCol) === queryId)
       .select(col("__v").as("__qv"))
     e.filter(col(idCol) =!= queryId)
       .crossJoin(broadcast(q))
-      .withColumn("cos", round(cosine(col("__v"), col("__qv")), 6))
+      .withColumn("cos", round(cosineFast(col("__v"), col("__qv")), 6))
       .select(col(idCol), col("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
@@ -51,10 +62,11 @@ object Similarity {
     * O(n²) — verification scale only; LSH-prefilter at production scale. */
   def nearDupPairs(embeddings: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
+    VectorFunctions.register(embeddings.sparkSession)
     val a = embeddings.select(col(idCol).as("id_a"), toDouble(col(vecCol)).as("va"))
     val b = embeddings.select(col(idCol).as("id_b"), toDouble(col(vecCol)).as("vb"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .withColumn("cos", round(cosine(col("va"), col("vb")), 6))
+      .withColumn("cos", round(cosineFast(col("va"), col("vb")), 6))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
@@ -72,7 +84,8 @@ object Similarity {
   def hyperplaneSig(vec: Column, planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.map { case (p, j) =>
       val plane = array(p.map(lit): _*)
-      when(dot(vec, plane) >= 0, lit(1L << j)).otherwise(lit(0L))
+      when(VectorFunctions.vec_dot(vec, plane) >= 0, lit(1L << j))
+        .otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
 
   /** Driver-side signature of a literal query vector (must mirror
@@ -100,6 +113,7 @@ object Similarity {
     val dim = query.size
     val allPlanes = hyperplanes(tables * bitsPerTable, dim)
     val tablePlanes = allPlanes.grouped(bitsPerTable).toSeq
+    VectorFunctions.register(embeddings.sparkSession)
     val qVec = array(query.map(lit): _*)
     val withV = embeddings.withColumn("__v", toDouble(col(vecCol)))
     val anyBucketMatch = tablePlanes.map { planes =>
@@ -107,7 +121,7 @@ object Similarity {
     }.reduce(_ || _)
     withV
       .filter(anyBucketMatch)
-      .withColumn("cos", round(cosine(col("__v"), qVec), 6))
+      .withColumn("cos", round(cosineFast(col("__v"), qVec), 6))
       .select(col(idCol), col("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)

@@ -23,9 +23,11 @@ object TextQueries extends QueryModule {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))),
 
-    // P1: dropna — IsNotNull predicates pushed to the scan.
+    // P1: dropna. NOT df.na.drop(): that compiles to AtLeastNNonNulls,
+    // which never pushes to the scan — Filters.dropAnyNull emits pushable
+    // per-column IsNotNull predicates instead (see Filters scaladoc).
     "q_dropna" -> ((s, d) =>
-      Tables.documents(s, d).na.drop()
+      graft.operators.Filters.dropAnyNull(Tables.documents(s, d))
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy(col("doc_id"))),
 

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming forms of the event analytics (SURVEY.md §2.7 —
+  * the reference has no streaming; this is the extension surface).
+  *
+  * Sources are file streams (parquet dir) for tests; in production the
+  * same transforms run unchanged over Kafka etc. Watermarks bound state:
+  * the tumbling agg keeps ≤ (watermark/width + 1) windows per key alive,
+  * and the stateful per-user counter uses explicit GroupState with a
+  * processing-time timeout so state size is O(active users).
+  */
+object EventStream {
+
+  /** Streaming-readable events schema. `ts` arrives as TIMESTAMP(NANOS)
+    * in the fixture parquet, so it is read as nanos-long and rebuilt to a
+    * micros timestamp (same convention as graft.Tables.events). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  def read(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(rawSchema).parquet(path)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Windowed streaming aggregation with watermark + late-data bound. */
+  def tumblingCounts(events: DataFrame, width: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("value") * 100, 0).cast("long")).cast("double") / 100.0)
+          .as("total_value"))
+      .select(col("window").getField("start").as("window_start"),
+        col("event_type"), col("n"), col("total_value"))
+
+  final case class UserEvent(user_id: Long, value: Double)
+  final case class UserTotal(user_id: Long, n_events: Long, total_cents: Long)
+
+  /** Custom stateful op: running per-user totals via mapGroupsWithState
+    * (exact cents in state, like the batch runningTotal). State here is
+    * O(distinct users); for unbounded key spaces switch to
+    * EventTimeTimeout + state.remove() on expiry — a processing-time
+    * timeout would re-trigger batches forever on a drained source. */
+  def runningUserTotals(events: DataFrame): Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    val typed = events
+      .select(col("user_id"), col("value")).as[UserEvent]
+    typed.groupByKey(_.user_id)
+      .mapGroupsWithState[UserTotal, UserTotal](
+        GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[UserTotal]) =>
+          val prev = state.getOption.getOrElse(UserTotal(uid, 0L, 0L))
+          var n = prev.n_events
+          var cents = prev.total_cents
+          rows.foreach { e =>
+            n += 1
+            cents += math.round(e.value * 100)
+          }
+          val next = UserTotal(uid, n, cents)
+          state.update(next)
+          next
+      }
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.EventOps
+import graft.streaming.EventStream
+
+/** Streaming forms verified against their batch equivalents by driving a
+  * real streaming query (memory sink, processAllAvailable). */
+class EventStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** File-stream sources need a directory; stage the fixture file into one. */
+  private lazy val eventsDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf001/events.parquet"),
+      dir.resolve("events.parquet"))
+    dir.toString
+  }
+
+  test("streaming tumbling counts == batch tumbling counts") {
+    // complete mode: append would (correctly) withhold windows newer than
+    // the final watermark, which never advances past end-of-fixture.
+    val stream = EventStream.tumblingCounts(
+      EventStream.read(spark, eventsDir), "1 hour", "2 hours")
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("tumbling_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("tumbling_out")
+        .select($"window_start", $"event_type", $"n", $"total_value")
+        .collect().toSet
+      val batch = Tables.events(spark, sf001)
+        .groupBy(window($"ts", "1 hour").getField("start").as("window_start"),
+          $"event_type")
+        .agg(count(lit(1)).as("n"),
+          (sum(round($"value" * 100, 0).cast("long")).cast("double") / 100.0)
+            .as("total_value"))
+        .collect().toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("stateful running user totals accumulate exactly once per event") {
+    val stream = EventStream.runningUserTotals(
+      EventStream.read(spark, eventsDir))
+    val q = stream.writeStream.outputMode("update")
+      .format("memory").queryName("totals_out").start()
+    try {
+      q.processAllAvailable()
+      // last update per user = final total
+      val finalTotals = spark.table("totals_out")
+        .groupBy($"user_id").agg(max($"n_events").as("n"),
+          max($"total_cents").as("cents"))
+      val batch = Tables.events(spark, sf001)
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n"),
+          sum(round($"value" * 100, 0).cast("long")).as("cents"))
+      assert(finalTotals.collect().toSet === batch.collect().toSet)
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+import graft.sources.SentimentCsv
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("media table has the declared schema and non-null blobs") {
+    val media = Multimodal.fakeMediaFromDocuments(Tables.documents(spark, sf001))
+    assert(media.schema("bytes").dataType.typeName === "binary")
+    assert(media.schema("meta").dataType.typeName === "struct")
+    assert(media.filter($"bytes".isNull).count() === 0)
+  }
+
+  test("feature extraction: deterministic, fixed dim, batch-shaped") {
+    val media = Multimodal.fakeMediaFromDocuments(Tables.documents(spark, sf001))
+    val f1 = Multimodal.extractFeatures(media, dim = 8).collect()
+      .map(m => m.media_id -> m.features.toSeq).toMap
+    val f2 = Multimodal.extractFeatures(media, dim = 8).collect()
+      .map(m => m.media_id -> m.features.toSeq).toMap
+    assert(f1 === f2, "stub decode must be deterministic")
+    assert(f1.values.forall(_.size === 8))
+    assert(f1.values.exists(_.exists(_ > 0.0)))
+  }
+
+  test("frame offsets are evenly spaced and in-range") {
+    val out = Seq(Array.fill[Byte](100)(1)).toDF("bytes")
+      .select(Multimodal.frameOffsets($"bytes", 4)).as[Seq[Long]].head()
+    assert(out === Seq(0L, 25L, 50L, 75L))
+  }
+
+  test("sentiment CSV round-trip: write clean, re-read, identical") {
+    val df = Seq((1, "hello world"), (0, "bad, \"quoted\" text"))
+      .toDF("label", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv").toString
+    SentimentCsv.writeClean(df, dir)
+    val back = SentimentCsv.readClean(spark, dir)
+    assert(back.as[(Int, String)].collect().toSet ===
+      df.as[(Int, String)].collect().toSet)
+    val inferred = SentimentCsv.readClean(spark, dir, infer = true)
+    assert(inferred.schema("label").dataType.typeName === "integer")
+  }
+
+  test("raw sentiment140 CSV reads with the fixed DDL schema") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-raw").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/part.csv"),
+      "4,\"1\",\"date\",\"NO_QUERY\",\"user1\",\"@you http://x.co nice!\"\n" +
+      "0,\"2\",\"date\",\"NO_QUERY\",\"user2\",\"awful day\"\n")
+    val df = SentimentCsv.readRaw(spark, dir)
+    assert(df.schema.fieldNames.toSeq ===
+      Seq("sentiment", "id", "date", "query", "user", "text"))
+    assert(df.count() === 2)
+    assert(df.filter($"sentiment" === 4).select($"text").as[String].head()
+      .contains("@you"))
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+/** Physical-plan assertions: the properties that keep these operators
+  * viable at 100 TB (pushdown, pruning, broadcast, no stray shuffles).
+  * `.explain("formatted")`-style checks pinned as tests so a regression
+  * in plan shape fails CI, not the cluster. */
+class PlanSpec extends SparkSpec {
+
+  private def formatted(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf001)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("q_scan_project pushes the shipdate filter into the parquet scan") {
+    val plan = formatted("q_scan_project")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"),
+      s"filter not pushed:\n$plan")
+  }
+
+  test("q_scan_project prunes to the 4 referenced columns") {
+    val plan = formatted("q_scan_project")
+    val readSchema = plan.linesIterator
+      .find(_.trim.startsWith("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_partkey"),
+      s"scan reads unpruned columns: $readSchema")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_shipdate"))
+  }
+
+  test("q_dropna pushes IsNotNull predicates to the scan") {
+    val plan = formatted("q_dropna")
+    assert(plan.contains("PushedFilters: [IsNotNull"),
+      s"no IsNotNull pushdown:\n$plan")
+  }
+
+  test("q_groupby_count uses partial+final hash aggregation") {
+    val plan = formatted("q_groupby_count")
+    assert(plan.contains("HashAggregate"), plan)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected partial+final agg:\n$plan")
+  }
+
+  test("q_tfidf_topk broadcasts the document-frequency side") {
+    val plan = formatted("q_tfidf_topk")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), s"df side not broadcast:\n$plan")
+  }
+
+  test("whole-stage codegen covers the clean chain") {
+    val df = graft.operators.TextClean.clean(Tables.documents(spark, sf001))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), s"no WholeStageCodegen span:\n$plan")
+  }
+}

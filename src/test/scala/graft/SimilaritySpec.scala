@@ -34,6 +34,39 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall, exact=${exact.size}, lsh=${lsh.size}")
   }
 
+  test("simhashAgg (codegen form) equals simhash64 (HOF form)") {
+    val docs = Tables.documents(spark, sf001)
+    val hof = docs.select($"doc_id",
+      SimHash.simhash64(TokenOps.tokenize($"text")).as("simhash"))
+      .as[(Long, Long)].collect().toMap
+    val agg = SimHash.simhashAgg(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(agg === hof)
+  }
+
+  test("minhash signatureAgg equals row-local signature form") {
+    val docs = Tables.documents(spark, sf001).limit(50)
+    val hof = docs.select($"doc_id", MinHashDedup.signature(
+        MinHashDedup.shingles(TokenOps.tokenize($"text"), 3), 8).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val agg = MinHashDedup.signatureAgg(docs, "doc_id", "text", 3, 8)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(agg === hof.filter(_._2.nonEmpty)
+      .map { case (k, v) => k -> v }.filter { case (k, _) => agg.contains(k) })
+    assert(agg.forall { case (k, v) => hof(k) === v })
+  }
+
+  test("prefix-filtered exact jaccard equals inverted-index formulation") {
+    val fromQuery = SparkEntry.queries("q_jaccard_pairs")(spark, sf001)
+      .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    val prefix = MinHashDedup.exactJaccardPairs(
+        Tables.documents(spark, sf001), "doc_id", "text", 3, 0.5)
+      .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(prefix === fromQuery)
+  }
+
   test("simhash: identical token multisets collide; permutations collide") {
     val out = Seq("x y z w", "w z y x", "totally different words here")
       .toDF("text")

@@ -1,0 +1,61 @@
+package graft.ml
+
+import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, CountVectorizer, MinHashLSH}
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{MinHashDedup, TokenOps}
+
+/** MLlib LSH wrappers — the Estimator-based alternative to the custom
+  * expression-level LSH in graft.operators (SURVEY.md §2.7: "MinHashLSH
+  * over CountVectorizer shingles, approxSimilarityJoin").
+  *
+  * Trade-off vs the custom operators: MLlib LSH needs a fitting job and
+  * vector columns (CountVectorizer vocabulary → one extra pass + a
+  * driver-held vocab), but plugs into approxSimilarityJoin/approxNearest
+  * Neighbors directly. The expression-level forms (MinHashDedup,
+  * Similarity.annTopK) are fit-free and stay in codegen; prefer them in
+  * pipelines, use these when interoperating with MLlib versions of the
+  * data.
+  */
+object LshOps {
+
+  /** MinHashLSH near-dup join over 3-gram shingle vectors.
+    * Returns (id_a, id_b, jaccard_distance<=maxDistance). */
+  def minHashNearDups(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numTables: Int = 8,
+      maxDistance: Double = 0.5): DataFrame = {
+    val sh = df.select(col(idCol),
+      MinHashDedup.shingles(TokenOps.tokenize(col(textCol)), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val cv = new CountVectorizer().setInputCol("sh").setOutputCol("features")
+      .setBinary(true)
+    val cvModel = cv.fit(sh)
+    val vecs = cvModel.transform(sh)
+    val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(numTables).setSeed(42L)
+    val model = lsh.fit(vecs)
+    model.approxSimilarityJoin(vecs, vecs, maxDistance, "dist")
+      .filter(col(s"datasetA.$idCol") < col(s"datasetB.$idCol"))
+      .select(col(s"datasetA.$idCol").as("id_a"),
+        col(s"datasetB.$idCol").as("id_b"),
+        round(col("dist"), 6).as("jaccard_distance"))
+  }
+
+  /** Euclidean-LSH ANN join over the embedding column. */
+  def euclideanNearest(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, numTables: Int = 4,
+      bucketLength: Double = 1.0): DataFrame = {
+    val vecs = df.select(col(idCol),
+      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val lsh = new BucketedRandomProjectionLSH()
+      .setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(numTables).setBucketLength(bucketLength).setSeed(42L)
+    val model = lsh.fit(vecs)
+    model.approxSimilarityJoin(vecs, vecs, threshold, "dist")
+      .filter(col(s"datasetA.$idCol") < col(s"datasetB.$idCol"))
+      .select(col(s"datasetA.$idCol").as("id_a"),
+        col(s"datasetB.$idCol").as("id_b"),
+        round(col("dist"), 6).as("euclidean_distance"))
+  }
+}

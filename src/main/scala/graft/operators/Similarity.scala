@@ -116,11 +116,15 @@ object Similarity {
     VectorFunctions.register(embeddings.sparkSession)
     val qVec = array(query.map(lit): _*)
     val withV = embeddings.withColumn("__v", toDouble(col(vecCol)))
-    val anyBucketMatch = tablePlanes.map { planes =>
-      hyperplaneSig(col("__v"), planes) === lit(sigOf(query, planes))
-    }.reduce(_ || _)
+    // All table signatures in one codegen'd pass; a vector is a candidate
+    // iff any table bucket matches the query's (OR-amplification). The
+    // single-consumer exists() keeps the signature computation evaluated
+    // exactly once per row.
+    val qSigs = array(tablePlanes.map(p => lit(sigOf(query, p))): _*)
+    val sigsCol = graft.functions.HyperplaneSigs.sigs(
+      embeddings.sparkSession, col("__v"), allPlanes, bitsPerTable)
     withV
-      .filter(anyBucketMatch)
+      .filter(exists(zip_with(sigsCol, qSigs, (a, b) => a === b), x => x))
       .withColumn("cos", round(cosineFast(col("__v"), qVec), 6))
       .select(col(idCol), col("cos"))
       .orderBy(col("cos").desc, col(idCol))

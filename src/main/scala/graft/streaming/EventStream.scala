@@ -45,6 +45,13 @@ object EventStream {
       .select(col("window").getField("start").as("window_start"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Streaming exact dedup by event id: duplicates arriving within the
+    * watermark horizon are dropped; state is bounded by the watermark
+    * (unlike plain dropDuplicates, whose state grows forever). */
+  def dedupEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   final case class UserEvent(user_id: Long, value: Double)
   final case class UserTotal(user_id: Long, n_events: Long, total_cents: Long)
 

@@ -42,6 +42,26 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops watermark-window duplicates") {
+    // Stage the same file twice -> every event arrives duplicated.
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf001/events.parquet"),
+      dir.resolve("a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf001/events.parquet"),
+      dir.resolve("b.parquet"))
+    val q = EventStream.dedupEvents(EventStream.read(spark, dir.toString))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      q.processAllAvailable()
+      val n = spark.table("dedup_out").count()
+      assert(n === Tables.events(spark, sf001).count(),
+        "each event must survive exactly once")
+    } finally q.stop()
+  }
+
   test("stateful running user totals accumulate exactly once per event") {
     val stream = EventStream.runningUserTotals(
       EventStream.read(spark, eventsDir))

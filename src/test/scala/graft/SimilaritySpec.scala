@@ -88,6 +88,18 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("HyperplaneSigs expression matches per-plane hyperplaneSig columns") {
+    val planes = Similarity.hyperplanes(16, 8)
+    val df = Seq(Seq.fill(8)(0.5), Seq.tabulate(8)(i => (i - 4).toDouble))
+      .toDF("v")
+    val viaExpr = df.select(graft.functions.HyperplaneSigs.sigs(
+        spark, $"v", planes, 4)).as[Seq[Long]].collect()
+    graft.functions.VectorFunctions.register(spark)
+    val viaCols = df.select(array(planes.grouped(4).toSeq.map(p =>
+        Similarity.hyperplaneSig($"v", p)): _*)).as[Seq[Long]].collect()
+    assert(viaExpr.toSeq.map(_.toSeq) === viaCols.toSeq.map(_.toSeq))
+  }
+
   test("ANN top-k: multi-table LSH recall on noise-like corpus") {
     // This fixture is near-noise (max pair cosine ~0.5), the hardest case
     // for LSH: with 32 tables x 6 bits theory gives ~0.6-0.8 recall of the

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation by key salting.
+  *
+  * A hot grouping key concentrates one shuffle partition (AQE splits
+  * skewed JOINS but not skewed aggregations over high-cardinality
+  * payloads like collect/distinct). Salted two-phase aggregation fans
+  * the hot key across `salts` partial groups, then merges: correct for
+  * any commutative-associative aggregate pair.
+  *
+  * Phase 1 shuffles on (key, salt) — at most 1/salts of the hot key's
+  * rows per reducer; phase 2 shuffles `salts` rows per key.
+  */
+object Salting {
+
+  /** Salted count: equivalent to groupBy(keys).count() for any skew. */
+  def saltedCount(df: DataFrame, keys: Seq[String], salts: Int = 16)
+      : DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+    salted
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(count(lit(1)).as("__pc"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__pc")).as("n"))
+  }
+
+  /** Salted sum of exact integer cents (see RelationalQueries money
+    * discipline) — partial sums per salt, then merged. */
+  def saltedCentSum(df: DataFrame, keys: Seq[String], valueCol: String,
+      salts: Int = 16): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+      .withColumn("__cents", round(col(valueCol) * 100, 0).cast("long"))
+    salted
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(sum(col("__cents")).as("__ps"))
+      .groupBy(keys.map(col): _*)
+      .agg((sum(col("__ps")).cast("double") / 100.0).as("total"))
+  }
+
+  /** Broadcast-salt the small side of a skewed join: replicate each
+    * small-side row `salts` times so the salted big side still matches.
+    * Returns (bigSalted, smallReplicated, saltCol) for a join on
+    * originalKeys :+ saltCol. */
+  def saltedJoinSides(big: DataFrame, small: DataFrame, salts: Int)
+      : (DataFrame, DataFrame, String) = {
+    val bigSalted = big.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts))
+        .cast("int"))
+    val smallRep = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    (bigSalted, smallRep, "__salt")
+  }
+}

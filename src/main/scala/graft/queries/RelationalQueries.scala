@@ -148,6 +148,13 @@ object RelationalQueries extends QueryModule {
           .distinct())
         .orderBy(col("nationkey"), col("side"))),
 
+    // Skew-salted two-phase aggregation — identical results to the
+    // plain groupBy (oracle-checked), resilient to hot keys.
+    "q_salted_count" -> ((s, d) =>
+      graft.operators.Salting.saltedCount(
+          Tables.lineitem(s, d), Seq("l_returnflag"))
+        .orderBy(col("l_returnflag"))),
+
     // Rollup (grouping sets); group cols coalesced so NULL-ordering
     // differences between engines can't perturb the compare.
     "q_rollup" -> ((s, d) =>
@@ -239,6 +246,11 @@ object RelationalQueries extends QueryModule {
         |  UNION ALL
         |  SELECT DISTINCT s_nationkey AS nationkey, 's' AS side FROM supplier)
         |ORDER BY nationkey, side""".stripMargin,
+
+    "q_salted_count" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q_rollup" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,

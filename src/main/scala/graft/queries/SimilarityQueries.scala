@@ -33,8 +33,14 @@ object SimilarityQueries extends QueryModule {
     // (MinHashDedup.exactJaccardPairs, the better shape for Zipfian
     // corpora, measured 2.5x slower here) because no shingle is rare.
     "q_jaccard_pairs" -> ((s, d) => {
+      // Join on xxhash64(shingle), not the shingle string: 8-byte fixed
+      // keys shrink the shuffled self-join (the dominant cost) and hash
+      // exact-match faster; a 64-bit collision within one corpus'
+      // shingle set (~1e5 distinct) is ~1e-9-probable and the oracle
+      // hash-compare would surface it.
       val ds = Tables.documents(s, d).select(col("doc_id"),
-        explode(MinHashDedup.shingles(TokenOps.tokenize(col("text")), 3)).as("s"))
+        explode(MinHashDedup.shingles(TokenOps.tokenize(col("text")), 3)).as("sh"))
+        .select(col("doc_id"), xxhash64(col("sh")).as("s"))
       val sizes = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val inter = ds.as("a")
         .join(ds.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -60,6 +66,17 @@ object SimilarityQueries extends QueryModule {
     "q_simhash" -> ((s, d) =>
       SimHash.simhashAgg(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("doc_id"))),
+
+    // IVF ANN: k-means coarse quantizer, probe half the cells — rows-only
+    // (k-means fit); full-probe==brute-force equality is property-tested.
+    "q_ivf_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+      val model = graft.ml.IvfIndex.fit(
+        emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", nlist = 8)
+      graft.ml.IvfIndex.topK(model, "vec_id", q, k = 10, nprobe = 4)
+    }),
 
     // Hyperplane-LSH ANN top-10 for vec_id=0's vector — rows-only;
     // recall vs q_cosine_topk is property-tested.

@@ -64,6 +64,21 @@ object TokenOps {
     (nTok.cast("long"), round(stopRatio, 6), q)
   }
 
+  /** Within-document repetition ratio (Gopher-style quality signal):
+    * 1 − distinct n-gram shingles / total shingles. High values flag
+    * boilerplate/spam. Row-local. */
+  def repetitionRatio(text: Column, n: Int): Column = {
+    val toks = tokenize(text)
+    val idx = sequence(lit(0), size(toks) - n)
+    val grams = when(size(toks) < n, array()).otherwise(
+      transform(idx, i =>
+        concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+    when(size(grams) === 0, lit(0.0)).otherwise(
+      round(lit(1.0) -
+        size(array_distinct(grams)).cast("double") /
+        size(grams).cast("double"), 6))
+  }
+
   /** SQL-escape a stoplist for a DuckDB IN (...) list. */
   def sqlList(words: Seq[String]): String =
     words.map(w => "'" + w.replace("'", "''") + "'").mkString(", ")

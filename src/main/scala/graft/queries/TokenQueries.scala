@@ -91,6 +91,13 @@ object TokenQueries extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // Within-doc repetition ratio (Gopher-style boilerplate signal).
+    "q_repetition" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TokenOps.repetitionRatio(col("text"), 2).as("rep2"),
+        TokenOps.repetitionRatio(col("text"), 3).as("rep3"))
+        .orderBy(col("doc_id"))),
+
     // Order-invariant bag-of-words fingerprint (dedup cascade stage 1).
     "q_fingerprint" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
@@ -168,6 +175,19 @@ object TokenQueries extends QueryModule {
          |      + 0.3 * (1.0 - n_stop / n_tok)
          |      + 0.2 * least((n_char / n_tok) / 10.0, 1.0), 6) AS quality
          |FROM q ORDER BY doc_id""".stripMargin,
+
+    "q_repetition" -> {
+      def rep(n: Int) = {
+        val grams = s"[array_to_string(t[i:i+${n - 1}], ' ') " +
+          s"FOR i IN generate_series(1, greatest(len(t) - ${n - 1}, 0))]"
+        s"""CASE WHEN len($grams) = 0 THEN 0.0 ELSE
+           | round(1.0 - CAST(len(list_distinct($grams)) AS DOUBLE)
+           |   / len($grams), 6) END""".stripMargin
+      }
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+         |SELECT doc_id, ${rep(2)} AS rep2, ${rep(3)} AS rep3
+         |FROM toks ORDER BY doc_id""".stripMargin
+    },
 
     "q_fingerprint" ->
       """SELECT doc_id,

@@ -28,13 +28,22 @@ object SparkEntry {
     * dropna → clean chain → label → per-language stats.
     */
   def entry(spark: SparkSession): DataFrame = {
-    val docs = Tables.documents(spark, "/root/testdata/sf0.001").na.drop()
+    val docs = operators.Filters.dropAnyNull(
+      Tables.documents(spark, "/root/testdata/sf0.001"))
+    val (nTok, stopRatio, quality) = operators.TokenOps.qualityScore(col("text"))
     TextClean.clean(docs)
       .withColumn("label", when(col("lang") === "en", 1).otherwise(0))
+      .withColumn("lang_pred", operators.LangId.detectText(col("text")))
+      .withColumn("quality", quality)
+      .withColumn("rep2", operators.TokenOps.repetitionRatio(col("text"), 2))
+      .withColumn("fp", operators.TokenOps.bagOfWordsFingerprint(col("text")))
       .groupBy(col("lang"), col("label"))
       .agg(
         count(lit(1)).as("n_docs"),
-        round(avg(col("text_length")), 6).as("avg_len"))
+        countDistinct(col("fp")).as("n_unique_docs"),
+        round(avg(col("text_length")), 6).as("avg_len"),
+        round(avg(col("quality")), 6).as("avg_quality"),
+        round(avg(col("rep2")), 6).as("avg_repetition"))
       .orderBy(col("lang"))
   }
 

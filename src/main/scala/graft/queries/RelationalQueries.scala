@@ -148,6 +148,27 @@ object RelationalQueries extends QueryModule {
           .distinct())
         .orderBy(col("nationkey"), col("side"))),
 
+    // Exact percentiles (linear interpolation — same definition as
+    // DuckDB's quantile_cont); approx_percentile is the scale path and
+    // is property-tested instead (sketches aren't cross-engine).
+    "q_percentile" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90_price"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))),
+
+    // Date-part extraction + aggregation (calendar analytics).
+    "q_date_parts" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mo"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("o_custkey")).as("n_cust"))
+        .orderBy(col("yr"), col("mo"))),
+
     // Skew-salted two-phase aggregation — identical results to the
     // plain groupBy (oracle-checked), resilient to hot keys.
     "q_salted_count" -> ((s, d) =>
@@ -246,6 +267,21 @@ object RelationalQueries extends QueryModule {
         |  UNION ALL
         |  SELECT DISTINCT s_nationkey AS nationkey, 's' AS side FROM supplier)
         |ORDER BY nationkey, side""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+        |  round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q_date_parts" ->
+      """SELECT CAST(date_part('year', o_orderdate) AS BIGINT) AS yr,
+        |  CAST(date_part('month', o_orderdate) AS BIGINT) AS mo,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust
+        |FROM orders GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin,
 
     "q_salted_count" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join — an operator Spark's DataFrame API lacks
+  * (SURVEY.md §4: compose built-ins before writing a custom
+  * LogicalPlan). For each left row, attach the payload of the LATEST
+  * right row with the same key and right.ts <= left.ts.
+  *
+  * Implementation is the union trick: tag both sides, sort per key by
+  * (ts, side) with right rows first on ties (<= semantics), and carry
+  * the last non-null right payload forward with a running last(...,
+  * ignoreNulls). ONE shuffle on the key, per-key sort only — the same
+  * cost as a sort-merge join, with none of the range-join blowup a
+  * naive `left.ts >= right.ts` theta-join would produce (Spark plans
+  * those as broadcast-nested-loop: O(n·m) at 100 TB).
+  *
+  * Right-side (key, ts) duplicates must be pre-deduped by the caller if
+  * a deterministic winner is required (see q_asof_join: max payload per
+  * key+ts), matching DuckDB ASOF JOIN's unique-match expectation.
+  */
+object AsOfJoin {
+
+  /** @param payload right-side columns to attach (must not collide with
+    *                left column names). */
+  def asof(left: DataFrame, right: DataFrame, leftKey: String,
+      rightKey: String, leftTs: String, rightTs: String,
+      payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val lTagged = left
+      .withColumn("__k", col(leftKey))
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+      .select(Seq(col("__k"), col("__ts"), col("__side")) ++
+        leftCols.map(col) ++
+        payload.map(p => lit(null).cast(right.schema(p).dataType).as(p)): _*)
+    val rTagged = right
+      .withColumn("__k", col(rightKey))
+      .withColumn("__ts", col(rightTs))
+      .withColumn("__side", lit(0))
+      .select(Seq(col("__k"), col("__ts"), col("__side")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        payload.map(col): _*)
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payload.foldLeft(lTagged.unionByName(rTagged)) { (df, p) =>
+      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1)
+      .select(leftCols.map(col) ++ payload.map(col): _*)
+  }
+}

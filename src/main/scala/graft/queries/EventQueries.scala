@@ -50,6 +50,23 @@ object EventQueries extends QueryModule {
           count(lit(1)).as("n"))
         .orderBy(col("event_type"))),
 
+    // As-of join: each event picks up the customer's latest order at or
+    // before the event time (right side deduped to a deterministic
+    // winner per (key, ts): max orderkey).
+    "q_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val ord = Tables.orders(s, d)
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+      graft.operators.AsOfJoin.asof(ev, ord,
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTs = "ts", rightTs = "o_orderdate",
+          payload = Seq("o_orderkey"))
+        .select(col("event_id"), col("user_id"), col("o_orderkey"))
+        .orderBy(col("event_id"))
+    }),
+
     // Gap-based sessionization (30-minute inactivity) → session stats.
     "q_sessionize" -> ((s, d) =>
       EventOps.sessionStats(
@@ -102,6 +119,16 @@ object EventQueries extends QueryModule {
         |    AS sum_k,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH ord AS (
+        |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY o_custkey, o_orderdate)
+        |SELECT e.event_id, e.user_id, ord.o_orderkey
+        |FROM events e
+        |ASOF LEFT JOIN ord
+        |  ON e.user_id = ord.o_custkey AND e.ts >= ord.o_orderdate
+        |ORDER BY event_id""".stripMargin,
 
     "q_sessionize" ->
       """WITH x AS (

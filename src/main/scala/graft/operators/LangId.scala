@@ -24,14 +24,17 @@ object LangId {
   def score(tokens: Column, lang: String): Column =
     size(filter(tokens, t => t.isin(markers(lang): _*)))
 
-  /** Best-scoring language code, or "und" if nothing matched. */
-  def detect(tokens: Column): Column = {
-    val scored = markers.keys.toSeq.sorted.map { l =>
-      struct(score(tokens, l).as("s"), lit(l).as("lang"))
-    }
-    val best = array_max(array(scored: _*))
-    when(best.getField("s") > 0, best.getField("lang")).otherwise(lit("und"))
-  }
+  /** Best-scoring language code, or "und" if nothing matched. The token
+    * array is let-bound so tokenization runs once, not once per
+    * language scored. */
+  def detect(tokens: Column): Column =
+    graft.functions.ColumnOps.bind(tokens, toks => {
+      val scored = markers.keys.toSeq.sorted.map { l =>
+        struct(score(toks, l).as("s"), lit(l).as("lang"))
+      }
+      val best = array_max(array(scored: _*))
+      when(best.getField("s") > 0, best.getField("lang")).otherwise(lit("und"))
+    })
 
   def detectText(text: Column): Column = detect(TokenOps.tokenize(text))
 }

@@ -19,14 +19,21 @@ import org.apache.spark.sql.functions._
   */
 object MinHashDedup {
 
-  /** Word n-gram shingles of a token array (distinct, order-sensitive
-    * content). Documents shorter than n shingle to the empty array. */
-  def shingles(tokens: Column, n: Int): Column = {
-    val idx = sequence(lit(0), size(tokens) - n) // 0-based start offsets
-    val grams = transform(idx, i =>
-      concat_ws(" ", (0 until n).map(j => element_at(tokens, i + j + 1)): _*))
-    array_distinct(when(size(tokens) < n, array()).otherwise(grams))
-  }
+  /** Word n-gram shingles of a token array, duplicates preserved.
+    * Documents shorter than n shingle to the empty array. The token
+    * array is let-bound (ColumnOps.bind) so the upstream tokenization
+    * runs once per row, not once per element reference. */
+  def rawShingles(tokens: Column, n: Int): Column =
+    graft.functions.ColumnOps.bind(tokens, toks => {
+      val idx = sequence(lit(0), size(toks) - n) // 0-based start offsets
+      val grams = transform(idx, i =>
+        concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
+      when(size(toks) < n, array()).otherwise(grams)
+    })
+
+  /** Distinct word n-gram shingles (the set form used for Jaccard). */
+  def shingles(tokens: Column, n: Int): Column =
+    array_distinct(rawShingles(tokens, n))
 
   /** H-wide minhash signature: sig_i = min over shingles of
     * xxhash64(i, shingle). Row-local. */

@@ -52,32 +52,33 @@ object TokenOps {
     * so it stays DuckDB-oracle-checkable. */
   def qualityScore(text: Column, stop: Seq[String] = englishStopwords)
       : (Column, Column, Column) = {
-    val toks = tokenize(text)
-    val nTok = size(toks).cast("double")
-    val nStop = size(filter(toks, t => t.isin(stop: _*))).cast("double")
-    val stopRatio = nStop / nTok
-    val avgTokLen = length(regexp_replace(text, " ", "")).cast("double") / nTok
-    val q = round(
-      lit(0.5) * least(nTok / 100.0, lit(1.0)) +
-      lit(0.3) * (lit(1.0) - stopRatio) +
-      lit(0.2) * least(avgTokLen / 10.0, lit(1.0)), 6)
-    (nTok.cast("long"), round(stopRatio, 6), q)
+    def bound(body: (Column, Column) => Column): Column =
+      graft.functions.ColumnOps.bind(tokenize(text), toks =>
+        body(size(toks).cast("double"),
+          size(filter(toks, t => t.isin(stop: _*))).cast("double")))
+    val nTokens = bound((nTok, _) => nTok).cast("long")
+    val stopRatio = bound((nTok, nStop) => round(nStop / nTok, 6))
+    val q = bound { (nTok, nStop) =>
+      val avgTokLen =
+        length(regexp_replace(text, " ", "")).cast("double") / nTok
+      round(
+        lit(0.5) * least(nTok / 100.0, lit(1.0)) +
+        lit(0.3) * (lit(1.0) - nStop / nTok) +
+        lit(0.2) * least(avgTokLen / 10.0, lit(1.0)), 6)
+    }
+    (nTokens, stopRatio, q)
   }
 
   /** Within-document repetition ratio (Gopher-style quality signal):
     * 1 − distinct n-gram shingles / total shingles. High values flag
     * boilerplate/spam. Row-local. */
-  def repetitionRatio(text: Column, n: Int): Column = {
-    val toks = tokenize(text)
-    val idx = sequence(lit(0), size(toks) - n)
-    val grams = when(size(toks) < n, array()).otherwise(
-      transform(idx, i =>
-        concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
-    when(size(grams) === 0, lit(0.0)).otherwise(
-      round(lit(1.0) -
-        size(array_distinct(grams)).cast("double") /
-        size(grams).cast("double"), 6))
-  }
+  def repetitionRatio(text: Column, n: Int): Column =
+    graft.functions.ColumnOps.bind(
+      MinHashDedup.rawShingles(tokenize(text), n), grams =>
+        when(size(grams) === 0, lit(0.0)).otherwise(
+          round(lit(1.0) -
+            size(array_distinct(grams)).cast("double") /
+            size(grams).cast("double"), 6)))
 
   /** SQL-escape a stoplist for a DuckDB IN (...) list. */
   def sqlList(words: Seq[String]): String =

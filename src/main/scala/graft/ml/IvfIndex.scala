@@ -28,7 +28,9 @@ object IvfIndex {
     val vecs = embeddings.select(col(idCol),
       col(vecCol).cast("array<double>").as("__v"))
       .withColumn("__mlv", array_to_vector(col("__v")))
-    val km = new KMeans().setK(nlist).setSeed(seed)
+    // A coarse quantizer doesn't need convergence — a few Lloyd
+    // iterations give the same recall at a fraction of the fit cost.
+    val km = new KMeans().setK(nlist).setSeed(seed).setMaxIter(5)
       .setFeaturesCol("__mlv").setPredictionCol("cell")
     val model = km.fit(vecs)
     val centroids = model.clusterCenters.map(_.toArray)

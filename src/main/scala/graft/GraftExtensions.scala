@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.DotProduct
+
+/** SparkSessionExtensions entry point: registers graft's custom
+  * expressions at session build time, so both the Column API and plain
+  * SQL can use them without per-DataFrame registration:
+  *
+  * {{{
+  * val spark = SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)   // or
+  *   .config("spark.sql.extensions", "graft.GraftExtensions")
+  *   .getOrCreate()
+  * spark.sql("SELECT vec_dot(a, b) FROM vectors")
+  * }}}
+  *
+  * The operators in graft.operators also self-register lazily
+  * (VectorFunctions.register) so they work on vanilla sessions — this
+  * class is the front door for SQL-first users.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    val vecDot: (FunctionIdentifier, ExpressionInfo, FunctionBuilder) = (
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1)))
+    ext.injectFunction(vecDot)
+  }
+}

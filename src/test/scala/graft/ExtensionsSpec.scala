@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+class ExtensionsSpec extends SparkSpec {
+
+  test("GraftExtensions makes vec_dot available to plain SQL") {
+    val shared = spark // force shared session init first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // New session over the same SparkContext. spark.sql.extensions is
+      // a STATIC conf (only honored when the context is created), so the
+      // builder-side withExtensions path is used here; both routes call
+      // the same GraftExtensions.apply.
+      val ext = SparkSession.builder()
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val out = ext.sql(
+        "SELECT vec_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d")
+        .head().getDouble(0)
+      assert(out === 32.0)
+    } finally {
+      SparkSession.setDefaultSession(shared)
+      SparkSession.setActiveSession(shared)
+    }
+  }
+}

@@ -72,7 +72,18 @@ object EventQueries extends QueryModule {
       EventOps.sessionStats(
         EventOps.sessionize(Tables.events(s, d), "user_id", "ts", "event_id", 30),
         "user_id", "ts")
-        .orderBy(col("user_id"), col("session_id")))
+        .orderBy(col("user_id"), col("session_id"))),
+
+    // Native session_window operator (same gap semantics as
+    // q_sessionize; window.start == first event of the session).
+    "q_session_window" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("session_start")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -147,6 +158,24 @@ object EventQueries extends QueryModule {
         |SELECT user_id, session_id, min(ts) AS session_start,
         |  max(ts) AS session_end, CAST(count(*) AS BIGINT) AS n_events
         |FROM y GROUP BY user_id, session_id
-        |ORDER BY user_id, session_id""".stripMargin
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "q_session_window" ->
+      """WITH x AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |y AS (
+        |  SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM x)
+        |SELECT user_id, min(ts) AS session_start,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM y GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin
   )
 }

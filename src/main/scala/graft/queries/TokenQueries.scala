@@ -104,6 +104,32 @@ object TokenQueries extends QueryModule {
         TokenOps.bagOfWordsFingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))),
 
+    // Scalar-function coverage: array ops over tokens (slice/sort/
+    // reverse/contains) — engine completeness beyond the reference's
+    // string-only surface.
+    "q_array_ops" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 3)).as("first3"),
+        element_at(array_sort(array_distinct(split(col("text"), " "))), 1)
+          .as("min_token"),
+        array_contains(split(col("text"), " "), "spark").cast("boolean")
+          .as("has_spark"),
+        reverse(split(col("text"), " "))(0).as("last_token"))
+        .orderBy(col("doc_id"))),
+
+    // Scalar-function coverage: string + math functions.
+    "q_scalar_funcs" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        substring(col("text"), 1, 10).as("prefix10"),
+        upper(substring(col("source"), -1, 1)).as("src_last"),
+        lpad(col("lang"), 4, "_").as("lang_pad"),
+        round(sqrt(col("n_chars").cast("double")), 6).as("sqrt_chars"),
+        pmod(col("n_chars"), lit(7)).cast("long").as("mod7"),
+        round(log(col("n_chars").cast("double") + 1.0), 6).as("ln_chars"))
+        .orderBy(col("doc_id"))),
+
     // Marker-word language ID — deterministic but the marker lists are
     // library-internal, so verified rows-only + unit tests (LangIdSpec).
     "q_lang_id" -> ((s, d) =>
@@ -188,6 +214,24 @@ object TokenQueries extends QueryModule {
          |SELECT doc_id, ${rep(2)} AS rep2, ${rep(3)} AS rep3
          |FROM toks ORDER BY doc_id""".stripMargin
     },
+
+    "q_array_ops" ->
+      """SELECT doc_id,
+        |  array_to_string(string_split(text, ' ')[1:3], ' ') AS first3,
+        |  list_sort(list_distinct(string_split(text, ' ')))[1] AS min_token,
+        |  list_contains(string_split(text, ' '), 'spark') AS has_spark,
+        |  list_reverse(string_split(text, ' '))[1] AS last_token
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_scalar_funcs" ->
+      """SELECT doc_id,
+        |  substring(text, 1, 10) AS prefix10,
+        |  upper(substring(source, -1, 1)) AS src_last,
+        |  lpad(lang, 4, '_') AS lang_pad,
+        |  round(sqrt(CAST(n_chars AS DOUBLE)), 6) AS sqrt_chars,
+        |  CAST(n_chars % 7 AS BIGINT) AS mod7,
+        |  round(ln(CAST(n_chars AS DOUBLE) + 1.0), 6) AS ln_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_fingerprint" ->
       """SELECT doc_id,

@@ -90,7 +90,12 @@ object HyperplaneSigs {
     val dim = planes.head.size
     val tables = planes.size / bitsPerTable
     val flat = planes.flatten.toArray
-    val name = s"hyperplane_sigs_${flat.hashCode()}_${tables}_$bitsPerTable"
+    // Content hash (not array identity) keyed into the name so equal
+    // plane sets reuse one registration; unsigned hex keeps the name a
+    // valid unquoted SQL identifier.
+    val name = "hyperplane_sigs_" +
+      java.lang.Integer.toUnsignedString(java.util.Arrays.hashCode(flat), 16) +
+      s"_${tables}_$bitsPerTable"
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry.createOrReplaceTempFunction(
         name, exprs => HyperplaneSigs(exprs.head, flat, dim, tables,

@@ -26,14 +26,21 @@ object BinaryMetrics {
       .agg(sum(col("y")).as("pos"), (count(lit(1)) - sum(col("y"))).as("neg"))
     val w = Window.orderBy(col("bin").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val totals = binned.agg(sum(col("pos")), sum(col("neg"))).head()
-    val (p, n) = (totals.getLong(0), totals.getLong(1))
+    // Totals via an unbounded window over the same (<= bins rows)
+    // aggregate — one pass over the scored data, not two; single-class
+    // input yields NULL rates rather than division-by-zero garbage.
+    val whole = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     binned
       .withColumn("tp", sum(col("pos")).over(w))
       .withColumn("fp", sum(col("neg")).over(w))
+      .withColumn("__p", sum(col("pos")).over(whole))
+      .withColumn("__n", sum(col("neg")).over(whole))
       .select(col("bin"),
-        (col("fp").cast("double") / n).as("fpr"),
-        (col("tp").cast("double") / p).as("tpr"))
+        (col("fp").cast("double") /
+          when(col("__n") > 0, col("__n"))).as("fpr"),
+        (col("tp").cast("double") /
+          when(col("__p") > 0, col("__p"))).as("tpr"))
       .orderBy(col("bin").desc)
   }
 

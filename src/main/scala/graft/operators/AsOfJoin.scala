@@ -29,27 +29,34 @@ object AsOfJoin {
       rightKey: String, leftTs: String, rightTs: String,
       payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    // The payload rides as ONE struct so last(ignoreNulls) picks the
+    // entire latest right ROW: a NULL field inside the newest matching
+    // row stays NULL (DuckDB ASOF semantics) instead of falling back to
+    // a stale older value, and fields can never be stitched together
+    // from different right rows.
+    val payloadStructType = org.apache.spark.sql.types.StructType(
+      payload.map(p => right.schema(p).copy(name = p)))
     val lTagged = left
       .withColumn("__k", col(leftKey))
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
       .select(Seq(col("__k"), col("__ts"), col("__side")) ++
-        leftCols.map(col) ++
-        payload.map(p => lit(null).cast(right.schema(p).dataType).as(p)): _*)
+        leftCols.map(col) :+
+        lit(null).cast(payloadStructType).as("__p"): _*)
     val rTagged = right
       .withColumn("__k", col(rightKey))
       .withColumn("__ts", col(rightTs))
       .withColumn("__side", lit(0))
       .select(Seq(col("__k"), col("__ts"), col("__side")) ++
-        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payload.map(col): _*)
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(payload.map(col): _*).as("__p"): _*)
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(lTagged.unionByName(rTagged)) { (df, p) =>
-      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__side") === 1)
-      .select(leftCols.map(col) ++ payload.map(col): _*)
+    lTagged.unionByName(rTagged)
+      .withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        payload.map(p => col("__p").getField(p).as(p)): _*)
   }
 }

@@ -38,10 +38,11 @@ object EventOps {
 
   /** Tumbling-window counts+sums; `width` e.g. "1 hour". Emits
     * window_start as a flat timestamp column. */
-  def tumbling(df: DataFrame, ts: String, width: String): DataFrame =
+  def tumbling(df: DataFrame, ts: String, width: String,
+      valueCol: String = "value"): DataFrame =
     df.groupBy(window(col(ts), width).getField("start").as("window_start"))
       .agg(count(lit(1)).as("n"),
-        (sum(round(col("value") * 100, 0).cast("long")).cast("double") / 100.0)
+        (sum(round(col(valueCol) * 100, 0).cast("long")).cast("double") / 100.0)
           .as("total_value"))
 
   /** Hopping (sliding) window counts: `width` window every `slide`. Each

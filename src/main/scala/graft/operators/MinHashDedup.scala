@@ -101,10 +101,15 @@ object MinHashDedup {
     val sh = sets.select(col(idCol), explode(col("sh")).as("s"))
     val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("df"), col("s"))
+    // Prefix length = s - ceil(t*s) + 1. Computed via integer cents of
+    // the threshold so IEEE noise can't shorten it: (1-t)*s with t=0.9,
+    // s=10 is 0.999... in doubles and floor() would lose a slot.
+    val tCents = math.round(threshold * 100)
+    val keep = col("sz") - ceil(col("sz") * tCents / lit(100.0) - lit(1e-9)) + 1
     val prefix = sh.join(dfreq, "s")
       .withColumn("rn", row_number().over(w))
       .withColumn("sz", count(lit(1)).over(Window.partitionBy(col(idCol))))
-      .filter(col("rn") <= floor(lit(1.0 - threshold) * col("sz")) + 1)
+      .filter(col("rn") <= keep)
       .select(col(idCol), col("s"))
     val cands = prefix.as("a")
       .join(prefix.as("b"),

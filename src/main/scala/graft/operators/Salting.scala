@@ -16,11 +16,16 @@ import org.apache.spark.sql.functions._
   */
 object Salting {
 
+  /** Row-spreading salt: any per-row value works — the merged aggregate
+    * is salt-independent; monotonically_increasing_id already embeds the
+    * partition id in its high bits, so it alone distributes fine. */
+  private def saltCol(salts: Int) =
+    pmod(monotonically_increasing_id(), lit(salts))
+
   /** Salted count: equivalent to groupBy(keys).count() for any skew. */
   def saltedCount(df: DataFrame, keys: Seq[String], salts: Int = 16)
       : DataFrame = {
-    val salted = df.withColumn("__salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+    val salted = df.withColumn("__salt", saltCol(salts))
     salted
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(count(lit(1)).as("__pc"))
@@ -32,8 +37,7 @@ object Salting {
     * discipline) — partial sums per salt, then merged. */
   def saltedCentSum(df: DataFrame, keys: Seq[String], valueCol: String,
       salts: Int = 16): DataFrame = {
-    val salted = df.withColumn("__salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+    val salted = df.withColumn("__salt", saltCol(salts))
       .withColumn("__cents", round(col(valueCol) * 100, 0).cast("long"))
     salted
       .groupBy((keys.map(col) :+ col("__salt")): _*)
@@ -48,9 +52,7 @@ object Salting {
     * originalKeys :+ saltCol. */
   def saltedJoinSides(big: DataFrame, small: DataFrame, salts: Int)
       : (DataFrame, DataFrame, String) = {
-    val bigSalted = big.withColumn("__salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts))
-        .cast("int"))
+    val bigSalted = big.withColumn("__salt", saltCol(salts).cast("int"))
     val smallRep = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     (bigSalted, smallRep, "__salt")

@@ -47,11 +47,15 @@ object SimHash {
     val sums = (0 until 64).map(i =>
       sum(when(call_function("shiftright", col("h"), lit(i))
         .bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"__b$i"))
-    ex.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
+    val agg = ex.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
       .select(col(idCol),
         (0 until 64).map(i =>
           when(col(s"__b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
           .reduce(_.bitwiseOR(_)).as("simhash"))
+    // explode drops null-text rows; restore them with fingerprint 0L so
+    // this form stays row-complete like simhash64.
+    df.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("simhash"), lit(0L)).as("simhash"))
   }
 
   /** The four 16-bit chunks of a simhash (pigeonhole banding for

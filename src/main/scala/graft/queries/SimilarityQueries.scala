@@ -89,9 +89,6 @@ object SimilarityQueries extends QueryModule {
     })
   )
 
-  private val cosSql = // manual fold mirrors Spark's left-to-right sums
-    "list_dot_product(%s, %s) / (sqrt(list_dot_product(%s, %s)) * sqrt(list_dot_product(%s, %s)))"
-
   val oracle: Map[String, String] = Map(
     "q_cosine_topk" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
@@ -112,7 +109,8 @@ object SimilarityQueries extends QueryModule {
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_jaccard_pairs" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      """WITH toks AS (SELECT doc_id,
+        |  regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
         |       FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)),
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),

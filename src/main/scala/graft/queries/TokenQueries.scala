@@ -139,8 +139,11 @@ object TokenQueries extends QueryModule {
   )
 
   private val stopSql = TokenOps.sqlList(stop)
+  // Mirrors TokenOps.tokenize exactly (lowercase + split on whitespace
+  // runs), so the oracles stay correct even if the fixture ever gains
+  // uppercase or irregular spacing.
   private val toksSql =
-    "SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents"
+    "SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS token FROM documents"
 
   val oracle: Map[String, String] = Map(
     "q_token_explode" ->
@@ -190,8 +193,8 @@ object TokenQueries extends QueryModule {
     "q_quality_score" ->
       s"""WITH q AS (
          |  SELECT doc_id,
-         |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
-         |    CAST(len(list_filter(string_split(text, ' '),
+         |    CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS DOUBLE) AS n_tok,
+         |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
          |      t -> t IN ($stopSql))) AS DOUBLE) AS n_stop,
          |    CAST(length(replace(text, ' ', '')) AS DOUBLE) AS n_char
          |  FROM documents)
@@ -210,7 +213,8 @@ object TokenQueries extends QueryModule {
            | round(1.0 - CAST(len(list_distinct($grams)) AS DOUBLE)
            |   / len($grams), 6) END""".stripMargin
       }
-      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      s"""WITH toks AS (SELECT doc_id,
+         |  regexp_split_to_array(lower(text), '\\s+') AS t FROM documents)
          |SELECT doc_id, ${rep(2)} AS rep2, ${rep(3)} AS rep3
          |FROM toks ORDER BY doc_id""".stripMargin
     },

@@ -101,11 +101,12 @@ object MinHashDedup {
     val sh = sets.select(col(idCol), explode(col("sh")).as("s"))
     val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("df"), col("s"))
-    // Prefix length = s - ceil(t*s) + 1. Computed via integer cents of
-    // the threshold so IEEE noise can't shorten it: (1-t)*s with t=0.9,
-    // s=10 is 0.999... in doubles and floor() would lose a slot.
-    val tCents = math.round(threshold * 100)
-    val keep = col("sz") - ceil(col("sz") * tCents / lit(100.0) - lit(1e-9)) + 1
+    // Prefix length = s - ceil(t*s) + 1. The 1e-9 epsilon guards IEEE
+    // noise ((1-t)*s with t=0.9, s=10 is 0.999... in doubles) without
+    // changing the exact value for any realistic threshold; using the
+    // threshold directly (not rounded cents) keeps the prefix provably
+    // lossless for thresholds like 0.336 that don't round to 2dp.
+    val keep = col("sz") - ceil(col("sz") * threshold - lit(1e-9)) + 1
     val prefix = sh.join(dfreq, "s")
       .withColumn("rn", row_number().over(w))
       .withColumn("sz", count(lit(1)).over(Window.partitionBy(col(idCol))))

@@ -52,10 +52,16 @@ object SimHash {
         (0 until 64).map(i =>
           when(col(s"__b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
           .reduce(_.bitwiseOR(_)).as("simhash"))
-    // explode drops null-text rows; restore them with fingerprint 0L so
-    // this form stays row-complete like simhash64.
-    df.select(col(idCol)).join(agg, Seq(idCol), "left")
-      .select(col(idCol), coalesce(col("simhash"), lit(0L)).as("simhash"))
+    // explode drops null-text and empty-token rows; restore them so this
+    // form stays row-complete like simhash64: null text -> NULL (matching
+    // simhash64, where tokenize(null) -> null), empty token array -> 0L
+    // (the empty fold). A blanket 0L for nulls would also spuriously
+    // chunk-match other all-zero fingerprints.
+    df.select(col(idCol), col(textCol).isNull.as("__tnull"))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__tnull"), lit(null).cast("long"))
+          .otherwise(coalesce(col("simhash"), lit(0L))).as("simhash"))
   }
 
   /** The four 16-bit chunks of a simhash (pigeonhole banding for

@@ -42,10 +42,12 @@ object TokenOps {
     size(split(text, "[^a-zA-Z0-9']+")).cast("long")
 
   /** Order-invariant bag-of-words fingerprint: md5 over the sorted set of
-    * tokens. Word-order-permuted duplicates collide — the cheap first-pass
-    * signal in a dedup cascade before MinHash. */
+    * [[tokenize]] tokens (ONE tokenizer across the whole surface — this
+    * used to split on a literal space, subtly diverging from tokenize's
+    * whitespace-run split). Word-order-permuted duplicates collide — the
+    * cheap first-pass signal in a dedup cascade before MinHash. */
   def bagOfWordsFingerprint(text: Column): Column =
-    md5(concat_ws(" ", array_sort(array_distinct(split(text, " ")))))
+    md5(concat_ws(" ", array_sort(array_distinct(tokenize(text)))))
 
   /** Deterministic document quality score in [0,1] from length, stopword
     * ratio, and mean token length (heuristics only — no RNG, no model),

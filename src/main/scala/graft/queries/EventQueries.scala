@@ -160,11 +160,14 @@ object EventQueries extends QueryModule {
         |FROM y GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
 
+    // NOTE boundary: native session_window windows are [ts, ts+gap), so a
+    // gap of EXACTLY 30min starts a new session -> oracle uses >=, unlike
+    // the lag-based q_sessionize rule above (gap > 30min stays together).
     "q_session_window" ->
       """WITH x AS (
         |  SELECT user_id, ts,
         |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
         |         THEN 1 ELSE 0 END AS brk
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

@@ -185,7 +185,7 @@ object TokenQueries extends QueryModule {
 
     "q_token_count" ->
       """SELECT doc_id,
-        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_ws_tokens,
         |  CAST(len(regexp_split_to_array(text, '[^a-zA-Z0-9'']+')) AS BIGINT)
         |    AS n_re_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
@@ -239,7 +239,8 @@ object TokenQueries extends QueryModule {
 
     "q_fingerprint" ->
       """SELECT doc_id,
-        |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+        |  md5(array_to_string(list_sort(list_distinct(
+        |    regexp_split_to_array(lower(text), '\s+'))), ' ')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -1,0 +1,25 @@
+package graft.app
+
+import graft.ml.ModelComparison
+
+/** Model-comparison entry point (`/root/reference/compare_models.py`):
+  * read the per-model metrics JSONs written by [[Train]] and emit one
+  * ranked comparison artifact.
+  *
+  * Usage: graft.app.CompareModels <outJson> <name=metricsPath> [<name=metricsPath> ...]
+  */
+object CompareModels {
+  def main(args: Array[String]): Unit = {
+    val outPath = args.head
+    val inputs = args.tail.toSeq.map { a =>
+      val Array(name, path) = a.split("=", 2)
+      name -> path
+    }
+    val spark = Sessions.local("graft-compare-models")
+    val cmp = ModelComparison.compare(spark, inputs)
+    cmp.show(truncate = false)
+    ModelComparison.writeComparison(cmp, outPath)
+    println(s"best=${ModelComparison.best(cmp)}")
+    spark.stop()
+  }
+}

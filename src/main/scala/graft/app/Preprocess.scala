@@ -1,0 +1,75 @@
+package graft.app
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Filters, TextClean}
+import graft.sources.SentimentCsv
+
+/** End-to-end preprocessing entry point — the reference's first
+  * `spark-submit` main (`/root/reference/preprocessing.py:31-169`) as a
+  * runnable Scala main over the same operator library:
+  *
+  *   raw Sentiment140 CSV → dropna → label normalize (0/4 → 0/1) →
+  *   select(label, text) → clean chain → drop empty → coalesced CSV sink,
+  *
+  * plus the reference's dataset statistics (class distribution
+  * `preprocessing.py:44`, text-length stats `:152-161`) computed
+  * IN-ENGINE — the reference collects to pandas for these; at 100 TB both
+  * are one aggregate each, so the driver only ever sees a handful of rows.
+  *
+  * Usage: graft.app.Preprocess <rawCsvPath> <cleanOutDir>
+  */
+object Preprocess {
+
+  /** The full preprocessing dataflow as one lazy plan (no action). */
+  def cleanPlan(raw: DataFrame): DataFrame =
+    TextClean.clean(
+      Filters.dropAnyNull(raw)
+        .withColumn("label", TextClean.normalizeLabel(col("sentiment")))
+        .select(col("label"), col("text")))
+      .select(col("label"), col("text"))
+
+  /** Class distribution (in-engine form of `preprocessing.py:44`). */
+  def classDistribution(cleaned: DataFrame): DataFrame =
+    cleaned.groupBy(col("label")).agg(count(lit(1)).as("n"))
+      .orderBy(col("label"))
+
+  /** Text-length stats (in-engine form of `preprocessing.py:152-161`). */
+  def lengthStats(cleaned: DataFrame): DataFrame =
+    cleaned.select(length(col("text")).cast("long").as("len"))
+      .agg(round(avg(col("len")), 6).as("avg_len"),
+        max(col("len")).as("max_len"), min(col("len")).as("min_len"))
+
+  /** Run preprocess: read raw → clean → write CSV; returns the cleaned
+    * frame (re-read-able via SentimentCsv.readClean). */
+  def run(spark: SparkSession, rawPath: String, outDir: String): DataFrame = {
+    val cleaned = cleanPlan(SentimentCsv.readRaw(spark, rawPath))
+    SentimentCsv.writeClean(cleaned, outDir)
+    cleaned
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(rawPath, outDir) = args.take(2)
+    val spark = Sessions.local("graft-preprocess")
+    val cleaned = run(spark, rawPath, outDir)
+    classDistribution(cleaned).show(10, truncate = false)
+    lengthStats(cleaned).show(truncate = false)
+    spark.stop()
+  }
+}
+
+/** Shared local-session builder for the app mains (the library itself
+  * never creates sessions — only entry points do). */
+object Sessions {
+  def local(name: String): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val s = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
+      .appName(name)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

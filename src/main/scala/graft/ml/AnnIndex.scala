@@ -1,0 +1,157 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{HyperplaneSigs, VectorFunctions}
+import graft.operators.Similarity
+import graft.sources.PartitionedParquet
+
+/** Materialized ANN indexes: build ONCE, probe MANY — the missing half of
+  * the round-1 ANN story, where both the hyperplane-LSH and IVF paths
+  * recomputed their bucketing inside every query.
+  *
+  * Both layouts persist as hive-partitioned parquet
+  * ([[graft.sources.PartitionedParquet]]):
+  *
+  *  - hyperplane LSH: rows (id, v) partitioned by (table_id, bucket) —
+  *    one entry per vector per table (L-way storage amplification, the
+  *    standard multi-table LSH trade). A probe touches exactly L
+  *    (table_id, bucket) directories via PartitionFilters — at 100 TB the
+  *    scan reads L/(L·2^bits) of the index, not the corpus.
+  *  - IVF: rows (id, v) partitioned by cell, plus a sibling `.centroids`
+  *    parquet (the k-means coarse quantizer, [[IvfIndex.fit]]). A probe
+  *    reads `nprobe` cell directories. Fit cost is paid at build time,
+  *    never per query.
+  *
+  * Probe results match the scan-form operators ([[Similarity.annTopK]],
+  * [[IvfIndex.topK]]) — same candidate semantics, same exact-cosine
+  * re-rank — asserted in AnnIndexSpec.
+  */
+object AnnIndex {
+
+  // ---------------- hyperplane LSH ----------------
+
+  /** Build the multi-table LSH index at `path`. Deterministic planes
+    * (seed-fixed) are regenerated at probe time — only vectors persist.
+    *
+    * Layout: hive-partitioned by `bucket` (≤ 2^bits dirs), with
+    * `table_id` a plain column sorted within files so the probe's
+    * table_id predicate prunes row groups via parquet min/max stats.
+    * Partitioning by (table_id, bucket) would be tables× more dirs for
+    * zero extra pruning — a probe touches every table anyway, so bucket
+    * is the only selective key (measured here: the two-level layout made
+    * both build and probe listing-bound). */
+  def buildHyperplane(emb: DataFrame, idCol: String, vecCol: String,
+      path: String, tables: Int = 16, bitsPerTable: Int = 8): Unit = {
+    val spark = emb.sparkSession
+    val withV = emb.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val dim = withV.select(size(col("v"))).head().getInt(0)
+    val planes = Similarity.hyperplanes(tables * bitsPerTable, dim)
+    val rows = withV
+      .withColumn("sig", HyperplaneSigs.sigs(spark, col("v"), planes, bitsPerTable))
+      .select(col("id"), col("v"),
+        posexplode(col("sig")).as(Seq("table_id", "bucket")))
+    // Cluster writes by partition key so each bucket dir gets few files;
+    // bucket keys are near-uniform, no skew.
+    PartitionedParquet.write(
+      rows.repartition(col("bucket")).sortWithinPartitions(col("table_id")),
+      path, Seq("bucket"))
+  }
+
+  /** Top-k probe against a built hyperplane index: read ONLY the query's
+    * L buckets (PartitionFilters — no corpus scan), dedup candidates,
+    * exact-cosine re-rank. Same semantics as [[Similarity.annTopK]]. */
+  def probeHyperplane(spark: SparkSession, path: String, query: Seq[Double],
+      k: Int, tables: Int = 16, bitsPerTable: Int = 8,
+      excludeId: Option[Long] = None): DataFrame =
+    probeHyperplane(PartitionedParquet.read(spark, path), query, k, tables,
+      bitsPerTable, excludeId)
+
+  /** Probe form over an already-opened index frame: a served index keeps
+    * the file listing in memory across queries instead of re-listing the
+    * partition tree per probe. */
+  def probeHyperplane(index: DataFrame, query: Seq[Double],
+      k: Int, tables: Int, bitsPerTable: Int,
+      excludeId: Option[Long]): DataFrame = {
+    val spark = index.sparkSession
+    val planes = Similarity.hyperplanes(tables * bitsPerTable, query.size)
+    val tablePlanes = planes.grouped(bitsPerTable).toSeq
+    val tableBuckets = tablePlanes.zipWithIndex.map { case (p, t) =>
+      (t, Similarity.sigOf(query, p))
+    }
+    val pairPred = tableBuckets.map { case (t, b) =>
+      col("table_id") === t && col("bucket") === b
+    }.reduce(_ || _)
+    // Explicit bucket-only conjunct: partition pruning can only evaluate
+    // predicates over partition columns, and the OR-of-pairs references
+    // table_id too — without this IN the probe would list/read every dir.
+    val bucketPrune = col("bucket").isin(tableBuckets.map(_._2).distinct: _*)
+    VectorFunctions.register(spark)
+    val qVec = array(query.map(lit): _*)
+    val cands = index
+      .filter(bucketPrune && pairPred)
+      .dropDuplicates("id")
+    excludeId.fold(cands)(q => cands.filter(col("id") =!= q))
+      .withColumn("cos", round(Similarity.cosineFast(col("v"), qVec), 6))
+      .select(col("id"), col("cos"))
+      .orderBy(col("cos").desc, col("id"))
+      .limit(k)
+  }
+
+  // ---------------- IVF ----------------
+
+  /** Build the IVF index: k-means fit + cell-partitioned vectors + the
+    * centroids as a sibling parquet. Returns the centroids. */
+  def buildIvf(emb: DataFrame, idCol: String, vecCol: String, path: String,
+      nlist: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val model = IvfIndex.fit(emb, idCol, vecCol, nlist, seed)
+    PartitionedParquet.write(
+      model.assigned.select(col(idCol).as("id"), col("__v").as("v"), col("cell"))
+        .repartition(col("cell")),
+      path, Seq("cell"))
+    val spark = emb.sparkSession
+    import spark.implicits._
+    model.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(centroidsPath(path))
+    model.centroids
+  }
+
+  def centroidsPath(path: String): String = s"$path.centroids"
+
+  /** Load the coarse quantizer back (tiny: nlist rows). */
+  def readCentroids(spark: SparkSession, path: String): Array[Array[Double]] =
+    spark.read.parquet(centroidsPath(path))
+      .orderBy("cell").collect()
+      .map(_.getSeq[Double](1).toArray)
+
+  /** Top-k probe against a built IVF index: nearest `nprobe` cells by
+    * euclidean centroid distance, pruned cell read, exact re-rank. Same
+    * semantics as [[IvfIndex.topK]]. */
+  def probeIvf(spark: SparkSession, path: String,
+      centroids: Array[Array[Double]], query: Seq[Double], k: Int,
+      nprobe: Int, excludeId: Option[Long] = None): DataFrame =
+    probeIvf(PartitionedParquet.read(spark, path), centroids, query, k,
+      nprobe, excludeId)
+
+  /** Probe form over an already-opened index frame (see the hyperplane
+    * overload: no per-probe re-listing). */
+  def probeIvf(index: DataFrame, centroids: Array[Array[Double]],
+      query: Seq[Double], k: Int, nprobe: Int,
+      excludeId: Option[Long]): DataFrame = {
+    val spark = index.sparkSession
+    val probeCells = centroids.zipWithIndex.map { case (c, i) =>
+      (i, c.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum)
+    }.sortBy(_._2).take(nprobe).map(_._1).toSeq
+    VectorFunctions.register(spark)
+    val qVec = array(query.map(lit): _*)
+    val cands = index
+      .filter(col("cell").isin(probeCells: _*))
+    excludeId.fold(cands)(q => cands.filter(col("id") =!= q))
+      .withColumn("cos", round(Similarity.cosineFast(col("v"), qVec), 6))
+      .select(col("id"), col("cos"))
+      .orderBy(col("cos").desc, col("id"))
+      .limit(k)
+  }
+}

@@ -1,18 +1,89 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.collection.concurrent.TrieMap
 import graft.Tables
-import graft.operators.{MinHashDedup, SimHash, Similarity, TokenOps}
+import graft.ml.AnnIndex
+import graft.operators.{DedupGroups, MinHashDedup, SimHash, Similarity, TokenOps}
 
 /** Similarity search + near-duplicate detection (SURVEY.md §2.7, §7 step 7).
   *
   * Oracle-checkable: exact brute-force cosine top-k, exact all-pairs
   * embedding near-dups, exact shingle-Jaccard pairs (the ground truth the
-  * LSH variants are property-tested against). Rows-only: MinHash-LSH,
-  * SimHash, hyperplane ANN (xxhash64/plane-dependent — verified by recall
-  * properties in SimilaritySpec instead).
+  * LSH variants are property-tested against), duplicate-group resolution
+  * over those exact pairs. Rows-only: MinHash-LSH, SimHash, hyperplane/IVF
+  * ANN (xxhash64/plane/k-means-dependent — verified by recall + probe==scan
+  * equality properties in SimilaritySpec / AnnIndexSpec instead).
+  *
+  * The ANN queries probe MATERIALIZED indexes ([[graft.ml.AnnIndex]]),
+  * built once per dataset ([[IndexCache]]) — build cost shows up in the
+  * explicit `q_*_build` entries, probes are pruned partition lookups.
   */
 object SimilarityQueries extends QueryModule {
+
+  /** One index build per (dataset, layout); queries then probe. The
+    * OPENED index frame is cached too — a served index lists its
+    * partition tree once, not per probe. */
+  private object IndexCache {
+    private val hyper = TrieMap.empty[String, DataFrame]
+    private val ivf = TrieMap.empty[String, (DataFrame, Array[Array[Double]])]
+    private def base(d: String): String =
+      sys.props("java.io.tmpdir") + "/graft-index/" +
+        d.replaceAll("[^A-Za-z0-9]", "_")
+
+    def hyperplane(s: SparkSession, d: String): DataFrame =
+      hyper.getOrElseUpdate(d, {
+        val p = base(d) + "/hyperplane"
+        AnnIndex.buildHyperplane(Tables.embeddings(s, d), "vec_id", "embedding", p)
+        graft.sources.PartitionedParquet.read(s, p)
+      })
+
+    def ivfIndex(s: SparkSession, d: String): (DataFrame, Array[Array[Double]]) =
+      ivf.getOrElseUpdate(d, {
+        val p = base(d) + "/ivf"
+        val centroids = AnnIndex.buildIvf(
+          Tables.embeddings(s, d), "vec_id", "embedding", p, nlist = 8)
+        (graft.sources.PartitionedParquet.read(s, p), centroids)
+      })
+  }
+
+  /** The query vector for the ANN queries (vec_id=0's embedding). */
+  private def queryVec(s: SparkSession, d: String): Seq[Double] =
+    Tables.embeddings(s, d).filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0)
+
+  /** Exact 3-gram shingle Jaccard pairs >= 0.5 (near-dup ground truth),
+    * count-based inverted-index join: explode → self-join on shingle →
+    * count intersections → |A∪B| = |A|+|B|−|∩|. On this fixture's tiny
+    * uniform vocabulary this beats prefix filtering
+    * (MinHashDedup.exactJaccardPairs, the better shape for Zipfian
+    * corpora, measured 2.5x slower here) because no shingle is rare.
+    *
+    * Joins on xxhash64(shingle), not the shingle string: 8-byte fixed
+    * keys shrink the shuffled self-join (the dominant cost) and hash
+    * exact-match faster; a 64-bit collision within one corpus' shingle
+    * set (~1e5 distinct) is ~1e-9-probable and the oracle hash-compare
+    * would surface it.
+    */
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    val ds = Tables.documents(s, d).select(col("doc_id"),
+      explode(MinHashDedup.shingles(TokenOps.tokenize(col("text")), 3)).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("s"))
+    val sizes = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = ds.as("a")
+      .join(ds.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("ni"))
+    inter
+      .join(broadcast(sizes.select(col("doc_id").as("id_a"), col("n").as("na"))), "id_a")
+      .join(broadcast(sizes.select(col("doc_id").as("id_b"), col("n").as("nb"))), "id_b")
+      .withColumn("jaccard", round(
+        col("ni").cast("double") / (col("na") + col("nb") - col("ni")), 6))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
 
   val queries: Map[String, Q] = Map(
     // Exact top-10 nearest to vec_id=0 by cosine (broadcast query row).
@@ -26,35 +97,21 @@ object SimilarityQueries extends QueryModule {
           "vec_id", "embedding", 0.5)
         .orderBy(col("id_a"), col("id_b"))),
 
-    // Exact 3-gram shingle Jaccard pairs >= 0.5 (near-dup ground truth),
-    // count-based inverted-index join: explode → self-join on shingle →
-    // count intersections → |A∪B| = |A|+|B|−|∩|. On this fixture's tiny
-    // uniform vocabulary this beats prefix filtering
-    // (MinHashDedup.exactJaccardPairs, the better shape for Zipfian
-    // corpora, measured 2.5x slower here) because no shingle is rare.
-    "q_jaccard_pairs" -> ((s, d) => {
-      // Join on xxhash64(shingle), not the shingle string: 8-byte fixed
-      // keys shrink the shuffled self-join (the dominant cost) and hash
-      // exact-match faster; a 64-bit collision within one corpus'
-      // shingle set (~1e5 distinct) is ~1e-9-probable and the oracle
-      // hash-compare would surface it.
-      val ds = Tables.documents(s, d).select(col("doc_id"),
-        explode(MinHashDedup.shingles(TokenOps.tokenize(col("text")), 3)).as("sh"))
-        .select(col("doc_id"), xxhash64(col("sh")).as("s"))
-      val sizes = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val inter = ds.as("a")
-        .join(ds.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-        .agg(count(lit(1)).as("ni"))
-      inter
-        .join(broadcast(sizes.select(col("doc_id").as("id_a"), col("n").as("na"))), "id_a")
-        .join(broadcast(sizes.select(col("doc_id").as("id_b"), col("n").as("nb"))), "id_b")
-        .withColumn("jaccard", round(
-          col("ni").cast("double") / (col("na") + col("nb") - col("ni")), 6))
-        .filter(col("jaccard") >= 0.5)
-        .select(col("id_a"), col("id_b"), col("jaccard"))
-        .orderBy(col("id_a"), col("id_b"))
-    }),
+    // Exact 3-gram shingle Jaccard pairs >= 0.5 (near-dup ground truth).
+    "q_jaccard_pairs" -> ((s, d) =>
+      jaccardPairs(s, d).orderBy(col("id_a"), col("id_b"))),
+
+    // Duplicate-GROUP resolution: the exact Jaccard pairs above as edges
+    // → connected components (min-label propagation) → every document
+    // labeled with its component (survivor = the component id itself).
+    // Transitivity matters: A~B and B~C group A,B,C even when A~C falls
+    // below threshold — pairs alone can't express that.
+    "q_dedup_groups" -> ((s, d) =>
+      DedupGroups.connectedComponents(
+          Tables.documents(s, d).select(col("doc_id")), "doc_id",
+          jaccardPairs(s, d))
+        .select(col("id").as("doc_id"), col("comp").as("component"))
+        .orderBy(col("doc_id"))),
 
     // MinHash+LSH near-dups (32 hashes, 8 bands) — rows-only; recall vs
     // q_jaccard_pairs ground truth is property-tested.
@@ -67,26 +124,40 @@ object SimilarityQueries extends QueryModule {
       SimHash.simhashAgg(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
-    // IVF ANN: k-means coarse quantizer, probe half the cells — rows-only
-    // (k-means fit); full-probe==brute-force equality is property-tested.
-    "q_ivf_topk" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val q = emb.filter(col("vec_id") === 0)
-        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
-      val model = graft.ml.IvfIndex.fit(
-        emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", nlist = 8)
-      graft.ml.IvfIndex.topK(model, "vec_id", q, k = 10, nprobe = 4)
+    // IVF index build (one-time cost, explicit): k-means coarse quantizer
+    // fit + cell-partitioned vector layout. Returns the cell histogram —
+    // rows-only (k-means-dependent).
+    "q_ivf_build" -> ((s, d) => {
+      val (index, _) = IndexCache.ivfIndex(s, d)
+      index.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+        .orderBy(col("cell"))
     }),
 
-    // Hyperplane-LSH ANN top-10 for vec_id=0's vector — rows-only;
-    // recall vs q_cosine_topk is property-tested.
-    "q_ann_topk" -> ((s, d) => {
-      val q = Tables.embeddings(s, d).filter(col("vec_id") === 0)
-        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
-      Similarity.annTopK(
-        Tables.embeddings(s, d).filter(col("vec_id") =!= 0),
-        "vec_id", "embedding", q, k = 10)
-    })
+    // IVF ANN probe: nearest-4-of-8 cells via the MATERIALIZED index —
+    // a PartitionFilters-pruned read, no fit in the query path. Rows-only;
+    // full-probe==brute-force equality is property-tested (AnnIndexSpec).
+    "q_ivf_topk" -> ((s, d) => {
+      val (index, centroids) = IndexCache.ivfIndex(s, d)
+      AnnIndex.probeIvf(index, centroids, queryVec(s, d), k = 10,
+        nprobe = 4, excludeId = Some(0L))
+    }),
+
+    // Hyperplane-LSH index build (one-time cost, explicit): multi-table
+    // bucket-partitioned layout. Returns per-table bucket stats — rows-only.
+    "q_ann_index_build" -> ((s, d) =>
+      IndexCache.hyperplane(s, d)
+        .groupBy(col("table_id"))
+        .agg(countDistinct(col("bucket")).as("n_buckets"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("table_id"))),
+
+    // Hyperplane-LSH ANN top-10 probe from the materialized index: reads
+    // exactly the query's 16 (table, bucket) partitions. Rows-only;
+    // probe==scan-form equality + recall are property-tested.
+    "q_ann_topk" -> ((s, d) =>
+      AnnIndex.probeHyperplane(IndexCache.hyperplane(s, d),
+        queryVec(s, d), k = 10, tables = 16, bitsPerTable = 8,
+        excludeId = Some(0L)))
   )
 
   val oracle: Map[String, String] = Map(
@@ -123,6 +194,31 @@ object SimilarityQueries extends QueryModule {
         |JOIN sizes sa ON sa.doc_id = id_a
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE round(ni * 1.0 / (sa.n + sb.n - ni), 6) >= 0.5
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Connected components over the same exact-Jaccard edges, as a
+    // recursive transitive closure (fine at oracle scale; the Spark side
+    // is the O(diameter)-round label propagation).
+    "q_dedup_groups" ->
+      """WITH RECURSIVE
+        |toks AS (SELECT doc_id,
+        |  regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+        |       FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b FROM inter
+        |          JOIN sizes sa ON sa.doc_id = id_a
+        |          JOIN sizes sb ON sb.doc_id = id_b
+        |          WHERE round(ni * 1.0 / (sa.n + sb.n - ni), 6) >= 0.5),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (SELECT doc_id AS id, doc_id AS r FROM documents
+        |          UNION SELECT reach.id, edges.dst
+        |                FROM reach JOIN edges ON reach.r = edges.src)
+        |SELECT id AS doc_id, min(r) AS component
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
   )
 }

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ml.AnnIndex
+import graft.operators.Similarity
+import graft.sources.PartitionedParquet
+
+/** Materialized ANN index: probe results must equal the scan-form
+  * operators, and probes must prune partitions (never scan the index). */
+class AnnIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Tables.embeddings(spark, sf001)
+  private lazy val query: Seq[Double] =
+    emb.filter($"vec_id" === 0)
+      .select($"embedding".cast("array<double>")).head().getSeq[Double](0)
+
+  private lazy val hyperPath = {
+    val p = java.nio.file.Files.createTempDirectory("graft-hyper").toString + "/idx"
+    AnnIndex.buildHyperplane(emb, "vec_id", "embedding", p)
+    p
+  }
+
+  private lazy val ivfBuilt = {
+    val p = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/idx"
+    val centroids = AnnIndex.buildIvf(emb, "vec_id", "embedding", p, nlist = 4)
+    (p, centroids)
+  }
+
+  test("hyperplane probe == scan-form annTopK") {
+    val probe = AnnIndex.probeHyperplane(spark, hyperPath, query, k = 10,
+        excludeId = Some(0L))
+      .as[(Long, Double)].collect().toSeq
+    val scan = Similarity.annTopK(emb.filter($"vec_id" =!= 0),
+        "vec_id", "embedding", query, k = 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(probe === scan)
+    assert(probe.nonEmpty)
+  }
+
+  test("hyperplane probe prunes to the query's buckets (PartitionFilters)") {
+    val probe = AnnIndex.probeHyperplane(spark, hyperPath, query, k = 10)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), s"no partition filters:\n$plan")
+    assert(plan.contains("table_id"), s"bucket predicate not pushed:\n$plan")
+    // and the filter is selective: candidates << index rows
+    val indexRows = PartitionedParquet.read(spark, hyperPath).count()
+    val candRows = AnnIndex.probeHyperplane(spark, hyperPath, query,
+      k = Int.MaxValue).count()
+    assert(candRows < indexRows / 4,
+      s"probe read $candRows of $indexRows index rows")
+  }
+
+  test("IVF full probe == brute force; centroids round-trip") {
+    val (path, centroids) = ivfBuilt
+    val full = AnnIndex.probeIvf(spark, path, centroids, query, k = 10,
+        nprobe = 4, excludeId = Some(0L))
+      .as[(Long, Double)].collect().toSeq
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queryId = 0L, k = 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(full === brute)
+    val reloaded = AnnIndex.readCentroids(spark, path)
+    assert(reloaded.map(_.toSeq).toSeq === centroids.map(_.toSeq).toSeq)
+  }
+
+  test("IVF partial probe prunes cells and matches IvfIndex.topK semantics") {
+    val (path, centroids) = ivfBuilt
+    val probe = AnnIndex.probeIvf(spark, path, centroids, query, k = 5,
+      nprobe = 2, excludeId = Some(0L))
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), s"no partition filters:\n$plan")
+    // the pruned probe reads only the probed cells
+    val cellRows = PartitionedParquet.read(spark, path)
+      .groupBy($"cell").count().as[(Int, Long)].collect().toMap
+    val probeCells = centroids.zipWithIndex.map { case (c, i) =>
+      (i, c.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum)
+    }.sortBy(_._2).take(2).map(_._1)
+    val expectedCand = probeCells.map(cellRows.getOrElse(_, 0L)).sum - 1 // minus query vec if in a probed cell
+    val cand = AnnIndex.probeIvf(spark, path, centroids, query,
+      k = Int.MaxValue, nprobe = 2, excludeId = Some(0L)).count()
+    assert(cand === expectedCand || cand === expectedCand + 1)
+  }
+}

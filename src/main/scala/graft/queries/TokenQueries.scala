@@ -74,6 +74,20 @@ object TokenQueries extends QueryModule {
         .orderBy(col("doc_id"), col("token"))
     }),
 
+    // NGram (M5) through the ACTUAL MLlib transformer — deterministic
+    // string ops, so its corpus bigram counts are oracle-checkable
+    // (round-1 left M5 spec-only; this closes that gap).
+    "q_ngram" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), TokenOps.tokenize(col("text")).as("words"))
+      new org.apache.spark.ml.feature.NGram()
+        .setN(2).setInputCol("words").setOutputCol("grams")
+        .transform(docs)
+        .select(explode(col("grams")).as("gram"))
+        .groupBy(col("gram")).agg(count(lit(1)).as("n"))
+        .orderBy(col("gram"))
+    }),
+
     // Token counting: whitespace + BPE-ish regex.
     "q_token_count" -> ((s, d) =>
       Tables.documents(s, d).select(
@@ -182,6 +196,17 @@ object TokenQueries extends QueryModule {
          |               tf.token) AS rn
          |  FROM tf JOIN df ON tf.token = df.token CROSS JOIN n)
          |WHERE rn <= 3 ORDER BY doc_id, token""".stripMargin,
+
+    // MLlib NGram semantics: sliding windows only (no partial tail),
+    // joined with a single space — t[i:i+1] is DuckDB's inclusive
+    // 2-element slice.
+    "q_ngram" ->
+      """WITH toks AS (SELECT doc_id,
+        |  regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
+        |g AS (SELECT unnest([array_to_string(t[i:i+1], ' ')
+        |  FOR i IN generate_series(1, len(t) - 1)]) AS gram FROM toks)
+        |SELECT gram, CAST(count(*) AS BIGINT) AS n
+        |FROM g GROUP BY gram ORDER BY gram""".stripMargin,
 
     "q_token_count" ->
       """SELECT doc_id,

@@ -45,6 +45,21 @@ object EventStream {
       .select(col("window").getField("start").as("window_start"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Streaming sessionization via native session_window: per-user
+    * sessions close after `gap` inactivity; the watermark both bounds
+    * state (open sessions per active user) and finalizes sessions for
+    * append-mode sinks. Matches the batch q_session_window semantics
+    * (windows are [ts, ts+gap): a gap of exactly `gap` starts a new
+    * session). */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("n_events"))
+
   /** Streaming exact dedup by event id: duplicates arriving within the
     * watermark horizon are dropped; state is bounded by the watermark
     * (unlike plain dropDuplicates, whose state grows forever). */

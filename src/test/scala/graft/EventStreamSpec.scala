@@ -42,6 +42,29 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session windows == batch session_window query") {
+    // complete mode for the same reason as the tumbling test: the final
+    // watermark never passes end-of-fixture, so append would withhold
+    // the trailing sessions.
+    val stream = EventStream.sessionCounts(
+      EventStream.read(spark, eventsDir), "30 minutes", "2 hours")
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("session_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("session_out")
+        .select($"user_id", $"session_start", $"n_events")
+        .collect().toSet
+      val batch = Tables.events(spark, sf001)
+        .groupBy($"user_id", session_window($"ts", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select($"user_id", $"w.start".as("session_start"), $"n_events")
+        .collect().toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops watermark-window duplicates") {
     // Stage the same file twice -> every event arrives duplicated.
     val dir = java.nio.file.Files.createTempDirectory("graft-dedup")

@@ -42,6 +42,46 @@ object LshOps {
         round(col("dist"), 6).as("jaccard_distance"))
   }
 
+  /** Single-query approximate nearest neighbors via MLlib MinHashLSH
+    * (the approxNearestNeighbors side of the API; the join form above
+    * covers all-pairs). `queryText` is shingled with the same pipeline
+    * the index was built with. */
+  def minHashNearestNeighbors(df: DataFrame, idCol: String, textCol: String,
+      queryText: String, k: Int, shingleN: Int = 3,
+      numTables: Int = 8): DataFrame = {
+    val sh = df.select(col(idCol),
+      MinHashDedup.shingles(TokenOps.tokenize(col(textCol)), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val cvModel = new CountVectorizer().setInputCol("sh")
+      .setOutputCol("features").setBinary(true).fit(sh)
+    val vecs = cvModel.transform(sh)
+    val model = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(numTables).setSeed(42L).fit(vecs)
+    val qv = cvModel.transform(
+      df.sparkSession.createDataFrame(Seq(Tuple1(queryText)))
+        .toDF(textCol)
+        .select(MinHashDedup.shingles(
+          TokenOps.tokenize(col(textCol)), shingleN).as("sh")))
+      .select(col("features")).head().getAs[org.apache.spark.ml.linalg.Vector](0)
+    model.approxNearestNeighbors(vecs, qv, k, "dist")
+      .select(col(idCol), round(col("dist"), 6).as("jaccard_distance"))
+  }
+
+  /** Single-query ANN over the embedding column (euclidean LSH). */
+  def euclideanNearestNeighbors(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int, numTables: Int = 4,
+      bucketLength: Double = 1.0): DataFrame = {
+    val vecs = df.select(col(idCol),
+      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val model = new BucketedRandomProjectionLSH()
+      .setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(numTables).setBucketLength(bucketLength).setSeed(42L)
+      .fit(vecs)
+    model.approxNearestNeighbors(vecs,
+        org.apache.spark.ml.linalg.Vectors.dense(query.toArray), k, "dist")
+      .select(col(idCol), round(col("dist"), 6).as("euclidean_distance"))
+  }
+
   /** Euclidean-LSH ANN join over the embedding column. */
   def euclideanNearest(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, numTables: Int = 4,

@@ -27,6 +27,30 @@ class LshOpsSpec extends SparkSpec {
     assert(out.filter($"euclidean_distance" < 0).count() === 0)
   }
 
+  test("single-query approxNearestNeighbors: self is its own nearest neighbor") {
+    val docs = Tables.documents(spark, sf001)
+    val probe = docs.orderBy($"doc_id").select($"doc_id", $"text")
+      .head()
+    val out = LshOps.minHashNearestNeighbors(docs, "doc_id", "text",
+      probe.getString(1), k = 3)
+    val top = out.orderBy($"jaccard_distance", $"doc_id")
+      .head()
+    assert(top.getLong(0) === probe.getLong(0),
+      s"query doc ${probe.getLong(0)} not its own nearest (got $top)")
+    assert(top.getDouble(1) === 0.0)
+  }
+
+  test("single-query euclidean ANN: the query's own vector comes back at distance 0") {
+    val emb = Tables.embeddings(spark, sf001)
+    val q = emb.filter($"vec_id" === 0)
+      .select($"embedding".cast("array<double>")).head().getSeq[Double](0)
+    val out = LshOps.euclideanNearestNeighbors(emb, "vec_id", "embedding",
+      q, k = 3)
+    val top = out.orderBy($"euclidean_distance", $"vec_id").head()
+    assert(top.getLong(0) === 0L)
+    assert(top.getDouble(1) === 0.0)
+  }
+
   test("IDF.fit matches the relational formula log((N+1)/(df+1)) with minDocFreq") {
     // Cross-checks the MLlib estimator against q_term_df's semantics
     // (SURVEY.md §2.5 M4) on a hand-built corpus using term positions

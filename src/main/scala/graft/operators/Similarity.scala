@@ -71,6 +71,29 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** L2-normalize an embedding column (unit vectors make cosine a plain
+    * dot product downstream). Null/zero vectors pass through unscaled to
+    * avoid division noise. */
+  def l2Normalize(vec: Column): Column =
+    graft.functions.ColumnOps.bind(toDouble(vec), v =>
+      graft.functions.ColumnOps.bind(sqrt(dot(v, v)), n =>
+        when(n > 0, transform(v, x => x / n)).otherwise(v)))
+
+  /** Per-group centroid of an embedding column: the mean vector, built
+    * with posexplode → (group, pos) partial-aggregated means → array
+    * rebuild. Two shuffles total (pos-level agg, group-level rebuild),
+    * both on small keys — the standard distributed centroid shape (this
+    * is one Lloyd half-step of k-means). */
+  def centroids(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    df.select(col(groupCol),
+        posexplode(toDouble(col(vecCol))).as(Seq("pos", "x")))
+      .groupBy(col(groupCol), col("pos"))
+      .agg(avg(col("x")).as("c"))
+      .groupBy(col(groupCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("c")))),
+        s => s.getField("c")).as("centroid"))
+
   /** Deterministic random hyperplanes (fixed seed → identical plan across
     * runs/sessions; regeneration is cheap and exact). */
   def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {

@@ -67,7 +67,16 @@ object SimilarityQueries extends QueryModule {
     * set (~1e5 distinct) is ~1e-9-probable and the oracle hash-compare
     * would surface it.
     */
-  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+  private val pairsCache = TrieMap.empty[String, DataFrame]
+
+  /** Memoized, MATERIALIZED form: q_jaccard_pairs and q_dedup_groups both
+    * consume this exact pair set — computing the self-join twice per run
+    * is pure waste (same reasoning as IndexCache: materialize once,
+    * consume many). */
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame =
+    pairsCache.getOrElseUpdate(d, jaccardPairsPlan(s, d).localCheckpoint())
+
+  private def jaccardPairsPlan(s: SparkSession, d: String): DataFrame = {
     val ds = Tables.documents(s, d).select(col("doc_id"),
       explode(MinHashDedup.shingles(TokenOps.tokenize(col("text")), 3)).as("sh"))
       .select(col("doc_id"), xxhash64(col("sh")).as("s"))
@@ -112,6 +121,27 @@ object SimilarityQueries extends QueryModule {
           jaccardPairs(s, d))
         .select(col("id").as("doc_id"), col("comp").as("component"))
         .orderBy(col("doc_id"))),
+
+    // Per-vector L2 norm (embedding hygiene check before cosine work);
+    // codegen'd vec_dot, scan-speed row-local.
+    "q_embed_norm" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      val v = col("embedding").cast("array<double>")
+      Tables.embeddings(s, d).select(col("vec_id"),
+          round(sqrt(graft.functions.VectorFunctions.vec_dot(v, v)), 6).as("l2"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // Per-label centroid components (the distributed mean-vector shape —
+    // one Lloyd half-step): relational (label, pos, c) form so the oracle
+    // compares scalars, not float arrays.
+    "q_embed_centroid" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label"),
+          posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+        .groupBy(col("label"), (col("pos") + 1).cast("long").as("pos"))
+        .agg(round(avg(col("x")), 6).as("c"))
+        .orderBy(col("label"), col("pos"))),
 
     // MinHash+LSH near-dups (32 hashes, 8 bands) — rows-only; recall vs
     // q_jaccard_pairs ground truth is property-tested.
@@ -195,6 +225,18 @@ object SimilarityQueries extends QueryModule {
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE round(ni * 1.0 / (sa.n + sb.n - ni), 6) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_embed_norm" ->
+      """SELECT vec_id,
+        |  round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6)
+        |    AS l2
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q_embed_centroid" ->
+      """SELECT label, CAST(i AS BIGINT) AS pos,
+        |  round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS c
+        |FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
+        |GROUP BY label, i ORDER BY label, pos""".stripMargin,
 
     // Connected components over the same exact-Jaccard edges, as a
     // recursive transitive closure (fine at oracle scale; the Spark side

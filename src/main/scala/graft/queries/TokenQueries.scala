@@ -144,6 +144,22 @@ object TokenQueries extends QueryModule {
         round(log(col("n_chars").cast("double") + 1.0), 6).as("ln_chars"))
         .orderBy(col("doc_id"))),
 
+    // Composite curation pipeline — the operators composed the way a
+    // training-data pass actually runs them: quality/length gate →
+    // exact dedup by bag-of-words fingerprint (deterministic min-doc_id
+    // survivor) → curated rows. One projection + one window shuffle.
+    "q_curate" -> ((s, d) => {
+      val (nTok, _, q) = TokenOps.qualityScore(col("text"))
+      val gated = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          nTok.as("n_tokens"), q.as("quality"))
+        .filter(col("quality") >= 0.55 && col("n_tokens") >= 5)
+      graft.operators.Dedup.exactByFingerprint(gated,
+          TokenOps.bagOfWordsFingerprint(col("text")), col("doc_id"))
+        .select(col("doc_id"), col("n_tokens"), col("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Marker-word language ID — deterministic but the marker lists are
     // library-internal, so verified rows-only + unit tests (LangIdSpec).
     "q_lang_id" -> ((s, d) =>
@@ -261,6 +277,32 @@ object TokenQueries extends QueryModule {
         |  CAST(n_chars % 7 AS BIGINT) AS mod7,
         |  round(ln(CAST(n_chars AS DOUBLE) + 1.0), 6) AS ln_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_curate" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, text,
+         |    CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS DOUBLE) AS n_tok,
+         |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |      t -> t IN ($stopSql))) AS DOUBLE) AS n_stop,
+         |    CAST(length(replace(text, ' ', '')) AS DOUBLE) AS n_char
+         |  FROM documents),
+         |scored AS (
+         |  SELECT doc_id, text, CAST(n_tok AS BIGINT) AS n_tokens,
+         |    round(0.5 * least(n_tok / 100.0, 1.0)
+         |        + 0.3 * (1.0 - n_stop / n_tok)
+         |        + 0.2 * least((n_char / n_tok) / 10.0, 1.0), 6) AS quality
+         |  FROM q),
+         |gated AS (SELECT * FROM scored
+         |          WHERE quality >= 0.55 AND n_tokens >= 5),
+         |fp AS (SELECT doc_id, n_tokens, quality,
+         |    md5(array_to_string(list_sort(list_distinct(
+         |      regexp_split_to_array(lower(text), '\\s+'))), ' ')) AS f
+         |  FROM gated)
+         |SELECT doc_id, n_tokens, quality FROM (
+         |  SELECT doc_id, n_tokens, quality,
+         |    row_number() OVER (PARTITION BY f ORDER BY doc_id) AS rn
+         |  FROM fp)
+         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "q_fingerprint" ->
       """SELECT doc_id,

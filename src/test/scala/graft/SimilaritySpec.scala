@@ -15,6 +15,23 @@ class SimilaritySpec extends SparkSpec {
     assert(out.toSeq === Seq(0.0, 1.0, -1.0))
   }
 
+  test("l2Normalize: unit norm for nonzero vectors, zero vector passthrough") {
+    val df = Seq(Seq(3.0f, 4.0f), Seq(0.0f, 0.0f)).toDF("v")
+    val out = df.select(Similarity.l2Normalize($"v")).as[Seq[Double]].collect()
+    assert(out(0).map(x => math.round(x * 1e9) / 1e9).toSeq === Seq(0.6, 0.8))
+    assert(out(1).toSeq === Seq(0.0, 0.0))
+  }
+
+  test("centroids: per-group mean vector matches driver arithmetic") {
+    val df = Seq(
+      ("a", Seq(1.0f, 2.0f)), ("a", Seq(3.0f, 6.0f)),
+      ("b", Seq(10.0f, 0.0f))).toDF("g", "v")
+    val out = Similarity.centroids(df, "g", "v")
+      .as[(String, Seq[Double])].collect().toMap
+    assert(out("a").toSeq === Seq(2.0, 4.0))
+    assert(out("b").toSeq === Seq(10.0, 0.0))
+  }
+
   test("shingles: 3-grams of tokens, short docs -> empty") {
     val out = Seq("a b c d", "a b").toDF("text")
       .select(MinHashDedup.shingles(TokenOps.tokenize($"text"), 3))

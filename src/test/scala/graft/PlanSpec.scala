@@ -46,6 +46,33 @@ class PlanSpec extends SparkSpec {
       plan.contains("BroadcastNestedLoopJoin"), s"df side not broadcast:\n$plan")
   }
 
+  test("q_embed_norm prunes the scan to the two referenced columns") {
+    val plan = formatted("q_embed_norm")
+    val readSchema = plan.linesIterator
+      .find(_.trim.startsWith("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("label"),
+      s"scan reads unpruned columns: $readSchema")
+    assert(readSchema.contains("vec_id") && readSchema.contains("embedding"))
+  }
+
+  test("q_embed_centroid uses partial+final hash aggregation (map-side combine)") {
+    val plan = formatted("q_embed_centroid")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected partial+final agg:\n$plan")
+  }
+
+  test("q_curate dedups with a single key shuffle") {
+    val plan = formatted("q_curate")
+    // one Exchange for the fingerprint window; the sort for the final
+    // ORDER BY is a range exchange, not an extra hash shuffle
+    val exchanges = "hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges >= 1, s"window shuffle missing:\n$plan")
+    val hashExchangeArgs = plan.linesIterator.count(l =>
+      l.contains("Arguments: hashpartitioning"))
+    assert(hashExchangeArgs <= 1,
+      s"expected at most 1 hash exchange, got $hashExchangeArgs:\n$plan")
+  }
+
   test("whole-stage codegen covers the clean chain") {
     val df = graft.operators.TextClean.clean(Tables.documents(spark, sf001))
     val plan = df.queryExecution.executedPlan.toString

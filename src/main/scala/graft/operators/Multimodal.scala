@@ -91,4 +91,20 @@ object Multimodal {
     transform(sequence(lit(0), lit(n - 1)),
       i => floor((i * greatest(length(bytesCol).cast("long"), lit(1L)))
         .cast("double") / n).cast("long"))
+
+  /** Aspect-preserving resize target: scale (width, height) so the longer
+    * side equals `maxDim`, never upscaling. This is the REAL half of an
+    * image resize — the dimension math is pure Catalyst arithmetic over
+    * the meta struct; only the pixel resampling itself belongs behind the
+    * codec boundary ([[decodeStub]]'s slot). Returns a struct
+    * (width, height). Integer floor semantics, min dimension 1. */
+  def resizeTarget(metaCol: org.apache.spark.sql.Column, maxDim: Int)
+      : org.apache.spark.sql.Column = {
+    val w = metaCol.getField("width").cast("double")
+    val h = metaCol.getField("height").cast("double")
+    val scale = least(lit(1.0), lit(maxDim.toDouble) / greatest(w, h))
+    struct(
+      greatest(floor(w * scale), lit(1.0)).cast("int").as("width"),
+      greatest(floor(h * scale), lit(1.0)).cast("int").as("height"))
+  }
 }

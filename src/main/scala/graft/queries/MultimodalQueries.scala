@@ -29,6 +29,17 @@ object MultimodalQueries extends QueryModule {
           sum(length(col("bytes")).cast("long")).as("total_bytes"))
         .orderBy(col("kind"))),
 
+    // Aspect-preserving resize targets (the real dimension math of an
+    // image-resize stage; pixel resampling stays behind the codec stub).
+    "q_media_resize" -> ((s, d) => {
+      val media = Multimodal.fakeMediaFromDocuments(Tables.documents(s, d))
+      media.select(col("media_id"),
+          Multimodal.resizeTarget(col("meta"), 256).as("r"))
+        .select(col("media_id"),
+          col("r.width").as("rw"), col("r.height").as("rh"))
+        .orderBy(col("media_id"))
+    }),
+
     // Batched per-partition feature extraction (stub decoder) —
     // rows-only: the feature values are library-internal.
     "q_media_features" -> ((s, d) =>
@@ -48,6 +59,19 @@ object MultimodalQueries extends QueryModule {
         |  CAST(n_chars % 480 + 1 AS INT) AS height,
         |  CAST(n_chars * 10 AS BIGINT) AS duration_ms
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    "q_media_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(n_chars % 640 + 1 AS DOUBLE) AS w,
+        |    CAST(n_chars % 480 + 1 AS DOUBLE) AS h
+        |  FROM documents),
+        |s AS (SELECT media_id, w, h,
+        |        least(1.0, 256.0 / greatest(w, h)) AS sc FROM m)
+        |SELECT media_id,
+        |  CAST(greatest(floor(w * sc), 1) AS INT) AS rw,
+        |  CAST(greatest(floor(h * sc), 1) AS INT) AS rh
+        |FROM s ORDER BY media_id""".stripMargin,
 
     "q_media_stats" ->
       """SELECT ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS kind,

@@ -31,6 +31,16 @@ class MultimodalSpec extends SparkSpec {
     assert(out === Seq(0L, 25L, 50L, 75L))
   }
 
+  test("resize targets preserve aspect ratio, never upscale, floor at 1") {
+    val meta = Seq((640, 480), (100, 50), (1, 1), (256, 1024))
+      .toDF("width", "height")
+      .select(struct($"width", $"height", lit(0L).as("duration_ms"),
+        lit("stub").as("codec")).as("meta"))
+    val out = meta.select(Multimodal.resizeTarget($"meta", 256).as("r"))
+      .select($"r.width", $"r.height").as[(Int, Int)].collect().toSeq
+    assert(out === Seq((256, 192), (100, 50), (1, 1), (64, 256)))
+  }
+
   test("sentiment CSV round-trip: write clean, re-read, identical") {
     val df = Seq((1, "hello world"), (0, "bad, \"quoted\" text"))
       .toDF("label", "text")

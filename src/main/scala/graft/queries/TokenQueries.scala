@@ -148,6 +148,11 @@ object TokenQueries extends QueryModule {
     // training-data pass actually runs them: quality/length gate →
     // exact dedup by bag-of-words fingerprint (deterministic min-doc_id
     // survivor) → curated rows. One projection + one window shuffle.
+    // Bench note: ~2.5s of this query's local time is one-time Janino
+    // compilation (predicate pushdown substitutes the quality HOF tree
+    // into the filter, quadrupling generated-code size); execution after
+    // compile measures ~0.5s at sf0.1 and the compile cost is constant
+    // in data size — a non-issue at cluster scale.
     "q_curate" -> ((s, d) => {
       val (nTok, _, q) = TokenOps.qualityScore(col("text"))
       val gated = Tables.documents(s, d)

@@ -119,6 +119,43 @@ object Similarity {
       if (d >= 0) 1L << j else 0L
     }.reduce(_ | _)
 
+  /** All-PAIRS near-duplicates via multi-table hyperplane LSH — the
+    * scale-safe sibling of [[nearDupPairs]]'s O(n²) cross join:
+    * candidates share a (table, bucket) 8-bit signature in at least one
+    * of the L tables, then get an exact-cosine re-rank. Cost is
+    * Σ_buckets bucket² per table instead of n².
+    *
+    * Recall follows OR-amplification: 1 − (1 − p^bits)^tables with
+    * p = 1 − θ/π — ≈1.0 for true near-dups (cos ≥ 0.9), ~0.5 at the
+    * cos = 0.5 boundary. Use for DEDUP (high-threshold) workloads;
+    * for exhaustive mid-similarity mining, raise `tables` or drop
+    * `bitsPerTable` (recall/candidate-volume trade).
+    */
+  def annNearDupPairs(embeddings: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, tables: Int = 16, bitsPerTable: Int = 8): DataFrame = {
+    val spark = embeddings.sparkSession
+    VectorFunctions.register(spark)
+    val withV = embeddings.select(col(idCol), toDouble(col(vecCol)).as("__v"))
+    val dim = withV.select(size(col("__v"))).head().getInt(0)
+    val planes = hyperplanes(tables * bitsPerTable, dim)
+    val ex = withV
+      .withColumn("sig",
+        graft.functions.HyperplaneSigs.sigs(spark, col("__v"), planes, bitsPerTable))
+      .select(col(idCol), posexplode(col("sig")).as(Seq("t", "b")))
+    val a = ex.select(col(idCol).as("id_a"), col("t"), col("b"))
+    val b = ex.select(col(idCol).as("id_b"), col("t"), col("b"))
+    val cands = a.join(b, Seq("t", "b"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    cands
+      .join(withV.select(col(idCol).as("id_a"), col("__v").as("va")), "id_a")
+      .join(withV.select(col(idCol).as("id_b"), col("__v").as("vb")), "id_b")
+      .withColumn("cos", round(cosineFast(col("va"), col("vb")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
   /** ANN top-k via OR-amplified multi-table hyperplane LSH: `tables`
     * independent signatures of `bitsPerTable` bits each; a vector is a
     * candidate iff it matches the query's bucket in ANY table (standard

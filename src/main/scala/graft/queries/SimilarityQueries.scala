@@ -122,6 +122,15 @@ object SimilarityQueries extends QueryModule {
         .select(col("id").as("doc_id"), col("comp").as("component"))
         .orderBy(col("doc_id"))),
 
+    // LSH-bucketed all-pairs embedding near-dups — the scale path for
+    // q_embed_neardup's exact O(n²) form. Deterministic but plane-
+    // dependent → rows-only; precision (every pair >= threshold) and
+    // recall on planted near-dups are property-tested (SimilaritySpec).
+    "q_ann_neardup_pairs" -> ((s, d) =>
+      Similarity.annNearDupPairs(Tables.embeddings(s, d),
+          "vec_id", "embedding", threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // Per-vector L2 norm (embedding hygiene check before cosine work);
     // codegen'd vec_dot, scan-speed row-local.
     "q_embed_norm" -> ((s, d) => {

@@ -32,6 +32,27 @@ class SimilaritySpec extends SparkSpec {
     assert(out("b").toSeq === Seq(10.0, 0.0))
   }
 
+  test("annNearDupPairs: perfect precision, near-total recall on planted near-dups") {
+    // 40 random base vectors + 10 jittered clones (cos ~0.99 with their base)
+    val rnd = new scala.util.Random(123)
+    def vec() = Seq.fill(16)(rnd.nextGaussian())
+    val base = (0L until 40L).map(i => (i, vec()))
+    val clones = (0L until 10L).map { i =>
+      (100L + i, base(i.toInt)._2.map(x => x + rnd.nextGaussian() * 0.02))
+    }
+    val df = (base ++ clones).toDF("vec_id", "embedding")
+    val got = Similarity.annNearDupPairs(df, "vec_id", "embedding",
+        threshold = 0.9)
+      .as[(Long, Long, Double)].collect()
+    // precision: by construction every returned pair is >= threshold
+    assert(got.forall(_._3 >= 0.9))
+    // recall: the 10 planted (i, 100+i) pairs must essentially all surface
+    val planted = (0L until 10L).map(i => (i, 100L + i)).toSet
+    val gotPairs = got.map(p => (p._1, p._2)).toSet
+    assert((planted & gotPairs).size >= 9,
+      s"missed planted near-dups: ${planted -- gotPairs}")
+  }
+
   test("shingles: 3-grams of tokens, short docs -> empty") {
     val out = Seq("a b c d", "a b").toDF("text")
       .select(MinHashDedup.shingles(TokenOps.tokenize($"text"), 3))

@@ -57,4 +57,15 @@ object Salting {
       explode(sequence(lit(0), lit(salts - 1))))
     (bigSalted, smallRep, "__salt")
   }
+
+  /** Complete salted inner equi join: row-equivalent to
+    * big.join(small, keys) under any key skew — each hot key spreads
+    * across `salts` reducers (the manual fallback when AQE's skew-join
+    * splitting can't apply, e.g. non-sort-merge plans or skew introduced
+    * after a prior stage). Replication multiplies the SMALL side only. */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+      salts: Int = 16): DataFrame = {
+    val (b, s, saltName) = saltedJoinSides(big, small, salts)
+    b.join(s, keys :+ saltName).drop(saltName)
+  }
 }

@@ -45,6 +45,18 @@ object EventStream {
       .select(col("window").getField("start").as("window_start"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Hopping-window streaming counts (the streaming form of the batch
+    * q_sliding_count): each event lands in width/slide overlapping
+    * windows; watermark bounds retained state to
+    * ≈ (watermark + width)/slide windows. */
+  def slidingCounts(events: DataFrame, width: String = "1 hour",
+      slide: String = "30 minutes", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width, slide))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("n"))
+
   /** Streaming sessionization via native session_window: per-user
     * sessions close after `gap` inactivity; the watermark both bounds
     * state (open sessions per active user) and finalizes sessions for

@@ -42,6 +42,25 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sliding counts == batch hopping windows") {
+    val stream = EventStream.slidingCounts(
+      EventStream.read(spark, eventsDir), "1 hour", "30 minutes")
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("sliding_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sliding_out")
+        .select($"window_start", $"n").collect().toSet
+      val batch = Tables.events(spark, sf001)
+        .groupBy(window($"ts", "1 hour", "30 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .select($"window.start".as("window_start"), $"n")
+        .collect().toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming session windows == batch session_window query") {
     // complete mode for the same reason as the tumbling test: the final
     // watermark never passes end-of-fixture, so append would withhold

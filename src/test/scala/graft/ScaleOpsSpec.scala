@@ -55,4 +55,18 @@ class ScaleOpsSpec extends SparkSpec {
       big(saltCol) === small(saltCol)).count()
     assert(salted === plain)
   }
+
+  test("saltedJoin (complete form) row-equivalent to plain join, salt dropped") {
+    val li = Tables.lineitem(spark, sf001)
+      .select($"l_orderkey".as("okey"), $"l_quantity")
+    val o = Tables.orders(spark, sf001)
+      .select($"o_orderkey".as("okey"), $"o_orderstatus")
+    val plain = li.join(o, Seq("okey"))
+      .groupBy($"okey", $"o_orderstatus").count()
+      .collect().toSet
+    val salted = Salting.saltedJoin(li, o, Seq("okey"), salts = 8)
+    assert(!salted.columns.contains("__salt"))
+    assert(salted.groupBy($"okey", $"o_orderstatus").count()
+      .collect().toSet === plain)
+  }
 }

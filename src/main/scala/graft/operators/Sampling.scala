@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Reproducible sampling + corpus mixing for training-data pipelines.
+  *
+  * Spark's `sample()` is seed-deterministic but PARTITIONING-dependent:
+  * the same rows in different file splits sample differently, so a
+  * repartitioned copy of the corpus yields a different subset. The
+  * content-hash sampler here keys the decision on the ROW CONTENT
+  * (md5 over a key column + seed), making membership a pure function of
+  * the data — stable across partitioning, engines, and re-runs, which is
+  * what dataset-mixing recipes need for reproducibility. It is also
+  * exactly mirrorable in the DuckDB oracle (md5 hex-string compare),
+  * unlike RNG sampling.
+  *
+  * All row-local (a pushable filter over the scan — no shuffle, no RNG
+  * state), so it runs at scan speed at any scale.
+  */
+object Sampling {
+
+  private val HexDigits = 12 // 48 bits of the md5 — plenty below 1e14 rows
+
+  /** Lowercase hex threshold such that
+    * P[substring(md5(x), 1, 12) < threshold] = fraction for uniform md5. */
+  def hexThreshold(fraction: Double): String = {
+    require(fraction >= 0.0 && fraction <= 1.0,
+      s"fraction must be in [0,1], got $fraction")
+    val v = math.round(fraction * (1L << (4 * HexDigits))).min(1L << (4 * HexDigits))
+    if (v >= (1L << (4 * HexDigits))) "g" // > every hex digit: keep all
+    else ("%0" + HexDigits + "x").format(v)
+  }
+
+  /** The sampling predicate: content-hash of (seed, key) under fraction. */
+  def contentHashPredicate(key: Column, fraction: Double,
+      seed: Long = 42L): Column =
+    substring(md5(concat(lit(seed.toString), lit(":"), key)), 1, HexDigits) <
+      hexThreshold(fraction)
+
+  /** Keep ~`fraction` of rows, membership decided by content of `key`
+    * (deterministic across partitioning/engines/runs). */
+  def contentHashSample(df: DataFrame, key: Column, fraction: Double,
+      seed: Long = 42L): DataFrame =
+    df.filter(contentHashPredicate(key, fraction, seed))
+
+  /** Weighted corpus mix: per-stratum sampling fractions (e.g.
+    * lang -> weight, source -> weight), unknown strata fall back to
+    * `defaultFraction`. One row-local predicate — the standard
+    * dataset-mixing recipe (N sources, each downsampled to its weight)
+    * without N separate scans. */
+  def mixByStratum(df: DataFrame, key: Column, stratum: Column,
+      fractions: Map[String, Double], defaultFraction: Double = 0.0,
+      seed: Long = 42L): DataFrame = {
+    val pred = fractions.foldLeft(
+      contentHashPredicate(key, defaultFraction, seed)) {
+      case (acc, (s, f)) =>
+        when(stratum === s, contentHashPredicate(key, f, seed)).otherwise(acc)
+    }
+    df.filter(pred)
+  }
+}

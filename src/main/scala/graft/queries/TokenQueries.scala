@@ -165,6 +165,26 @@ object TokenQueries extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // Reproducible content-hash sampling: membership is a pure function
+    // of the row content (md5 compare), stable across partitioning and
+    // engines — unlike RNG sample(), which is partitioning-dependent and
+    // can never be oracle-declared.
+    "q_content_sample" -> ((s, d) =>
+      graft.operators.Sampling.contentHashSample(
+          Tables.documents(s, d), col("text"), 0.25)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))),
+
+    // Weighted corpus mix: per-language sampling fractions in ONE
+    // row-local predicate (the dataset-mixing recipe: N sources, each
+    // downsampled to its weight, without N scans).
+    "q_corpus_mix" -> ((s, d) =>
+      graft.operators.Sampling.mixByStratum(
+          Tables.documents(s, d), col("text"), col("lang"),
+          Map("en" -> 0.8, "de" -> 0.5), defaultFraction = 0.1)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"))),
+
     // Marker-word language ID — deterministic but the marker lists are
     // library-internal, so verified rows-only + unit tests (LangIdSpec).
     "q_lang_id" -> ((s, d) =>
@@ -282,6 +302,23 @@ object TokenQueries extends QueryModule {
         |  CAST(n_chars % 7 AS BIGINT) AS mod7,
         |  round(ln(CAST(n_chars AS DOUBLE) + 1.0), 6) AS ln_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_content_sample" -> {
+      val t = graft.operators.Sampling.hexThreshold(0.25)
+      s"""SELECT doc_id FROM documents
+         |WHERE substr(md5('42:' || text), 1, 12) < '$t'
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "q_corpus_mix" -> {
+      val (t8, t5, t1) = (graft.operators.Sampling.hexThreshold(0.8),
+        graft.operators.Sampling.hexThreshold(0.5),
+        graft.operators.Sampling.hexThreshold(0.1))
+      s"""SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents
+         |WHERE substr(md5('42:' || text), 1, 12) <
+         |  CASE lang WHEN 'en' THEN '$t8' WHEN 'de' THEN '$t5' ELSE '$t1' END
+         |GROUP BY lang ORDER BY lang""".stripMargin
+    },
 
     "q_curate" ->
       s"""WITH q AS (

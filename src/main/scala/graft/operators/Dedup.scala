@@ -44,4 +44,21 @@ object Dedup {
   def dupStats(df: DataFrame, keys: Seq[String], idCol: String): DataFrame =
     df.groupBy(keys.map(col): _*)
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
+
+  /** Benchmark decontamination: drop corpus rows whose content
+    * fingerprint appears in `benchmark` (the train/eval-overlap removal
+    * every training-data pipeline runs before release). Fingerprints are
+    * order-invariant bags of words ([[TokenOps.bagOfWordsFingerprint]]),
+    * so trivially reordered copies of an eval item are caught too. The
+    * benchmark side is fingerprints-only and deduped — in practice tiny
+    * → broadcast anti join, no shuffle of the corpus. */
+  def decontaminate(corpus: DataFrame, textCol: String,
+      benchmark: DataFrame, benchTextCol: String): DataFrame = {
+    val benchFp = benchmark
+      .select(TokenOps.bagOfWordsFingerprint(col(benchTextCol)).as("__bfp"))
+      .distinct()
+    corpus.join(benchFp,
+      TokenOps.bagOfWordsFingerprint(col(textCol)) === col("__bfp"),
+      "left_anti")
+  }
 }

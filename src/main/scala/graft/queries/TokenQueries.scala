@@ -185,6 +185,19 @@ object TokenQueries extends QueryModule {
         .groupBy(col("lang")).agg(count(lit(1)).as("n"))
         .orderBy(col("lang"))),
 
+    // Benchmark decontamination: drop documents whose bag-of-words
+    // fingerprint appears in a (deterministic content-hash-sampled)
+    // "benchmark" subset — the train/eval overlap removal pass. The
+    // benchmark side is fingerprints-only → broadcast anti join.
+    "q_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bench = graft.operators.Sampling.contentHashSample(
+        docs, col("text"), 0.1, seed = 7L)
+      graft.operators.Dedup.decontaminate(docs, "text", bench, "text")
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Marker-word language ID — deterministic but the marker lists are
     // library-internal, so verified rows-only + unit tests (LangIdSpec).
     "q_lang_id" -> ((s, d) =>
@@ -302,6 +315,18 @@ object TokenQueries extends QueryModule {
         |  CAST(n_chars % 7 AS BIGINT) AS mod7,
         |  round(ln(CAST(n_chars AS DOUBLE) + 1.0), 6) AS ln_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_decontaminate" -> {
+      val t = graft.operators.Sampling.hexThreshold(0.1)
+      val fp = "md5(array_to_string(list_sort(list_distinct(" +
+        "regexp_split_to_array(lower(text), '\\s+'))), ' '))"
+      s"""WITH bench AS (
+         |  SELECT $fp AS bfp FROM documents
+         |  WHERE substr(md5('7:' || text), 1, 12) < '$t')
+         |SELECT doc_id FROM documents
+         |WHERE $fp NOT IN (SELECT bfp FROM bench)
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "q_content_sample" -> {
       val t = graft.operators.Sampling.hexThreshold(0.25)

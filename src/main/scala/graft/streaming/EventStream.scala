@@ -79,6 +79,15 @@ object EventStream {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-static enrichment: join each event against a static
+    * dimension table (Spark plans the static side as a broadcast per
+    * micro-batch when it fits — the standard streaming-enrichment shape;
+    * no state, no watermark needed for stream-static joins). */
+  def enriched(events: DataFrame, dim: DataFrame, key: String,
+      dimCols: Seq[String]): DataFrame =
+    events.join(
+      dim.select((key +: dimCols).map(col): _*), Seq(key), "left")
+
   final case class UserEvent(user_id: Long, value: Double)
   final case class UserTotal(user_id: Long, n_events: Long, total_cents: Long)
 

@@ -104,6 +104,25 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment == batch join") {
+    val dim = Tables.customer(spark, sf001)
+      .select($"c_custkey".as("user_id"), $"c_mktsegment")
+    val stream = EventStream.enriched(
+      EventStream.read(spark, eventsDir), dim, "user_id", Seq("c_mktsegment"))
+      .select($"event_id", $"c_mktsegment")
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("enriched_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("enriched_out").collect().toSet
+      val batch = Tables.events(spark, sf001)
+        .join(dim, Seq("user_id"), "left")
+        .select($"event_id", $"c_mktsegment").collect().toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stateful running user totals accumulate exactly once per event") {
     val stream = EventStream.runningUserTotals(
       EventStream.read(spark, eventsDir))

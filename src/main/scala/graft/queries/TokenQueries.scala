@@ -185,6 +185,16 @@ object TokenQueries extends QueryModule {
         .groupBy(col("lang")).agg(count(lit(1)).as("n"))
         .orderBy(col("lang"))),
 
+    // Sequence packing: documents → fixed token-budget training
+    // sequences (greedy fill by exclusive cumulative tokens, sharded so
+    // the window is never global). Output = per-sequence packing stats.
+    "q_pack_sequences" -> ((s, d) =>
+      graft.operators.Packing.packStats(
+          graft.operators.Packing.packSequences(
+            Tables.documents(s, d), "doc_id", "text",
+            tokensPerSeq = 200, shards = 8))
+        .orderBy(col("shard"), col("seq_id"))),
+
     // Benchmark decontamination: drop documents whose bag-of-words
     // fingerprint appears in a (deterministic content-hash-sampled)
     // "benchmark" subset — the train/eval overlap removal pass. The
@@ -315,6 +325,22 @@ object TokenQueries extends QueryModule {
         |  CAST(n_chars % 7 AS BIGINT) AS mod7,
         |  round(ln(CAST(n_chars AS DOUBLE) + 1.0), 6) AS ln_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    len(regexp_split_to_array(text, '\s+')) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT CAST(shard AS BIGINT) AS shard,
+        |  CAST(floor((cum - n_tokens) / 200.0) AS BIGINT) AS seq_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        |FROM c GROUP BY 1, 2 ORDER BY shard, seq_id""".stripMargin,
 
     "q_decontaminate" -> {
       val t = graft.operators.Sampling.hexThreshold(0.1)

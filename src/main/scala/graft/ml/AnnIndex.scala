@@ -46,7 +46,10 @@ object AnnIndex {
     val spark = emb.sparkSession
     val withV = emb.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
-    val dim = withV.select(size(col("v"))).head().getInt(0)
+    val first = withV.select(size(col("v"))).head(1)
+    require(first.nonEmpty,
+      s"cannot build a hyperplane index over an empty input ($vecCol)")
+    val dim = first(0).getInt(0)
     val planes = Similarity.hyperplanes(tables * bitsPerTable, dim)
     val rows = withV
       .withColumn("sig", HyperplaneSigs.sigs(spark, col("v"), planes, bitsPerTable))

@@ -63,8 +63,14 @@ object LshOps {
         .select(MinHashDedup.shingles(
           TokenOps.tokenize(col(textCol)), shingleN).as("sh")))
       .select(col("features")).head().getAs[org.apache.spark.ml.linalg.Vector](0)
-    model.approxNearestNeighbors(vecs, qv, k, "dist")
-      .select(col(idCol), round(col("dist"), 6).as("jaccard_distance"))
+    // MinHashLSH requires >= 1 nonzero entry; a query shorter than
+    // shingleN tokens (or sharing no shingle with the fitted vocabulary)
+    // has none -> defined empty result instead of a runtime crash.
+    if (qv.numNonzeros == 0)
+      vecs.select(col(idCol), lit(0.0).as("jaccard_distance")).limit(0)
+    else
+      model.approxNearestNeighbors(vecs, qv, k, "dist")
+        .select(col(idCol), round(col("dist"), 6).as("jaccard_distance"))
   }
 
   /** Single-query ANN over the embedding column (euclidean LSH). */

@@ -53,12 +53,26 @@ object ModelComparison {
     comparison.select(col("model")).head().getString(0)
 
   /** Write the comparison as one JSON array artifact (driver-side write:
-    * the frame is #models rows by construction). */
+    * the frame is #models rows by construction). NaN/null metrics (e.g.
+    * a degenerate split making AUC undefined) serialize as JSON null —
+    * bare NaN is invalid JSON; model names are string-escaped. */
   def writeComparison(comparison: DataFrame, path: String): Unit = {
+    def esc(s: String): String =
+      s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
+    def num(r: org.apache.spark.sql.Row, i: Int): String =
+      if (r.isNullAt(i) || r.getDouble(i).isNaN) "null"
+      else r.getDouble(i).toString
+    def cnt(r: org.apache.spark.sql.Row, i: Int): String =
+      if (r.isNullAt(i)) "null" else r.getLong(i).toString
     val rows = comparison.collect().map { r =>
-      s"""{"model": "${r.getString(0)}", "accuracy": ${r.getDouble(1)},
-         | "f1": ${r.getDouble(2)}, "roc_auc": ${r.getDouble(3)},
-         | "confusion_matrix": [[${r.getLong(4)}, ${r.getLong(5)}], [${r.getLong(6)}, ${r.getLong(7)}]]}"""
+      s"""{"model": "${esc(r.getString(0))}", "accuracy": ${num(r, 1)},
+         | "f1": ${num(r, 2)}, "roc_auc": ${num(r, 3)},
+         | "confusion_matrix": [[${cnt(r, 4)}, ${cnt(r, 5)}], [${cnt(r, 6)}, ${cnt(r, 7)}]]}"""
         .stripMargin
     }
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path),

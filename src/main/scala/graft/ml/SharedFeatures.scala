@@ -23,13 +23,15 @@ import scala.collection.concurrent.TrieMap
   */
 object SharedFeatures {
 
-  private val cache = TrieMap.empty[String, (DataFrame, DataFrame)]
+  private val cache = TrieMap.empty[(Int, String), (DataFrame, DataFrame)]
 
   /** (trainFeatures, testFeatures) for the sf-dir's documents table with
     * the deterministic lang-derived label, split 80/20 seed 42. Cached
-    * per directory; frames are persisted (memory+disk). */
+    * per (session, directory) — persisted frames die with their
+    * SparkContext, so a dataset key alone would hand a later session
+    * frames owned by a stopped context. */
   def trainTest(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
-    cache.getOrElseUpdate(dir, {
+    cache.getOrElseUpdate((System.identityHashCode(spark), dir), {
       val docs = graft.Tables.documents(spark, dir)
         .select(col("doc_id"), col("text"),
           when(col("lang") === "en", 1.0).otherwise(0.0).as("label"))

@@ -50,13 +50,16 @@ object Dedup {
     * every training-data pipeline runs before release). Fingerprints are
     * order-invariant bags of words ([[TokenOps.bagOfWordsFingerprint]]),
     * so trivially reordered copies of an eval item are caught too. The
-    * benchmark side is fingerprints-only and deduped — in practice tiny
-    * → broadcast anti join, no shuffle of the corpus. */
+    * benchmark side is fingerprints-only and deduped. The broadcast hint
+    * is explicit (eval benchmarks are thousands-of-rows, orders below
+    * any corpus) so the corpus is NEVER shuffled on the fingerprint; for
+    * a benchmark side too large to broadcast, drop the hint and accept
+    * the shuffle. */
   def decontaminate(corpus: DataFrame, textCol: String,
       benchmark: DataFrame, benchTextCol: String): DataFrame = {
-    val benchFp = benchmark
+    val benchFp = broadcast(benchmark
       .select(TokenOps.bagOfWordsFingerprint(col(benchTextCol)).as("__bfp"))
-      .distinct()
+      .distinct())
     corpus.join(benchFp,
       TokenOps.bagOfWordsFingerprint(col(textCol)) === col("__bfp"),
       "left_anti")

@@ -37,7 +37,6 @@ object DedupGroups {
     * their own id in one final left join. */
   def connectedComponents(ids: DataFrame, idCol: String, pairs: DataFrame,
       maxRounds: Int = 25): DataFrame = {
-    val spark = ids.sparkSession
     // Materialize the pair set BEFORE mirroring it: the two union
     // branches are separate subplans to Spark, so an un-materialized
     // `pairs` (often an expensive similarity join) would execute twice.
@@ -47,52 +46,45 @@ object DedupGroups {
       .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .localCheckpoint()
-    // The loop's frames are duplicate-graph-sized, not corpus-sized:
-    // shuffle them into partitions sized for the EDGE count (one per
-    // ~100k edges) — iterating a 50-edge graph through 32-partition
-    // shuffles pays ~rounds×stages of empty-task latency for nothing.
-    // Session-wide shuffle partitioning is restored after the loop.
-    val loopParts = math.max(1L, math.min(
-      edges.count() / 100000L,
-      spark.sparkContext.defaultParallelism.toLong)).toString
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
       .localCheckpoint()
-    try {
-      spark.conf.set("spark.sql.shuffle.partitions", loopParts)
-      var round = 0
-      var changed = 1L
-      while (changed > 0 && round < maxRounds) {
-        // min over neighbors' labels, per vertex...
-        val neighborMin = edges
-          .join(labels.withColumnRenamed("id", "src"), "src")
-          .groupBy(col("dst").as("id"))
-          .agg(min(col("comp")).as("ncomp"))
-        // ...and pointer-jump through the own label (comp of comp):
-        // neighbor propagation alone needs diameter rounds (a chain of
-        // k sequential near-dups takes k rounds); the jump halves the
-        // remaining path each round -> O(log diameter) total. Label ids
-        // are unique in `labels`, so the rename-join is 1:1.
-        val jumped = labels
-          .join(labels.select(col("id").as("comp"), col("comp").as("jcomp")),
-            Seq("comp"), "left")
-        val step = jumped.join(neighborMin, Seq("id"), "left")
-          .select(col("id"),
-            least(least(col("comp"), coalesce(col("jcomp"), col("comp"))),
-              coalesce(col("ncomp"), col("comp"))).as("newcomp"),
-            col("comp"))
-          .select(col("id"), col("newcomp").as("comp"),
-            (col("newcomp") < col("comp")).as("changed"))
-          .localCheckpoint()
-        changed = step.filter(col("changed")).count()
-        labels = step.select(col("id"), col("comp"))
-        round += 1
-      }
-      if (round >= maxRounds && changed > 0)
-        throw new IllegalStateException(
-          s"connectedComponents did not converge in $maxRounds rounds")
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    // Loop shuffles run at session shuffle partitioning; AQE coalesces
+    // the tiny post-shuffle partitions. (Deliberately NOT mutating the
+    // session's shuffle.partitions conf here: a library operator must
+    // not reconfigure concurrent queries on a shared session, and the
+    // measured gain was noise.)
+    var round = 0
+    var changed = 1L
+    while (changed > 0 && round < maxRounds) {
+      // min over neighbors' labels, per vertex...
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("comp")).as("ncomp"))
+      // ...and pointer-jump through the own label (comp of comp):
+      // neighbor propagation alone needs diameter rounds (a chain of
+      // k sequential near-dups takes k rounds); the jump halves the
+      // remaining path each round -> O(log diameter) total. Label ids
+      // are unique in `labels`, so the rename-join is 1:1.
+      val jumped = labels
+        .join(labels.select(col("id").as("comp"), col("comp").as("jcomp")),
+          Seq("comp"), "left")
+      val step = jumped.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(least(col("comp"), coalesce(col("jcomp"), col("comp"))),
+            coalesce(col("ncomp"), col("comp"))).as("newcomp"),
+          col("comp"))
+        .select(col("id"), col("newcomp").as("comp"),
+          (col("newcomp") < col("comp")).as("changed"))
+        .localCheckpoint()
+      changed = step.filter(col("changed")).count()
+      labels = step.select(col("id"), col("comp"))
+      round += 1
+    }
+    if (round >= maxRounds && changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxRounds rounds")
     ids.select(col(idCol).as("id"))
       .join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))

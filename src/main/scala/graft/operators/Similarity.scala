@@ -136,7 +136,11 @@ object Similarity {
     val spark = embeddings.sparkSession
     VectorFunctions.register(spark)
     val withV = embeddings.select(col(idCol), toDouble(col(vecCol)).as("__v"))
-    val dim = withV.select(size(col("__v"))).head().getInt(0)
+    val first = withV.select(size(col("__v"))).head(1)
+    if (first.isEmpty)
+      return withV.select(col(idCol).as("id_a"), col(idCol).as("id_b"),
+        lit(0.0).as("cos")).limit(0)
+    val dim = first(0).getInt(0)
     val planes = hyperplanes(tables * bitsPerTable, dim)
     val ex = withV
       .withColumn("sig",

@@ -22,25 +22,34 @@ import graft.operators.{DedupGroups, MinHashDedup, SimHash, Similarity, TokenOps
   */
 object SimilarityQueries extends QueryModule {
 
-  /** One index build per (dataset, layout); queries then probe. The
-    * OPENED index frame is cached too — a served index lists its
-    * partition tree once, not per probe. */
+  /** One index build per (session, dataset, layout); queries then probe.
+    * The OPENED index frame is cached too — a served index lists its
+    * partition tree once, not per probe. Keys include the session
+    * identity (frames die with their SparkContext) and paths include the
+    * PID + an unambiguous dataset hash (concurrent processes must not
+    * overwrite each other's live index; lossy name sanitization alone
+    * could collide distinct datasets). */
   private object IndexCache {
-    private val hyper = TrieMap.empty[String, DataFrame]
-    private val ivf = TrieMap.empty[String, (DataFrame, Array[Array[Double]])]
+    private val hyper = TrieMap.empty[(Int, String), DataFrame]
+    private val ivf =
+      TrieMap.empty[(Int, String), (DataFrame, Array[Array[Double]])]
+    private def key(s: SparkSession, d: String) =
+      (System.identityHashCode(s), d)
     private def base(d: String): String =
       sys.props("java.io.tmpdir") + "/graft-index/" +
-        d.replaceAll("[^A-Za-z0-9]", "_")
+        ProcessHandle.current().pid() + "/" +
+        d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+        java.lang.Integer.toUnsignedString(d.hashCode, 16)
 
     def hyperplane(s: SparkSession, d: String): DataFrame =
-      hyper.getOrElseUpdate(d, {
+      hyper.getOrElseUpdate(key(s, d), {
         val p = base(d) + "/hyperplane"
         AnnIndex.buildHyperplane(Tables.embeddings(s, d), "vec_id", "embedding", p)
         graft.sources.PartitionedParquet.read(s, p)
       })
 
     def ivfIndex(s: SparkSession, d: String): (DataFrame, Array[Array[Double]]) =
-      ivf.getOrElseUpdate(d, {
+      ivf.getOrElseUpdate(key(s, d), {
         val p = base(d) + "/ivf"
         val centroids = AnnIndex.buildIvf(
           Tables.embeddings(s, d), "vec_id", "embedding", p, nlist = 8)
@@ -67,14 +76,16 @@ object SimilarityQueries extends QueryModule {
     * set (~1e5 distinct) is ~1e-9-probable and the oracle hash-compare
     * would surface it.
     */
-  private val pairsCache = TrieMap.empty[String, DataFrame]
+  private val pairsCache = TrieMap.empty[(Int, String), DataFrame]
 
   /** Memoized, MATERIALIZED form: q_jaccard_pairs and q_dedup_groups both
     * consume this exact pair set — computing the self-join twice per run
     * is pure waste (same reasoning as IndexCache: materialize once,
-    * consume many). */
+    * consume many; session-keyed because checkpoints die with their
+    * context). */
   private def jaccardPairs(s: SparkSession, d: String): DataFrame =
-    pairsCache.getOrElseUpdate(d, jaccardPairsPlan(s, d).localCheckpoint())
+    pairsCache.getOrElseUpdate((System.identityHashCode(s), d),
+      jaccardPairsPlan(s, d).localCheckpoint())
 
   private def jaccardPairsPlan(s: SparkSession, d: String): DataFrame = {
     val ds = Tables.documents(s, d).select(col("doc_id"),
@@ -143,13 +154,18 @@ object SimilarityQueries extends QueryModule {
 
     // Per-label centroid components (the distributed mean-vector shape —
     // one Lloyd half-step): relational (label, pos, c) form so the oracle
-    // compares scalars, not float arrays.
+    // compares scalars, not float arrays. Components are micro-quantized
+    // to exact integer sums (the money-sum discipline): a raw avg() of
+    // doubles is accumulation-order-dependent and can flake the
+    // cross-engine hash at round() boundaries.
     "q_embed_centroid" -> ((s, d) =>
       Tables.embeddings(s, d)
         .select(col("label"),
           posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
         .groupBy(col("label"), (col("pos") + 1).cast("long").as("pos"))
-        .agg(round(avg(col("x")), 6).as("c"))
+        .agg(round(
+          sum(round(col("x") * 1e6).cast("long")).cast("double") /
+            (count(lit(1)) * lit(1e6)), 6).as("c"))
         .orderBy(col("label"), col("pos"))),
 
     // MinHash+LSH near-dups (32 hashes, 8 bands) — rows-only; recall vs
@@ -243,7 +259,8 @@ object SimilarityQueries extends QueryModule {
 
     "q_embed_centroid" ->
       """SELECT label, CAST(i AS BIGINT) AS pos,
-        |  round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS c
+        |  round(CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000)
+        |      AS BIGINT)) AS DOUBLE) / (count(*) * 1000000.0), 6) AS c
         |FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
         |GROUP BY label, i ORDER BY label, pos""".stripMargin,
 

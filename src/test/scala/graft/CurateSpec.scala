@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.app.Curate
+import graft.sources.PartitionedParquet
+
+/** The full curation pipeline composed end-to-end on the sf0.001 fixture:
+  * funnel monotonicity, sink round-trips, and packing coverage. */
+class CurateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val outDir =
+    java.nio.file.Files.createTempDirectory("graft-curate").toString
+  private lazy val result = Curate.run(spark, sf001, outDir)
+
+  test("funnel is monotonically non-increasing and ends non-empty") {
+    val counts = result.funnel.map(_._2)
+    assert(result.funnel.map(_._1) ===
+      Seq("input", "quality_gate", "exact_dedup", "near_dedup", "mixed"))
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
+      s"funnel not monotone: ${result.funnel}")
+    assert(counts.last > 0)
+  }
+
+  test("curated sink round-trips partitioned by lang") {
+    val back = PartitionedParquet.read(spark, s"$outDir/curated")
+    assert(back.count() === result.curated.count())
+    // partition pruning works on the sink
+    val plan = back.filter($"lang" === "en")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"), plan)
+  }
+
+  test("packing covers every curated document exactly once") {
+    val packed = spark.read.parquet(s"$outDir/packed")
+    assert(packed.count() === result.curated.count())
+    assert(packed.select($"doc_id").distinct().count() === result.curated.count())
+  }
+
+  test("curated rows satisfy the gate and are fingerprint-unique") {
+    val curated = result.curated
+    assert(curated.filter($"quality" < 0.55 || $"n_tokens" < 5).count() === 0)
+    val fpDups = curated
+      .groupBy(graft.operators.TokenOps.bagOfWordsFingerprint($"text"))
+      .count().filter($"count" > 1).count()
+    assert(fpDups === 0, "exact duplicates survived curation")
+  }
+}

@@ -89,6 +89,17 @@ class EndToEndSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("train main: ngram branch (reference --use_ngram path) runs end-to-end") {
+    val modelDir = java.nio.file.Files.createTempDirectory("graft-e2e-ng").toString
+    val metricsPath = java.nio.file.Files
+      .createTempDirectory("graft-e2e-ngm").resolve("lr_ngram.json").toString
+    val r = Train.run(spark, "lr", cleanDir, modelDir, metricsPath,
+      useNgram = true, ngramN = 2)
+    assert(r.metrics.accuracy > 0.7, s"accuracy ${r.metrics.accuracy}")
+    assert(ModelComparison.readMetrics(spark, metricsPath).head()
+      .getDouble(0) === r.metrics.accuracy)
+  }
+
   test("compare main: ranks models by accuracy and writes one artifact") {
     import graft.ml.SentimentPipeline
     val dir = java.nio.file.Files.createTempDirectory("graft-cmp")

@@ -34,7 +34,13 @@ object Bench {
       else SparkEntry.queries
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() }
+      catch { case e: Throwable =>
+        // loud, not silent: a failing query must be visible in the round
+        // log even though the bench keeps going
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        -1L
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name%-24s $dt%8.2f s")
       name -> dt

@@ -38,6 +38,16 @@ class SamplingSpec extends SparkSpec {
     assert(a !== b)
   }
 
+  test("hexThreshold: 12 lowercase hex chars, monotone in fraction, exact quarters") {
+    val ts = Seq(0.0, 0.1, 0.25, 0.5, 0.75, 0.999)
+      .map(Sampling.hexThreshold)
+    assert(ts.forall(t => t.length == 12 && t.matches("[0-9a-f]{12}")))
+    assert(ts === ts.sorted, s"not monotone: $ts")
+    assert(Sampling.hexThreshold(0.25) === "400000000000")
+    assert(Sampling.hexThreshold(0.5) === "800000000000")
+    assert(Sampling.hexThreshold(1.0) === "g") // sorts after every hex string
+  }
+
   test("fraction edge cases: 0 keeps nothing, 1 keeps everything") {
     assert(Sampling.contentHashSample(docs, $"text", 0.0).count() === 0L)
     assert(Sampling.contentHashSample(docs, $"text", 1.0).count() === docs.count())

@@ -45,10 +45,34 @@ object Bench {
       System.err.println(f"[bench] $name%-24s $dt%8.2f s")
       name -> dt
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // Full-precision record → file (the round log only keeps the LAST
+    // ~2000 chars of output, which a 75-query full-precision line plus
+    // sbt's own [success] epilogue overflows — that's why rounds 1-2
+    // recorded parsed:null). The file keeps every digit for analysis;
+    // stdout gets ONE compact line, printed last, short enough that the
+    // whole line survives inside the tail window.
+    def json(fmt: Double => String): String = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    try {
+      val full = json(_.toString)
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+        (full + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}")
+    }
+    // 3 significant digits, no trailing zeros: "0.17", "11.2", "0.0951";
+    // if the query list has grown enough that even that overflows the
+    // tail window, degrade to 2 digits rather than lose the line.
+    def sig(digits: Int)(v: Double): String =
+      BigDecimal(v).round(new java.math.MathContext(digits))
+        .bigDecimal.stripTrailingZeros.toPlainString
+    val line3 = json(sig(3))
+    println(if (line3.length <= 1800) line3 else json(sig(2)))
     spark.stop()
   }
 }

@@ -63,6 +63,9 @@ object Train {
   }
 
   def main(args: Array[String]): Unit = {
+    require(args.length >= 4,
+      "usage: graft.Train <lr|nb|svc> <cleanDir> <modelDir> <metricsPath> " +
+        "[--ngram N]")
     val Array(kind, cleanDir, modelDir, metricsPath) = args.take(4)
     val ngramN = args.sliding(2).collectFirst {
       case Array("--ngram", n) => n.toInt

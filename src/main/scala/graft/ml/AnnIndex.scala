@@ -78,6 +78,14 @@ object AnnIndex {
       k: Int, tables: Int, bitsPerTable: Int,
       excludeId: Option[Long]): DataFrame = {
     val spark = index.sparkSession
+    // Dimension guard: hyperplanes are derived from query.size, so a
+    // wrong-dimension query would silently hash into wrong buckets and
+    // return plausible-but-wrong neighbors. One indexed row's vector
+    // size is the index's dimension (all rows share it by construction).
+    index.select(size(col("v")).as("d")).head(1).headOption.foreach { r =>
+      require(r.getInt(0) == query.size,
+        s"query dimension ${query.size} != index dimension ${r.getInt(0)}")
+    }
     val planes = Similarity.hyperplanes(tables * bitsPerTable, query.size)
     val tablePlanes = planes.grouped(bitsPerTable).toSeq
     val tableBuckets = tablePlanes.zipWithIndex.map { case (p, t) =>

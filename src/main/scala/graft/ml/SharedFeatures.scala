@@ -3,7 +3,7 @@ package graft.ml
 import org.apache.spark.ml.Pipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import scala.collection.concurrent.TrieMap
+import graft.util.SessionCache
 
 /** Featurization shared across the three classifier fits.
   *
@@ -23,15 +23,16 @@ import scala.collection.concurrent.TrieMap
   */
 object SharedFeatures {
 
-  private val cache = TrieMap.empty[(Int, String), (DataFrame, DataFrame)]
+  private val cache = new SessionCache[(DataFrame, DataFrame)]
 
   /** (trainFeatures, testFeatures) for the sf-dir's documents table with
     * the deterministic lang-derived label, split 80/20 seed 42. Cached
     * per (session, directory) — persisted frames die with their
     * SparkContext, so a dataset key alone would hand a later session
-    * frames owned by a stopped context. */
+    * frames owned by a stopped context; the weak session keying lets
+    * the whole entry go when the session does. */
   def trainTest(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
-    cache.getOrElseUpdate((System.identityHashCode(spark), dir), {
+    cache.getOrElseUpdate(spark, dir) {
       val docs = graft.Tables.documents(spark, dir)
         .select(col("doc_id"), col("text"),
           when(col("lang") === "en", 1.0).otherwise(0.0).as("label"))
@@ -52,5 +53,5 @@ object SharedFeatures {
           .coalesce(parts)
           .persist()
       (prep(train), prep(test))
-    })
+    }
 }

@@ -2,8 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import scala.collection.concurrent.TrieMap
 import graft.Tables
+import graft.util.SessionCache
 import graft.ml.AnnIndex
 import graft.operators.{DedupGroups, MinHashDedup, SimHash, Similarity, TokenOps}
 
@@ -24,17 +24,14 @@ object SimilarityQueries extends QueryModule {
 
   /** One index build per (session, dataset, layout); queries then probe.
     * The OPENED index frame is cached too — a served index lists its
-    * partition tree once, not per probe. Keys include the session
-    * identity (frames die with their SparkContext) and paths include the
-    * PID + an unambiguous dataset hash (concurrent processes must not
-    * overwrite each other's live index; lossy name sanitization alone
-    * could collide distinct datasets). */
+    * partition tree once, not per probe. Sessions are weak keys
+    * ([[graft.util.SessionCache]]: frames die with their SparkContext)
+    * and paths include the PID + an unambiguous dataset hash
+    * (concurrent processes must not overwrite each other's live index;
+    * lossy name sanitization alone could collide distinct datasets). */
   private object IndexCache {
-    private val hyper = TrieMap.empty[(Int, String), DataFrame]
-    private val ivf =
-      TrieMap.empty[(Int, String), (DataFrame, Array[Array[Double]])]
-    private def key(s: SparkSession, d: String) =
-      (System.identityHashCode(s), d)
+    private val hyper = new SessionCache[DataFrame]
+    private val ivf = new SessionCache[(DataFrame, Array[Array[Double]])]
     private def base(d: String): String =
       sys.props("java.io.tmpdir") + "/graft-index/" +
         ProcessHandle.current().pid() + "/" +
@@ -42,19 +39,19 @@ object SimilarityQueries extends QueryModule {
         java.lang.Integer.toUnsignedString(d.hashCode, 16)
 
     def hyperplane(s: SparkSession, d: String): DataFrame =
-      hyper.getOrElseUpdate(key(s, d), {
+      hyper.getOrElseUpdate(s, d) {
         val p = base(d) + "/hyperplane"
         AnnIndex.buildHyperplane(Tables.embeddings(s, d), "vec_id", "embedding", p)
         graft.sources.PartitionedParquet.read(s, p)
-      })
+      }
 
     def ivfIndex(s: SparkSession, d: String): (DataFrame, Array[Array[Double]]) =
-      ivf.getOrElseUpdate(key(s, d), {
+      ivf.getOrElseUpdate(s, d) {
         val p = base(d) + "/ivf"
         val centroids = AnnIndex.buildIvf(
           Tables.embeddings(s, d), "vec_id", "embedding", p, nlist = 8)
         (graft.sources.PartitionedParquet.read(s, p), centroids)
-      })
+      }
   }
 
   /** The query vector for the ANN queries (vec_id=0's embedding). */
@@ -76,16 +73,15 @@ object SimilarityQueries extends QueryModule {
     * set (~1e5 distinct) is ~1e-9-probable and the oracle hash-compare
     * would surface it.
     */
-  private val pairsCache = TrieMap.empty[(Int, String), DataFrame]
+  private val pairsCache = new SessionCache[DataFrame]
 
   /** Memoized, MATERIALIZED form: q_jaccard_pairs and q_dedup_groups both
     * consume this exact pair set — computing the self-join twice per run
     * is pure waste (same reasoning as IndexCache: materialize once,
-    * consume many; session-keyed because checkpoints die with their
-    * context). */
+    * consume many; weakly session-keyed because checkpoints die with
+    * their context). */
   private def jaccardPairs(s: SparkSession, d: String): DataFrame =
-    pairsCache.getOrElseUpdate((System.identityHashCode(s), d),
-      jaccardPairsPlan(s, d).localCheckpoint())
+    pairsCache.getOrElseUpdate(s, d)(jaccardPairsPlan(s, d).localCheckpoint())
 
   private def jaccardPairsPlan(s: SparkSession, d: String): DataFrame = {
     val ds = Tables.documents(s, d).select(col("doc_id"),

@@ -344,14 +344,18 @@ object TokenQueries extends QueryModule {
 
     "q_decontaminate" -> {
       val t = graft.operators.Sampling.hexThreshold(0.1)
-      val fp = "md5(array_to_string(list_sort(list_distinct(" +
-        "regexp_split_to_array(lower(text), '\\s+'))), ' '))"
+      def fp(c: String) = "md5(array_to_string(list_sort(list_distinct(" +
+        s"regexp_split_to_array(lower($c), '\\s+'))), ' '))"
+      // NOT EXISTS, not NOT IN: left_anti keeps a corpus row whose
+      // fingerprint is NULL (null text), while NOT IN's three-valued
+      // NULL comparison would drop it — the anti-join form keeps the
+      // cross-engine contract for nullable corpora.
       s"""WITH bench AS (
-         |  SELECT $fp AS bfp FROM documents
+         |  SELECT ${fp("text")} AS bfp FROM documents
          |  WHERE substr(md5('7:' || text), 1, 12) < '$t')
-         |SELECT doc_id FROM documents
-         |WHERE $fp NOT IN (SELECT bfp FROM bench)
-         |ORDER BY doc_id""".stripMargin
+         |SELECT d.doc_id FROM documents d
+         |WHERE NOT EXISTS (SELECT 1 FROM bench b WHERE b.bfp = ${fp("d.text")})
+         |ORDER BY d.doc_id""".stripMargin
     },
 
     "q_content_sample" -> {

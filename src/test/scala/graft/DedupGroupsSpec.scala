@@ -47,4 +47,37 @@ class DedupGroupsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(comps === Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
   }
+
+  test("driver fast path and distributed loop agree") {
+    // ring + chain + singletons: exercises pointer jumping AND union-find
+    val ps = pairs((1L, 2L), (2L, 3L), (3L, 1L), (10L, 11L), (11L, 12L),
+      (12L, 13L), (20L, 21L))
+    val universe = ids((1L to 3L) ++ (10L to 13L) ++ Seq(20L, 21L, 30L): _*)
+    val fast = DedupGroups.connectedComponents(universe, "id", ps)
+      .as[(Long, Long)].collect().toMap
+    val dist = DedupGroups.connectedComponents(universe, "id", ps,
+        collectThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(fast === dist)
+    assert(fast(3L) === 1L && fast(13L) === 10L && fast(21L) === 20L
+      && fast(30L) === 30L)
+  }
+
+  test("resolve ignores pairs that reference ids absent from the frame") {
+    // pair (0, 1) links df row 1 to foreign id 0: without the guard the
+    // component min would be 0 and row 1 would be dropped with no
+    // survivor kept.
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "payload")
+    val kept = DedupGroups.resolve(df, "id", pairs((0L, 1L)))
+      .select($"id").as[Long].collect().toSet
+    assert(kept === Set(1L, 2L))
+  }
+
+  test("string ids resolve components on the driver path") {
+    val comps = DedupGroups.connectedComponents(
+        Seq("a", "b", "c", "z").toDF("id"), "id",
+        Seq(("b", "c"), ("c", "a")).toDF("id_a", "id_b"))
+      .as[(String, String)].collect().toMap
+    assert(comps === Map("a" -> "a", "b" -> "a", "c" -> "a", "z" -> "z"))
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.DotProduct
+import graft.functions.{BloomMightContain, DotProduct}
 
 /** SparkSessionExtensions entry point: registers graft's custom
   * expressions at session build time, so both the Column API and plain
@@ -30,5 +30,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1)))
     ext.injectFunction(vecDot)
+    val bloomContain: (FunctionIdentifier, ExpressionInfo, FunctionBuilder) = (
+      FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getName,
+        "bloom_might_contain"),
+      (children: Seq[Expression]) =>
+        BloomMightContain(children(0), children(1)))
+    ext.injectFunction(bloomContain)
   }
 }

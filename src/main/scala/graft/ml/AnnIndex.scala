@@ -110,6 +110,57 @@ object AnnIndex {
       .limit(k)
   }
 
+  /** BATCHED top-k probe: answer every row of `queries` in one job — the
+    * bulk-serving shape (re-embedding a corpus, nightly recommendation
+    * refresh), where per-query probes would mean one driver round-trip
+    * each. Each query expands to its L (table_id, bucket) keys via the
+    * codegen'd signature expression; candidates come from an EQUI-join
+    * with the index on (table_id, bucket) — uniform 8-bit keys, no
+    * cartesian anywhere. The query side is tiny relative to the index
+    * (L rows per query), so Spark broadcasts it and the index is never
+    * shuffled; with a hive-partitioned index, bucket is the partition
+    * column, so dynamic partition pruning can skip untouched bucket
+    * dirs when the batch is selective. Per-query dedup + exact-cosine
+    * re-rank + windowed top-k (rank on the ROUNDED score with id
+    * tiebreak — deterministic), partitioned by query — never a global
+    * sort.
+    *
+    * Same candidate semantics as [[probeHyperplane]] per query, asserted
+    * in AnnIndexSpec. */
+  def probeHyperplaneBatch(index: DataFrame, queries: DataFrame,
+      qIdCol: String, qVecCol: String, k: Int, tables: Int = 16,
+      bitsPerTable: Int = 8, excludeSelf: Boolean = false): DataFrame = {
+    val spark = index.sparkSession
+    val q = queries.select(col(qIdCol).as("query_id"),
+      col(qVecCol).cast("array<double>").as("qv"))
+    val indexDim = index.select(size(col("v")).as("d")).head(1)
+      .headOption.map(_.getInt(0))
+    val queryDim = q.select(size(col("qv")).as("d")).head(1)
+      .headOption.map(_.getInt(0))
+    for (i <- indexDim; qd <- queryDim) require(i == qd,
+      s"query dimension $qd != index dimension $i")
+    val dim = indexDim.orElse(queryDim).getOrElse(0)
+    val planes = Similarity.hyperplanes(tables * bitsPerTable, dim)
+    val expanded = q
+      .withColumn("sig",
+        HyperplaneSigs.sigs(spark, col("qv"), planes, bitsPerTable))
+      .select(col("query_id"), col("qv"),
+        posexplode(col("sig")).as(Seq("table_id", "bucket")))
+    VectorFunctions.register(spark)
+    val cands = broadcast(expanded)
+      .join(index, Seq("table_id", "bucket"))
+      .dropDuplicates("query_id", "id")
+    val filtered =
+      if (excludeSelf) cands.filter(col("query_id") =!= col("id")) else cands
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("id"))
+    filtered
+      .withColumn("cos", round(Similarity.cosineFast(col("v"), col("qv")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id"), col("cos"), col("rank"))
+  }
+
   // ---------------- IVF ----------------
 
   /** Build the IVF index: k-means fit + cell-partitioned vectors + the

@@ -64,4 +64,38 @@ object Dedup {
       TokenOps.bagOfWordsFingerprint(col(textCol)) === col("__bfp"),
       "left_anti")
   }
+
+  /** Bloom-filter decontamination: the scale path between "benchmark fits
+    * in an exact broadcast set" ([[decontaminate]]) and "shuffle the
+    * whole corpus for an anti-join". The benchmark's 64-bit content
+    * fingerprints are folded into a [[org.apache.spark.util.sketch
+    * .BloomFilter]] (distributed treeAggregate build), and the corpus is
+    * filtered with the codegen'd probe
+    * ([[graft.functions.BloomMightContain]]) — a pure scan with zero
+    * shuffle of the corpus, at ~1.2 bytes/item/1% fpp filter size (a
+    * 100M-item benchmark ≈ 120 MB: still task-shippable where an exact
+    * string set would be GBs).
+    *
+    * Trade-off vs [[decontaminate]]: drops ~fpp extra innocent rows
+    * (false positives); never misses a true contamination (no false
+    * negatives — asserted in DecontaminateSpec). Null-text corpus rows
+    * are kept, matching the exact form's null-join semantics. */
+  def decontaminateBloom(corpus: DataFrame, textCol: String,
+      benchmark: DataFrame, benchTextCol: String,
+      fpp: Double = 0.01, expectedItems: Option[Long] = None): DataFrame = {
+    import graft.functions.BloomFunctions
+    def fp(c: Column) = xxhash64(TokenOps.bagOfWordsFingerprint(c))
+    val benchFp = benchmark
+      .filter(col(benchTextCol).isNotNull)
+      .select(fp(col(benchTextCol)).as("__bfp"))
+    // expectedItems sizes the filter; the count pass is skipped when the
+    // caller knows the benchmark cardinality (at scale they do).
+    val n = math.max(1L, expectedItems.getOrElse(benchFp.count()))
+    val bloom = benchFp.stat.bloomFilter("__bfp", n, fpp)
+    val spark = corpus.sparkSession
+    BloomFunctions.register(spark)
+    corpus.filter(col(textCol).isNull ||
+      !BloomFunctions.bloom_might_contain(
+        fp(col(textCol)), lit(BloomFunctions.serialize(bloom))))
+  }
 }

@@ -75,4 +75,27 @@ object EventOps {
     df.groupBy(col(key), col("session_id"))
       .agg(min(col(ts)).as("session_start"), max(col(ts)).as("session_end"),
         count(lit(1)).as("n_events"))
+
+  /** Interval (time-range) join: pair every `left` row with the `right`
+    * rows of the same key whose timestamp falls in
+    * [leftTs, leftTs + within) — the attribution-join shape (click →
+    * purchase within N minutes). Physically an equi-join on the key
+    * (ONE shuffle per side; the range predicate rides along as the
+    * join condition), so it scales like any keyed join — no cartesian.
+    * Comparisons are on microseconds (unix_micros) to pin cross-engine
+    * semantics for nanosecond sources. Timestamp columns must be
+    * pre-renamed to distinct names; the key keeps one column in the
+    * output. Streaming twin: [[graft.streaming.EventStream.intervalJoin]]
+    * (same pairs, plus watermark-bounded state). */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, withinMinutes: Long): DataFrame = {
+    require(leftTs != rightTs,
+      "rename the two timestamp columns to distinct names before joining")
+    val us = withinMinutes * 60L * 1000000L
+    val r = right.withColumnRenamed(key, "__rk")
+    left.join(r, col(key) === col("__rk") &&
+        unix_micros(col(rightTs)) >= unix_micros(col(leftTs)) &&
+        unix_micros(col(rightTs)) < unix_micros(col(leftTs)) + us)
+      .drop("__rk")
+  }
 }

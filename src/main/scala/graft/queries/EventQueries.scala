@@ -67,6 +67,23 @@ object EventQueries extends QueryModule {
         .orderBy(col("event_id"))
     }),
 
+    // Attribution interval join: each click paired with the same user's
+    // purchases within the next 30 minutes (equi-join on user, range
+    // predicate on ts). Streaming twin verified in EventStreamSpec.
+    "q_interval_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("purchase_ts"))
+      graft.operators.EventOps.intervalJoin(clicks, purchases,
+          "user_id", "click_ts", "purchase_ts", withinMinutes = 30)
+        .select(col("click_id"), col("purchase_id"), col("user_id"))
+        .orderBy(col("click_id"), col("purchase_id"))
+    }),
+
     // Gap-based sessionization (30-minute inactivity) → session stats.
     "q_sessionize" -> ((s, d) =>
       EventOps.sessionStats(
@@ -140,6 +157,15 @@ object EventQueries extends QueryModule {
         |ASOF LEFT JOIN ord
         |  ON e.user_id = ord.o_custkey AND e.ts >= ord.o_orderdate
         |ORDER BY event_id""".stripMargin,
+
+    "q_interval_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+        |FROM events c JOIN events p
+        |  ON p.user_id = c.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND epoch_us(p.ts) >= epoch_us(c.ts)
+        | AND epoch_us(p.ts) < epoch_us(c.ts) + 1800000000
+        |ORDER BY click_id, purchase_id""".stripMargin,
 
     "q_sessionize" ->
       """WITH x AS (

@@ -208,7 +208,17 @@ object SimilarityQueries extends QueryModule {
     "q_ann_topk" -> ((s, d) =>
       AnnIndex.probeHyperplane(IndexCache.hyperplane(s, d),
         queryVec(s, d), k = 10, tables = 16, bitsPerTable = 8,
-        excludeId = Some(0L)))
+        excludeId = Some(0L))),
+
+    // Batched ANN serving: top-5 neighbors for 16 query vectors in ONE
+    // job (signature-expanded equi-join against the index — the bulk
+    // recommendation/re-embedding shape). Rows-only; batch==per-query
+    // equality is property-tested in AnnIndexSpec.
+    "q_ann_topk_batch" -> ((s, d) =>
+      AnnIndex.probeHyperplaneBatch(IndexCache.hyperplane(s, d),
+          Tables.embeddings(s, d).filter(col("vec_id") < 16),
+          "vec_id", "embedding", k = 5, excludeSelf = true)
+        .orderBy(col("query_id"), col("rank")))
   )
 
   val oracle: Map[String, String] = Map(

@@ -208,6 +208,20 @@ object TokenQueries extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // Bloom-path decontamination — the zero-shuffle scale form of
+    // q_decontaminate (codegen'd bloom_might_contain probe; ~fpp extra
+    // drops). Spark's bloom hashing has no DuckDB mirror → rows-only;
+    // the no-false-negative containment vs the exact form is asserted
+    // in DecontaminateSpec.
+    "q_decontaminate_bloom" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bench = graft.operators.Sampling.contentHashSample(
+        docs, col("text"), 0.1, seed = 7L)
+      graft.operators.Dedup.decontaminateBloom(docs, "text", bench, "text")
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Marker-word language ID — deterministic but the marker lists are
     // library-internal, so verified rows-only + unit tests (LangIdSpec).
     "q_lang_id" -> ((s, d) =>

@@ -79,6 +79,32 @@ object EventStream {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: left-type events joined to right-type
+    * events of the same user within [l_ts, l_ts + within) — streaming
+    * attribution (click → purchase). Both sides carry a watermark and
+    * the join condition bounds the time range, so each side's buffered
+    * state is limited to the watermark + interval horizon (Spark drops
+    * older buffered rows); an unbounded stream-stream join would
+    * otherwise keep every row forever. Inner-join matches emit as soon
+    * as both sides arrive. Batch twin (same pairs):
+    * [[graft.operators.EventOps.intervalJoin]]. */
+  def intervalJoin(events: DataFrame, leftType: String, rightType: String,
+      withinMinutes: Int = 30, watermark: String = "1 hour"): DataFrame = {
+    val l = events.filter(col("event_type") === leftType)
+      .select(col("event_id").as("l_id"), col("user_id"),
+        col("ts").as("l_ts"))
+      .withWatermark("l_ts", watermark)
+    val r = events.filter(col("event_type") === rightType)
+      .select(col("event_id").as("r_id"), col("user_id").as("__rk"),
+        col("ts").as("r_ts"))
+      .withWatermark("r_ts", watermark)
+    l.join(r, col("user_id") === col("__rk") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") < col("l_ts") + expr(s"INTERVAL $withinMinutes MINUTES"))
+      .select(col("l_id"), col("r_id"), col("user_id"), col("l_ts"),
+        col("r_ts"))
+  }
+
   /** Stream-static enrichment: join each event against a static
     * dimension table (Spark plans the static side as a broadcast per
     * micro-batch when it fits — the standard streaming-enrichment shape;

@@ -51,6 +51,34 @@ class AnnIndexSpec extends SparkSpec {
       s"probe read $candRows of $indexRows index rows")
   }
 
+  test("batched probe == per-query probes for every query") {
+    val index = PartitionedParquet.read(spark, hyperPath)
+    val queries = emb.filter($"vec_id" < 5)
+    val batch = AnnIndex.probeHyperplaneBatch(index, queries,
+        "vec_id", "embedding", k = 5, excludeSelf = true)
+      .as[(Long, Long, Double, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(r => (r._2, r._3)).toSeq)
+      .toMap
+    assert(batch.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    for (qid <- batch.keySet) {
+      val qv = emb.filter($"vec_id" === qid)
+        .select($"embedding".cast("array<double>")).head().getSeq[Double](0)
+      val single = AnnIndex.probeHyperplane(index, qv, k = 5,
+          tables = 16, bitsPerTable = 8, excludeId = Some(qid))
+        .as[(Long, Double)].collect().toSeq
+      assert(batch(qid) === single, s"mismatch for query $qid")
+    }
+  }
+
+  test("wrong-dimension query is rejected, not silently mis-bucketed") {
+    val index = PartitionedParquet.read(spark, hyperPath)
+    val err = intercept[IllegalArgumentException] {
+      AnnIndex.probeHyperplane(index, query ++ Seq(0.0), k = 5,
+        tables = 16, bitsPerTable = 8, excludeId = None)
+    }
+    assert(err.getMessage.contains("dimension"))
+  }
+
   test("IVF full probe == brute force; centroids round-trip") {
     val (path, centroids) = ivfBuilt
     val full = AnnIndex.probeIvf(spark, path, centroids, query, k = 10,

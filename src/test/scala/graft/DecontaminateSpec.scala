@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Sampling}
+
+/** Bloom-path decontamination: containment vs the exact anti-join form
+  * (no false negatives, bounded false positives) + expression plumbing. */
+class DecontaminateSpec extends SparkSpec {
+  import spark.implicits._
+
+  // NOT cached: a cached InMemoryRelation would shadow the parquet scan
+  // for every other suite sharing the session (PlanSpec asserts pushdown
+  // on this very table).
+  private lazy val docs = Tables.documents(spark, sf001)
+  private lazy val bench =
+    Sampling.contentHashSample(docs, col("text"), 0.1, seed = 7L)
+
+  test("bloom decontamination never keeps a row the exact form drops") {
+    val exactKept = Dedup.decontaminate(docs, "text", bench, "text")
+      .select($"doc_id").as[Long].collect().toSet
+    val bloomKept = Dedup.decontaminateBloom(docs, "text", bench, "text")
+      .select($"doc_id").as[Long].collect().toSet
+    // bloom may drop extra rows (false positives) but every bloom-kept
+    // row must be exact-kept: a kept contaminated row would be a false
+    // negative, which the filter guarantees cannot happen.
+    assert(bloomKept.subsetOf(exactKept))
+    // and the haircut is bounded: fpp=1% on a few hundred rows
+    assert(exactKept.size - bloomKept.size <= math.max(5, exactKept.size / 20))
+  }
+
+  test("null-text rows survive the bloom path like the exact path") {
+    val corpus = Seq((1L, "alpha beta"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val b = Seq(("gamma delta"), (null.asInstanceOf[String])).toDF("text")
+    val kept = Dedup.decontaminateBloom(corpus, "text", b, "text")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 2L))
+  }
+
+  test("a contaminated row is dropped even when reordered (bag fingerprint)") {
+    val corpus = Seq((1L, "the quick brown fox"), (2L, "unrelated text here"))
+      .toDF("doc_id", "text")
+    val b = Seq("fox brown quick the").toDF("text")
+    val kept = Dedup.decontaminateBloom(corpus, "text", b, "text")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L))
+  }
+
+  test("bloom_might_contain works from SQL with an embedded literal") {
+    graft.functions.BloomFunctions.register(spark)
+    val bloom = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
+    bloom.putLong(42L)
+    val bytes = graft.functions.BloomFunctions.serialize(bloom)
+    val hex = bytes.map("%02X".format(_)).mkString
+    val r = spark.sql(
+      s"SELECT bloom_might_contain(42L, X'$hex') a, " +
+        s"bloom_might_contain(43L, X'$hex') b").head()
+    assert(r.getBoolean(0) === true)
+    // 43 not inserted: overwhelmingly likely false at fpp=1%
+    assert(r.getBoolean(1) === false)
+  }
+}

@@ -123,6 +123,31 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join == batch interval join") {
+    val stream = EventStream.intervalJoin(
+      EventStream.read(spark, eventsDir), "click", "purchase",
+      withinMinutes = 30, watermark = "1 hour")
+      .select($"l_id", $"r_id", $"user_id")
+    // inner stream-stream joins emit matches in append mode as soon as
+    // both sides arrive; the watermark only bounds buffered state.
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("interval_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("interval_out").collect().toSet
+      val ev = Tables.events(spark, sf001)
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"event_id".as("l_id"), $"user_id", $"ts".as("l_ts"))
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"event_id".as("r_id"), $"user_id", $"ts".as("r_ts"))
+      val batch = graft.operators.EventOps.intervalJoin(
+          clicks, purchases, "user_id", "l_ts", "r_ts", 30)
+        .select($"l_id", $"r_id", $"user_id").collect().toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stateful running user totals accumulate exactly once per event") {
     val stream = EventStream.runningUserTotals(
       EventStream.read(spark, eventsDir))

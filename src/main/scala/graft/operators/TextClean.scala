@@ -50,6 +50,39 @@ object TextClean {
     s"trim($c5)"
   }
 
+  // PII patterns, same Java∩RE2 shared-subset discipline. Order matters
+  // and is part of the API contract: URL first (a URL can embed an
+  // email-shaped userinfo), then email, then IP (before phone — dotted
+  // quads are digit runs a phone pattern would half-eat), then phone.
+  val PiiUrlPattern   = UrlPattern
+  val PiiEmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiIpPattern    = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PiiPhonePattern = "\\+?[0-9][0-9()\\s.-]{7,14}[0-9]"
+
+  /** PII redaction — the pretraining-pipeline scrub pass: emails, URLs,
+    * IPv4s, and phone-shaped digit runs become typed placeholder tokens
+    * (the standard alternative to dropping the document). A single
+    * codegen'd projection, shuffle-free, same scale shape as
+    * [[cleanText]]. Deliberately conservative: a phone-shaped run that
+    * isn't a phone number still redacts (over-redaction is the safe
+    * failure mode for a training corpus). */
+  def redact(text: Column): Column = {
+    val r0 = regexp_replace(text, PiiUrlPattern, "<URL>")
+    val r1 = regexp_replace(r0, PiiEmailPattern, "<EMAIL>")
+    val r2 = regexp_replace(r1, PiiIpPattern, "<IP>")
+    regexp_replace(r2, PiiPhonePattern, "<PHONE>")
+  }
+
+  /** DuckDB mirror of [[redact]] (explicit 'g'; same order contract). */
+  def redactSql(textExpr: String): String = {
+    val r0 = s"regexp_replace($textExpr, 'https?://\\S+', '<URL>', 'g')"
+    val r1 = s"regexp_replace($r0, " +
+      "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g')"
+    val r2 = s"regexp_replace($r1, " +
+      "'\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g')"
+    s"regexp_replace($r2, '\\+?[0-9][0-9()\\s.-]{7,14}[0-9]', '<PHONE>', 'g')"
+  }
+
   /** Sentiment140 label normalization: 0/4 → 0/1 (`preprocessing.py:93-96`). */
   def normalizeLabel(sentiment: Column): Column =
     when(sentiment === 4, 1).otherwise(0)

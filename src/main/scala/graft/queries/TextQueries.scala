@@ -37,6 +37,23 @@ object TextQueries extends QueryModule {
         .select(col("doc_id"), col("text").as("clean_text"), col("text_length"))
         .orderBy(col("doc_id"))),
 
+    // PII redaction scrub pass. The fixture corpus carries no PII, so a
+    // deterministic contact blurb derived from doc_id is appended first —
+    // the oracle builds the identical dirty text, so the cross-engine
+    // contract exercises every redaction pattern on every row.
+    "q_redact" -> ((s, d) => {
+      val dirty = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com via https://example.org/u/"),
+        col("doc_id").cast("string"),
+        lit(" or 10.0."), (col("doc_id") % 256).cast("string"), lit(".1"),
+        lit(" tel +1555010"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextClean.redact(dirty).as("redacted"))
+        .orderBy(col("doc_id"))
+    }),
+
     // P5: predicate filter on computed length.
     "q_filter_length" -> ((s, d) =>
       Tables.documents(s, d)
@@ -102,6 +119,17 @@ object TextQueries extends QueryModule {
     "q_filter_length" ->
       """SELECT doc_id, n_chars FROM documents
         |WHERE length(text) > 250 ORDER BY doc_id""".stripMargin,
+
+    "q_redact" -> {
+      // `||` (not concat()) so a NULL text stays NULL like Spark's concat.
+      val dirty = "text || ' contact user' || CAST(doc_id AS VARCHAR)" +
+        " || '@example.com via https://example.org/u/'" +
+        " || CAST(doc_id AS VARCHAR)" +
+        " || ' or 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'" +
+        " || ' tel +1555010' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+      s"""SELECT doc_id, ${TextClean.redactSql(s"($dirty)")} AS redacted
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
 
     "q_case_when" ->
       """SELECT doc_id,

@@ -36,6 +36,22 @@ class TextCleanSpec extends SparkSpec {
     assert(rows.head._2 === "keep me" && rows.head._3 === 7L)
   }
 
+  test("redact replaces each PII kind with its typed placeholder") {
+    def redactOne(s: String): String =
+      Seq(s).toDF("t").select(TextClean.redact($"t")).head().getString(0)
+    assert(redactOne("mail me at jo.smith+x@corp.example.co today")
+      === "mail me at <EMAIL> today")
+    assert(redactOne("see https://a.example.org/p?q=1#frag now")
+      === "see <URL> now")
+    assert(redactOne("host 192.168.001.1 down") === "host <IP> down")
+    assert(redactOne("call +1 (555) 010-4567 ok") === "call <PHONE> ok")
+    // order contract: the dotted quad is redacted as an IP, not eaten by
+    // the phone pattern; URL userinfo never leaks an email match
+    assert(redactOne("ping 10.0.0.1 or https://u%40h@x.example.com/a")
+      === "ping <IP> or <URL>")
+    assert(redactOne("clean text stays clean") === "clean text stays clean")
+  }
+
   test("clean chain is a single narrow stage (no shuffle in plan)") {
     val plan = TextClean.clean(
       Tables.documents(spark, sf001)).queryExecution.executedPlan.toString

@@ -122,6 +122,25 @@ object RelationalQueries extends QueryModule {
         .agg(approx_count_distinct(col("l_partkey"), 0.02).as("n_parts_approx"))
         .orderBy(col("l_returnflag"))),
 
+    // Mergeable-sketch rollup — the 100 TB distinct-counting pattern:
+    // build one datasketches-HLL sketch per (day, event_type) partition
+    // (a partial agg any ingestion job can precompute and persist), then
+    // answer "distinct users per event_type over any day range" by
+    // UNIONING sketches — no re-scan of the raw events, no exact
+    // distinct shuffle. Rows-only (sketch internals have no DuckDB
+    // mirror); estimate accuracy + merge associativity are asserted in
+    // RelationalSpec.
+    "q_hll_rollup" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      daily.groupBy(col("event_type"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))")
+            .as("approx_users"),
+          count(lit(1)).as("n_days"))
+        .orderBy(col("event_type"))
+    }),
+
     // Top-k: TakeOrderedAndProject — never a full global sort at scale.
     "q_topk" -> ((s, d) =>
       Tables.orders(s, d)

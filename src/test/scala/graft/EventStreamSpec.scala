@@ -148,6 +148,32 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental batch processes each arriving file exactly once") {
+    val in = java.nio.file.Files.createTempDirectory("graft-inc-in")
+    val ck = java.nio.file.Files.createTempDirectory("graft-inc-ck").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-inc-out")
+      .toString + "/data"
+    def stage(name: String): Unit =
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sf001/events.parquet"), in.resolve(name))
+    def runOnce(): Unit =
+      graft.streaming.Incremental.runParquet(spark, in.toString,
+        EventStream.rawSchema, ck, out) { df =>
+        df.filter($"event_type" === "click").select($"event_id")
+      }
+    val perFile = Tables.events(spark, sf001)
+      .filter($"event_type" === "click").count()
+
+    stage("a.parquet"); runOnce()
+    assert(spark.read.parquet(out).count() === perFile)
+    // second run with a new file: ONLY the new file's rows are appended
+    stage("b.parquet"); runOnce()
+    assert(spark.read.parquet(out).count() === 2 * perFile)
+    // no new files: a re-run emits nothing
+    runOnce()
+    assert(spark.read.parquet(out).count() === 2 * perFile)
+  }
+
   test("stateful running user totals accumulate exactly once per event") {
     val stream = EventStream.runningUserTotals(
       EventStream.read(spark, eventsDir))

@@ -46,6 +46,22 @@ class PlanSpec extends SparkSpec {
       plan.contains("BroadcastNestedLoopJoin"), s"df side not broadcast:\n$plan")
   }
 
+  test("q_interval_join is an equi-join on the key, never a nested loop") {
+    val plan = formatted("q_interval_join")
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"range predicate degraded the join:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"expected a keyed join:\n$plan")
+  }
+
+  test("q_redact stays a single narrow projection over the scan") {
+    val plan = formatted("q_redact")
+    // only the trailing orderBy's range exchange is allowed — the scrub
+    // itself must never hash-shuffle
+    assert(!plan.contains("hashpartitioning"), s"unexpected shuffle:\n$plan")
+    assert(plan.contains("Scan parquet") && plan.contains("Project"), plan)
+  }
+
   test("q_embed_norm prunes the scan to the two referenced columns") {
     val plan = formatted("q_embed_norm")
     val readSchema = plan.linesIterator

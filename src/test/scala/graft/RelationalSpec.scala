@@ -33,6 +33,29 @@ class RelationalSpec extends SparkSpec {
       s"approx=$approx exact=$exact")
   }
 
+  test("HLL sketch union rollup matches exact distinct within 5%") {
+    val ev = Tables.events(spark, sf01)
+    val exact = ev.groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("n"))
+      .as[(String, Long)].collect().toMap
+    val rolled = SparkEntry.queries("q_hll_rollup")(spark, sf01)
+      .select($"event_type", $"approx_users")
+      .as[(String, Long)].collect().toMap
+    assert(rolled.keySet === exact.keySet)
+    for ((k, approx) <- rolled) {
+      assert(math.abs(approx - exact(k)).toDouble / exact(k) < 0.05,
+        s"$k: approx=$approx exact=${exact(k)}")
+    }
+    // merging daily sketches loses nothing vs sketching in one pass:
+    // the two estimates must agree closely (same lgK state space)
+    val direct = ev.groupBy($"event_type")
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("n"))
+      .as[(String, Long)].collect().toMap
+    for ((k, d) <- direct)
+      assert(math.abs(rolled(k) - d).toDouble / math.max(d, 1L) < 0.02,
+        s"$k: union-of-dailies=$rolled(k) single-pass=$d")
+  }
+
   test("star join broadcasts small dims (plan check)") {
     val plan = SparkEntry.queries("q_join_star")(spark, sf001)
       .queryExecution.executedPlan.toString

@@ -9,25 +9,33 @@ import graft.sources.PartitionedParquet
   * runnable main — the extension surface composed the way a 100 TB
   * corpus pass actually runs:
   *
-  *   1. quality/length gate        (TokenOps.qualityScore — row-local)
-  *   2. exact dedup                (bag-of-words fingerprint, windowed
+  *   1. PII redaction              (TextClean.redact — scrub FIRST, so
+  *                                  every content-derived signal below —
+  *                                  quality, fingerprints, mix
+  *                                  membership — sees the exact text
+  *                                  that ships)
+  *   2. quality/length gate        (TokenOps.qualityScore — row-local)
+  *   3. exact dedup                (bag-of-words fingerprint, windowed
   *                                  deterministic survivor)
-  *   3. near-dup group resolution  (MinHash LSH pairs → connected
+  *   4. near-dup group resolution  (MinHash LSH pairs → connected
   *                                  components → survivor drop)
-  *   4. benchmark decontamination  (fingerprint broadcast anti join;
-  *                                  optional)
-  *   5. weighted corpus mixing     (content-hash sampling per language —
+  *   5. benchmark decontamination  (optional: fingerprint broadcast anti
+  *                                  join, or the bloom probe for
+  *                                  benchmark sets too big to broadcast)
+  *   6. weighted corpus mixing     (content-hash sampling per language —
   *                                  reproducible across partitioning)
-  *   6. sequence packing           (fixed token-budget training samples)
-  *   7. partitioned parquet sink   (by lang — partition-pruned reads)
+  *   7. sequence packing           (fixed token-budget training samples)
+  *   8. partitioned parquet sink   (by lang — partition-pruned reads)
   *
   * Every stage is an operator with its own oracle query and/or spec; this
   * main adds only composition and a funnel report. Stage counts cost one
   * extra action per stage on the materialized stage frames (localCheckpoint
   * keeps the lineage flat so no stage recomputes its predecessors).
+  * Redaction adds no funnel stage: it is a projection, never a drop.
   *
   * Usage: graft.app.Curate <documentsDir> <outDir>
   *        [--min-quality Q] [--min-tokens N] [--tokens-per-seq T]
+  *        [--benchmark <documentsDir>] [--bloom] [--no-redact]
   */
 object Curate {
 
@@ -39,18 +47,27 @@ object Curate {
       jaccardThreshold: Double = 0.5,
       tokensPerSeq: Int = 200,
       shards: Int = 32,
-      seed: Long = 42L)
+      seed: Long = 42L,
+      redactPii: Boolean = true,
+      benchmarkDir: Option[String] = None,
+      bloomDecontaminate: Boolean = false)
 
   final case class Result(curated: DataFrame, packed: DataFrame,
       funnel: Seq[(String, Long)])
 
   def run(spark: SparkSession, docsDir: String, outDir: String,
       config: Config = Config()): Result = {
-    val docs = graft.Tables.documents(spark, docsDir)
+    val raw = graft.Tables.documents(spark, docsDir)
     val funnel = Seq.newBuilder[(String, Long)]
-    funnel += "input" -> docs.count()
+    funnel += "input" -> raw.count()
 
-    // 1. quality gate
+    // 1. PII scrub (pure projection; no funnel stage — nothing drops)
+    val docs =
+      if (config.redactPii)
+        raw.withColumn("text", TextClean.redact(col("text")))
+      else raw
+
+    // 2. quality gate
     val (nTok, _, quality) = TokenOps.qualityScore(col("text"))
     val gated = docs
       .withColumn("n_tokens", nTok)
@@ -66,24 +83,43 @@ object Curate {
       .localCheckpoint()
     funnel += "exact_dedup" -> exact.count()
 
-    // 3. near-dup groups -> survivors
+    // 4. near-dup groups -> survivors
     val pairs = MinHashDedup.nearDuplicates(exact, "doc_id", "text",
       threshold = config.jaccardThreshold)
     val resolved = DedupGroups.resolve(exact, "doc_id", pairs)
       .localCheckpoint()
     funnel += "near_dedup" -> resolved.count()
 
-    // 4. weighted mix by language (reproducible content-hash sampling)
-    val mixed = Sampling.mixByStratum(resolved, col("text"), col("lang"),
-        config.langFractions, config.defaultFraction, config.seed)
+    // 5. benchmark decontamination (optional). The benchmark is scrubbed
+    // with the SAME redaction setting so fingerprints compare like with
+    // like; bloom vs exact picks broadcast-set size vs fp-rate trade.
+    val decontaminated = config.benchmarkDir.fold(resolved) { bd =>
+      val benchRaw = graft.Tables.documents(spark, bd)
+      val bench =
+        if (config.redactPii)
+          benchRaw.withColumn("text", TextClean.redact(col("text")))
+        else benchRaw
+      val out = (if (config.bloomDecontaminate)
+        Dedup.decontaminateBloom(resolved, "text", bench, "text")
+      else
+        Dedup.decontaminate(resolved, "text", bench, "text"))
+        .localCheckpoint()
+      funnel += "decontaminated" -> out.count()
+      out
+    }
+
+    // 6. weighted mix by language (reproducible content-hash sampling)
+    val mixed = Sampling.mixByStratum(decontaminated, col("text"),
+        col("lang"), config.langFractions, config.defaultFraction,
+        config.seed)
       .localCheckpoint()
     funnel += "mixed" -> mixed.count()
 
-    // 5. pack into training sequences
+    // 7. pack into training sequences
     val packed = Packing.packSequences(mixed, "doc_id", "text",
       config.tokensPerSeq, config.shards)
 
-    // 6. sinks: curated corpus partitioned by lang + packing assignment
+    // 8. sinks: curated corpus partitioned by lang + packing assignment
     PartitionedParquet.write(
       mixed.select(col("doc_id"), col("text"), col("lang"), col("source"),
         col("n_tokens"), col("quality")),
@@ -102,7 +138,10 @@ object Curate {
     val config = Config(
       minQuality = opt("--min-quality").map(_.toDouble).getOrElse(0.55),
       minTokens = opt("--min-tokens").map(_.toInt).getOrElse(5),
-      tokensPerSeq = opt("--tokens-per-seq").map(_.toInt).getOrElse(200))
+      tokensPerSeq = opt("--tokens-per-seq").map(_.toInt).getOrElse(200),
+      redactPii = !args.contains("--no-redact"),
+      benchmarkDir = opt("--benchmark"),
+      bloomDecontaminate = args.contains("--bloom"))
     val spark = Sessions.local("graft-curate")
     val r = run(spark, docsDir, outDir, config)
     r.funnel.foreach { case (stage, n) =>

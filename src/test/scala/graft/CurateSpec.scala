@@ -37,6 +37,36 @@ class CurateSpec extends SparkSpec {
     assert(packed.select($"doc_id").distinct().count() === result.curated.count())
   }
 
+  test("curated text is PII-redacted by default") {
+    // the pipeline scrubs before any content-derived signal; a curated
+    // corpus must contain no email/URL-shaped strings
+    val leaky = result.curated.filter(
+      $"text".rlike(graft.operators.TextClean.PiiEmailPattern) ||
+        $"text".rlike(graft.operators.TextClean.PiiUrlPattern)).count()
+    assert(leaky === 0)
+  }
+
+  test("benchmark decontamination drops every contaminated doc") {
+    import graft.operators.{TextClean, TokenOps}
+    val benchDir =
+      java.nio.file.Files.createTempDirectory("graft-bench").toString
+    Tables.documents(spark, sf001).filter($"doc_id" % 25 === 0)
+      .write.mode("overwrite").parquet(s"$benchDir/documents.parquet")
+    val out2 =
+      java.nio.file.Files.createTempDirectory("graft-curate-dc").toString
+    val r = Curate.run(spark, sf001, out2,
+      Curate.Config(benchmarkDir = Some(benchDir)))
+    assert(r.funnel.map(_._1).contains("decontaminated"))
+    val benchFp = Tables.documents(spark, benchDir)
+      .select(TokenOps.bagOfWordsFingerprint(
+        TextClean.redact($"text")).as("fp"))
+    val leak = r.curated
+      .select(TokenOps.bagOfWordsFingerprint($"text").as("fp"))
+      .join(benchFp, "fp").count()
+    assert(leak === 0, "contaminated documents survived curation")
+    assert(r.curated.count() > 0)
+  }
+
   test("curated rows satisfy the gate and are fingerprint-unique") {
     val curated = result.curated
     assert(curated.filter($"quality" < 0.55 || $"n_tokens" < 5).count() === 0)

@@ -53,6 +53,31 @@ class MultimodalSpec extends SparkSpec {
     assert(inferred.schema("label").dataType.typeName === "integer")
   }
 
+  test("JSONL round-trip and corrupt-line quarantine") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    // round-trip
+    val df = Seq((1L, "hello"), (2L, "wörld \"quoted\"")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    graft.sources.JsonLines.write(df, dir)
+    val back = graft.sources.JsonLines.read(spark, dir, schema)
+    assert(back.as[(Long, String)].collect().toSet ===
+      df.as[(Long, String)].collect().toSet)
+    // quarantine: 2 good lines, 1 broken line — one read, clean split
+    val qdir = java.nio.file.Files.createTempDirectory("graft-jsonl-q")
+    java.nio.file.Files.writeString(qdir.resolve("a.jsonl"),
+      """{"doc_id": 1, "text": "ok"}
+        |{"doc_id": 2 "text": "missing comma"}
+        |{"doc_id": 3, "text": "fine"}
+        |""".stripMargin)
+    val (good, bad) =
+      graft.sources.JsonLines.readQuarantine(spark, qdir.toString, schema)
+    assert(good.select($"doc_id").as[Long].collect().toSet === Set(1L, 3L))
+    val quarantined = bad.as[String].collect()
+    assert(quarantined.length === 1 && quarantined.head.contains("missing comma"))
+  }
+
   test("raw sentiment140 CSV reads with the fixed DDL schema") {
     val dir = java.nio.file.Files.createTempDirectory("graft-raw").toString
     java.nio.file.Files.writeString(

@@ -30,7 +30,12 @@ object IvfIndex {
       .withColumn("__mlv", array_to_vector(col("__v")))
     // A coarse quantizer doesn't need convergence — a few Lloyd
     // iterations give the same recall at a fraction of the fit cost.
+    // Random init, not k-means|| : the parallel init alone costs ~5
+    // extra passes over the data, and IVF recall is governed by nprobe,
+    // not by init quality of 8-64 coarse cells (measured at sf0.1:
+    // 3.6s -> 1.1s for the fit, identical probe==brute-force results).
     val km = new KMeans().setK(nlist).setSeed(seed).setMaxIter(5)
+      .setInitMode("random")
       .setFeaturesCol("__mlv").setPredictionCol("cell")
     val model = km.fit(vecs)
     val centroids = model.clusterCenters.map(_.toArray)

@@ -42,7 +42,8 @@ object AnnIndex {
     * is the only selective key (measured here: the two-level layout made
     * both build and probe listing-bound). */
   def buildHyperplane(emb: DataFrame, idCol: String, vecCol: String,
-      path: String, tables: Int = 16, bitsPerTable: Int = 8): Unit = {
+      path: String, tables: Int = 16, bitsPerTable: Int = 8,
+      storeVectors: Boolean = true): Unit = {
     val spark = emb.sparkSession
     val withV = emb.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
@@ -51,10 +52,17 @@ object AnnIndex {
       s"cannot build a hyperplane index over an empty input ($vecCol)")
     val dim = first(0).getInt(0)
     val planes = Similarity.hyperplanes(tables * bitsPerTable, dim)
-    val rows = withV
+    val sigged = withV
       .withColumn("sig", HyperplaneSigs.sigs(spark, col("v"), planes, bitsPerTable))
-      .select(col("id"), col("v"),
-        posexplode(col("sig")).as(Seq("table_id", "bucket")))
+    // storeVectors=false drops the vector from the index rows: the
+    // L-way storage amplification then applies to an 8-byte id, not the
+    // embedding (dim×8 bytes) — the compact layout for wide embeddings,
+    // probed via [[probeHyperplaneIds]] (vectors fetched from the base
+    // table). Vector-inline (default) keeps probes self-contained.
+    val rows = (if (storeVectors) sigged.select(col("id"), col("v"), col("sig"))
+      else sigged.select(col("id"), col("sig")))
+      .select(col("*"), posexplode(col("sig")).as(Seq("table_id", "bucket")))
+      .drop("sig")
     // Cluster writes by partition key so each bucket dir gets few files;
     // bucket keys are near-uniform, no skew.
     PartitionedParquet.write(
@@ -103,6 +111,49 @@ object AnnIndex {
     val cands = index
       .filter(bucketPrune && pairPred)
       .dropDuplicates("id")
+    excludeId.fold(cands)(q => cands.filter(col("id") =!= q))
+      .withColumn("cos", round(Similarity.cosineFast(col("v"), qVec), 6))
+      .select(col("id"), col("cos"))
+      .orderBy(col("cos").desc, col("id"))
+      .limit(k)
+  }
+
+  /** Top-k probe against an ID-ONLY index (built with
+    * `storeVectors = false`): candidate ids come from the query's L
+    * pruned buckets, then their vectors are fetched from `base` with an
+    * IN filter — with the base table SORTED by id, parquet min/max
+    * row-group stats skip everything but the candidates' row groups, so
+    * the fetch reads ~candidate-count rows, not the corpus. The
+    * candidate id list is collected to the driver (bucket-sized —
+    * hundreds of ids, the price of turning the fetch into a pushable
+    * scan predicate instead of a corpus-wide join).
+    *
+    * Same results as [[probeHyperplane]] over a vector-inline index
+    * (asserted in AnnIndexSpec); choose by embedding width — inline for
+    * narrow vectors, id-only when dim×8 bytes of L-way amplification
+    * dominates index cost. */
+  def probeHyperplaneIds(index: DataFrame, base: DataFrame, idCol: String,
+      vecCol: String, query: Seq[Double], k: Int, tables: Int = 16,
+      bitsPerTable: Int = 8, excludeId: Option[Long] = None): DataFrame = {
+    val spark = index.sparkSession
+    val withV = base.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    withV.select(size(col("v")).as("d")).head(1).headOption.foreach { r =>
+      require(r.getInt(0) == query.size,
+        s"query dimension ${query.size} != base dimension ${r.getInt(0)}")
+    }
+    val planes = Similarity.hyperplanes(tables * bitsPerTable, query.size)
+    val tableBuckets = planes.grouped(bitsPerTable).toSeq.zipWithIndex
+      .map { case (p, t) => (t, Similarity.sigOf(query, p)) }
+    val pairPred = tableBuckets.map { case (t, b) =>
+      col("table_id") === t && col("bucket") === b
+    }.reduce(_ || _)
+    val bucketPrune = col("bucket").isin(tableBuckets.map(_._2).distinct: _*)
+    val candIds = index.filter(bucketPrune && pairPred)
+      .select(col("id")).distinct().collect().map(_.get(0)).toSeq
+    val cands = withV.filter(col("id").isin(candIds: _*))
+    VectorFunctions.register(spark)
+    val qVec = array(query.map(lit): _*)
     excludeId.fold(cands)(q => cands.filter(col("id") =!= q))
       .withColumn("cos", round(Similarity.cosineFast(col("v"), qVec), 6))
       .select(col("id"), col("cos"))

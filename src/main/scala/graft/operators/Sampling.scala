@@ -44,6 +44,28 @@ object Sampling {
       seed: Long = 42L): DataFrame =
     df.filter(contentHashPredicate(key, fraction, seed))
 
+  /** Deterministic complementary split, e.g. train/test: (~1-fraction,
+    * ~fraction) of rows, membership a pure function of `key` content.
+    *
+    * The scale-correct alternative to `randomSplit`: randomSplit is
+    * seed-AND-partitioning dependent (a repartitioned corpus splits
+    * differently, and under nondeterministic input ordering rows can
+    * even land in both/neither side); here the two sides are exactly
+    * complementary by construction (same predicate, negated), stable
+    * across partitioning, retries, and engine versions — what a
+    * persisted 100 TB train/eval contract needs. A grown corpus keeps
+    * prior membership: adding rows never reshuffles existing ones
+    * (hash membership is per-row), unlike fraction-of-ordering schemes.
+    *
+    * The reference pipelines keep `randomSplit(seed=42)` for fidelity
+    * ([[graft.ml.SentimentPipeline.split]]); this is the recommended
+    * form for new pipelines. */
+  def hashSplit(df: DataFrame, key: Column, testFraction: Double,
+      seed: Long = 42L): (DataFrame, DataFrame) = {
+    val p = contentHashPredicate(key, testFraction, seed)
+    (df.filter(!p), df.filter(p))
+  }
+
   /** Weighted corpus mix: per-stratum sampling fractions (e.g.
     * lang -> weight, source -> weight), unknown strata fall back to
     * `defaultFraction`. One row-local predicate — the standard

@@ -70,6 +70,28 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("id-only index layout probes to the same results as vector-inline") {
+    val p = java.nio.file.Files.createTempDirectory("graft-hyper-ids")
+      .toString + "/idx"
+    AnnIndex.buildHyperplane(emb, "vec_id", "embedding", p,
+      storeVectors = false)
+    val idx = PartitionedParquet.read(spark, p)
+    assert(!idx.columns.contains("v"), "id-only layout must not store vectors")
+    val probe = AnnIndex.probeHyperplaneIds(idx, emb, "vec_id", "embedding",
+        query, k = 10, excludeId = Some(0L))
+      .as[(Long, Double)].collect().toSeq
+    val inline = AnnIndex.probeHyperplane(spark, hyperPath, query, k = 10,
+        excludeId = Some(0L))
+      .as[(Long, Double)].collect().toSeq
+    assert(probe === inline)
+    assert(probe.nonEmpty)
+    // the vector fetch pushes the candidate-id IN filter to the base scan
+    val fetchPlan = AnnIndex.probeHyperplaneIds(idx, emb, "vec_id",
+      "embedding", query, k = 10).queryExecution.executedPlan.toString
+    assert(fetchPlan.contains("PushedFilters: [In(vec_id"),
+      s"candidate fetch not pushed:\n$fetchPlan")
+  }
+
   test("wrong-dimension query is rejected, not silently mis-bucketed") {
     val index = PartitionedParquet.read(spark, hyperPath)
     val err = intercept[IllegalArgumentException] {

@@ -83,6 +83,21 @@ class SamplingSpec extends SparkSpec {
     assert(underfull === 0L)
   }
 
+  test("hashSplit is exactly complementary, stable, and growth-consistent") {
+    val (train, test) = Sampling.hashSplit(docs, $"text", 0.2)
+    val trainIds = train.select($"doc_id").as[Long].collect().toSet
+    val testIds = test.select($"doc_id").as[Long].collect().toSet
+    // exact partition of the corpus: disjoint and complete
+    assert(trainIds.intersect(testIds).isEmpty)
+    assert(trainIds.size + testIds.size === docs.count())
+    assert(testIds.nonEmpty && trainIds.nonEmpty)
+    // growth consistency: splitting a subset never flips membership
+    val half = docs.filter($"doc_id" % 2 === 0)
+    val (_, testHalf) = Sampling.hashSplit(half, $"text", 0.2)
+    val testHalfIds = testHalf.select($"doc_id").as[Long].collect().toSet
+    assert(testHalfIds === testIds.filter(_ % 2 == 0))
+  }
+
   test("mixByStratum applies per-stratum fractions and the default") {
     val mixed = Sampling.mixByStratum(docs, $"text", $"lang",
       Map("en" -> 1.0), defaultFraction = 0.0)

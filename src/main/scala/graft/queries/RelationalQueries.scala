@@ -122,6 +122,13 @@ object RelationalQueries extends QueryModule {
         .agg(approx_count_distinct(col("l_partkey"), 0.02).as("n_parts_approx"))
         .orderBy(col("l_returnflag"))),
 
+    // One-pass column profile (nulls / exact distinct / min / max per
+    // column) — the pre-commit data-quality report.
+    "q_profile" -> ((s, d) =>
+      graft.operators.Profiling.profile(
+          Tables.documents(s, d), Seq("doc_id", "lang", "source"))
+        .orderBy(col("column"))),
+
     // Mergeable-sketch rollup — the 100 TB distinct-counting pattern:
     // build one datasketches-HLL sketch per (day, event_type) partition
     // (a partial agg any ingestion job can precompute and persist), then
@@ -267,6 +274,19 @@ object RelationalQueries extends QueryModule {
     "q_topk" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q_profile" -> {
+      def branch(c: String) =
+        s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_nulls,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_value,
+           |  CAST(max($c) AS VARCHAR) AS max_value
+           |FROM documents""".stripMargin
+      Seq("doc_id", "lang", "source").map(branch)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    },
 
     "q_set_intersect" ->
       """SELECT c_nationkey AS nationkey FROM customer

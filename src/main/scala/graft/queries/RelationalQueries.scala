@@ -122,6 +122,17 @@ object RelationalQueries extends QueryModule {
         .agg(approx_count_distinct(col("l_partkey"), 0.02).as("n_parts_approx"))
         .orderBy(col("l_returnflag"))),
 
+    // Executable data-quality contract: all rules counted in ONE
+    // aggregation over the corpus (violations per rule).
+    "q_expectations" -> ((s, d) => {
+      import graft.operators.Expectations._
+      check(Tables.documents(s, d),
+        Seq(notNull("text"),
+          inRange("n_chars", lit(1), lit(100000)),
+          matches("lang", "^[a-z]{2}$")),
+        uniqueKeys = Seq("doc_id"))
+    }),
+
     // One-pass column profile (nulls / exact distinct / min / max per
     // column) — the pre-commit data-quality report.
     "q_profile" -> ((s, d) =>
@@ -274,6 +285,25 @@ object RelationalQueries extends QueryModule {
     "q_topk" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q_expectations" ->
+      """WITH c AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nn,
+        |    CAST(sum(CASE WHEN n_chars IS NOT NULL
+        |      AND (n_chars < 1 OR n_chars > 100000) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ir,
+        |    CAST(sum(CASE WHEN lang IS NOT NULL
+        |      AND NOT regexp_matches(lang, '^[a-z]{2}$') THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS mt,
+        |    CAST(count(*) - count(DISTINCT doc_id) AS BIGINT) AS uq
+        |  FROM documents)
+        |SELECT r.rule, r.n_violations FROM c, LATERAL (VALUES
+        |  ('in_range(n_chars)', ir), ('matches(lang)', mt),
+        |  ('not_null(text)', nn), ('unique(doc_id)', uq))
+        |  AS r(rule, n_violations)
+        |ORDER BY r.rule""".stripMargin,
 
     "q_profile" -> {
       def branch(c: String) =

@@ -33,6 +33,27 @@ class RelationalSpec extends SparkSpec {
       s"approx=$approx exact=$exact")
   }
 
+  test("expectations count planted violations per rule in one job") {
+    import graft.operators.Expectations._
+    val df = Seq(
+      (1L, Some("ok"), Some(10L), Some("en")),
+      (2L, None, Some(-5L), Some("english")), // null text, bad range, bad lang
+      (2L, Some("dup"), None, Some("de")),    // dup id, null range (ignored)
+      (3L, Some("x"), Some(200000L), None))   // bad range, null lang (ignored)
+      .toDF("doc_id", "text", "n_chars", "lang")
+    val out = check(df,
+      Seq(notNull("text"),
+        inRange("n_chars", lit(1), lit(100000)),
+        matches("lang", "^[a-z]{2}$")),
+      uniqueKeys = Seq("doc_id"))
+      .as[(String, Long)].collect().toMap
+    assert(out === Map(
+      "not_null(text)" -> 1L,
+      "in_range(n_chars)" -> 2L,
+      "matches(lang)" -> 1L,
+      "unique(doc_id)" -> 1L))
+  }
+
   test("HLL sketch union rollup matches exact distinct within 5%") {
     val ev = Tables.events(spark, sf01)
     val exact = ev.groupBy($"event_type")

@@ -34,4 +34,41 @@ object Compaction {
       .write.option("maxRecordsPerFile", targetRecordsPerFile)
       .mode("overwrite").parquet(outPath)
   }
+
+  /** Z-order (Morton) key over 2+ dimensions: interleaves the low
+    * `bitsPerDim` bits of each column, so sorting by the key clusters
+    * rows that are close in EVERY dimension — after [[compact]]-ing by
+    * this key, a filter on ANY single dimension prunes most row groups
+    * via parquet min/max stats (a single-column range sort localizes
+    * only its own column; every other column spans its full range in
+    * every file).
+    *
+    * Columns must be pre-mapped to [0, 2^bitsPerDim) by the caller
+    * (e.g. `(col / bucketWidth)`, days-since-epoch, a dictionary code) —
+    * the mapping IS the resolution choice and belongs to the schema
+    * owner, not a library guess. Built from plain shift/mask Column
+    * arithmetic: codegen-folded, no UDF, usable in any engine that
+    * reads the written layout. dims × bitsPerDim must fit a long. */
+  def zorderKey(dims: Seq[Column], bitsPerDim: Int): Column = {
+    require(dims.size >= 2, "zorder needs at least 2 dimensions")
+    require(dims.size * bitsPerDim <= 63,
+      s"${dims.size} dims × $bitsPerDim bits exceeds a long")
+    val n = dims.size
+    val parts = for {
+      (d, j) <- dims.zipWithIndex
+      i <- 0 until bitsPerDim
+    } yield shiftleft(
+      shiftright(d.cast("long"), i).bitwiseAND(lit(1L)),
+      i * n + j)
+    parts.reduce(_.bitwiseOR(_))
+  }
+
+  /** [[compact]] with a z-order layout over `dims` (each pre-mapped to
+    * [0, 2^bitsPerDim)). */
+  def compactZOrder(spark: SparkSession, inPath: String, outPath: String,
+      dims: Seq[Column], bitsPerDim: Int = 16,
+      targetRecordsPerFile: Long = 1000000L,
+      knownRowCount: Option[Long] = None): Unit =
+    compact(spark, inPath, outPath, Seq(zorderKey(dims, bitsPerDim)),
+      targetRecordsPerFile, knownRowCount)
 }

@@ -50,6 +50,53 @@ class PartitionedSpec extends SparkSpec {
       aMax < bMin }, s"file key ranges overlap: ${ranges.toSeq}")
   }
 
+  test("zorderKey interleaves bits dims-major") {
+    import spark.implicits._
+    def ref(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).foldLeft(0L) { (acc, i) =>
+        acc | (((x >> i) & 1L) << (i * 2)) | (((y >> i) & 1L) << (i * 2 + 1))
+      }
+    val cases = Seq((3L, 1L), (0L, 0L), (255L, 0L), (0L, 255L), (170L, 85L))
+    val got = cases.toDF("x", "y")
+      .select(graft.sources.Compaction.zorderKey(Seq($"x", $"y"), 8))
+      .as[Long].collect().toSeq
+    assert(got === cases.map { case (x, y) => ref(x, y, 8) })
+  }
+
+  test("zorder compaction localizes BOTH dimensions; range sort only one") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf001)
+      .select(($"user_id" % 256).as("x"), ($"event_id" % 256).as("y"))
+    val in = java.nio.file.Files.createTempDirectory("graft-z-in").toString
+    ev.write.mode("overwrite").parquet(in)
+    def spans(path: String): (Double, Double) = {
+      val files = new java.io.File(path).listFiles
+        .filter(_.getName.endsWith(".parquet"))
+      val s = files.map { f =>
+        spark.read.parquet(f.getPath)
+          .agg(max($"x") - min($"x"), max($"y") - min($"y"))
+          .as[(Long, Long)].head()
+      }
+      (s.map(_._1).sum.toDouble / s.length, s.map(_._2).sum.toDouble / s.length)
+    }
+    val zout = java.nio.file.Files.createTempDirectory("graft-z-out")
+      .toString + "/t"
+    graft.sources.Compaction.compactZOrder(spark, in, zout,
+      Seq(col("x"), col("y")), bitsPerDim = 8, targetRecordsPerFile = 64L)
+    val xout = java.nio.file.Files.createTempDirectory("graft-x-out")
+      .toString + "/t"
+    graft.sources.Compaction.compact(spark, in, xout,
+      Seq(col("x")), targetRecordsPerFile = 64L)
+    val (zx, zy) = spans(zout)
+    val (xx, xy) = spans(xout)
+    // x-sorted localizes x but leaves y wide; z-order localizes BOTH —
+    // its y-span must beat the x-sorted layout's y-span by a clear
+    // margin while keeping x well below the global 255 range.
+    assert(zy < xy * 0.75, s"zorder y-span $zy not < 0.75 × x-sorted $xy")
+    assert(zx < 150, s"zorder x-span too wide: $zx (x-sorted baseline $xx)")
+    assert(spark.read.parquet(zout).count() === ev.count())
+  }
+
   test("profile computes exact per-column stats in one job") {
     import spark.implicits._
     val df = Seq((1L, Some("a")), (2L, None), (3L, Some("b")),

@@ -70,6 +70,34 @@ object AnnIndex {
       path, Seq("bucket"))
   }
 
+  /** Vector dimension of a frame's `vecColName` column, memoized per
+    * logical plan so a SERVED frame (IndexCache reuses opened frames
+    * precisely to avoid per-probe overhead) pays the one-row scan job
+    * once, not per probe. Weak keys are sound here: the Integer value
+    * holds no reference back to the plan. None = empty frame. */
+  private val dimCache =
+    new java.util.WeakHashMap[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      Option[Integer]]()
+
+  private def vecDim(df: DataFrame, vecColName: String): Option[Int] = {
+    val plan = df.queryExecution.logical
+    dimCache.synchronized { Option(dimCache.get(plan)) } match {
+      case Some(v) => v.map(_.intValue)
+      case None =>
+        val d = df.select(size(col(vecColName)).as("d")).head(1)
+          .headOption.map(r => Integer.valueOf(r.getInt(0)))
+        dimCache.synchronized { dimCache.put(plan, d) }
+        d.map(_.intValue)
+    }
+  }
+
+  private def requireDim(df: DataFrame, vecColName: String,
+      querySize: Int, what: String): Unit =
+    vecDim(df, vecColName).foreach { d =>
+      require(d == querySize,
+        s"query dimension $querySize != $what dimension $d")
+    }
+
   /** Top-k probe against a built hyperplane index: read ONLY the query's
     * L buckets (PartitionFilters — no corpus scan), dedup candidates,
     * exact-cosine re-rank. Same semantics as [[Similarity.annTopK]]. */
@@ -89,11 +117,9 @@ object AnnIndex {
     // Dimension guard: hyperplanes are derived from query.size, so a
     // wrong-dimension query would silently hash into wrong buckets and
     // return plausible-but-wrong neighbors. One indexed row's vector
-    // size is the index's dimension (all rows share it by construction).
-    index.select(size(col("v")).as("d")).head(1).headOption.foreach { r =>
-      require(r.getInt(0) == query.size,
-        s"query dimension ${query.size} != index dimension ${r.getInt(0)}")
-    }
+    // size is the index's dimension (all rows share it by construction);
+    // memoized per opened frame so served probes don't pay a job each.
+    requireDim(index, "v", query.size, "index")
     val planes = Similarity.hyperplanes(tables * bitsPerTable, query.size)
     val tablePlanes = planes.grouped(bitsPerTable).toSeq
     val tableBuckets = tablePlanes.zipWithIndex.map { case (p, t) =>
@@ -138,10 +164,7 @@ object AnnIndex {
     val spark = index.sparkSession
     val withV = base.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
-    withV.select(size(col("v")).as("d")).head(1).headOption.foreach { r =>
-      require(r.getInt(0) == query.size,
-        s"query dimension ${query.size} != base dimension ${r.getInt(0)}")
-    }
+    requireDim(withV, "v", query.size, "base")
     val planes = Similarity.hyperplanes(tables * bitsPerTable, query.size)
     val tableBuckets = planes.grouped(bitsPerTable).toSeq.zipWithIndex
       .map { case (p, t) => (t, Similarity.sigOf(query, p)) }
@@ -167,9 +190,10 @@ object AnnIndex {
     * each. Each query expands to its L (table_id, bucket) keys via the
     * codegen'd signature expression; candidates come from an EQUI-join
     * with the index on (table_id, bucket) — uniform 8-bit keys, no
-    * cartesian anywhere. The query side is tiny relative to the index
-    * (L rows per query), so Spark broadcasts it and the index is never
-    * shuffled; with a hive-partitioned index, bucket is the partition
+    * cartesian anywhere. The expansion ships only ids and bucket keys
+    * (vectors rejoin after matching), and broadcast-vs-shuffle is left
+    * to AQE so small batches broadcast and corpus-sized batches degrade
+    * gracefully; with a hive-partitioned index, bucket is the partition
     * column, so dynamic partition pruning can skip untouched bucket
     * dirs when the batch is selective. Per-query dedup + exact-cosine
     * re-rank + windowed top-k (rank on the ROUNDED score with id
@@ -184,23 +208,29 @@ object AnnIndex {
     val spark = index.sparkSession
     val q = queries.select(col(qIdCol).as("query_id"),
       col(qVecCol).cast("array<double>").as("qv"))
-    val indexDim = index.select(size(col("v")).as("d")).head(1)
-      .headOption.map(_.getInt(0))
-    val queryDim = q.select(size(col("qv")).as("d")).head(1)
-      .headOption.map(_.getInt(0))
+    val indexDim = vecDim(index, "v")
+    val queryDim = vecDim(q, "qv")
     for (i <- indexDim; qd <- queryDim) require(i == qd,
       s"query dimension $qd != index dimension $i")
     val dim = indexDim.orElse(queryDim).getOrElse(0)
     val planes = Similarity.hyperplanes(tables * bitsPerTable, dim)
+    // The bucket expansion joined against the index carries ONLY
+    // (query_id, table_id, bucket) — never the query vector, which
+    // would multiply the shipped bytes by L×dim and cap the batch size
+    // at the broadcast limit. Vectors rejoin AFTER candidate matching,
+    // on the un-expanded query frame. No forced broadcast hints: AQE
+    // broadcasts whichever side is actually small at runtime, and a
+    // corpus-sized batch degrades to a shuffle join instead of failing.
     val expanded = q
       .withColumn("sig",
         HyperplaneSigs.sigs(spark, col("qv"), planes, bitsPerTable))
-      .select(col("query_id"), col("qv"),
+      .select(col("query_id"),
         posexplode(col("sig")).as(Seq("table_id", "bucket")))
     VectorFunctions.register(spark)
-    val cands = broadcast(expanded)
+    val cands = expanded
       .join(index, Seq("table_id", "bucket"))
       .dropDuplicates("query_id", "id")
+      .join(q, Seq("query_id"))
     val filtered =
       if (excludeSelf) cands.filter(col("query_id") =!= col("id")) else cands
     val w = org.apache.spark.sql.expressions.Window

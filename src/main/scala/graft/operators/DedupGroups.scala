@@ -32,9 +32,13 @@ import org.apache.spark.sql.types.{StructField, StructType}
 object DedupGroups {
 
   /** Edge lists at or below this row count are solved on the driver.
-    * 2M pairs ≈ 32 MB of longs — far below driver memory, far above any
-    * realistic post-LSH duplicate-pair count for a partitioned input. */
-  val CollectThreshold = 2000000L
+    * Honest sizing: 500k collected Rows with boxed long keys plus the
+    * two union-find hash maps cost on the order of 100-150 MB of
+    * transient driver heap (string keys proportionally more) — safe on
+    * any realistically-confed driver, while still far above typical
+    * post-LSH duplicate-pair counts. Beyond it, the distributed loop
+    * runs; raise explicitly only with driver memory to match. */
+  val CollectThreshold = 500000L
 
   /** (id, component) for every row of `ids`, where component = min id
     * reachable through `pairs` (id_a, id_b). Vertices without any pair

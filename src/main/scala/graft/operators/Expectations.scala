@@ -37,8 +37,12 @@ object Expectations {
   def check(df: DataFrame, rules: Seq[Rule],
       uniqueKeys: Seq[String] = Nil): DataFrame = {
     require(rules.nonEmpty || uniqueKeys.nonEmpty, "no expectations given")
+    // coalesce: sum() over zero rows is NULL, and an EMPTY input is a
+    // state a contract check exists to report — it must read as 0
+    // violations (count/countDistinct are already 0 on empty).
     val counters = rules.map(r =>
-      sum(when(r.violation, 1L).otherwise(0L)).as(s"__${r.name}")) ++
+      coalesce(sum(when(r.violation, 1L).otherwise(0L)), lit(0L))
+        .as(s"__${r.name}")) ++
       (if (uniqueKeys.nonEmpty)
         Seq((count(lit(1)) - countDistinct(uniqueKeys.head,
           uniqueKeys.tail: _*)).as("__unique"))

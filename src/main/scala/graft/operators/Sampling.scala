@@ -57,12 +57,18 @@ object Sampling {
     * prior membership: adding rows never reshuffles existing ones
     * (hash membership is per-row), unlike fraction-of-ordering schemes.
     *
+    * NULL keys hash to nothing, so the raw predicate is NULL for them
+    * and a naive (p, !p) pair would drop such rows from BOTH sides;
+    * here they deterministically land in the train (larger) side, so
+    * the partition really is exact for nullable keys.
+    *
     * The reference pipelines keep `randomSplit(seed=42)` for fidelity
     * ([[graft.ml.SentimentPipeline.split]]); this is the recommended
     * form for new pipelines. */
   def hashSplit(df: DataFrame, key: Column, testFraction: Double,
       seed: Long = 42L): (DataFrame, DataFrame) = {
-    val p = contentHashPredicate(key, testFraction, seed)
+    val p = coalesce(contentHashPredicate(key, testFraction, seed),
+      lit(false))
     (df.filter(!p), df.filter(p))
   }
 

@@ -289,13 +289,13 @@ object RelationalQueries extends QueryModule {
     "q_expectations" ->
       """WITH c AS (
         |  SELECT
-        |    CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS nn,
-        |    CAST(sum(CASE WHEN n_chars IS NOT NULL
-        |      AND (n_chars < 1 OR n_chars > 100000) THEN 1 ELSE 0 END)
+        |    CAST(COALESCE(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END), 0)
+        |      AS BIGINT) AS nn,
+        |    CAST(COALESCE(sum(CASE WHEN n_chars IS NOT NULL
+        |      AND (n_chars < 1 OR n_chars > 100000) THEN 1 ELSE 0 END), 0)
         |      AS BIGINT) AS ir,
-        |    CAST(sum(CASE WHEN lang IS NOT NULL
-        |      AND NOT regexp_matches(lang, '^[a-z]{2}$') THEN 1 ELSE 0 END)
+        |    CAST(COALESCE(sum(CASE WHEN lang IS NOT NULL
+        |      AND NOT regexp_matches(lang, '^[a-z]{2}$') THEN 1 ELSE 0 END), 0)
         |      AS BIGINT) AS mt,
         |    CAST(count(*) - count(DISTINCT doc_id) AS BIGINT) AS uq
         |  FROM documents)

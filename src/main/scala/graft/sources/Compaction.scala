@@ -24,7 +24,15 @@ object Compaction {
   def compact(spark: SparkSession, inPath: String, outPath: String,
       sortCols: Seq[Column], targetRecordsPerFile: Long = 1000000L,
       knownRowCount: Option[Long] = None): Unit = {
-    require(outPath != inPath,
+    // Qualified-path comparison, not raw strings: '/data/t' vs
+    // '/data/t/' or a relative spelling of the same dir would pass a
+    // string check and mode(overwrite) would destroy the input.
+    val hc = spark.sparkContext.hadoopConfiguration
+    def qualified(p: String) = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(hc).makeQualified(hp)
+    }
+    require(qualified(outPath) != qualified(inPath),
       "compact to a new location, then swap — never overwrite the live dir in place")
     val df = spark.read.parquet(inPath)
     val n = knownRowCount.getOrElse(df.count())

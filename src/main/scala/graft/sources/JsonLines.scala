@@ -28,14 +28,24 @@ object JsonLines {
   def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).option("mode", "FAILFAST").json(path)
 
-  /** Permissive read split into (parsed rows, quarantined raw lines).
+  /** Result of [[readQuarantine]]. `unpersist()` releases the shared
+    * cached scan both frames are carved from — unpersisting `parsed` or
+    * `quarantined` themselves would be a no-op (their plans are
+    * projections over the cached scan, not the scan itself), which is
+    * why the handle owns the lifecycle. */
+  final case class Quarantined(parsed: DataFrame, quarantined: DataFrame,
+      private val raw: DataFrame) {
+    def unpersist(): Unit = { raw.unpersist(); () }
+  }
+
+  /** Permissive read split into parsed rows + quarantined raw lines.
     * The corrupt-record column only materializes on parse failure;
     * Spark disallows filtering a JSON scan by the corrupt column alone,
     * so the scan is cached once and both frames are carved from it —
-    * one read of the input, not two. Callers should unpersist the
-    * parsed frame when done. */
+    * one read of the input, not two. Call `unpersist()` on the result
+    * when both frames are consumed. */
   def readQuarantine(spark: SparkSession, path: String,
-      schema: StructType): (DataFrame, DataFrame) = {
+      schema: StructType): Quarantined = {
     val corrupt = "_corrupt_record"
     require(!schema.fieldNames.contains(corrupt),
       s"schema must not declare $corrupt; it is added internally")
@@ -49,6 +59,6 @@ object JsonLines {
       .select(schema.fieldNames.map(col).toSeq: _*)
     val bad = raw.filter(col(corrupt).isNotNull)
       .select(col(corrupt).as("raw_line"))
-    (good, bad)
+    Quarantined(good, bad, raw)
   }
 }

@@ -71,11 +71,12 @@ class MultimodalSpec extends SparkSpec {
         |{"doc_id": 2 "text": "missing comma"}
         |{"doc_id": 3, "text": "fine"}
         |""".stripMargin)
-    val (good, bad) =
+    val q2 =
       graft.sources.JsonLines.readQuarantine(spark, qdir.toString, schema)
-    assert(good.select($"doc_id").as[Long].collect().toSet === Set(1L, 3L))
-    val quarantined = bad.as[String].collect()
+    assert(q2.parsed.select($"doc_id").as[Long].collect().toSet === Set(1L, 3L))
+    val quarantined = q2.quarantined.as[String].collect()
     assert(quarantined.length === 1 && quarantined.head.contains("missing comma"))
+    q2.unpersist()
   }
 
   test("raw sentiment140 CSV reads with the fixed DDL schema") {

@@ -50,6 +50,19 @@ class PartitionedSpec extends SparkSpec {
       aMax < bMin }, s"file key ranges overlap: ${ranges.toSeq}")
   }
 
+  test("compaction refuses equivalent spellings of the input path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-same").toString
+    Tables.documents(spark, sf001).limit(5).write
+      .mode("overwrite").parquet(dir)
+    val err = intercept[IllegalArgumentException] {
+      graft.sources.Compaction.compact(spark, dir, dir + "/",
+        Seq(col("doc_id")))
+    }
+    assert(err.getMessage.contains("new location"))
+    // input untouched
+    assert(spark.read.parquet(dir).count() === 5)
+  }
+
   test("zorderKey interleaves bits dims-major") {
     import spark.implicits._
     def ref(x: Long, y: Long, bits: Int): Long =

@@ -52,6 +52,10 @@ class RelationalSpec extends SparkSpec {
       "in_range(n_chars)" -> 2L,
       "matches(lang)" -> 1L,
       "unique(doc_id)" -> 1L))
+    // empty input reads as 0 violations, never NULL
+    val empty = check(df.limit(0), Seq(notNull("text")),
+      uniqueKeys = Seq("doc_id")).as[(String, Long)].collect().toMap
+    assert(empty === Map("not_null(text)" -> 0L, "unique(doc_id)" -> 0L))
   }
 
   test("HLL sketch union rollup matches exact distinct within 5%") {

@@ -96,6 +96,12 @@ class SamplingSpec extends SparkSpec {
     val (_, testHalf) = Sampling.hashSplit(half, $"text", 0.2)
     val testHalfIds = testHalf.select($"doc_id").as[Long].collect().toSet
     assert(testHalfIds === testIds.filter(_ % 2 == 0))
+    // null keys must not vanish from both sides — they land in train
+    val withNull = Seq((1L, "a"), (2L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val (tr, te) = Sampling.hashSplit(withNull, $"text", 0.5)
+    assert(tr.count() + te.count() === 2)
+    assert(tr.filter($"id" === 2L).count() === 1)
   }
 
   test("mixByStratum applies per-stratum fractions and the default") {

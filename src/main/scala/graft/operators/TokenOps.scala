@@ -41,6 +41,26 @@ object TokenOps {
   def regexTokenCount(text: Column): Column =
     size(split(text, "[^a-zA-Z0-9']+")).cast("long")
 
+  /** GPT-2-style pretokenizer pattern, restricted to the Java∩RE2
+    * shared subset (no lookahead — the original's `\s+(?!\S)` clause is
+    * dropped, folding trailing-space handling into the plain `\s+`
+    * branch). Alternation order is chosen so Java's leftmost-FIRST and
+    * RE2's leftmost-LONGEST agree on every position: the contraction
+    * branch can only win where the punctuation branch would match a
+    * strict prefix of it. */
+  val BpePretokenizePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Pretokenizer-based token count — the budget a BPE tokenizer would
+    * see, before merges (merges only split within pretokens, so this
+    * UPPER-bounds subword count / matches it for in-vocab words). The
+    * realistic sequence-packing budget; [[tokenCount]] (whitespace) is
+    * the cheap floor. Row-local, oracle-exact (regexp_extract_all both
+    * engines). */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpePretokenizePattern), lit(0)))
+      .cast("long")
+
   /** Order-invariant bag-of-words fingerprint: md5 over the sorted set of
     * [[tokenize]] tokens (ONE tokenizer across the whole surface — this
     * used to split on a literal space, subtly diverging from tokenize's

@@ -96,6 +96,14 @@ object TokenQueries extends QueryModule {
         TokenOps.regexTokenCount(col("text")).as("n_re_tokens"))
         .orderBy(col("doc_id"))),
 
+    // GPT-2-style pretokenizer count — the budget a BPE tokenizer sees
+    // before merges (the realistic packing budget).
+    "q_bpe_token_count" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TokenOps.bpeTokenCount(col("text")).as("n_bpe_tokens"))
+        .orderBy(col("doc_id"))),
+
     // Deterministic quality scoring (length/stopword/token-shape).
     "q_quality_score" -> ((s, d) => {
       val (nTok, stopRatio, q) = TokenOps.qualityScore(col("text"))
@@ -292,6 +300,13 @@ object TokenQueries extends QueryModule {
         |  CAST(len(regexp_split_to_array(text, '[^a-zA-Z0-9'']+')) AS BIGINT)
         |    AS n_re_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_bpe_token_count" ->
+      ("""SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '""" + graft.operators.TokenOps.BpePretokenizePattern
+          .replace("'", "''") + """')) AS BIGINT) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""").stripMargin,
 
     "q_quality_score" ->
       s"""WITH q AS (

@@ -32,6 +32,18 @@ class TokenOpsSpec extends SparkSpec {
     assert(fps(0) !== fps(2))
   }
 
+  test("bpe pretokenizer counts contractions, numbers, punct runs") {
+    def countOne(s: String): Long =
+      Seq(s).toDF("t").select(TokenOps.bpeTokenCount($"t")).head().getLong(0)
+    // "Hello" " world" "," " don" "'t" " stop" -> 6
+    assert(countOne("Hello world, don't stop") === 6L)
+    // " ?\p{N}+ splits digits from letters: "abc" "123" "!!" -> 3
+    assert(countOne("abc123!!") === 3L)
+    assert(countOne("") === 0L)
+    // unicode letters count as letter runs, not punctuation
+    assert(countOne("naïve übermut") === 2L)
+  }
+
   test("langid detects obvious languages and falls back to und") {
     val rows = Seq(
       "the quick brown fox jumps over the lazy dog and it is fast",

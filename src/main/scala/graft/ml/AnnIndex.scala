@@ -47,10 +47,10 @@ object AnnIndex {
     val spark = emb.sparkSession
     val withV = emb.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
-    val first = withV.select(size(col("v"))).head(1)
-    require(first.nonEmpty,
-      s"cannot build a hyperplane index over an empty input ($vecCol)")
-    val dim = first(0).getInt(0)
+    // null-safe, memoized dim read (a leading null vector must not NPE)
+    val dim = Similarity.vecDim(withV, "v").getOrElse(throw
+      new IllegalArgumentException(
+        s"cannot build a hyperplane index over an empty input ($vecCol)"))
     val planes = Similarity.hyperplanes(tables * bitsPerTable, dim)
     val sigged = withV
       .withColumn("sig", HyperplaneSigs.sigs(spark, col("v"), planes, bitsPerTable))
@@ -70,26 +70,8 @@ object AnnIndex {
       path, Seq("bucket"))
   }
 
-  /** Vector dimension of a frame's `vecColName` column, memoized per
-    * logical plan so a SERVED frame (IndexCache reuses opened frames
-    * precisely to avoid per-probe overhead) pays the one-row scan job
-    * once, not per probe. Weak keys are sound here: the Integer value
-    * holds no reference back to the plan. None = empty frame. */
-  private val dimCache =
-    new java.util.WeakHashMap[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-      Option[Integer]]()
-
-  private def vecDim(df: DataFrame, vecColName: String): Option[Int] = {
-    val plan = df.queryExecution.logical
-    dimCache.synchronized { Option(dimCache.get(plan)) } match {
-      case Some(v) => v.map(_.intValue)
-      case None =>
-        val d = df.select(size(col(vecColName)).as("d")).head(1)
-          .headOption.map(r => Integer.valueOf(r.getInt(0)))
-        dimCache.synchronized { dimCache.put(plan, d) }
-        d.map(_.intValue)
-    }
-  }
+  private def vecDim(df: DataFrame, vecColName: String): Option[Int] =
+    Similarity.vecDim(df, vecColName)
 
   private def requireDim(df: DataFrame, vecColName: String,
       querySize: Int, what: String): Unit =
@@ -284,6 +266,11 @@ object AnnIndex {
       query: Seq[Double], k: Int, nprobe: Int,
       excludeId: Option[Long]): DataFrame = {
     val spark = index.sparkSession
+    // Centroid length IS the indexed dimension — a driver-side check, no
+    // job. Without it, c.zip(query) silently truncates a wrong-dimension
+    // query and ranks cells over a prefix.
+    centroids.headOption.foreach(c => require(c.length == query.size,
+      s"query dimension ${query.size} != index dimension ${c.length}"))
     val probeCells = centroids.zipWithIndex.map { case (c, i) =>
       (i, c.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum)
     }.sortBy(_._2).take(nprobe).map(_._1).toSeq

@@ -46,6 +46,10 @@ object IvfIndex {
     * euclidean distance, as in standard IVF) to the query. */
   def topK(model: Model, idCol: String, query: Seq[Double], k: Int,
       nprobe: Int): DataFrame = {
+    // driver-side dimension guard (see AnnIndex.probeIvf): zip would
+    // silently rank cells over a truncated prefix otherwise
+    model.centroids.headOption.foreach(c => require(c.length == query.size,
+      s"query dimension ${query.size} != model dimension ${c.length}"))
     val probeCells = model.centroids.zipWithIndex
       .map { case (c, i) =>
         val d2 = c.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum

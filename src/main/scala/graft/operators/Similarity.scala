@@ -101,6 +101,28 @@ object Similarity {
     Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** Vector dimension of `df`'s `vecColName` (array column), read from
+    * one non-null row and MEMOIZED per logical plan — repeated probes /
+    * plan constructions over the same frame pay the one-row job once.
+    * Weak keys are sound: the Integer value holds no reference back to
+    * the plan. None = empty (or all-null) column. */
+  private val dimCache =
+    new java.util.WeakHashMap[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      Option[Integer]]()
+
+  def vecDim(df: DataFrame, vecColName: String): Option[Int] = {
+    val plan = df.queryExecution.logical
+    dimCache.synchronized { Option(dimCache.get(plan)) } match {
+      case Some(v) => v.map(_.intValue)
+      case None =>
+        val d = df.filter(col(vecColName).isNotNull)
+          .select(size(col(vecColName)).as("d")).head(1)
+          .headOption.map(r => Integer.valueOf(r.getInt(0)))
+        dimCache.synchronized { dimCache.put(plan, d) }
+        d.map(_.intValue)
+    }
+  }
+
   /** LSH bucket signature: bit j set iff dot(vec, plane_j) >= 0. Row-local
     * (no shuffle, no fitting job — unlike MLlib's BucketedRandomProjectionLSH
     * this needs no Estimator pass over the data). */
@@ -136,11 +158,9 @@ object Similarity {
     val spark = embeddings.sparkSession
     VectorFunctions.register(spark)
     val withV = embeddings.select(col(idCol), toDouble(col(vecCol)).as("__v"))
-    val first = withV.select(size(col("__v"))).head(1)
-    if (first.isEmpty)
+    val dim = vecDim(withV, "__v").getOrElse(
       return withV.select(col(idCol).as("id_a"), col(idCol).as("id_b"),
-        lit(0.0).as("cos")).limit(0)
-    val dim = first(0).getInt(0)
+        lit(0.0).as("cos")).limit(0))
     val planes = hyperplanes(tables * bitsPerTable, dim)
     val ex = withV
       .withColumn("sig",

@@ -32,33 +32,44 @@ object SimilarityQueries extends QueryModule {
   private object IndexCache {
     private val hyper = new SessionCache[DataFrame]
     private val ivf = new SessionCache[(DataFrame, Array[Array[Double]])]
-    private def base(d: String): String =
+    // Path is unique per (process, SESSION, dataset): the cache is
+    // session-keyed, so two live sessions in one JVM must not build at
+    // the same path — the second's mode-overwrite would delete files
+    // the first's cached frame is still reading. Identity hashes of two
+    // LIVE sessions are distinct, which is all path disjointness needs.
+    private def base(s: SparkSession, d: String): String =
       sys.props("java.io.tmpdir") + "/graft-index/" +
-        ProcessHandle.current().pid() + "/" +
-        d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+        ProcessHandle.current().pid() + "/s" +
+        java.lang.Integer.toUnsignedString(System.identityHashCode(s), 16) +
+        "/" + d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
         java.lang.Integer.toUnsignedString(d.hashCode, 16)
 
     def hyperplane(s: SparkSession, d: String): DataFrame =
       hyper.getOrElseUpdate(s, d) {
-        val p = base(d) + "/hyperplane"
+        val p = base(s, d) + "/hyperplane"
         AnnIndex.buildHyperplane(Tables.embeddings(s, d), "vec_id", "embedding", p)
         graft.sources.PartitionedParquet.read(s, p)
       }
 
     def ivfIndex(s: SparkSession, d: String): (DataFrame, Array[Array[Double]]) =
       ivf.getOrElseUpdate(s, d) {
-        val p = base(d) + "/ivf"
+        val p = base(s, d) + "/ivf"
         val centroids = AnnIndex.buildIvf(
           Tables.embeddings(s, d), "vec_id", "embedding", p, nlist = 8)
         (graft.sources.PartitionedParquet.read(s, p), centroids)
       }
   }
 
-  /** The query vector for the ANN queries (vec_id=0's embedding). */
+  /** The query vector for the ANN queries (vec_id=0's embedding) —
+    * memoized beside the index it exists to probe, so repeated probe
+    * queries don't re-run the 1-row scan job each. */
+  private val queryVecCache = new SessionCache[Seq[Double]]
   private def queryVec(s: SparkSession, d: String): Seq[Double] =
-    Tables.embeddings(s, d).filter(col("vec_id") === 0)
-      .select(col("embedding").cast("array<double>"))
-      .head().getSeq[Double](0)
+    queryVecCache.getOrElseUpdate(s, d) {
+      Tables.embeddings(s, d).filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0)
+    }
 
   /** Exact 3-gram shingle Jaccard pairs >= 0.5 (near-dup ground truth),
     * count-based inverted-index join: explode → self-join on shingle →

@@ -100,6 +100,46 @@ class EndToEndSpec extends SparkSpec {
       .getDouble(0) === r.metrics.accuracy)
   }
 
+  test("score main: saved model scores a corpus; stream == batch predictions") {
+    val modelDir = java.nio.file.Files
+      .createTempDirectory("graft-score-model").toString
+    val metricsPath = java.nio.file.Files
+      .createTempDirectory("graft-score-m").resolve("lr.json").toString
+    Train.run(spark, "lr", cleanDir, modelDir, metricsPath)
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-score-out").toString + "/scored"
+    val n = graft.app.Score.run(spark, modelDir, cleanDir, outDir)
+    assert(n === graft.operators.Filters.dropAnyNull(
+      SentimentCsv.readClean(spark, cleanDir)).count())
+    val scored = spark.read.parquet(outDir)
+    assert(scored.columns.toSet === Set("label", "text", "prediction"))
+    // the sink is partitioned by prediction -> pruned class reads
+    val plan = scored.filter($"prediction" === 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(prediction"), plan)
+
+    // the SAME loaded model scores a stream, predictions identical
+    val model = PipelineModel.load(modelDir)
+    val streamIn = java.nio.file.Files
+      .createTempDirectory("graft-score-stream").toString
+    val batchInput = graft.operators.Filters.dropAnyNull(
+      SentimentCsv.readClean(spark, cleanDir))
+    batchInput.write.mode("overwrite").parquet(streamIn)
+    val stream = graft.app.Score.score(model,
+      spark.readStream.schema(batchInput.schema).parquet(streamIn))
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("score_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("score_out")
+        .select($"text", $"prediction").collect().toSet
+      val batch = graft.app.Score.score(model, batchInput)
+        .select($"text", $"prediction").collect().toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("compare main: ranks models by accuracy and writes one artifact") {
     import graft.ml.SentimentPipeline
     val dir = java.nio.file.Files.createTempDirectory("graft-cmp")

@@ -43,7 +43,12 @@ object SparkEntry {
         countDistinct(col("fp")).as("n_unique_docs"),
         round(avg(col("text_length")), 6).as("avg_len"),
         round(avg(col("quality")), 6).as("avg_quality"),
-        round(avg(col("rep2")), 6).as("avg_repetition"))
+        round(avg(col("rep2")), 6).as("avg_repetition"),
+        // aggregated so the LangId expression is actually IN the plan —
+        // an unreferenced projected column would be pruned by Catalyst
+        // and the flagship would silently stop exercising the operator
+        round(avg(when(col("lang_pred") === col("lang"), 1.0)
+          .otherwise(0.0)), 6).as("langid_agreement"))
       .orderBy(col("lang"))
   }
 

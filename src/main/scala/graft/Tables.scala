@@ -31,6 +31,14 @@ object Tables {
     * rebuild a micros TimestampType column (truncation toward zero —
     * matches DuckDB's nanos→micros narrowing), so downstream operators see
     * a uniform TIMESTAMP schema.
+    *
+    * DELIBERATE session-wide side effect: `nanosAsLong` is a session
+    * conf, not a per-read option, and the flag must hold at execution
+    * time (executors re-read footers), so it cannot be set-and-restored
+    * around the lazy read. Consequence for callers: after the first
+    * `events` read, OTHER nanos-timestamp parquet in the same session
+    * also reads as LongType (silently) instead of failing loudly —
+    * apply the same div-1000 rebuild there, or use a separate session.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -1,0 +1,35 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** THE exact-integer-cents discipline, in one place.
+  *
+  * Double money/value sums are accumulation-order-dependent; converting
+  * each amount to integer cents, summing longs exactly, and dividing
+  * once at the end makes the result bit-identical across partitionings
+  * and engines (SURVEY §2.4 / the oracle rules).
+  *
+  * Rounding mode is Spark's `round(x, 0)` = HALF_UP (half away from
+  * zero: −12.5 cents → −13). Every conversion site must share it — a
+  * `math.round` variant (half toward +∞: −12.5 → −12) silently drifts
+  * one cent on negative half-cent amounts, which is why the scalar form
+  * here wraps BigDecimal HALF_UP rather than math.round.
+  */
+object Money {
+
+  /** Exact integer cents of a double column (HALF_UP). */
+  def cents(c: Column): Column = round(c * 100, 0).cast("long")
+
+  /** Exact cents total rendered back to a 2dp double. */
+  def centsTotal(c: Column): Column =
+    sum(cents(c)).cast("double") / 100.0
+
+  /** DuckDB mirror of [[cents]] (duckdb round() is also half-away). */
+  def centsSql(e: String): String = s"CAST(round($e * 100) AS BIGINT)"
+
+  /** Scalar mirror of [[cents]] for typed aggregators / mapGroups code.
+    * NOT math.round (half toward +∞) — see the class doc. */
+  def centsOf(v: Double): Long =
+    BigDecimal(v * 100).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+}

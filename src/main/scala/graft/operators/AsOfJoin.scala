@@ -20,6 +20,12 @@ import org.apache.spark.sql.functions._
   * Right-side (key, ts) duplicates must be pre-deduped by the caller if
   * a deterministic winner is required (see q_asof_join: max payload per
   * key+ts), matching DuckDB ASOF JOIN's unique-match expectation.
+  *
+  * NULL semantics match SQL ASOF: a NULL key or NULL timestamp never
+  * matches anything. Without the explicit guards, Window.partitionBy
+  * would group NULL keys together and NULLS-FIRST ordering would sort a
+  * NULL right ts before every real row, seeding its payload into every
+  * earlier left row.
   */
 object AsOfJoin {
 
@@ -44,6 +50,9 @@ object AsOfJoin {
         leftCols.map(col) :+
         lit(null).cast(payloadStructType).as("__p"): _*)
     val rTagged = right
+      // NULL-key / NULL-ts right rows can never be "the latest match";
+      // dropping them up front keeps them out of the carry-forward.
+      .filter(col(rightKey).isNotNull && col(rightTs).isNotNull)
       .withColumn("__k", col(rightKey))
       .withColumn("__ts", col(rightTs))
       .withColumn("__side", lit(0))

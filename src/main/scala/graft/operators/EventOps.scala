@@ -32,7 +32,7 @@ object EventOps {
       .orderBy(col(ts), col(tiebreak))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("cum_cents",
-        sum(round(col(valueCol) * 100, 0).cast("long")).over(w))
+        sum(graft.functions.Money.cents(col(valueCol))).over(w))
       .withColumn("cum_value", col("cum_cents").cast("double") / 100.0)
   }
 
@@ -42,8 +42,7 @@ object EventOps {
       valueCol: String = "value"): DataFrame =
     df.groupBy(window(col(ts), width).getField("start").as("window_start"))
       .agg(count(lit(1)).as("n"),
-        (sum(round(col(valueCol) * 100, 0).cast("long")).cast("double") / 100.0)
-          .as("total_value"))
+        graft.functions.Money.centsTotal(col(valueCol)).as("total_value"))
 
   /** Hopping (sliding) window counts: `width` window every `slide`. Each
     * event lands in width/slide buckets — the blowup is explicit in the

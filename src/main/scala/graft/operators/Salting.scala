@@ -38,7 +38,7 @@ object Salting {
   def saltedCentSum(df: DataFrame, keys: Seq[String], valueCol: String,
       salts: Int = 16): DataFrame = {
     val salted = df.withColumn("__salt", saltCol(salts))
-      .withColumn("__cents", round(col(valueCol) * 100, 0).cast("long"))
+      .withColumn("__cents", graft.functions.Money.cents(col(valueCol)))
     salted
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(sum(col("__cents")).as("__ps"))

@@ -30,7 +30,8 @@ object TypedOps {
     * buffer → Double total (the money discipline, typed). */
   object CentSum extends Aggregator[Double, Long, Double] {
     override def zero: Long = 0L
-    override def reduce(b: Long, a: Double): Long = b + math.round(a * 100)
+    override def reduce(b: Long, a: Double): Long =
+      b + graft.functions.Money.centsOf(a)
     override def merge(b1: Long, b2: Long): Long = b1 + b2
     override def finish(r: Long): Double = r / 100.0
     override def bufferEncoder: Encoder[Long] = Encoders.scalaLong

@@ -191,7 +191,7 @@ object EventQueries extends QueryModule {
     // the lag-based q_sessionize rule above (gap > 30min stays together).
     "q_session_window" ->
       """WITH x AS (
-        |  SELECT user_id, ts,
+        |  SELECT user_id, ts, event_id,
         |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
         |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
         |         THEN 1 ELSE 0 END AS brk
@@ -199,7 +199,7 @@ object EventQueries extends QueryModule {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |y AS (
         |  SELECT user_id, ts,
-        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
         |  FROM x)
         |SELECT user_id, min(ts) AS session_start,

@@ -21,8 +21,8 @@ import graft.operators.Dedup
 object RelationalQueries extends QueryModule {
 
   /** Exact integer cents of a 2dp-valued double column. */
-  private def cents(c: Column): Column = round(c * 100, 0).cast("long")
-  private def centsSql(e: String): String = s"CAST(round($e * 100) AS BIGINT)"
+  private def cents(c: Column): Column = graft.functions.Money.cents(c)
+  private def centsSql(e: String): String = graft.functions.Money.centsSql(e)
 
   // Per-lineitem revenue in units of 1e-4 dollars, exact:
   // price_cents * (100 - discount_percent). DECIMAL(20,0) term so the

@@ -40,8 +40,7 @@ object EventStream {
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), width), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        (sum(round(col("value") * 100, 0).cast("long")).cast("double") / 100.0)
-          .as("total_value"))
+        graft.functions.Money.centsTotal(col("value")).as("total_value"))
       .select(col("window").getField("start").as("window_start"),
         col("event_type"), col("n"), col("total_value"))
 
@@ -135,7 +134,7 @@ object EventStream {
           var cents = prev.total_cents
           rows.foreach { e =>
             n += 1
-            cents += math.round(e.value * 100)
+            cents += graft.functions.Money.centsOf(e.value)
           }
           val next = UserTotal(uid, n, cents)
           state.update(next)

@@ -28,6 +28,25 @@ class AsOfJoinSpec extends SparkSpec {
       3L -> None, 4L -> None))
   }
 
+  test("NULL keys and NULL timestamps never match (SQL ASOF semantics)") {
+    val quotes = Seq(
+      (Some(1L), Some(ts("2024-01-01 10:00:00")), 100.0),
+      (Some(1L), None, 999.0),   // null ts: must never seed a payload
+      (None, Some(ts("2024-01-01 09:00:00")), 888.0) // null key: never matches
+    ).toDF("qk", "qts", "price")
+    val trades = Seq(
+      (1L, Some(1L), Some(ts("2024-01-01 10:30:00"))), // -> 100.0
+      (2L, Some(1L), Some(ts("2024-01-01 09:30:00"))), // before quote -> null
+      (3L, None, Some(ts("2024-01-01 10:30:00"))),     // null key -> null
+      (4L, Some(1L), None)                              // null ts -> null
+    ).toDF("trade_id", "tk", "tts")
+    val out = AsOfJoin.asof(trades, quotes, "tk", "qk", "tts", "qts",
+        Seq("price"))
+      .select($"trade_id", $"price").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(out === Map(1L -> Some(100.0), 2L -> None, 3L -> None, 4L -> None))
+  }
+
   test("asof join keeps every left row exactly once") {
     val ev = Tables.events(spark, sf001).select($"event_id", $"user_id", $"ts")
     val ord = Tables.orders(spark, sf001)

@@ -20,6 +20,12 @@ class ExtensionsSpec extends SparkSpec {
         "SELECT vec_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d")
         .head().getDouble(0)
       assert(out === 32.0)
+      // wrong arity: clean message, not an IndexOutOfBoundsException
+      val err = intercept[Exception] {
+        ext.sql("SELECT vec_dot(array(1.0d)) AS d").head()
+      }
+      assert(err.getMessage.contains("2 arguments"),
+        s"unexpected error: ${err.getMessage}")
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)

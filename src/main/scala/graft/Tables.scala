@@ -48,4 +48,16 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Register every fixture table as a temp view named after itself, so
+    * SQL-first users can `spark.sql("SELECT ... FROM lineitem ...")`
+    * directly (pair with GraftExtensions for the custom functions).
+    * Views are lazy scan definitions — registering costs nothing until
+    * a query reads one; `events` goes through [[events]] so the nanos
+    * timestamp convention holds in SQL too. */
+  def registerViews(s: SparkSession, d: String): Unit =
+    all.foreach {
+      case "events" => events(s, d).createOrReplaceTempView("events")
+      case t => load(s, d, t).createOrReplaceTempView(t)
+    }
 }

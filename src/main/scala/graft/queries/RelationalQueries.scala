@@ -24,6 +24,19 @@ object RelationalQueries extends QueryModule {
   private def cents(c: Column): Column = graft.functions.Money.cents(c)
   private def centsSql(e: String): String = graft.functions.Money.centsSql(e)
 
+  /** One SQL text, two engines (q_sql_pricing): Spark SQL ∩ DuckDB
+    * dialect subset, exact-cents money sums. */
+  private val SharedPricingSql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(CAST(round(l_quantity * 100) AS BIGINT)
+      |    AS DECIMAL(20,0))) AS DOUBLE) / 100.0 AS sum_qty,
+      |  CAST(sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |    AS DECIMAL(20,0))) AS DOUBLE) / 100.0 AS sum_base_price,
+      |  CAST(count(*) AS BIGINT) AS count_order
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   // Per-lineitem revenue in units of 1e-4 dollars, exact:
   // price_cents * (100 - discount_percent). DECIMAL(20,0) term so the
   // sum is a 38-digit exact accumulator on both engines.
@@ -159,6 +172,15 @@ object RelationalQueries extends QueryModule {
         .orderBy(col("event_type"))
     }),
 
+    // SQL-first entry path: the SAME SQL text runs through spark.sql
+    // over registered views AND as the DuckDB oracle — proving a
+    // SQL-only user gets identical results from this engine (dialect
+    // kept to the shared subset; exact-cents discipline inline).
+    "q_sql_pricing" -> ((s, d) => {
+      Tables.registerViews(s, d)
+      s.sql(SharedPricingSql)
+    }),
+
     // Top-k: TakeOrderedAndProject — never a full global sort at scale.
     "q_topk" -> ((s, d) =>
       Tables.orders(s, d)
@@ -285,6 +307,9 @@ object RelationalQueries extends QueryModule {
     "q_topk" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    // literally the same text the Spark side executes (see queries map)
+    "q_sql_pricing" -> SharedPricingSql,
 
     "q_expectations" ->
       """WITH c AS (

@@ -25,24 +25,17 @@ import graft.functions.{BloomMightContain, DotProduct}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
-    // arity guards: children(i) on a wrong-arity SQL call would throw an
-    // opaque IndexOutOfBoundsException from inside the analyzer
-    def binary(name: String)(mk: (Expression, Expression) => Expression)
-        : FunctionBuilder = { children: Seq[Expression] =>
-      require(children.size == 2,
-        s"$name expects exactly 2 arguments, got ${children.size}")
-      mk(children(0), children(1))
-    }
     val vecDot: (FunctionIdentifier, ExpressionInfo, FunctionBuilder) = (
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
-      binary("vec_dot")(DotProduct.apply))
+      graft.functions.Builders.binary("vec_dot")(DotProduct.apply))
     ext.injectFunction(vecDot)
     val bloomContain: (FunctionIdentifier, ExpressionInfo, FunctionBuilder) = (
       FunctionIdentifier("bloom_might_contain"),
       new ExpressionInfo(classOf[BloomMightContain].getName,
         "bloom_might_contain"),
-      binary("bloom_might_contain")(BloomMightContain.apply))
+      graft.functions.Builders.binary("bloom_might_contain")(
+        BloomMightContain.apply))
     ext.injectFunction(bloomContain)
   }
 }

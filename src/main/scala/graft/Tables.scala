@@ -52,12 +52,25 @@ object Tables {
   /** Register every fixture table as a temp view named after itself, so
     * SQL-first users can `spark.sql("SELECT ... FROM lineitem ...")`
     * directly (pair with GraftExtensions for the custom functions).
-    * Views are lazy scan definitions — registering costs nothing until
-    * a query reads one; `events` goes through [[events]] so the nanos
-    * timestamp convention holds in SQL too. */
+    * `events` goes through [[events]] so the nanos timestamp convention
+    * holds in SQL too.
+    *
+    * Registration is NOT free — each load() lists files and reads
+    * parquet footers — so repeat calls for the SAME directory are
+    * skipped. Registering a different directory re-registers (view
+    * names are shared), which is why this tracks the last dir rather
+    * than memoizing per dir: switching back must re-point the views. */
+  private val lastRegistered =
+    new java.util.WeakHashMap[SparkSession, String]()
+
   def registerViews(s: SparkSession, d: String): Unit =
-    all.foreach {
-      case "events" => events(s, d).createOrReplaceTempView("events")
-      case t => load(s, d, t).createOrReplaceTempView(t)
+    lastRegistered.synchronized {
+      if (lastRegistered.get(s) != d) {
+        all.foreach {
+          case "events" => events(s, d).createOrReplaceTempView("events")
+          case t => load(s, d, t).createOrReplaceTempView(t)
+        }
+        lastRegistered.put(s, d)
+      }
     }
 }

@@ -75,11 +75,9 @@ object BloomFunctions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry.createOrReplaceTempFunction(
-        "bloom_might_contain", exprs => {
-          require(exprs.size == 2, "bloom_might_contain expects exactly " +
-            s"2 arguments, got ${exprs.size}")
-          BloomMightContain(exprs(0), exprs(1))
-        }, "scala_udf")
+        "bloom_might_contain",
+        Builders.binary("bloom_might_contain")(BloomMightContain.apply),
+        "scala_udf")
 
   /** Membership probe of a BIGINT fingerprint column against a
     * serialized bloom filter (pass as `lit(bytes)`).

@@ -29,7 +29,12 @@ object Money {
   def centsSql(e: String): String = s"CAST(round($e * 100) AS BIGINT)"
 
   /** Scalar mirror of [[cents]] for typed aggregators / mapGroups code.
-    * NOT math.round (half toward +∞) — see the class doc. */
+    * NOT math.round (half toward +∞) — see the class doc. NaN/Infinity
+    * contribute 0, mirroring the Column form where round() yields NULL
+    * and sum() skips it — and a corrupt value must never kill a 24/7
+    * streaming query from inside a stateful operator (BigDecimal(NaN)
+    * throws). */
   def centsOf(v: Double): Long =
-    BigDecimal(v * 100).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    if (v.isNaN || v.isInfinite) 0L
+    else BigDecimal(v * 100).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
 }

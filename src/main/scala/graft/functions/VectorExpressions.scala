@@ -90,11 +90,7 @@ object VectorFunctions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry.createOrReplaceTempFunction(
-        "vec_dot", exprs => {
-          require(exprs.size == 2,
-            s"vec_dot expects exactly 2 arguments, got ${exprs.size}")
-          DotProduct(exprs(0), exprs(1))
-        }, "scala_udf")
+        "vec_dot", Builders.binary("vec_dot")(DotProduct.apply), "scala_udf")
 
   /** Codegen'd dot product of two array<double> columns.
     * Requires [[register]] on the session first. */

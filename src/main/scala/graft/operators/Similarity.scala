@@ -111,7 +111,12 @@ object Similarity {
       Option[Integer]]()
 
   def vecDim(df: DataFrame, vecColName: String): Option[Int] = {
-    val plan = df.queryExecution.logical
+    // Keyed on the ANALYZED plan: unanalyzed plans compare structurally,
+    // so two view-backed frames (`spark.table("embeddings")`) registered
+    // over DIFFERENT datasets would alias one cache entry and hand back
+    // a stale dimension; analysis stamps unique relation/ExprIds per
+    // resolution, which keeps re-registrations distinct.
+    val plan = df.queryExecution.analyzed
     dimCache.synchronized { Option(dimCache.get(plan)) } match {
       case Some(v) => v.map(_.intValue)
       case None =>

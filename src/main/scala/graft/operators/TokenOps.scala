@@ -43,13 +43,18 @@ object TokenOps {
 
   /** GPT-2-style pretokenizer pattern, restricted to the Java∩RE2
     * shared subset (no lookahead — the original's `\s+(?!\S)` clause is
-    * dropped, folding trailing-space handling into the plain `\s+`
-    * branch). Alternation order is chosen so Java's leftmost-FIRST and
-    * RE2's leftmost-LONGEST agree on every position: the contraction
-    * branch can only win where the punctuation branch would match a
-    * strict prefix of it. */
-  val BpePretokenizePattern: String =
-    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+    * dropped, folding trailing-space handling into the plain whitespace
+    * branch). Whitespace is spelled as an explicit class because `\s`
+    * itself is NOT in the shared subset: Java's includes vertical tab
+    * (\x0B), RE2's does not, so a VT-bearing document would tokenize
+    * differently across engines. Alternation order is chosen so Java's
+    * leftmost-FIRST and RE2's leftmost-LONGEST agree on every position:
+    * the contraction branch can only win where the punctuation branch
+    * would match a strict prefix of it. */
+  val BpePretokenizePattern: String = {
+    val ws = "\\t\\n\\x0B\\f\\r "
+    s"'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^$ws\\p{L}\\p{N}]+|[$ws]+"
+  }
 
   /** Pretokenizer-based token count — the budget a BPE tokenizer would
     * see, before merges (merges only split within pretokens, so this

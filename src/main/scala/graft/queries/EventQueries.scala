@@ -113,17 +113,17 @@ object EventQueries extends QueryModule {
         |ORDER BY user_id, rn""".stripMargin,
 
     "q_running_sum" ->
-      """SELECT user_id, event_id,
-        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+      s"""SELECT user_id, event_id,
+        |  CAST(sum(${graft.functions.Money.centsSql("value")}) OVER (
         |    PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0
         |    AS cum_value
         |FROM events ORDER BY user_id, event_id""".stripMargin,
 
     "q_tumbling_count" ->
-      """SELECT date_trunc('hour', ts) AS window_start,
+      s"""SELECT date_trunc('hour', ts) AS window_start,
         |  CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+        |  CAST(sum(${graft.functions.Money.centsSql("value")}) AS DOUBLE) / 100.0
         |    AS total_value
         |FROM events GROUP BY 1 ORDER BY window_start""".stripMargin,
 

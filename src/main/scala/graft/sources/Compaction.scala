@@ -59,6 +59,7 @@ object Compaction {
     * reads the written layout. dims × bitsPerDim must fit a long. */
   def zorderKey(dims: Seq[Column], bitsPerDim: Int): Column = {
     require(dims.size >= 2, "zorder needs at least 2 dimensions")
+    require(bitsPerDim >= 1, s"bitsPerDim must be >= 1, got $bitsPerDim")
     require(dims.size * bitsPerDim <= 63,
       s"${dims.size} dims × $bitsPerDim bits exceeds a long")
     val n = dims.size

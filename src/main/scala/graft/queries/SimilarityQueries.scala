@@ -150,6 +150,25 @@ object SimilarityQueries extends QueryModule {
           "vec_id", "embedding", threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // int8 scalar quantization audit: per-vector scale + integer code
+    // stats (the 4-8x embedding-storage-compression path; codes bound
+    // ONCE via ColumnOps.bind — interpreted HOFs re-evaluate non-lambda
+    // subexpressions per element otherwise). All outputs are integers
+    // or single-op rounded doubles: cross-engine exact.
+    "q_embed_quantize" -> ((s, d) => {
+      import graft.operators.Quantize
+      val v = col("embedding").cast("array<double>")
+      Tables.embeddings(s, d).select(col("vec_id"),
+          round(Quantize.scaleOf(v), 6).as("scale"),
+          graft.functions.ColumnOps.bind(Quantize.codes(v), q => struct(
+            array_min(q).cast("long").as("min_code"),
+            array_max(q).cast("long").as("max_code"),
+            aggregate(q, lit(0L), (a, x) => a + x).as("sum_codes"))).as("st"))
+        .select(col("vec_id"), col("scale"), col("st.min_code"),
+          col("st.max_code"), col("st.sum_codes"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Per-vector L2 norm (embedding hygiene check before cosine work);
     // codegen'd vec_dot, scan-speed row-local.
     "q_embed_norm" -> ((s, d) => {
@@ -274,6 +293,21 @@ object SimilarityQueries extends QueryModule {
         |  round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6)
         |    AS l2
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q_embed_quantize" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id,
+        |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale, v
+        |  FROM e),
+        |c AS (SELECT vec_id, scale,
+        |    list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+        |      ELSE CAST(round(x / scale) AS INT) END) AS qc
+        |  FROM q)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        |  CAST(list_min(qc) AS BIGINT) AS min_code,
+        |  CAST(list_max(qc) AS BIGINT) AS max_code,
+        |  CAST(list_sum(qc) AS BIGINT) AS sum_codes
+        |FROM c ORDER BY vec_id""".stripMargin,
 
     "q_embed_centroid" ->
       """SELECT label, CAST(i AS BIGINT) AS pos,

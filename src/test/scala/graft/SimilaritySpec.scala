@@ -15,6 +15,44 @@ class SimilaritySpec extends SparkSpec {
     assert(out.toSeq === Seq(0.0, 1.0, -1.0))
   }
 
+  test("int8 quantization: bounded round-trip error, preserved cosine, zero vector") {
+    import graft.operators.Quantize
+    val emb = Tables.embeddings(spark, sf001).limit(50)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val rt = emb.select($"vec_id", $"v",
+        Quantize.scaleOf($"v").as("s"),
+        Quantize.dequantize(Quantize.codes($"v"), Quantize.scaleOf($"v"))
+          .as("vq"))
+    // per-element |error| <= scale/2 (symmetric rounding bound)
+    val viol = rt.select(
+        aggregate(zip_with($"v", $"vq", (a, b) => abs(a - b)), lit(0.0),
+          (acc, e) => greatest(acc, e)).as("maxerr"), $"s")
+      .filter($"maxerr" > $"s" / 2 + 1e-12).count()
+    assert(viol === 0)
+    // cosine between dequantized pairs tracks exact cosine closely
+    val pairs = rt.select($"vec_id", $"v", $"vq").limit(10).collect()
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    for (i <- pairs.indices; j <- 0 until i) {
+      val (vi, qi) = (pairs(i).getSeq[Double](1), pairs(i).getSeq[Double](2))
+      val (vj, qj) = (pairs(j).getSeq[Double](1), pairs(j).getSeq[Double](2))
+      assert(math.abs(cos(vi, vj) - cos(qi, qj)) < 0.02,
+        s"cosine drift too large for pair ($i,$j)")
+    }
+    // zero vector: scale 0, all-zero codes, zero reconstruction
+    val z = Seq(Seq(0.0, 0.0, 0.0)).toDF("v")
+      .select(Quantize.scaleOf($"v").as("s"),
+        Quantize.codes($"v").as("q"),
+        Quantize.dequantize(Quantize.codes($"v"), Quantize.scaleOf($"v"))
+          .as("vq"))
+      .head()
+    assert(z.getDouble(0) === 0.0)
+    assert(z.getSeq[Int](1).forall(_ === 0))
+    assert(z.getSeq[Double](2).forall(_ === 0.0))
+  }
+
   test("l2Normalize: unit norm for nonzero vectors, zero vector passthrough") {
     val df = Seq(Seq(3.0f, 4.0f), Seq(0.0f, 0.0f)).toDF("v")
     val out = df.select(Similarity.l2Normalize($"v")).as[Seq[Double]].collect()

@@ -126,6 +126,68 @@ object AnnIndex {
       .limit(k)
   }
 
+  /** Build a QUANTIZED hyperplane index: same multi-table bucket layout,
+    * but rows store int8 codes + a per-vector scale
+    * ([[graft.operators.Quantize]]) instead of the double vector — an
+    * ~8× smaller index (the L-way amplification applies to 1 byte per
+    * component, not 8). Bucketing signatures are computed on the EXACT
+    * vectors (quantization never moves a vector across a hyperplane
+    * decision it wasn't already near); only the re-rank pays the
+    * quantization error, which [[probeHyperplaneQuantized]]'s recall
+    * spec bounds. */
+  def buildHyperplaneQuantized(emb: DataFrame, idCol: String,
+      vecCol: String, path: String, tables: Int = 16,
+      bitsPerTable: Int = 8): Unit = {
+    import graft.operators.Quantize
+    val spark = emb.sparkSession
+    val withV = emb.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val dim = Similarity.vecDim(withV, "v").getOrElse(throw
+      new IllegalArgumentException(
+        s"cannot build a hyperplane index over an empty input ($vecCol)"))
+    val planes = Similarity.hyperplanes(tables * bitsPerTable, dim)
+    val rows = withV
+      .withColumn("sig",
+        HyperplaneSigs.sigs(spark, col("v"), planes, bitsPerTable))
+      .select(col("id"),
+        Quantize.codes(col("v")).as("qc"),
+        Quantize.scaleOf(col("v")).as("qs"),
+        posexplode(col("sig")).as(Seq("table_id", "bucket")))
+    PartitionedParquet.write(
+      rows.repartition(col("bucket")).sortWithinPartitions(col("table_id")),
+      path, Seq("bucket"))
+  }
+
+  /** Top-k probe over a quantized index: same pruned bucket lookup,
+    * re-rank on DEQUANTIZED vectors. Scores differ from the exact index
+    * by the quantization error (≤ scale/2 per component), so ties can
+    * reorder near-equal neighbors; recall vs the exact probe is
+    * property-bounded in AnnIndexSpec. */
+  def probeHyperplaneQuantized(index: DataFrame, query: Seq[Double],
+      k: Int, tables: Int = 16, bitsPerTable: Int = 8,
+      excludeId: Option[Long] = None): DataFrame = {
+    import graft.operators.Quantize
+    val spark = index.sparkSession
+    val planes = Similarity.hyperplanes(tables * bitsPerTable, query.size)
+    val tableBuckets = planes.grouped(bitsPerTable).toSeq.zipWithIndex
+      .map { case (p, t) => (t, Similarity.sigOf(query, p)) }
+    val pairPred = tableBuckets.map { case (t, b) =>
+      col("table_id") === t && col("bucket") === b
+    }.reduce(_ || _)
+    val bucketPrune = col("bucket").isin(tableBuckets.map(_._2).distinct: _*)
+    VectorFunctions.register(spark)
+    val qVec = array(query.map(lit): _*)
+    val cands = index
+      .filter(bucketPrune && pairPred)
+      .dropDuplicates("id")
+      .withColumn("v", Quantize.dequantize(col("qc"), col("qs")))
+    excludeId.fold(cands)(q => cands.filter(col("id") =!= q))
+      .withColumn("cos", round(Similarity.cosineFast(col("v"), qVec), 6))
+      .select(col("id"), col("cos"))
+      .orderBy(col("cos").desc, col("id"))
+      .limit(k)
+  }
+
   /** Top-k probe against an ID-ONLY index (built with
     * `storeVectors = false`): candidate ids come from the query's L
     * pruned buckets, then their vectors are fetched from `base` with an

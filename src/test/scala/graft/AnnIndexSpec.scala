@@ -92,6 +92,24 @@ class AnnIndexSpec extends SparkSpec {
       s"candidate fetch not pushed:\n$fetchPlan")
   }
 
+  test("quantized index: 8x smaller rows, high recall vs exact probe") {
+    val p = java.nio.file.Files.createTempDirectory("graft-hyper-q")
+      .toString + "/idx"
+    AnnIndex.buildHyperplaneQuantized(emb, "vec_id", "embedding", p)
+    val idx = PartitionedParquet.read(spark, p)
+    assert(idx.columns.toSet === Set("id", "qc", "qs", "table_id", "bucket"))
+    val exact = AnnIndex.probeHyperplane(spark, hyperPath, query, k = 10,
+        excludeId = Some(0L))
+      .as[(Long, Double)].collect().map(_._1).toSet
+    val quant = AnnIndex.probeHyperplaneQuantized(idx, query, k = 10,
+        excludeId = Some(0L))
+      .as[(Long, Double)].collect().map(_._1).toSet
+    // identical candidate sets (bucketing is on exact vectors); the
+    // re-rank may swap near-ties, so assert strong overlap not equality
+    assert(exact.intersect(quant).size >= 8,
+      s"recall too low: exact=$exact quant=$quant")
+  }
+
   test("wrong-dimension query is rejected, not silently mis-bucketed") {
     val index = PartitionedParquet.read(spark, hyperPath)
     val err = intercept[IllegalArgumentException] {

@@ -62,6 +62,33 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Scan parquet") && plan.contains("Project"), plan)
   }
 
+  test("no query plans a cartesian/nested-loop join, except the documented few") {
+    // The scale gate, applied to EVERY declared query: a range predicate
+    // that degrades to BroadcastNestedLoopJoin or a missing equi-key
+    // producing CartesianProduct is exactly the class of 100TB-killer
+    // this net exists to catch when the NEXT query is added.
+    val allowed = Set(
+      // exact all-pairs near-dup: deliberate verification-scale O(n²)
+      // cross join; the scale-safe sibling is q_ann_neardup_pairs
+      "q_embed_neardup",
+      // 1-row broadcast scalar joins: nested-loop over a single
+      // broadcast row is the intended plan (no join key exists) —
+      // a query vector / the corpus count for IDF
+      "q_cosine_topk", "q_tfidf_topk")
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan =
+          try fn(spark, sf001).queryExecution.executedPlan.toString
+          catch { case e: Throwable => s"PLAN-FAILED: ${e.getMessage}" }
+        val bad = (plan.contains("CartesianProduct") ||
+          plan.contains("BroadcastNestedLoopJoin")) && !allowed(name)
+        if (bad || plan.startsWith("PLAN-FAILED")) Some(name -> plan.take(200))
+        else None
+    }
+    assert(failures.isEmpty,
+      failures.map { case (n, p) => s"$n:\n$p" }.mkString("\n\n"))
+  }
+
   test("q_embed_norm prunes the scan to the two referenced columns") {
     val plan = formatted("q_embed_norm")
     val readSchema = plan.linesIterator

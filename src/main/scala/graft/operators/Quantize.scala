@@ -29,12 +29,16 @@ object Quantize {
   /** int8 codes as array<int> in [-127, 127] (int, not tinyint, so the
     * same column round-trips through engines and parquet readers that
     * lack a signed-byte logical type; the parquet encoding is bit-packed
-    * either way). */
-  def codes(v: Column): Column = {
-    val s = scaleOf(v)
-    transform(v, x =>
-      when(s === 0.0, lit(0)).otherwise(round(x / s).cast("int")))
-  }
+    * either way).
+    *
+    * The scale is LET-BOUND ([[graft.functions.ColumnOps.bind]]) before
+    * entering the per-element lambda: an outer non-lambda subexpression
+    * referenced inside `transform` is re-evaluated PER ELEMENT, turning
+    * the max-abs pass into O(dim²) per row. */
+  def codes(v: Column): Column =
+    graft.functions.ColumnOps.bind(scaleOf(v), s =>
+      transform(v, x =>
+        when(s === 0.0, lit(0)).otherwise(round(x / s).cast("int"))))
 
   /** Reconstruct the (lossy) vector: q[i] * scale. */
   def dequantize(codesCol: Column, scale: Column): Column =

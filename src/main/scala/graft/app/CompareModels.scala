@@ -25,6 +25,9 @@ object CompareModels {
     val cmp = ModelComparison.compare(spark, inputs)
     cmp.show(truncate = false)
     ModelComparison.writeComparison(cmp, outPath)
+    // chart artifact beside the JSON (compare_models.py's PNG analog)
+    val svgPath = outPath.replaceAll("\\.json$", "") + ".svg"
+    ModelComparison.writeComparisonSvg(cmp, svgPath)
     println(s"best=${ModelComparison.best(cmp)}")
     spark.stop()
   }

@@ -18,8 +18,17 @@ import org.apache.spark.sql.functions._
   */
 object Money {
 
-  /** Exact integer cents of a double column (HALF_UP). */
-  def cents(c: Column): Column = round(c * 100, 0).cast("long")
+  /** Exact integer cents of a double column (HALF_UP). NaN/Infinity
+    * contribute 0, matching [[centsOf]]: Spark's round() passes them
+    * through, and the long cast then throws under Spark 4's default ANSI
+    * mode (non-ANSI: ±Infinity saturates to Long.MaxValue) — either way
+    * batch and streaming totals would diverge on corrupt values without
+    * the guard. */
+  def cents(c: Column): Column = {
+    val d = c.cast("double")
+    when(isnan(d) || abs(d) === Double.PositiveInfinity, 0L)
+      .otherwise(round(d * 100, 0).cast("long"))
+  }
 
   /** Exact cents total rendered back to a 2dp double. */
   def centsTotal(c: Column): Column =
@@ -30,10 +39,9 @@ object Money {
 
   /** Scalar mirror of [[cents]] for typed aggregators / mapGroups code.
     * NOT math.round (half toward +∞) — see the class doc. NaN/Infinity
-    * contribute 0, mirroring the Column form where round() yields NULL
-    * and sum() skips it — and a corrupt value must never kill a 24/7
-    * streaming query from inside a stateful operator (BigDecimal(NaN)
-    * throws). */
+    * contribute 0, same guard as the Column form — a corrupt value must
+    * never kill a 24/7 streaming query from inside a stateful operator
+    * (BigDecimal(NaN) throws). */
   def centsOf(v: Double): Long =
     if (v.isNaN || v.isInfinite) 0L
     else BigDecimal(v * 100).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong

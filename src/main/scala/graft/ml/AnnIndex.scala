@@ -168,6 +168,12 @@ object AnnIndex {
       excludeId: Option[Long] = None): DataFrame = {
     import graft.operators.Quantize
     val spark = index.sparkSession
+    // Same dimension guard as [[probeHyperplane]], read from the CODES
+    // column (this layout stores qc/qs, not v; one code per component, so
+    // size(qc) IS the indexed dimension). Without it a wrong-dimension
+    // query silently hashes into wrong buckets and the dequantized
+    // re-rank returns NULL cosines — plausible-but-wrong neighbors.
+    requireDim(index, "qc", query.size, "index")
     val planes = Similarity.hyperplanes(tables * bitsPerTable, query.size)
     val tableBuckets = planes.grouped(bitsPerTable).toSeq.zipWithIndex
       .map { case (p, t) => (t, Similarity.sigOf(query, p)) }
@@ -196,7 +202,15 @@ object AnnIndex {
     * the fetch reads ~candidate-count rows, not the corpus. The
     * candidate id list is collected to the driver (bucket-sized —
     * hundreds of ids, the price of turning the fetch into a pushable
-    * scan predicate instead of a corpus-wide join).
+    * scan predicate instead of a corpus-wide join). That collect is
+    * THRESHOLDED (`maxInListCandidates`): uniform hyperplane buckets
+    * keep it small, but a hot bucket (near-duplicate-heavy corpora
+    * produce exactly that) would otherwise grow the IN list and the
+    * driver array without bound — beyond the cap the fetch degrades to
+    * a left-semi join on id (no scan pushdown, but shuffle-bounded, and
+    * AQE broadcasts the candidate side when it is small enough). Same
+    * honest-threshold pattern as
+    * [[graft.operators.DedupGroups.CollectThreshold]].
     *
     * Same results as [[probeHyperplane]] over a vector-inline index
     * (asserted in AnnIndexSpec); choose by embedding width — inline for
@@ -204,7 +218,8 @@ object AnnIndex {
     * dominates index cost. */
   def probeHyperplaneIds(index: DataFrame, base: DataFrame, idCol: String,
       vecCol: String, query: Seq[Double], k: Int, tables: Int = 16,
-      bitsPerTable: Int = 8, excludeId: Option[Long] = None): DataFrame = {
+      bitsPerTable: Int = 8, excludeId: Option[Long] = None,
+      maxInListCandidates: Int = 100000): DataFrame = {
     val spark = index.sparkSession
     val withV = base.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
@@ -216,9 +231,17 @@ object AnnIndex {
       col("table_id") === t && col("bucket") === b
     }.reduce(_ || _)
     val bucketPrune = col("bucket").isin(tableBuckets.map(_._2).distinct: _*)
-    val candIds = index.filter(bucketPrune && pairPred)
-      .select(col("id")).distinct().collect().map(_.get(0)).toSeq
-    val cands = withV.filter(col("id").isin(candIds: _*))
+    val candFrame = index.filter(bucketPrune && pairPred)
+      .select(col("id")).distinct()
+    // Collect AT MOST threshold+1 ids — the limit bounds the driver
+    // transfer even when a hot bucket holds millions; seeing threshold+1
+    // is the overflow signal, never the full list.
+    val candIds = candFrame.limit(maxInListCandidates + 1)
+      .collect().map(_.get(0)).toSeq
+    val cands =
+      if (candIds.size <= maxInListCandidates)
+        withV.filter(col("id").isin(candIds: _*))
+      else withV.join(candFrame, Seq("id"), "left_semi")
     VectorFunctions.register(spark)
     val qVec = array(query.map(lit): _*)
     excludeId.fold(cands)(q => cands.filter(col("id") =!= q))

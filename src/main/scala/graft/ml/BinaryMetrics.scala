@@ -56,4 +56,57 @@ object BinaryMetrics {
         (col("tpr") + col("prev_tpr")) / 2.0))
       .head().getDouble(0)
   }
+
+  /** EXACT ROC — one point per DISTINCT score, cumulative TP/FP over
+    * descending thresholds: the curve sklearn's `roc_curve` computes
+    * (with `drop_intermediate=False`; the reference's driver-side call,
+    * `model_logistic_regression.py:276-280`), kept fully in-engine.
+    *
+    * Shape: the heavy pass is a distributed hash aggregation keyed by
+    * score (map-side combined, like [[binnedRoc]]); the cumulative
+    * window then runs over the DISTINCT-SCORE aggregate only — exact
+    * ROC's irreducible serial tail. That aggregate is |distinct scores|
+    * rows, which for calibrated model probabilities is far below the
+    * data size but, unlike `bins`, UNBOUNDED in principle — at 100 TB
+    * with near-continuous scores prefer [[binnedRoc]] (AUC error
+    * O(1/bins)); this form exists for exact-artifact parity.
+    *
+    * Returns (threshold, fpr, tpr) ordered by descending threshold;
+    * single-class input yields NULL rates, matching [[binnedRoc]]. */
+  def exactRoc(df: DataFrame, scoreCol: String, labelCol: String)
+      : DataFrame = {
+    val byScore = df.select(col(scoreCol).cast("double").as("threshold"),
+        col(labelCol).cast("long").as("y"))
+      .groupBy(col("threshold"))
+      .agg(sum(col("y")).as("pos"), (count(lit(1)) - sum(col("y"))).as("neg"))
+    val w = Window.orderBy(col("threshold").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.orderBy(col("threshold").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    byScore
+      .withColumn("tp", sum(col("pos")).over(w))
+      .withColumn("fp", sum(col("neg")).over(w))
+      .withColumn("__p", sum(col("pos")).over(whole))
+      .withColumn("__n", sum(col("neg")).over(whole))
+      .select(col("threshold"),
+        (col("fp").cast("double") /
+          when(col("__n") > 0, col("__n"))).as("fpr"),
+        (col("tp").cast("double") /
+          when(col("__p") > 0, col("__p"))).as("tpr"))
+      .orderBy(col("threshold").desc)
+  }
+
+  /** Exact trapezoidal AUC over [[exactRoc]] — equals sklearn's
+    * `roc_auc_score` (the curve starts the integration at the implicit
+    * (0,0) point via lag's default). */
+  def exactAuc(df: DataFrame, scoreCol: String, labelCol: String): Double = {
+    val roc = exactRoc(df, scoreCol, labelCol)
+    val w = Window.orderBy(col("threshold").desc)
+    roc
+      .withColumn("prev_fpr", lag(col("fpr"), 1, 0.0).over(w))
+      .withColumn("prev_tpr", lag(col("tpr"), 1, 0.0).over(w))
+      .select(sum((col("fpr") - col("prev_fpr")) *
+        (col("tpr") + col("prev_tpr")) / 2.0))
+      .head().getDouble(0)
+  }
 }

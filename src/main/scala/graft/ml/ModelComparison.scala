@@ -78,4 +78,90 @@ object ModelComparison {
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
       rows.mkString("[", ",\n", "]"))
   }
+
+  /** Categorical series colors, fixed assignment order (a model keeps its
+    * color regardless of how many models are compared — never cycled).
+    * CVD-validated palette: adjacent-pair ΔE and lightness/chroma gates
+    * pass for the full order; the aqua slot sits below 3:1 contrast on
+    * the light surface, which is why every bar carries a visible value
+    * label (the relief rule). */
+  private val SeriesColors = Vector(
+    "#2a78d6", "#eb6834", "#1baf7a", "#eda100",
+    "#e87ba4", "#008300", "#4a3aa7", "#e34948")
+  private val Surface = "#fcfcfb"
+  private val InkPrimary = "#0b0b0b"
+  private val InkSecondary = "#52514e"
+  private val GridColor = "#e5e4e0"
+
+  /** Render the comparison as a standalone grouped-bar SVG — the
+    * counterpart of `compare_models.py:27-58`'s matplotlib PNG, emitted
+    * driver-side with zero plotting dependencies. Metrics (accuracy, F1,
+    * ROC AUC) are the x groups; models are the colored series, fixed
+    * palette order, legend + per-bar value labels (no number is ever
+    * color-alone). NaN/null metrics render as an "n/a" label instead of
+    * a zero-height lie. */
+  def writeComparisonSvg(comparison: DataFrame, path: String): Unit = {
+    def esc(s: String): String = s.flatMap {
+      case '&' => "&amp;"; case '<' => "&lt;"; case '>' => "&gt;"
+      case '"' => "&quot;"; case c => c.toString
+    }
+    val rows = comparison.collect()
+    require(rows.nonEmpty, "empty comparison")
+    require(rows.length <= SeriesColors.size,
+      s"at most ${SeriesColors.size} models per chart (got ${rows.length}); " +
+        "facet or fold the rest")
+    val models = rows.map(_.getString(0)).toSeq
+    val metrics = Seq(("Accuracy", 1), ("F1", 2), ("ROC AUC", 3))
+    def metricOf(r: org.apache.spark.sql.Row, i: Int): Option[Double] =
+      if (r.isNullAt(i) || r.getDouble(i).isNaN) None else Some(r.getDouble(i))
+
+    val (w, h) = (640, 360)
+    val (pl, pr, pt, pb) = (44, 16, 56, 32)
+    val (plotW, plotH) = (w - pl - pr, h - pt - pb)
+    val yOf = (v: Double) => pt + plotH - v * plotH
+    val groupW = plotW.toDouble / metrics.size
+    val barGap = 2.0
+    val barW = math.min(36.0,
+      (groupW * 0.7 - barGap * (models.size - 1)) / models.size)
+
+    val sb = new StringBuilder
+    sb ++= s"""<svg xmlns="http://www.w3.org/2000/svg" width="$w" height="$h" viewBox="0 0 $w $h" font-family="system-ui, sans-serif">"""
+    sb ++= s"""<rect width="$w" height="$h" fill="$Surface"/>"""
+    sb ++= s"""<text x="$pl" y="24" font-size="14" font-weight="600" fill="$InkPrimary">Model comparison</text>"""
+    // legend (>= 2 series -> always present; swatch carries identity,
+    // text stays in ink)
+    var lx = pl
+    models.zipWithIndex.foreach { case (m, i) =>
+      sb ++= s"""<rect x="$lx" y="34" width="10" height="10" rx="2" fill="${SeriesColors(i)}"/>"""
+      sb ++= s"""<text x="${lx + 14}" y="43" font-size="11" fill="$InkSecondary">${esc(m)}</text>"""
+      lx += 14 + m.length * 7 + 14
+    }
+    // recessive grid + y labels
+    Seq(0.0, 0.25, 0.5, 0.75, 1.0).foreach { v =>
+      val y = yOf(v)
+      sb ++= f"""<line x1="$pl" y1="$y%.1f" x2="${w - pr}" y2="$y%.1f" stroke="$GridColor" stroke-width="1"/>"""
+      sb ++= f"""<text x="${pl - 6}" y="${y + 3}%.1f" font-size="10" fill="$InkSecondary" text-anchor="end">$v%.2f</text>"""
+    }
+    metrics.zipWithIndex.foreach { case ((label, colIdx), g) =>
+      val gx = pl + g * groupW
+      val total = models.size * barW + (models.size - 1) * barGap
+      val x0 = gx + (groupW - total) / 2
+      rows.zipWithIndex.foreach { case (r, i) =>
+        val x = x0 + i * (barW + barGap)
+        metricOf(r, colIdx) match {
+          case Some(v) =>
+            val yT = yOf(v); val yB = yOf(0.0)
+            val rr = math.min(4.0, yB - yT) // rounded DATA end, square baseline
+            sb ++= f"""<path d="M$x%.1f,$yB%.1f L$x%.1f,${yT + rr}%.1f Q$x%.1f,$yT%.1f ${x + rr}%.1f,$yT%.1f L${x + barW - rr}%.1f,$yT%.1f Q${x + barW}%.1f,$yT%.1f ${x + barW}%.1f,${yT + rr}%.1f L${x + barW}%.1f,$yB%.1f Z" fill="${SeriesColors(i)}">"""
+            sb ++= s"""<title>${esc(models(i))} — $label: ${"%.4f".format(v)}</title></path>"""
+            sb ++= f"""<text x="${x + barW / 2}%.1f" y="${yT - 4}%.1f" font-size="9" fill="$InkSecondary" text-anchor="middle">${"%.3f".format(v)}</text>"""
+          case None =>
+            sb ++= f"""<text x="${x + barW / 2}%.1f" y="${yOf(0.0) - 4}%.1f" font-size="9" fill="$InkSecondary" text-anchor="middle">n/a</text>"""
+        }
+      }
+      sb ++= f"""<text x="${gx + groupW / 2}%.1f" y="${h - pb + 16}" font-size="11" fill="$InkSecondary" text-anchor="middle">$label</text>"""
+    }
+    sb ++= "</svg>"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), sb.toString)
+  }
 }

@@ -93,10 +93,17 @@ object DedupGroups {
     }
     // min id per root, matching the SQL min() ordering for the id types
     // dedup keys actually use (integral, string; numeric fallback).
+    // Strings compare by UTF-8 BYTE order (UTF8String), not Java UTF-16
+    // code units: the distributed path's min() orders UTF8String bytes,
+    // and for supplementary-plane ids the two orders differ — the chosen
+    // survivor must not depend on which side of CollectThreshold the
+    // edge count landed.
     def lt(a: Any, b: Any): Boolean = (a, b) match {
       case (x: java.lang.Long, y: java.lang.Long) => x < y
       case (x: java.lang.Integer, y: java.lang.Integer) => x < y
-      case (x: String, y: String) => x < y
+      case (x: String, y: String) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(x)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y)) < 0
       case (x: java.lang.Number, y: java.lang.Number) =>
         x.doubleValue < y.doubleValue
       case _ => throw new IllegalArgumentException(

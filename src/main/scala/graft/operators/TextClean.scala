@@ -57,7 +57,13 @@ object TextClean {
   val PiiUrlPattern   = UrlPattern
   val PiiEmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val PiiIpPattern    = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
-  val PiiPhonePattern = "\\+?[0-9][0-9()\\s.-]{7,14}[0-9]"
+  // Whitespace is spelled explicitly (no \s): Java's \s includes VT
+  // (\x0B) while RE2's does not — the same divergence the
+  // BpePretokenizePattern comment documents — so a VT inside a
+  // phone-shaped run would redact differently in Spark vs the oracle.
+  // \x0B is an explicit escape both engines share, preserving the
+  // original Java-\s semantics exactly.
+  val PiiPhonePattern = "\\+?[0-9][0-9()\\t\\n\\x0B\\f\\r .-]{7,14}[0-9]"
 
   /** PII redaction — the pretraining-pipeline scrub pass: emails, URLs,
     * IPv4s, and phone-shaped digit runs become typed placeholder tokens
@@ -80,7 +86,7 @@ object TextClean {
       "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g')"
     val r2 = s"regexp_replace($r1, " +
       "'\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g')"
-    s"regexp_replace($r2, '\\+?[0-9][0-9()\\s.-]{7,14}[0-9]', '<PHONE>', 'g')"
+    s"regexp_replace($r2, '\\+?[0-9][0-9()\\t\\n\\x0B\\f\\r .-]{7,14}[0-9]', '<PHONE>', 'g')"
   }
 
   /** Sentiment140 label normalization: 0/4 → 0/1 (`preprocessing.py:93-96`). */

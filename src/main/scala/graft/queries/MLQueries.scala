@@ -37,6 +37,15 @@ object MLQueries extends QueryModule {
           round(col("fpr"), 6).as("fpr"), round(col("tpr"), 6).as("tpr"))
         .orderBy(col("bin").desc)),
 
+    // EXACT ROC over the deterministic score — one point per distinct
+    // score (sklearn roc_curve parity, kept in-engine); the binned form
+    // above remains the unbounded-cardinality scale path.
+    "q_roc_exact" -> ((s, d) =>
+      BinaryMetrics.exactRoc(labeled(s, d), "score", "label")
+        .select(round(col("threshold"), 6).as("threshold"),
+          round(col("fpr"), 6).as("fpr"), round(col("tpr"), 6).as("tpr"))
+        .orderBy(col("threshold").desc)),
+
     // LR sentiment pipeline end-to-end (fit + transform on the 80/20
     // reference split) — rows-only: L-BFGS float iterations. The
     // tokenize→stopwords→TF-IDF front half is fit once per dataset and
@@ -74,6 +83,25 @@ object MLQueries extends QueryModule {
         |    AS BIGINT) AS prediction,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM documents GROUP BY 1, 2 ORDER BY label, prediction""".stripMargin,
+
+    "q_roc_exact" ->
+      """WITH s AS (
+        |  SELECT least(n_chars / 500.0, 0.999) AS score,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |g AS (SELECT score, sum(y) AS pos, count(*) - sum(y) AS neg
+        |      FROM s GROUP BY score),
+        |t AS (SELECT CAST(sum(pos) AS DOUBLE) AS p, CAST(sum(neg) AS DOUBLE) AS n
+        |      FROM g)
+        |SELECT round(score, 6) AS threshold,
+        |  round(CAST(sum(neg) OVER (ORDER BY score DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / t.n, 6)
+        |    AS fpr,
+        |  round(CAST(sum(pos) OVER (ORDER BY score DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / t.p, 6)
+        |    AS tpr
+        |FROM g CROSS JOIN t
+        |ORDER BY threshold DESC""".stripMargin,
 
     "q_roc_binned" ->
       """WITH b AS (

@@ -244,6 +244,19 @@ object RelationalQueries extends QueryModule {
         .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
           coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
           col("n"))
+        .orderBy(col("status"), col("priority"))),
+
+    // Cube: ALL 2^k grouping sets (rollup's superset — adds the
+    // (priority-only) slice rollup omits); same coalesce discipline.
+    // Spark plans one Expand + one hash aggregation — rows replicate
+    // 2^k-fold map-side, still a single shuffle, no per-set rescan.
+    "q_cube" -> ((s, d) =>
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"))
         .orderBy(col("status"), col("priority")))
   )
 
@@ -387,6 +400,13 @@ object RelationalQueries extends QueryModule {
         |  coalesce(o_orderpriority, 'ALL') AS priority,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+
+    "q_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin
   )
 }

@@ -31,6 +31,7 @@ object SimilarityQueries extends QueryModule {
     * lossy name sanitization alone could collide distinct datasets). */
   private object IndexCache {
     private val hyper = new SessionCache[DataFrame]
+    private val hyperQuant = new SessionCache[DataFrame]
     private val ivf = new SessionCache[(DataFrame, Array[Array[Double]])]
     // Every BUILD gets a fresh UUID directory: the cache is
     // session-keyed, so two live sessions in one JVM must not build at
@@ -49,6 +50,14 @@ object SimilarityQueries extends QueryModule {
       hyper.getOrElseUpdate(s, d) {
         val p = base(d) + "/hyperplane"
         AnnIndex.buildHyperplane(Tables.embeddings(s, d), "vec_id", "embedding", p)
+        graft.sources.PartitionedParquet.read(s, p)
+      }
+
+    def hyperplaneQuantized(s: SparkSession, d: String): DataFrame =
+      hyperQuant.getOrElseUpdate(s, d) {
+        val p = base(d) + "/hyperplane-quant"
+        AnnIndex.buildHyperplaneQuantized(
+          Tables.embeddings(s, d), "vec_id", "embedding", p)
         graft.sources.PartitionedParquet.read(s, p)
       }
 
@@ -238,6 +247,17 @@ object SimilarityQueries extends QueryModule {
     // probe==scan-form equality + recall are property-tested.
     "q_ann_topk" -> ((s, d) =>
       AnnIndex.probeHyperplane(IndexCache.hyperplane(s, d),
+        queryVec(s, d), k = 10, tables = 16, bitsPerTable = 8,
+        excludeId = Some(0L))),
+
+    // QUANTIZED hyperplane-LSH top-10 probe: same pruned bucket lookup
+    // over the ~8x-smaller int8-code index, re-rank on dequantized
+    // vectors. Rows-only (plane- and quantization-dependent); recall vs
+    // the exact probe + the wrong-dimension guard are property-tested in
+    // AnnIndexSpec. Build cost is one-time per dataset (IndexCache),
+    // mirroring q_ann_index_build / q_ann_topk.
+    "q_ann_quantized_topk" -> ((s, d) =>
+      AnnIndex.probeHyperplaneQuantized(IndexCache.hyperplaneQuantized(s, d),
         queryVec(s, d), k = 10, tables = 16, bitsPerTable = 8,
         excludeId = Some(0L))),
 

@@ -119,6 +119,41 @@ class AnnIndexSpec extends SparkSpec {
     assert(err.getMessage.contains("dimension"))
   }
 
+  test("quantized probe rejects a wrong-dimension query too") {
+    val p = java.nio.file.Files.createTempDirectory("graft-hyper-qdim")
+      .toString + "/idx"
+    AnnIndex.buildHyperplaneQuantized(emb, "vec_id", "embedding", p)
+    val idx = PartitionedParquet.read(spark, p)
+    val err = intercept[IllegalArgumentException] {
+      AnnIndex.probeHyperplaneQuantized(idx, query ++ Seq(0.0), k = 5)
+    }
+    assert(err.getMessage.contains("dimension"))
+  }
+
+  test("id-only probe caps the candidate collect: fallback == IN-list path") {
+    val p = java.nio.file.Files.createTempDirectory("graft-hyper-hot")
+      .toString + "/idx"
+    AnnIndex.buildHyperplane(emb, "vec_id", "embedding", p,
+      storeVectors = false)
+    val idx = PartitionedParquet.read(spark, p)
+    // Force the over-threshold path with a tiny cap: every bucket is
+    // "hot" relative to it, so the fetch must take the semi-join route
+    // and still return exactly what the IN-list route returns.
+    val capped = AnnIndex.probeHyperplaneIds(idx, emb, "vec_id", "embedding",
+        query, k = 10, excludeId = Some(0L), maxInListCandidates = 1)
+      .as[(Long, Double)].collect().toSeq
+    val inList = AnnIndex.probeHyperplaneIds(idx, emb, "vec_id", "embedding",
+        query, k = 10, excludeId = Some(0L))
+      .as[(Long, Double)].collect().toSeq
+    assert(capped === inList)
+    assert(capped.nonEmpty)
+    // and the fallback plan is a semi-join, not an IN predicate
+    val plan = AnnIndex.probeHyperplaneIds(idx, emb, "vec_id", "embedding",
+        query, k = 10, maxInListCandidates = 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"no semi-join fallback:\n$plan")
+  }
+
   test("IVF full probe == brute force; centroids round-trip") {
     val (path, centroids) = ivfBuilt
     val full = AnnIndex.probeIvf(spark, path, centroids, query, k = 10,

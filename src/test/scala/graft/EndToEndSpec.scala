@@ -163,5 +163,16 @@ class EndToEndSpec extends SparkSpec {
         "model STRING, accuracy DOUBLE, f1 DOUBLE, roc_auc DOUBLE")
       .option("multiLine", "true").json(out)
     assert(arr.count() === 3)
+
+    // chart artifact (compare_models.py's PNG analog): well-formed XML,
+    // one legend entry per model, a value-labeled bar per finite metric
+    val svg = dir.resolve("comparison.svg").toString
+    ModelComparison.writeComparisonSvg(cmp, svg)
+    val body = java.nio.file.Files.readString(java.nio.file.Paths.get(svg))
+    assert(body.startsWith("<svg") && body.endsWith("</svg>"))
+    scala.xml.XML.loadString(body) // throws if malformed
+    Seq("lr", "nb", "svm").foreach(m => assert(body.contains(s">$m</text>")))
+    assert(body.sliding(5).count(_ == "<path") === 9) // 3 models x 3 metrics
+    assert(body.contains("0.780")) // relief rule: visible value labels
   }
 }

@@ -87,6 +87,25 @@ class MLPipelineSpec extends SparkSpec {
       .setRawPredictionCol("rawPrediction").evaluate(scored)
     val binned = BinaryMetrics.binnedAuc(scored, "score", "label")
     assert(math.abs(exact - binned) < 0.02, s"exact=$exact binned=$binned")
+    // the exact in-engine form needs no binning tolerance: with fewer
+    // distinct scores than the evaluator's 1000 bins both are exact,
+    // so they must agree to float noise, not 0.02
+    val engineExact = BinaryMetrics.exactAuc(scored, "score", "label")
+    assert(math.abs(exact - engineExact) < 1e-6,
+      s"evaluator=$exact engine=$engineExact")
+  }
+
+  test("exact ROC matches the hand-computed curve point for point") {
+    // scores 0.9,0.8,0.8,0.4,0.3 / labels 1,1,0,1,0 → P=3, N=2
+    // thresholds desc: 0.9 (tp1,fp0), 0.8 (tp2,fp1), 0.4 (tp3,fp1), 0.3 (tp3,fp2)
+    val df = Seq((0.9, 1), (0.8, 1), (0.8, 0), (0.4, 1), (0.3, 0))
+      .toDF("score", "label")
+    val got = BinaryMetrics.exactRoc(df, "score", "label")
+      .as[(Double, Double, Double)].collect().toSeq
+    val want = Seq(
+      (0.9, 0.0, 1.0 / 3), (0.8, 0.5, 2.0 / 3),
+      (0.4, 0.5, 1.0), (0.3, 1.0, 1.0))
+    assert(got === want)
   }
 
   test("metrics JSON has the reference shape") {

@@ -65,6 +65,72 @@ object Dedup {
       "left_anti")
   }
 
+  /** N-GRAM overlap decontamination — the standard published form of
+    * train/eval overlap removal (GPT-3 appendix C / Llama 2 style): a
+    * corpus document is contaminated if it shares ANY word n-gram with
+    * the benchmark, catching partial embeddings of an eval item that
+    * whole-document fingerprints ([[decontaminate]]) miss entirely.
+    *
+    * Shape at 100 TB: the benchmark's distinct n-gram hashes are
+    * BROADCAST (eval sets are thousands of items — even exploded to
+    * n-grams, orders below any corpus), so the corpus-side explode joins
+    * map-side with NO shuffle of corpus data; only the matched
+    * (contaminated) ids reach the distinct + anti-join, both bounded by
+    * the contamination count, not the corpus. n-grams are compared as
+    * xxhash64 of the joined token window (8-byte keys, same reasoning as
+    * MinHash band keys); documents shorter than n tokens produce no
+    * n-grams and are never flagged — standard semantics. */
+  def decontaminateNgram(corpus: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int = 13): DataFrame = {
+    def gramHashes(c: Column): Column =
+      transform(MinHashDedup.shingles(TokenOps.tokenize(c), n), g => xxhash64(g))
+    val benchGrams = broadcast(benchmark
+      .filter(col(benchTextCol).isNotNull)
+      .select(explode(gramHashes(col(benchTextCol))).as("__gh"))
+      .distinct())
+    val flagged = corpus
+      .select(col(idCol), explode(gramHashes(col(textCol))).as("__gh"))
+      .join(benchGrams, Seq("__gh"), "left_semi")
+      .select(col(idCol)).distinct()
+    corpus.join(flagged, Seq(idCol), "left_anti")
+  }
+
+  /** Bloom-filter n-gram decontamination: ZERO-shuffle scale form of
+    * [[decontaminateNgram]] — the benchmark's n-gram hashes fold into a
+    * bloom filter, and the corpus check is a row-local `exists` over the
+    * document's own n-grams probing the codegen'd
+    * [[graft.functions.BloomMightContain]] (deserialized once per
+    * expression instance, not per row or per element). The corpus is
+    * never exploded, never joined, never shuffled — a pure scan-stage
+    * filter. Zero false negatives (specced); null-text rows are kept,
+    * matching the exact form.
+    *
+    * `fpp` is PER-PROBE, and a document probes once per n-gram — its
+    * doc-level false-positive rate is ~1-(1-fpp)^grams ≈ grams×fpp. The
+    * default 1e-4 keeps a 100-gram document under 1% accidental-drop
+    * probability; the whole-document form ([[decontaminateBloom]])
+    * probes once per row and can afford its looser 1%. Cost of the
+    * tighter rate is only filter size (~2.4 vs ~1.2 bytes/item). */
+  def decontaminateNgramBloom(corpus: DataFrame, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int = 13,
+      fpp: Double = 1e-4, expectedItems: Option[Long] = None): DataFrame = {
+    import graft.functions.BloomFunctions
+    def gramHashes(c: Column): Column =
+      transform(MinHashDedup.shingles(TokenOps.tokenize(c), n), g => xxhash64(g))
+    val benchGrams = benchmark
+      .filter(col(benchTextCol).isNotNull)
+      .select(explode(gramHashes(col(benchTextCol))).as("__gh"))
+      .distinct()
+    val cnt = math.max(1L, expectedItems.getOrElse(benchGrams.count()))
+    val bloom = benchGrams.stat.bloomFilter("__gh", cnt, fpp)
+    val spark = corpus.sparkSession
+    BloomFunctions.register(spark)
+    val bloomLit = lit(BloomFunctions.serialize(bloom))
+    corpus.filter(col(textCol).isNull ||
+      !exists(gramHashes(col(textCol)),
+        gh => BloomFunctions.bloom_might_contain(gh, bloomLit)))
+  }
+
   /** Bloom-filter decontamination: the scale path between "benchmark fits
     * in an exact broadcast set" ([[decontaminate]]) and "shuffle the
     * whole corpus for an anti-join". The benchmark's 64-bit content

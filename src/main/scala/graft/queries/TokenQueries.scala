@@ -230,6 +230,54 @@ object TokenQueries extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // Per-group deterministic content sample via the native bottom_k
+    // aggregate: 5 docs per language, smallest md5('42:'||text) first
+    // (same key family as q_content_sample). The window form would
+    // shuffle+sort the whole corpus per language; bottom_k keeps a
+    // k-bounded heap with map-side combine — hot-language-safe.
+    "q_group_sample" -> ((s, d) => {
+      graft.functions.BottomK.register(s)
+      Tables.documents(s, d)
+        .filter(col("text").isNotNull)
+        .groupBy(col("lang"))
+        .agg(graft.functions.BottomK.bottom_k(
+          md5(concat(lit("42:"), col("text"))), col("doc_id"), 5).as("ids"))
+        .select(col("lang"), posexplode(col("ids")).as(Seq("pos", "doc_id")))
+        .select(col("lang"), (col("pos") + 1).cast("long").as("pos"),
+          col("doc_id"))
+        .orderBy(col("lang"), col("pos"))
+    }),
+
+    // N-GRAM overlap decontamination (the GPT-3/Llama published form):
+    // a document sharing ANY 5-gram with the benchmark subset is dropped
+    // — catches partial eval-item embeddings the whole-document
+    // fingerprint form (q_decontaminate) misses. Benchmark n-gram hashes
+    // broadcast; the corpus explode joins map-side, no corpus shuffle.
+    "q_decontaminate_ngram" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bench = graft.operators.Sampling.contentHashSample(
+        docs, col("text"), 0.1, seed = 7L)
+      graft.operators.Dedup.decontaminateNgram(
+          docs, "doc_id", "text", bench, "text", n = 5)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Zero-shuffle bloom form of the n-gram pass: benchmark n-gram
+    // hashes in a bloom filter, corpus checked by a row-local exists()
+    // over its own n-grams — never exploded, never shuffled. Spark's
+    // bloom hashing has no DuckDB mirror → rows-only; containment vs the
+    // exact n-gram form is asserted in DecontaminateSpec.
+    "q_decontaminate_ngram_bloom" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bench = graft.operators.Sampling.contentHashSample(
+        docs, col("text"), 0.1, seed = 7L)
+      graft.operators.Dedup.decontaminateNgramBloom(
+          docs, "text", bench, "text", n = 5)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Marker-word language ID — deterministic but the marker lists are
     // library-internal, so verified rows-only + unit tests (LangIdSpec).
     "q_lang_id" -> ((s, d) =>
@@ -384,6 +432,31 @@ object TokenQueries extends QueryModule {
          |  WHERE substr(md5('7:' || text), 1, 12) < '$t')
          |SELECT d.doc_id FROM documents d
          |WHERE NOT EXISTS (SELECT 1 FROM bench b WHERE b.bfp = ${fp("d.text")})
+         |ORDER BY d.doc_id""".stripMargin
+    },
+
+    "q_group_sample" ->
+      """WITH ranked AS (
+        |  SELECT lang, doc_id, row_number() OVER (
+        |    PARTITION BY lang ORDER BY md5('42:' || text), doc_id) AS pos
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT lang, CAST(pos AS BIGINT) AS pos, doc_id FROM ranked
+        |WHERE pos <= 5 ORDER BY lang, pos""".stripMargin,
+
+    "q_decontaminate_ngram" -> {
+      val t = graft.operators.Sampling.hexThreshold(0.1)
+      // Same tokenize/shingle SQL as q_jaccard_pairs (5-gram window:
+      // slice t[i:i+4], series to len(t)-4); flagged = any shared gram.
+      s"""WITH toks AS (SELECT doc_id,
+         |  regexp_split_to_array(lower(text), '\\s+') AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS g
+         |       FROM toks, unnest(generate_series(1, len(t) - 4)) AS u(i)),
+         |bench AS (SELECT doc_id FROM documents
+         |          WHERE substr(md5('7:' || text), 1, 12) < '$t'),
+         |bg AS (SELECT DISTINCT g FROM sh JOIN bench USING (doc_id)),
+         |flagged AS (SELECT DISTINCT sh.doc_id FROM sh JOIN bg USING (g))
+         |SELECT d.doc_id FROM documents d
+         |WHERE NOT EXISTS (SELECT 1 FROM flagged f WHERE f.doc_id = d.doc_id)
          |ORDER BY d.doc_id""".stripMargin
     },
 

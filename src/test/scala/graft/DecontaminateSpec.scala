@@ -46,6 +46,54 @@ class DecontaminateSpec extends SparkSpec {
     assert(kept === Set(2L))
   }
 
+  test("ngram form drops a partial embedding the fingerprint form keeps") {
+    val corpus = Seq(
+      (1L, "intro words then aaa bbb ccc ddd eee and a tail"),
+      (2L, "totally unrelated content with different tokens entirely"))
+      .toDF("doc_id", "text")
+    val b = Seq("aaa bbb ccc ddd eee").toDF("text")
+    // doc 1 EMBEDS the benchmark item: its bag-of-words differs (extra
+    // words), so whole-document fingerprinting keeps it...
+    val fpKept = Dedup.decontaminate(corpus, "text", b, "text")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(fpKept === Set(1L, 2L))
+    // ...but it shares the 5-gram, so the n-gram form catches it.
+    val ngramKept = Dedup.decontaminateNgram(corpus, "doc_id", "text",
+        b, "text", n = 5)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(ngramKept === Set(2L))
+  }
+
+  test("ngram bloom: containment vs exact ngram, zero corpus shuffle") {
+    val exactKept = Dedup.decontaminateNgram(docs, "doc_id", "text",
+        bench, "text", n = 5)
+      .select($"doc_id").as[Long].collect().toSet
+    val bloomKept = Dedup.decontaminateNgramBloom(docs, "text",
+        bench, "text", n = 5)
+      .select($"doc_id").as[Long].collect().toSet
+    // no false negatives: bloom may over-drop, never under-drop
+    assert(bloomKept.subsetOf(exactKept))
+    assert(exactKept.size - bloomKept.size <= math.max(5, exactKept.size / 20))
+    // the corpus check is a pure scan-stage filter: no Exchange anywhere
+    val plan = Dedup.decontaminateNgramBloom(docs, "text", bench, "text",
+      n = 5).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"corpus was shuffled:\n$plan")
+  }
+
+  test("ngram: null-text and shorter-than-n docs are never flagged") {
+    val corpus = Seq(
+      (1L, "one two"), (2L, null.asInstanceOf[String]),
+      (3L, "aaa bbb ccc ddd eee"))
+      .toDF("doc_id", "text")
+    val b = Seq("aaa bbb ccc ddd eee", null.asInstanceOf[String]).toDF("text")
+    for (kept <- Seq(
+        Dedup.decontaminateNgram(corpus, "doc_id", "text", b, "text", n = 5)
+          .select($"doc_id").as[Long].collect().toSet,
+        Dedup.decontaminateNgramBloom(corpus, "text", b, "text", n = 5)
+          .select($"doc_id").as[Long].collect().toSet))
+      assert(kept === Set(1L, 2L))
+  }
+
   test("bloom_might_contain works from SQL with an embedded literal") {
     graft.functions.BloomFunctions.register(spark)
     val bloom = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)

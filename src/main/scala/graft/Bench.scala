@@ -38,25 +38,38 @@ object Bench {
     // All runs land in BENCH_FULL.json, so one-time costs that session
     // caches absorb after run 1 (index builds, memoized fits) stay
     // visible as the run-1/run-2 gap instead of silently vanishing.
-    val nRuns = math.max(1,
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt)
+    val nRuns = math.max(1, scala.util.Try(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt).getOrElse {
+        // a typo'd env var must degrade to the default, not kill the
+        // bench before any result is written
+        System.err.println("[bench] unparsable SPARK_GRAFT_BENCH_RUNS, using 2")
+        2
+      })
     val allRuns = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // (elapsed, succeeded) per run: a failed run's near-zero elapsed
+      // must never become the headline min, and the record must show
+      // WHICH runs failed (encoded as negative elapsed in the runs
+      // array), not just that something was slow.
       val runs = (1 to nRuns).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() }
-        catch { case e: Throwable =>
-          // loud, not silent: a failing query must be visible in the
-          // round log even though the bench keeps going
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          -1L
-        }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            // loud, not silent: a failing query must be visible in the
+            // round log even though the bench keeps going
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+          }
+        ((System.nanoTime() - t0) / 1e9, ok)
       }
-      System.err.println(f"[bench] $name%-24s ${runs.min}%8.2f s" +
-        runs.map(r => f"$r%.2f").mkString("  (runs: ", ", ", ")"))
-      (name, runs)
+      val okTimes = runs.filter(_._2).map(_._1)
+      val headline = if (okTimes.nonEmpty) okTimes.min else -1.0
+      System.err.println(f"[bench] $name%-24s $headline%8.2f s" +
+        runs.map { case (r, ok) => if (ok) f"$r%.2f" else f"FAIL($r%.2f)" }
+          .mkString("  (runs: ", ", ", ")"))
+      (name, runs, headline)
     }
-    val results = allRuns.map { case (name, runs) => name -> runs.min }
+    val results = allRuns.map { case (name, _, headline) => name -> headline }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
 
     // Full-precision record → file (the round log only keeps the LAST
@@ -72,9 +85,13 @@ object Bench {
     }
     try {
       // full precision, plus every individual run (per-query min hides
-      // cold-vs-warm structure; the runs array keeps it analyzable)
-      val runsJson = allRuns.map { case (k, rs) =>
-        "\"" + k + "\":" + rs.map(_.toString).mkString("[", ",", "]")
+      // cold-vs-warm structure; the runs array keeps it analyzable).
+      // Failed runs serialize as NEGATIVE elapsed — distinguishable
+      // from any real time, numeric for tooling.
+      val runsJson = allRuns.map { case (k, rs, _) =>
+        "\"" + k + "\":" + rs.map { case (r, ok) =>
+          (if (ok) r else -r).toString
+        }.mkString("[", ",", "]")
       }.mkString("{", ",", "}")
       val full = json(_.toString).dropRight(1) +
         s""","runs":$runsJson,"agg":"min_of_$nRuns"}"""

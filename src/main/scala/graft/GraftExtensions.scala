@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BloomMightContain, DotProduct}
+import graft.functions.{BloomMightContain, BottomK, DotProduct}
 
 /** SparkSessionExtensions entry point: registers graft's custom
   * expressions at session build time, so both the Column API and plain
@@ -37,5 +37,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.functions.Builders.binary("bloom_might_contain")(
         BloomMightContain.apply))
     ext.injectFunction(bloomContain)
+    val bottomK: (FunctionIdentifier, ExpressionInfo, FunctionBuilder) = (
+      FunctionIdentifier("bottom_k"),
+      new ExpressionInfo(classOf[BottomK].getName, "bottom_k"),
+      { exprs =>
+        require(exprs.size == 3,
+          s"bottom_k expects exactly 3 arguments, got ${exprs.size}")
+        BottomK(exprs(0), exprs(1), exprs(2))
+      })
+    ext.injectFunction(bottomK)
   }
 }

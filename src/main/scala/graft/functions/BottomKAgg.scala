@@ -70,9 +70,8 @@ case class BottomK(keyExpr: Expression, idExpr: Expression, kExpr: Expression,
   override def update(buf: BottomK.Buffer, input: InternalRow): BottomK.Buffer = {
     val key = keyExpr.eval(input)
     val id = idExpr.eval(input)
-    // clone: the evaluated UTF8String may point into a reused row buffer
     if (key != null && id != null)
-      buf.offer(key.asInstanceOf[UTF8String].clone(), id.asInstanceOf[Long])
+      buf.offer(key.asInstanceOf[UTF8String], id.asInstanceOf[Long])
     buf
   }
 
@@ -133,14 +132,22 @@ object BottomK {
   /** k-bounded max-heap of (key, id): the head is the LARGEST retained
     * pair, evicted whenever a smaller candidate arrives — so the heap
     * always holds the k smallest pairs seen. O(log k) per row, O(k)
-    * memory per group regardless of group size. */
+    * memory per group regardless of group size.
+    *
+    * `offer` may be handed a BORROWED key (update() passes the evaluated
+    * UTF8String, which can point into a reused row buffer): comparison
+    * against the resident head is safe on the borrowed bytes, and the
+    * key is cloned ONLY when it is actually retained — once a group's
+    * heap is full, the overwhelmingly common rejected row allocates
+    * nothing. */
   final class Buffer(val k: Int) {
     private val heap = mutable.PriorityQueue.empty[(UTF8String, Long)](ord)
 
     def offer(key: UTF8String, id: Long): Unit = {
-      val e = (key, id)
-      if (heap.size < k) heap.enqueue(e)
-      else if (ord.lt(e, heap.head)) { heap.dequeue(); heap.enqueue(e) }
+      if (heap.size < k) heap.enqueue((key.clone(), id))
+      else if (ord.lt((key, id), heap.head)) {
+        heap.dequeue(); heap.enqueue((key.clone(), id))
+      }
     }
 
     def entries: Seq[(UTF8String, Long)] = heap.toSeq

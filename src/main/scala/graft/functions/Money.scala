@@ -18,15 +18,22 @@ import org.apache.spark.sql.functions._
   */
 object Money {
 
-  /** Exact integer cents of a double column (HALF_UP). NaN/Infinity
-    * contribute 0, matching [[centsOf]]: Spark's round() passes them
-    * through, and the long cast then throws under Spark 4's default ANSI
-    * mode (non-ANSI: ±Infinity saturates to Long.MaxValue) — either way
-    * batch and streaming totals would diverge on corrupt values without
-    * the guard. */
+  /** Magnitude bound for representable amounts: |v| at or beyond this
+    * cannot express its cents in a long (Long.MaxValue/100 ≈ 9.2e16,
+    * held back to 9e16 to stay clear of double-rounding at the edge).
+    * Values beyond it are corrupt by definition — no monetary column
+    * holds 90 quadrillion — and contribute 0 like NaN/Infinity. */
+  val MaxAbs: Double = 9.0e16
+
+  /** Exact integer cents of a double column (HALF_UP). NaN, ±Infinity
+    * and finite values beyond [[MaxAbs]] contribute 0, matching
+    * [[centsOf]]: Spark's round() passes them through, and the long
+    * cast then throws under Spark 4's default ANSI mode (non-ANSI:
+    * saturates to Long.MaxValue) — either way batch and streaming
+    * totals would diverge on corrupt values without the guard. */
   def cents(c: Column): Column = {
     val d = c.cast("double")
-    when(isnan(d) || abs(d) === Double.PositiveInfinity, 0L)
+    when(isnan(d) || abs(d) >= MaxAbs, 0L)
       .otherwise(round(d * 100, 0).cast("long"))
   }
 
@@ -39,10 +46,11 @@ object Money {
 
   /** Scalar mirror of [[cents]] for typed aggregators / mapGroups code.
     * NOT math.round (half toward +∞) — see the class doc. NaN/Infinity
-    * contribute 0, same guard as the Column form — a corrupt value must
-    * never kill a 24/7 streaming query from inside a stateful operator
-    * (BigDecimal(NaN) throws). */
+    * and beyond-[[MaxAbs]] values contribute 0, same guard as the
+    * Column form — a corrupt value must never kill a 24/7 streaming
+    * query from inside a stateful operator (BigDecimal(NaN) throws,
+    * BigDecimal.toLong silently wraps on overflow). */
   def centsOf(v: Double): Long =
-    if (v.isNaN || v.isInfinite) 0L
+    if (v.isNaN || math.abs(v) >= MaxAbs) 0L
     else BigDecimal(v * 100).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
 }

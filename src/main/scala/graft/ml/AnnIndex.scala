@@ -80,6 +80,42 @@ object AnnIndex {
         s"query dimension $querySize != $what dimension $d")
     }
 
+  /** The query's L (table_id, bucket) keys under the deterministic
+    * seed-fixed hyperplanes. */
+  private def queryBuckets(query: Seq[Double], tables: Int,
+      bitsPerTable: Int): Seq[(Int, Long)] =
+    Similarity.hyperplanes(tables * bitsPerTable, query.size)
+      .grouped(bitsPerTable).toSeq.zipWithIndex
+      .map { case (p, t) => (t, Similarity.sigOf(query, p)) }
+
+  /** Probe predicate over those keys. The leading bucket-only IN
+    * conjunct is load-bearing: partition pruning can only evaluate
+    * predicates over partition columns, and the OR-of-pairs references
+    * table_id too — without the IN the probe would list/read every
+    * bucket directory. */
+  private def bucketPredicate(
+      tableBuckets: Seq[(Int, Long)]): org.apache.spark.sql.Column = {
+    val pairPred = tableBuckets.map { case (t, b) =>
+      col("table_id") === t && col("bucket") === b
+    }.reduce(_ || _)
+    col("bucket").isin(tableBuckets.map(_._2).distinct: _*) && pairPred
+  }
+
+  /** Shared probe tail — optional self-exclusion, exact rounded-cosine
+    * re-rank of the `v` column, deterministic (cos desc, id) top-k. One
+    * definition so the probe layouts (inline / quantized / id-only)
+    * cannot silently diverge on tie-break or rounding semantics. */
+  private def rerankTopK(cands: DataFrame, query: Seq[Double], k: Int,
+      excludeId: Option[Long]): DataFrame = {
+    VectorFunctions.register(cands.sparkSession)
+    val qVec = array(query.map(lit): _*)
+    excludeId.fold(cands)(q => cands.filter(col("id") =!= q))
+      .withColumn("cos", round(Similarity.cosineFast(col("v"), qVec), 6))
+      .select(col("id"), col("cos"))
+      .orderBy(col("cos").desc, col("id"))
+      .limit(k)
+  }
+
   /** Top-k probe against a built hyperplane index: read ONLY the query's
     * L buckets (PartitionFilters — no corpus scan), dedup candidates,
     * exact-cosine re-rank. Same semantics as [[Similarity.annTopK]]. */
@@ -95,35 +131,16 @@ object AnnIndex {
   def probeHyperplane(index: DataFrame, query: Seq[Double],
       k: Int, tables: Int, bitsPerTable: Int,
       excludeId: Option[Long]): DataFrame = {
-    val spark = index.sparkSession
     // Dimension guard: hyperplanes are derived from query.size, so a
     // wrong-dimension query would silently hash into wrong buckets and
     // return plausible-but-wrong neighbors. One indexed row's vector
     // size is the index's dimension (all rows share it by construction);
     // memoized per opened frame so served probes don't pay a job each.
     requireDim(index, "v", query.size, "index")
-    val planes = Similarity.hyperplanes(tables * bitsPerTable, query.size)
-    val tablePlanes = planes.grouped(bitsPerTable).toSeq
-    val tableBuckets = tablePlanes.zipWithIndex.map { case (p, t) =>
-      (t, Similarity.sigOf(query, p))
-    }
-    val pairPred = tableBuckets.map { case (t, b) =>
-      col("table_id") === t && col("bucket") === b
-    }.reduce(_ || _)
-    // Explicit bucket-only conjunct: partition pruning can only evaluate
-    // predicates over partition columns, and the OR-of-pairs references
-    // table_id too — without this IN the probe would list/read every dir.
-    val bucketPrune = col("bucket").isin(tableBuckets.map(_._2).distinct: _*)
-    VectorFunctions.register(spark)
-    val qVec = array(query.map(lit): _*)
     val cands = index
-      .filter(bucketPrune && pairPred)
+      .filter(bucketPredicate(queryBuckets(query, tables, bitsPerTable)))
       .dropDuplicates("id")
-    excludeId.fold(cands)(q => cands.filter(col("id") =!= q))
-      .withColumn("cos", round(Similarity.cosineFast(col("v"), qVec), 6))
-      .select(col("id"), col("cos"))
-      .orderBy(col("cos").desc, col("id"))
-      .limit(k)
+    rerankTopK(cands, query, k, excludeId)
   }
 
   /** Build a QUANTIZED hyperplane index: same multi-table bucket layout,
@@ -167,31 +184,17 @@ object AnnIndex {
       k: Int, tables: Int = 16, bitsPerTable: Int = 8,
       excludeId: Option[Long] = None): DataFrame = {
     import graft.operators.Quantize
-    val spark = index.sparkSession
     // Same dimension guard as [[probeHyperplane]], read from the CODES
     // column (this layout stores qc/qs, not v; one code per component, so
     // size(qc) IS the indexed dimension). Without it a wrong-dimension
     // query silently hashes into wrong buckets and the dequantized
     // re-rank returns NULL cosines — plausible-but-wrong neighbors.
     requireDim(index, "qc", query.size, "index")
-    val planes = Similarity.hyperplanes(tables * bitsPerTable, query.size)
-    val tableBuckets = planes.grouped(bitsPerTable).toSeq.zipWithIndex
-      .map { case (p, t) => (t, Similarity.sigOf(query, p)) }
-    val pairPred = tableBuckets.map { case (t, b) =>
-      col("table_id") === t && col("bucket") === b
-    }.reduce(_ || _)
-    val bucketPrune = col("bucket").isin(tableBuckets.map(_._2).distinct: _*)
-    VectorFunctions.register(spark)
-    val qVec = array(query.map(lit): _*)
     val cands = index
-      .filter(bucketPrune && pairPred)
+      .filter(bucketPredicate(queryBuckets(query, tables, bitsPerTable)))
       .dropDuplicates("id")
       .withColumn("v", Quantize.dequantize(col("qc"), col("qs")))
-    excludeId.fold(cands)(q => cands.filter(col("id") =!= q))
-      .withColumn("cos", round(Similarity.cosineFast(col("v"), qVec), 6))
-      .select(col("id"), col("cos"))
-      .orderBy(col("cos").desc, col("id"))
-      .limit(k)
+    rerankTopK(cands, query, k, excludeId)
   }
 
   /** Top-k probe against an ID-ONLY index (built with
@@ -220,18 +223,11 @@ object AnnIndex {
       vecCol: String, query: Seq[Double], k: Int, tables: Int = 16,
       bitsPerTable: Int = 8, excludeId: Option[Long] = None,
       maxInListCandidates: Int = 100000): DataFrame = {
-    val spark = index.sparkSession
     val withV = base.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
     requireDim(withV, "v", query.size, "base")
-    val planes = Similarity.hyperplanes(tables * bitsPerTable, query.size)
-    val tableBuckets = planes.grouped(bitsPerTable).toSeq.zipWithIndex
-      .map { case (p, t) => (t, Similarity.sigOf(query, p)) }
-    val pairPred = tableBuckets.map { case (t, b) =>
-      col("table_id") === t && col("bucket") === b
-    }.reduce(_ || _)
-    val bucketPrune = col("bucket").isin(tableBuckets.map(_._2).distinct: _*)
-    val candFrame = index.filter(bucketPrune && pairPred)
+    val candFrame = index
+      .filter(bucketPredicate(queryBuckets(query, tables, bitsPerTable)))
       .select(col("id")).distinct()
     // Collect AT MOST threshold+1 ids — the limit bounds the driver
     // transfer even when a hot bucket holds millions; seeing threshold+1
@@ -242,13 +238,7 @@ object AnnIndex {
       if (candIds.size <= maxInListCandidates)
         withV.filter(col("id").isin(candIds: _*))
       else withV.join(candFrame, Seq("id"), "left_semi")
-    VectorFunctions.register(spark)
-    val qVec = array(query.map(lit): _*)
-    excludeId.fold(cands)(q => cands.filter(col("id") =!= q))
-      .withColumn("cos", round(Similarity.cosineFast(col("v"), qVec), 6))
-      .select(col("id"), col("cos"))
-      .orderBy(col("cos").desc, col("id"))
-      .limit(k)
+    rerankTopK(cands, query, k, excludeId)
   }
 
   /** BATCHED top-k probe: answer every row of `queries` in one job — the
@@ -359,14 +349,7 @@ object AnnIndex {
     val probeCells = centroids.zipWithIndex.map { case (c, i) =>
       (i, c.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum)
     }.sortBy(_._2).take(nprobe).map(_._1).toSeq
-    VectorFunctions.register(spark)
-    val qVec = array(query.map(lit): _*)
-    val cands = index
-      .filter(col("cell").isin(probeCells: _*))
-    excludeId.fold(cands)(q => cands.filter(col("id") =!= q))
-      .withColumn("cos", round(Similarity.cosineFast(col("v"), qVec), 6))
-      .select(col("id"), col("cos"))
-      .orderBy(col("cos").desc, col("id"))
-      .limit(k)
+    rerankTopK(index.filter(col("cell").isin(probeCells: _*)),
+      query, k, excludeId)
   }
 }

@@ -44,17 +44,22 @@ object BinaryMetrics {
       .orderBy(col("bin").desc)
   }
 
-  /** Trapezoidal AUC over the binned ROC. */
+  /** Trapezoidal AUC over the binned ROC. NaN for single-class input
+    * (the ROC rates are NULL there; AUC is undefined, and a NaN answer
+    * must not NPE the caller). */
   def binnedAuc(df: DataFrame, scoreCol: String, labelCol: String,
-      bins: Int = 1000): Double = {
-    val roc = binnedRoc(df, scoreCol, labelCol, bins)
-    val w = Window.orderBy(col("bin").desc)
-    roc
+      bins: Int = 1000): Double =
+    trapezoid(binnedRoc(df, scoreCol, labelCol, bins), "bin")
+
+  private def trapezoid(roc: DataFrame, orderCol: String): Double = {
+    val w = Window.orderBy(col(orderCol).desc)
+    val r = roc
       .withColumn("prev_fpr", lag(col("fpr"), 1, 0.0).over(w))
       .withColumn("prev_tpr", lag(col("tpr"), 1, 0.0).over(w))
       .select(sum((col("fpr") - col("prev_fpr")) *
         (col("tpr") + col("prev_tpr")) / 2.0))
-      .head().getDouble(0)
+      .head()
+    if (r.isNullAt(0)) Double.NaN else r.getDouble(0)
   }
 
   /** EXACT ROC — one point per DISTINCT score, cumulative TP/FP over
@@ -98,15 +103,8 @@ object BinaryMetrics {
 
   /** Exact trapezoidal AUC over [[exactRoc]] — equals sklearn's
     * `roc_auc_score` (the curve starts the integration at the implicit
-    * (0,0) point via lag's default). */
-  def exactAuc(df: DataFrame, scoreCol: String, labelCol: String): Double = {
-    val roc = exactRoc(df, scoreCol, labelCol)
-    val w = Window.orderBy(col("threshold").desc)
-    roc
-      .withColumn("prev_fpr", lag(col("fpr"), 1, 0.0).over(w))
-      .withColumn("prev_tpr", lag(col("tpr"), 1, 0.0).over(w))
-      .select(sum((col("fpr") - col("prev_fpr")) *
-        (col("tpr") + col("prev_tpr")) / 2.0))
-      .head().getDouble(0)
-  }
+    * (0,0) point via lag's default). NaN for single-class input, like
+    * [[binnedAuc]]. */
+  def exactAuc(df: DataFrame, scoreCol: String, labelCol: String): Double =
+    trapezoid(exactRoc(df, scoreCol, labelCol), "threshold")
 }

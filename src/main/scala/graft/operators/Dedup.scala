@@ -65,6 +65,13 @@ object Dedup {
       "left_anti")
   }
 
+  /** xxhash64 of each word n-gram of a text column — THE contract both
+    * n-gram decontamination forms share: the bloom form's zero-false-
+    * negative containment vs the exact form only holds while they hash
+    * identical grams, so there is exactly one definition. */
+  private def gramHashes(c: Column, n: Int): Column =
+    transform(MinHashDedup.shingles(TokenOps.tokenize(c), n), g => xxhash64(g))
+
   /** N-GRAM overlap decontamination — the standard published form of
     * train/eval overlap removal (GPT-3 appendix C / Llama 2 style): a
     * corpus document is contaminated if it shares ANY word n-gram with
@@ -82,14 +89,12 @@ object Dedup {
     * n-grams and are never flagged — standard semantics. */
   def decontaminateNgram(corpus: DataFrame, idCol: String, textCol: String,
       benchmark: DataFrame, benchTextCol: String, n: Int = 13): DataFrame = {
-    def gramHashes(c: Column): Column =
-      transform(MinHashDedup.shingles(TokenOps.tokenize(c), n), g => xxhash64(g))
     val benchGrams = broadcast(benchmark
       .filter(col(benchTextCol).isNotNull)
-      .select(explode(gramHashes(col(benchTextCol))).as("__gh"))
+      .select(explode(gramHashes(col(benchTextCol), n)).as("__gh"))
       .distinct())
     val flagged = corpus
-      .select(col(idCol), explode(gramHashes(col(textCol))).as("__gh"))
+      .select(col(idCol), explode(gramHashes(col(textCol), n)).as("__gh"))
       .join(benchGrams, Seq("__gh"), "left_semi")
       .select(col(idCol)).distinct()
     corpus.join(flagged, Seq(idCol), "left_anti")
@@ -115,11 +120,9 @@ object Dedup {
       benchmark: DataFrame, benchTextCol: String, n: Int = 13,
       fpp: Double = 1e-4, expectedItems: Option[Long] = None): DataFrame = {
     import graft.functions.BloomFunctions
-    def gramHashes(c: Column): Column =
-      transform(MinHashDedup.shingles(TokenOps.tokenize(c), n), g => xxhash64(g))
     val benchGrams = benchmark
       .filter(col(benchTextCol).isNotNull)
-      .select(explode(gramHashes(col(benchTextCol))).as("__gh"))
+      .select(explode(gramHashes(col(benchTextCol), n)).as("__gh"))
       .distinct()
     val cnt = math.max(1L, expectedItems.getOrElse(benchGrams.count()))
     val bloom = benchGrams.stat.bloomFilter("__gh", cnt, fpp)
@@ -127,7 +130,7 @@ object Dedup {
     BloomFunctions.register(spark)
     val bloomLit = lit(BloomFunctions.serialize(bloom))
     corpus.filter(col(textCol).isNull ||
-      !exists(gramHashes(col(textCol)),
+      !exists(gramHashes(col(textCol), n),
         gh => BloomFunctions.bloom_might_contain(gh, bloomLit)))
   }
 

@@ -20,12 +20,14 @@ import org.apache.spark.sql.functions._
   */
 object TextClean {
   // Java-regex patterns kept inside the Java∩RE2 shared subset so the same
-  // pattern strings are valid for the DuckDB oracle (SURVEY.md §7 risk note).
+  // pattern strings are valid for the DuckDB oracle (SURVEY.md §7 risk
+  // note). Whitespace classes come from TokenOps.WsChars — `\s`/`\S` are
+  // NOT in the shared subset (Java's \s includes VT, RE2's does not).
   val MentionPattern  = "@[A-Za-z0-9_]+"
-  val UrlPattern      = "https?://\\S+"
+  val UrlPattern      = s"https?://${TokenOps.NonWsRun}"
   val HashPattern     = "#"
-  val NonAlphaPattern = "[^a-zA-Z\\s]"
-  val MultiWsPattern  = "\\s+"
+  val NonAlphaPattern = s"[^a-zA-Z${TokenOps.WsChars}]"
+  val MultiWsPattern  = TokenOps.WsRun
 
   /** The full clean chain as a single Column expression. */
   def cleanText(text: Column): Column = {
@@ -39,14 +41,16 @@ object TextClean {
   }
 
   /** Equivalent DuckDB SQL expression for the oracle (RE2 needs the
-    * explicit 'g' flag; Java regexp_replace is global by default). */
+    * explicit 'g' flag; Java regexp_replace is global by default). The
+    * pattern strings are the SAME constants the Column form compiles —
+    * shared-subset discipline makes that sound. */
   def cleanTextSql(textExpr: String): String = {
     val c0 = s"lower($textExpr)"
-    val c1 = s"regexp_replace($c0, '@[A-Za-z0-9_]+', '', 'g')"
-    val c2 = s"regexp_replace($c1, 'https?://\\S+', '', 'g')"
-    val c3 = s"regexp_replace($c2, '#', '', 'g')"
-    val c4 = s"regexp_replace($c3, '[^a-zA-Z\\s]', ' ', 'g')"
-    val c5 = s"regexp_replace($c4, '\\s+', ' ', 'g')"
+    val c1 = s"regexp_replace($c0, '$MentionPattern', '', 'g')"
+    val c2 = s"regexp_replace($c1, '$UrlPattern', '', 'g')"
+    val c3 = s"regexp_replace($c2, '$HashPattern', '', 'g')"
+    val c4 = s"regexp_replace($c3, '$NonAlphaPattern', ' ', 'g')"
+    val c5 = s"regexp_replace($c4, '$MultiWsPattern', ' ', 'g')"
     s"trim($c5)"
   }
 
@@ -79,14 +83,13 @@ object TextClean {
     regexp_replace(r2, PiiPhonePattern, "<PHONE>")
   }
 
-  /** DuckDB mirror of [[redact]] (explicit 'g'; same order contract). */
+  /** DuckDB mirror of [[redact]] (explicit 'g'; same order contract;
+    * same pattern CONSTANTS as the Column form — one definition each). */
   def redactSql(textExpr: String): String = {
-    val r0 = s"regexp_replace($textExpr, 'https?://\\S+', '<URL>', 'g')"
-    val r1 = s"regexp_replace($r0, " +
-      "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g')"
-    val r2 = s"regexp_replace($r1, " +
-      "'\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g')"
-    s"regexp_replace($r2, '\\+?[0-9][0-9()\\t\\n\\x0B\\f\\r .-]{7,14}[0-9]', '<PHONE>', 'g')"
+    val r0 = s"regexp_replace($textExpr, '$PiiUrlPattern', '<URL>', 'g')"
+    val r1 = s"regexp_replace($r0, '$PiiEmailPattern', '<EMAIL>', 'g')"
+    val r2 = s"regexp_replace($r1, '$PiiIpPattern', '<IP>', 'g')"
+    s"regexp_replace($r2, '$PiiPhonePattern', '<PHONE>', 'g')"
   }
 
   /** Sentiment140 label normalization: 0/4 → 0/1 (`preprocessing.py:93-96`). */

@@ -24,8 +24,22 @@ object TokenOps {
   lazy val englishStopwords: Seq[String] =
     StopWordsRemover.loadDefaultStopWords("english").toSeq
 
+  /** Java∩RE2 shared whitespace CHARACTERS (see [[BpePretokenizePattern]]
+    * doc): `\s` itself is NOT in the shared subset — Java's includes
+    * vertical tab (\x0B) while RE2's does not, so a VT-bearing document
+    * would tokenize/clean differently across engines. \x0B is an escape
+    * both engines share, preserving Java-\s semantics exactly. ONE
+    * definition feeds every tokenizer/cleaner pattern and SQL mirror. */
+  val WsChars: String = "\\t\\n\\x0B\\f\\r "
+
+  /** `\s+` spelled in the shared subset. */
+  val WsRun: String = s"[$WsChars]+"
+
+  /** `\S+` spelled in the shared subset. */
+  val NonWsRun: String = s"[^$WsChars]+"
+
   /** Tokenizer semantics: lowercase, split on runs of whitespace. */
-  def tokenize(text: Column): Column = split(lower(text), "\\s+")
+  def tokenize(text: Column): Column = split(lower(text), WsRun)
 
   /** Keep tokens not in the stoplist; preserves order and duplicates
     * (unlike array_except, which would dedup). */
@@ -51,10 +65,8 @@ object TokenOps {
     * leftmost-FIRST and RE2's leftmost-LONGEST agree on every position:
     * the contraction branch can only win where the punctuation branch
     * would match a strict prefix of it. */
-  val BpePretokenizePattern: String = {
-    val ws = "\\t\\n\\x0B\\f\\r "
-    s"'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^$ws\\p{L}\\p{N}]+|[$ws]+"
-  }
+  val BpePretokenizePattern: String =
+    s"'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^$WsChars\\p{L}\\p{N}]+|[$WsChars]+"
 
   /** Pretokenizer-based token count — the budget a BPE tokenizer would
     * see, before merges (merges only split within pretokens, so this

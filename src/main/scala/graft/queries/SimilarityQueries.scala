@@ -272,6 +272,8 @@ object SimilarityQueries extends QueryModule {
         .orderBy(col("query_id"), col("rank")))
   )
 
+  private val wsSql = TokenOps.WsRun
+
   val oracle: Map[String, String] = Map(
     "q_cosine_topk" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
@@ -292,8 +294,8 @@ object SimilarityQueries extends QueryModule {
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_jaccard_pairs" ->
-      """WITH toks AS (SELECT doc_id,
-        |  regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
+      s"""WITH toks AS (SELECT doc_id,
+        |  regexp_split_to_array(lower(text), '$wsSql') AS t FROM documents),
         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
         |       FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)),
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -340,9 +342,9 @@ object SimilarityQueries extends QueryModule {
     // recursive transitive closure (fine at oracle scale; the Spark side
     // is the O(diameter)-round label propagation).
     "q_dedup_groups" ->
-      """WITH RECURSIVE
+      s"""WITH RECURSIVE
         |toks AS (SELECT doc_id,
-        |  regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
+        |  regexp_split_to_array(lower(text), '$wsSql') AS t FROM documents),
         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
         |       FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)),
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),

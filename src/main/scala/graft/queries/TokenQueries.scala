@@ -287,11 +287,15 @@ object TokenQueries extends QueryModule {
   )
 
   private val stopSql = TokenOps.sqlList(stop)
+  // The SAME whitespace-run pattern TokenOps.tokenize compiles (explicit
+  // shared-subset class, not \s — Java/RE2 diverge on VT), so Spark and
+  // the oracle split identically on ANY input, not just the fixture.
+  private val wsSql = TokenOps.WsRun
   // Mirrors TokenOps.tokenize exactly (lowercase + split on whitespace
   // runs), so the oracles stay correct even if the fixture ever gains
   // uppercase or irregular spacing.
   private val toksSql =
-    "SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS token FROM documents"
+    s"SELECT doc_id, unnest(regexp_split_to_array(lower(text), '$wsSql')) AS token FROM documents"
 
   val oracle: Map[String, String] = Map(
     "q_token_explode" ->
@@ -335,16 +339,16 @@ object TokenQueries extends QueryModule {
     // joined with a single space — t[i:i+1] is DuckDB's inclusive
     // 2-element slice.
     "q_ngram" ->
-      """WITH toks AS (SELECT doc_id,
-        |  regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
+      s"""WITH toks AS (SELECT doc_id,
+        |  regexp_split_to_array(lower(text), '$wsSql') AS t FROM documents),
         |g AS (SELECT unnest([array_to_string(t[i:i+1], ' ')
         |  FOR i IN generate_series(1, len(t) - 1)]) AS gram FROM toks)
         |SELECT gram, CAST(count(*) AS BIGINT) AS n
         |FROM g GROUP BY gram ORDER BY gram""".stripMargin,
 
     "q_token_count" ->
-      """SELECT doc_id,
-        |  CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_ws_tokens,
+      s"""SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(text, '$wsSql')) AS BIGINT) AS n_ws_tokens,
         |  CAST(len(regexp_split_to_array(text, '[^a-zA-Z0-9'']+')) AS BIGINT)
         |    AS n_re_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
@@ -359,8 +363,8 @@ object TokenQueries extends QueryModule {
     "q_quality_score" ->
       s"""WITH q AS (
          |  SELECT doc_id,
-         |    CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS DOUBLE) AS n_tok,
-         |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |    CAST(len(regexp_split_to_array(lower(text), '$wsSql')) AS DOUBLE) AS n_tok,
+         |    CAST(len(list_filter(regexp_split_to_array(lower(text), '$wsSql'),
          |      t -> t IN ($stopSql))) AS DOUBLE) AS n_stop,
          |    CAST(length(replace(text, ' ', '')) AS DOUBLE) AS n_char
          |  FROM documents)
@@ -380,7 +384,7 @@ object TokenQueries extends QueryModule {
            |   / len($grams), 6) END""".stripMargin
       }
       s"""WITH toks AS (SELECT doc_id,
-         |  regexp_split_to_array(lower(text), '\\s+') AS t FROM documents)
+         |  regexp_split_to_array(lower(text), '$wsSql') AS t FROM documents)
          |SELECT doc_id, ${rep(2)} AS rep2, ${rep(3)} AS rep3
          |FROM toks ORDER BY doc_id""".stripMargin
     },
@@ -404,9 +408,9 @@ object TokenQueries extends QueryModule {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_pack_sequences" ->
-      """WITH t AS (
+      s"""WITH t AS (
         |  SELECT doc_id, doc_id % 8 AS shard,
-        |    len(regexp_split_to_array(text, '\s+')) AS n_tokens
+        |    len(regexp_split_to_array(text, '$wsSql')) AS n_tokens
         |  FROM documents),
         |c AS (
         |  SELECT doc_id, shard, n_tokens,
@@ -422,7 +426,7 @@ object TokenQueries extends QueryModule {
     "q_decontaminate" -> {
       val t = graft.operators.Sampling.hexThreshold(0.1)
       def fp(c: String) = "md5(array_to_string(list_sort(list_distinct(" +
-        s"regexp_split_to_array(lower($c), '\\s+'))), ' '))"
+        s"regexp_split_to_array(lower($c), '$wsSql'))), ' '))"
       // NOT EXISTS, not NOT IN: left_anti keeps a corpus row whose
       // fingerprint is NULL (null text), while NOT IN's three-valued
       // NULL comparison would drop it — the anti-join form keeps the
@@ -448,7 +452,7 @@ object TokenQueries extends QueryModule {
       // Same tokenize/shingle SQL as q_jaccard_pairs (5-gram window:
       // slice t[i:i+4], series to len(t)-4); flagged = any shared gram.
       s"""WITH toks AS (SELECT doc_id,
-         |  regexp_split_to_array(lower(text), '\\s+') AS t FROM documents),
+         |  regexp_split_to_array(lower(text), '$wsSql') AS t FROM documents),
          |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS g
          |       FROM toks, unnest(generate_series(1, len(t) - 4)) AS u(i)),
          |bench AS (SELECT doc_id FROM documents
@@ -480,8 +484,8 @@ object TokenQueries extends QueryModule {
     "q_curate" ->
       s"""WITH q AS (
          |  SELECT doc_id, text,
-         |    CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS DOUBLE) AS n_tok,
-         |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |    CAST(len(regexp_split_to_array(lower(text), '$wsSql')) AS DOUBLE) AS n_tok,
+         |    CAST(len(list_filter(regexp_split_to_array(lower(text), '$wsSql'),
          |      t -> t IN ($stopSql))) AS DOUBLE) AS n_stop,
          |    CAST(length(replace(text, ' ', '')) AS DOUBLE) AS n_char
          |  FROM documents),
@@ -495,7 +499,7 @@ object TokenQueries extends QueryModule {
          |          WHERE quality >= 0.55 AND n_tokens >= 5),
          |fp AS (SELECT doc_id, n_tokens, quality,
          |    md5(array_to_string(list_sort(list_distinct(
-         |      regexp_split_to_array(lower(text), '\\s+'))), ' ')) AS f
+         |      regexp_split_to_array(lower(text), '$wsSql'))), ' ')) AS f
          |  FROM gated)
          |SELECT doc_id, n_tokens, quality FROM (
          |  SELECT doc_id, n_tokens, quality,
@@ -504,9 +508,9 @@ object TokenQueries extends QueryModule {
          |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "q_fingerprint" ->
-      """SELECT doc_id,
+      s"""SELECT doc_id,
         |  md5(array_to_string(list_sort(list_distinct(
-        |    regexp_split_to_array(lower(text), '\s+'))), ' ')) AS fp
+        |    regexp_split_to_array(lower(text), '$wsSql'))), ' ')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -26,6 +26,12 @@ class ExtensionsSpec extends SparkSpec {
       }
       assert(err.getMessage.contains("2 arguments"),
         s"unexpected error: ${err.getMessage}")
+      // the native aggregate rides the same front door
+      val bk = ext.sql(
+        "SELECT bottom_k(k, id, 2) AS ids FROM VALUES ('b', 2L), ('a', 1L), " +
+          "('c', 3L) AS t(k, id)")
+        .head().getSeq[Long](0)
+      assert(bk === Seq(1L, 2L))
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)

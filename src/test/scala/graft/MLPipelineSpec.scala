@@ -95,6 +95,12 @@ class MLPipelineSpec extends SparkSpec {
       s"evaluator=$exact engine=$engineExact")
   }
 
+  test("single-class input yields NaN AUC, not a crash") {
+    val oneClass = Seq((0.9, 1), (0.3, 1)).toDF("score", "label")
+    assert(BinaryMetrics.exactAuc(oneClass, "score", "label").isNaN)
+    assert(BinaryMetrics.binnedAuc(oneClass, "score", "label").isNaN)
+  }
+
   test("exact ROC matches the hand-computed curve point for point") {
     // scores 0.9,0.8,0.8,0.4,0.3 / labels 1,1,0,1,0 → P=3, N=2
     // thresholds desc: 0.9 (tp1,fp0), 0.8 (tp2,fp1), 0.4 (tp3,fp1), 0.3 (tp3,fp2)

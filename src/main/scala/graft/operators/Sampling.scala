@@ -87,4 +87,47 @@ object Sampling {
     }
     df.filter(pred)
   }
+
+  /** TEMPERATURE-weighted corpus mix (α = 0.5) — the multilingual
+    * rebalancing recipe (Lample & Conneau, "Cross-lingual Language Model
+    * Pretraining", 2019 — p_l ∝ share^α): target stratum probabilities
+    * are the α-damped shares, flattening the head and boosting the tail
+    * without RNG. Per-stratum keep rates are
+    * `min(1, budgetFraction·N·p_l / n_l)` (no upsampling: a rate is a
+    * filter, capped at 1), applied through the same content-hash
+    * predicate as every other sampler here — so membership stays a pure
+    * function of row content.
+    *
+    * Two passes by construction: a stratum histogram (output rows =
+    * stratum cardinality — languages/sources, NOT corpus-sized; safe to
+    * collect) computes the rates, then ONE row-local filter scan. The
+    * rate arithmetic is pinned cross-engine: α = 0.5 is computed with
+    * `sqrt` (correctly rounded in IEEE — `pow` is not pinned across
+    * libm builds), and the weight normalization runs over
+    * INTEGER-quantized weights (`round(sqrt(share)·1e9)`) so the
+    * normalizing sum is an exact integer — accumulation order cannot
+    * perturb the thresholds (the [[graft.functions.Money]] discipline).
+    * Strata must be string-typed (they key the rate map). */
+  def temperatureMix(df: DataFrame, key: Column, stratumCol: String,
+      budgetFraction: Double = 0.5, seed: Long = 42L): DataFrame =
+    mixByStratum(df, key, col(stratumCol),
+      temperatureRates(df, stratumCol, budgetFraction), 0.0, seed)
+
+  /** The per-stratum keep rates [[temperatureMix]] applies (exposed for
+    * tests and for reporting the realized mixture). */
+  def temperatureRates(df: DataFrame, stratumCol: String,
+      budgetFraction: Double): Map[String, Double] = {
+    require(budgetFraction > 0.0 && budgetFraction <= 1.0,
+      s"budgetFraction must be in (0,1], got $budgetFraction")
+    val hist = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val total = hist.map(_._2).sum
+    val quantized = hist.map { case (s, n) =>
+      (s, math.round(math.sqrt(n.toDouble / total) * 1e9), n)
+    }
+    val wSum = quantized.map(_._2).sum
+    quantized.map { case (s, w, n) =>
+      (s, math.min(1.0, budgetFraction * total * (w.toDouble / wSum) / n))
+    }.toMap
+  }
 }

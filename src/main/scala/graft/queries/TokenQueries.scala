@@ -230,6 +230,18 @@ object TokenQueries extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // Temperature-weighted (α=0.5) corpus mix: per-language keep rates
+    // derived FROM the data (α-damped shares — flattens the head,
+    // boosts the tail), then one content-hash filter scan. The rate
+    // arithmetic is integer-quantized so the driver-computed thresholds
+    // and the oracle's SQL-computed ones agree bit-for-bit.
+    "q_temperature_mix" -> ((s, d) =>
+      graft.operators.Sampling.temperatureMix(
+          Tables.documents(s, d), col("text"), "lang",
+          budgetFraction = 0.5)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"))),
+
     // Per-group deterministic content sample via the native bottom_k
     // aggregate: 5 docs per language, smallest md5('42:'||text) first
     // (same key family as q_content_sample). The window form would
@@ -438,6 +450,33 @@ object TokenQueries extends QueryModule {
          |WHERE NOT EXISTS (SELECT 1 FROM bench b WHERE b.bfp = ${fp("d.text")})
          |ORDER BY d.doc_id""".stripMargin
     },
+
+    // Mirrors Sampling.temperatureRates + hexThreshold exactly: sqrt is
+    // correctly rounded in both engines (pow is not), the weight sum is
+    // an exact integer, and the threshold encoding reproduces
+    // hexThreshold's round/cap/format.
+    "q_temperature_mix" ->
+      """WITH h AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+        |           FROM documents GROUP BY lang),
+        |t AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM h),
+        |w AS (SELECT lang, n,
+        |        CAST(round(sqrt(CAST(n AS DOUBLE) / t.total) * 1000000000.0)
+        |          AS BIGINT) AS wq
+        |      FROM h CROSS JOIN t),
+        |ws AS (SELECT CAST(sum(wq) AS BIGINT) AS wsum FROM w),
+        |r AS (SELECT w.lang,
+        |        least(1.0, 0.5 * t.total *
+        |          (CAST(w.wq AS DOUBLE) / CAST(ws.wsum AS DOUBLE)) / w.n)
+        |          AS rate
+        |      FROM w CROSS JOIN ws CROSS JOIN t),
+        |v AS (SELECT lang, CAST(round(rate * 281474976710656.0) AS BIGINT)
+        |        AS vi FROM r),
+        |thr AS (SELECT lang, CASE WHEN vi >= 281474976710656 THEN 'g'
+        |          ELSE lpad(lower(to_hex(vi)), 12, '0') END AS th FROM v)
+        |SELECT d.lang, CAST(count(*) AS BIGINT) AS n
+        |FROM documents d JOIN thr ON d.lang = thr.lang
+        |WHERE substr(md5('42:' || d.text), 1, 12) < thr.th
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
 
     "q_group_sample" ->
       """WITH ranked AS (

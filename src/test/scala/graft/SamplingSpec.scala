@@ -111,4 +111,33 @@ class SamplingSpec extends SparkSpec {
     assert(langs === Set("en"))
     assert(mixed.count() === docs.filter($"lang" === "en").count())
   }
+
+  test("temperature mix flattens the head and boosts the tail") {
+    val rates = Sampling.temperatureRates(docs, "lang", budgetFraction = 0.5)
+    val natural = docs.groupBy($"lang").count()
+      .as[(String, Long)].collect().toMap
+    val total = natural.values.sum.toDouble
+    // every stratum has a rate; the rarest language keeps a LARGER
+    // fraction of itself than the most common one (the whole point of
+    // alpha-damping), and nothing upsamples
+    assert(rates.keySet === natural.keySet)
+    val rarest = natural.minBy(_._2)._1
+    val biggest = natural.maxBy(_._2)._1
+    assert(rates(rarest) > rates(biggest),
+      s"rates $rates vs natural $natural")
+    assert(rates.values.forall(r => r > 0.0 && r <= 1.0))
+    // realized sample: every stratum survives, total lands near the
+    // budget (binomial tolerance), and the mix equals applying the
+    // exposed rates through mixByStratum (internal consistency)
+    val mixed = Sampling.temperatureMix(docs, $"text", "lang",
+      budgetFraction = 0.5)
+    val mixedIds = mixed.select($"doc_id").as[Long].collect().toSet
+    val direct = Sampling.mixByStratum(docs, $"text", $"lang", rates)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(mixedIds === direct)
+    val kept = mixedIds.size.toDouble
+    assert(math.abs(kept - 0.5 * total) < 4 * math.sqrt(total * 0.25) + 
+      rates.size, s"kept $kept of $total at budget 0.5")
+    assert(mixed.groupBy($"lang").count().count() === natural.size.toLong)
+  }
 }

@@ -113,6 +113,31 @@ object Sampling {
     mixByStratum(df, key, col(stratumCol),
       temperatureRates(df, stratumCol, budgetFraction), 0.0, seed)
 
+  /** Keep AT MOST `k` rows per stratum (the C4-style per-domain cap: no
+    * single domain/source may dominate the corpus), survivors chosen by
+    * smallest content hash — deterministic, partitioning-stable, and
+    * growth-stable in the keys that matter (a survivor only changes if a
+    * smaller-hash row ARRIVES in its stratum, never from reordering).
+    *
+    * Composes the native [[graft.functions.BottomK]] aggregate: the
+    * window row_number form would shuffle-sort the whole corpus per
+    * stratum (one hot domain = one task); bottom_k ships ≤k entries per
+    * stratum per task, then one semi-join stamps the survivors. Rows
+    * with a NULL key cannot be ranked and never survive (the aggregate
+    * skips them) — the conservative choice for a cap. `idCol` must be
+    * integral (it rides the aggregate as a long). */
+  def capPerStratum(df: DataFrame, idCol: String, key: Column,
+      stratumCol: String, k: Int, seed: Long = 42L): DataFrame = {
+    graft.functions.BottomK.register(df.sparkSession)
+    val kept = df
+      .groupBy(col(stratumCol))
+      .agg(graft.functions.BottomK.bottom_k(
+        md5(concat(lit(seed.toString), lit(":"), key)),
+        col(idCol).cast("long"), k).as("__ids"))
+      .select(explode(col("__ids")).as(idCol))
+    df.join(kept, Seq(idCol), "left_semi")
+  }
+
   /** The per-stratum keep rates [[temperatureMix]] applies (exposed for
     * tests and for reporting the realized mixture). */
   def temperatureRates(df: DataFrame, stratumCol: String,

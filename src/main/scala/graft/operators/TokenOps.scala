@@ -78,6 +78,45 @@ object TokenOps {
     size(regexp_extract_all(text, lit(BpePretokenizePattern), lit(0)))
       .cast("long")
 
+  /** Gopher-style document quality rules (Rae et al., "Scaling Language
+    * Models: Methods, Analysis & Insights from Training Gopher", 2021,
+    * §A1.1 — the published rule family a pretraining filter actually
+    * applies): token-count bounds, mean word length in [3,10], a minimum
+    * share of words containing an alphabetic character, and a maximum
+    * symbol-to-word ratio ('#' and '...'). Returns a struct
+    * (n_tokens, mean_word_len, alpha_ratio, symbol_ratio, pass).
+    *
+    * Pure row-local Column math — at 100 TB this is a scan-stage
+    * projection like [[qualityScore]]. The token array is LET-BOUND once
+    * per row ([[graft.functions.ColumnOps.bind]]): interpreted HOFs
+    * re-evaluate non-lambda subexpressions per element, which would
+    * re-tokenize per token otherwise. Ratios are rounded (6dp) BEFORE
+    * the rule comparisons so the pass verdict is cross-engine stable. */
+  def gopherRules(text: Column, minTokens: Long = 10L,
+      maxTokens: Long = 100000L, minAlphaRatio: Double = 0.7,
+      maxSymbolRatio: Double = 0.1): Column =
+    graft.functions.ColumnOps.bind(tokenize(text), toks =>
+      graft.functions.ColumnOps.bind(size(toks).cast("long"), n => {
+        val meanLen = round(
+          aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double") / n, 6)
+        val alphaRatio = round(
+          size(filter(toks, t => t.rlike("[a-zA-Z]"))).cast("double") / n, 6)
+        val hashCount =
+          (length(text) - length(replace(text, lit("#"), lit("")))).cast("double")
+        val ellipsisCount =
+          (length(text) - length(replace(text, lit("..."), lit("")))) / 3
+        val symbolRatio = round((hashCount + ellipsisCount) / n, 6)
+        struct(
+          n.as("n_tokens"),
+          meanLen.as("mean_word_len"),
+          alphaRatio.as("alpha_ratio"),
+          symbolRatio.as("symbol_ratio"),
+          (n >= minTokens && n <= maxTokens &&
+            meanLen >= 3.0 && meanLen <= 10.0 &&
+            alphaRatio >= minAlphaRatio &&
+            symbolRatio <= maxSymbolRatio).as("pass"))
+      }))
+
   /** Order-invariant bag-of-words fingerprint: md5 over the sorted set of
     * [[tokenize]] tokens (ONE tokenizer across the whole surface — this
     * used to split on a literal space, subtly diverging from tokenize's

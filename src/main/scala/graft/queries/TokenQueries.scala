@@ -230,6 +230,25 @@ object TokenQueries extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // Gopher-style quality rules: the published filter family (token
+    // bounds, mean word length, alpha-word share, symbol ratio) as one
+    // scan-stage projection; per-doc metrics + the pass verdict.
+    "q_gopher_rules" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TokenOps.gopherRules(col("text")).as("g"))
+        .select(col("doc_id"), col("g.n_tokens"), col("g.mean_word_len"),
+          col("g.alpha_ratio"), col("g.symbol_ratio"), col("g.pass"))
+        .orderBy(col("doc_id"))),
+
+    // C4-style per-source cap (<= 20 docs per source, smallest content
+    // hash survives) via the native bottom_k aggregate — no corpus-wide
+    // window sort; the hot-source case ships <= k entries per task.
+    "q_source_cap" -> ((s, d) =>
+      graft.operators.Sampling.capPerStratum(
+          Tables.documents(s, d), "doc_id", col("text"), "source", k = 20)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))),
+
     // Temperature-weighted (α=0.5) corpus mix: per-language keep rates
     // derived FROM the data (α-damped shares — flattens the head,
     // boosts the tail), then one content-hash filter scan. The rate
@@ -450,6 +469,35 @@ object TokenQueries extends QueryModule {
          |WHERE NOT EXISTS (SELECT 1 FROM bench b WHERE b.bfp = ${fp("d.text")})
          |ORDER BY d.doc_id""".stripMargin
     },
+
+    "q_gopher_rules" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, text,
+         |    regexp_split_to_array(lower(text), '$wsSql') AS t
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+         |    round(CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+         |      / len(t), 6) AS mean_word_len,
+         |    round(CAST(len(list_filter(t, x -> regexp_matches(x, '[a-zA-Z]')))
+         |      AS DOUBLE) / len(t), 6) AS alpha_ratio,
+         |    round((CAST(length(text) - length(replace(text, '#', ''))
+         |        AS DOUBLE)
+         |      + (length(text) - length(replace(text, '...', ''))) / 3)
+         |      / len(t), 6) AS symbol_ratio
+         |  FROM m)
+         |SELECT doc_id, n_tokens, mean_word_len, alpha_ratio, symbol_ratio,
+         |  (n_tokens >= 10 AND n_tokens <= 100000
+         |   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+         |   AND alpha_ratio >= 0.7 AND symbol_ratio <= 0.1) AS pass
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q_source_cap" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
+        |    ORDER BY md5('42:' || text), doc_id) AS rn
+        |  FROM documents WHERE text IS NOT NULL)
+        |WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
 
     // Mirrors Sampling.temperatureRates + hexThreshold exactly: sqrt is
     // correctly rounded in both engines (pow is not), the weight sum is

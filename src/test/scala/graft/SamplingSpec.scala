@@ -140,4 +140,20 @@ class SamplingSpec extends SparkSpec {
       rates.size, s"kept $kept of $total at budget 0.5")
     assert(mixed.groupBy($"lang").count().count() === natural.size.toLong)
   }
+
+  test("capPerStratum == window form; cap respected per stratum") {
+    val capped = Sampling.capPerStratum(docs, "doc_id", $"text", "source",
+      k = 20)
+    val got = capped.select($"doc_id").as[Long].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"source")
+      .orderBy(md5(concat(lit("42:"), $"text")), $"doc_id")
+    val want = docs.filter($"text".isNotNull)
+      .withColumn("rn", row_number().over(w)).filter($"rn" <= 20)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+    val perSource = capped.groupBy($"source").count()
+      .as[(String, Long)].collect()
+    assert(perSource.forall(_._2 <= 20), perSource.toSeq)
+  }
 }

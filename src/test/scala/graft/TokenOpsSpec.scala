@@ -64,4 +64,25 @@ class TokenOpsSpec extends SparkSpec {
     assert(out.values.forall(v => v >= 0.0 && v <= 1.0))
     assert(out(1) > out(2), s"content-heavy doc should outscore stopword soup: $out")
   }
+
+  test("gopher rules: clean prose passes, degenerate docs fail the right rule") {
+    val df = Seq(
+      // 1: clean 12-token prose -> pass
+      ("the quick brown fox jumps over the lazy dog near the river", 1),
+      // 2: too short
+      ("tiny doc", 2),
+      // 3: symbol soup (# ratio blows the 0.1 budget)
+      ("# # # # # tag tag tag tag tag tag tag", 3),
+      // 4: numeric soup fails the alpha-word share
+      ("11 22 33 44 55 66 77 88 99 00 11 22", 4)).toDF("text", "id")
+    val out = df.select($"id", TokenOps.gopherRules($"text").as("g"))
+      .select($"id", $"g.pass", $"g.n_tokens", $"g.alpha_ratio",
+        $"g.symbol_ratio")
+      .as[(Int, Boolean, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1)._2 === true, out(1))
+    assert(out(2)._2 === false && out(2)._3 < 10, out(2))
+    assert(out(3)._2 === false && out(3)._5 > 0.1, out(3))
+    assert(out(4)._2 === false && out(4)._4 < 0.7, out(4))
+  }
 }

@@ -42,6 +42,30 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("native bottom_k aggregate survives streaming state round-trips") {
+    // the TypedImperativeAggregate's serialize/deserialize is exercised
+    // for real here: streaming aggregation persists partial buffers in
+    // the state store between micro-batches
+    graft.functions.BottomK.register(spark)
+    def key = md5(concat(lit("42:"), $"event_id".cast("string")))
+    val stream = EventStream.read(spark, eventsDir)
+      .groupBy($"event_type")
+      .agg(graft.functions.BottomK.bottom_k(key, $"event_id", 5).as("ids"))
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("bottomk_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("bottomk_out")
+        .as[(String, Seq[Long])].collect().toMap
+      val batch = Tables.events(spark, sf001)
+        .groupBy($"event_type")
+        .agg(graft.functions.BottomK.bottom_k(key, $"event_id", 5).as("ids"))
+        .as[(String, Seq[Long])].collect().toMap
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming sliding counts == batch hopping windows") {
     val stream = EventStream.slidingCounts(
       EventStream.read(spark, eventsDir), "1 hour", "30 minutes")

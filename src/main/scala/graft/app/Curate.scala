@@ -22,6 +22,8 @@ import graft.sources.PartitionedParquet
   *   5. benchmark decontamination  (optional: fingerprint broadcast anti
   *                                  join, or the bloom probe for
   *                                  benchmark sets too big to broadcast)
+  *   5b. per-source cap            (optional, C4-style: bottom_k + semi
+  *                                  join, never a corpus window sort)
   *   6. weighted corpus mixing     (content-hash sampling per language —
   *                                  reproducible across partitioning)
   *   7. sequence packing           (fixed token-budget training samples)
@@ -36,6 +38,7 @@ import graft.sources.PartitionedParquet
   * Usage: graft.app.Curate <documentsDir> <outDir>
   *        [--min-quality Q] [--min-tokens N] [--tokens-per-seq T]
   *        [--benchmark <documentsDir>] [--bloom] [--no-redact]
+  *        [--max-per-source K]
   */
 object Curate {
 
@@ -50,7 +53,8 @@ object Curate {
       seed: Long = 42L,
       redactPii: Boolean = true,
       benchmarkDir: Option[String] = None,
-      bloomDecontaminate: Boolean = false)
+      bloomDecontaminate: Boolean = false,
+      maxPerSource: Option[Int] = None)
 
   final case class Result(curated: DataFrame, packed: DataFrame,
       funnel: Seq[(String, Long)])
@@ -108,8 +112,18 @@ object Curate {
       out
     }
 
+    // 5b. per-source cap (optional, C4-style): no single domain may
+    // dominate the mix; bottom_k keeps it window-free (hot-source-safe)
+    val capped = config.maxPerSource.fold(decontaminated) { k =>
+      val out = Sampling.capPerStratum(decontaminated, "doc_id",
+          col("text"), "source", k, config.seed)
+        .localCheckpoint()
+      funnel += "source_cap" -> out.count()
+      out
+    }
+
     // 6. weighted mix by language (reproducible content-hash sampling)
-    val mixed = Sampling.mixByStratum(decontaminated, col("text"),
+    val mixed = Sampling.mixByStratum(capped, col("text"),
         col("lang"), config.langFractions, config.defaultFraction,
         config.seed)
       .localCheckpoint()
@@ -141,7 +155,8 @@ object Curate {
       tokensPerSeq = opt("--tokens-per-seq").map(_.toInt).getOrElse(200),
       redactPii = !args.contains("--no-redact"),
       benchmarkDir = opt("--benchmark"),
-      bloomDecontaminate = args.contains("--bloom"))
+      bloomDecontaminate = args.contains("--bloom"),
+      maxPerSource = opt("--max-per-source").map(_.toInt))
     val spark = Sessions.local("graft-curate")
     val r = run(spark, docsDir, outDir, config)
     r.funnel.foreach { case (stage, n) =>

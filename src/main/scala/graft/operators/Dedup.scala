@@ -134,6 +134,36 @@ object Dedup {
         gh => BloomFunctions.bloom_might_contain(gh, bloomLit)))
   }
 
+  /** Per-document DUPLICATED-GRAM FRACTION — what share of a document's
+    * distinct word n-grams appear in at least one OTHER document: the
+    * doc-level approximation of substring dedup (cf. Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better", 2022)
+    * and the standard corpus-level boilerplate signal that within-doc
+    * repetition ([[TokenOps.repetitionRatio]]) cannot see.
+    *
+    * Shape at 100 TB: one explode + hash aggregation on 8-byte gram
+    * hashes (map-side combined — heavy but linear, the wordcount shape),
+    * one join back, one per-doc aggregation. No all-pairs anything.
+    * Documents shorter than n tokens have zero grams: n_grams = 0 and a
+    * NULL fraction (undefined, not a fake 0). */
+  def duplicatedGramFraction(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5): DataFrame = {
+    val grams = df.select(col(idCol),
+        explode(MinHashDedup.shingles(TokenOps.tokenize(col(textCol)), n)).as("__g"))
+      .select(col(idCol), xxhash64(col("__g")).as("__gh"))
+    val counts = grams.groupBy(col("__gh")).agg(count(lit(1)).as("__cnt"))
+    val perDoc = grams.join(counts, Seq("__gh"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__cnt") >= 2, 1L).otherwise(0L)).as("__dup"))
+      .select(col(idCol), col("n_grams"),
+        round(col("__dup").cast("double") / col("n_grams"), 6)
+          .as("dup_fraction"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        col("dup_fraction"))
+  }
+
   /** Bloom-filter decontamination: the scale path between "benchmark fits
     * in an exact broadcast set" ([[decontaminate]]) and "shuffle the
     * whole corpus for an anti-join". The benchmark's 64-bit content

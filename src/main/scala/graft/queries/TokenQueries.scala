@@ -230,6 +230,15 @@ object TokenQueries extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // Corpus-level duplicated-gram fraction: share of each doc's
+    // distinct 5-grams that appear in another document — the signal
+    // within-doc repetition can't see. Wordcount-shaped (linear), no
+    // all-pairs.
+    "q_dup_gram_fraction" -> ((s, d) =>
+      graft.operators.Dedup.duplicatedGramFraction(
+          Tables.documents(s, d), "doc_id", "text", n = 5)
+        .orderBy(col("doc_id"))),
+
     // Gopher-style quality rules: the published filter family (token
     // bounds, mean word length, alpha-word share, symbol ratio) as one
     // scan-stage projection; per-doc metrics + the pass verdict.
@@ -469,6 +478,21 @@ object TokenQueries extends QueryModule {
          |WHERE NOT EXISTS (SELECT 1 FROM bench b WHERE b.bfp = ${fp("d.text")})
          |ORDER BY d.doc_id""".stripMargin
     },
+
+    "q_dup_gram_fraction" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |  regexp_split_to_array(lower(text), '$wsSql') AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS g
+         |       FROM toks, unnest(generate_series(1, len(t) - 4)) AS u(i)),
+         |c AS (SELECT g, count(*) AS cnt FROM sh GROUP BY g),
+         |p AS (SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |        round(CAST(sum(CASE WHEN c.cnt >= 2 THEN 1 ELSE 0 END)
+         |          AS DOUBLE) / count(*), 6) AS dup_fraction
+         |      FROM sh JOIN c USING (g) GROUP BY sh.doc_id)
+         |SELECT d.doc_id, CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+         |  p.dup_fraction
+         |FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q_gopher_rules" ->
       s"""WITH m AS (

@@ -75,4 +75,18 @@ class CurateSpec extends SparkSpec {
       .count().filter($"count" > 1).count()
     assert(fpDups === 0, "exact duplicates survived curation")
   }
+
+  test("optional per-source cap bounds every source and shows in the funnel") {
+    val out =
+      java.nio.file.Files.createTempDirectory("graft-curate-cap").toString
+    val r = Curate.run(spark, sf001, out,
+      Curate.Config(maxPerSource = Some(3)))
+    assert(r.funnel.map(_._1).contains("source_cap"))
+    val perSource = r.curated.groupBy($"source").count()
+      .as[(String, Long)].collect()
+    assert(perSource.nonEmpty && perSource.forall(_._2 <= 3), perSource.toSeq)
+    // funnel stays monotone through the new stage
+    val counts = r.funnel.map(_._2)
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a }, r.funnel)
+  }
 }

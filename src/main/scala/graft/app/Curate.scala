@@ -59,6 +59,29 @@ object Curate {
   final case class Result(curated: DataFrame, packed: DataFrame,
       funnel: Seq[(String, Long)])
 
+  /** The ROW-LOCAL prefix of the pipeline — PII redaction → quality/
+    * length gate → deterministic mix membership — as one pure
+    * projection+filter transform. No aggregation, no state, no shuffle:
+    * it applies UNCHANGED to a streaming frame, which is the ingest-time
+    * curation shape (gate documents as they arrive; the corpus-wide
+    * stages — dedup, group resolution, decontamination, caps — run as
+    * periodic batch passes over what landed). Streaming==batch equality
+    * is asserted in CurateSpec. */
+  def gate(docs: DataFrame, config: Config = Config()): DataFrame = {
+    val redacted =
+      if (config.redactPii)
+        docs.withColumn("text", TextClean.redact(col("text")))
+      else docs
+    val (nTok, _, quality) = TokenOps.qualityScore(col("text"))
+    val gated = redacted
+      .withColumn("n_tokens", nTok)
+      .withColumn("quality", quality)
+      .filter(col("quality") >= config.minQuality &&
+        col("n_tokens") >= config.minTokens)
+    Sampling.mixByStratum(gated, col("text"), col("lang"),
+      config.langFractions, config.defaultFraction, config.seed)
+  }
+
   def run(spark: SparkSession, docsDir: String, outDir: String,
       config: Config = Config()): Result = {
     val raw = graft.Tables.documents(spark, docsDir)

@@ -76,6 +76,29 @@ class CurateSpec extends SparkSpec {
     assert(fpDups === 0, "exact duplicates survived curation")
   }
 
+  test("row-local gate streams: streaming output == batch output") {
+    // the gate is projection+filter only, so the SAME function runs on a
+    // file stream — ingest-time curation
+    val dir = java.nio.file.Files.createTempDirectory("graft-gate-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf001/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    val batchIn = Tables.documents(spark, sf001)
+    val streamIn = spark.readStream.schema(batchIn.schema)
+      .parquet(dir.toString)
+    val q = Curate.gate(streamIn).writeStream.outputMode("append")
+      .format("memory").queryName("gate_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("gate_out")
+        .select($"doc_id", $"text", $"quality").collect().toSet
+      val batch = Curate.gate(batchIn)
+        .select($"doc_id", $"text", $"quality").collect().toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("optional per-source cap bounds every source and shows in the funnel") {
     val out =
       java.nio.file.Files.createTempDirectory("graft-curate-cap").toString

@@ -164,6 +164,70 @@ object Dedup {
         col("dup_fraction"))
   }
 
+  /** SPAN-LEVEL duplicate TRIMMING — the remediation step
+    * [[duplicatedGramFraction]] only flags: remove from each document the
+    * token spans covered by a CROSS-DOC duplicated word n-gram (one that
+    * appears in at least one OTHER document), keep the unique remainder
+    * in original order (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better", 2022 — substring removal, here at word-gram
+    * granularity so the semantics stay engine-mirrorable).
+    *
+    * A token is dropped iff SOME duplicated gram occurrence covers its
+    * position; grams straddling a shared span's boundary contain
+    * doc-unique tokens, are not duplicated, and so never widen the cut —
+    * the trim is exactly the maximal shared runs of >= n tokens. Within-
+    * doc repeats alone don't trim (cross-doc is the boilerplate signal;
+    * within-doc repetition is [[TokenOps.repetitionRatio]]'s job).
+    *
+    * Shape at 100 TB: the same linear wordcount shape as
+    * [[duplicatedGramFraction]] — posexplode of gram occurrences, one
+    * hash aggregation on 8-byte gram hashes (map-side combined), a
+    * semi-join of occurrences against the duplicated-hash set, a
+    * position anti-join, and a per-doc reassembly aggregation whose
+    * state is bounded by the document's own token count. No all-pairs
+    * anything, no window over the corpus.
+    *
+    * Output: (idCol, n_kept, trimmed) — trimmed is the kept tokens
+    * joined by single spaces (token-normalized: lowercased, whitespace
+    * runs collapsed, like every gram operator here). A fully-duplicated
+    * document trims to '' (kept, length 0 — dropping is the caller's
+    * policy); a NULL text stays NULL with n_kept = 0. Trimming is
+    * idempotent up to re-tokenization on corpora where the post-trim
+    * seams don't coincidentally form new cross-doc grams (specced). */
+  def trimDuplicatedGrams(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5): DataFrame = {
+    val toks = df.select(col(idCol), TokenOps.tokenize(col(textCol)).as("__t"))
+    // gram OCCURRENCES with their 0-based start offset (rawShingles, not
+    // the distinct set: coverage needs every position)
+    val posGrams = toks
+      .select(col(idCol),
+        posexplode(MinHashDedup.rawShingles(col("__t"), n)).as(Seq("__s", "__g")))
+      .select(col(idCol), col("__s"), xxhash64(col("__g")).as("__gh"))
+    // cross-doc duplicated grams: per-doc-distinct first, so the count
+    // IS the number of documents containing the gram
+    val dup = posGrams.select(col(idCol), col("__gh")).distinct()
+      .groupBy(col("__gh")).agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= 2)
+      .select(col("__gh"))
+    val covered = posGrams.join(dup, Seq("__gh"), "left_semi")
+      .select(col(idCol),
+        explode(sequence(col("__s"), col("__s") + lit(n - 1))).as("__p"))
+      .distinct()
+    val tokens = toks
+      .select(col(idCol), posexplode(col("__t")).as(Seq("__p", "__w")))
+    val kept = tokens.join(covered, Seq(idCol, "__p"), "left_anti")
+    val reassembled = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("__p"), col("__w")))),
+            x => x.getField("__w")), " ").as("__trimmed"))
+    df.select(col(idCol), col(textCol)).join(reassembled, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        when(col(textCol).isNull, lit(null).cast("string"))
+          .otherwise(coalesce(col("__trimmed"), lit(""))).as("trimmed"))
+  }
+
   /** Bloom-filter decontamination: the scale path between "benchmark fits
     * in an exact broadcast set" ([[decontaminate]]) and "shuffle the
     * whole corpus for an anti-join". The benchmark's 64-bit content

@@ -239,6 +239,16 @@ object TokenQueries extends QueryModule {
           Tables.documents(s, d), "doc_id", "text", n = 5)
         .orderBy(col("doc_id"))),
 
+    // Span-level dedup REMEDIATION: trim the cross-doc duplicated gram
+    // runs out of each document, keep the unique remainder (Lee et al.
+    // 2022 substring removal at word-gram granularity). Same linear
+    // wordcount shape as q_dup_gram_fraction, plus a position anti-join
+    // and per-doc reassembly.
+    "q_dedup_trim" -> ((s, d) =>
+      graft.operators.Dedup.trimDuplicatedGrams(
+          Tables.documents(s, d), "doc_id", "text", n = 5)
+        .orderBy(col("doc_id"))),
+
     // Gopher-style quality rules: the published filter family (token
     // bounds, mean word length, alpha-word share, symbol ratio) as one
     // scan-stage projection; per-doc metrics + the pass verdict.
@@ -492,6 +502,35 @@ object TokenQueries extends QueryModule {
          |SELECT d.doc_id, CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
          |  p.dup_fraction
          |FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "q_dedup_trim" ->
+      // Mirror of Dedup.trimDuplicatedGrams: 1-based array positions vs
+      // Spark's 0-based are internal only (never projected); dup grams
+      // are count(DISTINCT doc_id) >= 2, covered positions are the n
+      // offsets of each duplicated occurrence, kept tokens reassemble
+      // in position order.
+      s"""WITH toks AS (SELECT doc_id, text,
+         |  regexp_split_to_array(lower(text), '$wsSql') AS t FROM documents),
+         |pg AS (SELECT doc_id, i AS s, array_to_string(t[i:i+4], ' ') AS g
+         |       FROM toks, unnest(generate_series(1, len(t) - 4)) AS u(i)),
+         |dup AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS nd
+         |                       FROM pg GROUP BY g) WHERE nd >= 2),
+         |cov AS (SELECT DISTINCT pg.doc_id, s + j AS p
+         |        FROM pg JOIN dup USING (g),
+         |             unnest(generate_series(0, 4)) AS v(j)),
+         |tok AS (SELECT doc_id, i AS p, t[i] AS w
+         |        FROM toks, unnest(generate_series(1, len(t))) AS u(i)),
+         |kept AS (SELECT tok.doc_id, tok.p, tok.w FROM tok
+         |         LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.p = cov.p
+         |         WHERE cov.doc_id IS NULL),
+         |tr AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |         string_agg(w, ' ' ORDER BY p) AS trimmed
+         |       FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(coalesce(tr.n_kept, 0) AS BIGINT) AS n_kept,
+         |  CASE WHEN d.text IS NULL THEN NULL
+         |       ELSE coalesce(tr.trimmed, '') END AS trimmed
+         |FROM documents d LEFT JOIN tr ON d.doc_id = tr.doc_id
          |ORDER BY d.doc_id""".stripMargin,
 
     "q_gopher_rules" ->

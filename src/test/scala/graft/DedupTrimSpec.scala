@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Span-level duplicate trimming ([[Dedup.trimDuplicatedGrams]]):
+  * exactness on a constructed corpus with known shared spans, edge
+  * semantics (short doc, fully-duplicated doc, null text), and
+  * idempotence — re-trimming the trimmed corpus is a no-op when the
+  * post-trim seams form no new cross-doc grams (which the fixture
+  * guarantees and the oracle corpus is additionally checked for). */
+class DedupTrimSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  private def trimmedOf(df: DataFrame): Map[Long, (Long, String)] =
+    Dedup.trimDuplicatedGrams(df, "doc_id", "text", n = 3)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) null else r.getString(2)))
+      .toMap
+
+  // Two docs share the 4-token run "x1 x2 x3 x4" (n=3 → grams (x1 x2 x3)
+  // and (x2 x3 x4) are cross-doc duplicates, covering exactly the run);
+  // the straddling grams contain doc-unique tokens and must not widen
+  // the cut.
+  private val shared = "x1 x2 x3 x4"
+  private val fixture = docs(
+    1L -> s"a1 a2 a3 $shared b1 b2 b3",
+    2L -> s"c1 c2 c3 $shared d1 d2 d3",
+    3L -> "e1 e2 e3 e4 e5 e6",     // unique doc: untouched
+    4L -> "f1 f2",                 // shorter than n: no grams, untouched
+    5L -> shared,                  // nothing but the shared span: trims to ''
+    6L -> null.asInstanceOf[String])
+
+  test("trims exactly the shared run, keeps unique remainder in order") {
+    val out = trimmedOf(fixture)
+    assert(out(1L) === (6L, "a1 a2 a3 b1 b2 b3"))
+    assert(out(2L) === (6L, "c1 c2 c3 d1 d2 d3"))
+  }
+
+  test("documents with no cross-doc grams are untouched (token-normalized)") {
+    val out = trimmedOf(fixture)
+    assert(out(3L) === (6L, "e1 e2 e3 e4 e5 e6"))
+    assert(out(4L) === (2L, "f1 f2")) // < n tokens: no grams at all
+  }
+
+  test("a fully-duplicated document trims to empty, null text stays null") {
+    val out = trimmedOf(fixture)
+    assert(out(5L) === (0L, ""))
+    assert(out(6L) === (0L, null))
+  }
+
+  test("within-doc repetition alone does not trim") {
+    val out = trimmedOf(docs(
+      1L -> "r1 r2 r3 r1 r2 r3 r1 r2 r3",
+      2L -> "s1 s2 s3 s4 s5"))
+    assert(out(1L)._1 === 9L) // repeated within one doc only: kept
+  }
+
+  test("token normalization: case and whitespace runs collapse") {
+    val out = trimmedOf(docs(
+      1L -> "A1  a2\ta3 z9", 2L -> "b1 b2 b3 b4"))
+    assert(out(1L) === (4L, "a1 a2 a3 z9"))
+  }
+
+  test("idempotent on the fixture: trimming the trimmed corpus is a no-op") {
+    val once = Dedup.trimDuplicatedGrams(fixture, "doc_id", "text", n = 3)
+      .select(col("doc_id"), col("trimmed").as("text"))
+    val twice = trimmedOf(once)
+    val onceMap = once.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    onceMap.foreach { case (id, t) =>
+      assert(twice(id)._2 === t, s"doc $id changed on second trim")
+    }
+  }
+
+  test("idempotent on the oracle corpus (sf0.001 documents, n=5)") {
+    val once = Dedup.trimDuplicatedGrams(
+        Tables.documents(spark, sf001), "doc_id", "text", n = 5)
+      .select(col("doc_id"), col("trimmed").as("text"))
+      .localCheckpoint()
+    val again = Dedup.trimDuplicatedGrams(once, "doc_id", "text", n = 5)
+    val changed = once.join(again, Seq("doc_id"))
+      .filter(coalesce(col("text"), lit("<null>")) =!=
+        coalesce(col("trimmed"), lit("<null>")))
+      .count()
+    assert(changed === 0L, s"$changed docs changed on second trim")
+  }
+}

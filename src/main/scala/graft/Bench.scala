@@ -20,6 +20,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Box-load marker: /proc/loadavg before and after the run lands in
+    // BENCH_FULL.json so a round-over-round regression can be
+    // adjudicated mechanically (contended box vs real code change)
+    // instead of forensically.
+    def loadavg(): String =
+      scala.util.Try(scala.io.Source.fromFile("/proc/loadavg").mkString.trim)
+        .getOrElse("unavailable")
+    val loadBefore = loadavg()
+
     // Warm-up: touch every table once (schema read + a tiny job).
     Tables.all.foreach { t =>
       try Tables.load(spark, sfDir, t).limit(1).count()
@@ -94,7 +103,8 @@ object Bench {
         }.mkString("[", ",", "]")
       }.mkString("{", ",", "}")
       val full = json(_.toString).dropRight(1) +
-        s""","runs":$runsJson,"agg":"min_of_$nRuns"}"""
+        s""","runs":$runsJson,"agg":"min_of_$nRuns"""" +
+        s""","loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}"}"""
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
         (full + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable =>
@@ -108,6 +118,12 @@ object Bench {
         .bigDecimal.stripTrailingZeros.toPlainString
     val line3 = json(sig(3))
     println(if (line3.length <= 1800) line3 else json(sig(2)))
+    // Total-only line LAST, <100 chars: at 95 queries even the compact
+    // per-query line (~2,100 chars) overflows the driver's 2000-char
+    // tail window (rounds 4-5 recorded parsed:null). This short line is
+    // the one guaranteed to survive the tail regardless of query count;
+    // the per-query detail lives in BENCH_FULL.json and the line above.
+    println(s"""{"metric":"total","value":${sig(4)(total)},"unit":"sec","n":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -116,6 +116,41 @@ class PlanSpec extends SparkSpec {
       s"expected at most 1 hash exchange, got $hashExchangeArgs:\n$plan")
   }
 
+  test("q_anti_join broadcasts the filtered lineitem side (no shuffle of part)") {
+    // Adjudicated in round 6: the r5 bench regression (0.33→2.68 s) was
+    // box load, not a plan change — warm runs are 0.4-0.5 s and the plan
+    // below is the one we want at scale. Pinned so a REAL plan
+    // regression (filtered build side falling back to sort-merge and
+    // shuffling the full part table) fails here, not on the cluster.
+    val plan = formatted("q_anti_join")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"anti-join build side not broadcast:\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate"),
+      s"shipdate filter not pushed to the scan:\n$plan")
+  }
+
+  test("q_group_sample aggregates with bounded bottom_k, no Window/row_number sort") {
+    val plan = formatted("q_group_sample")
+    assert(plan.contains("ObjectHashAggregate"),
+      s"expected object hash aggregate for bottom_k:\n$plan")
+    assert(plan.contains("partial_bottom_k"),
+      s"expected map-side partial bottom_k (each task ships ≤k rows/group):\n$plan")
+    assert(!plan.contains("Window"),
+      s"group sampling must not fall back to a window/row_number sort:\n$plan")
+  }
+
+  test("q_source_cap aggregates with bounded bottom_k, no Window/row_number sort") {
+    val plan = formatted("q_source_cap")
+    assert(plan.contains("ObjectHashAggregate") && plan.contains("partial_bottom_k"),
+      s"expected partial+final bottom_k aggregate:\n$plan")
+    assert(!plan.contains("Window"),
+      s"source capping must not fall back to a window/row_number sort:\n$plan")
+    // the kept-id set joins back as a broadcast semi-join — the corpus
+    // itself must not shuffle
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"kept-id set should broadcast-semi-join the corpus:\n$plan")
+  }
+
   test("whole-stage codegen covers the clean chain") {
     val df = graft.operators.TextClean.clean(Tables.documents(spark, sf001))
     val plan = df.queryExecution.executedPlan.toString

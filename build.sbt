@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt runMain graft.Bench` as
+// JSON. sbt's default forked-output strategy prefixes every line with
+// "[info] " and appends a "[success] Total time: ..." epilogue, so the
+// bench's compact JSON line was never the bare final line (rounds 1-6
+// recorded parsed:null regardless of line length). StdoutOutput passes
+// the forked JVM's stdout through verbatim; showSuccess kills the
+// epilogue.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess IS used (the [success] epilogue is gone) — the lint
+// can't see command-level keys.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

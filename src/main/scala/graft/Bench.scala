@@ -20,13 +20,26 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Box-load marker: /proc/loadavg before and after the run lands in
-    // BENCH_FULL.json so a round-over-round regression can be
-    // adjudicated mechanically (contended box vs real code change)
-    // instead of forensically.
+    // Box-load marker: /proc/loadavg before/after the run AND per run
+    // lands in BENCH_FULL.json so a round-over-round regression can be
+    // adjudicated mechanically (contended box vs real code change vs
+    // GC thrash) instead of forensically. Endpoint-only sampling missed
+    // a mid-run spike in round 6; per-run 1-min load + cumulative GC ms
+    // give the needed granularity.
     def loadavg(): String =
-      scala.util.Try(scala.io.Source.fromFile("/proc/loadavg").mkString.trim)
+      scala.util.Using(scala.io.Source.fromFile("/proc/loadavg"))(_.mkString.trim)
         .getOrElse("unavailable")
+    // 1-minute load as a bare double (per-run record stays numeric).
+    def load1(): Double =
+      scala.util.Try(loadavg().split("\\s+")(0).toDouble).getOrElse(-1.0)
+    // Cumulative GC time across all collectors, ms since JVM start.
+    // The per-query delta separates "this query allocated hard /
+    // thrashed the heap" from "the box was busy".
+    def gcMs(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    }
     val loadBefore = loadavg()
 
     // Warm-up: touch every table once (schema read + a tiny job).
@@ -55,11 +68,14 @@ object Bench {
         2
       })
     val allRuns = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // (elapsed, succeeded) per run: a failed run's near-zero elapsed
-      // must never become the headline min, and the record must show
-      // WHICH runs failed (encoded as negative elapsed in the runs
-      // array), not just that something was slow.
+      // (elapsed, succeeded, gcDeltaMs, load1) per run: a failed run's
+      // near-zero elapsed must never become the headline min, and the
+      // record must show WHICH runs failed (encoded as negative elapsed
+      // in the runs array), not just that something was slow. GC delta
+      // and box load per run let a slow number be adjudicated as
+      // heap-thrash vs contended-box vs real plan change.
       val runs = (1 to nRuns).map { _ =>
+        val gc0 = gcMs()
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true }
@@ -69,13 +85,14 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             false
           }
-        ((System.nanoTime() - t0) / 1e9, ok)
+        ((System.nanoTime() - t0) / 1e9, ok, gcMs() - gc0, load1())
       }
-      val okTimes = runs.filter(_._2).map(_._1)
+      val okTimes = runs.collect { case (r, true, _, _) => r }
       val headline = if (okTimes.nonEmpty) okTimes.min else -1.0
       System.err.println(f"[bench] $name%-24s $headline%8.2f s" +
-        runs.map { case (r, ok) => if (ok) f"$r%.2f" else f"FAIL($r%.2f)" }
-          .mkString("  (runs: ", ", ", ")"))
+        runs.map { case (r, ok, gc, ld) =>
+          (if (ok) f"$r%.2f" else f"FAIL($r%.2f)") + f"/gc${gc}ms/ld$ld%.1f"
+        }.mkString("  (runs: ", ", ", ")"))
       (name, runs, headline)
     }
     val results = allRuns.map { case (name, _, headline) => name -> headline }
@@ -92,19 +109,32 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     }
+    // Minimal JSON string escape for interpolated fields (loadavg
+    // fallback text, sfDir): the file must stay parseable even if a
+    // value grows a quote or backslash in some future edit.
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
     try {
       // full precision, plus every individual run (per-query min hides
       // cold-vs-warm structure; the runs array keeps it analyzable).
       // Failed runs serialize as NEGATIVE elapsed — distinguishable
-      // from any real time, numeric for tooling.
+      // from any real time, numeric for tooling. Each run is
+      // [elapsedSec, gcDeltaMs, load1] so a slow run carries its own
+      // adjudication evidence.
       val runsJson = allRuns.map { case (k, rs, _) =>
-        "\"" + k + "\":" + rs.map { case (r, ok) =>
-          (if (ok) r else -r).toString
+        jstr(k) + ":" + rs.map { case (r, ok, gc, ld) =>
+          s"[${if (ok) r else -r},$gc,$ld]"
         }.mkString("[", ",", "]")
       }.mkString("{", ",", "}")
       val full = json(_.toString).dropRight(1) +
-        s""","runs":$runsJson,"agg":"min_of_$nRuns"""" +
-        s""","loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}"}"""
+        s""","runs":$runsJson,"runs_shape":"[elapsed_sec,gc_delta_ms,load1]"""" +
+        s""","agg":"min_of_$nRuns"""" +
+        s""","loadavg_before":${jstr(loadBefore)},"loadavg_after":${jstr(loadavg())}}"""
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
         (full + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable =>

@@ -50,8 +50,11 @@ object Preprocess {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: graft.app.Preprocess <rawCsvPath> <cleanOutDir>")
+      "usage: graft.app.Preprocess <rawCsvPath> <cleanOutDir> [--charts DIR]")
     val Array(rawPath, outDir) = args.take(2)
+    val chartsDir = args.sliding(2).collectFirst {
+      case Array("--charts", dir) => dir
+    }
     val spark = Sessions.local("graft-preprocess")
     run(spark, rawPath, outDir)
     // Stats read the WRITTEN output, not the lazy plan: re-using the
@@ -59,6 +62,15 @@ object Preprocess {
     val written = SentimentCsv.readClean(spark, outDir)
     classDistribution(written).show(10, truncate = false)
     lengthStats(written).show(truncate = false)
+    // Label-distribution chart (`preprocessing.py:44-52`'s bar plot) —
+    // the input aggregate is #classes rows, so the chart render is
+    // driver-trivial at any corpus size.
+    chartsDir.foreach { dir =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      graft.ml.ModelCharts.writeLabelDistributionSvg(
+        classDistribution(written),
+        java.nio.file.Paths.get(dir, "label_distribution.svg").toString)
+    }
     spark.stop()
   }
 }

@@ -24,11 +24,13 @@ import graft.sources.SentimentCsv
   *
   * Usage: graft.app.Train <lr|nb|svm> <cleanDir> <modelOutDir> <metricsJsonPath>
   *        [--ngram N] (LR/SVM only, mirroring `model_logistic_regression.py:43-48`)
+  *        [--charts DIR] (per-model confusion heatmap + ROC curve SVGs,
+  *        the reference's `model_*.py` chart artifacts)
   */
 object Train {
 
   final case class Result(model: PipelineModel,
-      metrics: SentimentPipeline.Metrics)
+      metrics: SentimentPipeline.Metrics, predictions: DataFrame)
 
   def classifier(kind: String): org.apache.spark.ml.PipelineStage =
     kind match {
@@ -48,7 +50,43 @@ object Train {
       .pipeline(classifier(kind), useNgram, ngramN).fit(train)
     val predictions = model.transform(test)
     // LinearSVC emits no probability column; AUC always uses rawPrediction.
-    Result(model, SentimentPipeline.evaluate(predictions))
+    Result(model, SentimentPipeline.evaluate(predictions), predictions)
+  }
+
+  /** A [0,1] score column for ROC charting: P(class 1) when the model
+    * emits probabilities; otherwise (LinearSVC) the sigmoid of the
+    * class-1 margin — a MONOTONE transform, so the ROC curve is
+    * unchanged, and the bounded range is what [[graft.ml.BinaryMetrics
+    * .binnedRoc]]'s bin layout needs. */
+  def rocScore(predictions: DataFrame): org.apache.spark.sql.Column = {
+    import org.apache.spark.ml.functions.vector_to_array
+    if (predictions.columns.contains("probability"))
+      element_at(vector_to_array(col("probability")), 2)
+    else {
+      val margin = element_at(vector_to_array(col("rawPrediction")), 2)
+      lit(1.0) / (lit(1.0) + exp(-margin))
+    }
+  }
+
+  /** Per-model chart artifacts — the reference saves a confusion heatmap
+    * and ROC curve PNG per model (`model_logistic_regression.py:261-296`,
+    * `model_naive_bayes.py:181-198`, `model_svm.py:263-287`); here both
+    * are SVGs over bounded in-engine aggregates (confusion = classes²
+    * rows, ROC binned ≤1000 rows — scale-safe at any corpus size). */
+  def writeCharts(r: Result, kind: String, dir: String): Unit = {
+    val d = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(d)
+    graft.ml.ModelCharts.writeConfusionHeatmapSvg(
+      SentimentPipeline.confusionMatrix(r.predictions),
+      d.resolve(s"${kind}_confusion_matrix.svg").toString,
+      title = s"Confusion Matrix — $kind")
+    val scored = r.predictions.select(rocScore(r.predictions).as("score"),
+      col("label"))
+    graft.ml.ModelCharts.writeRocSvg(
+      graft.ml.BinaryMetrics.binnedRoc(scored, "score", "label"),
+      r.metrics.rocAuc,
+      d.resolve(s"${kind}_roc_curve.svg").toString,
+      title = s"ROC Curve — $kind")
   }
 
   /** Full reference workflow: read clean CSV → fit → eval → persist. */
@@ -70,9 +108,13 @@ object Train {
     val ngramN = args.sliding(2).collectFirst {
       case Array("--ngram", n) => n.toInt
     }
+    val chartsDir = args.sliding(2).collectFirst {
+      case Array("--charts", dir) => dir
+    }
     val spark = Sessions.local(s"graft-train-$kind")
     val r = run(spark, kind, cleanDir, modelDir, metricsPath,
       useNgram = ngramN.isDefined, ngramN = ngramN.getOrElse(2))
+    chartsDir.foreach(writeCharts(r, kind, _))
     println(SentimentPipeline.metricsJson(r.metrics))
     spark.stop()
   }

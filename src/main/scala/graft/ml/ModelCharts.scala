@@ -1,0 +1,182 @@
+package graft.ml
+
+import org.apache.spark.sql.DataFrame
+
+/** Per-model evaluation charts — the reference's per-model matplotlib
+  * artifacts re-expressed as dependency-free SVG renderers over
+  * in-engine aggregates:
+  *
+  *   - confusion heatmap   (`/root/reference/model_logistic_regression.py:261-274`,
+  *                          `model_naive_bayes.py:181-198`, `model_svm.py:263-287`)
+  *   - ROC curve           (`model_logistic_regression.py:276-296`)
+  *   - label distribution  (`preprocessing.py:44-52,118`)
+  *
+  * The reference collects predictions to pandas and plots driver-side;
+  * here every chart input is already a bounded aggregate (confusion =
+  * #classes² rows, binned ROC ≤ bins rows, label distribution =
+  * #classes rows), so the collect inside each renderer is bounded BY
+  * CONSTRUCTION at any corpus size — the 100 TB shape is the aggregate
+  * that feeds the chart, not the chart itself.
+  *
+  * Styling matches [[ModelComparison.writeComparisonSvg]]: same surface /
+  * ink / grid palette, value labels on every mark (no number is
+  * color-alone), hover titles.
+  */
+object ModelCharts {
+
+  private val Surface = "#fcfcfb"
+  private val InkPrimary = "#0b0b0b"
+  private val InkSecondary = "#52514e"
+  private val GridColor = "#e5e4e0"
+  private val LinePrimary = "#2a78d6"
+
+  private def esc(s: String): String = s.flatMap {
+    case '&' => "&amp;"; case '<' => "&lt;"; case '>' => "&gt;"
+    case '"' => "&quot;"; case c => c.toString
+  }
+
+  private def write(path: String, svg: String): Unit =
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), svg)
+
+  /** Sequential single-hue ramp for the heatmap (reference uses
+    * cmap="Blues"): interpolate lightness on the primary hue. t in [0,1]. */
+  private def blues(t: Double): String = {
+    val tt = math.min(1.0, math.max(0.0, t))
+    // from near-white (#f3f7fc) to a deep blue (#174a8c)
+    def lerp(a: Int, b: Int) = math.round(a + (b - a) * tt).toInt
+    f"#${lerp(0xf3, 0x17)}%02x${lerp(0xf7, 0x4a)}%02x${lerp(0xfc, 0x8c)}%02x"
+  }
+
+  /** Text color readable against the ramp: ink on light cells, white on
+    * dark (annot must survive the fill — sns.heatmap does the same). */
+  private def annotColor(t: Double): String =
+    if (t > 0.55) "#ffffff" else InkPrimary
+
+  /** Confusion-matrix heatmap from the (label, prediction, n) aggregate
+    * [[SentimentPipeline.confusionMatrix]] emits. Axes follow the
+    * reference: x = Predicted, y = Actual, counts annotated per cell.
+    * Works for any #classes (the reference is 2×2); the collect is
+    * #classes² rows. */
+  def writeConfusionHeatmapSvg(cm: DataFrame, path: String,
+      title: String = "Confusion Matrix"): Unit = {
+    val rows = cm.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    require(rows.nonEmpty, "empty confusion matrix")
+    val classes = (rows.map(_._1) ++ rows.map(_._2)).distinct.sorted
+    require(classes.length <= 32,
+      s"confusion heatmap supports <= 32 classes (got ${classes.length})")
+    val n = classes.length
+    val counts = rows.map { case (l, p, c) => (l, p) -> c }.toMap
+    val maxC = math.max(1L, rows.map(_._3).max)
+
+    val cell = math.min(72, 288 / n)
+    val (pl, pt, pr, pb) = (72, 48, 16, 56)
+    val (w, h) = (pl + n * cell + pr, pt + n * cell + pb)
+    val sb = new StringBuilder
+    sb ++= s"""<svg xmlns="http://www.w3.org/2000/svg" width="$w" height="$h" viewBox="0 0 $w $h" font-family="system-ui, sans-serif">"""
+    sb ++= s"""<rect width="$w" height="$h" fill="$Surface"/>"""
+    sb ++= s"""<text x="$pl" y="24" font-size="14" font-weight="600" fill="$InkPrimary">${esc(title)}</text>"""
+    for (i <- 0 until n; j <- 0 until n) { // i = actual row, j = predicted col
+      val c = counts.getOrElse((classes(i), classes(j)), 0L)
+      val t = c.toDouble / maxC
+      val (x, y) = (pl + j * cell, pt + i * cell)
+      sb ++= s"""<rect x="$x" y="$y" width="$cell" height="$cell" fill="${blues(t)}" stroke="$Surface" stroke-width="1">"""
+      sb ++= s"""<title>actual ${classes(i)}, predicted ${classes(j)}: $c</title></rect>"""
+      sb ++= s"""<text x="${x + cell / 2}" y="${y + cell / 2 + 4}" font-size="12" fill="${annotColor(t)}" text-anchor="middle">$c</text>"""
+    }
+    classes.zipWithIndex.foreach { case (cls, j) =>
+      sb ++= s"""<text x="${pl + j * cell + cell / 2}" y="${pt + n * cell + 16}" font-size="11" fill="$InkSecondary" text-anchor="middle">$cls</text>"""
+    }
+    classes.zipWithIndex.foreach { case (cls, i) =>
+      sb ++= s"""<text x="${pl - 10}" y="${pt + i * cell + cell / 2 + 4}" font-size="11" fill="$InkSecondary" text-anchor="end">$cls</text>"""
+    }
+    sb ++= s"""<text x="${pl + n * cell / 2}" y="${h - 12}" font-size="11" fill="$InkSecondary" text-anchor="middle">Predicted</text>"""
+    sb ++= s"""<text x="16" y="${pt + n * cell / 2}" font-size="11" fill="$InkSecondary" text-anchor="middle" transform="rotate(-90 16 ${pt + n * cell / 2})">Actual</text>"""
+    sb ++= "</svg>"
+    write(path, sb.toString)
+  }
+
+  /** ROC curve from a (threshold/bin, fpr, tpr) frame —
+    * [[BinaryMetrics.binnedRoc]] (≤ bins rows, the scale-safe input) or
+    * [[BinaryMetrics.exactRoc]] at verification scale. Draws the curve,
+    * the chance diagonal (dashed, as the reference), FPR/TPR axes and an
+    * AUC legend. The collect is capped: more than `maxPoints` points is
+    * a misuse (feed the binned form), not a silent truncation. */
+  def writeRocSvg(roc: DataFrame, auc: Double, path: String,
+      title: String = "ROC Curve", maxPoints: Int = 4096): Unit = {
+    val pts0 = roc.limit(maxPoints + 1).collect()
+      .map(r => (if (r.isNullAt(1)) Double.NaN else r.getDouble(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))
+      .filterNot(p => p._1.isNaN || p._2.isNaN)
+    require(pts0.length <= maxPoints,
+      s"ROC has > $maxPoints points; pass BinaryMetrics.binnedRoc output instead")
+    // Anchor at (0,0) and (1,1) like roc_curve's implicit endpoints.
+    val pts = ((0.0, 0.0) +: pts0.sortBy(p => (p._1, p._2)) :+ (1.0, 1.0)).distinct
+
+    val (w, h) = (480, 420)
+    val (pl, pr, pt, pb) = (56, 16, 48, 56)
+    val (plotW, plotH) = (w - pl - pr, h - pt - pb)
+    def xOf(v: Double) = pl + v * plotW
+    def yOf(v: Double) = pt + plotH - v * plotH
+    val sb = new StringBuilder
+    sb ++= s"""<svg xmlns="http://www.w3.org/2000/svg" width="$w" height="$h" viewBox="0 0 $w $h" font-family="system-ui, sans-serif">"""
+    sb ++= s"""<rect width="$w" height="$h" fill="$Surface"/>"""
+    sb ++= s"""<text x="$pl" y="24" font-size="14" font-weight="600" fill="$InkPrimary">${esc(title)}</text>"""
+    Seq(0.0, 0.25, 0.5, 0.75, 1.0).foreach { v =>
+      sb ++= f"""<line x1="$pl" y1="${yOf(v)}%.1f" x2="${w - pr}" y2="${yOf(v)}%.1f" stroke="$GridColor" stroke-width="1"/>"""
+      sb ++= f"""<line x1="${xOf(v)}%.1f" y1="$pt" x2="${xOf(v)}%.1f" y2="${pt + plotH}" stroke="$GridColor" stroke-width="1"/>"""
+      sb ++= f"""<text x="${pl - 6}" y="${yOf(v) + 3}%.1f" font-size="10" fill="$InkSecondary" text-anchor="end">$v%.2f</text>"""
+      sb ++= f"""<text x="${xOf(v)}%.1f" y="${pt + plotH + 14}" font-size="10" fill="$InkSecondary" text-anchor="middle">$v%.2f</text>"""
+    }
+    // chance diagonal (dashed) then the curve on top
+    sb ++= f"""<line x1="${xOf(0)}%.1f" y1="${yOf(0)}%.1f" x2="${xOf(1)}%.1f" y2="${yOf(1)}%.1f" stroke="$InkSecondary" stroke-width="1" stroke-dasharray="5,4"/>"""
+    val poly = pts.map(p => f"${xOf(p._1)}%.2f,${yOf(p._2)}%.2f").mkString(" ")
+    sb ++= s"""<polyline points="$poly" fill="none" stroke="$LinePrimary" stroke-width="2"/>"""
+    val aucLabel = if (auc.isNaN) "AUC = n/a" else f"AUC = $auc%.4f"
+    sb ++= s"""<rect x="${w - pr - 150}" y="${pt + plotH - 34}" width="142" height="24" rx="4" fill="$Surface" stroke="$GridColor"/>"""
+    sb ++= s"""<line x1="${w - pr - 142}" y1="${pt + plotH - 22}" x2="${w - pr - 122}" y2="${pt + plotH - 22}" stroke="$LinePrimary" stroke-width="2"/>"""
+    sb ++= s"""<text x="${w - pr - 116}" y="${pt + plotH - 18}" font-size="11" fill="$InkPrimary">ROC (${esc(aucLabel)})</text>"""
+    sb ++= s"""<text x="${pl + plotW / 2}" y="${h - 16}" font-size="11" fill="$InkSecondary" text-anchor="middle">False Positive Rate</text>"""
+    sb ++= s"""<text x="16" y="${pt + plotH / 2}" font-size="11" fill="$InkSecondary" text-anchor="middle" transform="rotate(-90 16 ${pt + plotH / 2})">True Positive Rate</text>"""
+    sb ++= "</svg>"
+    write(path, sb.toString)
+  }
+
+  /** Label-distribution bar chart from a (label, n) aggregate —
+    * [[graft.app.Preprocess.classDistribution]]'s chart form
+    * (`preprocessing.py:44-52`). Collect is #classes rows. */
+  def writeLabelDistributionSvg(dist: DataFrame, path: String,
+      title: String = "Label Distribution"): Unit = {
+    val rows = dist.collect().map(r => (r.get(0).toString, r.getLong(1)))
+    require(rows.nonEmpty, "empty label distribution")
+    require(rows.length <= 64,
+      s"label distribution supports <= 64 classes (got ${rows.length})")
+    val maxN = math.max(1L, rows.map(_._2).max)
+
+    val (w, h) = (480, 320)
+    val (pl, pr, pt, pb) = (64, 16, 48, 48)
+    val (plotW, plotH) = (w - pl - pr, h - pt - pb)
+    val slotW = plotW.toDouble / rows.length
+    val barW = math.min(64.0, slotW * 0.6)
+    val sb = new StringBuilder
+    sb ++= s"""<svg xmlns="http://www.w3.org/2000/svg" width="$w" height="$h" viewBox="0 0 $w $h" font-family="system-ui, sans-serif">"""
+    sb ++= s"""<rect width="$w" height="$h" fill="$Surface"/>"""
+    sb ++= s"""<text x="$pl" y="24" font-size="14" font-weight="600" fill="$InkPrimary">${esc(title)}</text>"""
+    Seq(0.0, 0.25, 0.5, 0.75, 1.0).foreach { f =>
+      val y = pt + plotH - f * plotH
+      sb ++= f"""<line x1="$pl" y1="$y%.1f" x2="${w - pr}" y2="$y%.1f" stroke="$GridColor" stroke-width="1"/>"""
+      sb ++= f"""<text x="${pl - 6}" y="${y + 3}%.1f" font-size="10" fill="$InkSecondary" text-anchor="end">${math.round(maxN * f)}</text>"""
+    }
+    rows.zipWithIndex.foreach { case ((label, cnt), i) =>
+      val x = pl + i * slotW + (slotW - barW) / 2
+      val yT = pt + plotH - (cnt.toDouble / maxN) * plotH
+      val yB = pt + plotH.toDouble
+      val rr = math.min(4.0, yB - yT)
+      sb ++= f"""<path d="M$x%.1f,$yB%.1f L$x%.1f,${yT + rr}%.1f Q$x%.1f,$yT%.1f ${x + rr}%.1f,$yT%.1f L${x + barW - rr}%.1f,$yT%.1f Q${x + barW}%.1f,$yT%.1f ${x + barW}%.1f,${yT + rr}%.1f L${x + barW}%.1f,$yB%.1f Z" fill="$LinePrimary">"""
+      sb ++= s"""<title>${esc(label)}: $cnt</title></path>"""
+      sb ++= f"""<text x="${x + barW / 2}%.1f" y="${yT - 5}%.1f" font-size="10" fill="$InkSecondary" text-anchor="middle">$cnt</text>"""
+      sb ++= f"""<text x="${x + barW / 2}%.1f" y="${pt + plotH + 16}" font-size="11" fill="$InkSecondary" text-anchor="middle">${esc(label)}</text>"""
+    }
+    sb ++= "</svg>"
+    write(path, sb.toString)
+  }
+}

@@ -9,17 +9,23 @@ import org.apache.spark.sql.types._
   *
   * The Spark-side machinery — schema, batched per-partition processing,
   * deterministic partitioning by media kind, output feature schema — is
-  * real and tested. The actual codec call is a STUB (this container has
-  * no image/audio libraries): `decodeStub` derives a deterministic fake
-  * feature vector from the bytes so tests can pin the plumbing
-  * end-to-end. Swap `decodeStub` for a real decoder (JNI/javacpp ffmpeg,
-  * ImageIO, ...) without touching anything else.
+  * real and tested. IMAGE decode is REAL: `decodeImage` runs the JDK's
+  * `javax.imageio` readers (PNG, JPEG, GIF, BMP, WBMP) inside the
+  * per-partition boundary and yields true width/height/channels plus
+  * pooled-luminance features off the actual pixels. Bytes that are not a
+  * decodable image (audio/video — no JDK codec exists; this container
+  * ships no media libraries) fall back to `decodeStub`, which derives a
+  * deterministic fake feature vector with the same signature and batch
+  * shape, so the plumbing is testable end-to-end for every media kind.
+  * Swap the fallback for a real audio/video decoder (JNI/javacpp ffmpeg)
+  * without touching anything else.
   *
   * Scale notes: media blobs never pass through a shuffle — features are
   * extracted in the scan stage (mapPartitions, batched), and only the
   * small (id, meta, features) projection continues downstream. Partition
   * skew from large blobs is bounded by `maxRecordsPerBatch`-style
   * chunking in the iterator (the batch here is the iterator itself).
+  * Decode cost is per-blob CPU inside the scan, embarrassingly parallel.
   */
 object Multimodal {
 
@@ -48,7 +54,51 @@ object Multimodal {
         lit("stub").as("codec")).as("meta"))
 
   final case class MediaFeatures(media_id: Long, kind: String,
-      n_bytes: Long, features: Array[Double])
+      n_bytes: Long, features: Array[Double],
+      width: Int, height: Int, channels: Int) // 0/0/0 on the stub path
+
+  final case class ImageMeta(width: Int, height: Int, channels: Int)
+
+  /** REAL image decode via the JDK's `javax.imageio` (PNG, JPEG, GIF,
+    * BMP, WBMP readers ship with the JDK — no external codec). None when
+    * the bytes are not a decodable image; a truncated/corrupt blob must
+    * select the fallback path, never kill the partition. */
+  def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    if (bytes == null || bytes.isEmpty) None
+    else scala.util.Try(Option(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes)))).toOption.flatten
+
+  def imageMeta(img: java.awt.image.BufferedImage): ImageMeta =
+    ImageMeta(img.getWidth, img.getHeight,
+      img.getColorModel.getNumComponents)
+
+  /** Features off REAL pixels: `dim` evenly-spaced vertical bands,
+    * mean Rec.709 relative luminance per band, each in [0,1]. A real
+    * vision pipeline would feed an embedding model here; band-pooled
+    * luminance keeps the contract (fixed-dim, [0,1], deterministic)
+    * while exercising a genuine decode of every pixel. */
+  def imageFeatures(img: java.awt.image.BufferedImage, dim: Int): Array[Double] = {
+    val out = new Array[Double](dim)
+    val cnt = new Array[Long](dim)
+    val (w, h) = (img.getWidth, img.getHeight)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = (0.2126 * ((rgb >> 16) & 0xFF) + 0.7152 * ((rgb >> 8) & 0xFF) +
+          0.0722 * (rgb & 0xFF)) / 255.0
+        val d = math.min(dim - 1, x * dim / w)
+        out(d) += lum
+        cnt(d) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var i = 0
+    while (i < dim) { if (cnt(i) > 0) out(i) /= cnt(i); i += 1 }
+    out
+  }
 
   /** STUB decoder: a real implementation would decode the codec and
     * pool pixel/sample statistics; this derives `dim` deterministic
@@ -68,18 +118,26 @@ object Multimodal {
   }
 
   /** Batched per-partition feature extraction over the binary column —
-    * the Scala analogue of a Pandas mapInPandas decode UDF. */
+    * the Scala analogue of a Pandas mapInPandas decode UDF. Blobs that
+    * decode as images take the REAL pixel path (true dimensions +
+    * pooled-luminance features); everything else takes the stub path
+    * with zeroed dimensions, so the two are distinguishable downstream. */
   def extractFeatures(media: DataFrame, dim: Int = 8): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.select(col("media_id"), col("kind"), col("bytes"))
       .mapPartitions { rows: Iterator[Row] =>
         rows.map { r =>
           val bytes = r.getAs[Array[Byte]]("bytes")
-          MediaFeatures(
-            r.getAs[Long]("media_id"),
-            r.getAs[String]("kind"),
-            if (bytes == null) 0L else bytes.length.toLong,
-            decodeStub(bytes, dim))
+          val nBytes = if (bytes == null) 0L else bytes.length.toLong
+          decodeImage(bytes) match {
+            case Some(img) =>
+              val m = imageMeta(img)
+              MediaFeatures(r.getAs[Long]("media_id"), r.getAs[String]("kind"),
+                nBytes, imageFeatures(img, dim), m.width, m.height, m.channels)
+            case None =>
+              MediaFeatures(r.getAs[Long]("media_id"), r.getAs[String]("kind"),
+                nBytes, decodeStub(bytes, dim), 0, 0, 0)
+          }
         }
       }
   }

@@ -25,6 +25,51 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.values.exists(_.exists(_ > 0.0)))
   }
 
+  /** PNG bytes rendered in-process: left half black, right half white,
+    * so band-pooled luminance has a known shape. */
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if (x < w / 2) 0x000000 else 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("real image decode: true dimensions and pixel-derived features") {
+    val bytes = pngBytes(64, 32)
+    val img = Multimodal.decodeImage(bytes)
+    assert(img.isDefined, "JDK must decode its own PNG output")
+    val m = Multimodal.imageMeta(img.get)
+    assert(m.width === 64 && m.height === 32 && m.channels === 3)
+    val f = Multimodal.imageFeatures(img.get, 8)
+    assert(f.length === 8)
+    // left bands black (~0), right bands white (~1): real pixels, not a hash
+    assert(f.take(4).forall(_ < 0.01) && f.drop(4).forall(_ > 0.99), f.toSeq)
+  }
+
+  test("corrupt or non-image bytes select the stub path, never throw") {
+    assert(Multimodal.decodeImage("not an image".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeImage(pngBytes(8, 8).take(20)).isEmpty) // truncated
+    assert(Multimodal.decodeImage(null).isEmpty)
+    assert(Multimodal.decodeImage(Array.emptyByteArray).isEmpty)
+  }
+
+  test("extractFeatures routes real images to the pixel path in-engine") {
+    val media = Seq(
+      (1L, "image", pngBytes(16, 16)),
+      (2L, "image", "plain text bytes".getBytes("UTF-8"))
+    ).toDF("media_id", "kind", "bytes")
+    val out = Multimodal.extractFeatures(media, dim = 4).collect()
+      .map(m => m.media_id -> m).toMap
+    assert(out(1L).width === 16 && out(1L).height === 16 &&
+      out(1L).channels === 3)
+    assert(out(2L).width === 0 && out(2L).height === 0 &&
+      out(2L).channels === 0)
+    assert(out(1L).features.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
   test("frame offsets are evenly spaced and in-range") {
     val out = Seq(Array.fill[Byte](100)(1)).toDF("bytes")
       .select(Multimodal.frameOffsets($"bytes", 4)).as[Seq[Long]].head()

@@ -76,6 +76,36 @@ class CurateSpec extends SparkSpec {
     assert(fpDups === 0, "exact duplicates survived curation")
   }
 
+  test("ingest --stream drains each landed file exactly once, matching the batch gate") {
+    // stage/run/stage/run/no-op: the checkpointed end-to-end main wiring
+    // Curate.gate over Incremental.runParquet (graft.app.Ingest).
+    val in = java.nio.file.Files.createTempDirectory("graft-ingest-in")
+    val ck = java.nio.file.Files.createTempDirectory("graft-ingest-ck").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-ingest-out")
+      .toString + "/gated"
+    def stage(name: String): Unit =
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sf001/documents.parquet"), in.resolve(name))
+    val schema = Tables.documents(spark, sf001).schema
+    def runOnce(): Unit =
+      graft.app.Ingest.runOnce(spark, in.toString, schema, ck, out)
+
+    val batch = Curate.gate(Tables.documents(spark, sf001))
+      .select($"doc_id", $"text", $"lang", $"source", $"n_tokens", $"quality")
+    val perFile = batch.count()
+    assert(perFile > 0)
+
+    stage("a.parquet"); runOnce()
+    // gated output == batch gate output, column for column
+    assert(spark.read.parquet(out).collect().toSet === batch.collect().toSet)
+    // second run with a new file: ONLY the new file's rows are appended
+    stage("b.parquet"); runOnce()
+    assert(spark.read.parquet(out).count() === 2 * perFile)
+    // no new files: a re-run emits nothing
+    runOnce()
+    assert(spark.read.parquet(out).count() === 2 * perFile)
+  }
+
   test("row-local gate streams: streaming output == batch output") {
     // the gate is projection+filter only, so the SAME function runs on a
     // file stream — ingest-time curation

@@ -9,6 +9,13 @@ object Verify {
     // optional extra args: run only the named queries (bisect aid; the
     // driver always calls with exactly two args -> full run)
     val only = args.drop(2).toSet
+    // A typo'd name would otherwise silently select nothing and look
+    // like a pass — warn loudly, listing what didn't match.
+    val unknown = only -- SparkEntry.queries.keySet
+    if (unknown.nonEmpty)
+      System.err.println("[verify] WARNING: no such quer" +
+        (if (unknown.size == 1) "y" else "ies") +
+        s": ${unknown.toSeq.sorted.mkString(", ")} (not in SparkEntry.queries)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -198,7 +198,18 @@ object Dedup {
       n: Int = 5): DataFrame = {
     val toks = df.select(col(idCol), TokenOps.tokenize(col(textCol)).as("__t"))
     // gram OCCURRENCES with their 0-based start offset (rawShingles, not
-    // the distinct set: coverage needs every position)
+    // the distinct set: coverage needs every position).
+    //
+    // Gram identity is the 64-bit xxhash64 of the gram string, NOT the
+    // string itself — a deliberate scale trade: the duplicated-gram join
+    // ships 8-byte keys instead of full n-gram strings. Consequence: a
+    // hash collision makes two DIFFERENT grams compare equal, so a
+    // unique gram colliding with a cross-doc duplicate gets trimmed as
+    // if duplicated — lossy in the safe direction (over-trim, never
+    // under-trim), with expected collisions ~ m²/2⁶⁵ for m distinct
+    // grams (≈ 0.003 for m = 10⁹; negligible below ~10¹² grams). For a
+    // collision-free variant, join on the gram string at full shuffle
+    // cost.
     val posGrams = toks
       .select(col(idCol),
         posexplode(MinHashDedup.rawShingles(col("__t"), n)).as(Seq("__s", "__g")))

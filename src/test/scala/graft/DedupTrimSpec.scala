@@ -79,6 +79,42 @@ class DedupTrimSpec extends SparkSpec {
     }
   }
 
+  test("idempotent on randomized corpora with shared spans (seeded, not fixture-shaped)") {
+    // Decoupled from the hand-built fixture: generate corpora where
+    // every token outside a shared span is doc-unique, so the post-trim
+    // text contains only doc-unique tokens and the no-new-seam-gram
+    // precondition holds STRUCTURALLY — idempotence must then hold for
+    // any placement of spans, not just the fixture's.
+    val rnd = new scala.util.Random(42)
+    val n = 3
+    for (trial <- 1 to 3) {
+      // pool of shared spans, disjoint token sets, each length >= n
+      val spans = (1 to 4).map { s =>
+        (0 until (n + rnd.nextInt(3))).map(j => s"sh${trial}_${s}_$j")
+          .mkString(" ")
+      }
+      val corpus = docs((1L to 12L).map { id =>
+        var uniq = 0
+        def u(): String = { uniq += 1; s"u${trial}_${id}_$uniq" }
+        val parts = (0 until 2 + rnd.nextInt(4)).flatMap { _ =>
+          // unique filler then maybe a shared span
+          Seq.fill(1 + rnd.nextInt(3))(u()) ++
+            (if (rnd.nextBoolean()) Seq(spans(rnd.nextInt(spans.size))) else Nil)
+        }
+        id -> parts.mkString(" ")
+      }: _*)
+      val once = Dedup.trimDuplicatedGrams(corpus, "doc_id", "text", n)
+        .select(col("doc_id"), col("trimmed").as("text"))
+        .localCheckpoint()
+      val again = Dedup.trimDuplicatedGrams(once, "doc_id", "text", n)
+      val changed = once.join(again, Seq("doc_id"))
+        .filter(coalesce(col("text"), lit("<null>")) =!=
+          coalesce(col("trimmed"), lit("<null>")))
+        .count()
+      assert(changed === 0L, s"trial $trial: $changed docs changed on second trim")
+    }
+  }
+
   test("idempotent on the oracle corpus (sf0.001 documents, n=5)") {
     val once = Dedup.trimDuplicatedGrams(
         Tables.documents(spark, sf001), "doc_id", "text", n = 5)

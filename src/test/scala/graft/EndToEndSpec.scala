@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.ml.PipelineModel
 import org.apache.spark.sql.functions._
 import graft.app.{Preprocess, Train}
-import graft.ml.ModelComparison
+import graft.ml.{ModelComparison, SentimentPipeline}
 import graft.sources.SentimentCsv
 
 /** The reference's full workflow chained end-to-end through the runnable
@@ -87,6 +87,25 @@ class EndToEndSpec extends SparkSpec {
     val a = r.model.transform(test).select($"prediction").as[Double].collect().toSeq
     val b = reloaded.transform(test).select($"prediction").as[Double].collect().toSeq
     assert(a === b)
+  }
+
+  test("metrics JSON schema equals the reference artifact key-for-key") {
+    // Pin the SHAPE, not just accuracy parse-back: infer both schemas
+    // with the same reader and require exact equality (field names,
+    // nesting, types). A renamed/dropped/retyped key in metricsJson now
+    // fails here instead of silently diverging from
+    // /root/reference/metrics/lr_metrics.json:1-16.
+    val mine = SentimentPipeline.metricsJson(SentimentPipeline.Metrics(
+      0.9, 0.8, 0.95, Map((0L, 0L) -> 10L, (0L, 1L) -> 2L,
+        (1L, 0L) -> 3L, (1L, 1L) -> 11L)))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-metrics-schema")
+      .resolve("mine.json")
+    java.nio.file.Files.writeString(tmp, mine)
+    def inferred(path: String) = spark.read
+      .option("multiLine", "true").json(path).schema
+    val refSchema = inferred("/root/reference/metrics/lr_metrics.json")
+    assert(!refSchema.fieldNames.contains("_corrupt_record"))
+    assert(inferred(tmp.toString) === refSchema)
   }
 
   test("train main: ngram branch (reference --use_ngram path) runs end-to-end") {

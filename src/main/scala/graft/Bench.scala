@@ -40,6 +40,14 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
     }
+    // Free block-manager storage, MB. Broadcast blocks (one 4 MiB task
+    // binary per L-BFGS iteration job) and persisted frames accumulate
+    // here across the suite; when it reaches ~0, later cache/broadcast
+    // writes run inside constant LRU-eviction churn. Recording it per
+    // run turns "warm run slower than cold" from a guess into evidence.
+    def storageFreeMb(): Long =
+      scala.util.Try(spark.sparkContext.getExecutorMemoryStatus.values
+        .map(_._2.toLong).sum / (1024 * 1024)).getOrElse(-1L)
     val loadBefore = loadavg()
 
     // Warm-up: touch every table once (schema read + a tiny job).
@@ -75,6 +83,13 @@ object Bench {
       // and box load per run let a slow number be adjudicated as
       // heap-thrash vs contended-box vs real plan change.
       val runs = (1 to nRuns).map { _ =>
+        // Untimed inter-run GC (opt-in): Spark's ContextCleaner frees
+        // dead broadcast/cache blocks only after a JVM GC clears their
+        // weak refs, so a long suite otherwise accumulates dead blocks
+        // until storage memory exhausts and later runs pay LRU-eviction
+        // churn inside their timed region. Running the GC here moves
+        // that reclamation outside the measurement.
+        if (sys.env.get("SPARK_GRAFT_BENCH_GC").contains("1")) System.gc()
         val gc0 = gcMs()
         val t0 = System.nanoTime()
         val ok =
@@ -85,13 +100,13 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             false
           }
-        ((System.nanoTime() - t0) / 1e9, ok, gcMs() - gc0, load1())
+        ((System.nanoTime() - t0) / 1e9, ok, gcMs() - gc0, load1(), storageFreeMb())
       }
-      val okTimes = runs.collect { case (r, true, _, _) => r }
+      val okTimes = runs.collect { case (r, true, _, _, _) => r }
       val headline = if (okTimes.nonEmpty) okTimes.min else -1.0
       System.err.println(f"[bench] $name%-24s $headline%8.2f s" +
-        runs.map { case (r, ok, gc, ld) =>
-          (if (ok) f"$r%.2f" else f"FAIL($r%.2f)") + f"/gc${gc}ms/ld$ld%.1f"
+        runs.map { case (r, ok, gc, ld, st) =>
+          (if (ok) f"$r%.2f" else f"FAIL($r%.2f)") + f"/gc${gc}ms/ld$ld%.1f/free${st}MB"
         }.mkString("  (runs: ", ", ", ")"))
       (name, runs, headline)
     }
@@ -127,12 +142,12 @@ object Bench {
       // [elapsedSec, gcDeltaMs, load1] so a slow run carries its own
       // adjudication evidence.
       val runsJson = allRuns.map { case (k, rs, _) =>
-        jstr(k) + ":" + rs.map { case (r, ok, gc, ld) =>
-          s"[${if (ok) r else -r},$gc,$ld]"
+        jstr(k) + ":" + rs.map { case (r, ok, gc, ld, st) =>
+          s"[${if (ok) r else -r},$gc,$ld,$st]"
         }.mkString("[", ",", "]")
       }.mkString("{", ",", "}")
       val full = json(_.toString).dropRight(1) +
-        s""","runs":$runsJson,"runs_shape":"[elapsed_sec,gc_delta_ms,load1]"""" +
+        s""","runs":$runsJson,"runs_shape":"[elapsed_sec,gc_delta_ms,load1,storage_free_mb]"""" +
         s""","agg":"min_of_$nRuns"""" +
         s""","loadavg_before":${jstr(loadBefore)},"loadavg_after":${jstr(loadavg())}}"""
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),

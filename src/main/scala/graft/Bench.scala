@@ -76,7 +76,8 @@ object Bench {
         2
       })
     val allRuns = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // (elapsed, succeeded, gcDeltaMs, load1) per run: a failed run's
+      // (elapsed, succeeded, gcDeltaMs, load1, storageFreeMb) per run:
+      // a failed run's
       // near-zero elapsed must never become the headline min, and the
       // record must show WHICH runs failed (encoded as negative elapsed
       // in the runs array), not just that something was slow. GC delta
@@ -119,14 +120,11 @@ object Bench {
     // recorded parsed:null). The file keeps every digit for analysis;
     // stdout gets ONE compact line, printed last, short enough that the
     // whole line survives inside the tail window.
-    def json(fmt: Double => String): String = {
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-        .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    }
     // Minimal JSON string escape for interpolated fields (loadavg
-    // fallback text, sfDir): the file must stay parseable even if a
-    // value grows a quote or backslash in some future edit.
+    // fallback text, sfDir, query names): the output must stay
+    // parseable even if a value grows a quote or backslash in some
+    // future edit — an unescaped env-provided sfDir would reproduce
+    // the exact parsed:null failure this main exists to avoid.
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""
@@ -134,13 +132,18 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
+    def json(fmt: Double => String): String = {
+      val qs = results.map { case (k, v) => jstr(k) + ":" + fmt(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":${jstr(sfDir)}}"""
+    }
     try {
       // full precision, plus every individual run (per-query min hides
       // cold-vs-warm structure; the runs array keeps it analyzable).
       // Failed runs serialize as NEGATIVE elapsed — distinguishable
       // from any real time, numeric for tooling. Each run is
-      // [elapsedSec, gcDeltaMs, load1] so a slow run carries its own
-      // adjudication evidence.
+      // [elapsedSec, gcDeltaMs, load1, storageFreeMb] so a slow run
+      // carries its own adjudication evidence.
       val runsJson = allRuns.map { case (k, rs, _) =>
         jstr(k) + ":" + rs.map { case (r, ok, gc, ld, st) =>
           s"[${if (ok) r else -r},$gc,$ld,$st]"
@@ -168,7 +171,7 @@ object Bench {
     // tail window (rounds 4-5 recorded parsed:null). This short line is
     // the one guaranteed to survive the tail regardless of query count;
     // the per-query detail lives in BENCH_FULL.json and the line above.
-    println(s"""{"metric":"total","value":${sig(4)(total)},"unit":"sec","n":${results.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${sig(4)(total)},"unit":"sec","n":${results.size},"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

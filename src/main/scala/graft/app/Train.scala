@@ -48,7 +48,10 @@ object Train {
     val (train, test) = SentimentPipeline.split(df)
     val model = SentimentPipeline
       .pipeline(classifier(kind), useNgram, ngramN).fit(train)
-    val predictions = model.transform(test)
+    // Persisted: evaluate runs four aggregation jobs over the scored
+    // frame and --charts adds a fifth; without the persist each one
+    // re-runs the full model.transform over the test set.
+    val predictions = model.transform(test).persist()
     // LinearSVC emits no probability column; AUC always uses rawPrediction.
     Result(model, SentimentPipeline.evaluate(predictions), predictions)
   }
@@ -76,8 +79,10 @@ object Train {
   def writeCharts(r: Result, kind: String, dir: String): Unit = {
     val d = java.nio.file.Paths.get(dir)
     java.nio.file.Files.createDirectories(d)
-    graft.ml.ModelCharts.writeConfusionHeatmapSvg(
-      SentimentPipeline.confusionMatrix(r.predictions),
+    // evaluate() already collected the (label, prediction, n) counts —
+    // chart from those instead of re-running the aggregation job.
+    graft.ml.ModelCharts.writeConfusionHeatmap(
+      r.metrics.confusion.toSeq.map { case ((l, p), n) => (l, p, n) },
       d.resolve(s"${kind}_confusion_matrix.svg").toString,
       title = s"Confusion Matrix — $kind")
     val scored = r.predictions.select(rocScore(r.predictions).as("score"),

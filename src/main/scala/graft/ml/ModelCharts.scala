@@ -24,16 +24,7 @@ import org.apache.spark.sql.DataFrame
   */
 object ModelCharts {
 
-  private val Surface = "#fcfcfb"
-  private val InkPrimary = "#0b0b0b"
-  private val InkSecondary = "#52514e"
-  private val GridColor = "#e5e4e0"
-  private val LinePrimary = "#2a78d6"
-
-  private def esc(s: String): String = s.flatMap {
-    case '&' => "&amp;"; case '<' => "&lt;"; case '>' => "&gt;"
-    case '"' => "&quot;"; case c => c.toString
-  }
+  import SvgStyle._
 
   private def write(path: String, svg: String): Unit =
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path), svg)
@@ -58,8 +49,17 @@ object ModelCharts {
     * Works for any #classes (the reference is 2×2); the collect is
     * #classes² rows. */
   def writeConfusionHeatmapSvg(cm: DataFrame, path: String,
-      title: String = "Confusion Matrix"): Unit = {
-    val rows = cm.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      title: String = "Confusion Matrix"): Unit =
+    writeConfusionHeatmap(
+      cm.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq,
+      path, title)
+
+  /** Same heatmap from already-collected (label, prediction, n) counts —
+    * [[SentimentPipeline.Metrics.confusion]] is exactly this shape, so a
+    * caller that just evaluated must not re-run the aggregation job to
+    * chart it. */
+  def writeConfusionHeatmap(rows: Seq[(Long, Long, Long)], path: String,
+      title: String): Unit = {
     require(rows.nonEmpty, "empty confusion matrix")
     val classes = (rows.map(_._1) ++ rows.map(_._2)).distinct.sorted
     require(classes.length <= 32,
@@ -103,12 +103,16 @@ object ModelCharts {
     * a misuse (feed the binned form), not a silent truncation. */
   def writeRocSvg(roc: DataFrame, auc: Double, path: String,
       title: String = "ROC Curve", maxPoints: Int = 4096): Unit = {
-    val pts0 = roc.limit(maxPoints + 1).collect()
+    // Cap check on the RAW row count, before the null/NaN filter — a
+    // frame with null rate rows must still trip the guard instead of
+    // silently charting a truncated window.
+    val raw = roc.limit(maxPoints + 1).collect()
+    require(raw.length <= maxPoints,
+      s"ROC has > $maxPoints points; pass BinaryMetrics.binnedRoc output instead")
+    val pts0 = raw
       .map(r => (if (r.isNullAt(1)) Double.NaN else r.getDouble(1),
         if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))
       .filterNot(p => p._1.isNaN || p._2.isNaN)
-    require(pts0.length <= maxPoints,
-      s"ROC has > $maxPoints points; pass BinaryMetrics.binnedRoc output instead")
     // Anchor at (0,0) and (1,1) like roc_curve's implicit endpoints.
     val pts = ((0.0, 0.0) +: pts0.sortBy(p => (p._1, p._2)) :+ (1.0, 1.0)).distinct
 

@@ -79,19 +79,11 @@ object ModelComparison {
       rows.mkString("[", ",\n", "]"))
   }
 
-  /** Categorical series colors, fixed assignment order (a model keeps its
-    * color regardless of how many models are compared — never cycled).
-    * CVD-validated palette: adjacent-pair ΔE and lightness/chroma gates
-    * pass for the full order; the aqua slot sits below 3:1 contrast on
-    * the light surface, which is why every bar carries a visible value
-    * label (the relief rule). */
-  private val SeriesColors = Vector(
-    "#2a78d6", "#eb6834", "#1baf7a", "#eda100",
-    "#e87ba4", "#008300", "#4a3aa7", "#e34948")
-  private val Surface = "#fcfcfb"
-  private val InkPrimary = "#0b0b0b"
-  private val InkSecondary = "#52514e"
-  private val GridColor = "#e5e4e0"
+  // Palette + XML escape are shared with the per-model renderers —
+  // [[SvgStyle]] keeps the chart artifacts one visual system. Series
+  // colors are fixed-assignment (a model keeps its color regardless of
+  // how many models are compared — never cycled).
+  import SvgStyle.{SeriesColors, Surface, InkPrimary, InkSecondary, GridColor, esc}
 
   /** Render the comparison as a standalone grouped-bar SVG — the
     * counterpart of `compare_models.py:27-58`'s matplotlib PNG, emitted
@@ -101,10 +93,6 @@ object ModelComparison {
     * color-alone). NaN/null metrics render as an "n/a" label instead of
     * a zero-height lie. */
   def writeComparisonSvg(comparison: DataFrame, path: String): Unit = {
-    def esc(s: String): String = s.flatMap {
-      case '&' => "&amp;"; case '<' => "&lt;"; case '>' => "&gt;"
-      case '"' => "&quot;"; case c => c.toString
-    }
     val rows = comparison.collect()
     require(rows.nonEmpty, "empty comparison")
     require(rows.length <= SeriesColors.size,

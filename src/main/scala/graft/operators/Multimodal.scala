@@ -62,11 +62,26 @@ object Multimodal {
   /** REAL image decode via the JDK's `javax.imageio` (PNG, JPEG, GIF,
     * BMP, WBMP readers ship with the JDK — no external codec). None when
     * the bytes are not a decodable image; a truncated/corrupt blob must
-    * select the fallback path, never kill the partition. */
+    * select the fallback path, never kill the partition.
+    *
+    * The bytes are already on-heap, so the reader is fed an explicit
+    * memory-backed ImageInputStream: `ImageIO.read(InputStream)` would
+    * otherwise spill a FileCacheImageInputStream temp file to
+    * java.io.tmpdir PER BLOB (a disk write in the scan stage, and a
+    * decode that spuriously fails — stubbing real images — wherever
+    * tmpdir is unwritable on an executor). */
   def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
     if (bytes == null || bytes.isEmpty) None
-    else scala.util.Try(Option(javax.imageio.ImageIO.read(
-      new java.io.ByteArrayInputStream(bytes)))).toOption.flatten
+    else scala.util.Try {
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      // ImageIO.read(ImageInputStream) closes the stream itself on the
+      // decode path (but NOT on the no-reader-found null path) — the
+      // defensive close must swallow the double-close IOException or a
+      // successful decode is thrown away from inside the finally.
+      try Option(javax.imageio.ImageIO.read(iis))
+      finally scala.util.Try(iis.close())
+    }.toOption.flatten
 
   def imageMeta(img: java.awt.image.BufferedImage): ImageMeta =
     ImageMeta(img.getWidth, img.getHeight,
@@ -118,10 +133,13 @@ object Multimodal {
   }
 
   /** Batched per-partition feature extraction over the binary column —
-    * the Scala analogue of a Pandas mapInPandas decode UDF. Blobs that
-    * decode as images take the REAL pixel path (true dimensions +
+    * the Scala analogue of a Pandas mapInPandas decode UDF. Image-kind
+    * blobs that decode take the REAL pixel path (true dimensions +
     * pooled-luminance features); everything else takes the stub path
-    * with zeroed dimensions, so the two are distinguishable downstream. */
+    * with zeroed dimensions, so the two are distinguishable downstream.
+    * The decode attempt is gated on `kind` — audio/video blobs (no JDK
+    * codec exists) must not pay an ImageIO format sniff per record in
+    * the scan stage's hot loop. */
   def extractFeatures(media: DataFrame, dim: Int = 8): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.select(col("media_id"), col("kind"), col("bytes"))
@@ -129,7 +147,8 @@ object Multimodal {
         rows.map { r =>
           val bytes = r.getAs[Array[Byte]]("bytes")
           val nBytes = if (bytes == null) 0L else bytes.length.toLong
-          decodeImage(bytes) match {
+          (if (r.getAs[String]("kind") == "image") decodeImage(bytes)
+           else None) match {
             case Some(img) =>
               val m = imageMeta(img)
               MediaFeatures(r.getAs[Long]("media_id"), r.getAs[String]("kind"),

@@ -156,4 +156,42 @@ class PlanSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("*("), s"no WholeStageCodegen span:\n$plan")
   }
+
+  test("q_decontaminate_ngram_bloom never hash-shuffles the corpus") {
+    // The zero-shuffle decontamination form: the bloom is built ONCE at
+    // plan-construction time (a separate aggregation over the benchmark
+    // side), and the corpus probe is a row-local exists() — the only
+    // exchange allowed in the probe plan is the final ORDER BY's range
+    // partitioning. A hashpartitioning here means the probe regressed to
+    // a join, the exact shape this operator exists to avoid at 100 TB.
+    val plan = formatted("q_decontaminate_ngram_bloom")
+    assert(!plan.contains("hashpartitioning"),
+      s"bloom probe must not shuffle the corpus:\n$plan")
+    assert(plan.contains("bloom_might_contain"),
+      s"expected the codegen'd bloom probe expression:\n$plan")
+  }
+
+  test("q_decontaminate_ngram broadcasts the benchmark grams — corpus side never sort-merges") {
+    // Published overlap-removal shape: benchmark n-gram hashes broadcast
+    // to the exploded corpus grams; only the small contaminated-id set
+    // continues. A SortMergeJoin anywhere means the full corpus gram
+    // stream (|docs| × |grams/doc| rows) got sorted and shuffled.
+    val plan = formatted("q_decontaminate_ngram")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark gram set not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus gram stream must never sort-merge:\n$plan")
+  }
+
+  test("q_media_features extracts in the scan stage — no shuffle before features") {
+    // Media blobs must never cross an exchange: decode happens in
+    // mapPartitions directly over the scan, and only the small
+    // (id, meta, features) projection continues. The trailing ORDER BY's
+    // range exchange ships post-extraction rows, not blobs.
+    val plan = formatted("q_media_features")
+    assert(plan.contains("MapPartitions"),
+      s"expected per-partition extraction:\n$plan")
+    assert(!plan.contains("hashpartitioning"),
+      s"media blobs must not hash-shuffle:\n$plan")
+  }
 }

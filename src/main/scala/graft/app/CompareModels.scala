@@ -25,9 +25,21 @@ object CompareModels {
     val cmp = ModelComparison.compare(spark, inputs)
     cmp.show(truncate = false)
     ModelComparison.writeComparison(cmp, outPath)
-    // chart artifact beside the JSON (compare_models.py's PNG analog)
+    // chart artifacts beside the JSON (compare_models.py's PNG analogs:
+    // the metric bars and the 1×N confusion-matrix heatmap grid)
     val svgPath = outPath.replaceAll("\\.json$", "") + ".svg"
     ModelComparison.writeComparisonSvg(cmp, svgPath)
+    val panels = cmp.collect().toSeq
+      .filter(r => (4 to 7).forall(!r.isNullAt(_)))
+      .map { r =>
+        r.getString(0) -> Seq(
+          (0L, 0L, r.getLong(4)), (0L, 1L, r.getLong(5)),
+          (1L, 0L, r.getLong(6)), (1L, 1L, r.getLong(7)))
+      }
+    if (panels.nonEmpty)
+      graft.ml.ModelCharts.writeConfusionGrid(panels,
+        outPath.replaceAll("\\.json$", "") + "_confusion.svg",
+        "Confusion Matrix Comparison")
     println(s"best=${ModelComparison.best(cmp)}")
     spark.stop()
   }

@@ -40,6 +40,41 @@ object Preprocess {
       .agg(round(avg(col("len")), 6).as("avg_len"),
         max(col("len")).as("max_len"), min(col("len")).as("min_len"))
 
+  /** Binned text-length histogram (`preprocessing.py:78,137`'s hist
+    * input, computed in-engine instead of sampling to pandas): ONE hash
+    * aggregation to ≤ clampLen/binWidth + 1 rows at any corpus size —
+    * lengths clamp into the last bin so a single outlier document can't
+    * blow up the bin count. */
+  def lengthHistogram(df: DataFrame, binWidth: Int = 5,
+      clampLen: Int = 300): DataFrame =
+    df.select(least(length(col("text")), lit(clampLen)).cast("int").as("len"))
+      .groupBy((floor(col("len") / binWidth).cast("int") * binWidth)
+        .as("bin_start"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("bin_start"))
+
+  /** Five-number length summary (`preprocessing.py:73,131`'s boxplot
+    * input) — ONE aggregation row, quartiles via percentile_approx
+    * (the t-digest sketch; exact quartiles would sort the corpus). */
+  def lengthSummary(df: DataFrame): DataFrame =
+    df.select(length(col("text")).cast("double").as("len"))
+      .agg(min(col("len")).as("min"),
+        percentile_approx(col("len"), lit(0.25), lit(10000)).as("q1"),
+        percentile_approx(col("len"), lit(0.5), lit(10000)).as("median"),
+        percentile_approx(col("len"), lit(0.75), lit(10000)).as("q3"),
+        max(col("len")).as("max"))
+
+  /** Collect a (bin_start, n) histogram frame (bounded by construction). */
+  private[graft] def collectHist(hist: DataFrame): Seq[(Int, Long)] =
+    hist.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+
+  /** Collect a one-row five-number summary frame. */
+  private[graft] def collectBox(summary: DataFrame): graft.ml.ModelCharts.BoxSummary = {
+    val r = summary.head()
+    graft.ml.ModelCharts.BoxSummary(r.getDouble(0), r.getDouble(1),
+      r.getDouble(2), r.getDouble(3), r.getDouble(4))
+  }
+
   /** Run preprocess: read raw → clean → write CSV; returns the cleaned
     * frame (re-read-able via SentimentCsv.readClean). */
   def run(spark: SparkSession, rawPath: String, outDir: String): DataFrame = {
@@ -70,6 +105,17 @@ object Preprocess {
       graft.ml.ModelCharts.writeLabelDistributionSvg(
         classDistribution(written),
         java.nio.file.Paths.get(dir, "label_distribution.svg").toString)
+      // Before/after length comparison (`preprocessing.py:125-148`):
+      // "before" re-reads the raw corpus with only the text column — one
+      // extra scan; the chart inputs are a ≤61-bin histogram and a
+      // 1-row summary per side.
+      val raw = Filters.dropAnyNull(SentimentCsv.readRaw(spark, rawPath))
+        .select(col("text"))
+      graft.ml.ModelCharts.writeLengthComparisonSvg(
+        collectHist(lengthHistogram(raw)), collectHist(lengthHistogram(written)),
+        collectBox(lengthSummary(raw)), collectBox(lengthSummary(written)),
+        binWidth = 5,
+        java.nio.file.Paths.get(dir, "length_before_after.svg").toString)
     }
     spark.stop()
   }

@@ -116,6 +116,66 @@ class ModelChartsSpec extends SparkSpec {
     }
   }
 
+  test("confusion grid: N aligned panels, per-model titles, y labels once") {
+    val panels = Seq(
+      "lr" -> Seq((0L, 0L, 40L), (0L, 1L, 10L), (1L, 0L, 7L), (1L, 1L, 43L)),
+      "nb" -> Seq((0L, 0L, 35L), (0L, 1L, 15L), (1L, 0L, 12L), (1L, 1L, 38L)),
+      "svm" -> Seq((0L, 0L, 41L), (0L, 1L, 9L), (1L, 0L, 8L), (1L, 1L, 42L)))
+    val p = tmp("grid.svg")
+    ModelCharts.writeConfusionGrid(panels, p, "Confusion Matrix Comparison")
+    val doc = parseSvg(p)
+    // surface + 3 panels x 4 cells
+    assert(doc.getElementsByTagName("rect").getLength >= 13)
+    val txt = svgText(p)
+    Seq("lr", "nb", "svm", "40", "35", "41", "Confusion Matrix Comparison",
+      "Actual").foreach(s => assert(txt.contains(s), s"missing '$s'"))
+    // "Predicted" under every panel, "Actual" only once on the left
+    assert("Predicted".r.findAllIn(txt).size == 3)
+    assert("Actual".r.findAllIn(txt).size == 1)
+  }
+
+  test("confusion grid: single empty panel is rejected loudly") {
+    intercept[IllegalArgumentException] {
+      ModelCharts.writeConfusionGrid(Seq("lr" -> Seq.empty), tmp("bad.svg"), "x")
+    }
+  }
+
+  test("length comparison: boxes, overlaid bars, marker line, legend") {
+    val before = Seq((0, 10L), (5, 40L), (10, 25L), (135, 5L), (140, 2L))
+    val after = Seq((0, 30L), (5, 35L), (10, 12L))
+    val p = tmp("len.svg")
+    ModelCharts.writeLengthComparisonSvg(before, after,
+      ModelCharts.BoxSummary(1, 4, 8, 80, 142),
+      ModelCharts.BoxSummary(0, 3, 6, 11, 60),
+      binWidth = 5, p)
+    val doc = parseSvg(p)
+    val txt = svgText(p)
+    Seq("Before", "After", "140 chars", "stroke-dasharray",
+      "Text length (characters)").foreach(s =>
+      assert(txt.contains(s), s"missing '$s'"))
+    // 2 IQR boxes + 8 histogram bars + legend swatches + surface
+    assert(doc.getElementsByTagName("rect").getLength >= 12)
+  }
+
+  test("length comparison: non-monotone box summary is rejected") {
+    intercept[IllegalArgumentException] {
+      ModelCharts.BoxSummary(10, 4, 8, 9, 12) // min > q1
+    }
+  }
+
+  test("Preprocess length aggregates: bins sum to rows, summary is monotone") {
+    val docs = graft.Tables.documents(spark, sf001)
+    val hist = graft.app.Preprocess.collectHist(
+      graft.app.Preprocess.lengthHistogram(docs))
+    assert(hist.map(_._2).sum === docs.count())
+    assert(hist.map(_._1) === hist.map(_._1).sorted, "bins must be ordered")
+    assert(hist.forall(_._1 <= 300), "lengths must clamp into the last bin")
+    val box = graft.app.Preprocess.collectBox(
+      graft.app.Preprocess.lengthSummary(docs))
+    assert(box.min <= box.q1 && box.q1 <= box.median &&
+      box.median <= box.q3 && box.q3 <= box.max)
+  }
+
   test("rocScore uses probability when present, sigmoid(margin) otherwise") {
     import spark.implicits._
     // SVC path: no probability column → sigmoid of rawPrediction[1].

@@ -88,6 +88,15 @@ object TextQueries extends QueryModule {
           max(length(col("text"))).cast("long").as("max_len"),
           min(length(col("text"))).cast("long").as("min_len"))),
 
+    // Clamped-bin text-length histogram (the preprocessing chart input,
+    // `preprocessing.py:78,137`): ONE hash aggregation to ≤ 61 rows at
+    // any corpus size — the chart is driver-trivial because this
+    // aggregate is, not because the corpus was sampled to pandas.
+    "q_length_histogram" -> ((s, d) =>
+      graft.app.Preprocess.lengthHistogram(Tables.documents(s, d))
+        .select(col("bin_start").cast("long").as("bin_start"), col("n"))
+        .orderBy(col("bin_start"))),
+
     // P6: bernoulli sample — engine-internal RNG, NOT oracle-declared
     // (rows-only check + property tests in SampleSpec).
     "q_sample" -> ((s, d) =>
@@ -147,6 +156,12 @@ object TextQueries extends QueryModule {
       """SELECT round(avg(length(text)), 6) AS avg_len,
         |  CAST(max(length(text)) AS BIGINT) AS max_len,
         |  CAST(min(length(text)) AS BIGINT) AS min_len
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "q_length_histogram" ->
+      """SELECT CAST(floor(least(length(text), 300) / 5) * 5 AS BIGINT)
+        |    AS bin_start,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM documents GROUP BY 1 ORDER BY bin_start""".stripMargin
   )
 }

@@ -193,5 +193,20 @@ class EndToEndSpec extends SparkSpec {
     Seq("lr", "nb", "svm").foreach(m => assert(body.contains(s">$m</text>")))
     assert(body.sliding(5).count(_ == "<path") === 9) // 3 models x 3 metrics
     assert(body.contains("0.780")) // relief rule: visible value labels
+
+    // confusion grid (compare_models.py:43-58's 1×3 sns.heatmap grid):
+    // one panel per model from the comparison frame's tn/fp/fn/tp
+    val gridSvg = dir.resolve("comparison_confusion.svg").toString
+    graft.ml.ModelCharts.writeConfusionGrid(
+      cmp.collect().toSeq.map { r =>
+        r.getString(0) -> Seq(
+          (0L, 0L, r.getLong(4)), (0L, 1L, r.getLong(5)),
+          (1L, 0L, r.getLong(6)), (1L, 1L, r.getLong(7)))
+      }, gridSvg, "Confusion Matrix Comparison")
+    val grid = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(gridSvg))
+    scala.xml.XML.loadString(grid)
+    Seq("lr", "nb", "svm").foreach(m => assert(grid.contains(s">$m</text>")))
+    assert(grid.sliding(6).count(_ == "<rect ") >= 13) // surface + 3×4 cells
   }
 }

@@ -29,13 +29,18 @@ object CompareModels {
     // the metric bars and the 1×N confusion-matrix heatmap grid)
     val svgPath = outPath.replaceAll("\\.json$", "") + ".svg"
     ModelComparison.writeComparisonSvg(cmp, svgPath)
-    val panels = cmp.collect().toSeq
-      .filter(r => (4 to 7).forall(!r.isNullAt(_)))
-      .map { r =>
-        r.getString(0) -> Seq(
-          (0L, 0L, r.getLong(4)), (0L, 1L, r.getLong(5)),
-          (1L, 0L, r.getLong(6)), (1L, 1L, r.getLong(7)))
-      }
+    val (withCm, withoutCm) = cmp.collect().toSeq
+      .partition(r => (4 to 7).forall(!r.isNullAt(_)))
+    // loud, not silent: a model missing its confusion_matrix field still
+    // appears in the bars chart, so an unexplained missing panel here
+    // would read as a render bug
+    withoutCm.foreach(r => System.err.println(
+      s"[compare] ${r.getString(0)}: metrics JSON has no confusion_matrix — omitted from the grid"))
+    val panels = withCm.map { r =>
+      r.getString(0) -> Seq(
+        (0L, 0L, r.getLong(4)), (0L, 1L, r.getLong(5)),
+        (1L, 0L, r.getLong(6)), (1L, 1L, r.getLong(7)))
+    }
     if (panels.nonEmpty)
       graft.ml.ModelCharts.writeConfusionGrid(panels,
         outPath.replaceAll("\\.json$", "") + "_confusion.svg",

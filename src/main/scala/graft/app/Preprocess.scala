@@ -40,37 +40,27 @@ object Preprocess {
       .agg(round(avg(col("len")), 6).as("avg_len"),
         max(col("len")).as("max_len"), min(col("len")).as("min_len"))
 
-  /** Binned text-length histogram (`preprocessing.py:78,137`'s hist
-    * input, computed in-engine instead of sampling to pandas): ONE hash
-    * aggregation to ≤ clampLen/binWidth + 1 rows at any corpus size —
-    * lengths clamp into the last bin so a single outlier document can't
-    * blow up the bin count. */
+  /** Length-distribution aggregates live with the other corpus stats in
+    * [[graft.operators.Profiling]]; these delegates keep the
+    * preprocessing entry point's surface complete. */
   def lengthHistogram(df: DataFrame, binWidth: Int = 5,
       clampLen: Int = 300): DataFrame =
-    df.select(least(length(col("text")), lit(clampLen)).cast("int").as("len"))
-      .groupBy((floor(col("len") / binWidth).cast("int") * binWidth)
-        .as("bin_start"))
-      .agg(count(lit(1)).as("n"))
-      .orderBy(col("bin_start"))
+    graft.operators.Profiling.lengthHistogram(df, "text", binWidth, clampLen)
 
-  /** Five-number length summary (`preprocessing.py:73,131`'s boxplot
-    * input) — ONE aggregation row, quartiles via percentile_approx
-    * (the t-digest sketch; exact quartiles would sort the corpus). */
   def lengthSummary(df: DataFrame): DataFrame =
-    df.select(length(col("text")).cast("double").as("len"))
-      .agg(min(col("len")).as("min"),
-        percentile_approx(col("len"), lit(0.25), lit(10000)).as("q1"),
-        percentile_approx(col("len"), lit(0.5), lit(10000)).as("median"),
-        percentile_approx(col("len"), lit(0.75), lit(10000)).as("q3"),
-        max(col("len")).as("max"))
+    graft.operators.Profiling.lengthSummary(df, "text")
 
   /** Collect a (bin_start, n) histogram frame (bounded by construction). */
   private[graft] def collectHist(hist: DataFrame): Seq[(Int, Long)] =
     hist.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
 
-  /** Collect a one-row five-number summary frame. */
+  /** Collect a one-row five-number summary frame. An all-null row (the
+    * global-agg result over an empty corpus) must fail with a message,
+    * not a bare NullPointerException from Row.getDouble. */
   private[graft] def collectBox(summary: DataFrame): graft.ml.ModelCharts.BoxSummary = {
     val r = summary.head()
+    require(!r.isNullAt(0),
+      "length summary over an empty corpus — nothing to chart")
     graft.ml.ModelCharts.BoxSummary(r.getDouble(0), r.getDouble(1),
       r.getDouble(2), r.getDouble(3), r.getDouble(4))
   }
@@ -94,29 +84,34 @@ object Preprocess {
     run(spark, rawPath, outDir)
     // Stats read the WRITTEN output, not the lazy plan: re-using the
     // plan would re-scan and re-clean the raw corpus once per action.
-    val written = SentimentCsv.readClean(spark, outDir)
-    classDistribution(written).show(10, truncate = false)
+    // Persisted: the stats `show`s and the chart aggregates below run
+    // 2-5 aggregation jobs each over this frame — without the persist
+    // each one re-reads the written CSV.
+    val written = SentimentCsv.readClean(spark, outDir).persist()
+    val dist = classDistribution(written)
+    dist.show(10, truncate = false)
     lengthStats(written).show(truncate = false)
-    // Label-distribution chart (`preprocessing.py:44-52`'s bar plot) —
-    // the input aggregate is #classes rows, so the chart render is
-    // driver-trivial at any corpus size.
+    // Chart artifacts — every input is a bounded aggregate (#classes
+    // rows, ≤61 histogram bins, 1 summary row per side), so the renders
+    // are driver-trivial at any corpus size.
     chartsDir.foreach { dir =>
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-      graft.ml.ModelCharts.writeLabelDistributionSvg(
-        classDistribution(written),
+      graft.ml.ModelCharts.writeLabelDistributionSvg(dist,
         java.nio.file.Paths.get(dir, "label_distribution.svg").toString)
       // Before/after length comparison (`preprocessing.py:125-148`):
-      // "before" re-reads the raw corpus with only the text column — one
-      // extra scan; the chart inputs are a ≤61-bin histogram and a
-      // 1-row summary per side.
+      // "before" re-reads the raw corpus projected to the text column,
+      // persisted across its histogram + summary aggregations so the
+      // raw scan happens once, not twice.
       val raw = Filters.dropAnyNull(SentimentCsv.readRaw(spark, rawPath))
-        .select(col("text"))
+        .select(col("text")).persist()
       graft.ml.ModelCharts.writeLengthComparisonSvg(
         collectHist(lengthHistogram(raw)), collectHist(lengthHistogram(written)),
         collectBox(lengthSummary(raw)), collectBox(lengthSummary(written)),
         binWidth = 5,
         java.nio.file.Paths.get(dir, "length_before_after.svg").toString)
+      raw.unpersist()
     }
+    written.unpersist()
     spark.stop()
   }
 }

@@ -41,7 +41,10 @@ object Train {
         s"unknown model kind '$other' (expected lr|nb|svm)")
     }
 
-  /** Fit + evaluate on an already-loaded labeled frame (label, text). */
+  /** Fit + evaluate on an already-loaded labeled frame (label, text).
+    * The returned Result.predictions is PERSISTED — callers in a
+    * long-lived session should `unpersist()` it when done (the main
+    * below relies on spark.stop instead). */
   def trainEval(labeled: DataFrame, kind: String,
       useNgram: Boolean = false, ngramN: Int = 2): Result = {
     val df = labeled.withColumn("label", col("label").cast("double"))

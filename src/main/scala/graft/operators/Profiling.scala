@@ -41,4 +41,30 @@ object Profiling {
       .select(col("m.column"), col("n_rows"), col("m.n_nulls"),
         col("m.n_distinct"), col("m.min_value"), col("m.max_value"))
   }
+
+  /** Binned text-length histogram (the `preprocessing.py:78,137` chart
+    * input, computed in-engine instead of sampling to pandas): ONE hash
+    * aggregation to ≤ clampLen/binWidth + 1 rows at any corpus size —
+    * lengths clamp into the last bin so a single outlier document can't
+    * blow up the bin count. Oracle-checked as `q_length_histogram`. */
+  def lengthHistogram(df: DataFrame, textCol: String = "text",
+      binWidth: Int = 5, clampLen: Int = 300): DataFrame =
+    df.select(least(length(col(textCol)), lit(clampLen)).cast("int").as("len"))
+      .groupBy((floor(col("len") / binWidth).cast("int") * binWidth)
+        .as("bin_start"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("bin_start"))
+
+  /** Five-number text-length summary (`preprocessing.py:73,131`'s
+    * boxplot input) — ONE aggregation row, quartiles via
+    * percentile_approx (the sketch; exact quartiles would sort the
+    * corpus). Empty input yields one all-null row (Spark global-agg
+    * semantics) — callers collecting it must check. */
+  def lengthSummary(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.select(length(col(textCol)).cast("double").as("len"))
+      .agg(min(col("len")).as("min"),
+        percentile_approx(col("len"), lit(0.25), lit(10000)).as("q1"),
+        percentile_approx(col("len"), lit(0.5), lit(10000)).as("median"),
+        percentile_approx(col("len"), lit(0.75), lit(10000)).as("q3"),
+        max(col("len")).as("max"))
 }

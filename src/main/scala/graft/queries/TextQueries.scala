@@ -93,7 +93,7 @@ object TextQueries extends QueryModule {
     // any corpus size — the chart is driver-trivial because this
     // aggregate is, not because the corpus was sampled to pandas.
     "q_length_histogram" -> ((s, d) =>
-      graft.app.Preprocess.lengthHistogram(Tables.documents(s, d))
+      graft.operators.Profiling.lengthHistogram(Tables.documents(s, d))
         .select(col("bin_start").cast("long").as("bin_start"), col("n"))
         .orderBy(col("bin_start"))),
 

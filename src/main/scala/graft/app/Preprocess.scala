@@ -65,6 +65,28 @@ object Preprocess {
       r.getDouble(2), r.getDouble(3), r.getDouble(4))
   }
 
+  /** Preprocessing chart artifacts (`preprocessing.py:59-88,125-148`'s
+    * figures): label-distribution bars plus the before/after text-length
+    * comparison. Every input is a bounded aggregate (#classes rows, ≤61
+    * histogram bins, 1 summary row per side), so the renders are
+    * driver-trivial at any corpus size. The "before" side re-reads the
+    * raw corpus projected to the text column, persisted across its
+    * histogram + summary aggregations so the raw scan happens once. */
+  def writeCharts(spark: SparkSession, rawPath: String, cleaned: DataFrame,
+      dir: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    graft.ml.ModelCharts.writeLabelDistributionSvg(classDistribution(cleaned),
+      java.nio.file.Paths.get(dir, "label_distribution.svg").toString)
+    val raw = Filters.dropAnyNull(SentimentCsv.readRaw(spark, rawPath))
+      .select(col("text")).persist()
+    graft.ml.ModelCharts.writeLengthComparisonSvg(
+      collectHist(lengthHistogram(raw)), collectHist(lengthHistogram(cleaned)),
+      collectBox(lengthSummary(raw)), collectBox(lengthSummary(cleaned)),
+      binWidth = 5,
+      java.nio.file.Paths.get(dir, "length_before_after.svg").toString)
+    raw.unpersist()
+  }
+
   /** Run preprocess: read raw → clean → write CSV; returns the cleaned
     * frame (re-read-able via SentimentCsv.readClean). */
   def run(spark: SparkSession, rawPath: String, outDir: String): DataFrame = {
@@ -91,26 +113,7 @@ object Preprocess {
     val dist = classDistribution(written)
     dist.show(10, truncate = false)
     lengthStats(written).show(truncate = false)
-    // Chart artifacts — every input is a bounded aggregate (#classes
-    // rows, ≤61 histogram bins, 1 summary row per side), so the renders
-    // are driver-trivial at any corpus size.
-    chartsDir.foreach { dir =>
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-      graft.ml.ModelCharts.writeLabelDistributionSvg(dist,
-        java.nio.file.Paths.get(dir, "label_distribution.svg").toString)
-      // Before/after length comparison (`preprocessing.py:125-148`):
-      // "before" re-reads the raw corpus projected to the text column,
-      // persisted across its histogram + summary aggregations so the
-      // raw scan happens once, not twice.
-      val raw = Filters.dropAnyNull(SentimentCsv.readRaw(spark, rawPath))
-        .select(col("text")).persist()
-      graft.ml.ModelCharts.writeLengthComparisonSvg(
-        collectHist(lengthHistogram(raw)), collectHist(lengthHistogram(written)),
-        collectBox(lengthSummary(raw)), collectBox(lengthSummary(written)),
-        binWidth = 5,
-        java.nio.file.Paths.get(dir, "length_before_after.svg").toString)
-      raw.unpersist()
-    }
+    chartsDir.foreach(writeCharts(spark, rawPath, written, _))
     written.unpersist()
     spark.stop()
   }

@@ -90,6 +90,24 @@ class EndToEndSpec extends SparkSpec {
     r.predictions.unpersist() // trainEval persists; shared suite session
   }
 
+  test("preprocess charts: label bars + before/after length comparison") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pp-charts").toString
+    val cleaned = SentimentCsv.readClean(spark, cleanDir)
+    Preprocess.writeCharts(spark, rawDir, cleaned, dir)
+    Seq("label_distribution.svg", "length_before_after.svg").foreach { f =>
+      val p = java.nio.file.Paths.get(dir, f)
+      assert(java.nio.file.Files.exists(p), s"missing $f")
+      scala.xml.XML.loadString(java.nio.file.Files.readString(p)) // well-formed
+    }
+    val lenSvg = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "length_before_after.svg"))
+    // both distributions present (the 140-char marker is rightly absent
+    // here — this fixture's max length sits below it; marker rendering
+    // is covered in ModelChartsSpec)
+    Seq("Before", "After").foreach(s =>
+      assert(lenSvg.contains(s), s"missing '$s'"))
+  }
+
   test("metrics JSON schema equals the reference artifact key-for-key") {
     // Pin the SHAPE, not just accuracy parse-back: infer both schemas
     // with the same reader and require exact equality (field names,

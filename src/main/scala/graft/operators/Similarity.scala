@@ -59,9 +59,20 @@ object Similarity {
   }
 
   /** Exact all-pairs near-duplicates: pairs with cosine >= threshold.
-    * O(n²) — verification scale only; LSH-prefilter at production scale. */
+    * O(n²) — verification scale only; [[annNearDupPairs]] is the
+    * production path. GUARDED: fails loudly (one cheap count job, then
+    * `require`) instead of slowly materializing n²/2 pairs when someone
+    * points it at a production frame — same honest-threshold pattern as
+    * [[graft.ml.AnnIndex]]'s `maxInListCandidates`. Raise `maxExactRows`
+    * explicitly to opt in beyond the default. */
   def nearDupPairs(embeddings: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, maxExactRows: Long = 100000L): DataFrame = {
+    val n = embeddings.count()
+    require(n <= maxExactRows,
+      s"nearDupPairs is the exact O(n²) verification baseline: $n rows means " +
+        s"~${n * n / 2} candidate pairs (limit $maxExactRows rows). Use " +
+        "annNearDupPairs for production scale, or pass maxExactRows " +
+        "explicitly to override.")
     VectorFunctions.register(embeddings.sparkSession)
     val a = embeddings.select(col(idCol).as("id_a"), toDouble(col(vecCol)).as("va"))
     val b = embeddings.select(col(idCol).as("id_b"), toDouble(col(vecCol)).as("vb"))

@@ -91,6 +91,25 @@ class SimilaritySpec extends SparkSpec {
       s"missed planted near-dups: ${planted -- gotPairs}")
   }
 
+  test("nearDupPairs guard fires beyond maxExactRows, passes under it") {
+    val rnd = new scala.util.Random(7)
+    val df = (0L until 20L).map(i => (i, Seq.fill(8)(rnd.nextGaussian())))
+      .toDF("vec_id", "embedding")
+    // under the limit: runs and returns a frame
+    val ok = Similarity.nearDupPairs(df, "vec_id", "embedding",
+      threshold = 0.999, maxExactRows = 20L)
+    assert(ok.columns.toSeq === Seq("id_a", "id_b", "cos"))
+    ok.count() // materializes fine
+    // over the limit: fails loudly BEFORE the cross join, naming the
+    // scale-safe sibling
+    val e = intercept[IllegalArgumentException] {
+      Similarity.nearDupPairs(df, "vec_id", "embedding",
+        threshold = 0.999, maxExactRows = 19L)
+    }
+    assert(e.getMessage.contains("annNearDupPairs"))
+    assert(e.getMessage.contains("maxExactRows"))
+  }
+
   test("shingles: 3-grams of tokens, short docs -> empty") {
     val out = Seq("a b c d", "a b").toDF("text")
       .select(MinHashDedup.shingles(TokenOps.tokenize($"text"), 3))

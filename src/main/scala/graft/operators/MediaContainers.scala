@@ -1,0 +1,224 @@
+package graft.operators
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Byte-level media container synthesis + parsing, pure JDK — no codec
+  * libraries (the reference treats media as opaque blobs; SURVEY.md §2.7
+  * asks for typed metadata over them). Three formats, chosen because
+  * every one has a fully-specified header parseable/writable in plain
+  * bytes:
+  *
+  *  - WAV/RIFF (audio): canonical PCM chunk layout — `fmt ` carries
+  *    channels/sample-rate/bits, `data` carries the payload whose length
+  *    determines duration.
+  *  - BMP (image): uncompressed 24-bit BITMAPINFOHEADER — byte size is a
+  *    closed form of (w, h), and the JDK's ImageIO ships a BMP reader,
+  *    so [[Multimodal.decodeImage]] cross-validates the synthesis.
+  *  - MP4/ISO-BMFF (video): box tree `ftyp` + `moov(mvhd, trak(tkhd))` —
+  *    `mvhd` carries timescale/duration, `tkhd` carries 16.16
+  *    fixed-point display dimensions.
+  *
+  * Parsers are CORRUPT-SAFE: every read is bounds-checked and any
+  * malformed input yields None — a truncated blob in a 100 TB scan must
+  * select the fallback row, never kill the partition (same contract as
+  * [[Multimodal.decodeImage]]).
+  */
+object MediaContainers {
+
+  final case class WavMeta(channels: Int, sampleRate: Int,
+      bitsPerSample: Int, durationMs: Long)
+
+  final case class Mp4Meta(width: Int, height: Int, durationMs: Long)
+
+  // ---- synthesis ----------------------------------------------------
+
+  /** Canonical 44-byte-header PCM WAV: 16-bit little-endian samples,
+    * deterministic content from `seed`. */
+  def wav(channels: Int, sampleRate: Int, numSamples: Int,
+      seed: Long): Array[Byte] = {
+    require(channels > 0 && sampleRate > 0 && numSamples >= 0)
+    val dataLen = numSamples * channels * 2
+    val buf = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * channels * 2) // byte rate
+      .putShort((channels * 2).toShort)  // block align
+      .putShort(16)                      // bits per sample
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < numSamples * channels) {
+      buf.putShort(((seed * 31 + i * 131) & 0x7FFF).toShort)
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** Uncompressed 24-bit BMP (BITMAPINFOHEADER, bottom-up rows padded to
+    * 4 bytes): total size = 54 + h * ((3w + 3) / 4 * 4) — a closed form
+    * the oracle can compute. Pixel content deterministic from `seed`. */
+  def bmp(width: Int, height: Int, seed: Long): Array[Byte] = {
+    require(width > 0 && height > 0)
+    val stride = (3 * width + 3) / 4 * 4
+    val imageSize = stride * height
+    val buf = ByteBuffer.allocate(54 + imageSize).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+      .putInt(54 + imageSize).putInt(0).putInt(54)
+    buf.putInt(40).putInt(width).putInt(height)
+      .putShort(1).putShort(24)
+      .putInt(0) // BI_RGB
+      .putInt(imageSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val v = ((seed + x * 7 + y * 13) & 0xFF).toByte
+        buf.put(v).put(v).put(v) // B G R
+        x += 1
+      }
+      var p = 3 * width
+      while (p < stride) { buf.put(0.toByte); p += 1 }
+      y += 1
+    }
+    buf.array()
+  }
+
+  /** Minimal ISO-BMFF: ftyp + moov(mvhd version 0, trak(tkhd version 0)).
+    * Timescale 1000, so mvhd duration units ARE milliseconds; tkhd
+    * width/height are 16.16 fixed point. */
+  def mp4(width: Int, height: Int, durationMs: Long): Array[Byte] = {
+    require(width > 0 && height > 0 && durationMs >= 0)
+    val tkhd = ByteBuffer.allocate(92).order(ByteOrder.BIG_ENDIAN)
+    tkhd.putInt(92).put("tkhd".getBytes("US-ASCII"))
+      .putInt(0x000007) // version 0, flags: enabled|in-movie|in-preview
+      .putInt(0).putInt(0) // creation, modification
+      .putInt(1)           // track id
+      .putInt(0)           // reserved
+      .putInt(durationMs.toInt)
+      .putLong(0)          // reserved
+      .putShort(0).putShort(0).putShort(0).putShort(0) // layer/alt/vol/res
+    putIdentityMatrix(tkhd)
+    tkhd.putInt(width << 16).putInt(height << 16)
+    val trak = box("trak", tkhd.array())
+    val mvhd = ByteBuffer.allocate(108).order(ByteOrder.BIG_ENDIAN)
+    mvhd.putInt(108).put("mvhd".getBytes("US-ASCII"))
+      .putInt(0)           // version 0, no flags
+      .putInt(0).putInt(0) // creation, modification
+      .putInt(1000)        // timescale: ms
+      .putInt(durationMs.toInt)
+      .putInt(0x00010000)  // rate 1.0
+      .putShort(0x0100.toShort).putShort(0) // volume 1.0, reserved
+      .putLong(0)          // reserved
+    putIdentityMatrix(mvhd)
+    mvhd.putInt(0).putInt(0).putInt(0).putInt(0).putInt(0).putInt(0) // predefined
+    mvhd.putInt(2)         // next track id
+    val moov = box("moov", mvhd.array() ++ trak)
+    val ftyp = ByteBuffer.allocate(20).order(ByteOrder.BIG_ENDIAN)
+    ftyp.putInt(20).put("ftyp".getBytes("US-ASCII"))
+      .put("isom".getBytes("US-ASCII")).putInt(0)
+      .put("isom".getBytes("US-ASCII"))
+    ftyp.array() ++ moov
+  }
+
+  private def putIdentityMatrix(buf: ByteBuffer): Unit = {
+    buf.putInt(0x00010000).putInt(0).putInt(0)
+    buf.putInt(0).putInt(0x00010000).putInt(0)
+    buf.putInt(0).putInt(0).putInt(0x40000000)
+  }
+
+  private def box(kind: String, payload: Array[Byte]): Array[Byte] = {
+    val buf = ByteBuffer.allocate(8 + payload.length).order(ByteOrder.BIG_ENDIAN)
+    buf.putInt(8 + payload.length).put(kind.getBytes("US-ASCII")).put(payload)
+    buf.array()
+  }
+
+  // ---- parsing ------------------------------------------------------
+
+  private def u16le(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+
+  private def u32le(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xFFL) | ((b(o + 1) & 0xFFL) << 8) |
+      ((b(o + 2) & 0xFFL) << 16) | ((b(o + 3) & 0xFFL) << 24)
+
+  private def u32be(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xFFL) << 24) | ((b(o + 1) & 0xFFL) << 16) |
+      ((b(o + 2) & 0xFFL) << 8) | (b(o + 3) & 0xFFL)
+
+  private def fourcc(b: Array[Byte], o: Int): String =
+    new String(b, o, 4, "US-ASCII")
+
+  /** RIFF/WAVE chunk walk: returns fmt + data-derived metadata, None on
+    * anything malformed (short header, missing chunks, zero rates). */
+  def parseWav(bytes: Array[Byte]): Option[WavMeta] = {
+    if (bytes == null || bytes.length < 44) return None
+    if (fourcc(bytes, 0) != "RIFF" || fourcc(bytes, 8) != "WAVE") return None
+    var off = 12
+    var channels, sampleRate, bits = 0
+    var dataLen = -1L
+    while (off + 8 <= bytes.length) {
+      val id = fourcc(bytes, off)
+      val size = u32le(bytes, off + 4)
+      if (size < 0 || size > Int.MaxValue) return None
+      if (id == "fmt " && size >= 16 && off + 8 + 16 <= bytes.length) {
+        channels = u16le(bytes, off + 10)
+        sampleRate = u32le(bytes, off + 12).toInt
+        bits = u16le(bytes, off + 22)
+      } else if (id == "data") {
+        // size may legally exceed remaining bytes on a truncated blob —
+        // that is corrupt, not a crash
+        if (off + 8 + size > bytes.length) return None
+        dataLen = size
+      }
+      off += 8 + size.toInt + (size.toInt & 1) // chunks are even-padded
+    }
+    if (channels <= 0 || sampleRate <= 0 || bits <= 0 || dataLen < 0) None
+    else {
+      val byteRate = sampleRate.toLong * channels * (bits / 8)
+      if (byteRate <= 0) None
+      else Some(WavMeta(channels, sampleRate, bits, dataLen * 1000L / byteRate))
+    }
+  }
+
+  /** ISO-BMFF box walk: moov/mvhd for timescale+duration, moov/trak/tkhd
+    * (version 0) for 16.16 display dimensions. None on malformed input. */
+  def parseMp4(bytes: Array[Byte]): Option[Mp4Meta] = {
+    if (bytes == null || bytes.length < 8) return None
+    val moov = findBox(bytes, 0, bytes.length, "moov").getOrElse(return None)
+    val mvhd = findBox(bytes, moov._1 + 8, moov._2, "mvhd").getOrElse(return None)
+    val trak = findBox(bytes, moov._1 + 8, moov._2, "trak").getOrElse(return None)
+    val tkhd = findBox(bytes, trak._1 + 8, trak._2, "tkhd").getOrElse(return None)
+    val (mo, me) = mvhd
+    val (to, te) = tkhd
+    if (me - mo < 28 || te - to < 92) return None
+    if ((bytes(mo + 8) & 0xFF) != 0 || (bytes(to + 8) & 0xFF) != 0)
+      return None // only version-0 headers are 32-bit-laid-out
+    val timescale = u32be(bytes, mo + 20)
+    val duration = u32be(bytes, mo + 24)
+    if (timescale <= 0) return None
+    val width = (u32be(bytes, to + 84) >> 16).toInt
+    val height = (u32be(bytes, to + 88) >> 16).toInt
+    if (width <= 0 || height <= 0) return None
+    Some(Mp4Meta(width, height, duration * 1000L / timescale))
+  }
+
+  /** First sibling box named `kind` scanning from `from` (for children,
+    * pass the parent's payload start = boxStart + 8) up to `until`;
+    * returns (start, end) offsets of the whole box. Bounds-checked; None
+    * when absent or malformed. */
+  private def findBox(bytes: Array[Byte], from: Int, until: Int,
+      kind: String): Option[(Int, Int)] = {
+    var off = from
+    val limit = math.min(until, bytes.length)
+    while (off + 8 <= limit) {
+      val size = u32be(bytes, off)
+      if (size < 8 || off + size > limit) return None
+      if (fourcc(bytes, off + 4) == kind) return Some((off, off + size.toInt))
+      off += size.toInt
+    }
+    None
+  }
+}

@@ -9,16 +9,18 @@ import org.apache.spark.sql.types._
   *
   * The Spark-side machinery — schema, batched per-partition processing,
   * deterministic partitioning by media kind, output feature schema — is
-  * real and tested. IMAGE decode is REAL: `decodeImage` runs the JDK's
-  * `javax.imageio` readers (PNG, JPEG, GIF, BMP, WBMP) inside the
-  * per-partition boundary and yields true width/height/channels plus
-  * pooled-luminance features off the actual pixels. Bytes that are not a
-  * decodable image (audio/video — no JDK codec exists; this container
-  * ships no media libraries) fall back to `decodeStub`, which derives a
+  * real and tested. METADATA is REAL for all three kinds: `decodeImage`
+  * runs the JDK's `javax.imageio` readers (PNG, JPEG, GIF, BMP, WBMP)
+  * inside the per-partition boundary and yields true
+  * width/height/channels plus pooled-luminance features off the actual
+  * pixels; `parseMeta` additionally walks WAV/RIFF chunk headers and
+  * MP4/ISO-BMFF box trees ([[MediaContainers]]) for audio/video
+  * sample-rate/channels/dimensions/duration — pure JDK byte parsing, no
+  * codec library. Only audio/video FEATURE extraction (sample decode
+  * beyond the header) falls back to `decodeStub`, which derives a
   * deterministic fake feature vector with the same signature and batch
-  * shape, so the plumbing is testable end-to-end for every media kind.
-  * Swap the fallback for a real audio/video decoder (JNI/javacpp ffmpeg)
-  * without touching anything else.
+  * shape; swap it for a real decoder (JNI/javacpp ffmpeg) without
+  * touching anything else.
   *
   * Scale notes: media blobs never pass through a shuffle — features are
   * extracted in the scan stage (mapPartitions, batched), and only the
@@ -52,6 +54,67 @@ object Multimodal {
         (pmod(col("n_chars"), lit(480)) + 1).cast("int").as("height"),
         (col("n_chars") * 10).as("duration_ms"),
         lit("stub").as("codec")).as("meta"))
+
+  /** Synthetic media table with REAL container bytes: BMP images, PCM
+    * WAV audio, ISO-BMFF MP4 video ([[MediaContainers]]), every header
+    * field a closed form of (doc_id, n_chars) so parse results are
+    * oracle-predictable. Built in a typed map (byte assembly is
+    * imperative); one narrow stage, no shuffle. */
+  def containerMediaFromDocuments(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)].map { case (id, nc) =>
+        (id % 3) match {
+          case 0 => (id, "image",
+            MediaContainers.bmp((nc % 64 + 1).toInt, (nc % 48 + 1).toInt, id))
+          case 1 => (id, "audio",
+            MediaContainers.wav((id % 2 + 1).toInt, 8000, (nc % 4096).toInt, id))
+          case _ => (id, "video",
+            MediaContainers.mp4((nc % 640 + 16).toInt, (nc % 480 + 16).toInt,
+              nc * 10))
+        }
+      }.toDF("media_id", "kind", "bytes")
+  }
+
+  final case class ParsedMeta(media_id: Long, kind: String, width: Int,
+      height: Int, channels: Int, sample_rate: Int, duration_ms: Long)
+
+  /** REAL metadata for all three kinds, parsed from the container bytes
+    * in the scan stage: ImageIO decode for images, RIFF chunk walk for
+    * WAV, ISO-BMFF box walk for MP4. Kind-gated (no cross-format header
+    * sniffing per blob in the hot loop); corrupt/undecodable blobs yield
+    * a zeroed row, never a partition failure. Fields that a format does
+    * not carry are 0 (e.g. audio has no width, image no duration). */
+  def parseMeta(media: DataFrame): Dataset[ParsedMeta] = {
+    import media.sparkSession.implicits._
+    media.select(col("media_id"), col("kind"), col("bytes"))
+      .mapPartitions { rows: Iterator[Row] =>
+        rows.map { r =>
+          val id = r.getAs[Long]("media_id")
+          val kind = r.getAs[String]("kind")
+          val bytes = r.getAs[Array[Byte]]("bytes")
+          kind match {
+            case "image" => decodeImage(bytes) match {
+              case Some(img) =>
+                val m = imageMeta(img)
+                ParsedMeta(id, kind, m.width, m.height, m.channels, 0, 0L)
+              case None => ParsedMeta(id, kind, 0, 0, 0, 0, 0L)
+            }
+            case "audio" => MediaContainers.parseWav(bytes) match {
+              case Some(w) =>
+                ParsedMeta(id, kind, 0, 0, w.channels, w.sampleRate, w.durationMs)
+              case None => ParsedMeta(id, kind, 0, 0, 0, 0, 0L)
+            }
+            case "video" => MediaContainers.parseMp4(bytes) match {
+              case Some(v) =>
+                ParsedMeta(id, kind, v.width, v.height, 0, 0, v.durationMs)
+              case None => ParsedMeta(id, kind, 0, 0, 0, 0, 0L)
+            }
+            case _ => ParsedMeta(id, kind, 0, 0, 0, 0, 0L)
+          }
+        }
+      }
+  }
 
   final case class MediaFeatures(media_id: Long, kind: String,
       n_bytes: Long, features: Array[Double],

@@ -13,12 +13,15 @@ import graft.operators.Multimodal
 object MultimodalQueries extends QueryModule {
 
   val queries: Map[String, Q] = Map(
-    // Typed metadata projection over the media table.
+    // REAL typed metadata: container bytes (BMP/WAV/MP4, synthesized
+    // with closed-form header fields) PARSED back in the scan stage —
+    // ImageIO for images, RIFF chunk walk for WAV, ISO-BMFF box walk
+    // for MP4. The oracle predicts the parse results from the same
+    // closed forms, so a parser regression on any kind breaks the hash.
     "q_media_meta" -> ((s, d) =>
-      Multimodal.fakeMediaFromDocuments(Tables.documents(s, d))
-        .select(col("media_id"), col("kind"),
-          col("meta.width").as("width"), col("meta.height").as("height"),
-          col("meta.duration_ms").as("duration_ms"))
+      Multimodal.parseMeta(
+          Multimodal.containerMediaFromDocuments(Tables.documents(s, d)))
+        .toDF()
         .orderBy(col("media_id"))),
 
     // Per-kind blob statistics (bytes never leave the scan stage).
@@ -55,9 +58,16 @@ object MultimodalQueries extends QueryModule {
     "q_media_meta" ->
       """SELECT doc_id AS media_id,
         |  ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
-        |  CAST(n_chars % 640 + 1 AS INT) AS width,
-        |  CAST(n_chars % 480 + 1 AS INT) AS height,
-        |  CAST(n_chars * 10 AS BIGINT) AS duration_ms
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN n_chars % 64 + 1
+        |       WHEN 2 THEN n_chars % 640 + 16 ELSE 0 END AS INT) AS width,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN n_chars % 48 + 1
+        |       WHEN 2 THEN n_chars % 480 + 16 ELSE 0 END AS INT) AS height,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 3
+        |       WHEN 1 THEN doc_id % 2 + 1 ELSE 0 END AS INT) AS channels,
+        |  CAST(CASE doc_id % 3 WHEN 1 THEN 8000 ELSE 0 END AS INT)
+        |    AS sample_rate,
+        |  CAST(CASE doc_id % 3 WHEN 1 THEN (n_chars % 4096) // 8
+        |       WHEN 2 THEN n_chars * 10 ELSE 0 END AS BIGINT) AS duration_ms
         |FROM documents ORDER BY media_id""".stripMargin,
 
     "q_media_resize" ->

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{MediaContainers, Multimodal}
+
+/** WAV/BMP/MP4 container synthesis + parsing: round trips, independent
+  * encoders (JDK AudioSystem, python-wave checked-in fixture, ImageIO),
+  * and corrupt-input safety for every prefix truncation. */
+class MediaContainersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("WAV round trip recovers channels, rate, bits, and duration") {
+    for ((ch, rate, n) <- Seq((1, 8000, 800), (2, 44100, 44100), (1, 16000, 0))) {
+      val m = MediaContainers.parseWav(MediaContainers.wav(ch, rate, n, seed = 7))
+      assert(m.isDefined, s"ch=$ch rate=$rate n=$n")
+      assert(m.get.channels == ch && m.get.sampleRate == rate &&
+        m.get.bitsPerSample == 16)
+      assert(m.get.durationMs == n.toLong * 1000 / rate)
+    }
+  }
+
+  test("parseWav reads the JDK's own AudioSystem WAV output") {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(22050f, 16, 2, true, false)
+    val pcm = new Array[Byte](22050 * 2 * 2) // 1 second stereo
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 22050)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    val m = MediaContainers.parseWav(bos.toByteArray)
+    assert(m.isDefined, "must parse the JDK encoder's container")
+    assert(m.get.channels == 2 && m.get.sampleRate == 22050 &&
+      m.get.bitsPerSample == 16 && m.get.durationMs == 1000L)
+  }
+
+  test("parseWav reads the checked-in python-wave fixture") {
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      getClass.getResource("/sample.wav").toURI))
+    val m = MediaContainers.parseWav(bytes)
+    assert(m.isDefined, "must parse the python wave module's container")
+    assert(m.get.channels == 2 && m.get.sampleRate == 11025 &&
+      m.get.bitsPerSample == 16 && m.get.durationMs == 2000L)
+  }
+
+  test("MP4 round trip recovers dimensions and duration") {
+    for ((w, h, d) <- Seq((640, 480, 12345L), (16, 16, 0L), (1920, 1080, 1L))) {
+      val m = MediaContainers.parseMp4(MediaContainers.mp4(w, h, d))
+      assert(m.isDefined, s"$w x $h")
+      assert(m.get.width == w && m.get.height == h && m.get.durationMs == d)
+    }
+  }
+
+  test("BMP synthesis decodes through ImageIO with exact dimensions") {
+    val bytes = MediaContainers.bmp(37, 23, seed = 99)
+    // closed-form size the oracle relies on
+    assert(bytes.length == 54 + 23 * ((3 * 37 + 3) / 4 * 4))
+    val img = Multimodal.decodeImage(bytes)
+    assert(img.isDefined, "JDK ImageIO must read our BMP")
+    val m = Multimodal.imageMeta(img.get)
+    assert(m.width == 37 && m.height == 23 && m.channels == 3)
+  }
+
+  test("every prefix truncation parses to None, never throws") {
+    val wav = MediaContainers.wav(2, 8000, 64, seed = 1)
+    val mp4 = MediaContainers.mp4(320, 240, 5000L)
+    for (len <- 0 until wav.length)
+      assert(MediaContainers.parseWav(wav.take(len)).isEmpty, s"wav@$len")
+    for (len <- 0 until mp4.length)
+      assert(MediaContainers.parseMp4(mp4.take(len)).isEmpty, s"mp4@$len")
+    assert(MediaContainers.parseWav(null).isEmpty)
+    assert(MediaContainers.parseMp4(null).isEmpty)
+    assert(MediaContainers.parseWav("RIFFgarbage".getBytes).isEmpty)
+    assert(MediaContainers.parseMp4(Array.fill[Byte](64)(0x7F)).isEmpty)
+  }
+
+  test("parseMeta yields real per-kind metadata end-to-end on the fixture") {
+    val parsed = Multimodal.parseMeta(
+      Multimodal.containerMediaFromDocuments(Tables.documents(spark, sf001)))
+      .collect()
+    assert(parsed.nonEmpty)
+    val byKind = parsed.groupBy(_.kind)
+    assert(byKind.keySet == Set("image", "audio", "video"))
+    // every image decoded (no fallback zeros), audio carries rate+channels,
+    // video carries dims+duration
+    assert(byKind("image").forall(m => m.width > 0 && m.height > 0 &&
+      m.channels == 3 && m.sample_rate == 0))
+    assert(byKind("audio").forall(m => m.sample_rate == 8000 &&
+      (m.channels == 1 || m.channels == 2) && m.width == 0))
+    assert(byKind("video").forall(m => m.width >= 16 && m.height >= 16 &&
+      m.duration_ms > 0 && m.channels == 0))
+  }
+}

@@ -24,28 +24,26 @@ object CompareModels {
     val spark = Sessions.local("graft-compare-models")
     val cmp = ModelComparison.compare(spark, inputs)
     cmp.show(truncate = false)
-    ModelComparison.writeComparison(cmp, outPath)
+    // ONE collect feeds the JSON, bar-SVG, and confusion-grid artifacts;
+    // all field access inside the writers is by name, so a column
+    // reorder in compare() can't silently mislabel anything.
+    val rows = cmp.collect().toSeq
+    ModelComparison.writeComparison(rows, outPath)
     // chart artifacts beside the JSON (compare_models.py's PNG analogs:
     // the metric bars and the 1×N confusion-matrix heatmap grid)
     val svgPath = outPath.replaceAll("\\.json$", "") + ".svg"
-    ModelComparison.writeComparisonSvg(cmp, svgPath)
-    val (withCm, withoutCm) = cmp.collect().toSeq
-      .partition(r => (4 to 7).forall(!r.isNullAt(_)))
+    ModelComparison.writeComparisonSvg(rows, svgPath)
+    val (panels, missing) = ModelComparison.confusionPanels(rows)
     // loud, not silent: a model missing its confusion_matrix field still
     // appears in the bars chart, so an unexplained missing panel here
     // would read as a render bug
-    withoutCm.foreach(r => System.err.println(
-      s"[compare] ${r.getString(0)}: metrics JSON has no confusion_matrix — omitted from the grid"))
-    val panels = withCm.map { r =>
-      r.getString(0) -> Seq(
-        (0L, 0L, r.getLong(4)), (0L, 1L, r.getLong(5)),
-        (1L, 0L, r.getLong(6)), (1L, 1L, r.getLong(7)))
-    }
+    missing.foreach(m => System.err.println(
+      s"[compare] $m: metrics JSON has no confusion_matrix — omitted from the grid"))
     if (panels.nonEmpty)
       graft.ml.ModelCharts.writeConfusionGrid(panels,
         outPath.replaceAll("\\.json$", "") + "_confusion.svg",
         "Confusion Matrix Comparison")
-    println(s"best=${ModelComparison.best(cmp)}")
+    println(s"best=${ModelComparison.best(rows)}")
     spark.stop()
   }
 }

@@ -29,8 +29,16 @@ import graft.sources.SentimentCsv
   */
 object Train {
 
+  /** Training output. `predictions` is persisted by [[trainEval]]; the
+    * Result OWNS that lifetime — `close()` releases the cached blocks,
+    * and AutoCloseable means `Using.resource(Train.trainEval(...))` scopes
+    * it without caller discipline. Idempotent (unpersist on an
+    * already-unpersisted frame is a no-op). */
   final case class Result(model: PipelineModel,
       metrics: SentimentPipeline.Metrics, predictions: DataFrame)
+      extends AutoCloseable {
+    override def close(): Unit = { predictions.unpersist(); () }
+  }
 
   def classifier(kind: String): org.apache.spark.ml.PipelineStage =
     kind match {
@@ -42,9 +50,9 @@ object Train {
     }
 
   /** Fit + evaluate on an already-loaded labeled frame (label, text).
-    * The returned Result.predictions is PERSISTED — callers in a
-    * long-lived session should `unpersist()` it when done (the main
-    * below relies on spark.stop instead). */
+    * The returned Result.predictions is PERSISTED — `close()` the Result
+    * when done in a long-lived session (the main below relies on
+    * spark.stop instead). */
   def trainEval(labeled: DataFrame, kind: String,
       useNgram: Boolean = false, ngramN: Int = 2): Result = {
     val df = labeled.withColumn("label", col("label").cast("double"))

@@ -1,6 +1,6 @@
 package graft.ml
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -49,14 +49,22 @@ object ModelComparison {
   }
 
   /** Best model by accuracy (compare_models.py's implicit headline). */
-  def best(comparison: DataFrame): String =
-    comparison.select(col("model")).head().getString(0)
+  def best(comparison: DataFrame): String = best(comparison.collect())
+
+  def best(rows: Seq[Row]): String = rows.head.getAs[String]("model")
 
   /** Write the comparison as one JSON array artifact (driver-side write:
     * the frame is #models rows by construction). NaN/null metrics (e.g.
     * a degenerate split making AUC undefined) serialize as JSON null —
     * bare NaN is invalid JSON; model names are string-escaped. */
-  def writeComparison(comparison: DataFrame, path: String): Unit = {
+  def writeComparison(comparison: DataFrame, path: String): Unit =
+    writeComparison(comparison.collect(), path)
+
+  /** Row-seq form: the app collects the few-row comparison ONCE and
+    * feeds the same array to the JSON, bar-SVG, and confusion-grid
+    * writers. Fields are read by NAME — the artifact writers don't
+    * depend on [[compare]]'s column order. */
+  def writeComparison(rows: Seq[Row], path: String): Unit = {
     def esc(s: String): String =
       s.flatMap {
         case '"' => "\\\""
@@ -64,19 +72,36 @@ object ModelComparison {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       }
-    def num(r: org.apache.spark.sql.Row, i: Int): String =
-      if (r.isNullAt(i) || r.getDouble(i).isNaN) "null"
-      else r.getDouble(i).toString
-    def cnt(r: org.apache.spark.sql.Row, i: Int): String =
+    def num(r: Row, name: String): String = {
+      val i = r.fieldIndex(name)
+      if (r.isNullAt(i) || r.getDouble(i).isNaN) "null" else r.getDouble(i).toString
+    }
+    def cnt(r: Row, name: String): String = {
+      val i = r.fieldIndex(name)
       if (r.isNullAt(i)) "null" else r.getLong(i).toString
-    val rows = comparison.collect().map { r =>
-      s"""{"model": "${esc(r.getString(0))}", "accuracy": ${num(r, 1)},
-         | "f1": ${num(r, 2)}, "roc_auc": ${num(r, 3)},
-         | "confusion_matrix": [[${cnt(r, 4)}, ${cnt(r, 5)}], [${cnt(r, 6)}, ${cnt(r, 7)}]]}"""
+    }
+    val out = rows.map { r =>
+      s"""{"model": "${esc(r.getAs[String]("model"))}", "accuracy": ${num(r, "accuracy")},
+         | "f1": ${num(r, "f1")}, "roc_auc": ${num(r, "roc_auc")},
+         | "confusion_matrix": [[${cnt(r, "tn")}, ${cnt(r, "fp")}], [${cnt(r, "fn")}, ${cnt(r, "tp")}]]}"""
         .stripMargin
     }
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
-      rows.mkString("[", ",\n", "]"))
+      out.mkString("[", ",\n", "]"))
+  }
+
+  /** Per-model 2×2 confusion panels for [[ModelCharts.writeConfusionGrid]],
+    * by-name field access; second element = models whose metrics JSON had
+    * no confusion_matrix (callers should report them loudly, not drop
+    * them silently). */
+  def confusionPanels(rows: Seq[Row])
+      : (Seq[(String, Seq[(Long, Long, Long)])], Seq[String]) = {
+    val cells = Seq(("tn", 0L, 0L), ("fp", 0L, 1L), ("fn", 1L, 0L), ("tp", 1L, 1L))
+    val (withCm, withoutCm) = rows.partition(r =>
+      cells.forall { case (f, _, _) => !r.isNullAt(r.fieldIndex(f)) })
+    (withCm.map(r => r.getAs[String]("model") ->
+        cells.map { case (f, l, p) => (l, p, r.getAs[Long](f)) }),
+      withoutCm.map(_.getAs[String]("model")))
   }
 
   // Palette + XML escape are shared with the per-model renderers —
@@ -92,16 +117,20 @@ object ModelComparison {
     * palette order, legend + per-bar value labels (no number is ever
     * color-alone). NaN/null metrics render as an "n/a" label instead of
     * a zero-height lie. */
-  def writeComparisonSvg(comparison: DataFrame, path: String): Unit = {
-    val rows = comparison.collect()
+  def writeComparisonSvg(comparison: DataFrame, path: String): Unit =
+    writeComparisonSvg(comparison.collect(), path)
+
+  def writeComparisonSvg(rows: Seq[Row], path: String): Unit = {
     require(rows.nonEmpty, "empty comparison")
     require(rows.length <= SeriesColors.size,
       s"at most ${SeriesColors.size} models per chart (got ${rows.length}); " +
         "facet or fold the rest")
-    val models = rows.map(_.getString(0)).toSeq
-    val metrics = Seq(("Accuracy", 1), ("F1", 2), ("ROC AUC", 3))
-    def metricOf(r: org.apache.spark.sql.Row, i: Int): Option[Double] =
+    val models = rows.map(_.getAs[String]("model")).toSeq
+    val metrics = Seq(("Accuracy", "accuracy"), ("F1", "f1"), ("ROC AUC", "roc_auc"))
+    def metricOf(r: Row, name: String): Option[Double] = {
+      val i = r.fieldIndex(name)
       if (r.isNullAt(i) || r.getDouble(i).isNaN) None else Some(r.getDouble(i))
+    }
 
     val (w, h) = (640, 360)
     val (pl, pr, pt, pb) = (44, 16, 56, 32)

@@ -46,10 +46,13 @@ object Profiling {
     * input, computed in-engine instead of sampling to pandas): ONE hash
     * aggregation to ≤ clampLen/binWidth + 1 rows at any corpus size —
     * lengths clamp into the last bin so a single outlier document can't
-    * blow up the bin count. Oracle-checked as `q_length_histogram`. */
+    * blow up the bin count. Null text is EXCLUDED (Spark's `least` skips
+    * nulls, which would otherwise count null rows as clamp-length
+    * documents). Oracle-checked as `q_length_histogram`. */
   def lengthHistogram(df: DataFrame, textCol: String = "text",
       binWidth: Int = 5, clampLen: Int = 300): DataFrame =
-    df.select(least(length(col(textCol)), lit(clampLen)).cast("int").as("len"))
+    df.where(col(textCol).isNotNull)
+      .select(least(length(col(textCol)), lit(clampLen)).cast("int").as("len"))
       .groupBy((floor(col("len") / binWidth).cast("int") * binWidth)
         .as("bin_start"))
       .agg(count(lit(1)).as("n"))

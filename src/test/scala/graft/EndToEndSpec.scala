@@ -87,7 +87,7 @@ class EndToEndSpec extends SparkSpec {
     val a = r.model.transform(test).select($"prediction").as[Double].collect().toSeq
     val b = reloaded.transform(test).select($"prediction").as[Double].collect().toSeq
     assert(a === b)
-    r.predictions.unpersist() // trainEval persists; shared suite session
+    r.close() // trainEval persists; Result owns the cache lifetime
   }
 
   test("preprocess charts: label bars + before/after length comparison") {
@@ -136,7 +136,7 @@ class EndToEndSpec extends SparkSpec {
     assert(r.metrics.accuracy > 0.7, s"accuracy ${r.metrics.accuracy}")
     assert(ModelComparison.readMetrics(spark, metricsPath).head()
       .getDouble(0) === r.metrics.accuracy)
-    r.predictions.unpersist() // trainEval persists; shared suite session
+    r.close() // trainEval persists; Result owns the cache lifetime
   }
 
   test("score main: saved model scores a corpus; stream == batch predictions") {
@@ -145,7 +145,7 @@ class EndToEndSpec extends SparkSpec {
     val metricsPath = java.nio.file.Files
       .createTempDirectory("graft-score-m").resolve("lr.json").toString
     Train.run(spark, "lr", cleanDir, modelDir, metricsPath)
-      .predictions.unpersist() // trainEval persists; shared suite session
+      .close() // trainEval persists; Result owns the cache lifetime
     val outDir = java.nio.file.Files
       .createTempDirectory("graft-score-out").toString + "/scored"
     val n = graft.app.Score.run(spark, modelDir, cleanDir, outDir)

@@ -114,7 +114,7 @@ class ModelChartsSpec extends SparkSpec {
       assert(Files.exists(p), s"missing $f")
       parseSvg(p.toString)
     }
-    r.predictions.unpersist() // trainEval persists; shared suite session
+    r.close() // trainEval persists; Result owns the cache lifetime
   }
 
   test("confusion grid: N aligned panels, per-model titles, y labels once") {
@@ -189,6 +189,6 @@ class ModelChartsSpec extends SparkSpec {
       .select(graft.app.Train.rocScore(r.predictions).as("s"))
       .agg(min(col("s")), max(col("s"))).head()
     assert(scores.getDouble(0) >= 0.0 && scores.getDouble(1) <= 1.0)
-    r.predictions.unpersist() // trainEval persists; shared suite session
+    r.close() // trainEval persists; Result owns the cache lifetime
   }
 }

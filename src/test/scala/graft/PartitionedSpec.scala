@@ -120,4 +120,15 @@ class PartitionedSpec extends SparkSpec {
     assert(prof("id") === ("id", 4L, 0L, 4L, "1", "4"))
     assert(prof("tag") === ("tag", 4L, 1L, 2L, "a", "b"))
   }
+
+  test("lengthHistogram excludes null text instead of clamp-binning it") {
+    import spark.implicits._
+    val df = Seq(Some("ab"), None, Some("abcd"), None).toDF("text")
+    val bins = graft.operators.Profiling.lengthHistogram(df, binWidth = 5,
+        clampLen = 300)
+      .as[(Int, Long)].collect().toMap
+    // both real lengths land in bin 0; the nulls appear NOWHERE — before
+    // the fix least(null, 300)=300 put them in the clamp bin
+    assert(bins === Map(0 -> 2L))
+  }
 }

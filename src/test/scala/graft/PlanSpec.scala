@@ -194,4 +194,54 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("hashpartitioning"),
       s"media blobs must not hash-shuffle:\n$plan")
   }
+
+  test("saltedJoin spreads the hot key across reducers; plain join does not") {
+    // One key carries 90% of the big side. Plain shuffle join lands the
+    // whole hot key in ONE reducer partition (the single-task straggler);
+    // the salted form must both (a) shuffle on (key, __salt) — pinned in
+    // the plan — and (b) measurably flatten the output partition sizes.
+    import spark.implicits._
+    import graft.operators.Salting
+    val conf = spark.conf
+    val prevBroadcast = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = conf.get("spark.sql.adaptive.enabled")
+    val prevParts = conf.get("spark.sql.shuffle.partitions")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.enabled", "false") // stable partition count
+      // enough reducers that 16 salt values can actually spread — with
+      // the suite's 4 partitions the salt→partition hash collisions mask
+      // the effect being pinned
+      conf.set("spark.sql.shuffle.partitions", "16")
+      val big = (0 until 40000).map { i =>
+        (if (i % 10 != 0) "hot" else s"k${i % 97}", i.toLong)
+      }.toDF("k", "v")
+      val small = (Seq("hot") ++ (0 until 97).map(i => s"k$i"))
+        .map(k => (k, k.length.toLong)).toDF("k", "w")
+
+      def partSizes(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+        df.rdd.mapPartitions(it => Iterator(it.size.toLong)).collect().toSeq
+
+      val plain = big.join(small, Seq("k"))
+      val salted = Salting.saltedJoin(big, small, Seq("k"), salts = 16)
+      assert(salted.columns.sorted.toSeq == plain.columns.sorted.toSeq)
+      assert(salted.count() == plain.count(), "salting must not change rows")
+
+      val saltPlan = salted.queryExecution.executedPlan.toString
+      assert(saltPlan.contains("__salt"),
+        s"salted join must shuffle on (key, salt):\n$saltPlan")
+
+      val total = 40000L
+      val plainMax = partSizes(plain).max
+      val saltedMax = partSizes(salted).max
+      assert(plainMax >= (total * 0.9).toLong,
+        s"fixture not skewed enough: plain max=$plainMax")
+      assert(saltedMax <= (total * 0.5).toLong,
+        s"hot partition not flattened: salted max=$saltedMax (plain $plainMax)")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      conf.set("spark.sql.adaptive.enabled", prevAqe)
+      conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+  }
 }

@@ -1,0 +1,113 @@
+#!/usr/bin/env python3
+"""Round-over-round bench diff with telemetry adjudication.
+
+Compares two BENCH_FULL.json files (as written by graft.Bench) and
+classifies per-query deltas using the per-run telemetry
+[elapsed_sec, gc_delta_ms, load1, storage_free_mb]:
+
+  REGRESSION    min-of-N elevated AND the new min's run saw load
+                comparable to the old min's run — the code is the
+                suspect.
+  CONTENDED     min-of-N elevated but the new min ran under visibly
+                higher box load than the old one — re-run in isolation
+                before reacting (see graft memory: r5-r7 repeatedly
+                mis-attributed contention as code).
+  GC-PRESSURE   elevated and the new min's run spent >20% of its
+                elapsed time in GC.
+  IMPROVED      min-of-N dropped by more than the noise threshold.
+
+Usage: tools/bench_diff.py OLD_BENCH_FULL.json NEW_BENCH_FULL.json
+         [--threshold 1.3] [--noise 0.05] [--load-margin 2.0]
+
+Exit code 1 iff any REGRESSION was flagged (usable as a gate).
+"""
+import argparse
+import json
+import sys
+
+
+def min_run(entry):
+    """The run row [elapsed, gc_ms, load1, storage_mb] with min elapsed."""
+    return min(entry, key=lambda r: r[0])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("old")
+    ap.add_argument("new")
+    ap.add_argument("--threshold", type=float, default=1.3,
+                    help="flag ratio above this (default 1.3x)")
+    ap.add_argument("--noise", type=float, default=0.05,
+                    help="ignore absolute deltas under this many sec")
+    ap.add_argument("--load-margin", type=float, default=2.0,
+                    help="new-min load1 above old-min load1 by more than "
+                         "this -> CONTENDED, not REGRESSION")
+    args = ap.parse_args()
+
+    old = json.load(open(args.old))
+    new = json.load(open(args.new))
+    oldq, newq = old["queries"], new["queries"]
+    oldr, newr = old.get("runs", {}), new.get("runs", {})
+
+    added = sorted(set(newq) - set(oldq))
+    removed = sorted(set(oldq) - set(newq))
+
+    rows = []
+    flags = {"REGRESSION": 0, "CONTENDED": 0, "GC-PRESSURE": 0, "IMPROVED": 0}
+    for q in sorted(set(oldq) & set(newq)):
+        o, n = oldq[q], newq[q]
+        delta = n - o
+        ratio = n / o if o > 0 else float("inf")
+        klass = ""
+        o_load = n_load = n_gc = None
+        if q in oldr and oldr[q]:
+            o_load = min_run(oldr[q])[2]
+        if q in newr and newr[q]:
+            nrun = min_run(newr[q])
+            n_gc, n_load = nrun[1], nrun[2]
+        if abs(delta) >= args.noise:
+            if ratio >= args.threshold:
+                if (n_load is not None and o_load is not None
+                        and n_load > o_load + args.load_margin):
+                    klass = "CONTENDED"
+                elif n_gc is not None and n_gc / 1000.0 > 0.2 * n:
+                    klass = "GC-PRESSURE"
+                else:
+                    klass = "REGRESSION"
+            elif ratio <= 1.0 / args.threshold:
+                klass = "IMPROVED"
+        if klass:
+            flags[klass] += 1
+        rows.append((q, o, n, delta, ratio, klass, o_load, n_load))
+
+    rows.sort(key=lambda r: -abs(r[3]))
+    print(f"{'query':34} {'old':>8} {'new':>8} {'delta':>8} {'ratio':>6}  "
+          f"{'load o->n':>10}  class")
+    for q, o, n, d, rto, klass, ol, nl in rows:
+        if not klass and abs(d) < args.noise:
+            continue  # keep the report to signal, not noise
+        loads = (f"{ol:.1f}->{nl:.1f}" if ol is not None and nl is not None
+                 else "n/a")
+        print(f"{q:34} {o:8.3f} {n:8.3f} {d:+8.3f} {rto:6.2f}  {loads:>10}  "
+              f"{klass}")
+
+    tot_o, tot_n = old.get("value"), new.get("value")
+    print(f"\ntotal: {tot_o:.2f}s -> {tot_n:.2f}s "
+          f"({(tot_n / tot_o - 1) * 100:+.1f}%)")
+    la = lambda b: b.get("loadavg_before", "?").split()[0]
+    print(f"load1 at start: old {la(old)}, new {la(new)}")
+    if added:
+        print(f"added ({len(added)}): {', '.join(added)}")
+    if removed:
+        print(f"removed ({len(removed)}): {', '.join(removed)}")
+    summary = ", ".join(f"{k}={v}" for k, v in flags.items() if v)
+    print(f"flags: {summary or 'none'}")
+    if flags["CONTENDED"]:
+        print("note: CONTENDED entries need an isolated re-run "
+              "(SPARK_GRAFT_BENCH_RUNS=5 sbt 'runMain graft.Bench <query>') "
+              "before being treated as real.")
+    return 1 if flags["REGRESSION"] else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

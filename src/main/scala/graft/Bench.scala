@@ -114,6 +114,31 @@ object Bench {
     val results = allRuns.map { case (name, _, headline) => name -> headline }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
 
+    // App-level smoke at the reference's actual corpus scale (~1.6M raw
+    // rows): Preprocess → Train(lr,nb) → CompareModels end to end, timed
+    // per stage. Recorded under a SEPARATE "apps" key so the headline
+    // query total stays comparable round-over-round. Opt out with
+    // SPARK_GRAFT_BENCH_APPS=0; resize with SPARK_GRAFT_SMOKE_ROWS.
+    // Skipped automatically when specific queries were selected (debug
+    // runs should not pay minutes of smoke).
+    val appTimings: Seq[(String, Double)] =
+      if (args.nonEmpty || sys.env.get("SPARK_GRAFT_BENCH_APPS").contains("0"))
+        Seq.empty
+      else try {
+        val rows = scala.util.Try(
+          sys.env.getOrElse("SPARK_GRAFT_SMOKE_ROWS", "1600000").toLong)
+          .getOrElse(1600000L)
+        val work = java.nio.file.Files.createTempDirectory("graft-smoke").toString
+        val t = graft.app.Sentiment140Smoke.run(spark, work, rows)
+        t.toPairs.foreach { case (k, v) =>
+          System.err.println(f"[bench] $k%-28s $v%8.2f s")
+        }
+        t.toPairs
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] app smoke FAILED: ${e.getMessage}")
+        Seq("sentiment140_total" -> -1.0)
+      }
+
     // Full-precision record → file (the round log only keeps the LAST
     // ~2000 chars of output, which a 75-query full-precision line plus
     // sbt's own [success] epilogue overflows — that's why rounds 1-2
@@ -149,9 +174,11 @@ object Bench {
           s"[${if (ok) r else -r},$gc,$ld,$st]"
         }.mkString("[", ",", "]")
       }.mkString("{", ",", "}")
+      val appsJson = appTimings.map { case (k, v) => jstr(k) + ":" + v }
+        .mkString("{", ",", "}")
       val full = json(_.toString).dropRight(1) +
         s""","runs":$runsJson,"runs_shape":"[elapsed_sec,gc_delta_ms,load1,storage_free_mb]"""" +
-        s""","agg":"min_of_$nRuns"""" +
+        s""","agg":"min_of_$nRuns","apps":$appsJson""" +
         s""","loadavg_before":${jstr(loadBefore)},"loadavg_after":${jstr(loadavg())}}"""
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
         (full + "\n").getBytes("UTF-8"))

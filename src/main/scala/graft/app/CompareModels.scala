@@ -9,21 +9,13 @@ import graft.ml.ModelComparison
   * Usage: graft.app.CompareModels <outJson> <name=metricsPath> [<name=metricsPath> ...]
   */
 object CompareModels {
-  def main(args: Array[String]): Unit = {
-    val usage =
-      "usage: graft.app.CompareModels <outJson> <name=metricsPath> [<name=metricsPath> ...]"
-    require(args.length >= 2, usage)
-    val outPath = args.head
-    val inputs = args.tail.toSeq.map { a =>
-      a.split("=", 2) match {
-        case Array(name, path) if name.nonEmpty && path.nonEmpty => name -> path
-        case _ => throw new IllegalArgumentException(
-          s"bad argument '$a' (expected name=metricsPath)\n$usage")
-      }
-    }
-    val spark = Sessions.local("graft-compare-models")
+
+  /** The whole comparison workflow minus session lifecycle, so callers
+    * embedding it (bench smoke, tests) can run it inside their own
+    * session. Returns the best model name. */
+  def run(spark: org.apache.spark.sql.SparkSession, outPath: String,
+      inputs: Seq[(String, String)]): String = {
     val cmp = ModelComparison.compare(spark, inputs)
-    cmp.show(truncate = false)
     // ONE collect feeds the JSON, bar-SVG, and confusion-grid artifacts;
     // all field access inside the writers is by name, so a column
     // reorder in compare() can't silently mislabel anything.
@@ -43,7 +35,24 @@ object CompareModels {
       graft.ml.ModelCharts.writeConfusionGrid(panels,
         outPath.replaceAll("\\.json$", "") + "_confusion.svg",
         "Confusion Matrix Comparison")
-    println(s"best=${ModelComparison.best(rows)}")
+    ModelComparison.best(rows)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val usage =
+      "usage: graft.app.CompareModels <outJson> <name=metricsPath> [<name=metricsPath> ...]"
+    require(args.length >= 2, usage)
+    val outPath = args.head
+    val inputs = args.tail.toSeq.map { a =>
+      a.split("=", 2) match {
+        case Array(name, path) if name.nonEmpty && path.nonEmpty => name -> path
+        case _ => throw new IllegalArgumentException(
+          s"bad argument '$a' (expected name=metricsPath)\n$usage")
+      }
+    }
+    val spark = Sessions.local("graft-compare-models")
+    val best = run(spark, outPath, inputs)
+    println(s"best=$best")
     spark.stop()
   }
 }

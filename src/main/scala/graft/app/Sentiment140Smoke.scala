@@ -1,0 +1,130 @@
+package graft.app
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Reference-scale end-to-end smoke: the whole app chain
+  * (Preprocess → Train → CompareModels) over a synthetic corpus with
+  * Sentiment140's exact raw shape and row count (~1.6M rows,
+  * `preprocessing.py:21-28` schema) — the per-96-query bench proves
+  * operators; this proves the APPS at the data scale the reference
+  * actually ran.
+  *
+  * The corpus is generated in-engine as one codegen'd projection over
+  * `spark.range` (no driver loop, no UDF — the generator itself must not
+  * be the bottleneck at any scale): label-correlated vocabulary plus
+  * shared noise words, with @mentions/URLs/#hashtags/punctuation mixed
+  * in so the preprocessing regex chain does real work, written as
+  * headerless CSV exactly like the Sentiment140 distribution.
+  *
+  * Models: LR (the reference's headline) + NaiveBayes (single-pass,
+  * cheap) so the comparison artifact ranks something real. LinearSVC is
+  * excluded from the default smoke: 20 L-BFGS-style iterations over
+  * 1.6M cached rows triples the runtime without exercising any app code
+  * the LR path doesn't.
+  */
+object Sentiment140Smoke {
+
+  /** Deterministic synthetic Sentiment140 raw CSV at `dir`. */
+  def generateRaw(spark: SparkSession, n: Long, dir: String): Unit = {
+    val pos = Seq("good", "great", "excellent", "love", "wonderful", "best",
+      "happy", "amazing", "awesome", "nice")
+    val neg = Seq("bad", "awful", "terrible", "hate", "worst", "poor",
+      "sad", "boring", "annoying", "broken")
+    val noise = Seq("the", "movie", "film", "plot", "actor", "scene", "was",
+      "very", "today", "really", "just", "going", "work", "day", "time")
+    def arr(ws: Seq[String]) = array(ws.map(lit): _*)
+    def pick(ws: Seq[String], salt: Int) =
+      element_at(arr(ws), (pmod(hash(col("id"), lit(salt)), lit(ws.size)) + 1)
+        .cast("int"))
+    val df = spark.range(n)
+      .withColumn("sentiment", when(pmod(col("id"), lit(2)) === 0, 0).otherwise(4))
+      .withColumn("classWord",
+        when(col("sentiment") === 4, arr(pos)).otherwise(arr(neg)))
+    val words = (0 until 12).map { i =>
+      // ~45% class-bearing vocabulary, rest shared noise — separable but
+      // not trivially so, like the real corpus
+      when(pmod(hash(col("id"), lit(100 + i)), lit(100)) < 45,
+        element_at(col("classWord"),
+          (pmod(hash(col("id"), lit(200 + i)), lit(10)) + 1).cast("int")))
+        .otherwise(pick(noise, 300 + i))
+    }
+    // the cleaning chain's targets: mention, URL, hashtag, stray digits
+    val text = concat(
+      lit("@user"), pmod(col("id"), lit(9999)).cast("string"), lit(" "),
+      concat_ws(" ", words: _*),
+      lit(" #tag"), pmod(col("id"), lit(97)).cast("string"),
+      lit(" http://t.co/x"), pmod(col("id"), lit(997)).cast("string"), lit("!!"))
+    df.select(
+        col("sentiment"),
+        col("id").cast("string").as("id"),
+        lit("Mon Apr 06 22:19:45 PDT 2009").as("date"),
+        lit("NO_QUERY").as("query"),
+        concat(lit("user_"), pmod(col("id"), lit(50000)).cast("string")).as("user"),
+        text.as("text"))
+      .write.mode("overwrite").option("header", "false").csv(dir)
+  }
+
+  final case class Timings(generate: Double, preprocess: Double,
+      trainLr: Double, trainNb: Double, compare: Double) {
+    def total: Double = generate + preprocess + trainLr + trainNb + compare
+    def toPairs: Seq[(String, Double)] = Seq(
+      "sentiment140_generate" -> generate,
+      "sentiment140_preprocess" -> preprocess,
+      "sentiment140_train_lr" -> trainLr,
+      "sentiment140_train_nb" -> trainNb,
+      "sentiment140_compare" -> compare,
+      "sentiment140_total" -> total)
+  }
+
+  private def timed[A](body: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = body
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Full chain under `workDir`; every artifact the reference workflow
+    * produces (clean CSV, per-model metrics JSON + charts, saved models,
+    * comparison JSON/SVG/grid) is written and sanity-checked. */
+  def run(spark: SparkSession, workDir: String, n: Long): Timings = {
+    val dir = java.nio.file.Paths.get(workDir)
+    java.nio.file.Files.createDirectories(dir)
+    def p(s: String) = dir.resolve(s).toString
+
+    val (_, tGen) = timed(generateRaw(spark, n, p("raw")))
+    val (_, tPre) = timed {
+      Preprocess.run(spark, p("raw"), p("clean"))
+      val written = graft.sources.SentimentCsv.readClean(spark, p("clean")).persist()
+      try Preprocess.writeCharts(spark, p("raw"), written, p("charts"))
+      finally written.unpersist()
+    }
+    def train(kind: String): Double = {
+      val (r, t) = timed(
+        Train.run(spark, kind, p("clean"), p(s"model_$kind"), p(s"${kind}_metrics.json")))
+      try {
+        Train.writeCharts(r, kind, p("charts"))
+        require(r.metrics.accuracy > 0.6,
+          s"$kind failed to learn the separable smoke corpus: ${r.metrics.accuracy}")
+      } finally r.close()
+      t
+    }
+    val tLr = train("lr")
+    val tNb = train("nb")
+    val (best, tCmp) = timed(CompareModels.run(spark, p("comparison.json"),
+      Seq("lr" -> p("lr_metrics.json"), "nb" -> p("nb_metrics.json"))))
+    require(Seq("lr", "nb").contains(best), s"unexpected best model: $best")
+    require(java.nio.file.Files.exists(dir.resolve("comparison_confusion.svg")),
+      "comparison confusion grid not written")
+    Timings(tGen, tPre, tLr, tNb, tCmp)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val workDir = if (args.nonEmpty) args(0)
+      else java.nio.file.Files.createTempDirectory("graft-smoke").toString
+    val n = if (args.length > 1) args(1).toLong else 1600000L
+    val spark = Sessions.local("graft-sentiment140-smoke")
+    val t = run(spark, workDir, n)
+    t.toPairs.foreach { case (k, v) => println(f"$k%-28s ${v}%8.2f s") }
+    spark.stop()
+  }
+}

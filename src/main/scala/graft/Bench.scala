@@ -180,7 +180,10 @@ object Bench {
         s""","runs":$runsJson,"runs_shape":"[elapsed_sec,gc_delta_ms,load1,storage_free_mb]"""" +
         s""","agg":"min_of_$nRuns","apps":$appsJson""" +
         s""","loadavg_before":${jstr(loadBefore)},"loadavg_after":${jstr(loadavg())}}"""
-      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+      // selected-query debug runs write a sidecar — they must never
+      // clobber the round's full-suite record
+      val outName = if (args.isEmpty) "BENCH_FULL.json" else "BENCH_PARTIAL.json"
+      java.nio.file.Files.write(java.nio.file.Paths.get(outName),
         (full + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}")

@@ -128,8 +128,13 @@ object Bench {
         val rows = scala.util.Try(
           sys.env.getOrElse("SPARK_GRAFT_SMOKE_ROWS", "1600000").toLong)
           .getOrElse(1600000L)
-        val work = java.nio.file.Files.createTempDirectory("graft-smoke").toString
-        val t = graft.app.Sentiment140Smoke.run(spark, work, rows)
+        val work = java.nio.file.Files.createTempDirectory("graft-smoke")
+        // the smoke writes a reference-scale artifact tree (raw+clean
+        // CSVs, models, charts) — hundreds of MB per bench run that must
+        // not accumulate in /tmp round over round
+        val t =
+          try graft.app.Sentiment140Smoke.run(spark, work.toString, rows)
+          finally graft.app.Sentiment140Smoke.deleteRecursively(work)
         t.toPairs.foreach { case (k, v) =>
           System.err.println(f"[bench] $k%-28s $v%8.2f s")
         }

@@ -118,13 +118,31 @@ object Sentiment140Smoke {
     Timings(tGen, tPre, tLr, tNb, tCmp)
   }
 
+  /** Best-effort recursive delete (the smoke tree is hundreds of MB). */
+  def deleteRecursively(root: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      scala.util.Try {
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(p => scala.util.Try(java.nio.file.Files.delete(p)))
+      }
+      ()
+    }
+
   def main(args: Array[String]): Unit = {
-    val workDir = if (args.nonEmpty) args(0)
+    // an explicit workDir is kept for inspection; an auto temp dir is
+    // removed after the timings print (the timings ARE the output)
+    val explicit = args.nonEmpty
+    val workDir = if (explicit) args(0)
       else java.nio.file.Files.createTempDirectory("graft-smoke").toString
     val n = if (args.length > 1) args(1).toLong else 1600000L
     val spark = Sessions.local("graft-sentiment140-smoke")
-    val t = run(spark, workDir, n)
-    t.toPairs.foreach { case (k, v) => println(f"$k%-28s ${v}%8.2f s") }
-    spark.stop()
+    try {
+      val t = run(spark, workDir, n)
+      t.toPairs.foreach { case (k, v) => println(f"$k%-28s ${v}%8.2f s") }
+    } finally {
+      if (!explicit) deleteRecursively(java.nio.file.Paths.get(workDir))
+      spark.stop()
+    }
   }
 }

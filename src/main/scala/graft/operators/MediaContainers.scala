@@ -37,6 +37,8 @@ object MediaContainers {
   def wav(channels: Int, sampleRate: Int, numSamples: Int,
       seed: Long): Array[Byte] = {
     require(channels > 0 && sampleRate > 0 && numSamples >= 0)
+    require(numSamples.toLong * channels * 2 <= Int.MaxValue - 44L,
+      s"payload overflows a RIFF u32: $numSamples samples x $channels ch")
     val dataLen = numSamples * channels * 2
     val buf = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
     buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
@@ -91,6 +93,10 @@ object MediaContainers {
     * width/height are 16.16 fixed point. */
   def mp4(width: Int, height: Int, durationMs: Long): Array[Byte] = {
     require(width > 0 && height > 0 && durationMs >= 0)
+    // version-0 boxes carry u32 durations; a silent 32-bit truncation
+    // would round-trip to a WRONG value, so reject instead
+    require(durationMs <= 0xFFFFFFFFL,
+      s"durationMs $durationMs exceeds a version-0 u32 box field")
     val tkhd = ByteBuffer.allocate(92).order(ByteOrder.BIG_ENDIAN)
     tkhd.putInt(92).put("tkhd".getBytes("US-ASCII"))
       .putInt(0x000007) // version 0, flags: enabled|in-movie|in-preview
@@ -156,24 +162,25 @@ object MediaContainers {
   def parseWav(bytes: Array[Byte]): Option[WavMeta] = {
     if (bytes == null || bytes.length < 44) return None
     if (fourcc(bytes, 0) != "RIFF" || fourcc(bytes, 8) != "WAVE") return None
-    var off = 12
+    // Long offsets: a crafted chunk size near Int.MaxValue must not wrap
+    // the cursor negative and crash the walk — any declared size that
+    // runs past the buffer is corrupt, full stop
+    var off = 12L
     var channels, sampleRate, bits = 0
     var dataLen = -1L
     while (off + 8 <= bytes.length) {
-      val id = fourcc(bytes, off)
-      val size = u32le(bytes, off + 4)
-      if (size < 0 || size > Int.MaxValue) return None
-      if (id == "fmt " && size >= 16 && off + 8 + 16 <= bytes.length) {
-        channels = u16le(bytes, off + 10)
-        sampleRate = u32le(bytes, off + 12).toInt
-        bits = u16le(bytes, off + 22)
+      val o = off.toInt
+      val id = fourcc(bytes, o)
+      val size = u32le(bytes, o + 4)
+      if (size < 0 || off + 8 + size > bytes.length) return None
+      if (id == "fmt " && size >= 16) {
+        channels = u16le(bytes, o + 10)
+        sampleRate = u32le(bytes, o + 12).toInt
+        bits = u16le(bytes, o + 22)
       } else if (id == "data") {
-        // size may legally exceed remaining bytes on a truncated blob —
-        // that is corrupt, not a crash
-        if (off + 8 + size > bytes.length) return None
         dataLen = size
       }
-      off += 8 + size.toInt + (size.toInt & 1) // chunks are even-padded
+      off += 8 + size + (size & 1) // chunks are even-padded
     }
     if (channels <= 0 || sampleRate <= 0 || bits <= 0 || dataLen < 0) None
     else {

@@ -162,6 +162,7 @@ object TextQueries extends QueryModule {
       """SELECT CAST(floor(least(length(text), 300) / 5) * 5 AS BIGINT)
         |    AS bin_start,
         |  CAST(count(*) AS BIGINT) AS n
-        |FROM documents GROUP BY 1 ORDER BY bin_start""".stripMargin
+        |FROM documents WHERE text IS NOT NULL
+        |GROUP BY 1 ORDER BY bin_start""".stripMargin
   )
 }

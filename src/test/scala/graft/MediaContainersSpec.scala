@@ -73,6 +73,34 @@ class MediaContainersSpec extends SparkSpec {
     assert(MediaContainers.parseMp4(Array.fill[Byte](64)(0x7F)).isEmpty)
   }
 
+  test("crafted chunk sizes near Int.MaxValue parse to None, never wrap") {
+    // valid RIFF/WAVE magic, then a chunk declaring ~2^31 bytes: the
+    // walk must classify it corrupt, not wrap the cursor negative
+    val b = java.nio.ByteBuffer.allocate(64)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(56).put("WAVE".getBytes("US-ASCII"))
+    b.put("junk".getBytes("US-ASCII")).putInt(0x7FFFFFF8)
+    assert(MediaContainers.parseWav(b.array()).isEmpty)
+    // same shape on the MP4 side: a box size that overruns the buffer
+    val m = java.nio.ByteBuffer.allocate(32).order(java.nio.ByteOrder.BIG_ENDIAN)
+    m.putInt(0x7FFFFFF0).put("moov".getBytes("US-ASCII"))
+    assert(MediaContainers.parseMp4(m.array()).isEmpty)
+  }
+
+  test("synthesis rejects payloads that would overflow container fields") {
+    intercept[IllegalArgumentException] {
+      MediaContainers.wav(channels = 2, sampleRate = 44100,
+        numSamples = 600000000, seed = 1) // 2.4 GB payload
+    }
+    intercept[IllegalArgumentException] {
+      MediaContainers.mp4(640, 480, durationMs = 0x100000000L) // > u32
+    }
+    // the u32 boundary itself is representable and round-trips
+    val edge = MediaContainers.parseMp4(
+      MediaContainers.mp4(640, 480, 0xFFFFFFFFL))
+    assert(edge.exists(_.durationMs == 0xFFFFFFFFL))
+  }
+
   test("parseMeta yields real per-kind metadata end-to-end on the fixture") {
     val parsed = Multimodal.parseMeta(
       Multimodal.containerMediaFromDocuments(Tables.documents(spark, sf001)))

@@ -5,6 +5,7 @@ Compares two BENCH_FULL.json files (as written by graft.Bench) and
 classifies per-query deltas using the per-run telemetry
 [elapsed_sec, gc_delta_ms, load1, storage_free_mb]:
 
+  FAILED        every run of the query failed this round (headline -1).
   REGRESSION    min-of-N elevated AND the new min's run saw load
                 comparable to the old min's run — the code is the
                 suspect.
@@ -19,7 +20,7 @@ classifies per-query deltas using the per-run telemetry
 Usage: tools/bench_diff.py OLD_BENCH_FULL.json NEW_BENCH_FULL.json
          [--threshold 1.3] [--noise 0.05] [--load-margin 2.0]
 
-Exit code 1 iff any REGRESSION was flagged (usable as a gate).
+Exit code 1 iff any REGRESSION or FAILED was flagged (usable as a gate).
 """
 import argparse
 import json
@@ -27,8 +28,11 @@ import sys
 
 
 def min_run(entry):
-    """The run row [elapsed, gc_ms, load1, storage_mb] with min elapsed."""
-    return min(entry, key=lambda r: r[0])
+    """The run row [elapsed, gc_ms, load1, storage_mb] with min elapsed.
+    Failed runs serialize as NEGATIVE elapsed — they never executed the
+    query, so their telemetry must not adjudicate the headline."""
+    ok = [r for r in entry if r[0] > 0]
+    return min(ok, key=lambda r: r[0]) if ok else None
 
 
 def main():
@@ -53,19 +57,25 @@ def main():
     removed = sorted(set(oldq) - set(newq))
 
     rows = []
-    flags = {"REGRESSION": 0, "CONTENDED": 0, "GC-PRESSURE": 0, "IMPROVED": 0}
+    flags = {"FAILED": 0, "REGRESSION": 0, "CONTENDED": 0, "GC-PRESSURE": 0,
+             "IMPROVED": 0}
     for q in sorted(set(oldq) & set(newq)):
         o, n = oldq[q], newq[q]
         delta = n - o
         ratio = n / o if o > 0 else float("inf")
         klass = ""
         o_load = n_load = n_gc = None
-        if q in oldr and oldr[q]:
-            o_load = min_run(oldr[q])[2]
-        if q in newr and newr[q]:
-            nrun = min_run(newr[q])
+        orun = min_run(oldr.get(q, []))
+        if orun:
+            o_load = orun[2]
+        nrun = min_run(newr.get(q, []))
+        if nrun:
             n_gc, n_load = nrun[1], nrun[2]
-        if abs(delta) >= args.noise:
+        if n < 0:
+            # headline -1.0 = every run of this query failed this round —
+            # the most severe outcome, never "improved"
+            klass = "FAILED"
+        elif abs(delta) >= args.noise and o > 0:
             if ratio >= args.threshold:
                 if (n_load is not None and o_load is not None
                         and n_load > o_load + args.load_margin):
@@ -106,7 +116,7 @@ def main():
         print("note: CONTENDED entries need an isolated re-run "
               "(SPARK_GRAFT_BENCH_RUNS=5 sbt 'runMain graft.Bench <query>') "
               "before being treated as real.")
-    return 1 if flags["REGRESSION"] else 0
+    return 1 if flags["REGRESSION"] or flags["FAILED"] else 0
 
 
 if __name__ == "__main__":

@@ -25,8 +25,12 @@ import java.nio.{ByteBuffer, ByteOrder}
   */
 object MediaContainers {
 
+  /** `dataOffset`/`dataLen` locate the PCM payload inside the blob so
+    * sample-level feature extraction needs no second chunk walk;
+    * dataOffset is -1 when the data chunk was absent. */
   final case class WavMeta(channels: Int, sampleRate: Int,
-      bitsPerSample: Int, durationMs: Long)
+      bitsPerSample: Int, durationMs: Long,
+      dataOffset: Int = -1, dataLen: Int = 0)
 
   final case class Mp4Meta(width: Int, height: Int, durationMs: Long)
 
@@ -168,6 +172,7 @@ object MediaContainers {
     var off = 12L
     var channels, sampleRate, bits = 0
     var dataLen = -1L
+    var dataOff = -1
     while (off + 8 <= bytes.length) {
       val o = off.toInt
       val id = fourcc(bytes, o)
@@ -179,6 +184,7 @@ object MediaContainers {
         bits = u16le(bytes, o + 22)
       } else if (id == "data") {
         dataLen = size
+        dataOff = o + 8
       }
       off += 8 + size + (size & 1) // chunks are even-padded
     }
@@ -186,7 +192,8 @@ object MediaContainers {
     else {
       val byteRate = sampleRate.toLong * channels * (bits / 8)
       if (byteRate <= 0) None
-      else Some(WavMeta(channels, sampleRate, bits, dataLen * 1000L / byteRate))
+      else Some(WavMeta(channels, sampleRate, bits, dataLen * 1000L / byteRate,
+        dataOff, dataLen.toInt))
     }
   }
 

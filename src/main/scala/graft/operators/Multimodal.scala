@@ -16,11 +16,13 @@ import org.apache.spark.sql.types._
   * pixels; `parseMeta` additionally walks WAV/RIFF chunk headers and
   * MP4/ISO-BMFF box trees ([[MediaContainers]]) for audio/video
   * sample-rate/channels/dimensions/duration — pure JDK byte parsing, no
-  * codec library. Only audio/video FEATURE extraction (sample decode
-  * beyond the header) falls back to `decodeStub`, which derives a
-  * deterministic fake feature vector with the same signature and batch
-  * shape; swap it for a real decoder (JNI/javacpp ffmpeg) without
-  * touching anything else.
+  * codec library. FEATURES are real for images (pixel luminance bands)
+  * and PCM-WAV audio (`audioFeatures`: amplitude-envelope bands off the
+  * actual samples); only VIDEO sample decode (MP4 needs a codec this
+  * container doesn't ship) and corrupt blobs fall back to `decodeStub`,
+  * which derives a deterministic fake feature vector with the same
+  * signature and batch shape; swap it for a real decoder (JNI/javacpp
+  * ffmpeg) without touching anything else.
   *
   * Scale notes: media blobs never pass through a shuffle — features are
   * extracted in the scan stage (mapPartitions, batched), and only the
@@ -178,6 +180,35 @@ object Multimodal {
     out
   }
 
+  /** REAL audio features off PCM samples: `dim` evenly-spaced time
+    * bands, mean absolute 16-bit amplitude per band normalized to [0,1]
+    * — the audio analogue of [[imageFeatures]]'s band-pooled luminance
+    * (a real pipeline would feed a speech/audio embedding model here;
+    * amplitude envelope keeps the contract while decoding every actual
+    * sample). Pure byte parsing via [[MediaContainers.parseWav]]'s data
+    * chunk — no codec library. None for non-WAV / non-16-bit blobs. */
+  def audioFeatures(bytes: Array[Byte], dim: Int)
+      : Option[(MediaContainers.WavMeta, Array[Double])] =
+    MediaContainers.parseWav(bytes)
+      .filter(m => m.bitsPerSample == 16 && m.dataOffset >= 0)
+      .map { m =>
+        val out = new Array[Double](dim)
+        val cnt = new Array[Long](dim)
+        val n = m.dataLen / 2
+        var i = 0
+        while (i < n) {
+          val o = m.dataOffset + i * 2
+          val s = ((bytes(o) & 0xFF) | (bytes(o + 1) << 8)).toShort
+          val d = if (n <= 0) 0 else math.min(dim - 1, (i.toLong * dim / n).toInt)
+          out(d) += math.abs(s.toInt) / 32768.0
+          cnt(d) += 1
+          i += 1
+        }
+        var j = 0
+        while (j < dim) { if (cnt(j) > 0) out(j) /= cnt(j); j += 1 }
+        (m, out)
+      }
+
   /** STUB decoder: a real implementation would decode the codec and
     * pool pixel/sample statistics; this derives `dim` deterministic
     * pseudo-features by hashing byte chunks, preserving the exact
@@ -198,27 +229,36 @@ object Multimodal {
   /** Batched per-partition feature extraction over the binary column —
     * the Scala analogue of a Pandas mapInPandas decode UDF. Image-kind
     * blobs that decode take the REAL pixel path (true dimensions +
-    * pooled-luminance features); everything else takes the stub path
-    * with zeroed dimensions, so the two are distinguishable downstream.
-    * The decode attempt is gated on `kind` — audio/video blobs (no JDK
-    * codec exists) must not pay an ImageIO format sniff per record in
-    * the scan stage's hot loop. */
+    * pooled-luminance features); audio-kind blobs that parse as 16-bit
+    * PCM WAV take the REAL sample path (amplitude-envelope bands +
+    * channel count); everything else — video (MP4 sample decode needs a
+    * codec this container doesn't ship) and corrupt blobs — takes the
+    * stub path with zeroed dimensions, so the three are distinguishable
+    * downstream. Decode attempts are gated on `kind`: no blob pays a
+    * wrong-format sniff in the scan stage's hot loop. */
   def extractFeatures(media: DataFrame, dim: Int = 8): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.select(col("media_id"), col("kind"), col("bytes"))
       .mapPartitions { rows: Iterator[Row] =>
         rows.map { r =>
+          val id = r.getAs[Long]("media_id")
+          val kind = r.getAs[String]("kind")
           val bytes = r.getAs[Array[Byte]]("bytes")
           val nBytes = if (bytes == null) 0L else bytes.length.toLong
-          (if (r.getAs[String]("kind") == "image") decodeImage(bytes)
-           else None) match {
-            case Some(img) =>
-              val m = imageMeta(img)
-              MediaFeatures(r.getAs[Long]("media_id"), r.getAs[String]("kind"),
-                nBytes, imageFeatures(img, dim), m.width, m.height, m.channels)
-            case None =>
-              MediaFeatures(r.getAs[Long]("media_id"), r.getAs[String]("kind"),
-                nBytes, decodeStub(bytes, dim), 0, 0, 0)
+          def stub = MediaFeatures(id, kind, nBytes, decodeStub(bytes, dim), 0, 0, 0)
+          kind match {
+            case "image" => decodeImage(bytes) match {
+              case Some(img) =>
+                val m = imageMeta(img)
+                MediaFeatures(id, kind, nBytes, imageFeatures(img, dim),
+                  m.width, m.height, m.channels)
+              case None => stub
+            }
+            case "audio" => audioFeatures(bytes, dim) match {
+              case Some((m, f)) => MediaFeatures(id, kind, nBytes, f, 0, 0, m.channels)
+              case None => stub
+            }
+            case _ => stub
           }
         }
       }

@@ -43,11 +43,13 @@ object MultimodalQueries extends QueryModule {
         .orderBy(col("media_id"))
     }),
 
-    // Batched per-partition feature extraction (stub decoder) —
-    // rows-only: the feature values are library-internal.
+    // Batched per-partition feature extraction over REAL containers:
+    // images decode to pixel-luminance bands, audio to PCM amplitude
+    // bands, video (codec-less) to the deterministic stub — rows-only:
+    // the feature values are library-internal.
     "q_media_features" -> ((s, d) =>
       Multimodal.extractFeatures(
-          Multimodal.fakeMediaFromDocuments(Tables.documents(s, d)))
+          Multimodal.containerMediaFromDocuments(Tables.documents(s, d)))
         .toDF()
         .select(col("media_id"), col("kind"), col("n_bytes"),
           round(element_at(col("features"), 1), 6).as("f0"))

@@ -101,6 +101,36 @@ class MediaContainersSpec extends SparkSpec {
     assert(edge.exists(_.durationMs == 0xFFFFFFFFL))
   }
 
+  test("audio features are the real PCM amplitude envelope") {
+    // hand-built mono WAV: 400 silent samples then 400 full-scale ones —
+    // a 2-band envelope must read ~[0, 1], which no byte-hash stub does
+    val n = 800
+    val b = java.nio.ByteBuffer.allocate(44 + n * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + n * 2)
+      .put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(1).putShort(1)
+      .putInt(8000).putInt(16000).putShort(2).putShort(16)
+    b.put("data".getBytes("US-ASCII")).putInt(n * 2)
+    for (i <- 0 until n)
+      b.putShort(if (i < n / 2) 0 else Short.MaxValue)
+    val Some((meta, f)) = Multimodal.audioFeatures(b.array(), dim = 2)
+    assert(meta.channels == 1 && meta.sampleRate == 8000)
+    assert(f(0) == 0.0)
+    assert(f(1) > 0.999 && f(1) <= 1.0, f.toSeq)
+    // non-WAV bytes: None (stub path), never a throw
+    assert(Multimodal.audioFeatures("not audio".getBytes, 2).isEmpty)
+    // fixture WAVs route through the real path in-engine: channels is
+    // populated from the container, not zeroed like the stub path
+    val media = Multimodal.containerMediaFromDocuments(
+      Tables.documents(spark, sf001))
+    val audio = Multimodal.extractFeatures(media, dim = 4)
+      .filter(_.kind == "audio").collect()
+    assert(audio.nonEmpty)
+    assert(audio.forall(m => m.channels == 1 || m.channels == 2))
+    assert(audio.forall(_.features.forall(v => v >= 0.0 && v <= 1.0)))
+  }
+
   test("parseMeta yields real per-kind metadata end-to-end on the fixture") {
     val parsed = Multimodal.parseMeta(
       Multimodal.containerMediaFromDocuments(Tables.documents(spark, sf001)))

@@ -195,6 +195,16 @@ class PlanSpec extends SparkSpec {
       s"media blobs must not hash-shuffle:\n$plan")
   }
 
+  test("q_media_meta parses containers in the scan stage — blobs never shuffle") {
+    // synthesis and parse are both per-partition maps; only the small
+    // parsed-meta projection may cross the trailing ORDER BY exchange
+    val plan = formatted("q_media_meta")
+    assert(plan.contains("MapPartitions"),
+      s"expected per-partition container parse:\n$plan")
+    assert(!plan.contains("hashpartitioning"),
+      s"container bytes must not hash-shuffle:\n$plan")
+  }
+
   test("saltedJoin spreads the hot key across reducers; plain join does not") {
     // One key carries 90% of the big side. Plain shuffle join lands the
     // whole hot key in ONE reducer partition (the single-task straggler);

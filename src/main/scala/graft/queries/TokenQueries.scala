@@ -328,8 +328,9 @@ object TokenQueries extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
-    // Marker-word language ID — deterministic but the marker lists are
-    // library-internal, so verified rows-only + unit tests (LangIdSpec).
+    // Marker-word language ID — deterministic scan-stage argmax; the
+    // oracle below rebuilds the same marker lists from LangId.markers so
+    // Spark and DuckDB can never drift.
     "q_lang_id" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"), col("lang"),
         LangId.detectText(col("text")).as("lang_pred"))
@@ -424,6 +425,28 @@ object TokenQueries extends QueryModule {
          |      + 0.3 * (1.0 - n_stop / n_tok)
          |      + 0.2 * least((n_char / n_tok) / 10.0, 1.0), 6) AS quality
          |FROM q ORDER BY doc_id""".stripMargin,
+
+    // Mirrors LangId.detect: per-language marker-hit counts over the
+    // shared tokenizer, argmax via struct ordering (DuckDB's list_max
+    // compares structs field-wise exactly like Spark's array_max, so
+    // score ties break to the lexicographically greatest lang in both
+    // engines), "und" when nothing hits. Marker IN-lists are generated
+    // from LangId.markers — one definition, two engines.
+    "q_lang_id" -> {
+      val langs = LangId.markers.keys.toSeq.sorted
+      val scores = langs.map { l =>
+        s"count(*) FILTER (WHERE token IN (${TokenOps.sqlList(LangId.markers(l))})) AS s_$l"
+      }.mkString(",\n    ")
+      val structs = langs.map(l => s"{'s': s_$l, 'lang': '$l'}").mkString(", ")
+      s"""WITH sc AS (SELECT doc_id,
+         |    $scores
+         |  FROM ($toksSql) GROUP BY doc_id),
+         |best AS (SELECT d.doc_id, d.lang, list_max([$structs]) AS b
+         |  FROM documents d JOIN sc ON d.doc_id = sc.doc_id)
+         |SELECT doc_id, lang,
+         |  CASE WHEN b.s > 0 THEN b.lang ELSE 'und' END AS lang_pred
+         |FROM best ORDER BY doc_id""".stripMargin
+    },
 
     "q_repetition" -> {
       def rep(n: Int) = {

@@ -192,20 +192,24 @@ object Multimodal {
     MediaContainers.parseWav(bytes)
       .filter(m => m.bitsPerSample == 16 && m.dataOffset >= 0)
       .map { m =>
-        val out = new Array[Double](dim)
+        // Integer-only inner loop: abs amplitudes accumulate in a Long
+        // (≤ 2^15 per sample × dataLen/2 samples ≪ 2^53, so the one
+        // closing division is exactly rounded) — no per-sample FP work.
+        val sum = new Array[Long](dim)
         val cnt = new Array[Long](dim)
         val n = m.dataLen / 2
         var i = 0
         while (i < n) {
           val o = m.dataOffset + i * 2
           val s = ((bytes(o) & 0xFF) | (bytes(o + 1) << 8)).toShort
-          val d = if (n <= 0) 0 else math.min(dim - 1, (i.toLong * dim / n).toInt)
-          out(d) += math.abs(s.toInt) / 32768.0
+          val d = math.min(dim - 1, (i.toLong * dim / n).toInt)
+          sum(d) += math.abs(s.toInt)
           cnt(d) += 1
           i += 1
         }
+        val out = new Array[Double](dim)
         var j = 0
-        while (j < dim) { if (cnt(j) > 0) out(j) /= cnt(j); j += 1 }
+        while (j < dim) { if (cnt(j) > 0) out(j) = sum(j) / (cnt(j) * 32768.0); j += 1 }
         (m, out)
       }
 

@@ -431,18 +431,22 @@ object TokenQueries extends QueryModule {
     // compares structs field-wise exactly like Spark's array_max, so
     // score ties break to the lexicographically greatest lang in both
     // engines), "und" when nothing hits. Marker IN-lists are generated
-    // from LangId.markers — one definition, two engines.
+    // from LangId.markers — one definition, two engines. LEFT JOIN +
+    // coalesced scores keep the cross-engine contract for nullable
+    // corpora: a NULL-text doc tokenizes to zero rows here but Spark
+    // still emits it as "und", so it must survive the join as all-zero.
     "q_lang_id" -> {
       val langs = LangId.markers.keys.toSeq.sorted
       val scores = langs.map { l =>
         s"count(*) FILTER (WHERE token IN (${TokenOps.sqlList(LangId.markers(l))})) AS s_$l"
       }.mkString(",\n    ")
-      val structs = langs.map(l => s"{'s': s_$l, 'lang': '$l'}").mkString(", ")
+      val structs =
+        langs.map(l => s"{'s': coalesce(s_$l, 0), 'lang': '$l'}").mkString(", ")
       s"""WITH sc AS (SELECT doc_id,
          |    $scores
          |  FROM ($toksSql) GROUP BY doc_id),
          |best AS (SELECT d.doc_id, d.lang, list_max([$structs]) AS b
-         |  FROM documents d JOIN sc ON d.doc_id = sc.doc_id)
+         |  FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id)
          |SELECT doc_id, lang,
          |  CASE WHEN b.s > 0 THEN b.lang ELSE 'und' END AS lang_pred
          |FROM best ORDER BY doc_id""".stripMargin

@@ -43,6 +43,22 @@ object MultimodalQueries extends QueryModule {
         .orderBy(col("media_id"))
     }),
 
+    // REAL pixel resample: BMP blobs decode, downscale through a
+    // genuine Graphics2D bilinear pass, and re-encode as PNG in the
+    // scan stage; the emitted geometry comes off the actually-resized
+    // buffers, so the oracle's closed-form dimension prediction checks
+    // the real resample end to end (byte content is format-internal —
+    // pinned by MultimodalSpec instead).
+    "q_media_resample" -> ((s, d) => {
+      val media = Multimodal.containerMediaFromDocuments(Tables.documents(s, d))
+      Multimodal.resampleImages(media, maxDim = 16)
+        .toDF()
+        .where(col("kind") === "image")
+        .select(col("media_id"), col("in_width"), col("in_height"),
+          col("out_width"), col("out_height"), col("resized"))
+        .orderBy(col("media_id"))
+    }),
+
     // Batched per-partition feature extraction over REAL containers:
     // images decode to pixel-luminance bands, audio to PCM amplitude
     // bands, video (codec-less) to the deterministic stub — rows-only:
@@ -83,6 +99,25 @@ object MultimodalQueries extends QueryModule {
         |SELECT media_id,
         |  CAST(greatest(floor(w * sc), 1) AS INT) AS rw,
         |  CAST(greatest(floor(h * sc), 1) AS INT) AS rh
+        |FROM s ORDER BY media_id""".stripMargin,
+
+    // Mirrors resampleImages on the container fixture's image rows:
+    // input dims are the BMP generator's closed forms, output dims the
+    // same aspect-preserving floor math as q_media_resize at maxDim=16,
+    // resized exactly when a side exceeds 16.
+    "q_media_resample" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(n_chars % 64 + 1 AS DOUBLE) AS w,
+        |    CAST(n_chars % 48 + 1 AS DOUBLE) AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |s AS (SELECT media_id, w, h,
+        |        least(1.0, 16.0 / greatest(w, h)) AS sc FROM m)
+        |SELECT media_id,
+        |  CAST(w AS INT) AS in_width, CAST(h AS INT) AS in_height,
+        |  CAST(greatest(floor(w * sc), 1) AS INT) AS out_width,
+        |  CAST(greatest(floor(h * sc), 1) AS INT) AS out_height,
+        |  (w > 16 OR h > 16) AS resized
         |FROM s ORDER BY media_id""".stripMargin,
 
     "q_media_stats" ->

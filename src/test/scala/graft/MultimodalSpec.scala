@@ -124,6 +124,60 @@ class MultimodalSpec extends SparkSpec {
     q2.unpersist()
   }
 
+  test("scalar resize-target math equals the Catalyst form on a dim grid") {
+    val dims = for (w <- Seq(1, 15, 16, 17, 64, 640); h <- Seq(1, 12, 16, 48, 480))
+      yield (w, h)
+    val viaColumn = dims.toDF("w", "h")
+      .select($"w", $"h",
+        Multimodal.resizeTarget(struct($"w".as("width"), $"h".as("height")), 16)
+          .as("r"))
+      .select($"w", $"h", $"r.width", $"r.height")
+      .as[(Int, Int, Int, Int)].collect()
+      .map { case (w, h, rw, rh) => (w, h) -> ((rw, rh)) }.toMap
+    dims.foreach { case (w, h) =>
+      assert(Multimodal.resizeTargetDims(w, h, 16) === viaColumn((w, h)),
+        s"scalar/Catalyst divergence at ($w, $h)")
+    }
+  }
+
+  test("image resample really resamples: dims, PNG round-trip, content") {
+    // solid mid-gray 64x48 PNG: any real resample to 16x12 must yield a
+    // decodable image of exactly those dims whose pixels are still that
+    // gray — a stub or geometry-only path can't fake all three
+    val img = new java.awt.image.BufferedImage(
+      64, 48, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 48; x <- 0 until 64) img.setRGB(x, y, 0x808080)
+    val out = Multimodal.resampleImage(img, 16, 12)
+    assert((out(0) & 0xFF) === 0x89 && out(1) === 'P'.toByte, "PNG magic")
+    val back = Multimodal.decodeImage(out).get
+    assert(back.getWidth === 16 && back.getHeight === 12)
+    assert((back.getRGB(8, 6) & 0xFFFFFF) === 0x808080, "gray preserved")
+    // deterministic bytes (the q_media_resample contract relies on it)
+    assert(out.toSeq === Multimodal.resampleImage(img, 16, 12).toSeq)
+  }
+
+  test("resample operator: downscale, passthrough, and corrupt routing") {
+    val media = Seq(
+      (1L, "image", graft.operators.MediaContainers.bmp(64, 48, 7L)),
+      (2L, "image", graft.operators.MediaContainers.bmp(10, 8, 7L)),
+      (3L, "image", "not an image".getBytes("UTF-8")),
+      (4L, "audio", "whatever".getBytes("UTF-8"))
+    ).toDF("media_id", "kind", "bytes")
+    val rs = Multimodal.resampleImages(media, maxDim = 16).collect()
+      .map(r => r.media_id -> r).toMap
+    // 64x48 -> 16x12, re-encoded
+    assert(rs(1L).resized && rs(1L).out_width === 16 && rs(1L).out_height === 12)
+    assert(Multimodal.decodeImage(rs(1L).bytes).exists(i =>
+      i.getWidth === 16 && i.getHeight === 12))
+    // already within maxDim: original bytes pass through untouched
+    assert(!rs(2L).resized && rs(2L).out_width === 10 && rs(2L).out_height === 8)
+    assert(rs(2L).bytes.toSeq ===
+      graft.operators.MediaContainers.bmp(10, 8, 7L).toSeq)
+    // corrupt image and non-image kinds: passthrough, zero dims, no throw
+    assert(!rs(3L).resized && rs(3L).out_width === 0)
+    assert(!rs(4L).resized && rs(4L).bytes.toSeq === "whatever".getBytes.toSeq)
+  }
+
   test("raw sentiment140 CSV reads with the fixed DDL schema") {
     val dir = java.nio.file.Files.createTempDirectory("graft-raw").toString
     java.nio.file.Files.writeString(

@@ -304,20 +304,46 @@ object Multimodal {
   /** REAL pixel resample via the JDK's Graphics2D (bilinear), re-encoded
     * as PNG with the JDK's ImageIO writer — no codec library. The target
     * buffer is TYPE_3BYTE_BGR so the encode is deterministic regardless
-    * of the source color model. */
+    * of the source color model. None if the encode throws or no PNG
+    * writer SPI is present (ImageIO.write returns false) — callers route
+    * to passthrough, never a partition failure.
+    *
+    * The writer is fed a memory-backed ImageOutputStream explicitly:
+    * `ImageIO.write(_, _, OutputStream)` would wrap the stream in a
+    * FileCacheImageOutputStream and spill a java.io.tmpdir temp file
+    * PER BLOB in the scan stage — the same trap [[decodeImage]]
+    * documents and avoids on the read side. */
   def resampleImage(img: java.awt.image.BufferedImage,
-      outW: Int, outH: Int): Array[Byte] = {
-    val dst = new java.awt.image.BufferedImage(
-      outW, outH, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
-    val g = dst.createGraphics()
-    try {
-      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
-        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-      g.drawImage(img, 0, 0, outW, outH, null)
-    } finally g.dispose()
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(dst, "png", bos)
-    bos.toByteArray
+      outW: Int, outH: Int): Option[Array[Byte]] =
+    scala.util.Try {
+      val dst = new java.awt.image.BufferedImage(
+        outW, outH, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      val g = dst.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, outW, outH, null)
+      } finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      // close() flushes the cache into bos; swallow a double-close like
+      // the decode path
+      val ok = try javax.imageio.ImageIO.write(dst, "png", ios)
+        finally scala.util.Try(ios.close())
+      if (ok) Some(bos.toByteArray) else None
+    }.toOption.flatten
+
+  /** Width/height straight from a PNG's IHDR header (signature + first
+    * chunk are at fixed offsets) — lets [[resampleImages]] report the
+    * geometry MEASURED from the bytes it actually emitted, at the cost
+    * of an 8-byte read instead of a full decode. */
+  private[graft] def pngDims(b: Array[Byte]): Option[(Int, Int)] = {
+    def be(o: Int) = ((b(o) & 0xFF) << 24) | ((b(o + 1) & 0xFF) << 16) |
+      ((b(o + 2) & 0xFF) << 8) | (b(o + 3) & 0xFF)
+    if (b == null || b.length < 24 || (b(0) & 0xFF) != 0x89 ||
+        b(1) != 'P' || b(2) != 'N' || b(3) != 'G' ||
+        b(12) != 'I' || b(13) != 'H' || b(14) != 'D' || b(15) != 'R') None
+    else Some((be(16), be(20)))
   }
 
   final case class ResizedMedia(media_id: Long, kind: String,
@@ -348,8 +374,17 @@ object Multimodal {
               val (w, h) = (img.getWidth, img.getHeight)
               val (ow, oh) = resizeTargetDims(w, h, maxDim)
               if (ow == w && oh == h) passthrough(w, h)
-              else ResizedMedia(id, kind, w, h, ow, oh,
-                resampleImage(img, ow, oh), resized = true)
+              else {
+                // out dims are MEASURED from the emitted PNG's header,
+                // not echoed from the target math — a broken resample
+                // surfaces in the row (and its oracle), not just specs
+                val resampled = for {
+                  out <- resampleImage(img, ow, oh)
+                  dims <- pngDims(out)
+                } yield ResizedMedia(id, kind, w, h, dims._1, dims._2,
+                  out, resized = true)
+                resampled.getOrElse(passthrough(w, h)) // encode failed
+              }
             case None => passthrough(0, 0)
           }
         }

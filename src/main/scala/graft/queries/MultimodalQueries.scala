@@ -45,15 +45,16 @@ object MultimodalQueries extends QueryModule {
 
     // REAL pixel resample: BMP blobs decode, downscale through a
     // genuine Graphics2D bilinear pass, and re-encode as PNG in the
-    // scan stage; the emitted geometry comes off the actually-resized
-    // buffers, so the oracle's closed-form dimension prediction checks
-    // the real resample end to end (byte content is format-internal —
-    // pinned by MultimodalSpec instead).
+    // scan stage; out dims are read back from the emitted PNG's IHDR,
+    // so the oracle's closed-form prediction checks the real resample's
+    // geometry end to end (pixel content is pinned by MultimodalSpec).
+    // The kind filter goes BEFORE the opaque mapPartitions — Catalyst
+    // can't push through it, and audio/video blobs must not pay the
+    // object round-trip just to be dropped.
     "q_media_resample" -> ((s, d) => {
       val media = Multimodal.containerMediaFromDocuments(Tables.documents(s, d))
-      Multimodal.resampleImages(media, maxDim = 16)
+      Multimodal.resampleImages(media.where(col("kind") === "image"), maxDim = 16)
         .toDF()
-        .where(col("kind") === "image")
         .select(col("media_id"), col("in_width"), col("in_height"),
           col("out_width"), col("out_height"), col("resized"))
         .orderBy(col("media_id"))

@@ -147,13 +147,16 @@ class MultimodalSpec extends SparkSpec {
     val img = new java.awt.image.BufferedImage(
       64, 48, java.awt.image.BufferedImage.TYPE_INT_RGB)
     for (y <- 0 until 48; x <- 0 until 64) img.setRGB(x, y, 0x808080)
-    val out = Multimodal.resampleImage(img, 16, 12)
+    val out = Multimodal.resampleImage(img, 16, 12).get
     assert((out(0) & 0xFF) === 0x89 && out(1) === 'P'.toByte, "PNG magic")
     val back = Multimodal.decodeImage(out).get
     assert(back.getWidth === 16 && back.getHeight === 12)
     assert((back.getRGB(8, 6) & 0xFFFFFF) === 0x808080, "gray preserved")
+    // the 8-byte IHDR read agrees with the full decode
+    assert(Multimodal.pngDims(out) === Some((16, 12)))
+    assert(Multimodal.pngDims("not a png".getBytes("UTF-8")) === None)
     // deterministic bytes (the q_media_resample contract relies on it)
-    assert(out.toSeq === Multimodal.resampleImage(img, 16, 12).toSeq)
+    assert(out.toSeq === Multimodal.resampleImage(img, 16, 12).get.toSeq)
   }
 
   test("resample operator: downscale, passthrough, and corrupt routing") {

@@ -205,6 +205,26 @@ class PlanSpec extends SparkSpec {
       s"container bytes must not hash-shuffle:\n$plan")
   }
 
+  test("q_media_resample filters kind before the resample boundary, no blob shuffle") {
+    // the kind filter must execute BELOW the resample's mapPartitions
+    // (Catalyst can't prune through the opaque object boundary, so a
+    // filter placed after it would round-trip every audio/video blob
+    // just to drop it). In the top-down formatted tree that means the
+    // Filter prints AFTER the resample's MapPartitions and BEFORE the
+    // container synthesis's MapElements.
+    val plan = formatted("q_media_resample")
+    val tree = plan.split("\n\n").head
+    assert(!tree.contains("hashpartitioning"),
+      s"media blobs must not hash-shuffle:\n$tree")
+    val resample = tree.indexOf("MapPartitions")
+    val synthesis = tree.indexOf("MapElements")
+    val f = tree.indexOf("Filter")
+    assert(resample >= 0 && synthesis >= 0 && f >= 0,
+      s"expected MapPartitions, MapElements, and Filter nodes:\n$tree")
+    assert(f > resample && f < synthesis,
+      s"kind filter must sit between resample and synthesis boundaries:\n$tree")
+  }
+
   test("saltedJoin spreads the hot key across reducers; plain join does not") {
     // One key carries 90% of the big side. Plain shuffle join lands the
     // whole hot key in ONE reducer partition (the single-task straggler);

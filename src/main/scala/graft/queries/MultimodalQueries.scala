@@ -60,6 +60,20 @@ object MultimodalQueries extends QueryModule {
         .orderBy(col("media_id"))
     }),
 
+    // Deterministic frame sampling over video blobs: n evenly-spaced
+    // byte offsets as row-local HOF arithmetic (the sampling half of
+    // video frame extraction — actual frame decode sits behind the
+    // codec seam). Offsets are a closed form of blob length, so the
+    // whole op is oracle-checked.
+    "q_media_frames" -> ((s, d) =>
+      Multimodal.fakeMediaFromDocuments(Tables.documents(s, d))
+        .where(col("kind") === "video")
+        .select(col("media_id"),
+          posexplode(Multimodal.frameOffsets(col("bytes"), 4)))
+        .select(col("media_id"), col("pos").cast("int").as("frame_idx"),
+          col("col").as("byte_off"))
+        .orderBy(col("media_id"), col("frame_idx"))),
+
     // Batched per-partition feature extraction over REAL containers:
     // images decode to pixel-luminance bands, audio to PCM amplitude
     // bands, video (codec-less) to the deterministic stub — rows-only:
@@ -120,6 +134,19 @@ object MultimodalQueries extends QueryModule {
         |  CAST(greatest(floor(h * sc), 1) AS INT) AS out_height,
         |  (w > 16 OR h > 16) AS resized
         |FROM s ORDER BY media_id""".stripMargin,
+
+    // Mirrors frameOffsets' HOF math: floor(i * max(len,1) / n) over
+    // the video-kind rows' blob lengths (bytes = utf8(text) in the
+    // fake-media fixture, same closed form q_media_stats uses).
+    "q_media_frames" ->
+      """WITH v AS (
+        |  SELECT doc_id AS media_id,
+        |    greatest(octet_length(CAST(text AS BLOB)), 1) AS len
+        |  FROM documents WHERE doc_id % 3 = 2)
+        |SELECT media_id, CAST(t.i AS INT) AS frame_idx,
+        |  CAST(floor(CAST(t.i * len AS DOUBLE) / 4) AS BIGINT) AS byte_off
+        |FROM v, range(4) t(i)
+        |ORDER BY media_id, frame_idx""".stripMargin,
 
     "q_media_stats" ->
       """SELECT ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS kind,

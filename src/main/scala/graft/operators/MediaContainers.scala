@@ -101,6 +101,11 @@ object MediaContainers {
     // would round-trip to a WRONG value, so reject instead
     require(durationMs <= 0xFFFFFFFFL,
       s"durationMs $durationMs exceeds a version-0 u32 box field")
+    // tkhd dimensions are 16.16 fixed point: `width << 16` silently drops
+    // bits above 0xFFFF and would round-trip to a wrong value — same
+    // silent-truncation class the duration require rejects
+    require(width <= 0xFFFF && height <= 0xFFFF,
+      s"dimensions ${width}x$height exceed a tkhd 16.16 fixed-point field")
     val tkhd = ByteBuffer.allocate(92).order(ByteOrder.BIG_ENDIAN)
     tkhd.putInt(92).put("tkhd".getBytes("US-ASCII"))
       .putInt(0x000007) // version 0, flags: enabled|in-movie|in-preview
@@ -170,7 +175,8 @@ object MediaContainers {
     // the cursor negative and crash the walk — any declared size that
     // runs past the buffer is corrupt, full stop
     var off = 12L
-    var channels, sampleRate, bits = 0
+    var fmtCode, channels, sampleRate, bits = 0
+    var byteRate = 0L
     var dataLen = -1L
     var dataOff = -1
     while (off + 8 <= bytes.length) {
@@ -179,8 +185,10 @@ object MediaContainers {
       val size = u32le(bytes, o + 4)
       if (size < 0 || off + 8 + size > bytes.length) return None
       if (id == "fmt " && size >= 16) {
+        fmtCode = u16le(bytes, o + 8)
         channels = u16le(bytes, o + 10)
         sampleRate = u32le(bytes, o + 12).toInt
+        byteRate = u32le(bytes, o + 16)
         bits = u16le(bytes, o + 22)
       } else if (id == "data") {
         dataLen = size
@@ -188,13 +196,15 @@ object MediaContainers {
       }
       off += 8 + size + (size & 1) // chunks are even-padded
     }
-    if (channels <= 0 || sampleRate <= 0 || bits <= 0 || dataLen < 0) None
-    else {
-      val byteRate = sampleRate.toLong * channels * (bits / 8)
-      if (byteRate <= 0) None
-      else Some(WavMeta(channels, sampleRate, bits, dataLen * 1000L / byteRate,
-        dataOff, dataLen.toInt))
-    }
+    // Only uncompressed layouts: 1 = PCM, 0xFFFE = WAVE_FORMAT_EXTENSIBLE
+    // (PCM with a channel mask). A compressed RIFF payload (ADPCM, mu-law,
+    // MP3-in-RIFF) would otherwise parse to a confidently WRONG duration;
+    // corrupt-safe means None, not a plausible lie.
+    if (fmtCode != 1 && fmtCode != 0xFFFE) None
+    else if (channels <= 0 || sampleRate <= 0 || bits <= 0 || dataLen < 0) None
+    else if (byteRate <= 0) None // header's declared avg bytes/sec
+    else Some(WavMeta(channels, sampleRate, bits, dataLen * 1000L / byteRate,
+      dataOff, dataLen.toInt))
   }
 
   /** ISO-BMFF box walk: moov/mvhd for timescale+duration, moov/trak/tkhd

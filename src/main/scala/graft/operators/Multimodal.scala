@@ -66,14 +66,21 @@ object Multimodal {
     import docs.sparkSession.implicits._
     docs.select(col("doc_id"), col("n_chars"))
       .as[(Long, Long)].map { case (id, nc) =>
-        (id % 3) match {
+        // floorMod, not %: a negative doc_id/n_chars must still land in
+        // the generators' valid ranges (Scala % keeps the dividend's
+        // sign, so `id % 2 + 1` could be 0 and the wav/bmp require()
+        // would kill the partition — against the module's contract).
+        // Fixture ids are non-negative, so semantics there are identical.
+        math.floorMod(id, 3) match {
           case 0 => (id, "image",
-            MediaContainers.bmp((nc % 64 + 1).toInt, (nc % 48 + 1).toInt, id))
+            MediaContainers.bmp((math.floorMod(nc, 64) + 1).toInt,
+              (math.floorMod(nc, 48) + 1).toInt, id))
           case 1 => (id, "audio",
-            MediaContainers.wav((id % 2 + 1).toInt, 8000, (nc % 4096).toInt, id))
+            MediaContainers.wav((math.floorMod(id, 2) + 1).toInt, 8000,
+              math.floorMod(nc, 4096).toInt, id))
           case _ => (id, "video",
-            MediaContainers.mp4((nc % 640 + 16).toInt, (nc % 480 + 16).toInt,
-              nc * 10))
+            MediaContainers.mp4((math.floorMod(nc, 640) + 16).toInt,
+              (math.floorMod(nc, 480) + 16).toInt, math.max(nc, 0L) * 10))
         }
       }.toDF("media_id", "kind", "bytes")
   }

@@ -67,12 +67,17 @@ object Similarity {
     * explicitly to opt in beyond the default. */
   def nearDupPairs(embeddings: DataFrame, idCol: String, vecCol: String,
       threshold: Double, maxExactRows: Long = 100000L): DataFrame = {
-    val n = embeddings.count()
-    require(n <= maxExactRows,
-      s"nearDupPairs is the exact O(n²) verification baseline: $n rows means " +
-        s"~${n * n / 2} candidate pairs (limit $maxExactRows rows). Use " +
-        "annNearDupPairs for production scale, or pass maxExactRows " +
-        "explicitly to override.")
+    // Bounded probe, not a full count: limit(cap+1) lets the guard stop
+    // after maxExactRows+1 rows, so an uncached expensive upstream is not
+    // computed once for the guard and a second time when the join
+    // materializes (callers should still persist hot inputs).
+    val cap = math.min(maxExactRows, Int.MaxValue - 1L).toInt
+    val over = embeddings.limit(cap + 1).count() > maxExactRows
+    require(!over,
+      s"nearDupPairs is the exact O(n²) verification baseline: over " +
+        s"$maxExactRows input rows means >${maxExactRows * maxExactRows / 2} " +
+        "candidate pairs. Use annNearDupPairs for production scale, or pass " +
+        "maxExactRows explicitly to override.")
     VectorFunctions.register(embeddings.sparkSession)
     val a = embeddings.select(col(idCol).as("id_a"), toDouble(col(vecCol)).as("va"))
     val b = embeddings.select(col(idCol).as("id_b"), toDouble(col(vecCol)).as("vb"))

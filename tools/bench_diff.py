@@ -102,8 +102,12 @@ def main():
               f"{klass}")
 
     tot_o, tot_n = old.get("value"), new.get("value")
-    print(f"\ntotal: {tot_o:.2f}s -> {tot_n:.2f}s "
-          f"({(tot_n / tot_o - 1) * 100:+.1f}%)")
+    if tot_o is not None and tot_n is not None and tot_o > 0:
+        print(f"\ntotal: {tot_o:.2f}s -> {tot_n:.2f}s "
+              f"({(tot_n / tot_o - 1) * 100:+.1f}%)")
+    else:
+        # a partial/old record without "value" must not crash the report
+        print(f"\ntotal: {tot_o} -> {tot_n} (ratio n/a)")
     la = lambda b: b.get("loadavg_before", "?").split()[0]
     print(f"load1 at start: old {la(old)}, new {la(new)}")
     if added:

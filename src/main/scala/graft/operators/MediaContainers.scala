@@ -34,6 +34,9 @@ object MediaContainers {
 
   final case class Mp4Meta(width: Int, height: Int, durationMs: Long)
 
+  final case class AviMeta(width: Int, height: Int, durationMs: Long,
+      numFrames: Int)
+
   // ---- synthesis ----------------------------------------------------
 
   /** Canonical 44-byte-header PCM WAV: 16-bit little-endian samples,
@@ -138,6 +141,63 @@ object MediaContainers {
     ftyp.array() ++ moov
   }
 
+  /** Minimal MJPEG-in-AVI (RIFF, all little-endian):
+    * `RIFF('AVI ' LIST('hdrl' avih LIST('strl' strh strf)) LIST('movi'
+    * '00dc'...))`. AVI is the one VIDEO container whose frames the JDK
+    * can decode without an external codec — each `00dc` chunk is a plain
+    * JPEG, so [[Multimodal.decodeImage]] handles the samples and the
+    * RIFF walk here handles the structure. `frames` are pre-encoded
+    * JPEG payloads (encoding lives with ImageIO in Multimodal; this
+    * module stays pure byte assembly). `usPerFrame` is the avih/strh
+    * frame period in microseconds; duration = usPerFrame * frames. */
+  def avi(width: Int, height: Int, usPerFrame: Long,
+      frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(width > 0 && height > 0 && frames.nonEmpty)
+    require(usPerFrame > 0 && usPerFrame <= 0xFFFFFFFFL,
+      s"usPerFrame $usPerFrame exceeds an avih u32 field")
+    val le = ByteOrder.LITTLE_ENDIAN
+    def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
+      // RIFF chunks are even-padded; the declared size excludes the pad
+      val pad = payload.length & 1
+      val b = ByteBuffer.allocate(8 + payload.length + pad).order(le)
+      b.put(id.getBytes("US-ASCII")).putInt(payload.length).put(payload)
+      b.array()
+    }
+    def list(subtype: String, children: Array[Byte]): Array[Byte] =
+      chunk("LIST", subtype.getBytes("US-ASCII") ++ children)
+    val avih = ByteBuffer.allocate(56).order(le)
+    avih.putInt(usPerFrame.toInt)
+      .putInt(0).putInt(0).putInt(0)   // maxBytesPerSec, padding, flags
+      .putInt(frames.size)             // dwTotalFrames
+      .putInt(0).putInt(1).putInt(0)   // initialFrames, streams, sugBuf
+      .putInt(width).putInt(height)
+      .putInt(0).putInt(0).putInt(0).putInt(0) // reserved
+    val strh = ByteBuffer.allocate(56).order(le)
+    strh.put("vids".getBytes("US-ASCII")).put("MJPG".getBytes("US-ASCII"))
+      .putInt(0).putInt(0).putInt(0)             // flags, prio/lang, init
+      .putInt(usPerFrame.toInt).putInt(1000000)  // dwScale/dwRate = period
+      .putInt(0).putInt(frames.size)             // start, length (frames)
+      .putInt(0).putInt(0).putInt(0)             // sugBuf, quality, sampleSize
+      .putShort(0).putShort(0)
+      .putShort(width.toShort).putShort(height.toShort) // rcFrame
+    val strf = ByteBuffer.allocate(40).order(le)
+    strf.putInt(40).putInt(width).putInt(height)
+      .putShort(1).putShort(24)
+      .put("MJPG".getBytes("US-ASCII"))
+      .putInt(width * height * 3)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    val hdrl = list("hdrl", chunk("avih", avih.array()) ++
+      list("strl", chunk("strh", strh.array()) ++ chunk("strf", strf.array())))
+    val movi = list("movi", frames.iterator.map(chunk("00dc", _))
+      .foldLeft(Array.emptyByteArray)(_ ++ _))
+    val payload = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    require(payload.length.toLong + 8 <= Int.MaxValue,
+      "AVI payload overflows a RIFF u32")
+    val out = ByteBuffer.allocate(8 + payload.length).order(le)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(payload.length).put(payload)
+    out.array()
+  }
+
   private def putIdentityMatrix(buf: ByteBuffer): Unit = {
     buf.putInt(0x00010000).putInt(0).putInt(0)
     buf.putInt(0).putInt(0x00010000).putInt(0)
@@ -205,6 +265,90 @@ object MediaContainers {
     else if (byteRate <= 0) None // header's declared avg bytes/sec
     else Some(WavMeta(channels, sampleRate, bits, dataLen * 1000L / byteRate,
       dataOff, dataLen.toInt))
+  }
+
+  /** RIFF/AVI header walk: `avih` inside `LIST hdrl` → dimensions, frame
+    * period, frame count. None on anything malformed — same corrupt-safe
+    * contract as [[parseWav]] (Long cursors, every declared size checked
+    * against the buffer, overflow-checked duration product). */
+  def parseAvi(bytes: Array[Byte]): Option[AviMeta] = {
+    if (bytes == null || bytes.length < 12) return None
+    if (fourcc(bytes, 0) != "RIFF" || fourcc(bytes, 8) != "AVI ") return None
+    // a declared extent past the buffer = truncated blob: the header
+    // LIST may still be intact, but the walk returns early on finding
+    // it, so the whole-extent check is what makes truncation → None
+    val riffEnd = 8L + u32le(bytes, 4)
+    if (riffEnd > bytes.length) return None
+    var off = 12L
+    while (off + 8 <= riffEnd) {
+      val o = off.toInt
+      val id = fourcc(bytes, o)
+      val size = u32le(bytes, o + 4)
+      if (size < 0 || off + 8 + size > riffEnd) return None
+      if (id == "LIST" && size >= 4 && fourcc(bytes, o + 8) == "hdrl") {
+        var c = off + 12 // children start after the LIST's 4-byte subtype
+        val end = off + 8 + size
+        while (c + 8 <= end) {
+          val co = c.toInt
+          val cid = fourcc(bytes, co)
+          val csize = u32le(bytes, co + 4)
+          if (csize < 0 || c + 8 + csize > end) return None
+          if (cid == "avih" && csize >= 40) {
+            val p = co + 8
+            val usPerFrame = u32le(bytes, p)
+            val totalFrames = u32le(bytes, p + 16)
+            val width = u32le(bytes, p + 32).toInt
+            val height = u32le(bytes, p + 36).toInt
+            if (usPerFrame <= 0 || width <= 0 || height <= 0) return None
+            // both fields are u32: the product can overflow a Long on
+            // crafted input — reject rather than report a wrapped duration
+            if (totalFrames > 0 && usPerFrame > Long.MaxValue / totalFrames)
+              return None
+            return Some(AviMeta(width, height,
+              usPerFrame * totalFrames / 1000L, totalFrames.toInt))
+          }
+          c += 8 + csize + (csize & 1)
+        }
+        return None // hdrl without avih
+      }
+      off += 8 + size + (size & 1)
+    }
+    None
+  }
+
+  /** Byte ranges (offset, length) of the video frame chunks (`xxdc`)
+    * inside `LIST movi`, in stream order — for an MJPEG AVI each payload
+    * is a complete JPEG. Empty on malformed input: a truncated blob
+    * samples zero frames, never kills the partition. */
+  def aviFrameRanges(bytes: Array[Byte]): Vector[(Int, Int)] = {
+    if (bytes == null || bytes.length < 12) return Vector.empty
+    if (fourcc(bytes, 0) != "RIFF" || fourcc(bytes, 8) != "AVI ")
+      return Vector.empty
+    val riffEnd = 8L + u32le(bytes, 4) // truncated blob → no frames
+    if (riffEnd > bytes.length) return Vector.empty
+    var off = 12L
+    while (off + 8 <= riffEnd) {
+      val o = off.toInt
+      val id = fourcc(bytes, o)
+      val size = u32le(bytes, o + 4)
+      if (size < 0 || off + 8 + size > riffEnd) return Vector.empty
+      if (id == "LIST" && size >= 4 && fourcc(bytes, o + 8) == "movi") {
+        val out = Vector.newBuilder[(Int, Int)]
+        var c = off + 12
+        val end = off + 8 + size
+        while (c + 8 <= end) {
+          val co = c.toInt
+          val cid = fourcc(bytes, co)
+          val csize = u32le(bytes, co + 4)
+          if (csize < 0 || c + 8 + csize > end) return Vector.empty
+          if (cid.endsWith("dc")) out += ((co + 8, csize.toInt))
+          c += 8 + csize + (csize & 1)
+        }
+        return out.result()
+      }
+      off += 8 + size + (size & 1)
+    }
+    Vector.empty
   }
 
   /** ISO-BMFF box walk: moov/mvhd for timescale+duration, moov/trak/tkhd

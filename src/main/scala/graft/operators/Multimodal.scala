@@ -16,13 +16,15 @@ import org.apache.spark.sql.types._
   * pixels; `parseMeta` additionally walks WAV/RIFF chunk headers and
   * MP4/ISO-BMFF box trees ([[MediaContainers]]) for audio/video
   * sample-rate/channels/dimensions/duration — pure JDK byte parsing, no
-  * codec library. FEATURES are real for images (pixel luminance bands)
-  * and PCM-WAV audio (`audioFeatures`: amplitude-envelope bands off the
-  * actual samples); only VIDEO sample decode (MP4 needs a codec this
-  * container doesn't ship) and corrupt blobs fall back to `decodeStub`,
-  * which derives a deterministic fake feature vector with the same
-  * signature and batch shape; swap it for a real decoder (JNI/javacpp
-  * ffmpeg) without touching anything else.
+  * codec library. FEATURES are real for images (pixel luminance bands),
+  * PCM-WAV audio (`audioFeatures`: amplitude-envelope bands off the
+  * actual samples), and MJPEG-in-AVI video (`videoFeatures`: sampled
+  * frames JPEG-decoded and band-pooled — AVI is RIFF and its frames are
+  * plain JPEGs, both pure JDK). Only MP4 sample decode (needs a codec
+  * this container doesn't ship) and corrupt blobs fall back to
+  * `decodeStub`, which derives a deterministic fake feature vector with
+  * the same signature and batch shape; swap it for a real decoder
+  * (JNI/javacpp ffmpeg) without touching anything else.
   *
   * Scale notes: media blobs never pass through a shuffle — features are
   * extracted in the scan stage (mapPartitions, batched), and only the
@@ -78,15 +80,58 @@ object Multimodal {
           case 1 => (id, "audio",
             MediaContainers.wav((math.floorMod(id, 2) + 1).toInt, 8000,
               math.floorMod(nc, 4096).toInt, id))
+          case _ if math.floorMod(id, 2) == 0 =>
+            // even video ids: MJPEG-in-AVI — the pure-JDK-decodable
+            // container (RIFF walk + ImageIO JPEG). Small frames keep
+            // the generator cheap in the scan stage; every header field
+            // stays a closed form of (doc_id, n_chars) for the oracle:
+            // duration = 40ms/frame * (nc % 8 + 2) frames.
+            val w = (math.floorMod(nc, 64) + 16).toInt
+            val h = (math.floorMod(nc, 48) + 16).toInt
+            val nFrames = (math.floorMod(nc, 8) + 2).toInt
+            (id, "video", MediaContainers.avi(w, h, 40000L,
+              (0 until nFrames).map(i => jpegFrame(w, h, id, i))))
           case _ => (id, "video",
+            // odd video ids: ISO-BMFF/MP4 — header-only (sample decode
+            // needs an external codec; stays behind the stub seam)
             MediaContainers.mp4((math.floorMod(nc, 640) + 16).toInt,
               (math.floorMod(nc, 480) + 16).toInt, math.max(nc, 0L) * 10))
         }
       }.toDF("media_id", "kind", "bytes")
   }
 
+  /** Deterministic JPEG frame for the AVI fixture: flat-gradient gray
+    * `(seed + 17*frame + 7x + 13y) & 0xFF` (the BMP generator's pattern
+    * shifted per frame), encoded with the JDK's ImageIO JPEG writer into
+    * a memory-backed stream (same no-tmpfile discipline as
+    * [[resampleImage]]). JPEG is lossy, so frame PIXELS are not a closed
+    * form — specs compare decode-of-encode; only header fields feed the
+    * oracle. */
+  private[graft] def jpegFrame(w: Int, h: Int, seed: Long,
+      frame: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = ((seed + 17L * frame + 7L * x + 13L * y) & 0xFF).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    val ok = try javax.imageio.ImageIO.write(img, "jpeg", ios)
+      finally scala.util.Try(ios.close())
+    require(ok, "JDK JPEG writer SPI missing") // ships with every JDK
+    bos.toByteArray
+  }
+
   final case class ParsedMeta(media_id: Long, kind: String, width: Int,
-      height: Int, channels: Int, sample_rate: Int, duration_ms: Long)
+      height: Int, channels: Int, sample_rate: Int, duration_ms: Long,
+      frames: Int) // AVI frame count; 0 for formats without one
 
   /** REAL metadata for all three kinds, parsed from the container bytes
     * in the scan stage: ImageIO decode for images, RIFF chunk walk for
@@ -106,20 +151,29 @@ object Multimodal {
             case "image" => decodeImage(bytes) match {
               case Some(img) =>
                 val m = imageMeta(img)
-                ParsedMeta(id, kind, m.width, m.height, m.channels, 0, 0L)
-              case None => ParsedMeta(id, kind, 0, 0, 0, 0, 0L)
+                ParsedMeta(id, kind, m.width, m.height, m.channels, 0, 0L, 0)
+              case None => ParsedMeta(id, kind, 0, 0, 0, 0, 0L, 0)
             }
             case "audio" => MediaContainers.parseWav(bytes) match {
               case Some(w) =>
-                ParsedMeta(id, kind, 0, 0, w.channels, w.sampleRate, w.durationMs)
-              case None => ParsedMeta(id, kind, 0, 0, 0, 0, 0L)
+                ParsedMeta(id, kind, 0, 0, w.channels, w.sampleRate,
+                  w.durationMs, 0)
+              case None => ParsedMeta(id, kind, 0, 0, 0, 0, 0L, 0)
             }
+            case "video" if isRiff(bytes) => // AVI — the other video
+              // container is ISO-BMFF; a 4-byte magic check routes them
+              MediaContainers.parseAvi(bytes) match {
+                case Some(a) =>
+                  ParsedMeta(id, kind, a.width, a.height, 0, 0,
+                    a.durationMs, a.numFrames)
+                case None => ParsedMeta(id, kind, 0, 0, 0, 0, 0L, 0)
+              }
             case "video" => MediaContainers.parseMp4(bytes) match {
               case Some(v) =>
-                ParsedMeta(id, kind, v.width, v.height, 0, 0, v.durationMs)
-              case None => ParsedMeta(id, kind, 0, 0, 0, 0, 0L)
+                ParsedMeta(id, kind, v.width, v.height, 0, 0, v.durationMs, 0)
+              case None => ParsedMeta(id, kind, 0, 0, 0, 0, 0L, 0)
             }
-            case _ => ParsedMeta(id, kind, 0, 0, 0, 0, 0L)
+            case _ => ParsedMeta(id, kind, 0, 0, 0, 0, 0L, 0)
           }
         }
       }
@@ -220,6 +274,49 @@ object Multimodal {
         (m, out)
       }
 
+  private[operators] def isRiff(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length >= 4 &&
+      bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F'
+
+  /** Evenly-spaced frame indices — the scalar mirror of [[frameOffsets]]'
+    * floor(i*n/k) HOF math applied to a frame COUNT instead of a byte
+    * length (MultimodalSpec pins the two equal), deduplicated because
+    * decoding the same frame twice buys nothing. */
+  def sampleFrameIndices(numFrames: Int, k: Int): Seq[Int] =
+    if (numFrames <= 0 || k <= 0) Seq.empty
+    else (0 until k).map(i => i.toLong * numFrames / k)
+      .map(_.toInt).distinct
+
+  /** REAL video features for MJPEG-in-AVI: sample up to `maxFrames`
+    * evenly-spaced frames from the `movi` chunk list, decode each JPEG
+    * with [[decodeImage]], pool [[imageFeatures]] per frame, and average
+    * across the sampled frames — actual pixels of actual video samples,
+    * pure JDK. None when the blob is not a parseable AVI or no sampled
+    * frame decodes (→ the stub path, same corrupt-safe contract as every
+    * other decode here). Returns (header meta, decoded channels,
+    * features). */
+  def videoFeatures(bytes: Array[Byte], dim: Int, maxFrames: Int = 4)
+      : Option[(MediaContainers.AviMeta, Int, Array[Double])] =
+    MediaContainers.parseAvi(bytes).flatMap { meta =>
+      val ranges = MediaContainers.aviFrameRanges(bytes)
+      val decoded = sampleFrameIndices(ranges.length, maxFrames).flatMap { i =>
+        val (o, l) = ranges(i)
+        decodeImage(java.util.Arrays.copyOfRange(bytes, o, o + l))
+      }
+      if (decoded.isEmpty) None
+      else {
+        val acc = new Array[Double](dim)
+        decoded.foreach { img =>
+          val f = imageFeatures(img, dim)
+          var j = 0
+          while (j < dim) { acc(j) += f(j); j += 1 }
+        }
+        var j = 0
+        while (j < dim) { acc(j) /= decoded.size; j += 1 }
+        Some((meta, decoded.head.getColorModel.getNumComponents, acc))
+      }
+    }
+
   /** STUB decoder: a real implementation would decode the codec and
     * pool pixel/sample statistics; this derives `dim` deterministic
     * pseudo-features by hashing byte chunks, preserving the exact
@@ -269,7 +366,13 @@ object Multimodal {
               case Some((m, f)) => MediaFeatures(id, kind, nBytes, f, 0, 0, m.channels)
               case None => stub
             }
-            case _ => stub
+            case "video" if isRiff(bytes) => videoFeatures(bytes, dim) match {
+              // MJPEG-in-AVI: REAL per-frame pixel decode, pure JDK
+              case Some((m, ch, f)) =>
+                MediaFeatures(id, kind, nBytes, f, m.width, m.height, ch)
+              case None => stub
+            }
+            case _ => stub // MP4 sample decode stays behind the codec seam
           }
         }
       }

@@ -5,10 +5,13 @@ import graft.Tables
 import graft.operators.Multimodal
 
 /** Multimodal-column queries: binary blobs + typed metadata derived
-  * deterministically from `documents` (fixture generator in
-  * [[Multimodal.fakeMediaFromDocuments]]), so the metadata/byte-length
-  * plumbing is oracle-checkable; the stubbed feature extraction is
-  * rows-only + unit-tested (MultimodalSpec).
+  * deterministically from `documents` (fixture generators in
+  * [[Multimodal]]), so the metadata/byte-length plumbing is
+  * oracle-checkable. Feature extraction is REAL for all four container
+  * kinds (BMP pixels, WAV PCM, MJPEG-in-AVI frames; MP4 stays behind
+  * the codec seam) — image/audio bands are closed forms and
+  * oracle-checked outright; the combined query stays rows-only because
+  * the AVI bands go through a lossy JPEG round-trip.
   */
 object MultimodalQueries extends QueryModule {
 
@@ -76,32 +79,137 @@ object MultimodalQueries extends QueryModule {
 
     // Batched per-partition feature extraction over REAL containers:
     // images decode to pixel-luminance bands, audio to PCM amplitude
-    // bands, video (codec-less) to the deterministic stub — rows-only:
-    // the feature values are library-internal.
-    "q_media_features" -> ((s, d) =>
-      Multimodal.extractFeatures(
-          Multimodal.containerMediaFromDocuments(Tables.documents(s, d)))
-        .toDF()
-        .select(col("media_id"), col("kind"), col("n_bytes"),
-          round(element_at(col("features"), 1), 6).as("f0"))
-        .orderBy(col("media_id")))
+    // bands, AVI video to sampled-frame JPEG decodes, MP4 (codec-less)
+    // to the deterministic stub — rows-only (JPEG is lossy, so the AVI
+    // bands are not a closed form); ALL 8 bands are projected so a
+    // regression in any band is driver-visible, and the image/audio
+    // bands are additionally oracle-checked by the two queries below.
+    "q_media_features" -> ((s, d) => {
+      val base = Multimodal.extractFeatures(
+        Multimodal.containerMediaFromDocuments(Tables.documents(s, d))).toDF()
+      base.select(Seq(col("media_id"), col("kind"), col("n_bytes")) ++
+          (0 until 8).map(i =>
+            round(element_at(col("features"), i + 1), 6).as(s"f$i")): _*)
+        .orderBy(col("media_id"))
+    }),
+
+    // REAL pixel features, oracle-checked: the BMP fixture's pixels are
+    // the closed form (seed + 7x + 13y) & 0xFF gray, so every band mean
+    // (Rec.709 luminance, x-banded) is DuckDB-computable. Kind filter
+    // BEFORE the opaque mapPartitions (same plan rule as
+    // q_media_resample: Catalyst can't push through it).
+    "q_media_features_image" -> ((s, d) => {
+      val media = Multimodal.containerMediaFromDocuments(Tables.documents(s, d))
+      val base = Multimodal.extractFeatures(
+        media.where(col("kind") === "image")).toDF()
+      base.select(Seq(col("media_id"), col("width"), col("height"),
+          col("channels")) ++
+          (0 until 8).map(i =>
+            round(element_at(col("features"), i + 1), 6).as(s"f$i")): _*)
+        .orderBy(col("media_id"))
+    }),
+
+    // REAL PCM features, oracle-checked: WAV sample i is the closed form
+    // (seed*31 + i*131) & 0x7FFF, and the band means are integer sums
+    // with one closing division — exactly reproducible in DuckDB.
+    "q_media_features_audio" -> ((s, d) => {
+      val media = Multimodal.containerMediaFromDocuments(Tables.documents(s, d))
+      val base = Multimodal.extractFeatures(
+        media.where(col("kind") === "audio")).toDF()
+      base.select(Seq(col("media_id"), col("channels")) ++
+          (0 until 8).map(i =>
+            round(element_at(col("features"), i + 1), 6).as(s"f$i")): _*)
+        .orderBy(col("media_id"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
+    // Video rows split by id parity: even = MJPEG-in-AVI (small frames,
+    // 40 ms/frame x (nc % 8 + 2) frames), odd = ISO-BMFF/MP4 — each
+    // branch's header fields stay closed forms, so a regression in
+    // either container parser breaks the hash.
     "q_media_meta" ->
       """SELECT doc_id AS media_id,
         |  ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
-        |  CAST(CASE doc_id % 3 WHEN 0 THEN n_chars % 64 + 1
-        |       WHEN 2 THEN n_chars % 640 + 16 ELSE 0 END AS INT) AS width,
-        |  CAST(CASE doc_id % 3 WHEN 0 THEN n_chars % 48 + 1
-        |       WHEN 2 THEN n_chars % 480 + 16 ELSE 0 END AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN n_chars % 64 + 1
+        |       WHEN doc_id % 3 = 2 AND doc_id % 2 = 0 THEN n_chars % 64 + 16
+        |       WHEN doc_id % 3 = 2 THEN n_chars % 640 + 16
+        |       ELSE 0 END AS INT) AS width,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN n_chars % 48 + 1
+        |       WHEN doc_id % 3 = 2 AND doc_id % 2 = 0 THEN n_chars % 48 + 16
+        |       WHEN doc_id % 3 = 2 THEN n_chars % 480 + 16
+        |       ELSE 0 END AS INT) AS height,
         |  CAST(CASE doc_id % 3 WHEN 0 THEN 3
         |       WHEN 1 THEN doc_id % 2 + 1 ELSE 0 END AS INT) AS channels,
         |  CAST(CASE doc_id % 3 WHEN 1 THEN 8000 ELSE 0 END AS INT)
         |    AS sample_rate,
-        |  CAST(CASE doc_id % 3 WHEN 1 THEN (n_chars % 4096) // 8
-        |       WHEN 2 THEN n_chars * 10 ELSE 0 END AS BIGINT) AS duration_ms
+        |  CAST(CASE WHEN doc_id % 3 = 1 THEN (n_chars % 4096) // 8
+        |       WHEN doc_id % 3 = 2 AND doc_id % 2 = 0
+        |         THEN 40 * (n_chars % 8 + 2)
+        |       WHEN doc_id % 3 = 2 THEN n_chars * 10
+        |       ELSE 0 END AS BIGINT) AS duration_ms,
+        |  CAST(CASE WHEN doc_id % 3 = 2 AND doc_id % 2 = 0
+        |       THEN n_chars % 8 + 2 ELSE 0 END AS INT) AS frames
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    // Mirrors imageFeatures on the BMP fixture: per-pixel Rec.709
+    // luminance of the closed-form gray value, banded by
+    // least(7, x*8//w), mean per band; absent bands (w < 8) are 0.0
+    // like the engine's zero-initialized accumulator.
+    "q_media_features_image" -> {
+      val bandCols = (0 until 8).map(i =>
+        s"  coalesce(max(CASE WHEN b.d = $i THEN b.f END), 0.0) AS f$i")
+        .mkString(",\n")
+      s"""WITH m AS (
+         |  SELECT doc_id AS media_id, doc_id AS seed,
+         |    n_chars % 64 + 1 AS w, n_chars % 48 + 1 AS h
+         |  FROM documents WHERE doc_id % 3 = 0),
+         |px AS (
+         |  SELECT media_id, least(7, x.i * 8 // w) AS d,
+         |    (0.2126 * ((seed + 7 * x.i + 13 * y.i) % 256)
+         |     + 0.7152 * ((seed + 7 * x.i + 13 * y.i) % 256)
+         |     + 0.0722 * ((seed + 7 * x.i + 13 * y.i) % 256)) / 255.0 AS lum
+         |  FROM m, range(64) x(i), range(48) y(i)
+         |  WHERE x.i < w AND y.i < h),
+         |b AS (
+         |  SELECT media_id, d, round(sum(lum) / count(*), 6) AS f
+         |  FROM px GROUP BY media_id, d)
+         |SELECT m.media_id,
+         |  CAST(m.w AS INT) AS width, CAST(m.h AS INT) AS height,
+         |  CAST(3 AS INT) AS channels,
+         |$bandCols
+         |FROM m LEFT JOIN b ON m.media_id = b.media_id
+         |GROUP BY m.media_id, m.w, m.h
+         |ORDER BY m.media_id""".stripMargin
+    },
+
+    // Mirrors audioFeatures on the WAV fixture: sample i (interleaved
+    // across channels) is (seed*31 + i*131) & 0x7FFF, banded by
+    // least(7, i*8//n) over n = channels * numSamples; band value =
+    // integer amplitude sum / (count * 32768.0) — exact integer math
+    // until the one closing division.
+    "q_media_features_audio" -> {
+      val bandCols = (0 until 8).map(i =>
+        s"  coalesce(max(CASE WHEN b.d = $i THEN b.f END), 0.0) AS f$i")
+        .mkString(",\n")
+      s"""WITH m AS (
+         |  SELECT doc_id AS media_id, doc_id AS seed,
+         |    doc_id % 2 + 1 AS ch, n_chars % 4096 AS ns
+         |  FROM documents WHERE doc_id % 3 = 1),
+         |s AS (
+         |  SELECT media_id, least(7, t.i * 8 // nullif(ch * ns, 0)) AS d,
+         |    (seed * 31 + t.i * 131) & 32767 AS amp
+         |  FROM m, range(8192) t(i)
+         |  WHERE t.i < ch * ns),
+         |b AS (
+         |  SELECT media_id, d, round(sum(amp) / (count(*) * 32768.0), 6) AS f
+         |  FROM s GROUP BY media_id, d)
+         |SELECT m.media_id, CAST(m.ch AS INT) AS channels,
+         |$bandCols
+         |FROM m LEFT JOIN b ON m.media_id = b.media_id
+         |GROUP BY m.media_id, m.ch
+         |ORDER BY m.media_id""".stripMargin
+    },
 
     "q_media_resize" ->
       """WITH m AS (

@@ -42,6 +42,52 @@ class MediaContainersSpec extends SparkSpec {
       m.get.bitsPerSample == 16 && m.get.durationMs == 2000L)
   }
 
+  test("parseWav rejects compressed RIFF payloads instead of lying") {
+    // a valid PCM WAV whose fmt code is flipped to 2 (ADPCM): the PCM
+    // duration formula would be confidently wrong, so the parse must be
+    // None, not a plausible number
+    val wav = MediaContainers.wav(1, 8000, 64, seed = 3)
+    wav(20) = 2 // fmt chunk payload byte 0 (little-endian u16 format code)
+    assert(MediaContainers.parseWav(wav).isEmpty)
+  }
+
+  test("AVI round trip recovers dims, duration, and decodable frames") {
+    val (w, h, n) = (32, 24, 5)
+    val frames = (0 until n).map(i => Multimodal.jpegFrame(w, h, 42L, i))
+    val bytes = MediaContainers.avi(w, h, usPerFrame = 40000L, frames)
+    val m = MediaContainers.parseAvi(bytes)
+    assert(m.contains(MediaContainers.AviMeta(w, h, 40L * n, n)))
+    val ranges = MediaContainers.aviFrameRanges(bytes)
+    assert(ranges.length == n)
+    // every movi chunk is a complete JPEG the JDK decodes at exact dims
+    ranges.foreach { case (o, l) =>
+      val img = Multimodal.decodeImage(java.util.Arrays.copyOfRange(bytes, o, o + l))
+      assert(img.exists(i => i.getWidth == w && i.getHeight == h))
+    }
+    // frame payloads survive byte-exactly (offset bookkeeping is right)
+    assert(java.util.Arrays.equals(
+      java.util.Arrays.copyOfRange(bytes, ranges(2)._1,
+        ranges(2)._1 + ranges(2)._2), frames(2)))
+  }
+
+  test("every AVI prefix truncation parses to None / no frames") {
+    val bytes = MediaContainers.avi(16, 16, 40000L,
+      Seq(Multimodal.jpegFrame(16, 16, 1L, 0)))
+    for (len <- 0 until bytes.length) {
+      assert(MediaContainers.parseAvi(bytes.take(len)).isEmpty, s"avi@$len")
+      assert(MediaContainers.aviFrameRanges(bytes.take(len)).isEmpty, s"avi@$len")
+    }
+    assert(MediaContainers.parseAvi(null).isEmpty)
+    assert(MediaContainers.aviFrameRanges(null).isEmpty)
+    // crafted chunk size near Int.MaxValue: corrupt, never a wrap
+    val b = java.nio.ByteBuffer.allocate(64)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(56).put("AVI ".getBytes("US-ASCII"))
+    b.put("LIST".getBytes("US-ASCII")).putInt(0x7FFFFFF8)
+    assert(MediaContainers.parseAvi(b.array()).isEmpty)
+    assert(MediaContainers.aviFrameRanges(b.array()).isEmpty)
+  }
+
   test("MP4 round trip recovers dimensions and duration") {
     for ((w, h, d) <- Seq((640, 480, 12345L), (16, 16, 0L), (1920, 1080, 1L))) {
       val m = MediaContainers.parseMp4(MediaContainers.mp4(w, h, d))
@@ -95,6 +141,16 @@ class MediaContainersSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       MediaContainers.mp4(640, 480, durationMs = 0x100000000L) // > u32
     }
+    intercept[IllegalArgumentException] {
+      MediaContainers.mp4(0x10000, 480, 0L) // 16.16 tkhd would truncate
+    }
+    intercept[IllegalArgumentException] {
+      MediaContainers.avi(16, 16, usPerFrame = 0x100000000L,
+        Seq(Array[Byte](1))) // > u32 frame period
+    }
+    intercept[IllegalArgumentException] {
+      MediaContainers.avi(16, 16, 40000L, Seq.empty) // a video needs frames
+    }
     // the u32 boundary itself is representable and round-trips
     val edge = MediaContainers.parseMp4(
       MediaContainers.mp4(640, 480, 0xFFFFFFFFL))
@@ -146,5 +202,11 @@ class MediaContainersSpec extends SparkSpec {
       (m.channels == 1 || m.channels == 2) && m.width == 0))
     assert(byKind("video").forall(m => m.width >= 16 && m.height >= 16 &&
       m.duration_ms > 0 && m.channels == 0))
+    // video splits by id parity: even = AVI (real frame count from avih),
+    // odd = MP4 (no frame-count field)
+    val (avi, mp4) = byKind("video").partition(_.media_id % 2 == 0)
+    assert(avi.nonEmpty && mp4.nonEmpty)
+    assert(avi.forall(m => m.frames >= 2 && m.duration_ms == 40L * m.frames))
+    assert(mp4.forall(_.frames == 0))
   }
 }

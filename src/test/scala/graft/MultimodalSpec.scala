@@ -76,6 +76,63 @@ class MultimodalSpec extends SparkSpec {
     assert(out === Seq(0L, 25L, 50L, 75L))
   }
 
+  test("sampleFrameIndices mirrors frameOffsets' floor math, deduplicated") {
+    // frameOffsets over a blob of length n IS floor(i*n/k) — the scalar
+    // frame-index sampler must agree on every (n, k), so real AVI frame
+    // sampling composes with the declared q_media_frames arithmetic
+    for (n <- Seq(1, 2, 3, 4, 7, 8, 9, 100); k <- Seq(1, 3, 4, 8)) {
+      val viaHof = Seq(Array.fill[Byte](n)(1)).toDF("bytes")
+        .select(Multimodal.frameOffsets($"bytes", k)).as[Seq[Long]].head()
+        .map(_.toInt).distinct
+      assert(Multimodal.sampleFrameIndices(n, k) === viaHof, s"n=$n k=$k")
+    }
+    assert(Multimodal.sampleFrameIndices(0, 4) === Seq.empty)
+    assert(Multimodal.sampleFrameIndices(5, 0) === Seq.empty)
+  }
+
+  test("video features really decode AVI frames (equal to per-frame decode)") {
+    val (w, h, n) = (24, 16, 6)
+    val frames = (0 until n).map(i => Multimodal.jpegFrame(w, h, 9L, i))
+    val bytes = graft.operators.MediaContainers.avi(w, h, 40000L, frames)
+    val Some((meta, ch, f)) = Multimodal.videoFeatures(bytes, dim = 4,
+      maxFrames = 4)
+    assert(meta.width === w && meta.height === h && ch === 3)
+    // exactly the mean of the sampled frames' independently-decoded
+    // band features — same floor-math sampling, same decode path
+    val idx = Multimodal.sampleFrameIndices(n, 4)
+    val expect = idx.map(i =>
+        Multimodal.imageFeatures(Multimodal.decodeImage(frames(i)).get, 4))
+      .transpose.map(xs => xs.sum / xs.size)
+    assert(f.toSeq === expect, s"sampled $idx")
+    assert(f.forall(v => v >= 0.0 && v <= 1.0))
+    // corrupt AVI and non-AVI bytes: None (stub path), never a throw
+    assert(Multimodal.videoFeatures(bytes.take(40), 4).isEmpty)
+    assert(Multimodal.videoFeatures("not video".getBytes, 4).isEmpty)
+  }
+
+  test("extractFeatures routes AVI video real, MP4 video to the stub") {
+    val media = Multimodal.containerMediaFromDocuments(
+      Tables.documents(spark, sf001))
+    val video = Multimodal.extractFeatures(media, dim = 8)
+      .filter(_.kind == "video").collect()
+    val (avi, mp4) = video.partition(_.media_id % 2 == 0)
+    assert(avi.nonEmpty && mp4.nonEmpty)
+    // AVI: real path — header dims + decoded channels populated
+    assert(avi.forall(m => m.width >= 16 && m.height >= 16 && m.channels == 3))
+    assert(avi.forall(_.features.forall(v => v >= 0.0 && v <= 1.0)))
+    // MP4: stays behind the codec seam — stub zeroes the dims
+    assert(mp4.forall(m => m.width == 0 && m.height == 0 && m.channels == 0))
+    // the container generator itself is deterministic (JPEG encode and
+    // all): identical bytes across two independent builds
+    val once = media.filter($"media_id" % 6 === 2).select($"bytes")
+      .as[Array[Byte]].head()
+    val again = Multimodal.containerMediaFromDocuments(
+        Tables.documents(spark, sf001))
+      .filter($"media_id" % 6 === 2).select($"bytes")
+      .as[Array[Byte]].head()
+    assert(java.util.Arrays.equals(once, again))
+  }
+
   test("resize targets preserve aspect ratio, never upscale, floor at 1") {
     val meta = Seq((640, 480), (100, 50), (1, 1), (256, 1024))
       .toDF("width", "height")

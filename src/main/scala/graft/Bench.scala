@@ -26,28 +26,13 @@ object Bench {
     // GC thrash) instead of forensically. Endpoint-only sampling missed
     // a mid-run spike in round 6; per-run 1-min load + cumulative GC ms
     // give the needed granularity.
-    def loadavg(): String =
-      scala.util.Using(scala.io.Source.fromFile("/proc/loadavg"))(_.mkString.trim)
-        .getOrElse("unavailable")
-    // 1-minute load as a bare double (per-run record stays numeric).
-    def load1(): Double =
-      scala.util.Try(loadavg().split("\\s+")(0).toDouble).getOrElse(-1.0)
-    // Cumulative GC time across all collectors, ms since JVM start.
-    // The per-query delta separates "this query allocated hard /
-    // thrashed the heap" from "the box was busy".
-    def gcMs(): Long = {
-      import scala.jdk.CollectionConverters._
-      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
-        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
-    }
-    // Free block-manager storage, MB. Broadcast blocks (one 4 MiB task
-    // binary per L-BFGS iteration job) and persisted frames accumulate
-    // here across the suite; when it reaches ~0, later cache/broadcast
-    // writes run inside constant LRU-eviction churn. Recording it per
-    // run turns "warm run slower than cold" from a guess into evidence.
-    def storageFreeMb(): Long =
-      scala.util.Try(spark.sparkContext.getExecutorMemoryStatus.values
-        .map(_._2.toLong).sum / (1024 * 1024)).getOrElse(-1L)
+    // Telemetry (loadavg/GC/storage) lives in graft.Telemetry — shared
+    // with the app smoke so every timed region in BENCH_FULL.json
+    // carries the same adjudication evidence.
+    def loadavg(): String = Telemetry.loadavg()
+    def load1(): Double = Telemetry.load1()
+    def gcMs(): Long = Telemetry.gcMs()
+    def storageFreeMb(): Long = Telemetry.storageFreeMb(spark)
     val loadBefore = loadavg()
 
     // Warm-up: touch every table once (schema read + a tiny job).
@@ -121,7 +106,7 @@ object Bench {
     // SPARK_GRAFT_BENCH_APPS=0; resize with SPARK_GRAFT_SMOKE_ROWS.
     // Skipped automatically when specific queries were selected (debug
     // runs should not pay minutes of smoke).
-    val appTimings: Seq[(String, Double)] =
+    val appTimings: Seq[(String, Telemetry.StageRun)] =
       if (args.nonEmpty || sys.env.get("SPARK_GRAFT_BENCH_APPS").contains("0"))
         Seq.empty
       else try {
@@ -135,13 +120,16 @@ object Bench {
         val t =
           try graft.app.Sentiment140Smoke.run(spark, work.toString, rows)
           finally graft.app.Sentiment140Smoke.deleteRecursively(work)
-        t.toPairs.foreach { case (k, v) =>
-          System.err.println(f"[bench] $k%-28s $v%8.2f s")
+        t.toRuns.foreach { case (k, r) =>
+          System.err.println(f"[bench] $k%-28s ${r.elapsedSec}%8.2f s" +
+            f"  (gc${r.gcDeltaMs}ms/ld${r.load1}%.1f/free${r.storageFreeMb}MB)")
         }
-        t.toPairs
+        t.toRuns
       } catch { case e: Throwable =>
         System.err.println(s"[bench] app smoke FAILED: ${e.getMessage}")
-        Seq("sentiment140_total" -> -1.0)
+        // negative elapsed = failed, same convention as query runs
+        Seq("sentiment140_total" -> Telemetry.StageRun(-1.0, 0L,
+          Telemetry.load1(), Telemetry.storageFreeMb(spark)))
       }
 
     // Full-precision record → file (the round log only keeps the LAST
@@ -179,7 +167,9 @@ object Bench {
           s"[${if (ok) r else -r},$gc,$ld,$st]"
         }.mkString("[", ",", "]")
       }.mkString("{", ",", "}")
-      val appsJson = appTimings.map { case (k, v) => jstr(k) + ":" + v }
+      // apps carry the SAME telemetry shape as query runs (one stage =
+      // one run array), so bench_diff adjudicates both with one rule set
+      val appsJson = appTimings.map { case (k, r) => jstr(k) + ":" + r.toJsonArray }
         .mkString("{", ",", "}")
       val full = json(_.toString).dropRight(1) +
         s""","runs":$runsJson,"runs_shape":"[elapsed_sec,gc_delta_ms,load1,storage_free_mb]"""" +

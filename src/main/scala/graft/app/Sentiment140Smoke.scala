@@ -2,6 +2,7 @@ package graft.app
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Telemetry
 
 /** Reference-scale end-to-end smoke: the whole app chain
   * (Preprocess → Train → CompareModels) over a synthetic corpus with
@@ -65,41 +66,45 @@ object Sentiment140Smoke {
       .write.mode("overwrite").option("header", "false").csv(dir)
   }
 
-  final case class Timings(generate: Double, preprocess: Double,
-      trainLr: Double, trainNb: Double, compare: Double) {
-    def total: Double = generate + preprocess + trainLr + trainNb + compare
-    def toPairs: Seq[(String, Double)] = Seq(
-      "sentiment140_generate" -> generate,
-      "sentiment140_preprocess" -> preprocess,
-      "sentiment140_train_lr" -> trainLr,
-      "sentiment140_train_nb" -> trainNb,
-      "sentiment140_compare" -> compare,
-      "sentiment140_total" -> total)
-  }
-
-  private def timed[A](body: => A): (A, Double) = {
-    val t0 = System.nanoTime()
-    val a = body
-    (a, (System.nanoTime() - t0) / 1e9)
+  /** Per-stage telemetry, same `[elapsed, gc_delta_ms, load1,
+    * storage_free_mb]` shape as the per-query bench runs — so an
+    * app-level swing (e.g. r8's unadjudicable 60 s-vs-38 s preprocess)
+    * self-adjudicates as contention/GC/real exactly like query deltas. */
+  final case class Timings(stages: Seq[(String, Telemetry.StageRun)]) {
+    def total: Double = stages.map(_._2.elapsedSec).sum
+    private def totalRun: Telemetry.StageRun = Telemetry.StageRun(total,
+      stages.map(_._2.gcDeltaMs).sum,
+      stages.map(_._2.load1).maxOption.getOrElse(-1.0),
+      stages.lastOption.map(_._2.storageFreeMb).getOrElse(-1L))
+    def toRuns: Seq[(String, Telemetry.StageRun)] =
+      stages :+ ("sentiment140_total" -> totalRun)
+    def toPairs: Seq[(String, Double)] =
+      toRuns.map { case (k, r) => k -> r.elapsedSec }
   }
 
   /** Full chain under `workDir`; every artifact the reference workflow
     * produces (clean CSV, per-model metrics JSON + charts, saved models,
-    * comparison JSON/SVG/grid) is written and sanity-checked. */
-  def run(spark: SparkSession, workDir: String, n: Long): Timings = {
+    * comparison JSON/SVG/grid) is written and sanity-checked.
+    * `includeSvc` (env `SPARK_GRAFT_SMOKE_SVC=1`) adds LinearSVC for the
+    * reference's full 3-model comparison — off by default because 20
+    * L-BFGS-style iterations over the cached corpus roughly triple the
+    * smoke's runtime without exercising new app code. */
+  def run(spark: SparkSession, workDir: String, n: Long,
+      includeSvc: Boolean =
+        sys.env.get("SPARK_GRAFT_SMOKE_SVC").contains("1")): Timings = {
     val dir = java.nio.file.Paths.get(workDir)
     java.nio.file.Files.createDirectories(dir)
     def p(s: String) = dir.resolve(s).toString
 
-    val (_, tGen) = timed(generateRaw(spark, n, p("raw")))
-    val (_, tPre) = timed {
+    val (_, tGen) = Telemetry.timed(spark)(generateRaw(spark, n, p("raw")))
+    val (_, tPre) = Telemetry.timed(spark) {
       Preprocess.run(spark, p("raw"), p("clean"))
       val written = graft.sources.SentimentCsv.readClean(spark, p("clean")).persist()
       try Preprocess.writeCharts(spark, p("raw"), written, p("charts"))
       finally written.unpersist()
     }
-    def train(kind: String): Double = {
-      val (r, t) = timed(
+    def train(kind: String): Telemetry.StageRun = {
+      val (r, t) = Telemetry.timed(spark)(
         Train.run(spark, kind, p("clean"), p(s"model_$kind"), p(s"${kind}_metrics.json")))
       try {
         Train.writeCharts(r, kind, p("charts"))
@@ -108,14 +113,17 @@ object Sentiment140Smoke {
       } finally r.close()
       t
     }
-    val tLr = train("lr")
-    val tNb = train("nb")
-    val (best, tCmp) = timed(CompareModels.run(spark, p("comparison.json"),
-      Seq("lr" -> p("lr_metrics.json"), "nb" -> p("nb_metrics.json"))))
-    require(Seq("lr", "nb").contains(best), s"unexpected best model: $best")
+    val models = Seq("lr", "nb") ++ (if (includeSvc) Seq("svm") else Seq.empty)
+    val trained = models.map(k => s"sentiment140_train_$k" -> train(k))
+    val (best, tCmp) = Telemetry.timed(spark)(
+      CompareModels.run(spark, p("comparison.json"),
+        models.map(k => k -> p(s"${k}_metrics.json"))))
+    require(models.contains(best), s"unexpected best model: $best")
     require(java.nio.file.Files.exists(dir.resolve("comparison_confusion.svg")),
       "comparison confusion grid not written")
-    Timings(tGen, tPre, tLr, tNb, tCmp)
+    Timings(Seq("sentiment140_generate" -> tGen,
+      "sentiment140_preprocess" -> tPre) ++ trained :+
+      ("sentiment140_compare" -> tCmp))
   }
 
   /** Best-effort recursive delete (the smoke tree is hundreds of MB). */

@@ -46,6 +46,9 @@ def main():
     ap.add_argument("--load-margin", type=float, default=2.0,
                     help="new-min load1 above old-min load1 by more than "
                          "this -> CONTENDED, not REGRESSION")
+    ap.add_argument("--app-noise", type=float, default=5.0,
+                    help="ignore app-stage deltas under this many sec "
+                         "(app stages are tens of seconds and single-run)")
     args = ap.parse_args()
 
     old = json.load(open(args.old))
@@ -100,6 +103,51 @@ def main():
                  else "n/a")
         print(f"{q:34} {o:8.3f} {n:8.3f} {d:+8.3f} {rto:6.2f}  {loads:>10}  "
               f"{klass}")
+
+    # ---- apps block: one stage = one run (no min-of-N). Old rounds
+    # recorded bare seconds; new rounds record the same
+    # [elapsed, gc_ms, load1, storage_mb] shape as query runs, so the
+    # same REGRESSION/CONTENDED/GC-PRESSURE rules apply. A scalar old
+    # record has no load evidence, so contention can't be proven for it
+    # — an elevated stage then classifies REGRESSION and needs a manual
+    # re-run to overturn.
+    def app_run(v):
+        return list(v) + [None] * (4 - len(v)) if isinstance(v, list) \
+            else [v, None, None, None]
+    oa = old.get("apps") or {}
+    na = new.get("apps") or {}
+    app_rows = []
+    for k in sorted(set(oa) & set(na)):
+        o_el, _, o_load, _ = app_run(oa[k])
+        n_el, n_gc, n_load, _ = app_run(na[k])
+        if not isinstance(o_el, (int, float)) or not isinstance(n_el, (int, float)):
+            continue
+        delta = n_el - o_el
+        ratio = n_el / o_el if o_el > 0 else float("inf")
+        klass = ""
+        if n_el < 0:
+            klass = "FAILED"
+        elif o_el > 0 and abs(delta) >= args.app_noise:
+            if ratio >= args.threshold:
+                if (n_load is not None and o_load is not None
+                        and n_load > o_load + args.load_margin):
+                    klass = "CONTENDED"
+                elif n_gc is not None and n_gc / 1000.0 > 0.2 * n_el:
+                    klass = "GC-PRESSURE"
+                else:
+                    klass = "REGRESSION"
+            elif ratio <= 1.0 / args.threshold:
+                klass = "IMPROVED"
+        if klass:
+            flags[klass] += 1
+        app_rows.append((k, o_el, n_el, delta, ratio, klass, o_load, n_load))
+    if app_rows:
+        print("\napps (single-run stages):")
+        for k, o, n, d, rto, klass, ol, nl in app_rows:
+            loads = (f"{ol:.1f}->{nl:.1f}"
+                     if ol is not None and nl is not None else "n/a")
+            print(f"{k:34} {o:8.2f} {n:8.2f} {d:+8.2f} {rto:6.2f}  "
+                  f"{loads:>10}  {klass}")
 
     tot_o, tot_n = old.get("value"), new.get("value")
     if tot_o is not None and tot_n is not None and tot_o > 0:

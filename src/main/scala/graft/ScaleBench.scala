@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale rehearsal: empirically validate the 100×-survival claims that
+  * the per-round bench can only argue from plan shapes. Generates an
+  * N× (default 10×) documents+embeddings set IN-ENGINE from the sf
+  * fixture, runs the scale-critical queries at 1× and N×, and records
+  * the observed growth exponents to BENCH_SCALE.json — a near-linear
+  * exponent (≈1) is the evidence that the banded/bucketed/bloom shapes
+  * really avoid the quadratic blowup their O(n²) siblings pay.
+  *
+  * Content construction keeps the growth HONEST — a naive ×N
+  * duplication would turn every document into an N-clone cluster and
+  * every LSH bucket N× hotter (Σ bucket² grows ×N², a quadratic
+  * measurement artifact, not a property of the operators):
+  *  - documents: copy k rotates the lowercase alphabet by k
+  *    (`translate`), so exact-dup and near-dup structure is preserved
+  *    WITHIN a copy (dup pairs grow ×N, linear) while shingles across
+  *    copies share ~nothing;
+  *  - embeddings: copy k multiplies each dimension by a deterministic
+  *    ±1 mask keyed on (k, dim) — intra-copy dot products (and thus
+  *    the near-dup pair set) are EXACTLY preserved (m_j² = 1), while
+  *    cross-copy dots become random-sign sums ≈ 0. (A cyclic rotation
+  *    was tried first and does NOT decorrelate: structured vectors stay
+  *    cosine-similar to their own rotations, which inflated the 10×
+  *    pair count 212× — a measurement artifact, not operator cost.)
+  *
+  * Both generators are single codegen'd projections over the source
+  * parquet — no driver loop, the generation itself scales. */
+object ScaleBench {
+
+  private val Alphabet = "abcdefghijklmnopqrstuvwxyz"
+
+  /** The scale-critical set from VERDICT r8 #5: banded MinHash, LSH
+    * all-pairs, distributed connected components, broadcast/bloom
+    * decontamination, IVF probe. The guarded exact O(n²) forms are
+    * deliberately NOT here — at 10× sf0.1 they would be the artifact
+    * this main exists to avoid benching. */
+  val queries: Seq[String] = Seq("q_minhash_neardup", "q_ann_neardup_pairs",
+    "q_dedup_groups", "q_decontaminate_ngram", "q_decontaminate_ngram_bloom",
+    "q_ivf_topk")
+
+  def generate(spark: SparkSession, sfDir: String, outDir: String,
+      scale: Int): (Long, Long) = {
+    val docs = Tables.documents(spark, sfDir)
+    val maxDoc = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+    val docCopies = (0 until scale).map { k =>
+      val rot = Alphabet.drop(k % 26) + Alphabet.take(k % 26)
+      docs.select(
+        (col("doc_id") + lit(k * maxDoc)).as("doc_id"),
+        translate(col("text"), Alphabet, rot).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }
+    docCopies.reduce(_.unionAll(_)).write.mode("overwrite")
+      .parquet(s"$outDir/documents.parquet")
+    val emb = Tables.embeddings(spark, sfDir)
+    val maxVec = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
+    val embCopies = (0 until scale).map { k =>
+      // ±1 is exact in float arithmetic, so copy k's pairwise dots are
+      // bit-identical to the original's; hash(dim_index, k) picks the
+      // sign, so different copies get (pseudo)independent masks
+      val masked = if (k == 0) col("embedding")
+        else transform(col("embedding"), (x, i) =>
+          when(pmod(hash(i, lit(k)), lit(2)) === 0, x).otherwise(-x))
+      emb.select((col("vec_id") + lit(k * maxVec)).as("vec_id"),
+        masked.cast("array<float>").as("embedding"), col("label"))
+    }
+    embCopies.reduce(_.unionAll(_)).write.mode("overwrite")
+      .parquet(s"$outDir/embeddings.parquet")
+    (spark.read.parquet(s"$outDir/documents.parquet").count(),
+      spark.read.parquet(s"$outDir/embeddings.parquet").count())
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val scale = math.max(2, scala.util.Try(
+      sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt).getOrElse(10))
+    val nRuns = math.max(1, scala.util.Try(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt).getOrElse(2))
+    val spark = app.Sessions.local("graft-scale-bench")
+    val loadBefore = Telemetry.loadavg()
+    val outDir = s"target/scale_x$scale"
+    app.Sentiment140Smoke.deleteRecursively(java.nio.file.Paths.get(outDir))
+    val (nDocs, nVecs) = generate(spark, sfDir, outDir, scale)
+    System.err.println(s"[scale] generated ${nDocs} docs / ${nVecs} vecs at $outDir")
+
+    def time(name: String, dir: String): (Seq[Double], Long) = {
+      var rows = 0L
+      val runs = (1 to nRuns).map { _ =>
+        val t0 = System.nanoTime()
+        rows = SparkEntry.queries(name)(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      (runs, rows)
+    }
+
+    val results = queries.map { q =>
+      val (base, baseRows) = time(q, sfDir)
+      val (scaled, scaledRows) = time(q, outDir)
+      val ratio = scaled.min / base.min
+      // growth exponent e: t_N = t_1 * N^e  →  e = log(ratio)/log(N).
+      // e ≈ 1 linear, e ≈ 2 quadratic; sub-linear e reflects fixed
+      // overheads (planning, index build memoized per dataset) still
+      // dominating at this absolute scale.
+      val exponent = math.log(ratio) / math.log(scale.toDouble)
+      System.err.println(f"[scale] $q%-28s 1x ${base.min}%6.2f s -> ${scale}x " +
+        f"${scaled.min}%6.2f s  ratio ${ratio}%5.2f  exp $exponent%5.2f  " +
+        f"rows $baseRows -> $scaledRows")
+      (q, base, scaled, ratio, exponent, baseRows, scaledRows)
+    }
+
+    val qJson = results.map { case (q, b, s, ratio, exp, br, sr) =>
+      s""""$q":{"base_runs":${b.mkString("[", ",", "]")},""" +
+        s""""scaled_runs":${s.mkString("[", ",", "]")},""" +
+        s""""ratio":$ratio,"exponent":$exp,"base_rows":$br,"scaled_rows":$sr}"""
+    }.mkString("{", ",", "}")
+    val json = s"""{"scale":$scale,"sf":"$sfDir","agg":"min_of_$nRuns",""" +
+      s""""generated":{"documents":$nDocs,"embeddings":$nVecs},""" +
+      s""""queries":$qJson,"loadavg_before":"$loadBefore",""" +
+      s""""loadavg_after":"${Telemetry.loadavg()}"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SCALE.json"),
+      (json + "\n").getBytes("UTF-8"))
+    println(json)
+    app.Sentiment140Smoke.deleteRecursively(java.nio.file.Paths.get(outDir))
+    spark.stop()
+  }
+}

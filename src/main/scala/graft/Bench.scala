@@ -138,18 +138,9 @@ object Bench {
     // recorded parsed:null). The file keeps every digit for analysis;
     // stdout gets ONE compact line, printed last, short enough that the
     // whole line survives inside the tail window.
-    // Minimal JSON string escape for interpolated fields (loadavg
-    // fallback text, sfDir, query names): the output must stay
-    // parseable even if a value grows a quote or backslash in some
-    // future edit — an unescaped env-provided sfDir would reproduce
-    // the exact parsed:null failure this main exists to avoid.
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""
-        case '\\' => "\\\\"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      } + "\""
+    // JSON string escape shared with every hand-assembled record
+    // (ScaleBench writes the same shape) — see Telemetry.jstr.
+    def jstr(s: String): String = Telemetry.jstr(s)
     def json(fmt: Double => String): String = {
       val qs = results.map { case (k, v) => jstr(k) + ":" + fmt(v) }
         .mkString("{", ",", "}")

@@ -44,6 +44,14 @@ object ScaleBench {
 
   def generate(spark: SparkSession, sfDir: String, outDir: String,
       scale: Int): (Long, Long) = {
+    // The honesty construction rotates the alphabet per copy; at k >= 26
+    // the rotation wraps and copy k becomes byte-identical text to copy
+    // k-26 — silently reintroducing the quadratic N-clone measurement
+    // artifact documented above. Fail loudly instead.
+    require(scale <= 26,
+      s"scale $scale > 26 wraps the alphabet rotation: copies k and k-26 " +
+        "would be exact text duplicates, inflating dup/LSH growth for " +
+        "measurement reasons, not operator cost")
     val docs = Tables.documents(spark, sfDir)
     val maxDoc = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
     val docCopies = (0 until scale).map { k =>
@@ -96,34 +104,45 @@ object ScaleBench {
       (runs, rows)
     }
 
-    val results = queries.map { q =>
-      val (base, baseRows) = time(q, sfDir)
-      val (scaled, scaledRows) = time(q, outDir)
-      val ratio = scaled.min / base.min
-      // growth exponent e: t_N = t_1 * N^e  →  e = log(ratio)/log(N).
-      // e ≈ 1 linear, e ≈ 2 quadratic; sub-linear e reflects fixed
-      // overheads (planning, index build memoized per dataset) still
-      // dominating at this absolute scale.
-      val exponent = math.log(ratio) / math.log(scale.toDouble)
-      System.err.println(f"[scale] $q%-28s 1x ${base.min}%6.2f s -> ${scale}x " +
-        f"${scaled.min}%6.2f s  ratio ${ratio}%5.2f  exp $exponent%5.2f  " +
-        f"rows $baseRows -> $scaledRows")
-      (q, base, scaled, ratio, exponent, baseRows, scaledRows)
+    // Results accumulate as they complete; the finally block records
+    // whatever finished (a partial JSON beats no record — the plausible
+    // failure a scale rehearsal exists to catch is a mid-loop OOM), then
+    // always reclaims the N× parquet tree and stops the session.
+    val results = Seq.newBuilder[(String, Seq[Double], Seq[Double], Double,
+      Double, Long, Long)]
+    var completed = 0
+    try {
+      queries.foreach { q =>
+        val (base, baseRows) = time(q, sfDir)
+        val (scaled, scaledRows) = time(q, outDir)
+        val ratio = scaled.min / base.min
+        // growth exponent e: t_N = t_1 * N^e  →  e = log(ratio)/log(N).
+        // e ≈ 1 linear, e ≈ 2 quadratic; sub-linear e reflects fixed
+        // overheads (planning, index build memoized per dataset) still
+        // dominating at this absolute scale.
+        val exponent = math.log(ratio) / math.log(scale.toDouble)
+        System.err.println(f"[scale] $q%-28s 1x ${base.min}%6.2f s -> ${scale}x " +
+          f"${scaled.min}%6.2f s  ratio ${ratio}%5.2f  exp $exponent%5.2f  " +
+          f"rows $baseRows -> $scaledRows")
+        results += ((q, base, scaled, ratio, exponent, baseRows, scaledRows))
+        completed += 1
+      }
+    } finally {
+      val qJson = results.result().map { case (q, b, s, ratio, exp, br, sr) =>
+        Telemetry.jstr(q) + s""":{"base_runs":${b.mkString("[", ",", "]")},""" +
+          s""""scaled_runs":${s.mkString("[", ",", "]")},""" +
+          s""""ratio":$ratio,"exponent":$exp,"base_rows":$br,"scaled_rows":$sr}"""
+      }.mkString("{", ",", "}")
+      val json = s"""{"scale":$scale,"sf":${Telemetry.jstr(sfDir)},""" +
+        s""""agg":"min_of_$nRuns","partial":${completed < queries.size},""" +
+        s""""generated":{"documents":$nDocs,"embeddings":$nVecs},""" +
+        s""""queries":$qJson,"loadavg_before":${Telemetry.jstr(loadBefore)},""" +
+        s""""loadavg_after":${Telemetry.jstr(Telemetry.loadavg())}}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SCALE.json"),
+        (json + "\n").getBytes("UTF-8"))
+      println(json)
+      app.Sentiment140Smoke.deleteRecursively(java.nio.file.Paths.get(outDir))
+      spark.stop()
     }
-
-    val qJson = results.map { case (q, b, s, ratio, exp, br, sr) =>
-      s""""$q":{"base_runs":${b.mkString("[", ",", "]")},""" +
-        s""""scaled_runs":${s.mkString("[", ",", "]")},""" +
-        s""""ratio":$ratio,"exponent":$exp,"base_rows":$br,"scaled_rows":$sr}"""
-    }.mkString("{", ",", "}")
-    val json = s"""{"scale":$scale,"sf":"$sfDir","agg":"min_of_$nRuns",""" +
-      s""""generated":{"documents":$nDocs,"embeddings":$nVecs},""" +
-      s""""queries":$qJson,"loadavg_before":"$loadBefore",""" +
-      s""""loadavg_after":"${Telemetry.loadavg()}"}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SCALE.json"),
-      (json + "\n").getBytes("UTF-8"))
-    println(json)
-    app.Sentiment140Smoke.deleteRecursively(java.nio.file.Paths.get(outDir))
-    spark.stop()
   }
 }

@@ -19,6 +19,18 @@ object Telemetry {
       s"[$elapsedSec,$gcDeltaMs,$load1,$storageFreeMb]"
   }
 
+  /** Minimal JSON string escape for interpolated fields (loadavg
+    * fallback text, sfDir, query names): one definition shared by every
+    * main that assembles JSON by hand — an unescaped env-provided sfDir
+    * would make the record unparseable (the parsed:null failure class). */
+  def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
   def loadavg(): String =
     scala.util.Using(scala.io.Source.fromFile("/proc/loadavg"))(_.mkString.trim)
       .getOrElse("unavailable")

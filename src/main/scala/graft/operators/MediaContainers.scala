@@ -188,8 +188,16 @@ object MediaContainers {
       .putInt(0).putInt(0).putInt(0).putInt(0)
     val hdrl = list("hdrl", chunk("avih", avih.array()) ++
       list("strl", chunk("strh", strh.array()) ++ chunk("strf", strf.array())))
-    val movi = list("movi", frames.iterator.map(chunk("00dc", _))
-      .foldLeft(Array.emptyByteArray)(_ ++ _))
+    // single-allocation join (a fold of Array ++ Array re-copies the
+    // accumulated payload per frame — quadratic in total frame bytes,
+    // and this runs per row on the scan stage)
+    val frameChunks = frames.map(chunk("00dc", _))
+    val joined = new Array[Byte](frameChunks.iterator.map(_.length).sum)
+    var pos = 0
+    frameChunks.foreach { c =>
+      System.arraycopy(c, 0, joined, pos, c.length); pos += c.length
+    }
+    val movi = list("movi", joined)
     val payload = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
     require(payload.length.toLong + 8 <= Int.MaxValue,
       "AVI payload overflows a RIFF u32")
@@ -261,8 +269,14 @@ object MediaContainers {
     // MP3-in-RIFF) would otherwise parse to a confidently WRONG duration;
     // corrupt-safe means None, not a plausible lie.
     if (fmtCode != 1 && fmtCode != 0xFFFE) None
-    else if (channels <= 0 || sampleRate <= 0 || bits <= 0 || dataLen < 0) None
-    else if (byteRate <= 0) None // header's declared avg bytes/sec
+    else if (channels <= 0 || sampleRate <= 0 || bits <= 0 || bits % 8 != 0 ||
+      dataLen < 0) None
+    // For the PCM layouts admitted above, the declared byte rate is fully
+    // determined by rate × channels × bytes/sample; a header whose field
+    // disagrees (a lying byteRate=1 would yield a duration off by orders
+    // of magnitude) is the same plausible-lie class as a compressed
+    // fmtCode — corrupt-safe means None, not a confidently wrong number.
+    else if (byteRate != sampleRate.toLong * channels * (bits / 8)) None
     else Some(WavMeta(channels, sampleRate, bits, dataLen * 1000L / byteRate,
       dataOff, dataLen.toInt))
   }
@@ -300,6 +314,10 @@ object MediaContainers {
             val width = u32le(bytes, p + 32).toInt
             val height = u32le(bytes, p + 36).toInt
             if (usPerFrame <= 0 || width <= 0 || height <= 0) return None
+            // dwTotalFrames is u32: above Int.MaxValue, .toInt wraps
+            // negative — the same silent-truncation class the duration
+            // and 16.16 requires reject. No real AVI has 2^31 frames.
+            if (totalFrames > Int.MaxValue) return None
             // both fields are u32: the product can overflow a Long on
             // crafted input — reject rather than report a wrapped duration
             if (totalFrames > 0 && usPerFrame > Long.MaxValue / totalFrames)

@@ -71,11 +71,17 @@ object Similarity {
     // after maxExactRows+1 rows, so an uncached expensive upstream is not
     // computed once for the guard and a second time when the join
     // materializes (callers should still persist hot inputs).
-    val cap = math.min(maxExactRows, Int.MaxValue - 1L).toInt
-    val over = embeddings.limit(cap + 1).count() > maxExactRows
+    // limit() takes an Int: for caps beyond its range a clamped probe
+    // could never count past the cap and would silently DISABLE the
+    // guard, so fall back to the full count there (a caller opting into
+    // >2B exact rows has bigger costs than one count job).
+    val over =
+      if (maxExactRows < Int.MaxValue) {
+        embeddings.limit(maxExactRows.toInt + 1).count() > maxExactRows
+      } else embeddings.count() > maxExactRows
     require(!over,
       s"nearDupPairs is the exact O(n²) verification baseline: over " +
-        s"$maxExactRows input rows means >${maxExactRows * maxExactRows / 2} " +
+        s"$maxExactRows input rows means ~${maxExactRows.toDouble * maxExactRows / 2} " +
         "candidate pairs. Use annNearDupPairs for production scale, or pass " +
         "maxExactRows explicitly to override.")
     VectorFunctions.register(embeddings.sparkSession)

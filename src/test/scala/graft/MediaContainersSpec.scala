@@ -51,6 +51,27 @@ class MediaContainersSpec extends SparkSpec {
     assert(MediaContainers.parseWav(wav).isEmpty)
   }
 
+  test("parseWav rejects a lying byte-rate field instead of a wrong duration") {
+    // valid PCM header whose declared byteRate is patched to 1: the PCM
+    // layout fixes byteRate = rate * channels * bytes/sample, so a
+    // disagreeing field is a corrupt header — duration from it would be
+    // off by orders of magnitude
+    val wav = MediaContainers.wav(1, 8000, 64, seed = 3)
+    val b = java.nio.ByteBuffer.wrap(wav).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.putInt(28, 1) // fmt payload +8 = avg-bytes-per-sec
+    assert(MediaContainers.parseWav(wav).isEmpty)
+  }
+
+  test("parseAvi rejects a frame count above Int.MaxValue, never wraps") {
+    val bytes = MediaContainers.avi(16, 16, 40000L,
+      Seq(Multimodal.jpegFrame(16, 16, 1L, 0)))
+    // avih payload starts at 32 (RIFF 12 + LIST hdr 8 + 'hdrl' 4 +
+    // chunk hdr 8); dwTotalFrames is payload +16
+    val b = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.putInt(48, 0x80000000) // u32 2^31: .toInt would go negative
+    assert(MediaContainers.parseAvi(bytes).isEmpty)
+  }
+
   test("AVI round trip recovers dims, duration, and decodable frames") {
     val (w, h, n) = (32, 24, 5)
     val frames = (0 until n).map(i => Multimodal.jpegFrame(w, h, 42L, i))

@@ -25,6 +25,15 @@ class ScaleOpsSpec extends SparkSpec {
     assert(full === exact, "probing all cells must equal brute force")
   }
 
+  test("ScaleBench.generate rejects scales past the alphabet-rotation wrap") {
+    // at scale > 26 copy k and k-26 would be byte-identical text — the
+    // quadratic N-clone artifact the construction exists to avoid must
+    // fail loudly, before any generation work
+    intercept[IllegalArgumentException] {
+      ScaleBench.generate(spark, sf001, "target/never-written", 27)
+    }
+  }
+
   test("salted count equals plain groupBy count") {
     val li = Tables.lineitem(spark, sf001)
     val plain = li.groupBy($"l_returnflag").agg(count(lit(1)).as("n"))

@@ -59,45 +59,65 @@ object Multimodal {
         (col("n_chars") * 10).as("duration_ms"),
         lit("stub").as("codec")).as("meta"))
 
+  val AllKinds: Set[String] = Set("image", "audio", "video")
+
   /** Synthetic media table with REAL container bytes: BMP images, PCM
-    * WAV audio, ISO-BMFF MP4 video ([[MediaContainers]]), every header
-    * field a closed form of (doc_id, n_chars) so parse results are
-    * oracle-predictable. Built in a typed map (byte assembly is
-    * imperative); one narrow stage, no shuffle. */
-  def containerMediaFromDocuments(docs: DataFrame): DataFrame = {
+    * WAV audio, MJPEG-AVI / ISO-BMFF MP4 video ([[MediaContainers]]),
+    * every header field a closed form of (doc_id, n_chars) so parse
+    * results are oracle-predictable. Built in a typed map (byte assembly
+    * is imperative); one narrow stage, no shuffle.
+    *
+    * `kinds` prunes synthesis itself: kind is derived as a RELATIONAL
+    * column (`pmod(doc_id, 3)` — same mapping as the map's `floorMod`)
+    * and filtered BEFORE the object boundary. A caller's post-map
+    * `where(kind === ...)` cannot reach through the typed map, and since
+    * the even-video rows encode real JPEG frames, synthesizing a blob
+    * just to drop it is the expensive path — an image-only query must
+    * never pay the AVI encoder. */
+  def containerMediaFromDocuments(docs: DataFrame,
+      kinds: Set[String] = AllKinds): DataFrame = {
     import docs.sparkSession.implicits._
-    docs.select(col("doc_id"), col("n_chars"))
-      .as[(Long, Long)].map { case (id, nc) =>
-        // floorMod, not %: a negative doc_id/n_chars must still land in
-        // the generators' valid ranges (Scala % keeps the dividend's
-        // sign, so `id % 2 + 1` could be 0 and the wav/bmp require()
-        // would kill the partition — against the module's contract).
-        // Fixture ids are non-negative, so semantics there are identical.
-        math.floorMod(id, 3) match {
-          case 0 => (id, "image",
-            MediaContainers.bmp((math.floorMod(nc, 64) + 1).toInt,
-              (math.floorMod(nc, 48) + 1).toInt, id))
-          case 1 => (id, "audio",
-            MediaContainers.wav((math.floorMod(id, 2) + 1).toInt, 8000,
-              math.floorMod(nc, 4096).toInt, id))
-          case _ if math.floorMod(id, 2) == 0 =>
-            // even video ids: MJPEG-in-AVI — the pure-JDK-decodable
-            // container (RIFF walk + ImageIO JPEG). Small frames keep
-            // the generator cheap in the scan stage; every header field
-            // stays a closed form of (doc_id, n_chars) for the oracle:
-            // duration = 40ms/frame * (nc % 8 + 2) frames.
-            val w = (math.floorMod(nc, 64) + 16).toInt
-            val h = (math.floorMod(nc, 48) + 16).toInt
-            val nFrames = (math.floorMod(nc, 8) + 2).toInt
-            (id, "video", MediaContainers.avi(w, h, 40000L,
-              (0 until nFrames).map(i => jpegFrame(w, h, id, i))))
-          case _ => (id, "video",
-            // odd video ids: ISO-BMFF/MP4 — header-only (sample decode
-            // needs an external codec; stays behind the stub seam)
-            MediaContainers.mp4((math.floorMod(nc, 640) + 16).toInt,
-              (math.floorMod(nc, 480) + 16).toInt, math.max(nc, 0L) * 10))
-        }
-      }.toDF("media_id", "kind", "bytes")
+    require(kinds.nonEmpty && kinds.subsetOf(AllKinds),
+      s"unknown media kinds: ${kinds -- AllKinds}")
+    // pmod (unlike %) is non-negative for negative doc_ids — identical
+    // to the map's floorMod routing, so the relational filter and the
+    // typed dispatch can never disagree on a row's kind
+    val withKind = docs.select(col("doc_id"), col("n_chars"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"))
+    val pruned = if (kinds == AllKinds) withKind
+      else withKind.where(col("kind").isInCollection(kinds))
+    pruned.as[(Long, Long, String)].map { case (id, nc, kind) =>
+      // floorMod, not %: a negative doc_id/n_chars must still land in
+      // the generators' valid ranges (Scala % keeps the dividend's
+      // sign, so `id % 2 + 1` could be 0 and the wav/bmp require()
+      // would kill the partition — against the module's contract).
+      // Fixture ids are non-negative, so semantics there are identical.
+      kind match {
+        case "image" => (id, kind,
+          MediaContainers.bmp((math.floorMod(nc, 64) + 1).toInt,
+            (math.floorMod(nc, 48) + 1).toInt, id))
+        case "audio" => (id, kind,
+          MediaContainers.wav((math.floorMod(id, 2) + 1).toInt, 8000,
+            math.floorMod(nc, 4096).toInt, id))
+        case _ if math.floorMod(id, 2) == 0 =>
+          // even video ids: MJPEG-in-AVI — the pure-JDK-decodable
+          // container (RIFF walk + ImageIO JPEG). Small frames keep
+          // the generator cheap in the scan stage; every header field
+          // stays a closed form of (doc_id, n_chars) for the oracle:
+          // duration = 40ms/frame * (nc % 8 + 2) frames.
+          val w = (math.floorMod(nc, 64) + 16).toInt
+          val h = (math.floorMod(nc, 48) + 16).toInt
+          val nFrames = (math.floorMod(nc, 8) + 2).toInt
+          (id, kind, MediaContainers.avi(w, h, 40000L,
+            (0 until nFrames).map(i => jpegFrame(w, h, id, i))))
+        case _ => (id, kind,
+          // odd video ids: ISO-BMFF/MP4 — header-only (sample decode
+          // needs an external codec; stays behind the stub seam)
+          MediaContainers.mp4((math.floorMod(nc, 640) + 16).toInt,
+            (math.floorMod(nc, 480) + 16).toInt, math.max(nc, 0L) * 10))
+      }
+    }.toDF("media_id", "kind", "bytes")
   }
 
   /** Deterministic JPEG frame for the AVI fixture: flat-gradient gray

@@ -51,12 +51,14 @@ object MultimodalQueries extends QueryModule {
     // scan stage; out dims are read back from the emitted PNG's IHDR,
     // so the oracle's closed-form prediction checks the real resample's
     // geometry end to end (pixel content is pinned by MultimodalSpec).
-    // The kind filter goes BEFORE the opaque mapPartitions — Catalyst
-    // can't push through it, and audio/video blobs must not pay the
-    // object round-trip just to be dropped.
+    // The kind pruning happens INSIDE the generator, below the object
+    // boundary — Catalyst can't push a post-map filter through it, and
+    // an image-only query must not pay audio/video blob synthesis (the
+    // AVI rows encode real JPEG frames) just to drop the rows.
     "q_media_resample" -> ((s, d) => {
-      val media = Multimodal.containerMediaFromDocuments(Tables.documents(s, d))
-      Multimodal.resampleImages(media.where(col("kind") === "image"), maxDim = 16)
+      val media = Multimodal.containerMediaFromDocuments(
+        Tables.documents(s, d), kinds = Set("image"))
+      Multimodal.resampleImages(media, maxDim = 16)
         .toDF()
         .select(col("media_id"), col("in_width"), col("in_height"),
           col("out_width"), col("out_height"), col("resized"))
@@ -95,13 +97,13 @@ object MultimodalQueries extends QueryModule {
 
     // REAL pixel features, oracle-checked: the BMP fixture's pixels are
     // the closed form (seed + 7x + 13y) & 0xFF gray, so every band mean
-    // (Rec.709 luminance, x-banded) is DuckDB-computable. Kind filter
-    // BEFORE the opaque mapPartitions (same plan rule as
-    // q_media_resample: Catalyst can't push through it).
+    // (Rec.709 luminance, x-banded) is DuckDB-computable. Kind pruning
+    // inside the generator (same plan rule as q_media_resample: a
+    // post-map filter can't stop the other kinds' synthesis).
     "q_media_features_image" -> ((s, d) => {
-      val media = Multimodal.containerMediaFromDocuments(Tables.documents(s, d))
-      val base = Multimodal.extractFeatures(
-        media.where(col("kind") === "image")).toDF()
+      val media = Multimodal.containerMediaFromDocuments(
+        Tables.documents(s, d), kinds = Set("image"))
+      val base = Multimodal.extractFeatures(media).toDF()
       base.select(Seq(col("media_id"), col("width"), col("height"),
           col("channels")) ++
           (0 until 8).map(i =>
@@ -113,9 +115,9 @@ object MultimodalQueries extends QueryModule {
     // (seed*31 + i*131) & 0x7FFF, and the band means are integer sums
     // with one closing division — exactly reproducible in DuckDB.
     "q_media_features_audio" -> ((s, d) => {
-      val media = Multimodal.containerMediaFromDocuments(Tables.documents(s, d))
-      val base = Multimodal.extractFeatures(
-        media.where(col("kind") === "audio")).toDF()
+      val media = Multimodal.containerMediaFromDocuments(
+        Tables.documents(s, d), kinds = Set("audio"))
+      val base = Multimodal.extractFeatures(media).toDF()
       base.select(Seq(col("media_id"), col("channels")) ++
           (0 until 8).map(i =>
             round(element_at(col("features"), i + 1), 6).as(s"f$i")): _*)

@@ -205,13 +205,13 @@ class PlanSpec extends SparkSpec {
       s"container bytes must not hash-shuffle:\n$plan")
   }
 
-  test("q_media_resample filters kind before the resample boundary, no blob shuffle") {
-    // the kind filter must execute BELOW the resample's mapPartitions
-    // (Catalyst can't prune through the opaque object boundary, so a
-    // filter placed after it would round-trip every audio/video blob
-    // just to drop it). In the top-down formatted tree that means the
-    // Filter prints AFTER the resample's MapPartitions and BEFORE the
-    // container synthesis's MapElements.
+  test("q_media_resample filters kind before blob synthesis, no blob shuffle") {
+    // the kind filter must execute BELOW the container synthesis map
+    // (Catalyst can't prune through the opaque object boundary, and an
+    // image-only query must not pay AVI/JPEG encoding just to drop the
+    // rows — the generator prunes on the relational pmod-derived kind).
+    // In the top-down formatted tree that means the Filter prints AFTER
+    // the synthesis's MapElements, i.e. it runs first.
     val plan = formatted("q_media_resample")
     val tree = plan.split("\n\n").head
     assert(!tree.contains("hashpartitioning"),
@@ -221,8 +221,8 @@ class PlanSpec extends SparkSpec {
     val f = tree.indexOf("Filter")
     assert(resample >= 0 && synthesis >= 0 && f >= 0,
       s"expected MapPartitions, MapElements, and Filter nodes:\n$tree")
-    assert(f > resample && f < synthesis,
-      s"kind filter must sit between resample and synthesis boundaries:\n$tree")
+    assert(f > synthesis,
+      s"kind filter must sit below the synthesis boundary:\n$tree")
   }
 
   test("saltedJoin spreads the hot key across reducers; plain join does not") {

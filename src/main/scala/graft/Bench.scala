@@ -165,6 +165,10 @@ object Bench {
       val full = json(_.toString).dropRight(1) +
         s""","runs":$runsJson,"runs_shape":"[elapsed_sec,gc_delta_ms,load1,storage_free_mb]"""" +
         s""","agg":"min_of_$nRuns","apps":$appsJson""" +
+        // heap size pins the record's environment: round 9 measured the
+        // same code 20%+ apart suite-wide (and the app chain 3-4x) purely
+        // from SPARK_DRIVER_MEM — cross-heap diffs are not comparable
+        s""","heap_max_mb":${Runtime.getRuntime.maxMemory() / (1024 * 1024)}""" +
         s""","loadavg_before":${jstr(loadBefore)},"loadavg_after":${jstr(loadavg())}}"""
       // selected-query debug runs write a sidecar — they must never
       // clobber the round's full-suite record

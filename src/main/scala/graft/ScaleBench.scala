@@ -134,6 +134,7 @@ object ScaleBench {
           s""""ratio":$ratio,"exponent":$exp,"base_rows":$br,"scaled_rows":$sr}"""
       }.mkString("{", ",", "}")
       val json = s"""{"scale":$scale,"sf":${Telemetry.jstr(sfDir)},""" +
+        s""""heap_max_mb":${Runtime.getRuntime.maxMemory() / (1024 * 1024)},""" +
         s""""agg":"min_of_$nRuns","partial":${completed < queries.size},""" +
         s""""generated":{"documents":$nDocs,"embeddings":$nVecs},""" +
         s""""queries":$qJson,"loadavg_before":${Telemetry.jstr(loadBefore)},""" +

@@ -15,6 +15,13 @@ classifies per-query deltas using the per-run telemetry
                 mis-attributed contention as code).
   GC-PRESSURE   elevated and the new min's run spent >20% of its
                 elapsed time in GC.
+  ENV-SHIFT     elevated, but the two runs had grossly different
+                block-manager storage pools (>1.5x) — i.e. different
+                JVM heaps (SPARK_DRIVER_MEM). Cross-environment
+                comparisons are not apples-to-apples (round 9 measured
+                the same code 20%+ apart suite-wide, and the app chain
+                3-4x apart, purely from heap size); re-run at the old
+                record's heap before believing a regression.
   IMPROVED      min-of-N dropped by more than the noise threshold.
 
 Usage: tools/bench_diff.py OLD_BENCH_FULL.json NEW_BENCH_FULL.json
@@ -61,26 +68,34 @@ def main():
 
     rows = []
     flags = {"FAILED": 0, "REGRESSION": 0, "CONTENDED": 0, "GC-PRESSURE": 0,
-             "IMPROVED": 0}
+             "ENV-SHIFT": 0, "IMPROVED": 0}
     for q in sorted(set(oldq) & set(newq)):
         o, n = oldq[q], newq[q]
         delta = n - o
         ratio = n / o if o > 0 else float("inf")
         klass = ""
-        o_load = n_load = n_gc = None
+        o_load = n_load = n_gc = o_st = n_st = None
         orun = min_run(oldr.get(q, []))
         if orun:
-            o_load = orun[2]
+            o_load, o_st = orun[2], orun[3]
         nrun = min_run(newr.get(q, []))
         if nrun:
-            n_gc, n_load = nrun[1], nrun[2]
+            n_gc, n_load, n_st = nrun[1], nrun[2], nrun[3]
+        env_shift = (o_st is not None and n_st is not None
+                     and o_st > 0 and n_st > 0
+                     and max(o_st, n_st) / min(o_st, n_st) > 1.5)
         if n < 0:
             # headline -1.0 = every run of this query failed this round —
             # the most severe outcome, never "improved"
             klass = "FAILED"
         elif abs(delta) >= args.noise and o > 0:
             if ratio >= args.threshold:
-                if (n_load is not None and o_load is not None
+                if env_shift:
+                    # different heap = different machine for comparison
+                    # purposes; a real regression can hide under this,
+                    # so it demands a same-env re-run, not a code hunt
+                    klass = "ENV-SHIFT"
+                elif (n_load is not None and o_load is not None
                         and n_load > o_load + args.load_margin):
                     klass = "CONTENDED"
                 elif n_gc is not None and n_gc / 1000.0 > 0.2 * n:
@@ -118,18 +133,23 @@ def main():
     na = new.get("apps") or {}
     app_rows = []
     for k in sorted(set(oa) & set(na)):
-        o_el, _, o_load, _ = app_run(oa[k])
-        n_el, n_gc, n_load, _ = app_run(na[k])
+        o_el, _, o_load, o_st = app_run(oa[k])
+        n_el, n_gc, n_load, n_st = app_run(na[k])
         if not isinstance(o_el, (int, float)) or not isinstance(n_el, (int, float)):
             continue
         delta = n_el - o_el
         ratio = n_el / o_el if o_el > 0 else float("inf")
         klass = ""
+        app_env_shift = (o_st is not None and n_st is not None
+                         and o_st > 0 and n_st > 0
+                         and max(o_st, n_st) / min(o_st, n_st) > 1.5)
         if n_el < 0:
             klass = "FAILED"
         elif o_el > 0 and abs(delta) >= args.app_noise:
             if ratio >= args.threshold:
-                if (n_load is not None and o_load is not None
+                if app_env_shift:
+                    klass = "ENV-SHIFT"
+                elif (n_load is not None and o_load is not None
                         and n_load > o_load + args.load_margin):
                     klass = "CONTENDED"
                 elif n_gc is not None and n_gc / 1000.0 > 0.2 * n_el:
@@ -158,6 +178,9 @@ def main():
         print(f"\ntotal: {tot_o} -> {tot_n} (ratio n/a)")
     la = lambda b: b.get("loadavg_before", "?").split()[0]
     print(f"load1 at start: old {la(old)}, new {la(new)}")
+    heap = lambda b: b.get("heap_max_mb", "?")
+    if heap(old) != "?" or heap(new) != "?":
+        print(f"heap_max_mb: old {heap(old)}, new {heap(new)}")
     if added:
         print(f"added ({len(added)}): {', '.join(added)}")
     if removed:
@@ -168,6 +191,10 @@ def main():
         print("note: CONTENDED entries need an isolated re-run "
               "(SPARK_GRAFT_BENCH_RUNS=5 sbt 'runMain graft.Bench <query>') "
               "before being treated as real.")
+    if flags["ENV-SHIFT"]:
+        print("note: ENV-SHIFT entries compare runs with different JVM "
+              "heaps (storage pools differ >1.5x) — re-run with the old "
+              "record's SPARK_DRIVER_MEM before believing a regression.")
     return 1 if flags["REGRESSION"] or flags["FAILED"] else 0
 
 

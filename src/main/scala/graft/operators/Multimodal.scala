@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -45,13 +45,23 @@ object Multimodal {
       StructField("duration_ms", LongType),
       StructField("codec", StringType))), nullable = true)))
 
+  /** kind as a relational expression of doc_id — the single source of
+    * truth for fixture routing. pmod (unlike %) is non-negative for
+    * negative doc_ids, identical to the typed maps' floorMod dispatch,
+    * so a relational filter on this column and the in-map `kind` match
+    * can never disagree on a row. Both generators derive from here;
+    * adding a fourth kind means editing exactly this expression and the
+    * match arms it feeds. */
+  private def kindCol: Column =
+    element_at(array(lit("image"), lit("audio"), lit("video")),
+      (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
+
   /** Deterministic synthetic media table derived from documents (fixture
     * generator: bytes = utf8(text), meta from n_chars). */
   def fakeMediaFromDocuments(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id").as("media_id"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+      kindCol.as("kind"),
       encode(col("text"), "UTF-8").as("bytes"),
       struct(
         (pmod(col("n_chars"), lit(640)) + 1).cast("int").as("width"),
@@ -77,14 +87,11 @@ object Multimodal {
   def containerMediaFromDocuments(docs: DataFrame,
       kinds: Set[String] = AllKinds): DataFrame = {
     import docs.sparkSession.implicits._
-    require(kinds.nonEmpty && kinds.subsetOf(AllKinds),
+    require(kinds.nonEmpty, "kinds must name at least one media kind")
+    require(kinds.subsetOf(AllKinds),
       s"unknown media kinds: ${kinds -- AllKinds}")
-    // pmod (unlike %) is non-negative for negative doc_ids — identical
-    // to the map's floorMod routing, so the relational filter and the
-    // typed dispatch can never disagree on a row's kind
-    val withKind = docs.select(col("doc_id"), col("n_chars"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"))
+    val withKind =
+      docs.select(col("doc_id"), col("n_chars"), kindCol.as("kind"))
     val pruned = if (kinds == AllKinds) withKind
       else withKind.where(col("kind").isInCollection(kinds))
     pruned.as[(Long, Long, String)].map { case (id, nc, kind) =>

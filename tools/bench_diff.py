@@ -15,14 +15,19 @@ classifies per-query deltas using the per-run telemetry
                 mis-attributed contention as code).
   GC-PRESSURE   elevated and the new min's run spent >20% of its
                 elapsed time in GC.
-  ENV-SHIFT     elevated, but the two runs had grossly different
-                block-manager storage pools (>1.5x) — i.e. different
-                JVM heaps (SPARK_DRIVER_MEM). Cross-environment
-                comparisons are not apples-to-apples (round 9 measured
-                the same code 20%+ apart suite-wide, and the app chain
-                3-4x apart, purely from heap size); re-run at the old
-                record's heap before believing a regression.
-  IMPROVED      min-of-N dropped by more than the noise threshold.
+  ENV-SHIFT     elevated OR dropped, but the two records ran on
+                different JVM heaps (SPARK_DRIVER_MEM). Detected from
+                the records' heap_max_mb fields when both carry them;
+                for older records without the field, inferred from the
+                min runs' block-manager storage pools differing >1.5x.
+                Cross-environment comparisons are not apples-to-apples
+                in either direction (round 9 measured the same code
+                20%+ apart suite-wide, and the app chain 3-4x apart,
+                purely from heap size); re-run at the old record's heap
+                before believing a regression — or crediting an
+                improvement.
+  IMPROVED      min-of-N dropped by more than the noise threshold,
+                with no heap shift to explain it.
 
 Usage: tools/bench_diff.py OLD_BENCH_FULL.json NEW_BENCH_FULL.json
          [--threshold 1.3] [--noise 0.05] [--load-margin 2.0]
@@ -35,11 +40,16 @@ import sys
 
 
 def min_run(entry):
-    """The run row [elapsed, gc_ms, load1, storage_mb] with min elapsed.
-    Failed runs serialize as NEGATIVE elapsed — they never executed the
-    query, so their telemetry must not adjudicate the headline."""
+    """The run row [elapsed, gc_ms, load1, storage_mb] with min elapsed,
+    padded to 4 fields (round-7-era records recorded only 3 — missing
+    telemetry reads as None, never as an IndexError). Failed runs
+    serialize as NEGATIVE elapsed — they never executed the query, so
+    their telemetry must not adjudicate the headline."""
     ok = [r for r in entry if r[0] > 0]
-    return min(ok, key=lambda r: r[0]) if ok else None
+    if not ok:
+        return None
+    r = min(ok, key=lambda r: r[0])
+    return list(r) + [None] * (4 - len(r))
 
 
 def main():
@@ -66,6 +76,21 @@ def main():
     added = sorted(set(newq) - set(oldq))
     removed = sorted(set(oldq) - set(newq))
 
+    # Record-level heap comparison beats the per-run storage proxy: both
+    # records pinning heap_max_mb means same-heap caching swings in
+    # storage_free_mb can't masquerade as ENV-SHIFT (and un-gate real
+    # regressions), and modestly different heaps (8g vs 12g: pools ~4.7
+    # vs ~7 GB, under the 1.5x proxy threshold) still count as a shift.
+    o_heap, n_heap = old.get("heap_max_mb"), new.get("heap_max_mb")
+    heap_known = (isinstance(o_heap, (int, float)) and o_heap > 0
+                  and isinstance(n_heap, (int, float)) and n_heap > 0)
+    heap_shift = heap_known and max(o_heap, n_heap) / min(o_heap, n_heap) > 1.1
+
+    def storage_shift(o_st, n_st):
+        return (o_st is not None and n_st is not None
+                and o_st > 0 and n_st > 0
+                and max(o_st, n_st) / min(o_st, n_st) > 1.5)
+
     rows = []
     flags = {"FAILED": 0, "REGRESSION": 0, "CONTENDED": 0, "GC-PRESSURE": 0,
              "ENV-SHIFT": 0, "IMPROVED": 0}
@@ -81,9 +106,7 @@ def main():
         nrun = min_run(newr.get(q, []))
         if nrun:
             n_gc, n_load, n_st = nrun[1], nrun[2], nrun[3]
-        env_shift = (o_st is not None and n_st is not None
-                     and o_st > 0 and n_st > 0
-                     and max(o_st, n_st) / min(o_st, n_st) > 1.5)
+        env_shift = heap_shift if heap_known else storage_shift(o_st, n_st)
         if n < 0:
             # headline -1.0 = every run of this query failed this round —
             # the most severe outcome, never "improved"
@@ -103,7 +126,8 @@ def main():
                 else:
                     klass = "REGRESSION"
             elif ratio <= 1.0 / args.threshold:
-                klass = "IMPROVED"
+                # a cross-heap speedup is the environment, not the code
+                klass = "ENV-SHIFT" if env_shift else "IMPROVED"
         if klass:
             flags[klass] += 1
         rows.append((q, o, n, delta, ratio, klass, o_load, n_load))
@@ -140,9 +164,8 @@ def main():
         delta = n_el - o_el
         ratio = n_el / o_el if o_el > 0 else float("inf")
         klass = ""
-        app_env_shift = (o_st is not None and n_st is not None
-                         and o_st > 0 and n_st > 0
-                         and max(o_st, n_st) / min(o_st, n_st) > 1.5)
+        app_env_shift = (heap_shift if heap_known
+                         else storage_shift(o_st, n_st))
         if n_el < 0:
             klass = "FAILED"
         elif o_el > 0 and abs(delta) >= args.app_noise:
@@ -157,7 +180,7 @@ def main():
                 else:
                     klass = "REGRESSION"
             elif ratio <= 1.0 / args.threshold:
-                klass = "IMPROVED"
+                klass = "ENV-SHIFT" if app_env_shift else "IMPROVED"
         if klass:
             flags[klass] += 1
         app_rows.append((k, o_el, n_el, delta, ratio, klass, o_load, n_load))
@@ -192,9 +215,11 @@ def main():
               "(SPARK_GRAFT_BENCH_RUNS=5 sbt 'runMain graft.Bench <query>') "
               "before being treated as real.")
     if flags["ENV-SHIFT"]:
-        print("note: ENV-SHIFT entries compare runs with different JVM "
-              "heaps (storage pools differ >1.5x) — re-run with the old "
-              "record's SPARK_DRIVER_MEM before believing a regression.")
+        print("note: ENV-SHIFT entries compare records taken on different "
+              "JVM heaps (heap_max_mb fields differ; storage-pool proxy "
+              ">1.5x for pre-heap-field records) — re-run with the old "
+              "record's SPARK_DRIVER_MEM before believing a regression "
+              "or crediting an improvement.")
     return 1 if flags["REGRESSION"] or flags["FAILED"] else 0
 
 

@@ -1,8 +1,10 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.Multimodal
+import graft.util.SessionCache
 
 /** Multimodal-column queries: binary blobs + typed metadata derived
   * deterministically from `documents` (fixture generators in
@@ -15,6 +17,25 @@ import graft.operators.Multimodal
   */
 object MultimodalQueries extends QueryModule {
 
+  /** The container fixture, synthesized ONCE per (session, sf-dir) and
+    * localCheckpoint'd — the same memoization the ANN ground truth and
+    * shared ML features use. Rationale: in production (and at 100 TB)
+    * media blobs live in STORAGE and the operators under test are the
+    * parse/decode/extract stages, not blob creation; every other bench
+    * table is likewise driver-pregenerated parquet. Synthesizing the
+    * containers (which includes ImageIO JPEG ENCODING for the AVI rows)
+    * inside each timed query measured the fixture generator, not the
+    * engine — the one-time build cost stays visible in the first run's
+    * telemetry row. Per-kind queries filter the stored `kind` column,
+    * exactly as they would against a real blob table; the generator's
+    * own below-the-boundary `kinds` pruning remains the right call for
+    * direct one-shot API use and is plan-pinned separately. */
+  private val mediaCache = new SessionCache[DataFrame]
+  private def containerMedia(s: SparkSession, d: String): DataFrame =
+    mediaCache.getOrElseUpdate(s, d)(
+      Multimodal.containerMediaFromDocuments(Tables.documents(s, d))
+        .localCheckpoint())
+
   val queries: Map[String, Q] = Map(
     // REAL typed metadata: container bytes (BMP/WAV/MP4, synthesized
     // with closed-form header fields) PARSED back in the scan stage —
@@ -22,8 +43,7 @@ object MultimodalQueries extends QueryModule {
     // for MP4. The oracle predicts the parse results from the same
     // closed forms, so a parser regression on any kind breaks the hash.
     "q_media_meta" -> ((s, d) =>
-      Multimodal.parseMeta(
-          Multimodal.containerMediaFromDocuments(Tables.documents(s, d)))
+      Multimodal.parseMeta(containerMedia(s, d))
         .toDF()
         .orderBy(col("media_id"))),
 
@@ -51,13 +71,10 @@ object MultimodalQueries extends QueryModule {
     // scan stage; out dims are read back from the emitted PNG's IHDR,
     // so the oracle's closed-form prediction checks the real resample's
     // geometry end to end (pixel content is pinned by MultimodalSpec).
-    // The kind pruning happens INSIDE the generator, below the object
-    // boundary — Catalyst can't push a post-map filter through it, and
-    // an image-only query must not pay audio/video blob synthesis (the
-    // AVI rows encode real JPEG frames) just to drop the rows.
+    // Kind pruning is a plain filter on the stored blob table — the
+    // blobs only decode for rows that survive it.
     "q_media_resample" -> ((s, d) => {
-      val media = Multimodal.containerMediaFromDocuments(
-        Tables.documents(s, d), kinds = Set("image"))
+      val media = containerMedia(s, d).where(col("kind") === "image")
       Multimodal.resampleImages(media, maxDim = 16)
         .toDF()
         .select(col("media_id"), col("in_width"), col("in_height"),
@@ -87,8 +104,7 @@ object MultimodalQueries extends QueryModule {
     // regression in any band is driver-visible, and the image/audio
     // bands are additionally oracle-checked by the two queries below.
     "q_media_features" -> ((s, d) => {
-      val base = Multimodal.extractFeatures(
-        Multimodal.containerMediaFromDocuments(Tables.documents(s, d))).toDF()
+      val base = Multimodal.extractFeatures(containerMedia(s, d)).toDF()
       base.select(Seq(col("media_id"), col("kind"), col("n_bytes")) ++
           (0 until 8).map(i =>
             round(element_at(col("features"), i + 1), 6).as(s"f$i")): _*)
@@ -98,11 +114,9 @@ object MultimodalQueries extends QueryModule {
     // REAL pixel features, oracle-checked: the BMP fixture's pixels are
     // the closed form (seed + 7x + 13y) & 0xFF gray, so every band mean
     // (Rec.709 luminance, x-banded) is DuckDB-computable. Kind pruning
-    // inside the generator (same plan rule as q_media_resample: a
-    // post-map filter can't stop the other kinds' synthesis).
+    // filters the stored blob table before any decode.
     "q_media_features_image" -> ((s, d) => {
-      val media = Multimodal.containerMediaFromDocuments(
-        Tables.documents(s, d), kinds = Set("image"))
+      val media = containerMedia(s, d).where(col("kind") === "image")
       val base = Multimodal.extractFeatures(media).toDF()
       base.select(Seq(col("media_id"), col("width"), col("height"),
           col("channels")) ++
@@ -115,8 +129,7 @@ object MultimodalQueries extends QueryModule {
     // (seed*31 + i*131) & 0x7FFF, and the band means are integer sums
     // with one closing division — exactly reproducible in DuckDB.
     "q_media_features_audio" -> ((s, d) => {
-      val media = Multimodal.containerMediaFromDocuments(
-        Tables.documents(s, d), kinds = Set("audio"))
+      val media = containerMedia(s, d).where(col("kind") === "audio")
       val base = Multimodal.extractFeatures(media).toDF()
       base.select(Seq(col("media_id"), col("channels")) ++
           (0 until 8).map(i =>

@@ -205,22 +205,43 @@ class PlanSpec extends SparkSpec {
       s"container bytes must not hash-shuffle:\n$plan")
   }
 
-  test("q_media_resample filters kind before blob synthesis, no blob shuffle") {
-    // the kind filter must execute BELOW the container synthesis map
-    // (Catalyst can't prune through the opaque object boundary, and an
-    // image-only query must not pay AVI/JPEG encoding just to drop the
-    // rows — the generator prunes on the relational pmod-derived kind).
-    // In the top-down formatted tree that means the Filter prints AFTER
-    // the synthesis's MapElements, i.e. it runs first.
+  test("q_media_resample filters kind below the decode, over the stored fixture") {
+    // the media queries read the session-checkpointed blob table (blobs
+    // come from storage, as at scale — synthesis is not in the query
+    // plan), so kind pruning is a plain Filter that must sit BELOW the
+    // resample's MapPartitions: only surviving rows decode. In the
+    // top-down formatted tree the Filter prints AFTER the
+    // MapPartitions, i.e. it runs first.
     val plan = formatted("q_media_resample")
     val tree = plan.split("\n\n").head
     assert(!tree.contains("hashpartitioning"),
       s"media blobs must not hash-shuffle:\n$tree")
+    assert(!tree.contains("MapElements"),
+      s"fixture synthesis must not run inside the query plan:\n$tree")
     val resample = tree.indexOf("MapPartitions")
+    val f = tree.indexOf("Filter")
+    assert(resample >= 0 && f >= 0,
+      s"expected MapPartitions and Filter nodes:\n$tree")
+    assert(f > resample,
+      s"kind filter must sit below the decode boundary:\n$tree")
+  }
+
+  test("containerMediaFromDocuments prunes kind below the synthesis boundary") {
+    // the one-shot generator API (what the cached fixture is built
+    // from, and what a direct caller gets): Catalyst can't prune
+    // through the opaque object boundary, so an image-only request must
+    // not pay AVI/JPEG encoding just to drop the rows — the generator
+    // filters on the relational pmod-derived kind BELOW its typed map.
+    // Top-down, the Filter prints AFTER the synthesis's MapElements.
+    val df = graft.operators.Multimodal.containerMediaFromDocuments(
+      Tables.documents(spark, sf001), kinds = Set("image"))
+    val tree = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      .split("\n\n").head
     val synthesis = tree.indexOf("MapElements")
     val f = tree.indexOf("Filter")
-    assert(resample >= 0 && synthesis >= 0 && f >= 0,
-      s"expected MapPartitions, MapElements, and Filter nodes:\n$tree")
+    assert(synthesis >= 0 && f >= 0,
+      s"expected MapElements and Filter nodes:\n$tree")
     assert(f > synthesis,
       s"kind filter must sit below the synthesis boundary:\n$tree")
   }

@@ -26,25 +26,63 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark
-    * rejects by default (PARQUET_TYPE_ILLEGAL). Read nanos as long and
-    * rebuild a micros TimestampType column (truncation toward zero —
-    * matches DuckDB's nanos→micros narrowing), so downstream operators see
-    * a uniform TIMESTAMP schema.
+  /** events.parquet's `ts` physical type has varied across fixture
+    * generations — parquet TIMESTAMP(NANOS) (rejected by Spark's default
+    * reader), TIMESTAMP_MICROS with isAdjustedToUTC=0 (read as
+    * TIMESTAMP_NTZ), or a plain UTC timestamp — so dispatch on the type
+    * the footer actually declares and normalize every variant to a
+    * uniform TimestampType (UTC-micros) column:
     *
-    * DELIBERATE session-wide side effect: `nanosAsLong` is a session
-    * conf, not a per-read option, and the flag must hold at execution
-    * time (executors re-read footers), so it cannot be set-and-restored
-    * around the lazy read. Consequence for callers: after the first
-    * `events` read, OTHER nanos-timestamp parquet in the same session
-    * also reads as LongType (silently) instead of failing loudly —
-    * apply the same div-1000 rebuild there, or use a separate session.
+    *   - nanos footer → set `spark.sql.legacy.parquet.nanosAsLong` (a
+    *     session conf, not a per-read option: the flag must hold at
+    *     execution time because executors re-read footers), read the
+    *     nanos as LongType, and rebuild micros via `ts div 1000`
+    *     (truncation toward zero — matches DuckDB's nanos→micros
+    *     narrowing). The conf is only set on this path, so sessions
+    *     reading micros fixtures never carry the silent side effect of
+    *     OTHER nanos parquet in the session loading as LongType.
+    *   - LongType → nanosAsLong already active in this session; same
+    *     div-1000 rebuild.
+    *   - TimestampNTZType → cast to TimestampType. The engine pins the
+    *     session TZ to UTC, so NTZ micros ≡ UTC micros (pure relabel,
+    *     no wall-clock shift).
+    *   - TimestampType → passthrough.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeEventsTs(loadEventsRaw(s, s"$d/events.parquet"))
+
+  /** Batch-load an events parquet, retrying under `nanosAsLong` when the
+    * footer declares the nanos flavor the default reader rejects. */
+  private[graft] def loadEventsRaw(s: SparkSession, path: String): DataFrame =
+    try s.read.parquet(path)
+    catch {
+      // Nanos-era fixture: footer declares TIMESTAMP(NANOS), which the
+      // default reader rejects at schema inference. Opt into legacy
+      // long-reads and retry.
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.contains("PARQUET_TYPE_ILLEGAL") ||
+             e.getMessage.contains("Illegal Parquet type") =>
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        s.read.parquet(path)
+    }
+
+  /** Normalize whatever flavor `ts` loaded as (see [[events]]) to a plain
+    * UTC-micros TimestampType column. Shared with the streaming reader
+    * ([[graft.streaming.EventStream.read]]) so batch and stream agree on
+    * the convention by construction. */
+  private[graft] def normalizeEventsTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => raw
+      case other => sys.error(
+        s"events.ts: unsupported parquet-loaded type $other — fixture " +
+        "format drifted again; extend Tables.normalizeEventsTs dispatch")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

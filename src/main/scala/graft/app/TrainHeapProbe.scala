@@ -22,10 +22,13 @@ import graft.Telemetry
 object TrainHeapProbe {
 
   /** Idempotent corpus prep: raw CSV + preprocessed clean CSV under
-    * `workDir`, skipped when the clean sink is already complete. */
+    * `workDir`, skipped when the clean sink is already complete. The row
+    * count is part of the path, so changing PROBE_ROWS between runs
+    * prepares a fresh corpus instead of silently reusing a stale one at
+    * the old size (which would skew A/B comparisons). */
   def prepare(spark: org.apache.spark.sql.SparkSession, workDir: String,
       rows: Long): String = {
-    val dir = java.nio.file.Paths.get(workDir)
+    val dir = java.nio.file.Paths.get(workDir, s"rows-$rows")
     java.nio.file.Files.createDirectories(dir)
     val clean = dir.resolve("clean")
     if (!java.nio.file.Files.exists(clean.resolve("_SUCCESS"))) {
@@ -53,9 +56,14 @@ object TrainHeapProbe {
       t
     }
     import scala.jdk.CollectionConverters._
+    // Hide only the boilerplate flags the launch script always sets —
+    // user-supplied -D flags (e.g. spark.* tuning under probe) must log
+    // verbatim or A/B configs look identical in the output.
+    val scriptBoilerplate = Set(
+      "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC")
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getInputArguments.asScala.filterNot(_.startsWith("--add-opens"))
-      .filterNot(_.startsWith("-D"))
+      .filterNot(scriptBoilerplate)
     val gcNames = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(_.getName)
     println(s"""{"probe":"train","kind":${Telemetry.jstr(kind)}""" +

@@ -16,21 +16,36 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** Streaming-readable events schema. `ts` arrives as TIMESTAMP(NANOS)
-    * in the fixture parquet, so it is read as nanos-long and rebuilt to a
-    * micros timestamp (same convention as graft.Tables.events). */
+  /** Streaming-readable events schema with the DEFAULT `ts` flavor
+    * (micros/NTZ, the current fixture format). [[read]] swaps in the
+    * flavor the files at hand actually carry. */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** File-stream reader over an events parquet directory. Streaming
+    * sources require an explicit schema, and the fixture's on-disk `ts`
+    * flavor has drifted across generations (nanos / micros-NTZ / UTC) —
+    * so probe the flavor with a batch footer read of whatever files are
+    * already present, then normalize through the same dispatch as the
+    * batch loader ([[graft.Tables.normalizeEventsTs]]) so stream and
+    * batch agree by construction. An empty directory (files arrive only
+    * after the stream starts) falls back to the default [[rawSchema]]
+    * flavor. */
   def read(spark: SparkSession, path: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(rawSchema).parquet(path)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val tsType =
+      try graft.Tables.loadEventsRaw(spark, path).schema("ts").dataType
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        rawSchema("ts").dataType // no files yet to probe
+      }
+    val schema = StructType(rawSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = tsType) else f))
+    graft.Tables.normalizeEventsTs(
+      spark.readStream.schema(schema).parquet(path))
   }
 
   /** Windowed streaming aggregation with watermark + late-data bound. */

@@ -14,6 +14,8 @@ XMX="${1:?usage: train_probe.sh <xmx> [jvm flags...]}"
 shift
 CLASSES=target/scala-2.13/classes
 [ -d "$CLASSES" ] || { echo "run sbt compile first" >&2; exit 1; }
+SPARK_JARS="${SPARK_JARS:-/opt/spark/jars}"
+[ -d "$SPARK_JARS" ] || { echo "Spark jars not found at $SPARK_JARS (set SPARK_JARS)" >&2; exit 1; }
 PROBE_DIR="${PROBE_DIR:-/tmp/graft-train-probe}"
 KIND="${PROBE_KIND:-lr}"
 REPS="${PROBE_REPS:-2}"
@@ -28,5 +30,5 @@ for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
 done
 exec java -Xmx"$XMX" "$@" $ADD_OPENS \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-  -cp "$CLASSES:/opt/spark/jars/*" \
+  -cp "$CLASSES:$SPARK_JARS/*" \
   graft.app.TrainHeapProbe "$PROBE_DIR" "$KIND" "$REPS" "$ROWS"

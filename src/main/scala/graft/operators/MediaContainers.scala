@@ -32,7 +32,10 @@ object MediaContainers {
       bitsPerSample: Int, durationMs: Long,
       dataOffset: Int = -1, dataLen: Int = 0)
 
-  final case class Mp4Meta(width: Int, height: Int, durationMs: Long)
+  /** `numSamples` is the stsz sample count when the blob carries a real
+    * `stbl` sample table; 0 for header-only blobs (no track samples). */
+  final case class Mp4Meta(width: Int, height: Int, durationMs: Long,
+      numSamples: Int = 0)
 
   final case class AviMeta(width: Int, height: Int, durationMs: Long,
       numFrames: Int)
@@ -97,7 +100,8 @@ object MediaContainers {
 
   /** Minimal ISO-BMFF: ftyp + moov(mvhd version 0, trak(tkhd version 0)).
     * Timescale 1000, so mvhd duration units ARE milliseconds; tkhd
-    * width/height are 16.16 fixed point. */
+    * width/height are 16.16 fixed point. Header-only — no sample table;
+    * [[mp4WithSamples]] is the full-track form. */
   def mp4(width: Int, height: Int, durationMs: Long): Array[Byte] = {
     require(width > 0 && height > 0 && durationMs >= 0)
     // version-0 boxes carry u32 durations; a silent 32-bit truncation
@@ -109,6 +113,120 @@ object MediaContainers {
     // silent-truncation class the duration require rejects
     require(width <= 0xFFFF && height <= 0xFFFF,
       s"dimensions ${width}x$height exceed a tkhd 16.16 fixed-point field")
+    ftypBytes ++ box("moov",
+      mvhdBox(durationMs) ++ box("trak", tkhdBox(width, height, durationMs)))
+  }
+
+  /** Full-track ISO-BMFF: [[mp4]]'s header plus a real sample table —
+    * `trak(tkhd, mdia(mdhd, hdlr, minf(vmhd, dinf(dref), stbl(stsd,
+    * stts, stsc, stsz, stco))))` and an `mdat` carrying the sample
+    * payloads in one chunk. `stts` declares a uniform `deltaMs` per
+    * sample (timescale 1000), `stsz` the per-sample byte sizes, `stco`
+    * the single chunk's absolute file offset — so [[mp4SampleRanges]]
+    * can recover every sample's exact byte extent from the box tree
+    * alone, no codec. Payload CONTENT is whatever the caller passes
+    * (real codecs need external libraries; deterministic fake samples
+    * keep offsets/sizes oracle-checkable).
+    */
+  def mp4WithSamples(width: Int, height: Int, deltaMs: Int,
+      samples: Seq[Array[Byte]]): Array[Byte] = {
+    require(width > 0 && height > 0 && samples.nonEmpty && deltaMs > 0)
+    require(width <= 0xFFFF && height <= 0xFFFF,
+      s"dimensions ${width}x$height exceed a tkhd 16.16 fixed-point field")
+    val n = samples.size
+    val durationMs = deltaMs.toLong * n
+    require(durationMs <= 0xFFFFFFFFL,
+      s"durationMs $durationMs exceeds a version-0 u32 box field")
+    val totalSampleBytes = samples.iterator.map(_.length.toLong).sum
+    require(totalSampleBytes <= Int.MaxValue - 4096L,
+      s"mdat payload $totalSampleBytes overflows a u32 box size")
+
+    def fullBox(kind: String, verFlags: Int, payload: Array[Byte]) = {
+      val b = ByteBuffer.allocate(12 + payload.length)
+        .order(ByteOrder.BIG_ENDIAN)
+      b.putInt(12 + payload.length).put(kind.getBytes("US-ASCII"))
+        .putInt(verFlags).put(payload)
+      b.array()
+    }
+    // moov size does not depend on the chunk offset, so build twice:
+    // pass 1 with offset 0 sizes the tree, pass 2 writes the real one.
+    def buildMoov(chunkOffset: Long): Array[Byte] = {
+      val mdhd = ByteBuffer.allocate(20).order(ByteOrder.BIG_ENDIAN)
+      mdhd.putInt(0).putInt(0)      // creation, modification
+        .putInt(1000)               // timescale: ms
+        .putInt(durationMs.toInt)
+        .putShort(0x55C4.toShort)   // language 'und'
+        .putShort(0)                // pre_defined
+      val hdlr = ByteBuffer.allocate(21).order(ByteOrder.BIG_ENDIAN)
+      hdlr.putInt(0)                                 // pre_defined
+        .put("vide".getBytes("US-ASCII"))            // handler type
+        .putInt(0).putInt(0).putInt(0)               // reserved
+        .put(0.toByte)                               // empty name
+      val vmhd = ByteBuffer.allocate(8).order(ByteOrder.BIG_ENDIAN)
+      vmhd.putShort(0)                               // graphicsmode copy
+        .putShort(0).putShort(0).putShort(0)         // opcolor
+      val url = ByteBuffer.allocate(12).order(ByteOrder.BIG_ENDIAN)
+      url.putInt(12).put("url ".getBytes("US-ASCII"))
+        .putInt(1)                  // flag: media in same file
+      val dref = fullBox("dref", 0, ByteBuffer.allocate(4)
+        .order(ByteOrder.BIG_ENDIAN).putInt(1).array() ++ url.array())
+      val dinf = box("dinf", dref)
+      // VisualSampleEntry 'mp4v' (86 bytes): no codec config child —
+      // the payloads are caller-defined bytes, not a real bitstream
+      val entry = ByteBuffer.allocate(86).order(ByteOrder.BIG_ENDIAN)
+      entry.putInt(86).put("mp4v".getBytes("US-ASCII"))
+        .putInt(0).putShort(0)      // 6 reserved bytes
+        .putShort(1)                // data_reference_index
+        .putShort(0).putShort(0)    // pre_defined, reserved
+        .putInt(0).putInt(0).putInt(0) // pre_defined[3]
+        .putShort(width.toShort).putShort(height.toShort)
+        .putInt(0x00480000).putInt(0x00480000) // 72 dpi
+        .putInt(0)                  // reserved
+        .putShort(1)                // frame_count per sample
+      entry.position(entry.position() + 32) // compressorname: 32 zeroes
+      entry.putShort(24)            // depth
+        .putShort(-1)               // pre_defined
+      val stsd = fullBox("stsd", 0, ByteBuffer.allocate(4)
+        .order(ByteOrder.BIG_ENDIAN).putInt(1).array() ++ entry.array())
+      val stts = fullBox("stts", 0, ByteBuffer.allocate(12)
+        .order(ByteOrder.BIG_ENDIAN)
+        .putInt(1).putInt(n).putInt(deltaMs).array())
+      val stsc = fullBox("stsc", 0, ByteBuffer.allocate(16)
+        .order(ByteOrder.BIG_ENDIAN)
+        .putInt(1)                  // one entry:
+        .putInt(1).putInt(n).putInt(1) // chunk 1 holds all n samples
+        .array())
+      val stszPayload = ByteBuffer.allocate(8 + 4 * n)
+        .order(ByteOrder.BIG_ENDIAN)
+      stszPayload.putInt(0)         // sample_size 0 = per-sample table
+        .putInt(n)
+      samples.foreach(sm => stszPayload.putInt(sm.length))
+      val stsz = fullBox("stsz", 0, stszPayload.array())
+      require(chunkOffset <= 0xFFFFFFFFL, "stco offset exceeds u32")
+      val stco = fullBox("stco", 0, ByteBuffer.allocate(8)
+        .order(ByteOrder.BIG_ENDIAN)
+        .putInt(1).putInt(chunkOffset.toInt).array())
+      val stbl = box("stbl", stsd ++ stts ++ stsc ++ stsz ++ stco)
+      val minf = box("minf",
+        fullBox("vmhd", 0x000001, vmhd.array()) ++ dinf ++ stbl)
+      val mdia = box("mdia",
+        fullBox("mdhd", 0, mdhd.array()) ++
+        fullBox("hdlr", 0, hdlr.array()) ++ minf)
+      box("moov", mvhdBox(durationMs) ++
+        box("trak", tkhdBox(width, height, durationMs) ++ mdia))
+    }
+    val moovLen = buildMoov(0L).length
+    val firstSampleOffset = ftypBytes.length.toLong + moovLen + 8
+    val moov = buildMoov(firstSampleOffset)
+    val mdat = ByteBuffer.allocate(8 + totalSampleBytes.toInt)
+      .order(ByteOrder.BIG_ENDIAN)
+    mdat.putInt(8 + totalSampleBytes.toInt).put("mdat".getBytes("US-ASCII"))
+    samples.foreach(mdat.put)
+    ftypBytes ++ moov ++ mdat.array()
+  }
+
+  private def tkhdBox(width: Int, height: Int,
+      durationMs: Long): Array[Byte] = {
     val tkhd = ByteBuffer.allocate(92).order(ByteOrder.BIG_ENDIAN)
     tkhd.putInt(92).put("tkhd".getBytes("US-ASCII"))
       .putInt(0x000007) // version 0, flags: enabled|in-movie|in-preview
@@ -120,7 +238,10 @@ object MediaContainers {
       .putShort(0).putShort(0).putShort(0).putShort(0) // layer/alt/vol/res
     putIdentityMatrix(tkhd)
     tkhd.putInt(width << 16).putInt(height << 16)
-    val trak = box("trak", tkhd.array())
+    tkhd.array()
+  }
+
+  private def mvhdBox(durationMs: Long): Array[Byte] = {
     val mvhd = ByteBuffer.allocate(108).order(ByteOrder.BIG_ENDIAN)
     mvhd.putInt(108).put("mvhd".getBytes("US-ASCII"))
       .putInt(0)           // version 0, no flags
@@ -133,12 +254,15 @@ object MediaContainers {
     putIdentityMatrix(mvhd)
     mvhd.putInt(0).putInt(0).putInt(0).putInt(0).putInt(0).putInt(0) // predefined
     mvhd.putInt(2)         // next track id
-    val moov = box("moov", mvhd.array() ++ trak)
+    mvhd.array()
+  }
+
+  private val ftypBytes: Array[Byte] = {
     val ftyp = ByteBuffer.allocate(20).order(ByteOrder.BIG_ENDIAN)
     ftyp.putInt(20).put("ftyp".getBytes("US-ASCII"))
       .put("isom".getBytes("US-ASCII")).putInt(0)
       .put("isom".getBytes("US-ASCII"))
-    ftyp.array() ++ moov
+    ftyp.array()
   }
 
   /** Minimal MJPEG-in-AVI (RIFF, all little-endian):
@@ -370,7 +494,11 @@ object MediaContainers {
   }
 
   /** ISO-BMFF box walk: moov/mvhd for timescale+duration, moov/trak/tkhd
-    * (version 0) for 16.16 display dimensions. None on malformed input. */
+    * (version 0) for 16.16 display dimensions; when the track carries a
+    * `stbl` sample table, `numSamples` is its validated stsz count (a
+    * declared table whose samples run past the buffer — a truncated
+    * mdat — is corrupt: None, not a plausible half-answer). Header-only
+    * blobs (no mdia) parse with numSamples 0. None on malformed input. */
   def parseMp4(bytes: Array[Byte]): Option[Mp4Meta] = {
     if (bytes == null || bytes.length < 8) return None
     val moov = findBox(bytes, 0, bytes.length, "moov").getOrElse(return None)
@@ -388,7 +516,98 @@ object MediaContainers {
     val width = (u32be(bytes, to + 84) >> 16).toInt
     val height = (u32be(bytes, to + 88) >> 16).toInt
     if (width <= 0 || height <= 0) return None
-    Some(Mp4Meta(width, height, duration * 1000L / timescale))
+    val numSamples = findStbl(bytes, trak) match {
+      case None => 0 // header-only track: valid, just sample-less
+      case Some(stbl) =>
+        val ranges = sampleRangesIn(bytes, stbl)
+        if (ranges.isEmpty) return None // declared table but unwalkable
+        ranges.size
+    }
+    Some(Mp4Meta(width, height, duration * 1000L / timescale, numSamples))
+  }
+
+  /** (offset, length) byte extent of every sample in an ISO-BMFF blob's
+    * sample table, recovered from `stsz` (sizes) + `stco` (chunk
+    * offsets) + `stsc` (samples-per-chunk runs) — the MP4 mirror of
+    * [[aviFrameRanges]]. Empty on anything malformed, including any
+    * sample extending past the buffer (truncated mdat). */
+  def mp4SampleRanges(bytes: Array[Byte]): Vector[(Int, Int)] = {
+    if (bytes == null || bytes.length < 8) return Vector.empty
+    val r = for {
+      moov <- findBox(bytes, 0, bytes.length, "moov")
+      trak <- findBox(bytes, moov._1 + 8, moov._2, "trak")
+      stbl <- findStbl(bytes, trak)
+    } yield sampleRangesIn(bytes, stbl)
+    r.getOrElse(Vector.empty)
+  }
+
+  private def findStbl(bytes: Array[Byte],
+      trak: (Int, Int)): Option[(Int, Int)] =
+    for {
+      mdia <- findBox(bytes, trak._1 + 8, trak._2, "mdia")
+      minf <- findBox(bytes, mdia._1 + 8, mdia._2, "minf")
+      stbl <- findBox(bytes, minf._1 + 8, minf._2, "stbl")
+    } yield stbl
+
+  /** Walk stsz/stco/stsc inside an already-located stbl. Every declared
+    * count/offset is bounds-checked; empty on any inconsistency. */
+  private def sampleRangesIn(bytes: Array[Byte],
+      stbl: (Int, Int)): Vector[(Int, Int)] = {
+    val stsz = findBox(bytes, stbl._1 + 8, stbl._2, "stsz")
+      .getOrElse(return Vector.empty)
+    val stsc = findBox(bytes, stbl._1 + 8, stbl._2, "stsc")
+      .getOrElse(return Vector.empty)
+    val stco = findBox(bytes, stbl._1 + 8, stbl._2, "stco")
+      .getOrElse(return Vector.empty)
+    // stsz: verFlags, sample_size (0 = per-sample table), sample_count
+    if (stsz._2 - stsz._1 < 20) return Vector.empty
+    val uniformSize = u32be(bytes, stsz._1 + 12)
+    val nSamples = u32be(bytes, stsz._1 + 16)
+    if (nSamples <= 0 || nSamples > Int.MaxValue) return Vector.empty
+    val n = nSamples.toInt
+    if (uniformSize == 0 && stsz._2 - stsz._1 < 20L + 4L * n)
+      return Vector.empty
+    def sampleSize(i: Int): Long =
+      if (uniformSize != 0) uniformSize else u32be(bytes, stsz._1 + 20 + 4 * i)
+    // stco: verFlags, entry_count, then u32 chunk offsets
+    if (stco._2 - stco._1 < 16) return Vector.empty
+    val nChunks = u32be(bytes, stco._1 + 12)
+    if (nChunks <= 0 || nChunks > Int.MaxValue ||
+      stco._2 - stco._1 < 16L + 4L * nChunks) return Vector.empty
+    def chunkOffset(c: Int): Long = u32be(bytes, stco._1 + 16 + 4 * c)
+    // stsc: verFlags, entry_count, then (first_chunk, samples_per_chunk,
+    // sample_description_index) runs; first_chunk is 1-based and must
+    // ascend — each run covers chunks [first_chunk, next run's first)
+    if (stsc._2 - stsc._1 < 16) return Vector.empty
+    val nRuns = u32be(bytes, stsc._1 + 12)
+    if (nRuns <= 0 || nRuns > Int.MaxValue ||
+      stsc._2 - stsc._1 < 16L + 12L * nRuns) return Vector.empty
+    def runFirstChunk(e: Int): Long = u32be(bytes, stsc._1 + 16 + 12 * e)
+    def runPerChunk(e: Int): Long = u32be(bytes, stsc._1 + 20 + 12 * e)
+    val out = Vector.newBuilder[(Int, Int)]
+    var sample = 0
+    var run = 0
+    var chunk = 0
+    while (sample < n && chunk < nChunks.toInt) {
+      if (run + 1 < nRuns.toInt && runFirstChunk(run + 1) <= chunk + 1)
+        run += 1
+      val perChunk = runPerChunk(run)
+      if (perChunk <= 0 || perChunk > n) return Vector.empty
+      var off = chunkOffset(chunk)
+      var i = 0L
+      while (i < perChunk && sample < n) {
+        val size = sampleSize(sample)
+        if (size < 0 || off < 0 || off + size > bytes.length)
+          return Vector.empty // truncated mdat / lying table
+        out += ((off.toInt, size.toInt))
+        off += size
+        sample += 1
+        i += 1
+      }
+      chunk += 1
+    }
+    if (sample < n) return Vector.empty // table promises more than chunks hold
+    out.result()
   }
 
   /** First sibling box named `kind` scanning from `from` (for children,

@@ -118,11 +118,21 @@ object Multimodal {
           val nFrames = (math.floorMod(nc, 8) + 2).toInt
           (id, kind, MediaContainers.avi(w, h, 40000L,
             (0 until nFrames).map(i => jpegFrame(w, h, id, i))))
-        case _ => (id, kind,
-          // odd video ids: ISO-BMFF/MP4 — header-only (sample decode
-          // needs an external codec; stays behind the stub seam)
-          MediaContainers.mp4((math.floorMod(nc, 640) + 16).toInt,
-            (math.floorMod(nc, 480) + 16).toInt, math.max(nc, 0L) * 10))
+        case _ =>
+          // odd video ids: ISO-BMFF/MP4 with a REAL stbl sample table
+          // (stsd/stts/stsc/stsz/stco + mdat). Sample COUNT, per-sample
+          // sizes, and byte offsets are closed forms of (doc_id,
+          // n_chars) — oracle-checkable through the box walk — while
+          // sample CONTENT is a deterministic fake bitstream (pixel
+          // decode needs an external codec; that seam stays stubbed).
+          // Same 40 ms/frame convention as the AVI rows, so both video
+          // parities share one closed duration form: 40 * (nc % 8 + 2).
+          val nSamples = (math.floorMod(nc, 8) + 2).toInt
+          (id, kind, MediaContainers.mp4WithSamples(
+            (math.floorMod(nc, 640) + 16).toInt,
+            (math.floorMod(nc, 480) + 16).toInt,
+            40,
+            (0 until nSamples).map(i => mp4FakeSample(id, nc, i))))
       }
     }.toDF("media_id", "kind", "bytes")
   }
@@ -156,9 +166,19 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic fake MP4 sample payload: size `(nc + 17i) % 48 + 8`
+    * bytes, byte j = `(id*31 + i*17 + j*7) & 0xFF`. Sizes are the
+    * closed form the sample-table oracle recomputes; CONTENT only needs
+    * determinism (it is not a decodable bitstream — the codec seam). */
+  private[graft] def mp4FakeSample(id: Long, nc: Long,
+      i: Int): Array[Byte] = {
+    val size = (math.floorMod(nc + 17L * i, 48) + 8).toInt
+    Array.tabulate[Byte](size)(j => ((id * 31 + i * 17 + j * 7) & 0xFF).toByte)
+  }
+
   final case class ParsedMeta(media_id: Long, kind: String, width: Int,
       height: Int, channels: Int, sample_rate: Int, duration_ms: Long,
-      frames: Int) // AVI frame count; 0 for formats without one
+      frames: Int) // AVI frame / MP4 stbl sample count; 0 when absent
 
   /** REAL metadata for all three kinds, parsed from the container bytes
     * in the scan stage: ImageIO decode for images, RIFF chunk walk for
@@ -197,7 +217,8 @@ object Multimodal {
               }
             case "video" => MediaContainers.parseMp4(bytes) match {
               case Some(v) =>
-                ParsedMeta(id, kind, v.width, v.height, 0, 0, v.durationMs, 0)
+                ParsedMeta(id, kind, v.width, v.height, 0, 0, v.durationMs,
+                  v.numSamples) // parsed from the stbl walk, not synthesized
               case None => ParsedMeta(id, kind, 0, 0, 0, 0, 0L, 0)
             }
             case _ => ParsedMeta(id, kind, 0, 0, 0, 0, 0L, 0)
@@ -400,6 +421,29 @@ object Multimodal {
               case None => stub
             }
             case _ => stub // MP4 sample decode stays behind the codec seam
+          }
+        }
+      }
+  }
+
+  final case class Mp4Sample(media_id: Long, sample_idx: Int,
+      byte_off: Long, n_bytes: Long)
+
+  /** Parsed per-sample byte extents of MP4 blobs via the real
+    * stsz/stsc/stco walk ([[MediaContainers.mp4SampleRanges]]) — the
+    * structural half of video sample extraction (payload DECODE needs an
+    * external codec and stays behind the seam). Scan-stage
+    * mapPartitions; a blob that is not a walkable ISO-BMFF contributes
+    * no rows — same corrupt-safe contract as [[parseMeta]]. */
+  def mp4Samples(media: DataFrame): Dataset[Mp4Sample] = {
+    import media.sparkSession.implicits._
+    media.select(col("media_id"), col("bytes"))
+      .mapPartitions { rows: Iterator[Row] =>
+        rows.flatMap { r =>
+          val id = r.getAs[Long]("media_id")
+          val bytes = r.getAs[Array[Byte]]("bytes")
+          MediaContainers.mp4SampleRanges(bytes).iterator.zipWithIndex.map {
+            case ((off, len), i) => Mp4Sample(id, i, off.toLong, len.toLong)
           }
         }
       }

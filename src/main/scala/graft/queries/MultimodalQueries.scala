@@ -96,6 +96,22 @@ object MultimodalQueries extends QueryModule {
           col("col").as("byte_off"))
         .orderBy(col("media_id"), col("frame_idx"))),
 
+    // Parsed MP4 sample table: per-sample byte extents recovered from
+    // the real stsz/stsc/stco walk over the stored blobs. The oracle
+    // recomputes every offset/size from the writer's closed forms
+    // (fixed box-tree size 583 + 4n, sample i sized (nc+17i)%48+8), so
+    // any drift in the ISO-BMFF synthesis OR the sample-table parser
+    // breaks the hash. Kind pruning filters the stored blob table; only
+    // odd video ids are MP4 (even are AVI and contribute no rows — the
+    // parity filter makes that explicit rather than relying on the
+    // walker returning empty on RIFF bytes).
+    "q_mp4_samples" -> ((s, d) =>
+      Multimodal.mp4Samples(
+          containerMedia(s, d).where(col("kind") === "video" &&
+            col("media_id") % 2 === 1))
+        .toDF()
+        .orderBy(col("media_id"), col("sample_idx"))),
+
     // Batched per-partition feature extraction over REAL containers:
     // images decode to pixel-luminance bands, audio to PCM amplitude
     // bands, AVI video to sampled-frame JPEG decodes, MP4 (codec-less)
@@ -139,10 +155,12 @@ object MultimodalQueries extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
-    // Video rows split by id parity: even = MJPEG-in-AVI (small frames,
-    // 40 ms/frame x (nc % 8 + 2) frames), odd = ISO-BMFF/MP4 — each
-    // branch's header fields stay closed forms, so a regression in
-    // either container parser breaks the hash.
+    // Video rows split by id parity: even = MJPEG-in-AVI, odd =
+    // ISO-BMFF/MP4 with a real stbl sample table — both share the
+    // 40 ms/frame x (nc % 8 + 2) duration/frame convention, and every
+    // header field stays a closed form, so a regression in either
+    // container parser (including the MP4 stsz walk that produces
+    // `frames`) breaks the hash.
     "q_media_meta" ->
       """SELECT doc_id AS media_id,
         |  ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
@@ -159,13 +177,30 @@ object MultimodalQueries extends QueryModule {
         |  CAST(CASE doc_id % 3 WHEN 1 THEN 8000 ELSE 0 END AS INT)
         |    AS sample_rate,
         |  CAST(CASE WHEN doc_id % 3 = 1 THEN (n_chars % 4096) // 8
-        |       WHEN doc_id % 3 = 2 AND doc_id % 2 = 0
-        |         THEN 40 * (n_chars % 8 + 2)
-        |       WHEN doc_id % 3 = 2 THEN n_chars * 10
+        |       WHEN doc_id % 3 = 2 THEN 40 * (n_chars % 8 + 2)
         |       ELSE 0 END AS BIGINT) AS duration_ms,
-        |  CAST(CASE WHEN doc_id % 3 = 2 AND doc_id % 2 = 0
+        |  CAST(CASE WHEN doc_id % 3 = 2
         |       THEN n_chars % 8 + 2 ELSE 0 END AS INT) AS frames
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    // The MP4 writer's layout in closed form: ftyp(20) + moov(555+4n)
+    // + mdat header(8) puts sample 0 at 583+4n; sample i is
+    // (nc+17i)%48+8 bytes, packed contiguously in the single chunk.
+    // n = nc%8+2 <= 9, hence range(9).
+    "q_mp4_samples" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, n_chars AS nc, n_chars % 8 + 2 AS n
+        |  FROM documents WHERE doc_id % 3 = 2 AND doc_id % 2 = 1),
+        |s AS (
+        |  SELECT media_id, n, i.i AS idx, (nc + 17 * i.i) % 48 + 8 AS sz
+        |  FROM m, range(9) i(i) WHERE i.i < n)
+        |SELECT media_id, CAST(idx AS INT) AS sample_idx,
+        |  CAST(583 + 4 * n + coalesce(sum(sz) OVER (
+        |    PARTITION BY media_id ORDER BY idx
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS byte_off,
+        |  CAST(sz AS BIGINT) AS n_bytes
+        |FROM s ORDER BY media_id, sample_idx""".stripMargin,
 
     // Mirrors imageFeatures on the BMP fixture: per-pixel Rec.709
     // luminance of the closed-form gray value, banded by

@@ -224,10 +224,53 @@ class MediaContainersSpec extends SparkSpec {
     assert(byKind("video").forall(m => m.width >= 16 && m.height >= 16 &&
       m.duration_ms > 0 && m.channels == 0))
     // video splits by id parity: even = AVI (real frame count from avih),
-    // odd = MP4 (no frame-count field)
+    // odd = MP4 (real sample count from the stsz walk) — both share the
+    // 40 ms/frame convention
     val (avi, mp4) = byKind("video").partition(_.media_id % 2 == 0)
     assert(avi.nonEmpty && mp4.nonEmpty)
     assert(avi.forall(m => m.frames >= 2 && m.duration_ms == 40L * m.frames))
-    assert(mp4.forall(_.frames == 0))
+    assert(mp4.forall(m => m.frames >= 2 && m.frames <= 9 &&
+      m.duration_ms == 40L * m.frames))
+  }
+
+  test("MP4 sample table round-trips extents and exact payload bytes") {
+    val samples = Seq(
+      Array.tabulate[Byte](13)(i => i.toByte),
+      Array.tabulate[Byte](40)(i => (i * 3).toByte),
+      Array.tabulate[Byte](8)(i => (0x40 + i).toByte))
+    val bytes = MediaContainers.mp4WithSamples(320, 240, 40, samples)
+    val meta = MediaContainers.parseMp4(bytes)
+    assert(meta.contains(MediaContainers.Mp4Meta(320, 240, 120L, 3)))
+    val ranges = MediaContainers.mp4SampleRanges(bytes)
+    assert(ranges.map(_._2) == Vector(13, 40, 8))
+    // contiguous single-chunk packing + the payload bytes themselves
+    assert(ranges(1)._1 == ranges(0)._1 + 13 && ranges(2)._1 == ranges(1)._1 + 40)
+    for (((off, len), s) <- ranges.zip(samples))
+      assert(java.util.Arrays.equals(
+        java.util.Arrays.copyOfRange(bytes, off, off + len), s))
+    // the closed form the q_mp4_samples oracle hard-codes: first sample
+    // at ftyp(20) + moov(555 + 4n) + mdat header(8) = 583 + 4n
+    assert(ranges(0)._1 == 583 + 4 * samples.size,
+      "MP4 box-tree layout drifted — update the q_mp4_samples oracle")
+    // header-only blobs still parse, with a sample count of zero
+    assert(MediaContainers.parseMp4(MediaContainers.mp4(320, 240, 5000L))
+      .exists(_.numSamples == 0))
+    assert(MediaContainers.mp4SampleRanges(
+      MediaContainers.mp4(320, 240, 5000L)).isEmpty)
+  }
+
+  test("sampled MP4: every prefix truncation parses to None, never throws") {
+    // moov precedes mdat, so a prefix can hold an intact box tree with a
+    // truncated payload — the stco/stsz bounds check must classify it
+    // corrupt (None / empty), not return extents past the buffer
+    val full = MediaContainers.mp4WithSamples(64, 48, 40,
+      Seq(Array.fill[Byte](24)(1), Array.fill[Byte](17)(2)))
+    for (len <- 0 until full.length) {
+      val p = full.take(len)
+      assert(MediaContainers.parseMp4(p).isEmpty, s"sampled-mp4@$len")
+      assert(MediaContainers.mp4SampleRanges(p).isEmpty, s"ranges@$len")
+    }
+    assert(MediaContainers.mp4SampleRanges(null).isEmpty)
+    assert(MediaContainers.mp4SampleRanges(Array.fill[Byte](64)(0x7F)).isEmpty)
   }
 }

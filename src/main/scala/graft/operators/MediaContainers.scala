@@ -37,8 +37,11 @@ object MediaContainers {
   final case class Mp4Meta(width: Int, height: Int, durationMs: Long,
       numSamples: Int = 0)
 
+  /** `codec` is the strh fccHandler ("MJPG", "DIB " for uncompressed
+    * device-independent-bitmap frames); "" when the header carries no
+    * stream list. */
   final case class AviMeta(width: Int, height: Int, durationMs: Long,
-      numFrames: Int)
+      numFrames: Int, codec: String = "MJPG")
 
   // ---- synthesis ----------------------------------------------------
 
@@ -275,10 +278,20 @@ object MediaContainers {
     * module stays pure byte assembly). `usPerFrame` is the avih/strh
     * frame period in microseconds; duration = usPerFrame * frames. */
   def avi(width: Int, height: Int, usPerFrame: Long,
-      frames: Seq[Array[Byte]]): Array[Byte] = {
+      frames: Seq[Array[Byte]], codec: String = "MJPG"): Array[Byte] = {
     require(width > 0 && height > 0 && frames.nonEmpty)
     require(usPerFrame > 0 && usPerFrame <= 0xFFFFFFFFL,
       s"usPerFrame $usPerFrame exceeds an avih u32 field")
+    require(codec == "MJPG" || codec == "DIB ",
+      s"unsupported AVI codec fourcc '$codec'")
+    // DIB payloads are headerless pixel rows with a fixed closed-form
+    // size — a wrong-sized frame would decode to garbage pixels, the
+    // plausible-lie class every parser here rejects; reject at write too
+    if (codec == "DIB ") {
+      val expect = (3 * width + 3) / 4 * 4 * height
+      require(frames.forall(_.length == expect),
+        s"DIB frames must be exactly stride*height = $expect bytes")
+    }
     val le = ByteOrder.LITTLE_ENDIAN
     def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
       // RIFF chunks are even-padded; the declared size excludes the pad
@@ -297,7 +310,7 @@ object MediaContainers {
       .putInt(width).putInt(height)
       .putInt(0).putInt(0).putInt(0).putInt(0) // reserved
     val strh = ByteBuffer.allocate(56).order(le)
-    strh.put("vids".getBytes("US-ASCII")).put("MJPG".getBytes("US-ASCII"))
+    strh.put("vids".getBytes("US-ASCII")).put(codec.getBytes("US-ASCII"))
       .putInt(0).putInt(0).putInt(0)             // flags, prio/lang, init
       .putInt(usPerFrame.toInt).putInt(1000000)  // dwScale/dwRate = period
       .putInt(0).putInt(frames.size)             // start, length (frames)
@@ -307,15 +320,17 @@ object MediaContainers {
     val strf = ByteBuffer.allocate(40).order(le)
     strf.putInt(40).putInt(width).putInt(height)
       .putShort(1).putShort(24)
-      .put("MJPG".getBytes("US-ASCII"))
-      .putInt(width * height * 3)
+    if (codec == "DIB ") strf.putInt(0) // biCompression BI_RGB
+    else strf.put(codec.getBytes("US-ASCII"))
+    strf.putInt((3 * width + 3) / 4 * 4 * height) // biSizeImage
       .putInt(0).putInt(0).putInt(0).putInt(0)
     val hdrl = list("hdrl", chunk("avih", avih.array()) ++
       list("strl", chunk("strh", strh.array()) ++ chunk("strf", strf.array())))
     // single-allocation join (a fold of Array ++ Array re-copies the
     // accumulated payload per frame — quadratic in total frame bytes,
     // and this runs per row on the scan stage)
-    val frameChunks = frames.map(chunk("00dc", _))
+    val frameChunks =
+      frames.map(chunk(if (codec == "DIB ") "00db" else "00dc", _))
     val joined = new Array[Byte](frameChunks.iterator.map(_.length).sum)
     var pos = 0
     frameChunks.foreach { c =>
@@ -426,6 +441,8 @@ object MediaContainers {
       if (id == "LIST" && size >= 4 && fourcc(bytes, o + 8) == "hdrl") {
         var c = off + 12 // children start after the LIST's 4-byte subtype
         val end = off + 8 + size
+        var meta: Option[AviMeta] = None
+        var codec = "" // strh fccHandler; stays "" without a stream list
         while (c + 8 <= end) {
           val co = c.toInt
           val cid = fourcc(bytes, co)
@@ -446,22 +463,38 @@ object MediaContainers {
             // crafted input — reject rather than report a wrapped duration
             if (totalFrames > 0 && usPerFrame > Long.MaxValue / totalFrames)
               return None
-            return Some(AviMeta(width, height,
+            meta = Some(AviMeta(width, height,
               usPerFrame * totalFrames / 1000L, totalFrames.toInt))
+          } else if (cid == "LIST" && csize >= 4 &&
+              fourcc(bytes, co + 8) == "strl") {
+            // first video stream's strh: fccType(4) then fccHandler(4)
+            var s = c + 12
+            val send = c + 8 + csize
+            while (s + 8 <= send && codec.isEmpty) {
+              val so = s.toInt
+              val ssize = u32le(bytes, so + 4)
+              if (ssize < 0 || s + 8 + ssize > send) return None
+              if (fourcc(bytes, so) == "strh" && ssize >= 8 &&
+                  fourcc(bytes, so + 8) == "vids")
+                codec = fourcc(bytes, so + 12)
+              s += 8 + ssize + (ssize & 1)
+            }
           }
           c += 8 + csize + (csize & 1)
         }
-        return None // hdrl without avih
+        return meta.map(m => m.copy(codec = codec)) // None: hdrl w/o avih
       }
       off += 8 + size + (size & 1)
     }
     None
   }
 
-  /** Byte ranges (offset, length) of the video frame chunks (`xxdc`)
-    * inside `LIST movi`, in stream order — for an MJPEG AVI each payload
-    * is a complete JPEG. Empty on malformed input: a truncated blob
-    * samples zero frames, never kills the partition. */
+  /** Byte ranges (offset, length) of the video frame chunks (`xxdc`
+    * compressed / `xxdb` uncompressed-DIB) inside `LIST movi`, in
+    * stream order — for an MJPEG AVI each payload is a complete JPEG;
+    * for a DIB AVI it is stride*height of bottom-up BGR rows. Empty on
+    * malformed input: a truncated blob samples zero frames, never kills
+    * the partition. */
   def aviFrameRanges(bytes: Array[Byte]): Vector[(Int, Int)] = {
     if (bytes == null || bytes.length < 12) return Vector.empty
     if (fourcc(bytes, 0) != "RIFF" || fourcc(bytes, 8) != "AVI ")
@@ -483,7 +516,8 @@ object MediaContainers {
           val cid = fourcc(bytes, co)
           val csize = u32le(bytes, co + 4)
           if (csize < 0 || c + 8 + csize > end) return Vector.empty
-          if (cid.endsWith("dc")) out += ((co + 8, csize.toInt))
+          if (cid.endsWith("dc") || cid.endsWith("db"))
+            out += ((co + 8, csize.toInt))
           c += 8 + csize + (csize & 1)
         }
         return out.result()

@@ -108,16 +108,24 @@ object Multimodal {
           MediaContainers.wav((math.floorMod(id, 2) + 1).toInt, 8000,
             math.floorMod(nc, 4096).toInt, id))
         case _ if math.floorMod(id, 2) == 0 =>
-          // even video ids: MJPEG-in-AVI — the pure-JDK-decodable
-          // container (RIFF walk + ImageIO JPEG). Small frames keep
-          // the generator cheap in the scan stage; every header field
-          // stays a closed form of (doc_id, n_chars) for the oracle:
+          // even video ids: AVI — the pure-JDK-decodable container.
+          // id % 4 == 0 → MJPEG (real lossy JPEG frames: exercises the
+          // ImageIO decode path; bands NOT closed-form), id % 4 == 2 →
+          // uncompressed DIB frames (same pixel pattern, lossless:
+          // bands ARE closed forms, oracle-checked end-to-end by
+          // q_media_features_video). Small frames keep the generator
+          // cheap in the scan stage; every header field stays a closed
+          // form of (doc_id, n_chars) for the oracle:
           // duration = 40ms/frame * (nc % 8 + 2) frames.
           val w = (math.floorMod(nc, 64) + 16).toInt
           val h = (math.floorMod(nc, 48) + 16).toInt
           val nFrames = (math.floorMod(nc, 8) + 2).toInt
-          (id, kind, MediaContainers.avi(w, h, 40000L,
-            (0 until nFrames).map(i => jpegFrame(w, h, id, i))))
+          if (math.floorMod(id, 4) == 0)
+            (id, kind, MediaContainers.avi(w, h, 40000L,
+              (0 until nFrames).map(i => jpegFrame(w, h, id, i))))
+          else
+            (id, kind, MediaContainers.avi(w, h, 40000L,
+              (0 until nFrames).map(i => dibFrame(w, h, id, i)), "DIB "))
         case _ =>
           // odd video ids: ISO-BMFF/MP4 with a REAL stbl sample table
           // (stsd/stts/stsc/stsz/stco + mdat). Sample COUNT, per-sample
@@ -349,7 +357,9 @@ object Multimodal {
       val ranges = MediaContainers.aviFrameRanges(bytes)
       val decoded = sampleFrameIndices(ranges.length, maxFrames).flatMap { i =>
         val (o, l) = ranges(i)
-        decodeImage(java.util.Arrays.copyOfRange(bytes, o, o + l))
+        if (meta.codec == "DIB ") // headerless pixel rows, no ImageIO
+          dibToImage(bytes, o, l, meta.width, meta.height)
+        else decodeImage(java.util.Arrays.copyOfRange(bytes, o, o + l))
       }
       if (decoded.isEmpty) None
       else {
@@ -364,6 +374,57 @@ object Multimodal {
         Some((meta, decoded.head.getColorModel.getNumComponents, acc))
       }
     }
+
+  /** Closed-form uncompressed-DIB AVI frame payload: bottom-up BGR rows
+    * padded to 4 bytes (the in-AVI twin of [[MediaContainers.bmp]]'s
+    * pixel block), gray value `(seed + 17*frame + 7x + 13y) & 0xFF` —
+    * the SAME pattern [[jpegFrame]] encodes, but lossless, so every
+    * derived feature band is exactly predictable by an oracle. */
+  private[graft] def dibFrame(w: Int, h: Int, seed: Long,
+      frame: Int): Array[Byte] = {
+    val stride = (3 * w + 3) / 4 * 4
+    val out = new Array[Byte](stride * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = ((seed + 17L * frame + 7L * x + 13L * y) & 0xFF).toByte
+        val p = y * stride + 3 * x
+        out(p) = v; out(p + 1) = v; out(p + 2) = v // B G R
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Decode a headerless bottom-up 24-bit DIB frame slice into a
+    * BufferedImage. None unless the slice length is exactly
+    * stride*height — a wrong-sized payload would decode to garbage
+    * pixels (the plausible-lie class every parser here rejects). */
+  private[graft] def dibToImage(bytes: Array[Byte], off: Int, len: Int,
+      w: Int, h: Int): Option[java.awt.image.BufferedImage] = {
+    if (w <= 0 || h <= 0) return None
+    val stride = (3 * w + 3) / 4 * 4
+    if (len != stride * h || off < 0 || off + len > bytes.length) return None
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      val row = off + y * stride // bottom-up: payload row y = image row h-1-y
+      var x = 0
+      while (x < w) {
+        val p = row + 3 * x
+        val b = bytes(p) & 0xFF
+        val g = bytes(p + 1) & 0xFF
+        val r = bytes(p + 2) & 0xFF
+        img.setRGB(x, h - 1 - y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    Some(img)
+  }
 
   /** STUB decoder: a real implementation would decode the codec and
     * pool pixel/sample statistics; this derives `dim` deterministic

@@ -141,6 +141,23 @@ object MultimodalQueries extends QueryModule {
         .orderBy(col("media_id"))
     }),
 
+    // REAL video-frame pixel features, oracle-checked end-to-end: the
+    // DIB-AVI fixture rows (video, id % 4 == 2) carry uncompressed
+    // frames whose pixels are the closed form (seed+17f+7x+13y)&0xFF,
+    // so the frame-sampled, band-pooled luminance means are exactly
+    // predictable — no lossy JPEG in the loop. channels=3 pins the
+    // real decode path (the stub reports 0).
+    "q_media_features_video" -> ((s, d) => {
+      val media = containerMedia(s, d).where(col("kind") === "video" &&
+        pmod(col("media_id"), lit(4)) === 2)
+      val base = Multimodal.extractFeatures(media).toDF()
+      base.select(Seq(col("media_id"), col("width"), col("height"),
+          col("channels")) ++
+          (0 until 8).map(i =>
+            round(element_at(col("features"), i + 1), 6).as(s"f$i")): _*)
+        .orderBy(col("media_id"))
+    }),
+
     // REAL PCM features, oracle-checked: WAV sample i is the closed form
     // (seed*31 + i*131) & 0x7FFF, and the band means are integer sums
     // with one closing division — exactly reproducible in DuckDB.
@@ -182,6 +199,43 @@ object MultimodalQueries extends QueryModule {
         |  CAST(CASE WHEN doc_id % 3 = 2
         |       THEN n_chars % 8 + 2 ELSE 0 END AS INT) AS frames
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    // Mirrors videoFeatures on the DIB-AVI fixture: gray pixel
+    // (seed + 17f + 7x + 13y) % 256 over the sampled frame indices
+    // floor(i*n/4) (deduplicated — DISTINCT — exactly like
+    // sampleFrameIndices), banded by least(7, x*8//w). Equal-weight
+    // frames make mean-of-per-frame-means == pooled mean, so one
+    // GROUP BY suffices. w <= 79, h <= 63, n <= 9 bound the ranges.
+    "q_media_features_video" -> {
+      val bandCols = (0 until 8).map(i =>
+        s"  max(CASE WHEN b.d = $i THEN b.fb END) AS f$i").mkString(",\n")
+      s"""WITH m AS (
+         |  SELECT doc_id AS media_id, doc_id AS seed,
+         |    n_chars % 64 + 16 AS w, n_chars % 48 + 16 AS h,
+         |    n_chars % 8 + 2 AS n
+         |  FROM documents WHERE doc_id % 3 = 2 AND doc_id % 4 = 2),
+         |fr AS (
+         |  SELECT DISTINCT media_id, seed, w, h, (i.i * n) // 4 AS f
+         |  FROM m, range(4) i(i)),
+         |px AS (
+         |  SELECT media_id, least(7, x.i * 8 // w) AS d,
+         |    (0.2126 * ((seed + 17 * f + 7 * x.i + 13 * y.i) % 256)
+         |     + 0.7152 * ((seed + 17 * f + 7 * x.i + 13 * y.i) % 256)
+         |     + 0.0722 * ((seed + 17 * f + 7 * x.i + 13 * y.i) % 256))
+         |      / 255.0 AS lum
+         |  FROM fr, range(80) x(i), range(64) y(i)
+         |  WHERE x.i < w AND y.i < h),
+         |b AS (
+         |  SELECT media_id, d, round(sum(lum) / count(*), 6) AS fb
+         |  FROM px GROUP BY media_id, d)
+         |SELECT m.media_id,
+         |  CAST(m.w AS INT) AS width, CAST(m.h AS INT) AS height,
+         |  CAST(3 AS INT) AS channels,
+         |$bandCols
+         |FROM m JOIN b ON m.media_id = b.media_id
+         |GROUP BY m.media_id, m.w, m.h
+         |ORDER BY m.media_id""".stripMargin
+    },
 
     // The MP4 writer's layout in closed form: ftyp(20) + moov(555+4n)
     // + mdat header(8) puts sample 0 at 583+4n; sample i is

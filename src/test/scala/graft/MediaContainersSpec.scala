@@ -91,6 +91,39 @@ class MediaContainersSpec extends SparkSpec {
         ranges(2)._1 + ranges(2)._2), frames(2)))
   }
 
+  test("DIB AVI round trip: codec, exact pixels, closed-form bands") {
+    val (w, h, n) = (20, 12, 3)
+    val stride = (3 * w + 3) / 4 * 4
+    val frames = (0 until n).map(i => Multimodal.dibFrame(w, h, 7L, i))
+    val bytes = MediaContainers.avi(w, h, 40000L, frames, "DIB ")
+    assert(MediaContainers.parseAvi(bytes)
+      .contains(MediaContainers.AviMeta(w, h, 40L * n, n, "DIB ")))
+    val ranges = MediaContainers.aviFrameRanges(bytes)
+    assert(ranges.length == n && ranges.forall(_._2 == stride * h))
+    // decode of frame 1 recovers the exact formula pixels (lossless —
+    // the property the JPEG path cannot have, and what makes the video
+    // feature bands oracle-checkable)
+    val img = Multimodal.dibToImage(bytes, ranges(1)._1, ranges(1)._2, w, h)
+      .getOrElse(fail("DIB frame must decode"))
+    for (x <- 0 until w; y <- 0 until h) {
+      val v = ((7L + 17L * 1 + 7L * x + 13L * y) & 0xFF).toInt
+      // generator writes row y at payload row y; bottom-up storage means
+      // the IMAGE shows it at h-1-y — band means are x-only so callers
+      // never care, but the pixel pin must account for the flip
+      assert((img.getRGB(x, h - 1 - y) & 0xFF) == v, s"pixel $x,$y")
+    }
+    // a wrong-sized frame is rejected at write AND classified corrupt
+    // at decode
+    intercept[IllegalArgumentException] {
+      MediaContainers.avi(w, h, 40000L, Seq(new Array[Byte](5)), "DIB ")
+    }
+    assert(Multimodal.dibToImage(bytes, ranges(0)._1, ranges(0)._2 - 1,
+      w, h).isEmpty)
+    // MJPEG stays the default and parses with its own codec fourcc
+    assert(MediaContainers.parseAvi(MediaContainers.avi(16, 16, 40000L,
+      Seq(Multimodal.jpegFrame(16, 16, 1L, 0)))).exists(_.codec == "MJPG"))
+  }
+
   test("every AVI prefix truncation parses to None / no frames") {
     val bytes = MediaContainers.avi(16, 16, 40000L,
       Seq(Multimodal.jpegFrame(16, 16, 1L, 0)))

@@ -226,6 +226,26 @@ class PlanSpec extends SparkSpec {
       s"kind filter must sit below the decode boundary:\n$tree")
   }
 
+  test("q_mp4_samples and q_media_features_video filter below the walk, never shuffle blobs") {
+    // both new round-12 queries read the stored blob table and select a
+    // subset (video kind + id parity) before a per-partition walk/decode
+    // — same contract as q_media_resample: Filter below MapPartitions,
+    // blobs never cross a hash exchange, no synthesis in the plan
+    for (q <- Seq("q_mp4_samples", "q_media_features_video")) {
+      val tree = formatted(q).split("\n\n").head
+      assert(!tree.contains("hashpartitioning"),
+        s"$q: media blobs must not hash-shuffle:\n$tree")
+      assert(!tree.contains("MapElements"),
+        s"$q: fixture synthesis must not run inside the query plan:\n$tree")
+      val walk = tree.indexOf("MapPartitions")
+      val f = tree.indexOf("Filter")
+      assert(walk >= 0 && f >= 0,
+        s"$q: expected MapPartitions and Filter nodes:\n$tree")
+      assert(f > walk,
+        s"$q: kind/parity filter must sit below the walk boundary:\n$tree")
+    }
+  }
+
   test("containerMediaFromDocuments prunes kind below the synthesis boundary") {
     // the one-shot generator API (what the cached fixture is built
     // from, and what a direct caller gets): Catalyst can't prune

@@ -64,21 +64,27 @@ class FixtureSchemaSpec extends SparkSpec {
       "embedding" -> "array<float>", "label" -> "int")
   )
 
+  // all three driver SF dirs: a PARTIAL regeneration (one dir rebuilt
+  // with new logical types, others stale) must fail naming the dir too
+  private val sfDirs = Seq(sf001, sf01, "/root/testdata/sf0.1")
+
   for (table <- Tables.all) {
     test(s"fixture schema pin: $table") {
-      val df =
-        if (table == "events") Tables.events(spark, sf001)
-        else Tables.load(spark, sf001, table)
-      val found = df.schema.map(f => f.name -> typeName(f.dataType))
-      val exp = expected(table)
-      assert(found == exp,
-        s"\nFIXTURE DRIFT in /root/testdata/*/$table.parquet:" +
-          exp.zipAll(found, "<missing>" -> "", "<missing>" -> "")
-            .collect { case ((en, et), (fn, ft)) if (en, et) != (fn, ft) =>
-              s"\n  column $en: expected $et, found $fn:$ft" }
-            .mkString +
-          "\n(driver regenerated testdata with new logical types — " +
-          "update Tables dispatch + this pin together)")
+      for (dir <- sfDirs) {
+        val df =
+          if (table == "events") Tables.events(spark, dir)
+          else Tables.load(spark, dir, table)
+        val found = df.schema.map(f => f.name -> typeName(f.dataType))
+        val exp = expected(table)
+        assert(found == exp,
+          s"\nFIXTURE DRIFT in $dir/$table.parquet:" +
+            exp.zipAll(found, "<missing>" -> "", "<missing>" -> "")
+              .collect { case ((en, et), (fn, ft)) if (en, et) != (fn, ft) =>
+                s"\n  column $en: expected $et, found $fn:$ft" }
+              .mkString +
+            "\n(driver regenerated testdata with new logical types — " +
+            "update Tables dispatch + this pin together)")
+      }
     }
   }
 

@@ -114,11 +114,13 @@ object MultimodalQueries extends QueryModule {
 
     // Batched per-partition feature extraction over REAL containers:
     // images decode to pixel-luminance bands, audio to PCM amplitude
-    // bands, AVI video to sampled-frame JPEG decodes, MP4 (codec-less)
-    // to the deterministic stub — rows-only (JPEG is lossy, so the AVI
-    // bands are not a closed form); ALL 8 bands are projected so a
-    // regression in any band is driver-visible, and the image/audio
-    // bands are additionally oracle-checked by the two queries below.
+    // bands, AVI video to sampled-frame decodes (JPEG for MJPEG rows,
+    // headerless BGR for DIB rows), MP4 (codec-less) to the
+    // deterministic stub — rows-only (the MJPEG rows cross a lossy
+    // JPEG round-trip, and the MP4 rows are stubbed); ALL 8 bands are
+    // projected so a regression in any band is driver-visible, and the
+    // image/audio/DIB-video bands are additionally oracle-checked by
+    // the dedicated queries below.
     "q_media_features" -> ((s, d) => {
       val base = Multimodal.extractFeatures(containerMedia(s, d)).toDF()
       base.select(Seq(col("media_id"), col("kind"), col("n_bytes")) ++

@@ -19,6 +19,7 @@ object SparkEntry {
     RelationalQueries,
     EventQueries,
     SimilarityQueries,
+    RetrievalQueries,
     MLQueries,
     MultimodalQueries
   )

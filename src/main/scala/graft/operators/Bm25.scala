@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.ColumnOps
+
+/** Okapi BM25 lexical relevance scoring + reciprocal-rank fusion — the
+  * lexical half of hybrid (dense + sparse) retrieval over a document
+  * corpus, the standard query shape for training-data curation and RAG
+  * candidate generation. The reference has no retrieval surface; this is
+  * §2.7 extension work, built next to the TF-IDF relational core
+  * (`queries/TokenQueries.q_tfidf_topk`).
+  *
+  * Scoring formula (Robertson/Spärck Jones, the Lucene variant):
+  *
+  * {{{
+  * score(D, Q) = Σ_{t ∈ Q} idf(t) · tf(t,D)·(k1+1) / (tf(t,D) + k1·(1 − b + b·|D|/avgdl))
+  * idf(t)      = ln(1 + (N − df(t) + 0.5) / (df(t) + 0.5))
+  * }}}
+  *
+  * Plan shape — built for the 100 TB case, where the classic
+  * explode→(doc,term) tf/df join pipeline would shuffle the whole corpus:
+  *
+  *  1. ONE global aggregate over the corpus computes every corpus-level
+  *     number the formula needs — N, Σ|D| (→ avgdl), and df(t) for each
+  *     query term via `array_contains` — as a single 1-row frame. Partial
+  *     aggregation makes this a map-side pass + a singleton reduce; no
+  *     keyed shuffle.
+  *  2. That row is broadcast back (1-row nested-loop join, the same
+  *     documented scalar-join shape as q_tfidf_topk's corpus count), and
+  *     every document is scored ROW-LOCALLY: tf(t,D) is an array-filter
+  *     count over the tokenized text, |D| its size — scan-stage work,
+  *     zero shuffles.
+  *  3. Top-k goes through orderBy+limit = TakeOrderedAndProject (per-
+  *     partition heaps + driver merge of k·parts rows), never a global
+  *     sort.
+  *
+  * So the whole query is: scan→agg (singleton), scan→project, take-k.
+  * A served system would precompute postings; for one-shot scoring over
+  * a data lake this is the optimal Spark shape.
+  */
+object Bm25 {
+
+  /** 1-row corpus statistics: `n_docs`, `total_len`, and `df_i` for each
+    * query term (document frequency via row-local `array_contains`).
+    * Null `textCol` rows count toward N but contribute no length and no
+    * df — the same treatment the scorer gives them (score 0). */
+  def corpusStats(docs: DataFrame, textCol: String,
+      terms: Seq[String]): DataFrame = {
+    val toks = TokenOps.tokenize(col(textCol))
+    val aggs =
+      count(lit(1)).as("n_docs") +:
+      sum(size(toks)).as("total_len") +:
+      terms.zipWithIndex.map { case (t, i) =>
+        sum(when(array_contains(toks, t), 1L).otherwise(0L)).as(s"df_$i")
+      }
+    docs.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** BM25 score of every document containing at least one query term
+    * (score is strictly positive there; term-free and null-text docs are
+    * score 0 and dropped). Output: (`idCol`, `bm25` rounded to 6dp —
+    * the cross-engine-portable ranking key). */
+  def score(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "BM25 needs at least one query term")
+    val stats = corpusStats(docs, textCol, terms)
+    val nDocs = col("n_docs").cast("double")
+    val avgdl = col("total_len").cast("double") / nDocs
+    // tokenize once per row (bind), not once per term: interpreted HOFs
+    // re-evaluate non-lambda subexpressions per element otherwise.
+    val bm25 = ColumnOps.bind(TokenOps.tokenize(col(textCol)), toks => {
+      val dl = size(toks).cast("double")
+      val partials = terms.zipWithIndex.map { case (t, i) =>
+        val df = col(s"df_$i").cast("double")
+        val tf = size(filter(toks, x => x === lit(t))).cast("double")
+        val idf = log(lit(1.0) + (nDocs - df + lit(0.5)) / (df + lit(0.5)))
+        // null text ⇒ tf null ⇒ the when-condition is null ⇒ 0.0
+        when(tf > lit(0.0),
+          idf * (tf * lit(k1 + 1.0)) /
+            (tf + lit(k1) * (lit(1.0 - b) + lit(b) * dl / avgdl)))
+          .otherwise(lit(0.0))
+      }
+      round(partials.reduce(_ + _), 6)
+    })
+    docs.crossJoin(broadcast(stats))
+      .select(col(idCol), bm25.as("bm25"))
+      .filter(col("bm25") > 0)
+  }
+
+  /** Top-k documents by BM25 (ties broken by id — deterministic and
+    * engine-portable). orderBy+limit ⇒ TakeOrderedAndProject. */
+  def topK(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    score(docs, idCol, textCol, terms, k1, b)
+      .orderBy(col("bm25").desc, col(idCol))
+      .limit(k)
+
+  /** Attach 1-based ranks to a bounded candidate list (call AFTER a
+    * top-k cut: the unpartitioned window is a single-partition sort, fine
+    * over ≤ a few hundred candidates, wrong over a corpus). Rank order
+    * must match the cut's order — pass the same keys. */
+  def ranked(candidates: DataFrame, orderKeys: Seq[Column],
+      rankCol: String): DataFrame =
+    candidates.withColumn(rankCol,
+      row_number().over(Window.orderBy(orderKeys: _*)).cast("long"))
+
+  /** Reciprocal-rank fusion (Cormack et al.) of two ranked candidate
+    * lists: rrf(d) = Σ_lists 1/(k + rank_list(d)), absent ⇒ 0 — the
+    * standard score-free way to merge lexical and dense retrieval.
+    * Inputs are (id, rank) frames; output (id, both ranks, `rrf`).
+    * Candidate lists are top-k-bounded, so the full-outer join is
+    * broadcast-small by construction. */
+  def rrfFuse(lexical: DataFrame, dense: DataFrame, idCol: String,
+      lexRank: String = "lex_rank", denseRank: String = "dense_rank",
+      kRrf: Int = 60): DataFrame =
+    lexical.select(col(idCol), col(lexRank))
+      .join(dense.select(col(idCol), col(denseRank)), Seq(idCol), "full_outer")
+      .select(col(idCol), col(lexRank), col(denseRank),
+        round(
+          coalesce(lit(1.0) / (lit(kRrf) + col(lexRank)), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(kRrf) + col(denseRank)), lit(0.0)),
+          6).as("rrf"))
+}

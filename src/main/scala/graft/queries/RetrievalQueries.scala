@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Bm25, Similarity, TokenOps}
+
+/** Hybrid retrieval (SURVEY.md §2.7): BM25 lexical scoring over
+  * `documents` + reciprocal-rank fusion with dense cosine retrieval over
+  * `embeddings` (`doc_id` and `vec_id` are the same id space — see
+  * FIXTURES.md). Both queries are fully deterministic closed forms, so
+  * both are DuckDB-oracle-checked — including the fusion, where the id
+  * spaces only partially overlap at sf0.1 (5k docs vs 2k vectors) and the
+  * full-outer RRF semantics are exactly what the oracle exercises.
+  *
+  * The fixed query: terms chosen for document-frequency spread at every
+  * sf (`dup` is ~20× rarer than `spark`/`window` → dominant idf), plus
+  * vec_id 0's embedding as the dense query vector (the same query row the
+  * ANN family probes with).
+  */
+object RetrievalQueries extends QueryModule {
+
+  private[queries] val terms = Seq("spark", "window", "dup")
+  private val k1 = 1.2
+  private val b = 0.75
+  private val topN = 50 // candidate-list bound per retriever before fusion
+
+  val queries: Map[String, Q] = Map(
+    // BM25 top-10: one singleton corpus-stats aggregate, broadcast back,
+    // row-local scoring, TakeOrderedAndProject. Zero wide shuffles.
+    "q_bm25_topk" -> ((s, d) =>
+      Bm25.topK(Tables.documents(s, d), "doc_id", "text", terms, k = 10,
+        k1 = k1, b = b)),
+
+    // Hybrid retrieval: top-50 lexical ∪ top-50 dense, fused by
+    // reciprocal rank (k=60), top-10 by fused score. Ranks are assigned
+    // AFTER the top-k cuts (windows sort ≤50 rows, not a corpus).
+    "q_hybrid_rrf" -> ((s, d) => {
+      val lex = Bm25.ranked(
+        Bm25.topK(Tables.documents(s, d), "doc_id", "text", terms,
+          k = topN, k1 = k1, b = b),
+        Seq(col("bm25").desc, col("doc_id")), "lex_rank")
+      val dense = Bm25.ranked(
+        Similarity.bruteForceTopK(Tables.embeddings(s, d),
+            "vec_id", "embedding", queryId = 0L, k = topN)
+          .withColumnRenamed("vec_id", "doc_id"),
+        Seq(col("cos").desc, col("doc_id")), "dense_rank")
+      Bm25.rrfFuse(lex, dense, "doc_id")
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(10)
+    })
+  )
+
+  // ---- DuckDB mirrors ------------------------------------------------
+  // The SQL is generated from the same `terms`/`k1`/`b` constants and
+  // written in the same association order as the Column expressions, so
+  // both engines do the identical IEEE arithmetic before round(…, 6).
+  // (Scala Double.toString round-trips, so interpolated constants parse
+  // back to bit-identical doubles.)
+
+  private val wsSql = TokenOps.WsRun
+
+  private val statsSql: String =
+    "SELECT count(*) AS n_docs, sum(len(t)) AS total_len, " +
+      terms.zipWithIndex.map { case (t, i) =>
+        s"sum(CASE WHEN list_contains(t, '$t') THEN 1 ELSE 0 END) AS df_$i"
+      }.mkString(", ") + " FROM toks"
+
+  private def partialSql(t: String, i: Int): String = {
+    val tf = s"CAST(len(list_filter(t, x -> x = '$t')) AS DOUBLE)"
+    val df = s"CAST(df_$i AS DOUBLE)"
+    val idf = s"ln(1.0 + (CAST(n_docs AS DOUBLE) - $df + 0.5) / ($df + 0.5))"
+    val dl = "CAST(len(t) AS DOUBLE)"
+    val avgdl = "(CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    s"CASE WHEN $tf > 0.0 THEN $idf * ($tf * ${k1 + 1.0}) / " +
+      s"($tf + $k1 * (${1.0 - b} + $b * $dl / $avgdl)) ELSE 0.0 END"
+  }
+
+  private val scoredSql: String =
+    s"""WITH toks AS (SELECT doc_id,
+       |  regexp_split_to_array(lower(text), '$wsSql') AS t FROM documents),
+       |stats AS ($statsSql),
+       |scored AS (SELECT doc_id, round(
+       |  ${terms.zipWithIndex.map((partialSql _).tupled).mkString(" + ")},
+       |  6) AS bm25 FROM toks CROSS JOIN stats)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_bm25_topk" ->
+      s"""$scoredSql
+         |SELECT doc_id, bm25 FROM scored WHERE bm25 > 0
+         |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q_hybrid_rrf" ->
+      s"""$scoredSql,
+         |lex AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+         |  FROM (SELECT doc_id, bm25 FROM scored WHERE bm25 > 0
+         |        ORDER BY bm25 DESC, doc_id LIMIT $topN)),
+         |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id <> 0),
+         |cos AS (SELECT vec_id, round(list_dot_product(v, qv)
+         |    / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos
+         |  FROM e CROSS JOIN q),
+         |dense AS (SELECT vec_id AS doc_id, row_number() OVER (ORDER BY cos DESC, vec_id) AS dense_rank
+         |  FROM (SELECT vec_id, cos FROM cos ORDER BY cos DESC, vec_id LIMIT $topN)),
+         |fused AS (SELECT COALESCE(l.doc_id, de.doc_id) AS doc_id,
+         |    l.lex_rank, de.dense_rank,
+         |    round(COALESCE(1.0::DOUBLE / (60 + l.lex_rank), 0.0)
+         |        + COALESCE(1.0::DOUBLE / (60 + de.dense_rank), 0.0), 6) AS rrf
+         |  FROM lex l FULL OUTER JOIN dense de ON l.doc_id = de.doc_id)
+         |SELECT doc_id, lex_rank, dense_rank, rrf FROM fused
+         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+  )
+}

@@ -215,6 +215,14 @@ object SimilarityQueries extends QueryModule {
       SimHash.simhashAgg(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // SimHash near-dup pairs (16-bit-chunk pigeonhole candidates →
+    // Hamming verify) — rows-only (xxhash64-dependent); recall vs the
+    // exact Jaccard ground truth is property-tested (SimilaritySpec).
+    "q_simhash_neardup" -> ((s, d) =>
+      SimHash.nearDuplicates(Tables.documents(s, d), "doc_id", "text",
+          maxHamming = 8)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // IVF index build (one-time cost, explicit): k-means coarse quantizer
     // fit + cell-partitioned vector layout. Returns the cell histogram —
     // rows-only (k-means-dependent).

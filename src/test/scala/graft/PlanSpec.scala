@@ -73,8 +73,9 @@ class PlanSpec extends SparkSpec {
       "q_embed_neardup",
       // 1-row broadcast scalar joins: nested-loop over a single
       // broadcast row is the intended plan (no join key exists) —
-      // a query vector / the corpus count for IDF
-      "q_cosine_topk", "q_tfidf_topk")
+      // a query vector / the corpus count for IDF / BM25 corpus stats
+      // (q_hybrid_rrf contains both the BM25 and cosine scalar joins)
+      "q_cosine_topk", "q_tfidf_topk", "q_bm25_topk", "q_hybrid_rrf")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan =

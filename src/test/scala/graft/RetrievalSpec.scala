@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Bm25
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "spark spark spark filter join"),        // tf(spark)=3, len 5
+    (1L, "spark filter join merge sort"),         // tf(spark)=1, len 5
+    (2L, "spark join a b c d e f g h i j k l m"), // tf(spark)=1, len 15
+    (3L, "filter merge sort scan agg"),           // no query term
+    (4L, null.asInstanceOf[String])               // null text
+  ).toDF("doc_id", "text")
+
+  test("bm25: term-free and null-text docs are excluded; others positive") {
+    val out = Bm25.score(docs, "doc_id", "text", Seq("spark"))
+      .orderBy($"doc_id").as[(Long, Double)].collect()
+    assert(out.map(_._1).toSeq === Seq(0L, 1L, 2L))
+    assert(out.forall(_._2 > 0))
+  }
+
+  test("bm25 is monotonic in tf at equal document length") {
+    val s = Bm25.score(docs, "doc_id", "text", Seq("spark"))
+      .as[(Long, Double)].collect().toMap
+    assert(s(0L) > s(1L), s"tf=3 ${s(0L)} should beat tf=1 ${s(1L)}")
+  }
+
+  test("bm25 length normalization: longer doc scores lower at equal tf; b=0 disables it") {
+    val norm = Bm25.score(docs, "doc_id", "text", Seq("spark"))
+      .as[(Long, Double)].collect().toMap
+    assert(norm(1L) > norm(2L), "same tf, shorter doc should win at b=0.75")
+    val noNorm = Bm25.score(docs, "doc_id", "text", Seq("spark"), b = 0.0)
+      .as[(Long, Double)].collect().toMap
+    assert(noNorm(1L) === noNorm(2L), "b=0 must remove the length effect")
+  }
+
+  test("bm25 idf: a rarer term outweighs a common one at equal tf and length") {
+    val d = Seq(
+      (0L, "common rare x y"), (1L, "common x y z"), (2L, "common x y z"),
+      (3L, "common x y z")).toDF("doc_id", "text")
+    // doc 0 holds both terms once, same length as the rest; rare df=1,
+    // common df=4 — the rare term must contribute strictly more.
+    val both = Bm25.score(d, "doc_id", "text", Seq("common", "rare"))
+      .as[(Long, Double)].collect().toMap
+    val commonOnly = Bm25.score(d, "doc_id", "text", Seq("common"))
+      .as[(Long, Double)].collect().toMap
+    val rareOnly = Bm25.score(d, "doc_id", "text", Seq("rare"))
+      .as[(Long, Double)].collect().toMap
+    assert(rareOnly(0L) > commonOnly(0L))
+    // contributions compose additively (within the 6dp rounding grid)
+    assert(math.abs(both(0L) - (rareOnly(0L) + commonOnly(0L))) < 2e-6)
+  }
+
+  test("bm25 topK plan: no wide shuffle, top-k via TakeOrderedAndProject") {
+    val plan = Bm25.topK(Tables.documents(spark, sf001), "doc_id", "text",
+      Seq("spark", "dup"), k = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // corpus stats reduce to ONE row (SinglePartition exchange); the
+    // scoring itself must not hash-shuffle the corpus
+    assert(!plan.contains("hashpartitioning"), plan)
+  }
+
+  test("rrf fusion: union of lists, additive reciprocal ranks, absent side contributes 0") {
+    val lex = Seq((10L, 1L), (11L, 2L)).toDF("id", "lex_rank")
+    val dense = Seq((11L, 1L), (12L, 2L)).toDF("id", "dense_rank")
+    val out = Bm25.rrfFuse(lex, dense, "id")
+      .orderBy($"id")
+      .select($"id", $"rrf").as[(Long, Double)].collect().toMap
+    def r(k: Long): Double = 1.0 / (60 + k)
+    assert(out.keySet === Set(10L, 11L, 12L))
+    assert(math.abs(out(10L) - r(1)) < 1e-6)
+    assert(math.abs(out(11L) - (r(2) + r(1))) < 1e-6)
+    assert(math.abs(out(12L) - r(2)) < 1e-6)
+  }
+
+  test("hybrid rrf on the fixture: a doc ranked by both retrievers beats its single-list twin") {
+    val out = graft.queries.RetrievalQueries.queries("q_hybrid_rrf")(spark, sf001)
+      .collect()
+    assert(out.length === 10)
+    // every fused row must carry at least one rank, and rrf must equal
+    // the recomputed reciprocal sum
+    out.foreach { row =>
+      val lex = Option(row.getAs[java.lang.Long]("lex_rank"))
+      val den = Option(row.getAs[java.lang.Long]("dense_rank"))
+      assert(lex.isDefined || den.isDefined)
+      val expect = lex.map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        den.map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      assert(math.abs(row.getAs[Double]("rrf") - expect) < 1e-6)
+    }
+  }
+}

@@ -123,4 +123,103 @@ object Bm25 {
           coalesce(lit(1.0) / (lit(kRrf) + col(lexRank)), lit(0.0)) +
             coalesce(lit(1.0) / (lit(kRrf) + col(denseRank)), lit(0.0)),
           6).as("rrf"))
+
+  // ---- materialized postings index (the SERVING path) ----------------
+  // [[score]] is the one-shot shape: two corpus passes per query. A
+  // served system amortizes the corpus work into a one-time inverted
+  // index; per-query cost then scales with the QUERY's posting lists,
+  // not the corpus — the same build/probe split as graft.ml.AnnIndex.
+
+  /** One-time inverted-index build under `path`:
+    *
+    *  - `postings/` — (doc_id, token, tf), hash-bucketed on the token
+    *    (`pmod(xxhash64(token), nBuckets)`) and partitioned by bucket, so
+    *    a query's terms prune to ≤ |Q| directories before any file
+    *    opens; co-located one-file-per-bucket via repartition (the one
+    *    build-time shuffle, amortized over every probe).
+    *  - `terms/` — (token, df, cf) term statistics, same bucketing.
+    *  - `doclens/` — (doc_id, dl) document lengths.
+    *  - `stats/` — the 1-row (n_docs, total_len) corpus frame.
+    */
+  def buildPostings(docs: DataFrame, idCol: String, textCol: String,
+      path: String, nBuckets: Int = 64): Unit = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(TokenOps.tokenize(col(textCol))).as("token"))
+    val tf = toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val bucket = pmod(xxhash64(col("token")), lit(nBuckets.toLong))
+    graft.sources.PartitionedParquet.write(
+      tf.withColumn("bucket", bucket).repartition(nBuckets, col("bucket")),
+      s"$path/postings", Seq("bucket"))
+    graft.sources.PartitionedParquet.write(
+      tf.groupBy(col("token"))
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+        .withColumn("bucket", bucket)
+        .repartition(nBuckets, col("bucket")),
+      s"$path/terms", Seq("bucket"))
+    docs.select(col(idCol).as("doc_id"),
+        size(TokenOps.tokenize(col(textCol))).as("dl"))
+      .write.mode("overwrite").parquet(s"$path/doclens")
+    corpusStats(docs, textCol, Nil)
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** The buckets a query's terms live in, computed through the SAME
+    * engine expression that wrote them (a local 1-row-per-term job — no
+    * reimplemented hash to drift). */
+  private def termBuckets(spark: org.apache.spark.sql.SparkSession,
+      terms: Seq[String], nBuckets: Int): Seq[Long] = {
+    import spark.implicits._
+    terms.toDF("token")
+      .select(pmod(xxhash64(col("token")), lit(nBuckets.toLong)))
+      .as[Long].collect().toSeq.distinct
+  }
+
+  /** BM25 from the materialized index: reads ONLY the query terms'
+    * bucket partitions (PartitionFilters prune the rest), broadcasts the
+    * query's postings against the doclens scan, and aggregates per-term
+    * partials quantized to an exact 1e-9 integer grid — double summation
+    * order varies with the physical plan, integer sums don't, so the
+    * score is bit-stable across engines and partitionings (the
+    * money-sum discipline). Semantics match [[score]] to ≤1.5e-9 per
+    * term (pre-round). */
+  def scoreFromPostings(spark: org.apache.spark.sql.SparkSession,
+      path: String, terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75, nBuckets: Int = 64): DataFrame = {
+    require(terms.nonEmpty, "BM25 needs at least one query term")
+    val buckets = termBuckets(spark, terms, nBuckets)
+    def pruned(sub: String): DataFrame =
+      graft.sources.PartitionedParquet.read(spark, s"$path/$sub")
+        .filter(col("bucket").isin(buckets: _*) &&
+          col("token").isin(terms: _*))
+    val qp = pruned("postings")
+      .join(broadcast(pruned("terms").select(col("token"), col("df"))),
+        "token")
+    val stats = spark.read.parquet(s"$path/stats")
+    val nDocs = col("n_docs").cast("double")
+    val avgdl = col("total_len").cast("double") / nDocs
+    val (dfD, tfD, dlD) =
+      (col("df").cast("double"), col("tf").cast("double"),
+        col("dl").cast("double"))
+    val idf = log(lit(1.0) + (nDocs - dfD + lit(0.5)) / (dfD + lit(0.5)))
+    val partial = idf * (tfD * lit(k1 + 1.0)) /
+      (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * dlD / avgdl))
+    spark.read.parquet(s"$path/doclens")
+      .join(broadcast(qp), "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        round(partial * lit(1e9)).cast("long").as("pq"))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("pq")).cast("double") / lit(1e9), 6).as("bm25"))
+      .filter(col("bm25") > 0)
+  }
+
+  /** Top-k through the postings index (TakeOrderedAndProject, as
+    * [[topK]]). */
+  def topKFromPostings(spark: org.apache.spark.sql.SparkSession,
+      path: String, terms: Seq[String], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75, nBuckets: Int = 64): DataFrame =
+    scoreFromPostings(spark, path, terms, k1, b, nBuckets)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
 }

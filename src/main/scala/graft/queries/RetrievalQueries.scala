@@ -24,6 +24,22 @@ object RetrievalQueries extends QueryModule {
   private val b = 0.75
   private val topN = 50 // candidate-list bound per retriever before fusion
 
+  /** One postings-index build per (session, dataset); probes then read
+    * pruned bucket partitions (same memoization discipline as
+    * SimilarityQueries.IndexCache: UUID dir per build, weakly
+    * session-keyed, dies with the tmp dir). */
+  private val postingsCache = new graft.util.SessionCache[String]
+  private def postingsIndex(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    postingsCache.getOrElseUpdate(s, d) {
+      val p = sys.props("java.io.tmpdir") + "/graft-index/" +
+        ProcessHandle.current().pid() + "/" +
+        d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+        java.util.UUID.randomUUID().toString + "/bm25-postings"
+      Bm25.buildPostings(Tables.documents(s, d), "doc_id", "text", p)
+      p
+    }
+
   val queries: Map[String, Q] = Map(
     // BM25 top-10: one singleton corpus-stats aggregate, broadcast back,
     // row-local scoring, TakeOrderedAndProject. Zero wide shuffles.
@@ -47,7 +63,23 @@ object RetrievalQueries extends QueryModule {
       Bm25.rrfFuse(lex, dense, "doc_id")
         .orderBy(col("rrf").desc, col("doc_id"))
         .limit(10)
-    })
+    }),
+
+    // Inverted-index build (one-time cost, explicit — the serving path's
+    // amortized corpus work). Output is the full term-statistics table:
+    // deterministic relational content, oracle-checked.
+    "q_postings_build" -> ((s, d) =>
+      graft.sources.PartitionedParquet.read(s, postingsIndex(s, d) + "/terms")
+        .select(col("token"), col("df"), col("cf"))
+        .orderBy(col("token"))),
+
+    // BM25 top-10 served FROM the materialized index: partition-pruned
+    // posting-list read, broadcast against the doclens scan, integer-
+    // quantized partial sums (order-free ⇒ engine- and plan-stable).
+    // Must agree with q_bm25_topk's one-shot scoring to ≤1.5e-9/term.
+    "q_bm25_postings_topk" -> ((s, d) =>
+      Bm25.topKFromPostings(s, postingsIndex(s, d), terms, k = 10,
+        k1 = k1, b = b))
   )
 
   // ---- DuckDB mirrors ------------------------------------------------
@@ -75,17 +107,48 @@ object RetrievalQueries extends QueryModule {
       s"($tf + $k1 * (${1.0 - b} + $b * $dl / $avgdl)) ELSE 0.0 END"
   }
 
-  private val scoredSql: String =
+  private val ctePrefix: String =
     s"""WITH toks AS (SELECT doc_id,
        |  regexp_split_to_array(lower(text), '$wsSql') AS t FROM documents),
-       |stats AS ($statsSql),
+       |stats AS ($statsSql)""".stripMargin
+
+  private val scoredSql: String =
+    s"""$ctePrefix,
        |scored AS (SELECT doc_id, round(
        |  ${terms.zipWithIndex.map((partialSql _).tupled).mkString(" + ")},
        |  6) AS bm25 FROM toks CROSS JOIN stats)""".stripMargin
 
+  // The postings probe's quantized twin: per-term partials rounded onto
+  // an exact 1e-9 integer grid before the (order-free) sum — the same
+  // arithmetic scoreFromPostings does, so the hash compare is immune to
+  // double-summation order.
+  private def partialQuantSql(t: String, i: Int): String =
+    s"CAST(round((${partialSql(t, i)}) * 1000000000.0) AS BIGINT)"
+
+  private val scoredQuantSql: String =
+    s"""$ctePrefix,
+       |scored AS (SELECT doc_id, round(CAST(
+       |  ${terms.zipWithIndex.map((partialQuantSql _).tupled).mkString(" + ")}
+       |  AS DOUBLE) / 1000000000.0, 6) AS bm25 FROM toks CROSS JOIN stats)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_bm25_topk" ->
       s"""$scoredSql
+         |SELECT doc_id, bm25 FROM scored WHERE bm25 > 0
+         |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q_postings_build" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |  unnest(regexp_split_to_array(lower(text), '$wsSql')) AS token
+         |  FROM documents),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+         |       GROUP BY doc_id, token)
+         |SELECT token, CAST(count(*) AS BIGINT) AS df,
+         |       CAST(sum(tf) AS BIGINT) AS cf
+         |FROM tf GROUP BY token ORDER BY token""".stripMargin,
+
+    "q_bm25_postings_topk" ->
+      s"""$scoredQuantSql
          |SELECT doc_id, bm25 FROM scored WHERE bm25 > 0
          |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
 

@@ -75,7 +75,8 @@ class PlanSpec extends SparkSpec {
       // broadcast row is the intended plan (no join key exists) —
       // a query vector / the corpus count for IDF / BM25 corpus stats
       // (q_hybrid_rrf contains both the BM25 and cosine scalar joins)
-      "q_cosine_topk", "q_tfidf_topk", "q_bm25_topk", "q_hybrid_rrf")
+      "q_cosine_topk", "q_tfidf_topk", "q_bm25_topk", "q_hybrid_rrf",
+      "q_bm25_postings_topk")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan =

@@ -76,6 +76,36 @@ class RetrievalSpec extends SparkSpec {
     assert(math.abs(out(12L) - r(2)) < 1e-6)
   }
 
+  test("postings probe equals one-shot scoring on the fixture (ids and 6dp scores)") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25-postings-spec")
+      .toString
+    val fixture = Tables.documents(spark, sf001)
+    Bm25.buildPostings(fixture, "doc_id", "text", dir)
+    val direct = Bm25.topK(fixture, "doc_id", "text", Seq("spark", "dup"),
+      k = 20).as[(Long, Double)].collect()
+    val probe = Bm25.topKFromPostings(spark, dir, Seq("spark", "dup"),
+      k = 20).as[(Long, Double)].collect()
+    assert(probe.map(_._1).toSeq === direct.map(_._1).toSeq)
+    probe.zip(direct).foreach { case ((_, p), (_, d)) =>
+      assert(math.abs(p - d) < 2e-6, s"probe $p vs direct $d")
+    }
+  }
+
+  test("postings probe plan: bucket partitions pruned, postings broadcast, no sort-merge join") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25-postings-plan")
+      .toString
+    Bm25.buildPostings(Tables.documents(spark, sf001), "doc_id", "text", dir)
+    val plan = Bm25.topKFromPostings(spark, dir, Seq("spark", "dup"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // the index build bounded the layout: at most nBuckets=64 postings dirs
+    val dirs = new java.io.File(dir, "postings").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("bucket="))
+    assert(dirs > 0 && dirs <= 64, s"$dirs bucket dirs")
+  }
+
   test("hybrid rrf on the fixture: a doc ranked by both retrievers beats its single-list twin") {
     val out = graft.queries.RetrievalQueries.queries("q_hybrid_rrf")(spark, sf001)
       .collect()

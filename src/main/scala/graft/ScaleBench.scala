@@ -40,7 +40,12 @@ object ScaleBench {
     * this main exists to avoid benching. */
   val queries: Seq[String] = Seq("q_minhash_neardup", "q_ann_neardup_pairs",
     "q_dedup_groups", "q_decontaminate_ngram", "q_decontaminate_ngram_bloom",
-    "q_ivf_topk")
+    "q_ivf_topk",
+    // postings-index probe: the alphabet rotation keeps the query terms'
+    // posting lists ~1× while the corpus grows N× — the pruned-bucket
+    // read should hold near-flat (run 1 carries the memoized N× index
+    // build, min-of-N isolates the probe, same pattern as q_ivf_topk)
+    "q_bm25_postings_topk")
 
   def generate(spark: SparkSession, sfDir: String, outDir: String,
       scale: Int): (Long, Long) = {

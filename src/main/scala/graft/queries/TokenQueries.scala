@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{LangId, TokenOps}
+import graft.operators.{Chunking, LangId, TokenOps}
 
 /** Tokenization + text-analysis relational queries (SURVEY.md §7 step 2):
   * the relational cores of the MLlib fits (IDF document frequency,
@@ -87,6 +87,14 @@ object TokenQueries extends QueryModule {
         .groupBy(col("gram")).agg(count(lit(1)).as("n"))
         .orderBy(col("gram"))
     }),
+
+    // Overlapping token-window chunking (W=64, O=16 — the RAG-ingestion
+    // sibling of q_pack_sequences): row-local closed form, scan-stage,
+    // zero shuffles.
+    "q_chunk_docs" -> ((s, d) =>
+      Chunking.chunk(Tables.documents(s, d), "doc_id", "text",
+          window = 64, overlap = 16)
+        .orderBy(col("doc_id"), col("chunk_id"))),
 
     // Token counting: whitespace + BPE-ish regex.
     "q_token_count" -> ((s, d) =>
@@ -396,6 +404,26 @@ object TokenQueries extends QueryModule {
         |  FOR i IN generate_series(1, len(t) - 1)]) AS gram FROM toks)
         |SELECT gram, CAST(count(*) AS BIGINT) AS n
         |FROM g GROUP BY gram ORDER BY gram""".stripMargin,
+
+    // W=64, O=16, stride 48; last chunk index = floor((n-64+47)/48) for
+    // n > 64 (integer-exact in double) — same closed form as
+    // Chunking.chunk, so boundaries agree token-for-token.
+    "q_chunk_docs" ->
+      s"""WITH toks AS (SELECT doc_id,
+        |  regexp_split_to_array(lower(text), '$wsSql') AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |sized AS (SELECT doc_id, t, len(t) AS n FROM toks),
+        |g AS (SELECT doc_id, unnest([{
+        |    'chunk_id': i,
+        |    'start_token': i*48,
+        |    'n_tokens': least(64, n - i*48),
+        |    'chunk_text': array_to_string(t[i*48+1 : i*48+least(64, n - i*48)], ' ')
+        |  } FOR i IN generate_series(0, CASE WHEN n <= 64 THEN 0
+        |      ELSE CAST(floor((n - 64 + 47) / 48.0) AS BIGINT) END)]) AS c
+        |  FROM sized)
+        |SELECT doc_id, c.chunk_id AS chunk_id, c.start_token AS start_token,
+        |  c.n_tokens AS n_tokens, c.chunk_text AS chunk_text
+        |FROM g ORDER BY doc_id, chunk_id""".stripMargin,
 
     "q_token_count" ->
       s"""SELECT doc_id,

@@ -26,16 +26,14 @@ object RetrievalQueries extends QueryModule {
 
   /** One postings-index build per (session, dataset); probes then read
     * pruned bucket partitions (same memoization discipline as
-    * SimilarityQueries.IndexCache: UUID dir per build, weakly
-    * session-keyed, dies with the tmp dir). */
+    * SimilarityQueries.IndexCache: UUID dir per build —
+    * [[graft.util.IndexPaths]] — weakly session-keyed, dies with the
+    * tmp dir). */
   private val postingsCache = new graft.util.SessionCache[String]
   private def postingsIndex(s: org.apache.spark.sql.SparkSession,
       d: String): String =
     postingsCache.getOrElseUpdate(s, d) {
-      val p = sys.props("java.io.tmpdir") + "/graft-index/" +
-        ProcessHandle.current().pid() + "/" +
-        d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
-        java.util.UUID.randomUUID().toString + "/bm25-postings"
+      val p = graft.util.IndexPaths.fresh(d, "bm25-postings")
       Bm25.buildPostings(Tables.documents(s, d), "doc_id", "text", p)
       p
     }

@@ -33,29 +33,16 @@ object SimilarityQueries extends QueryModule {
     private val hyper = new SessionCache[DataFrame]
     private val hyperQuant = new SessionCache[DataFrame]
     private val ivf = new SessionCache[(DataFrame, Array[Array[Double]])]
-    // Every BUILD gets a fresh UUID directory: the cache is
-    // session-keyed, so two live sessions in one JVM must not build at
-    // the same path (the second's mode-overwrite would delete files the
-    // first's cached frame is still reading) — and identityHashCode
-    // carries no uniqueness guarantee even for live objects. A UUID per
-    // cache-entry build makes collision impossible by construction;
-    // the dir dies with the tmp dir like every other per-run artifact.
-    private def base(d: String): String =
-      sys.props("java.io.tmpdir") + "/graft-index/" +
-        ProcessHandle.current().pid() + "/" +
-        d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
-        java.util.UUID.randomUUID().toString
-
     def hyperplane(s: SparkSession, d: String): DataFrame =
       hyper.getOrElseUpdate(s, d) {
-        val p = base(d) + "/hyperplane"
+        val p = graft.util.IndexPaths.fresh(d, "hyperplane")
         AnnIndex.buildHyperplane(Tables.embeddings(s, d), "vec_id", "embedding", p)
         graft.sources.PartitionedParquet.read(s, p)
       }
 
     def hyperplaneQuantized(s: SparkSession, d: String): DataFrame =
       hyperQuant.getOrElseUpdate(s, d) {
-        val p = base(d) + "/hyperplane-quant"
+        val p = graft.util.IndexPaths.fresh(d, "hyperplane-quant")
         AnnIndex.buildHyperplaneQuantized(
           Tables.embeddings(s, d), "vec_id", "embedding", p)
         graft.sources.PartitionedParquet.read(s, p)
@@ -63,7 +50,7 @@ object SimilarityQueries extends QueryModule {
 
     def ivfIndex(s: SparkSession, d: String): (DataFrame, Array[Array[Double]]) =
       ivf.getOrElseUpdate(s, d) {
-        val p = base(d) + "/ivf"
+        val p = graft.util.IndexPaths.fresh(d, "ivf")
         val centroids = AnnIndex.buildIvf(
           Tables.embeddings(s, d), "vec_id", "embedding", p, nlist = 8)
         (graft.sources.PartitionedParquet.read(s, p), centroids)

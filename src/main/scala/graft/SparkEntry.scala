@@ -20,6 +20,7 @@ object SparkEntry {
     EventQueries,
     SimilarityQueries,
     RetrievalQueries,
+    CorpusQueries,
     MLQueries,
     MultimodalQueries
   )

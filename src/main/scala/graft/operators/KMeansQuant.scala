@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic Lloyd's k-means over embedding columns, computed on an
+  * exact integer micro-grid so the whole fit — init, every assignment,
+  * every centroid update — is bit-reproducible across engines, partition
+  * counts, and physical plans, and therefore DuckDB-oracle-checkable
+  * (unlike [[graft.ml.IvfIndex]]'s MLlib coarse quantizer, whose random
+  * init makes it rows-only by the §2 contract). Corpus clustering is the
+  * backbone of semantic dedup, topic balancing, and IVF cell routing in a
+  * training-data pipeline; an oracle-checkable variant means the engine
+  * can PROVE the clustering, not just produce one.
+  *
+  * Determinism rules (the money-sum discipline, applied to geometry):
+  *
+  *  - Coordinates quantize once to a 1e-6 integer grid
+  *    (`round(x*1e6)::long`) — every distance is then an EXACT integer
+  *    sum of squared diffs: no float summation order to drift.
+  *  - Init is the k vectors with the smallest ids (no RNG).
+  *  - Ties in assignment break to the lowest cluster id.
+  *  - Centroid update divides exact integer sums (`sum(q)/n` as the one
+  *    double op) and re-quantizes HALF_UP back onto the grid — the same
+  *    arithmetic in Spark, on the driver, and in the DuckDB mirror.
+  *  - Empty clusters keep their previous centroid.
+  *
+  * Scale shape: assignment is ROW-LOCAL against driver-broadcast literal
+  * centroids (scan-stage, no shuffle — k·dim longs travel in the plan);
+  * each update is one partial-aggregated `groupBy(cluster, dim)` whose
+  * result is k·dim rows — the canonical distributed-k-means layout where
+  * only centroid-sized state ever reaches the driver. `iters` passes over
+  * the data re-scan the source; callers clustering a hot corpus can
+  * persist the quantized projection, but at 100 TB the re-scan is the
+  * safe default (a blanket cache is the failure mode, not the fix).
+  *
+  * Driver-side exactness bound: integer sums stay exact in the double
+  * division while `Σ|q| < 2^53` per (cluster, dim) — at micro-grid
+  * coordinates ≤ ~1e7 that allows ~1e8 members per cluster; beyond that
+  * shard the update (sum-of-sums stays exact in Long far past there).
+  */
+object KMeansQuant {
+
+  /** Fitted model: `centroids(cluster)(dim)` on the micro-grid. */
+  final case class Model(centroids: Array[Array[Long]]) {
+    def k: Int = centroids.length
+    def dim: Int = if (centroids.isEmpty) 0 else centroids(0).length
+  }
+
+  /** `array<float/double>` → exact micro-grid `array<long>`. */
+  def quantize(vec: Column): Column =
+    transform(vec.cast("array<double>"),
+      x => round(x * lit(1e6)).cast("long"))
+
+  /** Exact squared euclidean distance (integer) to a literal centroid. */
+  private def dist2(vq: Column, centroid: Array[Long]): Column =
+    aggregate(
+      zip_with(vq, array(centroid.map(lit(_)): _*), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** (cluster, dist2) of the nearest centroid — row-local; ties break to
+    * the lowest cluster id via array_position's first-match semantics. */
+  private def nearest(vq: Column, m: Model): (Column, Column) = {
+    val dists = array(m.centroids.map(c => dist2(vq, c)): _*)
+    val best = array_min(dists)
+    ((array_position(dists, best) - 1).cast("long"), best)
+  }
+
+  /** HALF_UP (away-from-zero) long rounding — the same convention as
+    * Spark's `round` and DuckDB's `round`, unlike `math.round` (which
+    * rounds half toward +∞ and would disagree on negatives). */
+  private def roundHalfUp(x: Double): Long =
+    BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
+  /** Lloyd's: deterministic min-id init, then `iters` × (assign →
+    * update). Each update is one k·dim-group aggregation; only
+    * centroid-sized state reaches the driver. */
+  def fit(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): Model = {
+    require(k > 0 && iters >= 0, s"need k>0, iters>=0; got k=$k iters=$iters")
+    val vq = quantize(col(vecCol))
+    val init = emb.select(col(idCol), vq.as("vq"))
+      .orderBy(col(idCol)).limit(k)
+      .collect()
+      .map(_.getSeq[Long](1).toArray)
+    require(init.length == k, s"corpus has ${init.length} rows < k=$k")
+    var model = Model(init)
+    for (_ <- 1 to iters) {
+      val (cluster, _) = nearest(vq, model)
+      val sums = emb
+        .select(cluster.as("cluster"), posexplode(vq).as(Seq("i", "dq")))
+        .groupBy(col("cluster"), col("i"))
+        .agg(sum(col("dq")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = model.centroids.map(_.clone()) // empty cluster → keep old
+      sums.foreach { r =>
+        next(r.getLong(0).toInt)(r.getInt(1)) =
+          roundHalfUp(r.getLong(2).toDouble / r.getLong(3).toDouble)
+      }
+      model = Model(next)
+    }
+    model
+  }
+
+  /** Final assignment: (id, cluster, dist2) — scan-stage row-local math
+    * against the model's literal centroids; no shuffle, no join. */
+  def assign(emb: DataFrame, idCol: String, vecCol: String,
+      m: Model): DataFrame = {
+    val (cluster, d2) = nearest(quantize(col(vecCol)), m)
+    emb.select(col(idCol), cluster.as("cluster"), d2.as("dist2"))
+  }
+
+  /** The model as a (cluster, dim, q) frame — dim is 1-BASED to match
+    * SQL's generate_subscripts convention in the oracle mirror. */
+  def centroidsDF(spark: org.apache.spark.sql.SparkSession,
+      m: Model): DataFrame = {
+    import spark.implicits._
+    m.centroids.zipWithIndex.flatMap { case (c, ci) =>
+      c.zipWithIndex.map { case (q, di) =>
+        (ci.toLong, (di + 1).toLong, q)
+      }
+    }.toSeq.toDF("cluster", "dim", "q")
+  }
+}

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{ColumnOps, VectorFunctions}
+
+/** Deterministic feature-based reranking — the third stage of the
+  * retrieval pipeline (candidate generation → fusion → rerank). Where a
+  * production system would put a cross-encoder model here, this stage is
+  * a fixed linear scorer over exactly-computable features, which keeps
+  * the full retrieve→fuse→rerank pipeline closed-form and
+  * DuckDB-oracle-checkable end-to-end (the model-swap seam is the
+  * `Weights`/feature vector, not the plumbing).
+  *
+  * Features per candidate (all row-local once the bounded candidate list
+  * is joined back to its document and embedding rows):
+  *
+  *  - `bm25 / max(bm25 over candidates)` — lexical score, renormalized
+  *    within the list (a window over ≤tens of rows, not a corpus sort);
+  *  - dense cosine vs the query vector (candidates without an embedding
+  *    row score 0 — the full-outer fusion can surface doc-only ids);
+  *  - query-term overlap ratio (`|{t ∈ Q : t ∈ D}| / |Q|`);
+  *  - a length prior `1 / (1 + ln(1 + |D|))` damping very long documents.
+  *
+  * Scale shape: the candidate list is top-k-bounded by construction, so
+  * every join here broadcasts the CANDIDATES against the corpus scans —
+  * per-query cost is corpus-scan-bounded, never shuffle-bounded; a
+  * served deployment would push the candidate id set into the scans as
+  * an IN-filter the same way the postings probe prunes buckets.
+  */
+object Rerank {
+
+  /** Linear feature weights (must sum to whatever scale you like — the
+    * ranking only needs a fixed order). */
+  final case class Weights(bm25: Double = 0.45, cos: Double = 0.35,
+      overlap: Double = 0.15, len: Double = 0.05)
+
+  /** Rerank a bounded candidate list. `candidates` must carry `idCol`;
+    * a candidate with no matching document row cannot be scored and is
+    * dropped (inner join — mirrored by the oracle). Output:
+    * (`idCol`, rerank) rounded to 6dp, descending, ties → id. */
+  def linear(candidates: DataFrame, docs: DataFrame, embeddings: DataFrame,
+      idCol: String, textCol: String, vecIdCol: String, vecCol: String,
+      queryId: Long, terms: Seq[String], k: Int,
+      w: Weights = Weights()): DataFrame = {
+    require(terms.nonEmpty, "rerank needs query terms")
+    val spark = docs.sparkSession
+    VectorFunctions.register(spark)
+
+    val cand = candidates.select(col(idCol)).distinct()
+
+    // lexical score: the same one-shot BM25 as q_bm25_topk (rounded 6dp
+    // there, so both engines join identical doubles); absent ⇒ 0
+    val lex = Bm25.score(docs, idCol, textCol, terms)
+
+    // dense cosine vs the query row, rounded like the dense retriever;
+    // absent (doc-only candidate, or the query row itself) ⇒ 0
+    val e = embeddings.withColumn("__v", col(vecCol).cast("array<double>"))
+    val q = e.filter(col(vecIdCol) === queryId).select(col("__v").as("__qv"))
+    val cos = e.filter(col(vecIdCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col(vecIdCol).as(idCol),
+        round(Similarity.cosineFast(col("__v"), col("__qv")), 6).as("cos"))
+
+    // row-local document features off one tokenization
+    val (overlapC, lenPriorC) = {
+      val toks = TokenOps.tokenize(col(textCol))
+      val overlap = ColumnOps.bind(toks, t =>
+        terms.map(x => when(array_contains(t, x), 1).otherwise(0))
+          .reduce(_ + _).cast("double") / lit(terms.size.toDouble))
+      val lenPrior = lit(1.0) /
+        (lit(1.0) + log(lit(1.0) + size(toks).cast("double")))
+      (overlap, lenPrior)
+    }
+    val feat = broadcast(cand)
+      .join(docs.select(col(idCol), overlapC.as("overlap"),
+        lenPriorC.as("len_prior")), idCol)
+      .join(lex.withColumnRenamed("bm25", "__bm25"), Seq(idCol), "left")
+      .join(cos, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__bm25"), lit(0.0)).as("bm25"),
+        coalesce(col("cos"), lit(0.0)).as("cos"),
+        col("overlap"), col("len_prior"))
+
+    // renormalize bm25 within the bounded list (unpartitioned window over
+    // ≤k·lists rows — same bounded-window contract as Bm25.ranked)
+    val mx = max(col("bm25")).over(Window.partitionBy())
+    feat
+      .withColumn("rerank", round(
+        lit(w.bm25) * when(mx > 0, col("bm25") / mx).otherwise(lit(0.0)) +
+          lit(w.cos) * col("cos") +
+          lit(w.overlap) * col("overlap") +
+          lit(w.len) * col("len_prior"), 6))
+      .select(col(idCol), col("rerank"))
+      .orderBy(col("rerank").desc, col(idCol))
+      .limit(k)
+  }
+}

@@ -1,0 +1,256 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Bpe, KMeansQuant, TokenOps, UnigramLM}
+
+/** Corpus-modeling operators (SURVEY.md §2.7): deterministic k-means
+  * clustering over `embeddings`, unigram-LM NLL quality scoring over
+  * `documents`, and BPE tokenizer training/encoding — all closed-form
+  * (integer grids, fixed inits, lexicographic tie-breaks), so every
+  * query here is DuckDB-oracle-checked, INCLUDING the iterative ones:
+  * k-means unrolls its Lloyd rounds and BPE its merge rounds as
+  * generated CTE chains, each round textually mirroring the Column
+  * expressions it checks.
+  */
+object CorpusQueries extends QueryModule {
+
+  private val K = 4       // k-means clusters
+  private val ITERS = 2   // Lloyd rounds (assign→update); final assign after
+  private val MERGES = 8  // BPE merge rounds
+
+  /** One k-means fit per (session, dataset) — the fit collects only
+    * centroid-sized state, but runs ITERS+1 jobs; both kmeans queries
+    * share it. */
+  private val modelCache = new graft.util.SessionCache[KMeansQuant.Model]
+  private def model(s: org.apache.spark.sql.SparkSession,
+      d: String): KMeansQuant.Model =
+    modelCache.getOrElseUpdate(s, d) {
+      KMeansQuant.fit(Tables.embeddings(s, d), "vec_id", "embedding",
+        k = K, iters = ITERS)
+    }
+
+  /** One BPE training per (session, dataset) — MERGES bounded
+    * aggregations over the vocabulary-sized symbol table; the merge
+    * table itself is MERGES rows. */
+  private val mergeCache = new graft.util.SessionCache[Seq[Bpe.Merge]]
+  private def merges(s: org.apache.spark.sql.SparkSession,
+      d: String): Seq[Bpe.Merge] =
+    mergeCache.getOrElseUpdate(s, d) {
+      Bpe.train(Tables.documents(s, d), "text", MERGES)._1
+    }
+
+  val queries: Map[String, Q] = Map(
+    // Deterministic Lloyd's on the 1e-6 integer grid: min-id init, 2
+    // assign→update rounds, final row-local assignment vs broadcast
+    // literal centroids. Exact integer distances ⇒ hash-stable.
+    "q_kmeans_assign" -> ((s, d) =>
+      KMeansQuant.assign(Tables.embeddings(s, d), "vec_id", "embedding",
+          model(s, d))
+        .orderBy(col("vec_id"))),
+
+    // The fitted centroids themselves, long-format (cluster, dim, q) on
+    // the micro-grid — k·dim rows, the model as checkable data.
+    "q_kmeans_centroids" -> ((s, d) =>
+      KMeansQuant.centroidsDF(s, model(s, d))
+        .orderBy(col("cluster"), col("dim"))),
+
+    // Unigram-LM mean negative log-likelihood per document (add-one
+    // smoothing, corpus-fit), per-token −ln p quantized to a 1e-9
+    // integer grid before the per-doc sum (summation-order-free).
+    "q_unigram_nll" -> ((s, d) =>
+      UnigramLM.nll(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // BPE round 0: adjacent character-pair counts weighted by word
+    // frequency — the statistic every merge decision reads.
+    "q_bpe_pairs" -> ((s, d) =>
+      Bpe.pairCounts(
+          Bpe.wordFreqs(Tables.documents(s, d), "text")
+            .select(col("word"), col("freq"),
+              Bpe.charSymbols(col("word")).as("syms")))
+        .select(col("left").as("lhs"), col("right").as("rhs"), col("cnt"))
+        .orderBy(col("cnt").desc, col("lhs"), col("rhs"))),
+
+    // The trained merge table (8 rounds; max count, ties lexicographic).
+    // Oracle = 8 unrolled rounds of pair-count→argmax→list_reduce fold.
+    "q_bpe_merges" -> ((s, d) => {
+      import s.implicits._
+      merges(s, d)
+        .map(m => (m.rank.toLong, m.left, m.right, m.count))
+        .toDF("rank", "lhs", "rhs", "cnt")
+        .orderBy(col("rank"))
+    }),
+
+    // Every document encoded through the trained merges — row-local
+    // per-word fold chain, scan-stage, no vocab join.
+    "q_bpe_encode" -> ((s, d) =>
+      Bpe.encode(Tables.documents(s, d), "doc_id", "text", merges(s, d))
+        .select(col("doc_id"), col("n_bpe_tokens"),
+          concat_ws(" ", slice(col("tokens"), 1, 5)).as("head_tokens"))
+        .orderBy(col("doc_id")))
+  )
+
+  // ---- DuckDB mirrors ------------------------------------------------
+
+  private val wsSql = TokenOps.WsRun
+
+  // -- k-means: unrolled Lloyd rounds on the integer micro-grid --------
+
+  /** Assignment CTE `name` of every vector to its nearest centroid in
+    * `cent` — exact integer d2; ties → lowest cluster. */
+  private def assignCte(name: String, cent: String): String =
+    s"""${name}_d AS (
+       |  SELECT d.vec_id, c.cluster, sum((d.q - c.q)*(d.q - c.q)) AS d2
+       |  FROM dims d JOIN $cent c USING (i) GROUP BY d.vec_id, c.cluster),
+       |$name AS (
+       |  SELECT vec_id, cluster, d2 FROM (
+       |    SELECT vec_id, cluster, d2,
+       |           row_number() OVER (PARTITION BY vec_id
+       |                              ORDER BY d2, cluster) AS rn
+       |    FROM ${name}_d) WHERE rn = 1)""".stripMargin
+
+  /** Update CTE `name`: mean of members per (cluster, dim), HALF_UP back
+    * onto the grid; empty clusters keep `prev`'s coordinate. */
+  private def updateCte(name: String, assign: String, prev: String): String =
+    s"""${name}_u AS (
+       |  SELECT a.cluster, d.i,
+       |         CAST(round(CAST(sum(d.q) AS DOUBLE)
+       |                    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS q
+       |  FROM dims d JOIN $assign a USING (vec_id) GROUP BY a.cluster, d.i),
+       |$name AS (
+       |  SELECT p.cluster, p.i, COALESCE(u.q, p.q) AS q
+       |  FROM $prev p LEFT JOIN ${name}_u u
+       |    ON p.cluster = u.cluster AND p.i = u.i)""".stripMargin
+
+  private val kmeansCtes: String = {
+    val rounds = (1 to ITERS).map { i =>
+      assignCte(s"a$i", s"c${i - 1}") + ",\n" +
+        updateCte(s"c$i", s"a$i", s"c${i - 1}")
+    }.mkString(",\n")
+    s"""WITH vq AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding::DOUBLE[],
+       |                        x -> CAST(round(x * 1000000.0) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |dims AS (
+       |  SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS q
+       |  FROM vq),
+       |c0_ids AS (
+       |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster
+       |  FROM (SELECT vec_id FROM vq ORDER BY vec_id LIMIT $K)),
+       |c0 AS (SELECT c.cluster, d.i, d.q
+       |       FROM dims d JOIN c0_ids c USING (vec_id)),
+       |$rounds,
+       |${assignCte("afin", s"c$ITERS")}""".stripMargin
+  }
+
+  // -- BPE: unrolled merge rounds --------------------------------------
+
+  /** Character symbols of a word-list column element (the
+    * `Bpe.charSymbols` mirror), list-wrapped for the fold accumulator. */
+  private def pairCte(name: String, syms: String): String =
+    s"""$name AS (
+       |  SELECT lhs, rhs, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+       |    SELECT freq, unnest(s[1:len(s)-1]) AS lhs, unnest(s[2:len(s)]) AS rhs
+       |    FROM $syms WHERE len(s) >= 2)
+       |  GROUP BY lhs, rhs)""".stripMargin
+
+  /** `Bpe.applyMerge` mirror: left-to-right non-overlapping fold with the
+    * round's (l, r) scalars in scope. Empty symbol lists short-circuit
+    * (list_reduce rejects empty input; Spark's aggregate returns the
+    * init). */
+  private def foldSql(symsExpr: String, l: String, r: String): String =
+    s"""CASE WHEN len($symsExpr) = 0 THEN []
+       | ELSE list_reduce(list_transform($symsExpr, x -> [x]),
+       |   (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = $l AND x[1] = $r
+       |               THEN acc[:len(acc)-1] || [$l || $r]
+       |               ELSE acc || x END) END""".stripMargin.replace("\n", " ")
+
+  /** r0..rN symbol tables + b1..bN best-pair rows, unrolled. */
+  private val bpeCtes: String = {
+    val rounds = (1 to MERGES).map { i =>
+      pairCte(s"p$i", s"r${i - 1}") + ",\n" +
+        s"""b$i AS (SELECT lhs, rhs, cnt FROM p$i
+           |  ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+           |r$i AS (SELECT word, freq,
+           |  ${foldSql("s", s"b$i.lhs", s"b$i.rhs")} AS s
+           |  FROM r${i - 1} CROSS JOIN b$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH words AS (
+       |  SELECT word, count(*) AS freq FROM (
+       |    SELECT unnest(regexp_split_to_array(lower(text), '$wsSql')) AS word
+       |    FROM documents) GROUP BY word),
+       |r0 AS (SELECT word, freq, regexp_extract_all(word, '.') AS s
+       |       FROM words),
+       |$rounds""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q_kmeans_assign" ->
+      s"""$kmeansCtes
+         |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
+         |       CAST(d2 AS BIGINT) AS dist2
+         |FROM afin ORDER BY vec_id""".stripMargin,
+
+    "q_kmeans_centroids" ->
+      s"""$kmeansCtes
+         |SELECT CAST(cluster AS BIGINT) AS cluster, CAST(i AS BIGINT) AS dim,
+         |       CAST(q AS BIGINT) AS q
+         |FROM c$ITERS ORDER BY cluster, dim""".stripMargin,
+
+    "q_unigram_nll" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |         unnest(regexp_split_to_array(lower(text), '$wsSql')) AS token
+         |  FROM documents),
+         |counts AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+         |stats AS (SELECT sum(c) AS n, count(*) AS v FROM counts),
+         |scored AS (
+         |  SELECT t.doc_id,
+         |         CAST(round(-ln(CAST(c + 1 AS DOUBLE)
+         |                        / CAST(n + v AS DOUBLE))
+         |                    * 1000000000.0) AS BIGINT) AS nq
+         |  FROM toks t JOIN counts USING (token) CROSS JOIN stats)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |       round(CAST(sum(nq) AS DOUBLE) / 1000000000.0
+         |             / CAST(count(*) AS DOUBLE), 6) AS nll
+         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_bpe_pairs" ->
+      s"""WITH words AS (
+         |  SELECT word, count(*) AS freq FROM (
+         |    SELECT unnest(regexp_split_to_array(lower(text), '$wsSql')) AS word
+         |    FROM documents) GROUP BY word),
+         |syms AS (SELECT word, freq, regexp_extract_all(word, '.') AS s
+         |         FROM words),
+         |${pairCte("pairs", "syms")}
+         |SELECT lhs, rhs, cnt FROM pairs
+         |ORDER BY cnt DESC, lhs, rhs""".stripMargin,
+
+    "q_bpe_merges" ->
+      s"""$bpeCtes
+         |${(1 to MERGES).map(i =>
+              s"SELECT CAST($i AS BIGINT) AS rank, lhs, rhs, cnt FROM b$i")
+             .mkString("\nUNION ALL\n")}
+         |ORDER BY rank""".stripMargin,
+
+    // Encoding a corpus document ≡ concatenating its words' final symbol
+    // sequences (every corpus word is in the trained vocabulary), so the
+    // mirror joins doc words against the round-$MERGES symbol table
+    // instead of re-nesting the fold 8 levels deep per word.
+    "q_bpe_encode" ->
+      s"""$bpeCtes,
+         |docw AS (
+         |  SELECT doc_id, generate_subscripts(ws, 1) AS wi, unnest(ws) AS word
+         |  FROM (SELECT doc_id,
+         |          regexp_split_to_array(lower(text), '$wsSql') AS ws
+         |        FROM documents)),
+         |enc AS (
+         |  SELECT doc_id, flatten(list(s ORDER BY wi)) AS tokens
+         |  FROM docw JOIN r$MERGES USING (word) GROUP BY doc_id)
+         |SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_bpe_tokens,
+         |       array_to_string(tokens[1:5], ' ') AS head_tokens
+         |FROM enc ORDER BY doc_id""".stripMargin
+  )
+}

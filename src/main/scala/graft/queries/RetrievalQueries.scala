@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Bm25, Similarity, TokenOps}
+import graft.operators.{Bm25, Rerank, Similarity, TokenOps}
 
 /** Hybrid retrieval (SURVEY.md §2.7): BM25 lexical scoring over
   * `documents` + reciprocal-rank fusion with dense cosine retrieval over
@@ -23,6 +23,7 @@ object RetrievalQueries extends QueryModule {
   private val k1 = 1.2
   private val b = 0.75
   private val topN = 50 // candidate-list bound per retriever before fusion
+  private val rerankW = Rerank.Weights() // shared with the oracle mirror
 
   /** One postings-index build per (session, dataset); probes then read
     * pruned bucket partitions (same memoization discipline as
@@ -38,6 +39,25 @@ object RetrievalQueries extends QueryModule {
       p
     }
 
+  /** The retrieve→fuse pipeline, cut to `k` fused candidates — shared by
+    * the fusion query (k=10, the result) and the rerank query (k=20, the
+    * candidate list). */
+  private def fusedTopK(s: org.apache.spark.sql.SparkSession, d: String,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val lex = Bm25.ranked(
+      Bm25.topK(Tables.documents(s, d), "doc_id", "text", terms,
+        k = topN, k1 = k1, b = b),
+      Seq(col("bm25").desc, col("doc_id")), "lex_rank")
+    val dense = Bm25.ranked(
+      Similarity.bruteForceTopK(Tables.embeddings(s, d),
+          "vec_id", "embedding", queryId = 0L, k = topN)
+        .withColumnRenamed("vec_id", "doc_id"),
+      Seq(col("cos").desc, col("doc_id")), "dense_rank")
+    Bm25.rrfFuse(lex, dense, "doc_id")
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(k)
+  }
+
   val queries: Map[String, Q] = Map(
     // BM25 top-10: one singleton corpus-stats aggregate, broadcast back,
     // row-local scoring, TakeOrderedAndProject. Zero wide shuffles.
@@ -48,20 +68,18 @@ object RetrievalQueries extends QueryModule {
     // Hybrid retrieval: top-50 lexical ∪ top-50 dense, fused by
     // reciprocal rank (k=60), top-10 by fused score. Ranks are assigned
     // AFTER the top-k cuts (windows sort ≤50 rows, not a corpus).
-    "q_hybrid_rrf" -> ((s, d) => {
-      val lex = Bm25.ranked(
-        Bm25.topK(Tables.documents(s, d), "doc_id", "text", terms,
-          k = topN, k1 = k1, b = b),
-        Seq(col("bm25").desc, col("doc_id")), "lex_rank")
-      val dense = Bm25.ranked(
-        Similarity.bruteForceTopK(Tables.embeddings(s, d),
-            "vec_id", "embedding", queryId = 0L, k = topN)
-          .withColumnRenamed("vec_id", "doc_id"),
-        Seq(col("cos").desc, col("doc_id")), "dense_rank")
-      Bm25.rrfFuse(lex, dense, "doc_id")
-        .orderBy(col("rrf").desc, col("doc_id"))
-        .limit(10)
-    }),
+    "q_hybrid_rrf" -> ((s, d) => fusedTopK(s, d, 10)),
+
+    // Rerank stage: the fused top-20 rescored by a fixed linear feature
+    // model (renormalized BM25, dense cosine, query-term overlap, length
+    // prior) — the deterministic stand-in for a cross-encoder, keeping
+    // retrieve→fuse→rerank closed-form end-to-end. Bounded candidate
+    // list ⇒ every join broadcasts the candidates.
+    "q_rerank_linear" -> ((s, d) =>
+      Rerank.linear(fusedTopK(s, d, 20),
+        Tables.documents(s, d), Tables.embeddings(s, d),
+        "doc_id", "text", "vec_id", "embedding",
+        queryId = 0L, terms = terms, k = 10, w = rerankW)),
 
     // Inverted-index build (one-time cost, explicit — the serving path's
     // amortized corpus work). Output is the full term-statistics table:
@@ -123,6 +141,28 @@ object RetrievalQueries extends QueryModule {
   private def partialQuantSql(t: String, i: Int): String =
     s"CAST(round((${partialSql(t, i)}) * 1000000000.0) AS BIGINT)"
 
+  /** The full retrieve→fuse CTE chain (toks/stats/scored + lex + dense
+    * cosine + RRF fusion) — the hybrid query reads `fused` directly; the
+    * rerank mirror also reuses `toks`, `scored`, and `cos` for its
+    * features. */
+  private val fusedCtes: String =
+    s"""$scoredSql,
+       |lex AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+       |  FROM (SELECT doc_id, bm25 FROM scored WHERE bm25 > 0
+       |        ORDER BY bm25 DESC, doc_id LIMIT $topN)),
+       |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id <> 0),
+       |cos AS (SELECT vec_id, round(list_dot_product(v, qv)
+       |    / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos
+       |  FROM e CROSS JOIN q),
+       |dense AS (SELECT vec_id AS doc_id, row_number() OVER (ORDER BY cos DESC, vec_id) AS dense_rank
+       |  FROM (SELECT vec_id, cos FROM cos ORDER BY cos DESC, vec_id LIMIT $topN)),
+       |fused AS (SELECT COALESCE(l.doc_id, de.doc_id) AS doc_id,
+       |    l.lex_rank, de.dense_rank,
+       |    round(COALESCE(1.0::DOUBLE / (60 + l.lex_rank), 0.0)
+       |        + COALESCE(1.0::DOUBLE / (60 + de.dense_rank), 0.0), 6) AS rrf
+       |  FROM lex l FULL OUTER JOIN dense de ON l.doc_id = de.doc_id)""".stripMargin
+
   private val scoredQuantSql: String =
     s"""$ctePrefix,
        |scored AS (SELECT doc_id, round(CAST(
@@ -151,23 +191,35 @@ object RetrievalQueries extends QueryModule {
          |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
 
     "q_hybrid_rrf" ->
-      s"""$scoredSql,
-         |lex AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
-         |  FROM (SELECT doc_id, bm25 FROM scored WHERE bm25 > 0
-         |        ORDER BY bm25 DESC, doc_id LIMIT $topN)),
-         |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
-         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id <> 0),
-         |cos AS (SELECT vec_id, round(list_dot_product(v, qv)
-         |    / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos
-         |  FROM e CROSS JOIN q),
-         |dense AS (SELECT vec_id AS doc_id, row_number() OVER (ORDER BY cos DESC, vec_id) AS dense_rank
-         |  FROM (SELECT vec_id, cos FROM cos ORDER BY cos DESC, vec_id LIMIT $topN)),
-         |fused AS (SELECT COALESCE(l.doc_id, de.doc_id) AS doc_id,
-         |    l.lex_rank, de.dense_rank,
-         |    round(COALESCE(1.0::DOUBLE / (60 + l.lex_rank), 0.0)
-         |        + COALESCE(1.0::DOUBLE / (60 + de.dense_rank), 0.0), 6) AS rrf
-         |  FROM lex l FULL OUTER JOIN dense de ON l.doc_id = de.doc_id)
+      s"""$fusedCtes
          |SELECT doc_id, lex_rank, dense_rank, rrf FROM fused
-         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+
+    // Rerank mirror: fused top-20 candidates, features in the same
+    // textual order as Rerank.linear's Column expressions (weights
+    // interpolated from the SAME Weights instance).
+    "q_rerank_linear" ->
+      s"""$fusedCtes,
+         |cand AS (SELECT doc_id FROM fused ORDER BY rrf DESC, doc_id LIMIT 20),
+         |feat AS (SELECT c.doc_id,
+         |    COALESCE(s2.bm25, 0.0) AS bm25,
+         |    COALESCE(co.cos, 0.0) AS cos,
+         |    CAST(${terms.map(t =>
+                 s"(CASE WHEN list_contains(t, '$t') THEN 1 ELSE 0 END)")
+                .mkString(" + ")} AS DOUBLE) / ${terms.size.toDouble} AS overlap,
+         |    1.0 / (1.0 + ln(1.0 + CAST(len(t) AS DOUBLE))) AS len_prior
+         |  FROM cand c
+         |  JOIN toks tk ON c.doc_id = tk.doc_id
+         |  LEFT JOIN (SELECT doc_id, bm25 FROM scored WHERE bm25 > 0) s2
+         |    ON c.doc_id = s2.doc_id
+         |  LEFT JOIN cos co ON c.doc_id = co.vec_id),
+         |mx AS (SELECT max(bm25) AS mb FROM feat)
+         |SELECT doc_id, round(
+         |    ${rerankW.bm25} * (CASE WHEN mb > 0 THEN bm25 / mb ELSE 0.0 END)
+         |  + ${rerankW.cos} * cos
+         |  + ${rerankW.overlap} * overlap
+         |  + ${rerankW.len} * len_prior, 6) AS rerank
+         |FROM feat CROSS JOIN mx
+         |ORDER BY rerank DESC, doc_id LIMIT 10""".stripMargin
   )
 }

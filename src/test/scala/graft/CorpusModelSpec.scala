@@ -1,0 +1,188 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Bpe, KMeansQuant, UnigramLM}
+
+/** Corpus-modeling family (KMeansQuant / UnigramLM / Bpe): closed-form
+  * checks against independent in-memory reimplementations, determinism
+  * under partitioning, and the documented edge semantics (empty
+  * clusters, away-from-zero grid rounding, non-overlapping merge
+  * folds). The fixture-level value checks live in the DuckDB oracles
+  * (CorpusQueries). */
+class CorpusModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- KMeansQuant ----------------------------------------------------
+
+  private def vecs(rows: (Long, Seq[Double])*) =
+    rows.toDF("vec_id", "embedding")
+
+  test("kmeans: every vector lands on its truly nearest centroid (ties to lowest cluster)") {
+    val emb = Tables.embeddings(spark, sf001)
+    val m = KMeansQuant.fit(emb, "vec_id", "embedding", k = 3, iters = 2)
+    val got = KMeansQuant.assign(emb, "vec_id", "embedding", m)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val raw = emb.select($"vec_id",
+        $"embedding".cast("array<double>")).as[(Long, Seq[Double])].collect()
+    assert(raw.nonEmpty)
+    raw.foreach { case (id, v) =>
+      val q = v.map(x => BigDecimal(x * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+      val dists = m.centroids.map(c =>
+        c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum)
+      val best = dists.min
+      assert(got(id)._2 == best, s"vec $id dist2")
+      assert(got(id)._1 == dists.indexOf(best).toLong, s"vec $id cluster")
+    }
+  }
+
+  test("kmeans: fit is partitioning-invariant and rerun-stable") {
+    val emb = Tables.embeddings(spark, sf001)
+    val a = KMeansQuant.fit(emb, "vec_id", "embedding", k = 4, iters = 2)
+    val b = KMeansQuant.fit(emb.repartition(7), "vec_id", "embedding",
+      k = 4, iters = 2)
+    assert(a.centroids.map(_.toSeq).toSeq == b.centroids.map(_.toSeq).toSeq)
+  }
+
+  test("kmeans: an emptied cluster keeps its previous centroid") {
+    // ids 0 and 1 share coordinates -> init centroids are identical; the
+    // tie-break sends every point to cluster 0, so cluster 1 is empty in
+    // every update and must keep its (initial) centroid.
+    val emb = vecs(0L -> Seq(0.0), 1L -> Seq(0.0), 2L -> Seq(10.0))
+    val m = KMeansQuant.fit(emb, "vec_id", "embedding", k = 2, iters = 1)
+    // round 1: every point ties-or-prefers cluster 0, which moves to
+    // mean(0, 0, 10) = 3.333333; cluster 1 had no members and must still
+    // hold its initial coordinate instead of crashing or zeroing.
+    assert(m.centroids(0).toSeq == Seq(3333333L))
+    assert(m.centroids(1).toSeq == Seq(0L))
+  }
+
+  test("kmeans: micro-grid rounds half away from zero (Spark round semantics)") {
+    val emb = vecs(0L -> Seq(-0.0000005), 1L -> Seq(0.0000015))
+    val m = KMeansQuant.fit(emb, "vec_id", "embedding", k = 2, iters = 0)
+    assert(m.centroids(0).toSeq == Seq(-1L))
+    assert(m.centroids(1).toSeq == Seq(2L))
+  }
+
+  // ---- UnigramLM ------------------------------------------------------
+
+  test("unigram nll matches the closed form on a tiny corpus") {
+    val docs = Seq((0L, "a a b"), (1L, "b c")).toDF("doc_id", "text")
+    // counts: a=2 b=2 c=1, N=5, V=3; p = (c+1)/(N+V)
+    def nq(c: Long) = math.round(-math.log((c + 1).toDouble / 8.0) * 1e9)
+    val expect = Map(
+      0L -> BigDecimal((nq(2) * 3).toDouble / 1e9 / 3.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      1L -> BigDecimal((nq(2) + nq(1)).toDouble / 1e9 / 2.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val got = UnigramLM.nll(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(got == expect)
+  }
+
+  test("unigram nll is partitioning-invariant (integer-grid sums)") {
+    val docs = Tables.documents(spark, sf001)
+    val a = UnigramLM.nll(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val b = UnigramLM.nll(docs.repartition(13), "doc_id", "text")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("unigram nll ranks a corpus-typical doc below an atypical one") {
+    val docs = Seq(
+      (0L, "the the the the the the the the"),
+      (1L, "zzz qqq xxx www")).toDF("doc_id", "text")
+    val got = UnigramLM.nll(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(got(0L) < got(1L))
+  }
+
+  // ---- Bpe ------------------------------------------------------------
+
+  /** Independent in-memory BPE (plain Scala) for cross-checking. */
+  private object RefBpe {
+    def pairs(words: Map[String, Long],
+        syms: Map[String, Vector[String]]): Map[(String, String), Long] =
+      words.toSeq.flatMap { case (w, f) =>
+        syms(w).sliding(2).filter(_.size == 2).map(p => (p(0), p(1)) -> f)
+      }.groupMapReduce(_._1)(_._2)(_ + _)
+
+    def merge(s: Vector[String], l: String, r: String): Vector[String] =
+      s.foldLeft(Vector.empty[String]) { (out, c) =>
+        if (out.nonEmpty && out.last == l && c == r)
+          out.init :+ (l + r)
+        else out :+ c
+      }
+
+    def train(words: Map[String, Long],
+        n: Int): (Seq[(String, String, Long)], Map[String, Vector[String]]) = {
+      var syms = words.keys.map(w => w -> w.split("").filter(_.nonEmpty).toVector).toMap
+      val out = Seq.newBuilder[(String, String, Long)]
+      for (_ <- 1 to n) {
+        val p = pairs(words, syms)
+        if (p.nonEmpty) {
+          val ((l, r), c) = p.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+          out += ((l, r, c))
+          syms = syms.map { case (w, s) => w -> merge(s, l, r) }
+        }
+      }
+      (out.result(), syms)
+    }
+  }
+
+  test("bpe merge fold is left-to-right non-overlapping") {
+    val df = Seq(Tuple1(Seq("a", "a", "a", "b"))).toDF("syms")
+    val got = df.select(Bpe.applyMerge($"syms", "a", "a")).as[Seq[String]].head()
+    assert(got == Seq("aa", "a", "b"))
+  }
+
+  test("bpe training matches an independent in-memory implementation") {
+    val docs = Seq((0L, "low low low lower lower newest newest widest est"))
+      .toDF("doc_id", "text")
+    val words = Map("low" -> 3L, "lower" -> 2L, "newest" -> 2L,
+      "widest" -> 1L, "est" -> 1L)
+    val (expect, expectSyms) = RefBpe.train(words, 6)
+    val (got, gotSymsDf) = Bpe.train(docs, "text", 6)
+    assert(got.map(m => (m.left, m.right, m.count)) == expect)
+    val gotSyms = gotSymsDf.select($"word", $"syms")
+      .as[(String, Seq[String])].collect().toMap
+    assert(gotSyms.view.mapValues(_.toVector).toMap == expectSyms)
+  }
+
+  test("bpe training on the fixture matches the reference implementation") {
+    val docs = Tables.documents(spark, sf001)
+    val words = Bpe.wordFreqs(docs, "text")
+      .as[(String, Long)].collect().toMap
+    val (expect, _) = RefBpe.train(words, 8)
+    val (got, _) = Bpe.train(docs, "text", 8)
+    assert(got.size == 8, "fixture corpus must sustain 8 merge rounds " +
+      "(the unrolled oracle SQL assumes it)")
+    assert(got.map(m => (m.left, m.right, m.count)) == expect)
+  }
+
+  test("bpe encoding reconstructs each word's characters") {
+    val docs = Tables.documents(spark, sf001).limit(50)
+    val (merges, _) = Bpe.train(docs, "text", 8)
+    val enc = Bpe.encode(docs, "doc_id", "text", merges)
+      .select($"doc_id", $"tokens").as[(Long, Seq[String])].collect().toMap
+    val texts = docs.select($"doc_id", $"text").as[(Long, String)].collect()
+    assert(texts.nonEmpty)
+    texts.foreach { case (id, t) =>
+      assert(enc(id).mkString == t.toLowerCase.split("\\s+", -1).mkString,
+        s"doc $id")
+    }
+  }
+
+  test("bpe encoding strictly shortens tokenization as merges accumulate") {
+    val docs = Tables.documents(spark, sf001).limit(50)
+    val (merges, _) = Bpe.train(docs, "text", 8)
+    def total(ms: Seq[Bpe.Merge]): Long =
+      Bpe.encode(docs, "doc_id", "text", ms)
+        .agg(sum($"n_bpe_tokens")).as[Long].head()
+    val chars = total(Nil)
+    val merged = total(merges)
+    assert(merged < chars, s"8 merges should compress ($merged vs $chars)")
+  }
+}

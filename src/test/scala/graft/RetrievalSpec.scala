@@ -121,4 +121,44 @@ class RetrievalSpec extends SparkSpec {
       assert(math.abs(row.getAs[Double]("rrf") - expect) < 1e-6)
     }
   }
+
+  test("rerank: scores bounded by the weight mass; ranking is deterministic") {
+    val out = graft.queries.RetrievalQueries.queries("q_rerank_linear")(spark, sf001)
+      .as[(Long, Double)].collect()
+    assert(out.length === 10)
+    val w = graft.operators.Rerank.Weights()
+    val mass = w.bm25 + w.cos + w.overlap + w.len
+    out.foreach { case (_, s) => assert(s >= 0.0 && s <= mass + 1e-9, s) }
+    // descending with id tie-break — the engine-portable order contract
+    assert(out.sortBy { case (id, s) => (-s, id) }.toSeq === out.toSeq)
+    val again = graft.queries.RetrievalQueries.queries("q_rerank_linear")(spark, sf001)
+      .as[(Long, Double)].collect()
+    assert(again.toSeq === out.toSeq)
+  }
+
+  test("rerank: a candidate with no document row is dropped; missing sides score 0") {
+    val cands = Seq(Tuple1(0L), Tuple1(1L), Tuple1(99L)).toDF("doc_id")
+    val embs = Seq((7L, Seq(1.0, 0.0)), (1L, Seq(0.6, 0.8)))
+      .toDF("vec_id", "embedding")
+    val out = graft.operators.Rerank.linear(cands, docs, embs,
+      "doc_id", "text", "vec_id", "embedding",
+      queryId = 7L, terms = Seq("spark"), k = 10)
+      .as[(Long, Double)].collect().toMap
+    // 99 has no document row -> dropped; 0 has no embedding -> cos
+    // contributes 0, so despite holding the max bm25 it loses to 1,
+    // whose cos=0.6 outweighs the normalized-bm25 gap
+    assert(out.keySet === Set(0L, 1L))
+    assert(out(1L) > out(0L))
+    val w = graft.operators.Rerank.Weights()
+    // doc 1: bm25_norm vs doc 0's max, cos exactly 0.6, overlap 1, plus
+    // length prior — recompute the closed form
+    val scores = Bm25.score(docs, "doc_id", "text", Seq("spark"))
+      .as[(Long, Double)].collect().toMap
+    val lenPrior = 1.0 / (1.0 + math.log(1.0 + 5.0))
+    val expect1 = BigDecimal(
+      w.bm25 * (scores(1L) / scores(0L)) + w.cos * 0.6 +
+        w.overlap * 1.0 + w.len * lenPrior)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(out(1L) - expect1) < 2e-6, s"${out(1L)} vs $expect1")
+  }
 }

@@ -51,14 +51,22 @@ object Rerank {
     val cand = candidates.select(col(idCol)).distinct()
 
     // lexical score: the same one-shot BM25 as q_bm25_topk (rounded 6dp
-    // there, so both engines join identical doubles); absent ⇒ 0
+    // there, so both engines join identical doubles); absent ⇒ 0.
+    // Restricted to the candidate list FIRST (broadcast inner join) so
+    // the later left-outer join has a bounded, broadcastable right side
+    // — left-outer can only build right, and building a corpus-sized
+    // right side would sort-merge the corpus at scale.
     val lex = Bm25.score(docs, idCol, textCol, terms)
+      .join(broadcast(cand), Seq(idCol))
 
     // dense cosine vs the query row, rounded like the dense retriever;
-    // absent (doc-only candidate, or the query row itself) ⇒ 0
+    // absent (doc-only candidate, or the query row itself) ⇒ 0. Same
+    // candidate-first restriction: cosine is only computed for the ≤k
+    // candidate vectors, not the corpus.
     val e = embeddings.withColumn("__v", col(vecCol).cast("array<double>"))
     val q = e.filter(col(vecIdCol) === queryId).select(col("__v").as("__qv"))
     val cos = e.filter(col(vecIdCol) =!= queryId)
+      .join(broadcast(cand.withColumnRenamed(idCol, vecIdCol)), Seq(vecIdCol))
       .crossJoin(broadcast(q))
       .select(col(vecIdCol).as(idCol),
         round(Similarity.cosineFast(col("__v"), col("__qv")), 6).as("cos"))
@@ -76,8 +84,9 @@ object Rerank {
     val feat = broadcast(cand)
       .join(docs.select(col(idCol), overlapC.as("overlap"),
         lenPriorC.as("len_prior")), idCol)
-      .join(lex.withColumnRenamed("bm25", "__bm25"), Seq(idCol), "left")
-      .join(cos, Seq(idCol), "left")
+      .join(broadcast(lex.withColumnRenamed("bm25", "__bm25")),
+        Seq(idCol), "left")
+      .join(broadcast(cos), Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("__bm25"), lit(0.0)).as("bm25"),
         coalesce(col("cos"), lit(0.0)).as("cos"),

@@ -76,7 +76,11 @@ class PlanSpec extends SparkSpec {
       // a query vector / the corpus count for IDF / BM25 corpus stats
       // (q_hybrid_rrf contains both the BM25 and cosine scalar joins)
       "q_cosine_topk", "q_tfidf_topk", "q_bm25_topk", "q_hybrid_rrf",
-      "q_bm25_postings_topk")
+      "q_bm25_postings_topk",
+      // same 1-row scalar-join shape: the (N, V) corpus-stats row for
+      // the smoothed unigram probabilities / the BM25-stats + query-
+      // vector rows inside the rerank's feature computation
+      "q_unigram_nll", "q_rerank_linear")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan =
@@ -89,6 +93,40 @@ class PlanSpec extends SparkSpec {
     }
     assert(failures.isEmpty,
       failures.map { case (n, p) => s"$n:\n$p" }.mkString("\n\n"))
+  }
+
+  test("q_kmeans_assign is row-local against literal centroids — no join, no wide shuffle") {
+    val plan = formatted("q_kmeans_assign")
+    assert(!plan.contains("Join"), s"assignment must not join:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"assignment must not key-shuffle (only the output sort may range-partition):\n$plan")
+  }
+
+  test("q_bpe_encode folds merges in the scan stage — no join, no key shuffle") {
+    val plan = formatted("q_bpe_encode")
+    assert(!plan.contains("Join"), s"encode must not join a vocab table:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"encode must stay row-local:\n$plan")
+  }
+
+  test("q_unigram_nll partial-aggregates token counts (map-side combine)") {
+    val plan = formatted("q_unigram_nll")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected partial+final count aggregation:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"token->counts join should stay hash-based at this scale:\n$plan")
+  }
+
+  test("q_rerank_linear broadcasts the bounded candidate list — never sort-merges a corpus side") {
+    val plan = formatted("q_rerank_linear")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the only sort-merge allowed is the upstream RRF fusion's full-outer
+    // over two ≤50-row candidate lists (full-outer cannot broadcast);
+    // every feature join must broadcast the candidate-bounded side
+    val smj = "SortMergeJoin (\\w+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(smj.forall(_ == "FullOuter"),
+      s"non-fusion sort-merge join crept in ($smj):\n$plan")
   }
 
   test("q_embed_norm prunes the scan to the two referenced columns") {

@@ -45,7 +45,13 @@ object ScaleBench {
     // posting lists ~1× while the corpus grows N× — the pruned-bucket
     // read should hold near-flat (run 1 carries the memoized N× index
     // build, min-of-N isolates the probe, same pattern as q_ivf_topk)
-    "q_bm25_postings_topk")
+    "q_bm25_postings_topk",
+    // corpus-modeling family (round 14): kmeans assignment is a
+    // row-local scan (run 1 carries the memoized fit — ITERS+1 extra
+    // passes); unigram NLL is explode + vocab join (vocab grows ~N×
+    // under the rotation — the realistic case); BPE encode is a
+    // row-local fold chain (run 1 carries the memoized merge training)
+    "q_kmeans_assign", "q_unigram_nll", "q_bpe_encode")
 
   def generate(spark: SparkSession, sfDir: String, outDir: String,
       scale: Int): (Long, Long) = {

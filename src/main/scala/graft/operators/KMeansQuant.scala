@@ -110,6 +110,36 @@ object KMeansQuant {
     emb.select(col(idCol), cluster.as("cluster"), d2.as("dist2"))
   }
 
+  /** IVF ANN serving through the deterministic model: rank cells by
+    * exact integer distance of the query's quantized vector to each
+    * centroid (driver-side — k cells), then exact-cosine top-k among the
+    * vectors of the `nprobe` nearest cells only. The cell filter is
+    * row-local (no join — the same literal-centroid assignment as
+    * [[assign]]), so the probe reads the corpus once and ranks
+    * ~nprobe/k of it; a served layout would partition storage BY cell
+    * and skip the rest entirely (`graft.ml.IvfIndex`'s layout, with a
+    * provable quantizer). Fully deterministic ⇒ oracle-checkable,
+    * unlike the MLlib-fit IVF family. */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, m: Model,
+      queryId: Long, k: Int, nprobe: Int): DataFrame = {
+    graft.functions.VectorFunctions.register(emb.sparkSession)
+    val qQuant = emb.filter(col(idCol) === queryId)
+      .select(quantize(col(vecCol))).head().getSeq[Long](0).toArray
+    val cells = m.centroids.zipWithIndex.map { case (c, i) =>
+      (i.toLong, c.zip(qQuant).map { case (a, b) => (a - b) * (a - b) }.sum)
+    }.sortBy { case (i, d2) => (d2, i) }.take(nprobe).map(_._1).toSeq
+    val (cluster, _) = nearest(quantize(col(vecCol)), m)
+    val q = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol).cast("array<double>").as("__qv"))
+    emb.filter(col(idCol) =!= queryId)
+      .filter(cluster.isin(cells: _*))
+      .crossJoin(broadcast(q))
+      .select(col(idCol), round(Similarity.cosineFast(
+        col(vecCol).cast("array<double>"), col("__qv")), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
   /** The model as a (cluster, dim, q) frame — dim is 1-BASED to match
     * SQL's generate_subscripts convention in the oracle mirror. */
   def centroidsDF(spark: org.apache.spark.sql.SparkSession,

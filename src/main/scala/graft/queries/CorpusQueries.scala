@@ -55,6 +55,13 @@ object CorpusQueries extends QueryModule {
       KMeansQuant.centroidsDF(s, model(s, d))
         .orderBy(col("cluster"), col("dim"))),
 
+    // IVF ANN through the deterministic quantizer: 2 of 4 cells probed
+    // (ranked by exact integer centroid distance), exact cosine among
+    // the probed cells' vectors. The provable sibling of q_ivf_topk.
+    "q_ivf_kmeans_topk" -> ((s, d) =>
+      KMeansQuant.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        model(s, d), queryId = 0L, k = 10, nprobe = 2)),
+
     // Unigram-LM mean negative log-likelihood per document (add-one
     // smoothing, corpus-fit), per-token −ln p quantized to a 1e-9
     // integer grid before the per-doc sum (summation-order-free).
@@ -198,6 +205,30 @@ object CorpusQueries extends QueryModule {
          |SELECT CAST(cluster AS BIGINT) AS cluster, CAST(i AS BIGINT) AS dim,
          |       CAST(q AS BIGINT) AS q
          |FROM c$ITERS ORDER BY cluster, dim""".stripMargin,
+
+    "q_ivf_kmeans_topk" ->
+      s"""$kmeansCtes,
+         |qv AS (SELECT v FROM vq WHERE vec_id = 0),
+         |qd AS (SELECT generate_subscripts(v, 1) AS i, unnest(v) AS q
+         |       FROM qv),
+         |cellrank AS (
+         |  SELECT c.cluster, sum((c.q - d.q)*(c.q - d.q)) AS d2
+         |  FROM c$ITERS c JOIN qd d USING (i) GROUP BY c.cluster),
+         |probecells AS (SELECT cluster FROM cellrank
+         |               ORDER BY d2, cluster LIMIT 2),
+         |qe AS (SELECT embedding::DOUBLE[] AS qdv FROM embeddings
+         |       WHERE vec_id = 0),
+         |cands AS (
+         |  SELECT e.vec_id, e.embedding::DOUBLE[] AS v
+         |  FROM embeddings e
+         |  JOIN afin a ON e.vec_id = a.vec_id
+         |  JOIN probecells p ON a.cluster = p.cluster
+         |  WHERE e.vec_id <> 0)
+         |SELECT vec_id, round(list_dot_product(v, qdv)
+         |    / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qdv, qdv))),
+         |    6) AS cos
+         |FROM cands CROSS JOIN qe
+         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
 
     "q_unigram_nll" ->
       s"""WITH toks AS (

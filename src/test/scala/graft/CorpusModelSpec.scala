@@ -64,6 +64,29 @@ class CorpusModelSpec extends SparkSpec {
     assert(m.centroids(1).toSeq == Seq(2L))
   }
 
+  test("kmeans ivf: probing every cell equals brute-force top-k") {
+    val emb = Tables.embeddings(spark, sf001)
+    val m = KMeansQuant.fit(emb, "vec_id", "embedding", k = 3, iters = 2)
+    val all = KMeansQuant.ivfTopK(emb, "vec_id", "embedding", m,
+      queryId = 0L, k = 10, nprobe = 3).as[(Long, Double)].collect().toSeq
+    val brute = operators.Similarity.bruteForceTopK(emb, "vec_id",
+      "embedding", queryId = 0L, k = 10).as[(Long, Double)].collect().toSeq
+    assert(all == brute && all.size == 10)
+  }
+
+  test("kmeans ivf: fewer probes return a subset of the full probe's candidate set") {
+    val emb = Tables.embeddings(spark, sf001)
+    val n = emb.count().toInt // uncut: k >= corpus so the cell filter is
+                              // the only thing separating the probes
+    val m = KMeansQuant.fit(emb, "vec_id", "embedding", k = 4, iters = 2)
+    def ids(nprobe: Int) = KMeansQuant.ivfTopK(emb, "vec_id", "embedding",
+      m, queryId = 0L, k = n, nprobe = nprobe)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    val all = ids(4)
+    assert(all.size == n - 1, s"full probe covers all but the query row")
+    assert(ids(2).subsetOf(all) && ids(2).size < all.size)
+  }
+
   // ---- UnigramLM ------------------------------------------------------
 
   test("unigram nll matches the closed form on a tiny corpus") {

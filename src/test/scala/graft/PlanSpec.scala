@@ -79,8 +79,9 @@ class PlanSpec extends SparkSpec {
       "q_bm25_postings_topk",
       // same 1-row scalar-join shape: the (N, V) corpus-stats row for
       // the smoothed unigram probabilities / the BM25-stats + query-
-      // vector rows inside the rerank's feature computation
-      "q_unigram_nll", "q_rerank_linear")
+      // vector rows inside the rerank's feature computation / the
+      // query vector against the kmeans-IVF probed cells
+      "q_unigram_nll", "q_rerank_linear", "q_ivf_kmeans_topk")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan =

@@ -69,6 +69,27 @@ object CorpusQueries extends QueryModule {
       UnigramLM.nll(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // Mergeable Misra-Gries heavy hitters: per-source summaries
+    // (precompute; O(capacity) state per group, map-side combined),
+    // rolled up by heavy_hitters_merge WITHOUT re-scanning raw tokens —
+    // the frequency sibling of q_hll_rollup. Retained-set/est depend on
+    // partitioning (the est<=true<=est+maxerr guarantee does not) ⇒
+    // rows-only; HeavyHittersSpec proves the guarantees vs exact counts.
+    "q_heavy_hitters" -> ((s, d) => {
+      graft.functions.HeavyHitters.register(s)
+      Tables.documents(s, d)
+        .select(col("source"), explode(TokenOps.tokenize(col("text"))).as("token"))
+        .groupBy(col("source"))
+        .agg(graft.functions.HeavyHitters
+          .heavy_hitters(col("token"), 32).as("hh"))
+        .agg(graft.functions.HeavyHitters
+          .heavy_hitters_merge(col("hh")).as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.item").as("item"), col("e.est").as("est"),
+          col("e.maxerr").as("maxerr"))
+        .orderBy(col("est").desc, col("item"))
+    }),
+
     // BPE round 0: adjacent character-pair counts weighted by word
     // frequency — the statistic every merge decision reads.
     "q_bpe_pairs" -> ((s, d) =>

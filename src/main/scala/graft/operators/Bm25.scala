@@ -164,6 +164,82 @@ object Bm25 {
       .write.mode("overwrite").parquet(s"$path/stats")
   }
 
+  /** Incremental index maintenance: fold a batch of NEW documents into
+    * an existing [[buildPostings]] layout without rebuilding from raw
+    * data — the serving path's answer to a continuously-ingesting
+    * corpus. Every index component is mergeable by construction:
+    *
+    *  - `postings/` — the new docs' (doc_id, token, tf) rows APPEND into
+    *    their bucket partitions (each touched bucket gains a file;
+    *    periodic [[graft.sources.Compaction]] restores
+    *    one-file-per-bucket — the standard LSM-ish append/compact
+    *    split);
+    *  - `terms/` — df/cf are ADDITIVE, so old ∪ delta re-aggregates the
+    *    vocabulary-sized stats table (never the corpus);
+    *  - `doclens/` — append;
+    *  - `stats/` — additive 1-row rewrite.
+    *
+    * The re-aggregated tables land via tmp-dir + rename (never
+    * read-and-overwrite the same path — Spark reads lazily, so an
+    * in-place overwrite would delete its own input mid-scan). Caller
+    * contract: `newDocs` ids are NOT already indexed (dedup is the
+    * ingestion pipeline's job — [[graft.streaming.Incremental]]'s
+    * exactly-once manifest or [[Dedup]] upstream); re-adding an id
+    * double-counts it everywhere, same as feeding it to
+    * [[buildPostings]] twice. Probes over the appended index are
+    * bit-identical to a from-scratch build (specced): integer tf/df/cf
+    * merge exactly, and scoring quantizes per-term partials before
+    * summing. */
+  def appendPostings(newDocs: DataFrame, idCol: String, textCol: String,
+      path: String, nBuckets: Int = 64): Unit = {
+    val spark = newDocs.sparkSession
+    val toks = newDocs.select(col(idCol).as("doc_id"),
+      explode(TokenOps.tokenize(col(textCol))).as("token"))
+    val tf = toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val bucket = pmod(xxhash64(col("token")), lit(nBuckets.toLong))
+    tf.withColumn("bucket", bucket).repartition(nBuckets, col("bucket"))
+      .write.mode("append").partitionBy("bucket")
+      .parquet(s"$path/postings")
+    val deltaTerms = tf.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+    val mergedTerms = graft.sources.PartitionedParquet
+      .read(spark, s"$path/terms")
+      .select(col("token"), col("df"), col("cf"))
+      .unionAll(deltaTerms)
+      .groupBy(col("token"))
+      .agg(sum(col("df")).as("df"), sum(col("cf")).as("cf"))
+      .withColumn("bucket", bucket)
+      .repartition(nBuckets, col("bucket"))
+    replaceDir(spark, s"$path/terms") { tmp =>
+      graft.sources.PartitionedParquet.write(mergedTerms, tmp, Seq("bucket"))
+    }
+    newDocs.select(col(idCol).as("doc_id"),
+        size(TokenOps.tokenize(col(textCol))).as("dl"))
+      .write.mode("append").parquet(s"$path/doclens")
+    val mergedStats = spark.read.parquet(s"$path/stats")
+      .unionAll(corpusStats(newDocs, textCol, Nil))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("total_len")).as("total_len"))
+    replaceDir(spark, s"$path/stats")(tmp =>
+      mergedStats.write.mode("overwrite").parquet(tmp))
+  }
+
+  /** Materialize a replacement for `dir` in a sibling tmp path, then
+    * swap via delete + rename — the read-side of the computation may
+    * scan `dir` lazily, so the write must never target it directly. */
+  private def replaceDir(spark: org.apache.spark.sql.SparkSession,
+      dir: String)(write: String => Unit): Unit = {
+    val tmp = dir + ".tmp-" + java.util.UUID.randomUUID()
+    write(tmp)
+    val hc = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(hc)
+    fs.delete(p, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), p),
+      s"rename $tmp -> $dir failed; index left in tmp")
+  }
+
   /** The buckets a query's terms live in, computed through the SAME
     * engine expression that wrote them (a local 1-row-per-term job — no
     * reimplemented hash to drift). */

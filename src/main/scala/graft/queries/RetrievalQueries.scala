@@ -58,6 +58,23 @@ object RetrievalQueries extends QueryModule {
       .limit(k)
   }
 
+  /** The same layout built INCREMENTALLY: even doc_ids as the base
+    * build, odd doc_ids folded in by `appendPostings` — the serving
+    * path's continuous-ingestion shape. Shares q_postings_build's
+    * oracle SQL: the merged index must equal a full-corpus build. */
+  private val incrCache = new graft.util.SessionCache[String]
+  private def incrementalIndex(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    incrCache.getOrElseUpdate(s, d) {
+      val p = graft.util.IndexPaths.fresh(d, "bm25-postings-incr")
+      val docs = Tables.documents(s, d)
+      Bm25.buildPostings(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", p)
+      Bm25.appendPostings(docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", p)
+      p
+    }
+
   val queries: Map[String, Q] = Map(
     // BM25 top-10: one singleton corpus-stats aggregate, broadcast back,
     // row-local scoring, TakeOrderedAndProject. Zero wide shuffles.
@@ -88,6 +105,23 @@ object RetrievalQueries extends QueryModule {
       graft.sources.PartitionedParquet.read(s, postingsIndex(s, d) + "/terms")
         .select(col("token"), col("df"), col("cf"))
         .orderBy(col("token"))),
+
+    // The incrementally-maintained index's term table: base build on
+    // even ids + appendPostings of the odd ids. Checked against the
+    // SAME full-corpus oracle as q_postings_build — additive df/cf
+    // merge must be indistinguishable from a from-scratch build.
+    "q_postings_incremental" -> ((s, d) =>
+      graft.sources.PartitionedParquet
+        .read(s, incrementalIndex(s, d) + "/terms")
+        .select(col("token"), col("df"), col("cf"))
+        .orderBy(col("token"))),
+
+    // BM25 top-10 served FROM the incrementally-built index — the probe
+    // path over appended bucket partitions (each touched bucket has a
+    // base + delta file), quantized-sum oracle as q_bm25_postings_topk.
+    "q_bm25_incr_topk" -> ((s, d) =>
+      Bm25.topKFromPostings(s, incrementalIndex(s, d), terms, k = 10,
+        k1 = k1, b = b)),
 
     // BM25 top-10 served FROM the materialized index: partition-pruned
     // posting-list read, broadcast against the doclens scan, integer-
@@ -186,6 +220,23 @@ object RetrievalQueries extends QueryModule {
          |FROM tf GROUP BY token ORDER BY token""".stripMargin,
 
     "q_bm25_postings_topk" ->
+      s"""$scoredQuantSql
+         |SELECT doc_id, bm25 FROM scored WHERE bm25 > 0
+         |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
+
+    // incremental build vs the same full-corpus mirrors: the append
+    // path must be indistinguishable from a from-scratch build
+    "q_postings_incremental" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |  unnest(regexp_split_to_array(lower(text), '$wsSql')) AS token
+         |  FROM documents),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+         |       GROUP BY doc_id, token)
+         |SELECT token, CAST(count(*) AS BIGINT) AS df,
+         |       CAST(sum(tf) AS BIGINT) AS cf
+         |FROM tf GROUP BY token ORDER BY token""".stripMargin,
+
+    "q_bm25_incr_topk" ->
       s"""$scoredQuantSql
          |SELECT doc_id, bm25 FROM scored WHERE bm25 > 0
          |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,

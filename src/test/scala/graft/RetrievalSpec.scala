@@ -122,6 +122,36 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("incremental postings append is indistinguishable from a from-scratch build") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-incr").toString
+    val full = s"$base/full"; val incr = s"$base/incr"
+    val corpus = Tables.documents(spark, sf001)
+    Bm25.buildPostings(corpus, "doc_id", "text", full, nBuckets = 8)
+    Bm25.buildPostings(corpus.filter($"doc_id" % 2 === 0),
+      "doc_id", "text", incr, nBuckets = 8)
+    Bm25.appendPostings(corpus.filter($"doc_id" % 2 === 1),
+      "doc_id", "text", incr, nBuckets = 8)
+    def terms(p: String) = graft.sources.PartitionedParquet
+      .read(spark, s"$p/terms")
+      .select($"token", $"df", $"cf").orderBy($"token")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(terms(incr) === terms(full))
+    def probe(p: String) = Bm25.topKFromPostings(spark, p,
+      Seq("spark", "window", "dup"), k = 10, nBuckets = 8)
+      .as[(Long, Double)].collect().toSeq
+    assert(probe(incr) === probe(full))
+    def stats(p: String) = spark.read.parquet(s"$p/stats")
+      .as[(Long, Long)].head()
+    assert(stats(incr) === stats(full))
+    // the append really did append (touched buckets carry >1 file) —
+    // the LSM-ish split the compaction pass exists to fold back
+    val bucketDirs = new java.io.File(s"$incr/postings").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+    assert(bucketDirs.nonEmpty &&
+      bucketDirs.exists(_.listFiles().count(_.getName.endsWith(".parquet")) > 1))
+  }
+
   test("rerank: scores bounded by the weight mass; ranking is deterministic") {
     val out = graft.queries.RetrievalQueries.queries("q_rerank_linear")(spark, sf001)
       .as[(Long, Double)].collect()

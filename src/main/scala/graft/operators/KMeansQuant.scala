@@ -140,6 +140,52 @@ object KMeansQuant {
       .limit(k)
   }
 
+  /** Driver-side twin of [[quantize]] (same IEEE ×1e6 multiply, same
+    * HALF_UP) — for quantizing a probe vector without a Spark job. */
+  def quantizeVec(v: Seq[Double]): Array[Long] =
+    v.map(x => roundHalfUp(x * 1e6)).toArray
+
+  /** One-time SERVED layout: the corpus partitioned BY cell
+    * (`cell=<id>/` directories), so a probe reads only its `nprobe`
+    * cell partitions — PartitionFilters prune the rest before any file
+    * opens. The IVF build/probe split of [[graft.ml.IvfIndex]], with the
+    * provable quantizer; same one-file-per-partition co-location as the
+    * BM25 postings index. */
+  def buildIndex(emb: DataFrame, idCol: String, vecCol: String, m: Model,
+      path: String): Unit = {
+    val (cluster, _) = nearest(quantize(col(vecCol)), m)
+    graft.sources.PartitionedParquet.write(
+      emb.select(col(idCol), col(vecCol), cluster.as("cell"))
+        .repartition(m.k, col("cell")),
+      path, Seq("cell"))
+  }
+
+  /** Top-k by cosine from the served layout: rank cells by exact integer
+    * distance (driver-side, k cells), read ONLY those cell partitions,
+    * exact-rank by cosine vs the literal query vector. Bit-identical to
+    * [[ivfTopK]] over the same model (specced). `excludeId` drops the
+    * query's own row when probing with an indexed vector. */
+  def topKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      m: Model, queryVec: Seq[Double], k: Int, nprobe: Int,
+      idCol: String, vecCol: String,
+      excludeId: Option[Long] = None): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    val qQuant = quantizeVec(queryVec)
+    require(m.dim == qQuant.length,
+      s"query dimension ${qQuant.length} != model dimension ${m.dim}")
+    val cells = m.centroids.zipWithIndex.map { case (c, i) =>
+      (i.toLong, c.zip(qQuant).map { case (a, b) => (a - b) * (a - b) }.sum)
+    }.sortBy { case (i, d2) => (d2, i) }.take(nprobe).map(_._1).toSeq
+    val qLit = array(queryVec.map(lit): _*)
+    val base = graft.sources.PartitionedParquet.read(spark, path)
+      .filter(col("cell").isin(cells: _*))
+    excludeId.fold(base)(id => base.filter(col(idCol) =!= id))
+      .select(col(idCol), round(Similarity.cosineFast(
+        col(vecCol).cast("array<double>"), qLit), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
   /** The model as a (cluster, dim, q) frame — dim is 1-BASED to match
     * SQL's generate_subscripts convention in the oracle mirror. */
   def centroidsDF(spark: org.apache.spark.sql.SparkSession,

@@ -33,6 +33,9 @@ object CorpusQueries extends QueryModule {
   /** One BPE training per (session, dataset) — MERGES bounded
     * aggregations over the vocabulary-sized symbol table; the merge
     * table itself is MERGES rows. */
+  /** One served IVF layout per (session, dataset). */
+  private val ivfIndexCache = new graft.util.SessionCache[String]
+
   private val mergeCache = new graft.util.SessionCache[Seq[Bpe.Merge]]
   private def merges(s: org.apache.spark.sql.SparkSession,
       d: String): Seq[Bpe.Merge] =
@@ -61,6 +64,25 @@ object CorpusQueries extends QueryModule {
     "q_ivf_kmeans_topk" -> ((s, d) =>
       KMeansQuant.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         model(s, d), queryId = 0L, k = 10, nprobe = 2)),
+
+    // The IVF probe over the SERVED cell-partitioned layout: build once
+    // per (session, dataset), then read only the 2 probed cells'
+    // partitions (PartitionFilters — plan-pinned). Bit-identical to
+    // q_ivf_kmeans_topk's in-plan filter form, same oracle.
+    "q_ivf_kmeans_served" -> ((s, d) => {
+      val m = model(s, d)
+      val path = ivfIndexCache.getOrElseUpdate(s, d) {
+        val p = graft.util.IndexPaths.fresh(d, "kmeans-ivf")
+        KMeansQuant.buildIndex(Tables.embeddings(s, d), "vec_id",
+          "embedding", m, p)
+        p
+      }
+      val qv = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0)
+      KMeansQuant.topKFromIndex(s, path, m, qv, k = 10, nprobe = 2,
+        idCol = "vec_id", vecCol = "embedding", excludeId = Some(0L))
+    }),
 
     // Unigram-LM mean negative log-likelihood per document (add-one
     // smoothing, corpus-fit), per-token −ln p quantized to a 1e-9
@@ -214,6 +236,33 @@ object CorpusQueries extends QueryModule {
        |$rounds""".stripMargin
   }
 
+  /** IVF probe mirror: integer cell ranking off the final centroids,
+    * nprobe=2 cells, exact cosine among their members — shared by the
+    * in-plan filter query and the served-layout query. */
+  private val ivfKmeansSql: String =
+    s"""$kmeansCtes,
+       |qv AS (SELECT v FROM vq WHERE vec_id = 0),
+       |qd AS (SELECT generate_subscripts(v, 1) AS i, unnest(v) AS q
+       |       FROM qv),
+       |cellrank AS (
+       |  SELECT c.cluster, sum((c.q - d.q)*(c.q - d.q)) AS d2
+       |  FROM c$ITERS c JOIN qd d USING (i) GROUP BY c.cluster),
+       |probecells AS (SELECT cluster FROM cellrank
+       |               ORDER BY d2, cluster LIMIT 2),
+       |qe AS (SELECT embedding::DOUBLE[] AS qdv FROM embeddings
+       |       WHERE vec_id = 0),
+       |cands AS (
+       |  SELECT e.vec_id, e.embedding::DOUBLE[] AS v
+       |  FROM embeddings e
+       |  JOIN afin a ON e.vec_id = a.vec_id
+       |  JOIN probecells p ON a.cluster = p.cluster
+       |  WHERE e.vec_id <> 0)
+       |SELECT vec_id, round(list_dot_product(v, qdv)
+       |    / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qdv, qdv))),
+       |    6) AS cos
+       |FROM cands CROSS JOIN qe
+       |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_kmeans_assign" ->
       s"""$kmeansCtes
@@ -227,29 +276,10 @@ object CorpusQueries extends QueryModule {
          |       CAST(q AS BIGINT) AS q
          |FROM c$ITERS ORDER BY cluster, dim""".stripMargin,
 
-    "q_ivf_kmeans_topk" ->
-      s"""$kmeansCtes,
-         |qv AS (SELECT v FROM vq WHERE vec_id = 0),
-         |qd AS (SELECT generate_subscripts(v, 1) AS i, unnest(v) AS q
-         |       FROM qv),
-         |cellrank AS (
-         |  SELECT c.cluster, sum((c.q - d.q)*(c.q - d.q)) AS d2
-         |  FROM c$ITERS c JOIN qd d USING (i) GROUP BY c.cluster),
-         |probecells AS (SELECT cluster FROM cellrank
-         |               ORDER BY d2, cluster LIMIT 2),
-         |qe AS (SELECT embedding::DOUBLE[] AS qdv FROM embeddings
-         |       WHERE vec_id = 0),
-         |cands AS (
-         |  SELECT e.vec_id, e.embedding::DOUBLE[] AS v
-         |  FROM embeddings e
-         |  JOIN afin a ON e.vec_id = a.vec_id
-         |  JOIN probecells p ON a.cluster = p.cluster
-         |  WHERE e.vec_id <> 0)
-         |SELECT vec_id, round(list_dot_product(v, qdv)
-         |    / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qdv, qdv))),
-         |    6) AS cos
-         |FROM cands CROSS JOIN qe
-         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    "q_ivf_kmeans_topk" -> ivfKmeansSql,
+
+    // served layout must equal the in-plan filter form — same mirror
+    "q_ivf_kmeans_served" -> ivfKmeansSql,
 
     "q_unigram_nll" ->
       s"""WITH toks AS (

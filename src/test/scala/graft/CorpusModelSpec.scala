@@ -87,6 +87,26 @@ class CorpusModelSpec extends SparkSpec {
     assert(ids(2).subsetOf(all) && ids(2).size < all.size)
   }
 
+  test("kmeans ivf: the served cell-partitioned layout equals the in-plan probe") {
+    val emb = Tables.embeddings(spark, sf001)
+    val m = KMeansQuant.fit(emb, "vec_id", "embedding", k = 4, iters = 2)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-kivf").toString + "/idx"
+    KMeansQuant.buildIndex(emb, "vec_id", "embedding", m, path)
+    val qv = emb.filter($"vec_id" === 0)
+      .select($"embedding".cast("array<double>")).as[Seq[Double]].head()
+    val served = KMeansQuant.topKFromIndex(spark, path, m, qv,
+      k = 10, nprobe = 2, idCol = "vec_id", vecCol = "embedding",
+      excludeId = Some(0L)).as[(Long, Double)].collect().toSeq
+    val inPlan = KMeansQuant.ivfTopK(emb, "vec_id", "embedding", m,
+      queryId = 0L, k = 10, nprobe = 2).as[(Long, Double)].collect().toSeq
+    assert(served === inPlan)
+    // the layout really is cell-partitioned
+    val cellDirs = new java.io.File(path).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs > 0 && cellDirs <= m.k, s"$cellDirs cell dirs")
+  }
+
   // ---- UnigramLM ------------------------------------------------------
 
   test("unigram nll matches the closed form on a tiny corpus") {

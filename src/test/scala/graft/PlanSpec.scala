@@ -76,7 +76,7 @@ class PlanSpec extends SparkSpec {
       // a query vector / the corpus count for IDF / BM25 corpus stats
       // (q_hybrid_rrf contains both the BM25 and cosine scalar joins)
       "q_cosine_topk", "q_tfidf_topk", "q_bm25_topk", "q_hybrid_rrf",
-      "q_bm25_postings_topk",
+      "q_bm25_postings_topk", "q_bm25_incr_topk",
       // same 1-row scalar-join shape: the (N, V) corpus-stats row for
       // the smoothed unigram probabilities / the BM25-stats + query-
       // vector rows inside the rerank's feature computation / the
@@ -128,6 +128,13 @@ class PlanSpec extends SparkSpec {
       .findAllMatchIn(plan).map(_.group(1)).toSeq
     assert(smj.forall(_ == "FullOuter"),
       s"non-fusion sort-merge join crept in ($smj):\n$plan")
+  }
+
+  test("q_ivf_kmeans_served prunes to the probed cell partitions") {
+    val plan = formatted("q_ivf_kmeans_served")
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"cell partitions not pruned:\n$plan")
+    assert(!plan.contains("Join"), s"served probe is join-free:\n$plan")
   }
 
   test("q_embed_norm prunes the scan to the two referenced columns") {

@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BloomMightContain, BottomK, DotProduct}
+import graft.functions.{BloomMightContain, BottomK, DotProduct,
+  HeavyHittersAgg, HeavyHittersMergeAgg}
 
 /** SparkSessionExtensions entry point: registers graft's custom
   * expressions at session build time, so both the Column API and plain
@@ -46,5 +47,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         BottomK(exprs(0), exprs(1), exprs(2))
       })
     ext.injectFunction(bottomK)
+    val heavyHitters: (FunctionIdentifier, ExpressionInfo, FunctionBuilder) = (
+      FunctionIdentifier("heavy_hitters"),
+      new ExpressionInfo(classOf[HeavyHittersAgg].getName, "heavy_hitters"),
+      { exprs =>
+        require(exprs.size == 2,
+          s"heavy_hitters expects (item, capacity), got ${exprs.size} args")
+        HeavyHittersAgg(exprs(0), exprs(1))
+      })
+    ext.injectFunction(heavyHitters)
+    val heavyHittersMerge: (FunctionIdentifier, ExpressionInfo, FunctionBuilder) = (
+      FunctionIdentifier("heavy_hitters_merge"),
+      new ExpressionInfo(classOf[HeavyHittersMergeAgg].getName,
+        "heavy_hitters_merge"),
+      { exprs =>
+        require(exprs.size == 1,
+          s"heavy_hitters_merge expects (summary), got ${exprs.size} args")
+        HeavyHittersMergeAgg(exprs(0))
+      })
+    ext.injectFunction(heavyHittersMerge)
   }
 }

@@ -32,6 +32,17 @@ class ExtensionsSpec extends SparkSpec {
           "('c', 3L) AS t(k, id)")
         .head().getSeq[Long](0)
       assert(bk === Seq(1L, 2L))
+      // the mergeable heavy-hitters pair, end-to-end in SQL: build
+      // per-group summaries, roll them up, read the top item
+      val hh = ext.sql(
+        """SELECT e.item, e.est FROM (
+          |  SELECT explode(heavy_hitters_merge(hh)) AS e FROM (
+          |    SELECT g, heavy_hitters(t, 4) AS hh
+          |    FROM VALUES (0, 'x'), (0, 'x'), (0, 'y'), (1, 'x') AS v(g, t)
+          |    GROUP BY g))
+          |ORDER BY e.est DESC, e.item LIMIT 1""".stripMargin)
+        .head()
+      assert(hh.getString(0) === "x" && hh.getLong(1) === 3L)
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)

@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.{BloomMightContain, BottomK, DotProduct,
-  HeavyHittersAgg, HeavyHittersMergeAgg}
+  GkQuantiles, GkSketchAgg, GkUnionAgg, HeavyHittersAgg,
+  HeavyHittersMergeAgg}
 
 /** SparkSessionExtensions entry point: registers graft's custom
   * expressions at session build time, so both the Column API and plain
@@ -66,5 +67,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         HeavyHittersMergeAgg(exprs(0))
       })
     ext.injectFunction(heavyHittersMerge)
+    val gkSketch: (FunctionIdentifier, ExpressionInfo, FunctionBuilder) = (
+      FunctionIdentifier("gk_sketch_agg"),
+      new ExpressionInfo(classOf[GkSketchAgg].getName, "gk_sketch_agg"),
+      { exprs =>
+        require(exprs.size == 2,
+          s"gk_sketch_agg expects (value, eps), got ${exprs.size} args")
+        GkSketchAgg(exprs(0), exprs(1))
+      })
+    ext.injectFunction(gkSketch)
+    val gkUnion: (FunctionIdentifier, ExpressionInfo, FunctionBuilder) = (
+      FunctionIdentifier("gk_union_agg"),
+      new ExpressionInfo(classOf[GkUnionAgg].getName, "gk_union_agg"),
+      { exprs =>
+        require(exprs.size == 1,
+          s"gk_union_agg expects (sketch), got ${exprs.size} args")
+        GkUnionAgg(exprs(0))
+      })
+    ext.injectFunction(gkUnion)
+    val gkQuantiles: (FunctionIdentifier, ExpressionInfo, FunctionBuilder) = (
+      FunctionIdentifier("gk_quantiles"),
+      new ExpressionInfo(classOf[GkQuantiles].getName, "gk_quantiles"),
+      { exprs =>
+        require(exprs.size == 2,
+          s"gk_quantiles expects (sketch, probs), got ${exprs.size} args")
+        GkQuantiles(exprs(0), exprs(1))
+      })
+    ext.injectFunction(gkQuantiles)
   }
 }

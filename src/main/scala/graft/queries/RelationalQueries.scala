@@ -172,6 +172,30 @@ object RelationalQueries extends QueryModule {
         .orderBy(col("event_type"))
     }),
 
+    // Mergeable quantile digests (the GK member of the sketch triad
+    // beside q_hll_rollup's HLL and q_heavy_hitters' Misra-Gries):
+    // per-day order-amount digests, merged WITHOUT re-scanning raw
+    // orders, p50/p90/p99 extracted from the union. Digest internals
+    // are partitioning-dependent within the eps guarantee ⇒ rows-only;
+    // QuantileSketchSpec proves the rank bound vs exact sorted data.
+    "q_quantile_rollup" -> ((s, d) => {
+      graft.functions.QuantileSketch.register(s)
+      val daily = Tables.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(graft.functions.QuantileSketch
+          .gk_sketch_agg(col("o_totalprice").cast("double"), 0.01).as("sk"))
+      daily
+        .agg(graft.functions.QuantileSketch.gk_union_agg(col("sk")).as("sk"),
+          count(lit(1)).as("n_days"))
+        .select(col("n_days"), posexplode(graft.functions.QuantileSketch
+          .gk_quantiles(col("sk"), array(lit(0.5), lit(0.9), lit(0.99)))))
+        .select(
+          element_at(array(lit(0.5), lit(0.9), lit(0.99)), col("pos") + 1)
+            .as("p"),
+          round(col("col"), 2).as("value"), col("n_days"))
+        .orderBy(col("p"))
+    }),
+
     // SQL-first entry path: the SAME SQL text runs through spark.sql
     // over registered views AND as the DuckDB oracle — proving a
     // SQL-only user gets identical results from this engine (dialect

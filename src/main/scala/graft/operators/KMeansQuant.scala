@@ -160,6 +160,25 @@ object KMeansQuant {
       path, Seq("cell"))
   }
 
+  /** Incremental maintenance of the served layout: assign NEW vectors
+    * under the FROZEN quantizer and append them into their cell
+    * partitions — the standard IVF ingestion contract (the coarse
+    * quantizer is fit once; re-fitting would move cell boundaries and
+    * orphan every already-written row). Touched cells gain a file;
+    * periodic [[graft.sources.Compaction]] folds them back, same
+    * LSM-ish split as [[Bm25.appendPostings]]. Caller contract: ids are
+    * new (dedup is upstream's job). A probe over the appended layout is
+    * bit-identical to a from-scratch [[buildIndex]] over the union
+    * (specced) — assignment depends only on (vector, centroids). */
+  def appendIndex(newVecs: DataFrame, idCol: String, vecCol: String,
+      m: Model, path: String): Unit = {
+    val (cluster, _) = nearest(quantize(col(vecCol)), m)
+    newVecs.select(col(idCol), col(vecCol), cluster.as("cell"))
+      .repartition(m.k, col("cell"))
+      .write.mode("append").partitionBy("cell")
+      .parquet(path)
+  }
+
   /** Top-k by cosine from the served layout: rank cells by exact integer
     * distance (driver-side, k cells), read ONLY those cell partitions,
     * exact-rank by cosine vs the literal query vector. Bit-identical to

@@ -107,6 +107,25 @@ class CorpusModelSpec extends SparkSpec {
     assert(cellDirs > 0 && cellDirs <= m.k, s"$cellDirs cell dirs")
   }
 
+  test("kmeans ivf: appending under the frozen quantizer equals a full rebuild") {
+    val emb = Tables.embeddings(spark, sf001)
+    val m = KMeansQuant.fit(emb, "vec_id", "embedding", k = 4, iters = 2)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-kivf-incr").toString
+    val full = s"$base/full"; val incr = s"$base/incr"
+    KMeansQuant.buildIndex(emb, "vec_id", "embedding", m, full)
+    KMeansQuant.buildIndex(emb.filter($"vec_id" % 2 === 0),
+      "vec_id", "embedding", m, incr)
+    KMeansQuant.appendIndex(emb.filter($"vec_id" % 2 === 1),
+      "vec_id", "embedding", m, incr)
+    val qv = emb.filter($"vec_id" === 0)
+      .select($"embedding".cast("array<double>")).as[Seq[Double]].head()
+    def probe(p: String) = KMeansQuant.topKFromIndex(spark, p, m, qv,
+      k = 20, nprobe = 2, idCol = "vec_id", vecCol = "embedding",
+      excludeId = Some(0L)).as[(Long, Double)].collect().toSeq
+    assert(probe(incr) === probe(full))
+  }
+
   // ---- UnigramLM ------------------------------------------------------
 
   test("unigram nll matches the closed form on a tiny corpus") {

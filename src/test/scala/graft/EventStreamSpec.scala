@@ -216,4 +216,54 @@ class EventStreamSpec extends SparkSpec {
       assert(finalTotals.collect().toSet === batch.collect().toSet)
     } finally q.stop()
   }
+
+  test("heavy-hitters and GK digests hold their guarantees over streaming state") {
+    // both sketch aggregates persist partial buffers in the state store
+    // between micro-batches; the retained set / digest internals may
+    // differ from a batch run, the bounds may not
+    graft.functions.HeavyHitters.register(spark)
+    graft.functions.QuantileSketch.register(spark)
+    val stream = EventStream.read(spark, eventsDir)
+      .groupBy($"event_type")
+      .agg(graft.functions.HeavyHitters
+          .heavy_hitters($"user_id".cast("string"), 8).as("hh"),
+        graft.functions.QuantileSketch
+          .gk_sketch_agg($"value".cast("double"), 0.05).as("sk"))
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("sketch_out").start()
+    try {
+      q.processAllAvailable()
+      val exact = Tables.events(spark, sf001)
+        .groupBy($"event_type", $"user_id")
+        .agg(count(lit(1)).as("c"))
+        .as[(String, Long, Long)].collect()
+        .groupBy(_._1).view
+        .mapValues(_.map(r => r._2.toString -> r._3).toMap).toMap
+      val values = Tables.events(spark, sf001)
+        .select($"event_type", $"value".cast("double"))
+        .as[(String, Double)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+      val out = spark.table("sketch_out")
+      assert(out.count() > 0)
+      out.select($"event_type", explode($"hh").as("e"))
+        .select($"event_type", $"e.item", $"e.est", $"e.maxerr")
+        .as[(String, String, Long, Long)].collect()
+        .foreach { case (et, item, est, err) =>
+          val t = exact(et)(item)
+          assert(est <= t && t <= est + err, s"$et/$item est=$est err=$err true=$t")
+        }
+      out.select($"event_type",
+          graft.functions.QuantileSketch.gk_quantiles($"sk",
+            array(lit(0.5))).getItem(0).as("p50"))
+        .as[(String, Double)].collect()
+        .foreach { case (et, p50) =>
+          val sorted = values(et)
+          val n = sorted.size.toDouble
+          val below = sorted.count(_ < p50).toDouble
+          val atOrBelow = sorted.count(_ <= p50).toDouble
+          assert(below <= 0.5 * n + 0.05 * n + 1, s"$et p50=$p50")
+          assert(atOrBelow >= 0.5 * n - 0.05 * n - 1, s"$et p50=$p50")
+        }
+    } finally q.stop()
+  }
 }

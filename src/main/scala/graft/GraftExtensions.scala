@@ -62,9 +62,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[HeavyHittersMergeAgg].getName,
         "heavy_hitters_merge"),
       { exprs =>
-        require(exprs.size == 1,
-          s"heavy_hitters_merge expects (summary), got ${exprs.size} args")
-        HeavyHittersMergeAgg(exprs(0))
+        require(exprs.size == 2,
+          s"heavy_hitters_merge expects (summary, capacity), got ${exprs.size} args")
+        HeavyHittersMergeAgg(exprs(0), exprs(1))
       })
     ext.injectFunction(heavyHittersMerge)
     val gkSketch: (FunctionIdentifier, ExpressionInfo, FunctionBuilder) = (

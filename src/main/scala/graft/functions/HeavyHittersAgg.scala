@@ -148,9 +148,9 @@ object HeavyHitters {
       }, "scala_udf")
     registry.createOrReplaceTempFunction("heavy_hitters_merge",
       { exprs =>
-        require(exprs.size == 1,
-          s"heavy_hitters_merge expects (summary), got ${exprs.size} args")
-        HeavyHittersMergeAgg(exprs(0))
+        require(exprs.size == 2,
+          s"heavy_hitters_merge expects (summary, capacity), got ${exprs.size} args")
+        HeavyHittersMergeAgg(exprs(0), exprs(1))
       }, "scala_udf")
   }
 
@@ -158,9 +158,10 @@ object HeavyHitters {
     org.apache.spark.sql.functions.call_function(
       "heavy_hitters", item, org.apache.spark.sql.functions.lit(capacity))
 
-  def heavy_hitters_merge(summary: Column): Column =
+  def heavy_hitters_merge(summary: Column, capacity: Int): Column =
     org.apache.spark.sql.functions.call_function(
-      "heavy_hitters_merge", summary)
+      "heavy_hitters_merge", summary,
+      org.apache.spark.sql.functions.lit(capacity))
 }
 
 /** `heavy_hitters(item, capacity)` over raw string items. */
@@ -218,14 +219,22 @@ case class HeavyHittersAgg(itemExpr: Expression, capExpr: Expression,
     copy(itemExpr = c(0), capExpr = c(1))
 }
 
-/** `heavy_hitters_merge(summary)` over PRECOMPUTED summaries — rolls up
-  * per-partition heavy-hitter tables without touching raw data. Capacity
-  * is carried by the summaries themselves (max across inputs). */
-case class HeavyHittersMergeAgg(summaryExpr: Expression,
+/** `heavy_hitters_merge(summary, capacity)` over PRECOMPUTED summaries —
+  * rolls up per-partition heavy-hitter tables without touching raw data.
+  * `capacity` must be the BUILD capacity (or larger — larger only costs
+  * memory): a summary's retained row count is ≤ capacity, often below it
+  * (few distinct items, or decrement evictions), so the capacity cannot
+  * be reconstructed from the rows, and merging at a smaller capacity
+  * would shrink the counter budget and break the
+  * maxerr ≤ N/(capacity+1) presence guarantee. */
+case class HeavyHittersMergeAgg(summaryExpr: Expression, capExpr: Expression,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[HeavyHitters.Buffer] {
 
-  override def children: Seq[Expression] = Seq(summaryExpr)
+  @transient private lazy val capacity: Int =
+    capExpr.eval(null).asInstanceOf[Number].intValue
+
+  override def children: Seq[Expression] = Seq(summaryExpr, capExpr)
   override def nullable: Boolean = false
   override def dataType: DataType = HeavyHitters.resultType
   override def prettyName: String = "heavy_hitters_merge"
@@ -238,21 +247,24 @@ case class HeavyHittersMergeAgg(summaryExpr: Expression,
           StructField(_, StringType, _, _),
           StructField(_, LongType, _, _),
           StructField(_, LongType, _, _))), _) =>
-        TypeCheckResult.TypeCheckSuccess
+        if (!capExpr.foldable || capExpr.dataType != IntegerType)
+          TypeCheckResult.TypeCheckFailure(
+            s"$prettyName requires a literal INT capacity")
+        else if (capExpr.eval(null) == null ||
+            capExpr.eval(null).asInstanceOf[Number].intValue <= 0)
+          TypeCheckResult.TypeCheckFailure(s"$prettyName requires capacity > 0")
+        else TypeCheckResult.TypeCheckSuccess
       case other => TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires a heavy_hitters summary " +
           s"(array<struct<item,est,maxerr>>), got $other")
     }
 
-  // capacity 0 sentinel: the real capacity adopts from the first
-  // absorbed summary (struct rows arrive without it; size = capacity of
-  // the producing aggregate by construction)
   override def createAggregationBuffer(): HeavyHitters.Buffer =
-    new HeavyHitters.Buffer(0)
+    new HeavyHitters.Buffer(capacity)
 
   private def bufferOf(rows: ArrayData): HeavyHitters.Buffer = {
     val n = rows.numElements()
-    val buf = new HeavyHitters.Buffer(math.max(n, 1))
+    val buf = new HeavyHitters.Buffer(capacity)
     var i = 0
     var maxerr = 0L
     while (i < n) {
@@ -265,25 +277,17 @@ case class HeavyHittersMergeAgg(summaryExpr: Expression,
     buf
   }
 
-  private def absorbInto(buf: HeavyHitters.Buffer,
-      other: HeavyHitters.Buffer): HeavyHitters.Buffer =
-    if (buf.capacity == 0) other // adopt: empty sentinel has no state
-    else if (other.capacity > buf.capacity) {
-      // adopt the larger capacity (an empty first summary must not
-      // shrink every later one to its own tiny counter budget)
-      other.absorb(buf); other
-    } else { buf.absorb(other); buf }
-
   override def update(buf: HeavyHitters.Buffer,
       input: InternalRow): HeavyHitters.Buffer = {
     val rows = summaryExpr.eval(input)
     if (rows == null) buf
-    else absorbInto(buf, bufferOf(rows.asInstanceOf[ArrayData]))
+    else { buf.absorb(bufferOf(rows.asInstanceOf[ArrayData])); buf }
   }
 
   override def merge(buf: HeavyHitters.Buffer,
-      other: HeavyHitters.Buffer): HeavyHitters.Buffer =
-    if (other.capacity == 0) buf else absorbInto(buf, other)
+      other: HeavyHitters.Buffer): HeavyHitters.Buffer = {
+    buf.absorb(other); buf
+  }
 
   override def eval(buf: HeavyHitters.Buffer): Any = buf.result
   override def serialize(buf: HeavyHitters.Buffer): Array[Byte] =
@@ -297,5 +301,5 @@ case class HeavyHittersMergeAgg(summaryExpr: Expression,
     copy(inputAggBufferOffset = o)
   override protected def withNewChildrenInternal(
       c: IndexedSeq[Expression]): HeavyHittersMergeAgg =
-    copy(summaryExpr = c(0))
+    copy(summaryExpr = c(0), capExpr = c(1))
 }

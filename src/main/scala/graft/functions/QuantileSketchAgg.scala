@@ -125,8 +125,7 @@ case class GkSketchAgg(valueExpr: Expression, epsExpr: Expression,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[QuantileSketch.Buffer] {
 
-  @transient private lazy val eps: Double =
-    epsExpr.eval(null).asInstanceOf[Number].doubleValue
+  @transient private lazy val eps: Double = numericDouble(epsExpr.eval(null))
 
   override def children: Seq[Expression] = Seq(valueExpr, epsExpr)
   override def nullable: Boolean = false
@@ -137,15 +136,24 @@ case class GkSketchAgg(valueExpr: Expression, epsExpr: Expression,
     if (!valueExpr.dataType.isInstanceOf[NumericType])
       TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires a numeric value, got ${valueExpr.dataType}")
-    else if (!epsExpr.foldable || !epsExpr.dataType.isInstanceOf[DoubleType])
+    // any foldable numeric literal: SQL parses `0.01` as DECIMAL(2,2),
+    // and rejecting it would force users to know the `0.01D` spelling
+    else if (!epsExpr.foldable || !epsExpr.dataType.isInstanceOf[NumericType])
       TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires a literal DOUBLE eps")
+        s"$prettyName requires a numeric literal eps")
     else if (epsExpr.eval(null) == null || {
-        val e = epsExpr.eval(null).asInstanceOf[Number].doubleValue
+        val e = numericDouble(epsExpr.eval(null))
         e <= 0.0 || e >= 1.0
       })
       TypeCheckResult.TypeCheckFailure(s"$prettyName requires 0 < eps < 1")
     else TypeCheckResult.TypeCheckSuccess
+
+  /** Literal eval yields java.lang.Number for int/double literals but
+    * Decimal for SQL decimal literals — normalize both. */
+  private def numericDouble(v: Any): Double = v match {
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble
+    case n: Number => n.doubleValue
+  }
 
   override def createAggregationBuffer(): QuantileSketch.Buffer =
     new QuantileSketch.Buffer(QuantileSketch.emptySummaries(eps))
@@ -153,7 +161,7 @@ case class GkSketchAgg(valueExpr: Expression, epsExpr: Expression,
   override def update(buf: QuantileSketch.Buffer,
       input: InternalRow): QuantileSketch.Buffer = {
     val v = valueExpr.eval(input)
-    if (v != null) buf.insert(v.asInstanceOf[Number].doubleValue)
+    if (v != null) buf.insert(numericDouble(v)) // same Decimal/Number normalize
     buf
   }
 

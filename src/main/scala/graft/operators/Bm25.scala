@@ -141,21 +141,35 @@ object Bm25 {
     *  - `doclens/` — (doc_id, dl) document lengths.
     *  - `stats/` — the 1-row (n_docs, total_len) corpus frame.
     */
+  /** (doc_id, token, tf) term frequencies — the ONE tokenize/count
+    * pipeline shared by the full build and the incremental append (the
+    * incremental-equals-rebuild guarantee depends on both writing
+    * through identical expressions). */
+  private def tokenTf(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(TokenOps.tokenize(col(textCol))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** The shared bucket expression (probes recompute it through the same
+    * engine hash — see [[termBuckets]]). */
+  private def bucketOf(nBuckets: Int) =
+    pmod(xxhash64(col("token")), lit(nBuckets.toLong))
+
+  /** Bucket-tag + co-locate one write task per bucket. */
+  private def bucketed(df: DataFrame, nBuckets: Int): DataFrame =
+    df.withColumn("bucket", bucketOf(nBuckets))
+      .repartition(nBuckets, col("bucket"))
+
   def buildPostings(docs: DataFrame, idCol: String, textCol: String,
       path: String, nBuckets: Int = 64): Unit = {
-    val toks = docs.select(col(idCol).as("doc_id"),
-      explode(TokenOps.tokenize(col(textCol))).as("token"))
-    val tf = toks.groupBy(col("doc_id"), col("token"))
-      .agg(count(lit(1)).as("tf"))
-    val bucket = pmod(xxhash64(col("token")), lit(nBuckets.toLong))
+    val tf = tokenTf(docs, idCol, textCol)
     graft.sources.PartitionedParquet.write(
-      tf.withColumn("bucket", bucket).repartition(nBuckets, col("bucket")),
-      s"$path/postings", Seq("bucket"))
+      bucketed(tf, nBuckets), s"$path/postings", Seq("bucket"))
     graft.sources.PartitionedParquet.write(
-      tf.groupBy(col("token"))
-        .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
-        .withColumn("bucket", bucket)
-        .repartition(nBuckets, col("bucket")),
+      bucketed(tf.groupBy(col("token"))
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf")), nBuckets),
       s"$path/terms", Seq("bucket"))
     docs.select(col(idCol).as("doc_id"),
         size(TokenOps.tokenize(col(textCol))).as("dl"))
@@ -179,11 +193,16 @@ object Bm25 {
     *  - `doclens/` — append;
     *  - `stats/` — additive 1-row rewrite.
     *
-    * The re-aggregated tables land via tmp-dir + rename (never
-    * read-and-overwrite the same path — Spark reads lazily, so an
-    * in-place overwrite would delete its own input mid-scan). Caller
-    * contract: `newDocs` ids are NOT already indexed (dedup is the
-    * ingestion pipeline's job — [[graft.streaming.Incremental]]'s
+    * Failure discipline: ALL Spark jobs write into a `.staged-<uuid>`
+    * tree first (the live index is only read), then a metadata-only
+    * commit moves/swaps the staged results in. A failure during staging
+    * leaves the live index untouched — retrying the batch is safe. The
+    * commit window itself is a handful of renames, not atomic as a
+    * group (that needs a table-format manifest), with the staged tree
+    * preserved for recovery if it is interrupted.
+    *
+    * Caller contract: `newDocs` ids are NOT already indexed (dedup is
+    * the ingestion pipeline's job — [[graft.streaming.Incremental]]'s
     * exactly-once manifest or [[Dedup]] upstream); re-adding an id
     * double-counts it everywhere, same as feeding it to
     * [[buildPostings]] twice. Probes over the appended index are
@@ -193,51 +212,86 @@ object Bm25 {
   def appendPostings(newDocs: DataFrame, idCol: String, textCol: String,
       path: String, nBuckets: Int = 64): Unit = {
     val spark = newDocs.sparkSession
-    val toks = newDocs.select(col(idCol).as("doc_id"),
-      explode(TokenOps.tokenize(col(textCol))).as("token"))
-    val tf = toks.groupBy(col("doc_id"), col("token"))
-      .agg(count(lit(1)).as("tf"))
-    val bucket = pmod(xxhash64(col("token")), lit(nBuckets.toLong))
-    tf.withColumn("bucket", bucket).repartition(nBuckets, col("bucket"))
-      .write.mode("append").partitionBy("bucket")
-      .parquet(s"$path/postings")
-    val deltaTerms = tf.groupBy(col("token"))
-      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+    val stage = s"$path/.staged-" + java.util.UUID.randomUUID()
+    val tf = tokenTf(newDocs, idCol, textCol)
+
+    // ---- STAGE: every Spark job writes into the staging tree; the
+    // live index is only READ here. A failure anywhere in this phase
+    // leaves the live index untouched, so re-running the batch is safe
+    // (delete the orphaned .staged-* dir at leisure).
+    bucketed(tf, nBuckets)
+      .write.partitionBy("bucket").parquet(s"$stage/postings")
     val mergedTerms = graft.sources.PartitionedParquet
       .read(spark, s"$path/terms")
       .select(col("token"), col("df"), col("cf"))
-      .unionAll(deltaTerms)
+      .unionAll(tf.groupBy(col("token"))
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf")))
       .groupBy(col("token"))
       .agg(sum(col("df")).as("df"), sum(col("cf")).as("cf"))
-      .withColumn("bucket", bucket)
-      .repartition(nBuckets, col("bucket"))
-    replaceDir(spark, s"$path/terms") { tmp =>
-      graft.sources.PartitionedParquet.write(mergedTerms, tmp, Seq("bucket"))
-    }
+    graft.sources.PartitionedParquet.write(
+      bucketed(mergedTerms, nBuckets), s"$stage/terms", Seq("bucket"))
     newDocs.select(col(idCol).as("doc_id"),
         size(TokenOps.tokenize(col(textCol))).as("dl"))
-      .write.mode("append").parquet(s"$path/doclens")
-    val mergedStats = spark.read.parquet(s"$path/stats")
+      .write.parquet(s"$stage/doclens")
+    spark.read.parquet(s"$path/stats")
       .unionAll(corpusStats(newDocs, textCol, Nil))
       .agg(sum(col("n_docs")).as("n_docs"),
         sum(col("total_len")).as("total_len"))
-    replaceDir(spark, s"$path/stats")(tmp =>
-      mergedStats.write.mode("overwrite").parquet(tmp))
+      .write.parquet(s"$stage/stats")
+
+    // ---- COMMIT: metadata-only renames (no Spark jobs, no data
+    // rewrites). Not atomic as a group — a crash INSIDE this window can
+    // leave appended postings/doclens beside stale terms/stats — but the
+    // window is a handful of filesystem ops instead of the whole
+    // multi-job append, the staged tree survives for recovery (re-apply
+    // the remaining moves; file names are unique so re-moving is
+    // idempotent), and a retry of the BATCH is safe whenever the stage
+    // phase was what failed. Full atomicity needs a table-format
+    // manifest (Delta/Iceberg territory), out of scope for a layout op.
+    val hc = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hc)
+    moveDataFiles(fs, s"$stage/postings", s"$path/postings",
+      partitioned = true)
+    moveDataFiles(fs, s"$stage/doclens", s"$path/doclens",
+      partitioned = false)
+    swapDir(fs, s"$stage/stats", s"$path/stats")
+    swapDir(fs, s"$stage/terms", s"$path/terms")
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
   }
 
-  /** Materialize a replacement for `dir` in a sibling tmp path, then
-    * swap via delete + rename — the read-side of the computation may
-    * scan `dir` lazily, so the write must never target it directly. */
-  private def replaceDir(spark: org.apache.spark.sql.SparkSession,
-      dir: String)(write: String => Unit): Unit = {
-    val tmp = dir + ".tmp-" + java.util.UUID.randomUUID()
-    write(tmp)
-    val hc = spark.sparkContext.hadoopConfiguration
+  /** Move staged parquet part-files into the live tree (bucket-partition
+    * subdirs when `partitioned`) — UUID file names make collisions
+    * impossible and re-moves idempotent. */
+  private def moveDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+      from: String, to: String, partitioned: Boolean): Unit = {
+    def moveFiles(src: org.apache.hadoop.fs.Path,
+        dst: org.apache.hadoop.fs.Path): Unit = {
+      fs.mkdirs(dst)
+      fs.listStatus(src).filter(_.isFile)
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .foreach { f =>
+          require(fs.rename(f.getPath,
+            new org.apache.hadoop.fs.Path(dst, f.getPath.getName)),
+            s"rename ${f.getPath} -> $dst failed")
+        }
+    }
+    val srcRoot = new org.apache.hadoop.fs.Path(from)
+    if (partitioned)
+      fs.listStatus(srcRoot)
+        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+        .foreach(d => moveFiles(d.getPath,
+          new org.apache.hadoop.fs.Path(to, d.getPath.getName)))
+    else moveFiles(srcRoot, new org.apache.hadoop.fs.Path(to))
+  }
+
+  /** Replace `dir` with the fully-staged `staged` via delete + rename —
+    * never write into a dir a lazy read may still be scanning. */
+  private def swapDir(fs: org.apache.hadoop.fs.FileSystem,
+      staged: String, dir: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(hc)
     fs.delete(p, true)
-    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), p),
-      s"rename $tmp -> $dir failed; index left in tmp")
+    require(fs.rename(new org.apache.hadoop.fs.Path(staged), p),
+      s"rename $staged -> $dir failed; staged data preserved")
   }
 
   /** The buckets a query's terms live in, computed through the SAME

@@ -83,8 +83,16 @@ object Bpe {
     * sized; each round is one bounded aggregation plus a 1-row collect. */
   def train(docs: DataFrame, textCol: String,
       nMerges: Int): (Seq[Merge], DataFrame) = {
+    // localCheckpoint materializes the vocabulary-sized table and
+    // TRUNCATES its lineage: without it, round i's collect would
+    // re-execute the corpus explode + word groupBy plus all i-1 prior
+    // fold projections (O(rounds²) recompute over the corpus — exactly
+    // what the "never the corpus again" contract forbids). With it,
+    // each round is one bounded aggregation over the checkpointed
+    // vocab table plus one vocab-sized rewrite.
     var symbols = wordFreqs(docs, textCol)
       .select(col("word"), col("freq"), charSymbols(col("word")).as("syms"))
+      .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var exhausted = false
     for (rank <- 1 to nMerges if !exhausted) {
@@ -98,6 +106,7 @@ object Bpe {
         merges += Merge(rank, l, r, c)
         symbols = symbols
           .withColumn("syms", applyMerge(col("syms"), l, r))
+          .localCheckpoint()
       }
     }
     (merges.toSeq, symbols)

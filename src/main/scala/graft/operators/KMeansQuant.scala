@@ -125,9 +125,7 @@ object KMeansQuant {
     graft.functions.VectorFunctions.register(emb.sparkSession)
     val qQuant = emb.filter(col(idCol) === queryId)
       .select(quantize(col(vecCol))).head().getSeq[Long](0).toArray
-    val cells = m.centroids.zipWithIndex.map { case (c, i) =>
-      (i.toLong, c.zip(qQuant).map { case (a, b) => (a - b) * (a - b) }.sum)
-    }.sortBy { case (i, d2) => (d2, i) }.take(nprobe).map(_._1).toSeq
+    val cells = rankCells(m, qQuant, nprobe)
     val (cluster, _) = nearest(quantize(col(vecCol)), m)
     val q = emb.filter(col(idCol) === queryId)
       .select(col(vecCol).cast("array<double>").as("__qv"))
@@ -144,6 +142,16 @@ object KMeansQuant {
     * HALF_UP) — for quantizing a probe vector without a Spark job. */
   def quantizeVec(v: Seq[Double]): Array[Long] =
     v.map(x => roundHalfUp(x * 1e6)).toArray
+
+  /** The `nprobe` cells nearest a quantized query (exact integer
+    * distance, ties → lower cell id) — the ONE ranking shared by the
+    * in-plan probe and the served-layout probe, which must agree
+    * bit-exactly. */
+  private def rankCells(m: Model, qQuant: Array[Long],
+      nprobe: Int): Seq[Long] =
+    m.centroids.zipWithIndex.map { case (c, i) =>
+      (i.toLong, c.zip(qQuant).map { case (a, b) => (a - b) * (a - b) }.sum)
+    }.sortBy { case (i, d2) => (d2, i) }.take(nprobe).map(_._1).toSeq
 
   /** One-time SERVED layout: the corpus partitioned BY cell
     * (`cell=<id>/` directories), so a probe reads only its `nprobe`
@@ -192,9 +200,7 @@ object KMeansQuant {
     val qQuant = quantizeVec(queryVec)
     require(m.dim == qQuant.length,
       s"query dimension ${qQuant.length} != model dimension ${m.dim}")
-    val cells = m.centroids.zipWithIndex.map { case (c, i) =>
-      (i.toLong, c.zip(qQuant).map { case (a, b) => (a - b) * (a - b) }.sum)
-    }.sortBy { case (i, d2) => (d2, i) }.take(nprobe).map(_._1).toSeq
+    val cells = rankCells(m, qQuant, nprobe)
     val qLit = array(queryVec.map(lit): _*)
     val base = graft.sources.PartitionedParquet.read(spark, path)
       .filter(col("cell").isin(cells: _*))

@@ -43,7 +43,8 @@ object Rerank {
   def linear(candidates: DataFrame, docs: DataFrame, embeddings: DataFrame,
       idCol: String, textCol: String, vecIdCol: String, vecCol: String,
       queryId: Long, terms: Seq[String], k: Int,
-      w: Weights = Weights()): DataFrame = {
+      w: Weights = Weights(),
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "rerank needs query terms")
     val spark = docs.sparkSession
     VectorFunctions.register(spark)
@@ -56,7 +57,10 @@ object Rerank {
     // the later left-outer join has a bounded, broadcastable right side
     // — left-outer can only build right, and building a corpus-sized
     // right side would sort-merge the corpus at scale.
-    val lex = Bm25.score(docs, idCol, textCol, terms)
+    // k1/b are parameters, not defaults pulled silently from Bm25.score:
+    // the lexical feature must be computed under the SAME constants as
+    // the candidate-generation stage and any oracle mirror
+    val lex = Bm25.score(docs, idCol, textCol, terms, k1, b)
       .join(broadcast(cand), Seq(idCol))
 
     // dense cosine vs the query row, rounded like the dense retriever;

@@ -49,7 +49,11 @@ object UnigramLM {
     * empty-string — which is itself a vocabulary entry, same as the
     * oracle's unnest). */
   def nll(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val counts = tokenCounts(docs, textCol)
+    // localCheckpoint the vocabulary-sized count table: the stats
+    // aggregate and the scoring join would otherwise each re-execute
+    // the full corpus explode+groupBy lineage — three corpus
+    // tokenization passes for one query instead of one
+    val counts = tokenCounts(docs, textCol).localCheckpoint()
     val stats = counts.agg(sum(col("c")).as("n"),
       count(lit(1)).as("v"))
     val toks = docs.select(col(idCol),

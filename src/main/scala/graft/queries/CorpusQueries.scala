@@ -30,12 +30,12 @@ object CorpusQueries extends QueryModule {
         k = K, iters = ITERS)
     }
 
-  /** One BPE training per (session, dataset) — MERGES bounded
-    * aggregations over the vocabulary-sized symbol table; the merge
-    * table itself is MERGES rows. */
   /** One served IVF layout per (session, dataset). */
   private val ivfIndexCache = new graft.util.SessionCache[String]
 
+  /** One BPE training per (session, dataset) — MERGES bounded
+    * aggregations over the vocabulary-sized symbol table; the merge
+    * table itself is MERGES rows. */
   private val mergeCache = new graft.util.SessionCache[Seq[Bpe.Merge]]
   private def merges(s: org.apache.spark.sql.SparkSession,
       d: String): Seq[Bpe.Merge] =
@@ -105,7 +105,7 @@ object CorpusQueries extends QueryModule {
         .agg(graft.functions.HeavyHitters
           .heavy_hitters(col("token"), 32).as("hh"))
         .agg(graft.functions.HeavyHitters
-          .heavy_hitters_merge(col("hh")).as("hh"))
+          .heavy_hitters_merge(col("hh"), 32).as("hh"))
         .select(explode(col("hh")).as("e"))
         .select(col("e.item").as("item"), col("e.est").as("est"),
           col("e.maxerr").as("maxerr"))
@@ -219,13 +219,19 @@ object CorpusQueries extends QueryModule {
 
   /** r0..rN symbol tables + b1..bN best-pair rows, unrolled. */
   private val bpeCtes: String = {
+    // LEFT JOIN ON TRUE, not CROSS JOIN, against the 1-row best-pair
+    // CTE: a corpus exhausted before round MERGES leaves b_i EMPTY, and
+    // a cross join would wipe the symbol table (and every later round)
+    // — the engine's train() keeps its final symbols on early stop, so
+    // the mirror must carry r_{i-1} through unchanged.
     val rounds = (1 to MERGES).map { i =>
       pairCte(s"p$i", s"r${i - 1}") + ",\n" +
         s"""b$i AS (SELECT lhs, rhs, cnt FROM p$i
            |  ORDER BY cnt DESC, lhs, rhs LIMIT 1),
            |r$i AS (SELECT word, freq,
-           |  ${foldSql("s", s"b$i.lhs", s"b$i.rhs")} AS s
-           |  FROM r${i - 1} CROSS JOIN b$i)""".stripMargin
+           |  CASE WHEN b$i.lhs IS NULL THEN s
+           |       ELSE ${foldSql("s", s"b$i.lhs", s"b$i.rhs")} END AS s
+           |  FROM r${i - 1} LEFT JOIN b$i ON TRUE)""".stripMargin
     }.mkString(",\n")
     s"""WITH words AS (
        |  SELECT word, count(*) AS freq FROM (

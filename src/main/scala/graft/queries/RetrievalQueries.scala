@@ -96,7 +96,8 @@ object RetrievalQueries extends QueryModule {
       Rerank.linear(fusedTopK(s, d, 20),
         Tables.documents(s, d), Tables.embeddings(s, d),
         "doc_id", "text", "vec_id", "embedding",
-        queryId = 0L, terms = terms, k = 10, w = rerankW)),
+        queryId = 0L, terms = terms, k = 10, w = rerankW,
+        k1 = k1, b = b)),
 
     // Inverted-index build (one-time cost, explicit — the serving path's
     // amortized corpus work). Output is the full term-statistics table:

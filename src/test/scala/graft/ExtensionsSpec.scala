@@ -36,7 +36,7 @@ class ExtensionsSpec extends SparkSpec {
       // per-group summaries, roll them up, read the top item
       val hh = ext.sql(
         """SELECT e.item, e.est FROM (
-          |  SELECT explode(heavy_hitters_merge(hh)) AS e FROM (
+          |  SELECT explode(heavy_hitters_merge(hh, 4)) AS e FROM (
           |    SELECT g, heavy_hitters(t, 4) AS hh
           |    FROM VALUES (0, 'x'), (0, 'x'), (0, 'y'), (1, 'x') AS v(g, t)
           |    GROUP BY g))

@@ -54,11 +54,36 @@ class HeavyHittersSpec extends SparkSpec {
       .groupBy($"source")
       .agg(HeavyHitters.heavy_hitters($"token", 16).as("hh"))
     val merged = perSource
-      .agg(HeavyHitters.heavy_hitters_merge($"hh").as("hh"))
+      .agg(HeavyHitters.heavy_hitters_merge($"hh", 16).as("hh"))
       .select(explode($"hh").as("e"))
       .select($"e.item", $"e.est", $"e.maxerr")
       .as[(String, Long, Long)].collect().toSeq
     checkGuarantee(merged)
+  }
+
+  test("merging summaries over DISJOINT vocabularies keeps the full counter budget") {
+    // regression: the merge once reconstructed capacity from a summary's
+    // retained ROW COUNT, shrinking the budget whenever sources retained
+    // fewer than `capacity` items — disjoint per-source vocabularies
+    // make the union exceed any one summary's size and expose it
+    val cap = 64
+    val df = (0 until 3).flatMap { src =>
+      (0 until 10).flatMap(i =>
+        Seq.fill(10 - i)(s"g$src" -> s"s${src}_t$i"))
+    }.toDF("g", "token")
+    val merged = df.groupBy($"g")
+      .agg(HeavyHitters.heavy_hitters($"token", cap).as("hh"))
+      .agg(HeavyHitters.heavy_hitters_merge($"hh", cap).as("hh"))
+      .select(explode($"hh").as("e"))
+      .select($"e.item", $"e.est", $"e.maxerr")
+      .as[(String, Long, Long)].collect().toSeq
+    // 30 distinct items across sources, all under the 64 budget: the
+    // rollup must be exact — no shrink-triggered decrements
+    assert(merged.size == 30, s"${merged.size} items retained")
+    assert(merged.map(_._3).forall(_ == 0L), "no decrements expected")
+    val exactLocal = (0 until 3).flatMap(src =>
+      (0 until 10).map(i => s"s${src}_t$i" -> (10 - i).toLong)).toMap
+    assert(merged.map(r => r._1 -> r._2).toMap == exactLocal)
   }
 
   test("capacity >= vocabulary recovers exact counts with zero error") {
@@ -72,7 +97,7 @@ class HeavyHittersSpec extends SparkSpec {
       .groupBy($"source")
       .agg(HeavyHitters.heavy_hitters($"token", cap).as("hh"))
     val merged = perSource
-      .agg(HeavyHitters.heavy_hitters_merge($"hh").as("hh"))
+      .agg(HeavyHitters.heavy_hitters_merge($"hh", cap).as("hh"))
       .select(explode($"hh").as("e"))
       .select($"e.item", $"e.est", $"e.maxerr")
       .as[(String, Long, Long)].collect().toSeq

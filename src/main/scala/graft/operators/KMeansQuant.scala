@@ -110,6 +110,12 @@ object KMeansQuant {
     emb.select(col(idCol), cluster.as("cluster"), d2.as("dist2"))
   }
 
+  /** Nearest-cell id of a raw embedding column as a plain Column — the
+    * row-local assignment exposed for composition (semantic dedup, topic
+    * tagging) without forcing [[assign]]'s projection. */
+  def cellOf(vec: Column, m: Model): Column =
+    nearest(quantize(vec), m)._1
+
   /** IVF ANN serving through the deterministic model: rank cells by
     * exact integer distance of the query's quantized vector to each
     * centroid (driver-side — k cells), then exact-cosine top-k among the

@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+/** Semantic deduplication: cluster the embedding space with the
+  * deterministic coarse quantizer ([[KMeansQuant]]), then prune
+  * near-duplicates WITHIN each cell only — the SemDeDup recipe (Abbas et
+  * al., 2023, arXiv:2303.09540): semantically redundant documents land in
+  * the same cluster, so the O(n²) all-pairs cosine collapses to
+  * Σ|cell|², and the cross-cell pairs the clustering discards are exactly
+  * the ones below any useful similarity threshold.
+  *
+  * Scale shape: assignment is row-local against broadcast literal
+  * centroids (no shuffle — [[KMeansQuant.cellOf]]); the pair search is an
+  * EQUI-join on the cell id, so Spark shuffles each side once by cell and
+  * never plans a cartesian product (plan-pinned). At 100 TB the operating
+  * discipline is k ∝ n/targetCellSize: cells stay bounded (SemDeDup used
+  * 11k cells for 3.7B embeddings), AQE's skew-join split handles hot
+  * cells, and the per-cell quadratic term is the budget you chose, not an
+  * accident — [[pairs]] guards loudly when a cell exceeds `maxCellRows`,
+  * the same honest-threshold pattern as [[Similarity.nearDupPairs]].
+  *
+  * Dedup rule ([[keep]]): a vector is dropped iff some LOWER-ID vector in
+  * the same cell is within the threshold — the deterministic "anchor
+  * wins" single pass (order-free, engine-stable: survival depends only on
+  * the pair set, never on visit order). Transitive duplicate-GROUP
+  * resolution, when wanted, is [[DedupGroups.resolve]] fed with [[pairs]]
+  * as the edge list.
+  *
+  * Everything here is closed-form — the quantizer is bit-reproducible and
+  * the cosines are single-rounded doubles — so both the pair set and the
+  * survivor set are DuckDB-oracle-checked (`q_semdedup_pairs`,
+  * `q_semdedup_keep`), not just property-tested.
+  */
+object SemDedup {
+
+  private def toDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Within-cell near-duplicate pairs: (cluster, id_a, id_b, cos) with
+    * `id_a < id_b` and `cos >= threshold` (cosine rounded to 6 before the
+    * compare — identical in the mirror).
+    *
+    * `maxCellRows` is the loud guard on the per-cell quadratic term: one
+    * cheap count-by-cell probe, then `require`. Raise it explicitly to
+    * opt into bigger cells; at production scale prefer a bigger k. */
+  def pairs(emb: DataFrame, idCol: String, vecCol: String,
+      m: KMeansQuant.Model, threshold: Double,
+      maxCellRows: Long = 100000L): DataFrame = {
+    VectorFunctions.register(emb.sparkSession)
+    val cell = KMeansQuant.cellOf(col(vecCol), m)
+    val e = emb.select(cell.as("cluster"), col(idCol),
+      toDouble(col(vecCol)).as("__v"))
+    val hot = e.groupBy(col("cluster")).count()
+      .filter(col("count") > maxCellRows).limit(1).collect()
+    require(hot.isEmpty, {
+      val r = hot.head
+      s"semantic-dedup cell ${r.getLong(0)} holds ${r.getLong(1)} rows > " +
+        s"maxCellRows=$maxCellRows (~${r.getLong(1) * r.getLong(1) / 2} " +
+        "candidate pairs). Refit with a larger k so cells stay bounded, " +
+        "or pass maxCellRows explicitly to override."
+    })
+    val a = e.select(col("cluster"), col(idCol).as("id_a"), col("__v").as("__va"))
+    val b = e.select(col("cluster"), col(idCol).as("id_b"), col("__v").as("__vb"))
+    a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos",
+        round(Similarity.cosineFast(col("__va"), col("__vb")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("cluster"), col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** Survivors of anchor-wins pruning: every vector with NO lower-id
+    * within-cell neighbor at `cos >= threshold`, as (id, cluster). The
+    * dropped-id set is duplicate-bounded (≪ corpus), so the anti-join
+    * broadcasts it and the corpus itself never shuffles for the prune —
+    * only the pair search shuffles, by cell.
+    *
+    * Survivors are pairwise non-duplicate within every cell: if x < y
+    * both survive, (x, y) cannot be a pair or y's anchor check would
+    * have dropped it (specced). */
+  def keep(emb: DataFrame, idCol: String, vecCol: String,
+      m: KMeansQuant.Model, threshold: Double,
+      maxCellRows: Long = 100000L): DataFrame = {
+    val dropped = pairs(emb, idCol, vecCol, m, threshold, maxCellRows)
+      .select(col("id_b")).distinct()
+    val cell = KMeansQuant.cellOf(col(vecCol), m)
+    emb.select(col(idCol), cell.as("cluster"))
+      .join(broadcast(dropped), col(idCol) === col("id_b"), "left_anti")
+  }
+
+  /** Incremental dedup of a NEW batch against an already-ingested
+    * corpus — the continuously-ingesting case, same frozen-model
+    * contract as [[KMeansQuant.appendIndex]]: the quantizer does not
+    * refit, and the caller guarantees every new id exceeds every old id
+    * (the ingestion manifest's job, as for `Bm25.appendPostings`).
+    * Under that contract the result is EXACTLY the full-rebuild
+    * [[keep]] over old ∪ new restricted to the new ids (specced): old
+    * survivors never change (their anchors are lower-id, and all new
+    * ids are higher), and a new vector checks against the full old
+    * corpus — including old vectors that were themselves dropped,
+    * because anchor-wins anchors on the pair set, not the survivor set.
+    *
+    * Scale shape: the batch side is broadcast (a batch is ≪ corpus), so
+    * the corpus anchors scan once and NEVER shuffle — with a
+    * cell-partitioned corpus layout the scan additionally prunes to the
+    * batch's touched cells, the [[KMeansQuant.topKFromIndex]]
+    * discipline. Returns new-batch survivors as (id, cluster). */
+  def appendKeep(oldEmb: DataFrame, newVecs: DataFrame, idCol: String,
+      vecCol: String, m: KMeansQuant.Model,
+      threshold: Double): DataFrame = {
+    VectorFunctions.register(oldEmb.sparkSession)
+    val cell = KMeansQuant.cellOf(col(vecCol), m)
+    def shaped(df: DataFrame, id: String, vec: String) =
+      df.select(cell.as("cluster"), col(idCol).as(id),
+        toDouble(col(vecCol)).as(vec))
+    val newE = shaped(newVecs, "id_b", "__vb")
+    // anchors = full old corpus ∪ lower-id new rows (the within-batch
+    // anchor-wins pass rides the same join)
+    val anchors = shaped(oldEmb, "id_a", "__va")
+      .unionByName(shaped(newVecs, "id_a", "__va"))
+    val dropped = anchors.join(broadcast(newE), Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(Similarity.cosineFast(col("__va"), col("__vb")), 6)
+        >= threshold)
+      .select(col("id_b")).distinct()
+    newVecs.select(col(idCol), cell.as("cluster"))
+      .join(broadcast(dropped), col(idCol) === col("id_b"), "left_anti")
+  }
+}

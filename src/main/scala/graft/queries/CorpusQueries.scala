@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Bpe, KMeansQuant, TokenOps, UnigramLM}
+import graft.operators.{Bpe, KMeansQuant, SemDedup, TokenOps, UnigramLM}
 
 /** Corpus-modeling operators (SURVEY.md §2.7): deterministic k-means
   * clustering over `embeddings`, unigram-LM NLL quality scoring over
@@ -18,6 +18,7 @@ object CorpusQueries extends QueryModule {
   private val K = 4       // k-means clusters
   private val ITERS = 2   // Lloyd rounds (assign→update); final assign after
   private val MERGES = 8  // BPE merge rounds
+  private val SEMTAU = 0.35 // semantic-dedup cosine threshold
 
   /** One k-means fit per (session, dataset) — the fit collects only
     * centroid-sized state, but runs ITERS+1 jobs; both kmeans queries
@@ -82,6 +83,40 @@ object CorpusQueries extends QueryModule {
         .head().getSeq[Double](0)
       KMeansQuant.topKFromIndex(s, path, m, qv, k = 10, nprobe = 2,
         idCol = "vec_id", vecCol = "embedding", excludeId = Some(0L))
+    }),
+
+    // SemDeDup (Abbas et al. 2023): near-dup pairs WITHIN each k-means
+    // cell only — assignment row-local vs broadcast centroids, pair
+    // search an equi-join on the cell id (Σ|cell|², never n²; no
+    // cartesian — plan-pinned). Deterministic quantizer + single-rounded
+    // cosines ⇒ the pair set itself is oracle-checked.
+    "q_semdedup_pairs" -> ((s, d) =>
+      SemDedup.pairs(Tables.embeddings(s, d), "vec_id", "embedding",
+          model(s, d), SEMTAU)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // The anchor-wins survivor set: drop a vector iff a LOWER-ID
+    // within-cell neighbor sits at cos >= τ; the duplicate-bounded
+    // dropped-id set broadcasts into a left-anti join, so the corpus
+    // never shuffles for the prune.
+    "q_semdedup_keep" -> ((s, d) =>
+      SemDedup.keep(Tables.embeddings(s, d), "vec_id", "embedding",
+          model(s, d), SEMTAU)
+        .orderBy(col("vec_id"))),
+
+    // Incremental semantic dedup: the id space split at max_id/2 plays
+    // an already-ingested corpus (low ids) + a new batch (high ids);
+    // the batch broadcasts against the corpus anchors (corpus never
+    // shuffles) under the frozen quantizer. Checked against the SAME
+    // full-rebuild mirror as q_semdedup_keep, restricted to the new
+    // ids — incremental == rebuild, by oracle.
+    "q_semdedup_incr" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cut = emb.agg(max(col("vec_id"))).head().getLong(0) / 2
+      SemDedup.appendKeep(emb.filter(col("vec_id") <= cut),
+          emb.filter(col("vec_id") > cut), "vec_id", "embedding",
+          model(s, d), SEMTAU)
+        .orderBy(col("vec_id"))
     }),
 
     // Unigram-LM mean negative log-likelihood per document (add-one
@@ -269,7 +304,47 @@ object CorpusQueries extends QueryModule {
        |FROM cands CROSS JOIN qe
        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
 
+  /** Within-cell cosine pairs off the final assignment `afin` — shared
+    * by both semdedup mirrors. */
+  private val semdedupPairsCte: String =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cpairs AS (
+       |  SELECT CAST(a.cluster AS BIGINT) AS cluster,
+       |         a.vec_id AS id_a, b.vec_id AS id_b,
+       |         round(list_dot_product(ea.v, eb.v)
+       |           / (sqrt(list_dot_product(ea.v, ea.v))
+       |              * sqrt(list_dot_product(eb.v, eb.v))), 6) AS cos
+       |  FROM afin a JOIN afin b
+       |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |  JOIN e ea ON ea.vec_id = a.vec_id
+       |  JOIN e eb ON eb.vec_id = b.vec_id)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_semdedup_pairs" ->
+      s"""$kmeansCtes,
+         |$semdedupPairsCte
+         |SELECT cluster, id_a, id_b, cos FROM cpairs
+         |WHERE cos >= $SEMTAU ORDER BY id_a, id_b""".stripMargin,
+
+    "q_semdedup_keep" ->
+      s"""$kmeansCtes,
+         |$semdedupPairsCte
+         |SELECT f.vec_id, CAST(f.cluster AS BIGINT) AS cluster
+         |FROM afin f
+         |WHERE f.vec_id NOT IN
+         |  (SELECT id_b FROM cpairs WHERE cos >= $SEMTAU)
+         |ORDER BY f.vec_id""".stripMargin,
+
+    "q_semdedup_incr" ->
+      s"""$kmeansCtes,
+         |$semdedupPairsCte
+         |SELECT f.vec_id, CAST(f.cluster AS BIGINT) AS cluster
+         |FROM afin f
+         |WHERE f.vec_id > (SELECT max(vec_id) // 2 FROM embeddings)
+         |  AND f.vec_id NOT IN
+         |    (SELECT id_b FROM cpairs WHERE cos >= $SEMTAU)
+         |ORDER BY f.vec_id""".stripMargin,
+
     "q_kmeans_assign" ->
       s"""$kmeansCtes
          |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,

@@ -252,6 +252,23 @@ object RelationalQueries extends QueryModule {
           countDistinct(col("o_custkey")).as("n_cust"))
         .orderBy(col("yr"), col("mo"))),
 
+    // The z-order (Morton) layout key over (customer, order-day), the
+    // clustering key Compaction.compactZOrder sorts by so a filter on
+    // EITHER dimension prunes row groups via parquet min/max stats.
+    // Plain shift/mask Column arithmetic (codegen-folded, no UDF) —
+    // mirrored bit-for-bit in the DuckDB oracle. Dimension mapping to
+    // [0, 2^8) is the caller's schema choice: customer mod 256, epoch
+    // day mod 256 here.
+    "q_zorder_key" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          pmod(col("o_custkey"), lit(256L)).as("xd"),
+          pmod(datediff(to_date(col("o_orderdate")),
+            to_date(lit("1970-01-01"))).cast("long"), lit(256L)).as("yd"))
+        .withColumn("zkey",
+          graft.sources.Compaction.zorderKey(Seq(col("xd"), col("yd")), 8))
+        .orderBy(col("o_orderkey"))),
+
     // Skew-salted two-phase aggregation — identical results to the
     // plain groupBy (oracle-checked), resilient to hot keys.
     "q_salted_count" -> ((s, d) =>
@@ -413,6 +430,25 @@ object RelationalQueries extends QueryModule {
         |  CAST(count(*) AS BIGINT) AS n,
         |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust
         |FROM orders GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin,
+
+    "q_zorder_key" -> {
+      // the Morton interleave mirrored from Compaction.zorderKey's
+      // shift/mask loop: dim j's bit i lands at position i*ndims + j —
+      // generated from the same (ndims=2, bits=8) constants, OR of
+      // disjoint bit positions
+      val zExpr = (for {
+        (dim, j) <- Seq("xd", "yd").zipWithIndex
+        i <- 0 until 8
+      } yield s"((($dim >> $i) & 1) << ${i * 2 + j})").mkString(" | ")
+      s"""WITH dims AS (
+         |  SELECT o_orderkey,
+         |         o_custkey % 256 AS xd,
+         |         datediff('day', DATE '1970-01-01', o_orderdate::DATE) % 256 AS yd
+         |  FROM orders)
+         |SELECT o_orderkey, CAST(xd AS BIGINT) AS xd, CAST(yd AS BIGINT) AS yd,
+         |       CAST($zExpr AS BIGINT) AS zkey
+         |FROM dims ORDER BY o_orderkey""".stripMargin
+    },
 
     "q_salted_count" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n

@@ -103,6 +103,24 @@ class PlanSpec extends SparkSpec {
       s"assignment must not key-shuffle (only the output sort may range-partition):\n$plan")
   }
 
+  test("q_semdedup_pairs pair search is an equi-join on the cell id") {
+    // the 100TB shape: Σ|cell|² via a keyed join, never an n² cartesian;
+    // the assignment itself must stay row-local (no join to a centroid
+    // table — centroids travel as plan literals)
+    val plan = formatted("q_semdedup_pairs")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"pair search degraded to all-pairs:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"expected a keyed join on the cell id:\n$plan")
+  }
+
+  test("q_semdedup_keep broadcasts the dropped-id set — corpus never shuffles for the prune") {
+    val plan = formatted("q_semdedup_keep")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"dropped-id set not broadcast-anti-joined:\n$plan")
+  }
+
   test("q_bpe_encode folds merges in the scan stage — no join, no key shuffle") {
     val plan = formatted("q_bpe_encode")
     assert(!plan.contains("Join"), s"encode must not join a vocab table:\n$plan")

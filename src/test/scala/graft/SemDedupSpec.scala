@@ -1,0 +1,193 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
+import graft.operators.{KMeansQuant, SemDedup, Similarity}
+
+/** SemDedup semantics: within-cell pairs equal the brute-force pair set
+  * restricted to co-clustered ids, anchor-wins survival is exactly
+  * "no lower-id neighbor", partitioning cannot move results, and the
+  * per-cell quadratic guard trips loudly. Fixture-level value checks are
+  * the DuckDB oracles (`q_semdedup_pairs` / `q_semdedup_keep`). */
+class SemDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Tables.embeddings(spark, sf001)
+  private lazy val model =
+    KMeansQuant.fit(emb, "vec_id", "embedding", k = 3, iters = 2)
+  private val Tau = 0.35
+
+  test("pairs == exact all-pairs cosine restricted to co-clustered ids") {
+    val cells = KMeansQuant.assign(emb, "vec_id", "embedding", model)
+      .select($"vec_id", $"cluster").as[(Long, Long)].collect().toMap
+    val exact = Similarity.nearDupPairs(emb, "vec_id", "embedding", Tau)
+      .select($"id_a", $"id_b", $"cos").as[(Long, Long, Double)]
+      .collect().filter { case (a, b, _) => cells(a) == cells(b) }
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    val got = SemDedup.pairs(emb, "vec_id", "embedding", model, Tau)
+      .select($"cluster", $"id_a", $"id_b", $"cos")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.nonEmpty, "fixture produced no within-cell pairs at tau")
+    assert(got.map { case (_, a, b, c) => (a, b) -> c }.toMap == exact)
+    got.foreach { case (cell, a, b, _) =>
+      assert(cells(a) == cell && cells(b) == cell)
+    }
+  }
+
+  test("keep drops exactly the ids with a lower-id within-cell neighbor") {
+    val dropped = SemDedup.pairs(emb, "vec_id", "embedding", model, Tau)
+      .select($"id_b").as[Long].collect().toSet
+    val kept = SemDedup.keep(emb, "vec_id", "embedding", model, Tau)
+      .select($"vec_id").as[Long].collect().toSet
+    val all = emb.select($"vec_id").as[Long].collect().toSet
+    assert(kept == all -- dropped)
+    assert(dropped.nonEmpty && kept.nonEmpty)
+  }
+
+  test("pairs and keep are partitioning-invariant") {
+    val p1 = SemDedup.pairs(emb, "vec_id", "embedding", model, Tau)
+      .as[(Long, Long, Long, Double)].collect().sorted.toSeq
+    val p2 = SemDedup.pairs(emb.repartition(7), "vec_id", "embedding",
+        model, Tau)
+      .as[(Long, Long, Long, Double)].collect().sorted.toSeq
+    assert(p1 == p2)
+    val k1 = SemDedup.keep(emb, "vec_id", "embedding", model, Tau)
+      .as[(Long, Long)].collect().sorted.toSeq
+    val k2 = SemDedup.keep(emb.repartition(7), "vec_id", "embedding",
+        model, Tau)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(k1 == k2)
+  }
+
+  test("an over-budget cell fails loudly, not quadratically") {
+    val e = intercept[IllegalArgumentException] {
+      SemDedup.pairs(emb, "vec_id", "embedding", model, Tau,
+        maxCellRows = 3L).collect()
+    }
+    assert(e.getMessage.contains("maxCellRows"))
+    assert(e.getMessage.contains("larger k"))
+  }
+
+  test("survivors are pairwise non-duplicate within every cell") {
+    // if x < y both survive, (x, y) can't be a pair — y's anchor check
+    // would have dropped it; the survivor set is an independent set
+    // under the pair relation, per the keep contract
+    val kept = SemDedup.keep(emb, "vec_id", "embedding", model, Tau)
+      .select($"vec_id").as[Long].collect().toSet
+    val pairIds = SemDedup.pairs(emb, "vec_id", "embedding", model, Tau)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+    pairIds.foreach { case (a, b) =>
+      assert(!(kept(a) && kept(b)), s"surviving pair ($a, $b)")
+    }
+  }
+
+  test("appendKeep == full-rebuild keep restricted to the new ids") {
+    // split the id space: low ids are the ingested corpus, high ids the
+    // arriving batch (the new-ids-exceed-old-ids ingestion contract)
+    val cut = emb.agg(max($"vec_id")).head().getLong(0) / 2
+    val old = emb.filter($"vec_id" <= cut)
+    val fresh = emb.filter($"vec_id" > cut)
+    val incr = SemDedup.appendKeep(old, fresh, "vec_id", "embedding",
+        model, Tau)
+      .as[(Long, Long)].collect().sorted.toSeq
+    val rebuild = SemDedup.keep(emb, "vec_id", "embedding", model, Tau)
+      .filter($"vec_id" > cut)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(incr == rebuild)
+    assert(incr.nonEmpty)
+    // and the old survivors are untouched by construction: rebuild over
+    // old ∪ new restricted to old ids equals keep(old) alone
+    val oldAlone = SemDedup.keep(old, "vec_id", "embedding", model, Tau)
+      .as[(Long, Long)].collect().sorted.toSeq
+    val oldInFull = SemDedup.keep(emb, "vec_id", "embedding", model, Tau)
+      .filter($"vec_id" <= cut)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(oldAlone == oldInFull)
+  }
+
+  test("appendKeep checks new vectors against dropped old anchors too") {
+    // anchor-wins anchors on the PAIR set, not the survivor set: a new
+    // vector duplicating an old vector that was itself dropped must
+    // still be dropped. Build that shape directly: v0 ~ v1 (v1 drops),
+    // then the batch brings v2 ~ v1 but ⊥ v0-enough — with a 1-cell
+    // model every pair is within-cell.
+    val m = KMeansQuant.Model(Array(Array(0L, 0L)))
+    val old = Seq(
+      0L -> Seq(1.0, 0.0),
+      1L -> Seq(0.98, 0.199),     // cos(v0,v1) ≈ 0.98 -> v1 dropped
+      5L -> Seq(0.0, 1.0)
+    ).toDF("vec_id", "embedding")
+    val fresh = Seq(
+      10L -> Seq(0.98, 0.199),    // duplicates DROPPED v1 exactly
+      11L -> Seq(-1.0, 0.05)      // near nothing
+    ).toDF("vec_id", "embedding")
+    val kept = SemDedup.appendKeep(old, fresh, "vec_id", "embedding",
+        m, threshold = 0.95)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(kept == Set(11L),
+      s"vec 10 duplicates a dropped anchor and must still drop: $kept")
+  }
+
+  test("streamed id-ordered batches through appendKeep == one-shot keep") {
+    // The always-on ingestion shape: embedding batches land as files and
+    // a foreachBatch sink folds appendKeep over the accumulated corpus.
+    // Files get strictly increasing mtimes so the file source delivers
+    // them in ingestion order (the id contract the operator documents).
+    import org.apache.spark.sql.DataFrame
+    val dir = java.nio.file.Files.createTempDirectory("graft-semdedup-stream")
+    val ids = emb.agg(max($"vec_id")).head().getLong(0)
+    val cuts = Seq(ids / 3, 2 * ids / 3)
+    val parts = Seq(
+      emb.filter($"vec_id" <= cuts(0)),
+      emb.filter($"vec_id" > cuts(0) && $"vec_id" <= cuts(1)),
+      emb.filter($"vec_id" > cuts(1)))
+    parts.zipWithIndex.foreach { case (p, i) =>
+      val stage = java.nio.file.Files.createTempDirectory("graft-semdedup-b")
+      p.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = java.nio.file.Files.list(stage).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(fail(s"no parquet part in $stage"))
+      val f = dir.resolve(s"b$i.parquet")
+      java.nio.file.Files.copy(part, f)
+      java.nio.file.Files.setLastModifiedTime(f,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+    }
+    val schema = emb.schema
+    var ingested: Option[DataFrame] = None
+    val survivors = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+      .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+        val rows = batch.collect()
+        val b = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toSeq), schema)
+        ingested match {
+          case None =>
+            survivors ++= SemDedup.keep(b, "vec_id", "embedding", model, Tau)
+              .as[(Long, Long)].collect()
+          case Some(old) =>
+            survivors ++= SemDedup.appendKeep(old, b, "vec_id", "embedding",
+              model, Tau).as[(Long, Long)].collect()
+        }
+        ingested = Some(ingested.fold(b)(_.unionByName(b)))
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    val oneShot = SemDedup.keep(emb, "vec_id", "embedding", model, Tau)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(survivors.sorted.toSeq == oneShot)
+    assert(survivors.nonEmpty)
+  }
+
+  test("lowering tau only grows the pair set (monotone in the threshold)") {
+    val tight = SemDedup.pairs(emb, "vec_id", "embedding", model, 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val loose = SemDedup.pairs(emb, "vec_id", "embedding", model, 0.3)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(tight.subsetOf(loose))
+    assert(loose.size > tight.size)
+  }
+}

@@ -119,6 +119,54 @@ object CorpusQueries extends QueryModule {
         .orderBy(col("vec_id"))
     }),
 
+    // Cluster-balanced diversity cap: at most 40 vectors per k-means
+    // cell, survivors by smallest content hash — the topic-balancing
+    // stage after clustering (no cell may dominate the corpus), riding
+    // the same bounded bottom_k aggregate as q_source_cap so no
+    // window/row_number sort ever touches the full corpus.
+    "q_cluster_cap" -> ((s, d) => {
+      val withCell = Tables.embeddings(s, d)
+        .withColumn("cluster",
+          KMeansQuant.cellOf(col("embedding"), model(s, d)))
+      graft.operators.Sampling.capPerStratum(withCell, "vec_id",
+          col("vec_id").cast("string"), "cluster", k = 40)
+        .select(col("vec_id"), col("cluster"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // End-to-end SEMANTIC curation — the four stages a training-data
+    // pass actually chains, across two tables: quality/length gate →
+    // exact bag-of-words-fingerprint dedup → semantic near-dup removal
+    // (anti-join the DUPLICATE-BOUNDED dropped-id set from the
+    // embedding cells — broadcastable, where the corpus-sized survivor
+    // set is not) → per-source diversity cap (bounded bottom_k, no
+    // corpus-wide window). doc_id ≡ vec_id by fixture construction.
+    // The cap reads its input twice (aggregate + semi-join back), so
+    // the curated frame is localCheckpoint'd first — the same stage
+    // boundary app/Curate.scala draws; without it the whole gate→dedup→
+    // anti-join chain executes twice (plan-pinned: the final plan caps
+    // over one materialized stage, zero repeated windows).
+    "q_curate_semantic" -> ((s, d) => {
+      val (nTok, _, q) = TokenOps.qualityScore(col("text"))
+      val gated = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("source"),
+          nTok.as("n_tokens"), q.as("quality"))
+        .filter(col("quality") >= 0.55 && col("n_tokens") >= 5)
+      val deduped = graft.operators.Dedup.exactByFingerprint(gated,
+        TokenOps.bagOfWordsFingerprint(col("text")), col("doc_id"))
+      val semDropped = SemDedup.pairs(Tables.embeddings(s, d), "vec_id",
+          "embedding", model(s, d), SEMTAU)
+        .select(col("id_b").as("doc_id")).distinct()
+      val curated = deduped
+        .join(broadcast(semDropped), Seq("doc_id"), "left_anti")
+        .localCheckpoint(false)
+      graft.operators.Sampling.capPerStratum(curated, "doc_id",
+          col("text"), "source", k = 15)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Unigram-LM mean negative log-likelihood per document (add-one
     // smoothing, corpus-fit), per-token −ln p quantized to a 1e-9
     // integer grid before the per-doc sum (summation-order-free).
@@ -319,7 +367,45 @@ object CorpusQueries extends QueryModule {
        |  JOIN e ea ON ea.vec_id = a.vec_id
        |  JOIN e eb ON eb.vec_id = b.vec_id)""".stripMargin
 
+  private val stopSql = TokenOps.sqlList(TokenOps.englishStopwords)
+
   val oracle: Map[String, String] = Map(
+    "q_curate_semantic" ->
+      s"""$kmeansCtes,
+         |$semdedupPairsCte,
+         |qx AS (
+         |  SELECT doc_id, text, source,
+         |    CAST(len(regexp_split_to_array(lower(text), '$wsSql')) AS DOUBLE) AS n_tok,
+         |    CAST(len(list_filter(regexp_split_to_array(lower(text), '$wsSql'),
+         |      t -> t IN ($stopSql))) AS DOUBLE) AS n_stop,
+         |    CAST(length(replace(text, ' ', '')) AS DOUBLE) AS n_char
+         |  FROM documents),
+         |scored AS (
+         |  SELECT doc_id, text, source, CAST(n_tok AS BIGINT) AS n_tokens,
+         |    round(0.5 * least(n_tok / 100.0, 1.0)
+         |        + 0.3 * (1.0 - n_stop / n_tok)
+         |        + 0.2 * least((n_char / n_tok) / 10.0, 1.0), 6) AS quality
+         |  FROM qx),
+         |gated AS (SELECT * FROM scored
+         |          WHERE quality >= 0.55 AND n_tokens >= 5),
+         |fpx AS (SELECT doc_id, text, source, n_tokens, quality,
+         |    md5(array_to_string(list_sort(list_distinct(
+         |      regexp_split_to_array(lower(text), '$wsSql'))), ' ')) AS f
+         |  FROM gated),
+         |exact_d AS (
+         |  SELECT doc_id, text, source, n_tokens, quality FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY f ORDER BY doc_id) AS rn
+         |    FROM fpx) WHERE rn = 1),
+         |nodup AS (
+         |  SELECT * FROM exact_d
+         |  WHERE doc_id NOT IN (SELECT id_b FROM cpairs WHERE cos >= $SEMTAU))
+         |SELECT doc_id, source, n_tokens, quality FROM (
+         |  SELECT doc_id, source, n_tokens, quality,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY md5('42:' || text), doc_id) AS rn
+         |  FROM nodup) WHERE rn <= 15
+         |ORDER BY doc_id""".stripMargin,
+
     "q_semdedup_pairs" ->
       s"""$kmeansCtes,
          |$semdedupPairsCte
@@ -344,6 +430,16 @@ object CorpusQueries extends QueryModule {
          |  AND f.vec_id NOT IN
          |    (SELECT id_b FROM cpairs WHERE cos >= $SEMTAU)
          |ORDER BY f.vec_id""".stripMargin,
+
+    "q_cluster_cap" ->
+      s"""$kmeansCtes
+         |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM (
+         |  SELECT a.vec_id, a.cluster,
+         |         row_number() OVER (PARTITION BY a.cluster
+         |           ORDER BY md5('42:' || CAST(a.vec_id AS VARCHAR)),
+         |                    a.vec_id) AS rn
+         |  FROM afin a)
+         |WHERE rn <= 40 ORDER BY vec_id""".stripMargin,
 
     "q_kmeans_assign" ->
       s"""$kmeansCtes

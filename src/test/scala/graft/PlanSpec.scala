@@ -121,6 +121,62 @@ class PlanSpec extends SparkSpec {
       s"dropped-id set not broadcast-anti-joined:\n$plan")
   }
 
+  test("q_cluster_cap caps with bounded bottom_k, no Window sort, broadcast semi-join") {
+    val plan = formatted("q_cluster_cap")
+    assert(plan.contains("ObjectHashAggregate") && plan.contains("partial_bottom_k"),
+      s"expected partial+final bottom_k aggregate:\n$plan")
+    assert(!plan.contains("Window"),
+      s"cluster capping must not fall back to a window/row_number sort:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"kept-id set should broadcast-semi-join the corpus:\n$plan")
+  }
+
+  test("q_curate_semantic caps over a materialized stage — curation runs once") {
+    // capPerStratum reads its input twice (aggregate + semi-join back);
+    // without the localCheckpoint stage boundary the final plan would
+    // contain the gate→fp-window→anti-join chain TWICE (caught here in
+    // round 15). Pinned shape: the cap stage rides the bounded bottom_k
+    // over the checkpointed RDD, with zero re-executed windows/joins.
+    val tree = SparkEntry.queries("q_curate_semantic")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(tree.contains("partial_bottom_k"),
+      s"source cap must use the bounded bottom_k aggregate:\n$tree")
+    assert(tree.contains("LeftSemi"),
+      s"kept-id set should semi-join the curated stage:\n$tree")
+    assert(tree.contains("ExistingRDD"),
+      s"curated stage not materialized — curation chain would run twice:\n$tree")
+    assert(!"Window \\[".r.findAllIn(tree).hasNext,
+      s"no window may re-execute in the cap stage:\n$tree")
+  }
+
+  test("semantic curation stage: dropped set broadcast-anti-joins, one fingerprint window") {
+    // the pre-cap stage (what the checkpoint materializes), built from
+    // the same operators: quality gate → fingerprint dedup (the one
+    // window) → broadcast anti-join of the duplicate-bounded semantic
+    // dropped-id set — the corpus never shuffles for the prune
+    import graft.operators.{Dedup, SemDedup, TokenOps}
+    import org.apache.spark.sql.functions._
+    val (nTok, _, q) = TokenOps.qualityScore(col("text"))
+    val gated = Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("text"), col("source"),
+        nTok.as("n_tokens"), q.as("quality"))
+      .filter(col("quality") >= 0.55 && col("n_tokens") >= 5)
+    val deduped = Dedup.exactByFingerprint(gated,
+      TokenOps.bagOfWordsFingerprint(col("text")), col("doc_id"))
+    val emb = Tables.embeddings(spark, sf001)
+    val m = graft.operators.KMeansQuant.fit(emb, "vec_id", "embedding", 4, 2)
+    val semDropped = SemDedup.pairs(emb, "vec_id", "embedding", m, 0.35)
+      .select(col("id_b").as("doc_id")).distinct()
+    val curated = deduped
+      .join(org.apache.spark.sql.functions.broadcast(semDropped),
+        Seq("doc_id"), "left_anti")
+    val tree = curated.queryExecution.executedPlan.toString
+    assert(tree.contains("BroadcastHashJoin") && tree.contains("LeftAnti"),
+      s"semantic dropped set not broadcast-anti-joined:\n$tree")
+    assert("Window \\[".r.findAllIn(tree).size == 1,
+      s"expected exactly the fingerprint window:\n$tree")
+  }
+
   test("q_bpe_encode folds merges in the scan stage — no join, no key shuffle") {
     val plan = formatted("q_bpe_encode")
     assert(!plan.contains("Join"), s"encode must not join a vocab table:\n$plan")

@@ -167,6 +167,38 @@ object CorpusQueries extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // Per-cell clustering-quality audit: member count, exact integer
+    // inertia (Σ d2), and mean distance — the model-evaluation readout
+    // a clustering pipeline tracks across refits. One partial-aggregated
+    // job over the row-local assignment.
+    "q_kmeans_inertia" -> ((s, d) =>
+      KMeansQuant.assign(Tables.embeddings(s, d), "vec_id", "embedding",
+          model(s, d))
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n"), sum(col("dist2")).as("inertia"))
+        .withColumn("mean_d2",
+          round(col("inertia").cast("double") / col("n"), 6))
+        .orderBy(col("cluster"))),
+
+    // In-engine ANN evaluation: recall@10 of the nprobe=2/4 IVF probe
+    // against exact brute force, for the standard query vector. Both
+    // sides deterministic ⇒ the recall NUMBER is oracle-checked, not
+    // just asserted in a spec — the eval harness a served ANN index
+    // needs when tuning nprobe.
+    "q_ivf_recall" -> ((s, d) => {
+      val ivf = KMeansQuant.ivfTopK(Tables.embeddings(s, d), "vec_id",
+          "embedding", model(s, d), queryId = 0L, k = 10, nprobe = 2)
+        .select(col("vec_id"))
+      val brute = graft.operators.Similarity.bruteForceTopK(
+          Tables.embeddings(s, d), "vec_id", "embedding",
+          queryId = 0L, k = 10)
+        .select(col("vec_id"))
+      ivf.join(brute, Seq("vec_id"))
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(10L).as("k"), col("hits"),
+          round(col("hits").cast("double") / 10.0, 6).as("recall"))
+    }),
+
     // Unigram-LM mean negative log-likelihood per document (add-one
     // smoothing, corpus-fit), per-token −ln p quantized to a 1e-9
     // integer grid before the per-doc sum (summation-order-free).
@@ -325,12 +357,11 @@ object CorpusQueries extends QueryModule {
        |$rounds""".stripMargin
   }
 
-  /** IVF probe mirror: integer cell ranking off the final centroids,
-    * nprobe=2 cells, exact cosine among their members — shared by the
-    * in-plan filter query and the served-layout query. */
-  private val ivfKmeansSql: String =
-    s"""$kmeansCtes,
-       |qv AS (SELECT v FROM vq WHERE vec_id = 0),
+  /** IVF probe CTEs (cell ranking, nprobe=2 candidate set) + the ranked
+    * top-10 — shared by the in-plan probe, the served-layout probe, and
+    * the recall evaluation. */
+  private val ivfProbeCtes: String =
+    s"""qv AS (SELECT v FROM vq WHERE vec_id = 0),
        |qd AS (SELECT generate_subscripts(v, 1) AS i, unnest(v) AS q
        |       FROM qv),
        |cellrank AS (
@@ -345,12 +376,22 @@ object CorpusQueries extends QueryModule {
        |  FROM embeddings e
        |  JOIN afin a ON e.vec_id = a.vec_id
        |  JOIN probecells p ON a.cluster = p.cluster
-       |  WHERE e.vec_id <> 0)
-       |SELECT vec_id, round(list_dot_product(v, qdv)
-       |    / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qdv, qdv))),
-       |    6) AS cos
-       |FROM cands CROSS JOIN qe
-       |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+       |  WHERE e.vec_id <> 0),
+       |ivftop AS (
+       |  SELECT vec_id, round(list_dot_product(v, qdv)
+       |      / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qdv, qdv))),
+       |      6) AS cos
+       |  FROM cands CROSS JOIN qe
+       |  ORDER BY cos DESC, vec_id LIMIT 10)""".stripMargin
+
+  /** IVF probe mirror: integer cell ranking off the final centroids,
+    * nprobe=2 cells, exact cosine among their members — shared by the
+    * in-plan filter query and the served-layout query. */
+  private val ivfKmeansSql: String =
+    s"""$kmeansCtes,
+       |$ivfProbeCtes
+       |SELECT vec_id, cos FROM ivftop
+       |ORDER BY cos DESC, vec_id""".stripMargin
 
   /** Within-cell cosine pairs off the final assignment `afin` — shared
     * by both semdedup mirrors. */
@@ -440,6 +481,31 @@ object CorpusQueries extends QueryModule {
          |                    a.vec_id) AS rn
          |  FROM afin a)
          |WHERE rn <= 40 ORDER BY vec_id""".stripMargin,
+
+    "q_kmeans_inertia" ->
+      s"""$kmeansCtes
+         |SELECT CAST(cluster AS BIGINT) AS cluster,
+         |       CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(d2) AS BIGINT) AS inertia,
+         |       round(CAST(sum(d2) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         |         AS mean_d2
+         |FROM afin GROUP BY cluster ORDER BY cluster""".stripMargin,
+
+    "q_ivf_recall" ->
+      s"""$kmeansCtes,
+         |$ivfProbeCtes,
+         |brutetop AS (
+         |  SELECT e.vec_id, round(list_dot_product(e.v, qe.qdv)
+         |      / (sqrt(list_dot_product(e.v, e.v))
+         |         * sqrt(list_dot_product(qe.qdv, qe.qdv))), 6) AS cos
+         |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |        WHERE vec_id <> 0) e
+         |  CROSS JOIN qe
+         |  ORDER BY cos DESC, vec_id LIMIT 10)
+         |SELECT CAST(10 AS BIGINT) AS k,
+         |       CAST(count(*) AS BIGINT) AS hits,
+         |       round(CAST(count(*) AS DOUBLE) / 10.0, 6) AS recall
+         |FROM ivftop JOIN brutetop USING (vec_id)""".stripMargin,
 
     "q_kmeans_assign" ->
       s"""$kmeansCtes

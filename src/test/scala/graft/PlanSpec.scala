@@ -81,7 +81,10 @@ class PlanSpec extends SparkSpec {
       // the smoothed unigram probabilities / the BM25-stats + query-
       // vector rows inside the rerank's feature computation / the
       // query vector against the kmeans-IVF probed cells
-      "q_unigram_nll", "q_rerank_linear", "q_ivf_kmeans_topk")
+      "q_unigram_nll", "q_rerank_linear", "q_ivf_kmeans_topk",
+      // recall eval joins the IVF and brute-force top-10s — both carry
+      // the 1-row query-vector scalar join by construction
+      "q_ivf_recall")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan =

@@ -182,6 +182,24 @@ class SemDedupSpec extends SparkSpec {
     assert(survivors.nonEmpty)
   }
 
+  test("pair-search candidate count is Σ per-cell C(n,2), not global C(n,2)") {
+    // the scale claim, verified by exact accounting: the equi-join on
+    // the cell id enumerates only within-cell pairs — the global
+    // quadratic never materializes
+    val cellSizes = KMeansQuant.assign(emb, "vec_id", "embedding", model)
+      .groupBy($"cluster").count().as[(Long, Long)].collect().map(_._2)
+    val expected = cellSizes.map(c => c * (c - 1) / 2).sum
+    val n = cellSizes.sum
+    val cell = KMeansQuant.cellOf(col("embedding"), model)
+    val e = emb.select(cell.as("cluster"), $"vec_id")
+    val candidates = e.select($"cluster", $"vec_id".as("id_a"))
+      .join(e.select($"cluster", $"vec_id".as("id_b")), Seq("cluster"))
+      .filter($"id_a" < $"id_b").count()
+    assert(candidates == expected)
+    assert(expected < n * (n - 1) / 2,
+      "fixture clustering degenerate: within-cell pairs == all pairs")
+  }
+
   test("lowering tau only grows the pair set (monotone in the threshold)") {
     val tight = SemDedup.pairs(emb, "vec_id", "embedding", model, 0.5)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet

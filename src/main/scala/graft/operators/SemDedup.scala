@@ -8,9 +8,13 @@ import graft.functions.VectorFunctions
   * deterministic coarse quantizer ([[KMeansQuant]]), then prune
   * near-duplicates WITHIN each cell only — the SemDeDup recipe (Abbas et
   * al., 2023, arXiv:2303.09540): semantically redundant documents land in
-  * the same cluster, so the O(n²) all-pairs cosine collapses to
-  * Σ|cell|², and the cross-cell pairs the clustering discards are exactly
-  * the ones below any useful similarity threshold.
+  * the same cluster, so the O(n²) all-pairs cosine collapses to Σ|cell|².
+  * The trade is RECALL, accepted explicitly as in the paper: a near-dup
+  * pair straddling a cell boundary is never compared and both sides
+  * survive — within-cell search is exact (specced against brute force
+  * restricted to co-clustered ids), not a complete pair enumeration. Do
+  * not use [[pairs]] as all-pairs ground truth; that is
+  * [[Similarity.nearDupPairs]]'s job at verification scale.
   *
   * Scale shape: assignment is row-local against broadcast literal
   * centroids (no shuffle — [[KMeansQuant.cellOf]]); the pair search is an
@@ -106,10 +110,14 @@ object SemDedup {
     * the corpus anchors scan once and NEVER shuffle — with a
     * cell-partitioned corpus layout the scan additionally prunes to the
     * batch's touched cells, the [[KMeansQuant.topKFromIndex]]
-    * discipline. Returns new-batch survivors as (id, cluster). */
+    * discipline. The per-cell work is |cell∩(old∪new)| × |cell∩batch|,
+    * guarded like [[pairs]]: a frozen quantizer gone stale concentrates
+    * drifted ingest into one cell, and `maxCellRows` trips loudly on
+    * the batch's touched cells before that turns quadratic. Returns
+    * new-batch survivors as (id, cluster). */
   def appendKeep(oldEmb: DataFrame, newVecs: DataFrame, idCol: String,
-      vecCol: String, m: KMeansQuant.Model,
-      threshold: Double): DataFrame = {
+      vecCol: String, m: KMeansQuant.Model, threshold: Double,
+      maxCellRows: Long = 100000L): DataFrame = {
     VectorFunctions.register(oldEmb.sparkSession)
     val cell = KMeansQuant.cellOf(col(vecCol), m)
     def shaped(df: DataFrame, id: String, vec: String) =
@@ -120,6 +128,17 @@ object SemDedup {
     // anchor-wins pass rides the same join)
     val anchors = shaped(oldEmb, "id_a", "__va")
       .unionByName(shaped(newVecs, "id_a", "__va"))
+    val hot = anchors
+      .join(broadcast(newE.select(col("cluster")).distinct()), Seq("cluster"))
+      .groupBy(col("cluster")).count()
+      .filter(col("count") > maxCellRows).limit(1).collect()
+    require(hot.isEmpty, {
+      val r = hot.head
+      s"incremental semantic dedup: touched cell ${r.getLong(0)} holds " +
+        s"${r.getLong(1)} anchor rows > maxCellRows=$maxCellRows. The " +
+        "frozen quantizer no longer spreads this ingest — refit with a " +
+        "larger k (rebuilding the layout), or pass maxCellRows to override."
+    })
     val dropped = anchors.join(broadcast(newE), Seq("cluster"))
       .filter(col("id_a") < col("id_b"))
       .filter(round(Similarity.cosineFast(col("__va"), col("__vb")), 6)

@@ -34,6 +34,15 @@ object CorpusQueries extends QueryModule {
   /** One served IVF layout per (session, dataset). */
   private val ivfIndexCache = new graft.util.SessionCache[String]
 
+  /** One curated-stage materialization per (session, dataset): the
+    * localCheckpoint'd frame q_curate_semantic caps over. Cached so
+    * repeated invocations (bench re-runs, the PlanSpec sweep, verify)
+    * reuse ONE checkpointed RDD instead of accumulating storage blocks
+    * per call — the query-map twin of app/Curate's per-run stage
+    * frames. */
+  private val curatedCache =
+    new graft.util.SessionCache[org.apache.spark.sql.DataFrame]
+
   /** One BPE training per (session, dataset) — MERGES bounded
     * aggregations over the vocabulary-sized symbol table; the merge
     * table itself is MERGES rows. */
@@ -147,19 +156,21 @@ object CorpusQueries extends QueryModule {
     // anti-join chain executes twice (plan-pinned: the final plan caps
     // over one materialized stage, zero repeated windows).
     "q_curate_semantic" -> ((s, d) => {
-      val (nTok, _, q) = TokenOps.qualityScore(col("text"))
-      val gated = Tables.documents(s, d)
-        .select(col("doc_id"), col("text"), col("source"),
-          nTok.as("n_tokens"), q.as("quality"))
-        .filter(col("quality") >= 0.55 && col("n_tokens") >= 5)
-      val deduped = graft.operators.Dedup.exactByFingerprint(gated,
-        TokenOps.bagOfWordsFingerprint(col("text")), col("doc_id"))
-      val semDropped = SemDedup.pairs(Tables.embeddings(s, d), "vec_id",
-          "embedding", model(s, d), SEMTAU)
-        .select(col("id_b").as("doc_id")).distinct()
-      val curated = deduped
-        .join(broadcast(semDropped), Seq("doc_id"), "left_anti")
-        .localCheckpoint(false)
+      val curated = curatedCache.getOrElseUpdate(s, d) {
+        val (nTok, _, q) = TokenOps.qualityScore(col("text"))
+        val gated = Tables.documents(s, d)
+          .select(col("doc_id"), col("text"), col("source"),
+            nTok.as("n_tokens"), q.as("quality"))
+          .filter(col("quality") >= 0.55 && col("n_tokens") >= 5)
+        val deduped = graft.operators.Dedup.exactByFingerprint(gated,
+          TokenOps.bagOfWordsFingerprint(col("text")), col("doc_id"))
+        val semDropped = SemDedup.pairs(Tables.embeddings(s, d), "vec_id",
+            "embedding", model(s, d), SEMTAU)
+          .select(col("id_b").as("doc_id")).distinct()
+        deduped
+          .join(broadcast(semDropped), Seq("doc_id"), "left_anti")
+          .localCheckpoint(false)
+      }
       graft.operators.Sampling.capPerStratum(curated, "doc_id",
           col("text"), "source", k = 15)
         .select(col("doc_id"), col("source"), col("n_tokens"),

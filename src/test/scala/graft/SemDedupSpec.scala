@@ -68,6 +68,17 @@ class SemDedupSpec extends SparkSpec {
     assert(e.getMessage.contains("larger k"))
   }
 
+  test("appendKeep guards the batch's touched cells the same way") {
+    val cut = emb.agg(max($"vec_id")).head().getLong(0) / 2
+    val e = intercept[IllegalArgumentException] {
+      SemDedup.appendKeep(emb.filter($"vec_id" <= cut),
+        emb.filter($"vec_id" > cut), "vec_id", "embedding", model, Tau,
+        maxCellRows = 3L).collect()
+    }
+    assert(e.getMessage.contains("maxCellRows"))
+    assert(e.getMessage.contains("larger k"))
+  }
+
   test("survivors are pairwise non-duplicate within every cell") {
     // if x < y both survive, (x, y) can't be a pair — y's anchor check
     // would have dropped it; the survivor set is an independent set
@@ -108,24 +119,31 @@ class SemDedupSpec extends SparkSpec {
   test("appendKeep checks new vectors against dropped old anchors too") {
     // anchor-wins anchors on the PAIR set, not the survivor set: a new
     // vector duplicating an old vector that was itself dropped must
-    // still be dropped. Build that shape directly: v0 ~ v1 (v1 drops),
-    // then the batch brings v2 ~ v1 but ⊥ v0-enough — with a 1-cell
-    // model every pair is within-cell.
+    // still be dropped. Isolating fixture on the unit circle: v1 at 15°
+    // (cos(v0,v1) ≈ 0.966 ≥ 0.95 → v1 drops), batch v10 at 30° —
+    // cos(v1,v10) ≈ 0.966 ≥ 0.95 but cos(v0,v10) ≈ 0.866 < 0.95, so
+    // ONLY the dropped anchor v1 can drop v10: an appendKeep that
+    // anchored on survivors alone would keep it and fail here. 1-cell
+    // model keeps every pair within-cell.
     val m = KMeansQuant.Model(Array(Array(0L, 0L)))
     val old = Seq(
       0L -> Seq(1.0, 0.0),
-      1L -> Seq(0.98, 0.199),     // cos(v0,v1) ≈ 0.98 -> v1 dropped
+      1L -> Seq(0.9659258, 0.2588190),  // 15°: dropped via v0
       5L -> Seq(0.0, 1.0)
     ).toDF("vec_id", "embedding")
     val fresh = Seq(
-      10L -> Seq(0.98, 0.199),    // duplicates DROPPED v1 exactly
-      11L -> Seq(-1.0, 0.05)      // near nothing
+      10L -> Seq(0.8660254, 0.5),       // 30°: near ONLY dropped v1
+      11L -> Seq(-1.0, 0.05)            // near nothing
     ).toDF("vec_id", "embedding")
+    // fixture self-check: the isolation property the test relies on
+    val keptOld = SemDedup.keep(old, "vec_id", "embedding", m, 0.95)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(keptOld == Set(0L, 5L), s"v1 must drop in the old corpus: $keptOld")
     val kept = SemDedup.appendKeep(old, fresh, "vec_id", "embedding",
         m, threshold = 0.95)
       .select($"vec_id").as[Long].collect().toSet
     assert(kept == Set(11L),
-      s"vec 10 duplicates a dropped anchor and must still drop: $kept")
+      s"vec 10 duplicates a DROPPED anchor and must still drop: $kept")
   }
 
   test("streamed id-ordered batches through appendKeep == one-shot keep") {

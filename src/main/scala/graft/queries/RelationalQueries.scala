@@ -252,6 +252,20 @@ object RelationalQueries extends QueryModule {
           countDistinct(col("o_custkey")).as("n_cust"))
         .orderBy(col("yr"), col("mo"))),
 
+    // Pivot with an EXPLICIT value list — one pass, no extra
+    // distinct-values job (pivot without the list runs a collect to
+    // discover columns: an anti-pattern at scale and nondeterministic
+    // column order). Spark plans this as a single partial+final
+    // aggregation over pivot-conditional counts; null combos filled 0
+    // to match SQL's count-FILTER semantics.
+    "q_pivot" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("source"))
+        .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+        .count()
+        .na.fill(0L)
+        .orderBy(col("source"))),
+
     // The z-order (Morton) layout key over (customer, order-day), the
     // clustering key Compaction.compactZOrder sorts by so a filter on
     // EITHER dimension prunes row groups via parquet min/max stats.
@@ -430,6 +444,15 @@ object RelationalQueries extends QueryModule {
         |  CAST(count(*) AS BIGINT) AS n,
         |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust
         |FROM orders GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT source,
+        |  CAST(count(*) FILTER (lang = 'de') AS BIGINT) AS de,
+        |  CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS en,
+        |  CAST(count(*) FILTER (lang = 'es') AS BIGINT) AS es,
+        |  CAST(count(*) FILTER (lang = 'fr') AS BIGINT) AS fr,
+        |  CAST(count(*) FILTER (lang = 'zh') AS BIGINT) AS zh
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "q_zorder_key" -> {
       // the Morton interleave mirrored from Compaction.zorderKey's

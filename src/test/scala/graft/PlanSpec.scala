@@ -99,6 +99,18 @@ class PlanSpec extends SparkSpec {
       failures.map { case (n, p) => s"$n:\n$p" }.mkString("\n\n"))
   }
 
+  test("q_pivot plans one partial+final aggregation — no distinct-values job") {
+    // pivot with an explicit value list compiles to conditional
+    // aggregates in a single groupBy; pivot WITHOUT the list first runs
+    // a collect to discover columns (an extra corpus pass, and
+    // nondeterministic column order) — the explicit form is pinned
+    val plan = formatted("q_pivot")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected partial+final pivot aggregation:\n$plan")
+    assert(!plan.contains("Expand"),
+      s"explicit-values pivot should not expand rows:\n$plan")
+  }
+
   test("q_kmeans_assign is row-local against literal centroids — no join, no wide shuffle") {
     val plan = formatted("q_kmeans_assign")
     assert(!plan.contains("Join"), s"assignment must not join:\n$plan")

@@ -116,6 +116,24 @@ object KMeansQuant {
   def cellOf(vec: Column, m: Model): Column =
     nearest(quantize(vec), m)._1
 
+  /** The `nprobe` nearest cell ids as an array Column (soft / multi-probe
+    * assignment — exact integer distances, ties to the lower cell id:
+    * the same ordering as [[cellOf]], which equals `cellsOf(...)(0)`).
+    * Row-local like [[cellOf]]; the boundary-recall knob for semantic
+    * dedup ([[SemDedup.pairsMultiProbe]]) and the row-side twin of the
+    * query-side [[ivfTopK]] cell ranking. */
+  def cellsOf(vec: Column, m: Model, nprobe: Int): Column = {
+    require(nprobe >= 1 && nprobe <= m.k,
+      s"nprobe must be in [1, k=${m.k}], got $nprobe")
+    val vq = quantize(vec)
+    // array_sort on structs orders lexicographically (d, then c) —
+    // exactly the (distance, lowest-cell) tie-break of the hard assign
+    val entries = array(m.centroids.zipWithIndex.map { case (c, i) =>
+      struct(dist2(vq, c).as("d"), lit(i.toLong).as("c"))
+    }: _*)
+    transform(slice(array_sort(entries), 1, nprobe), s => s.getField("c"))
+  }
+
   /** IVF ANN serving through the deterministic model: rank cells by
     * exact integer distance of the query's quantized vector to each
     * centroid (driver-side — k cells), then exact-cosine top-k among the

@@ -75,6 +75,44 @@ object SemDedup {
       .select(col("cluster"), col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** The boundary-recall knob: near-dup pairs over MULTI-PROBE
+    * assignment — every vector joins its `nprobe` nearest cells
+    * ([[KMeansQuant.cellsOf]]), so a pair straddling one cell boundary
+    * still meets in the runner-up cell. On the fixture this lifts pair
+    * recall vs brute force from ~46% (nprobe=1) to ~94% (nprobe=2) for
+    * ~3.3× the candidate volume — the soft-assignment trade, chosen
+    * per-corpus. Output is the DISTINCT (id_a, id_b, cos) set (a pair
+    * sharing two probed cells would otherwise appear twice); the
+    * distinct shuffles only the duplicate-bounded pair set, never the
+    * corpus. Same equi-join shape and `maxCellRows` guard as [[pairs]]
+    * (cell membership is nprobe× larger — budget accordingly). */
+  def pairsMultiProbe(emb: DataFrame, idCol: String, vecCol: String,
+      m: KMeansQuant.Model, threshold: Double, nprobe: Int = 2,
+      maxCellRows: Long = 100000L): DataFrame = {
+    VectorFunctions.register(emb.sparkSession)
+    val cells = KMeansQuant.cellsOf(col(vecCol), m, nprobe)
+    val e = emb.select(explode(cells).as("cluster"), col(idCol),
+      toDouble(col(vecCol)).as("__v"))
+    val hot = e.groupBy(col("cluster")).count()
+      .filter(col("count") > maxCellRows).limit(1).collect()
+    require(hot.isEmpty, {
+      val r = hot.head
+      s"multi-probe semantic dedup: cell ${r.getLong(0)} holds " +
+        s"${r.getLong(1)} member rows (nprobe=$nprobe) > " +
+        s"maxCellRows=$maxCellRows. Refit with a larger k, lower " +
+        "nprobe, or pass maxCellRows to override."
+    })
+    val a = e.select(col("cluster"), col(idCol).as("id_a"), col("__v").as("__va"))
+    val b = e.select(col("cluster"), col(idCol).as("id_b"), col("__v").as("__vb"))
+    a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos",
+        round(Similarity.cosineFast(col("__va"), col("__vb")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+      .distinct()
+  }
+
   /** Survivors of anchor-wins pruning: every vector with NO lower-id
     * within-cell neighbor at `cos >= threshold`, as (id, cluster). The
     * dropped-id set is duplicate-bounded (≪ corpus), so the anti-join

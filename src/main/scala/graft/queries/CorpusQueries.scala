@@ -113,6 +113,16 @@ object CorpusQueries extends QueryModule {
           model(s, d), SEMTAU)
         .orderBy(col("vec_id"))),
 
+    // Multi-probe semantic dedup pairs: every vector joins its 2
+    // nearest cells, so boundary-straddling near-dups still meet (on
+    // this fixture: ~46% pair recall at nprobe=1 → ~94% at nprobe=2
+    // for ~3.3× candidates). DISTINCT pair set — a pair sharing both
+    // probed cells appears once.
+    "q_semdedup_multiprobe" -> ((s, d) =>
+      SemDedup.pairsMultiProbe(Tables.embeddings(s, d), "vec_id",
+          "embedding", model(s, d), SEMTAU, nprobe = 2)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // Incremental semantic dedup: the id space split at max_id/2 plays
     // an already-ingested corpus (low ids) + a new batch (high ids);
     // the batch broadcasts against the corpus anchors (corpus never
@@ -273,9 +283,11 @@ object CorpusQueries extends QueryModule {
 
   // -- k-means: unrolled Lloyd rounds on the integer micro-grid --------
 
-  /** Assignment CTE `name` of every vector to its nearest centroid in
-    * `cent` — exact integer d2; ties → lowest cluster. */
-  private def assignCte(name: String, cent: String): String =
+  /** Assignment CTE `name` of every vector to its `maxRn` nearest
+    * centroids in `cent` — exact integer d2; ties → lowest cluster.
+    * maxRn=1 is the hard assignment; maxRn=2 the multi-probe soft
+    * assignment (cellsOf's mirror). */
+  private def assignCte(name: String, cent: String, maxRn: Int = 1): String =
     s"""${name}_d AS (
        |  SELECT d.vec_id, c.cluster, sum((d.q - c.q)*(d.q - c.q)) AS d2
        |  FROM dims d JOIN $cent c USING (i) GROUP BY d.vec_id, c.cluster),
@@ -284,7 +296,7 @@ object CorpusQueries extends QueryModule {
        |    SELECT vec_id, cluster, d2,
        |           row_number() OVER (PARTITION BY vec_id
        |                              ORDER BY d2, cluster) AS rn
-       |    FROM ${name}_d) WHERE rn = 1)""".stripMargin
+       |    FROM ${name}_d) WHERE rn <= $maxRn)""".stripMargin
 
   /** Update CTE `name`: mean of members per (cluster, dim), HALF_UP back
     * onto the grid; empty clusters keep `prev`'s coordinate. */
@@ -318,7 +330,8 @@ object CorpusQueries extends QueryModule {
        |c0 AS (SELECT c.cluster, d.i, d.q
        |       FROM dims d JOIN c0_ids c USING (vec_id)),
        |$rounds,
-       |${assignCte("afin", s"c$ITERS")}""".stripMargin
+       |${assignCte("afin", s"c$ITERS")},
+       |${assignCte("afin2", s"c$ITERS", maxRn = 2)}""".stripMargin
   }
 
   // -- BPE: unrolled merge rounds --------------------------------------
@@ -472,6 +485,22 @@ object CorpusQueries extends QueryModule {
          |WHERE f.vec_id NOT IN
          |  (SELECT id_b FROM cpairs WHERE cos >= $SEMTAU)
          |ORDER BY f.vec_id""".stripMargin,
+
+    "q_semdedup_multiprobe" ->
+      s"""$kmeansCtes,
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+         |SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+         |       round(list_dot_product(ea.v, eb.v)
+         |         / (sqrt(list_dot_product(ea.v, ea.v))
+         |            * sqrt(list_dot_product(eb.v, eb.v))), 6) AS cos
+         |FROM afin2 a JOIN afin2 b
+         |  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |JOIN e ea ON ea.vec_id = a.vec_id
+         |JOIN e eb ON eb.vec_id = b.vec_id
+         |WHERE round(list_dot_product(ea.v, eb.v)
+         |         / (sqrt(list_dot_product(ea.v, ea.v))
+         |            * sqrt(list_dot_product(eb.v, eb.v))), 6) >= $SEMTAU
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_semdedup_incr" ->
       s"""$kmeansCtes,

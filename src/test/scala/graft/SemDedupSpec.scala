@@ -218,6 +218,38 @@ class SemDedupSpec extends SparkSpec {
       "fixture clustering degenerate: within-cell pairs == all pairs")
   }
 
+  test("multi-probe pairs: superset of single-probe, exact on co-probed pairs, distinct") {
+    val single = SemDedup.pairs(emb, "vec_id", "embedding", model, Tau)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val multi = SemDedup.pairsMultiProbe(emb, "vec_id", "embedding",
+        model, Tau, nprobe = 2)
+      .select($"id_a", $"id_b", $"cos").as[(Long, Long, Double)].collect()
+    val multiIds = multi.map(t => (t._1, t._2)).toSet
+    assert(multi.length == multiIds.size, "pair set must be distinct")
+    assert(single.subsetOf(multiIds),
+      "nprobe=2 must include every nprobe=1 pair")
+    assert(multiIds.size > single.size,
+      "fixture has boundary pairs; nprobe=2 must recover some")
+    // exactness: equals brute force restricted to pairs sharing at
+    // least one of their top-2 cells
+    val cells2 = emb.select($"vec_id",
+        KMeansQuant.cellsOf($"embedding", model, 2).as("cells"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val expected = Similarity.nearDupPairs(emb, "vec_id", "embedding", Tau)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+      .filter { case (a, b) => cells2(a).exists(cells2(b).contains) }
+      .toSet
+    assert(multiIds == expected)
+  }
+
+  test("cellsOf(nprobe=1) agrees with the hard cellOf assignment") {
+    val both = emb.select(
+        KMeansQuant.cellOf($"embedding", model).as("hard"),
+        KMeansQuant.cellsOf($"embedding", model, 1).as("soft"))
+      .as[(Long, Seq[Long])].collect()
+    both.foreach { case (hard, soft) => assert(soft == Seq(hard)) }
+  }
+
   test("lowering tau only grows the pair set (monotone in the threshold)") {
     val tight = SemDedup.pairs(emb, "vec_id", "embedding", model, 0.5)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet

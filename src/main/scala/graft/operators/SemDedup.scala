@@ -132,6 +132,21 @@ object SemDedup {
       .join(broadcast(dropped), col(idCol) === col("id_b"), "left_anti")
   }
 
+  /** Anchor-wins survivors under MULTI-PROBE pairs — the practical
+    * high-recall dedup: same rule as [[keep]], driven by
+    * [[pairsMultiProbe]]'s pair set (so boundary-straddling duplicates
+    * actually drop). Output (id, cluster) carries the HARD cell, the
+    * vector's storage/routing home. */
+  def keepMultiProbe(emb: DataFrame, idCol: String, vecCol: String,
+      m: KMeansQuant.Model, threshold: Double, nprobe: Int = 2,
+      maxCellRows: Long = 100000L): DataFrame = {
+    val dropped = pairsMultiProbe(emb, idCol, vecCol, m, threshold,
+        nprobe, maxCellRows)
+      .select(col("id_b")).distinct()
+    emb.select(col(idCol), KMeansQuant.cellOf(col(vecCol), m).as("cluster"))
+      .join(broadcast(dropped), col(idCol) === col("id_b"), "left_anti")
+  }
+
   /** Incremental dedup of a NEW batch against an already-ingested
     * corpus — the continuously-ingesting case, same frozen-model
     * contract as [[KMeansQuant.appendIndex]]: the quantizer does not

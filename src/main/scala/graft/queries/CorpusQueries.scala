@@ -123,6 +123,14 @@ object CorpusQueries extends QueryModule {
           "embedding", model(s, d), SEMTAU, nprobe = 2)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // The practical high-recall dedup: anchor-wins survivors under the
+    // multi-probe pair set (boundary duplicates actually drop); output
+    // carries the hard cell — the vector's storage/routing home.
+    "q_semdedup_keep_mp" -> ((s, d) =>
+      SemDedup.keepMultiProbe(Tables.embeddings(s, d), "vec_id",
+          "embedding", model(s, d), SEMTAU, nprobe = 2)
+        .orderBy(col("vec_id"))),
+
     // Incremental semantic dedup: the id space split at max_id/2 plays
     // an already-ingested corpus (low ids) + a new batch (high ids);
     // the batch broadcasts against the corpus anchors (corpus never
@@ -432,6 +440,20 @@ object CorpusQueries extends QueryModule {
        |  JOIN e ea ON ea.vec_id = a.vec_id
        |  JOIN e eb ON eb.vec_id = b.vec_id)""".stripMargin
 
+  /** Multi-probe (rank-2 assignment) distinct pair set off `afin2` —
+    * shared by the multiprobe pairs and keep mirrors. */
+  private val semdedupMultiPairsCte: String =
+    s"""e2 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |mpairs AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+       |         round(list_dot_product(ea.v, eb.v)
+       |           / (sqrt(list_dot_product(ea.v, ea.v))
+       |              * sqrt(list_dot_product(eb.v, eb.v))), 6) AS cos
+       |  FROM afin2 a JOIN afin2 b
+       |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |  JOIN e2 ea ON ea.vec_id = a.vec_id
+       |  JOIN e2 eb ON eb.vec_id = b.vec_id)""".stripMargin
+
   private val stopSql = TokenOps.sqlList(TokenOps.englishStopwords)
 
   val oracle: Map[String, String] = Map(
@@ -488,19 +510,18 @@ object CorpusQueries extends QueryModule {
 
     "q_semdedup_multiprobe" ->
       s"""$kmeansCtes,
-         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-         |SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
-         |       round(list_dot_product(ea.v, eb.v)
-         |         / (sqrt(list_dot_product(ea.v, ea.v))
-         |            * sqrt(list_dot_product(eb.v, eb.v))), 6) AS cos
-         |FROM afin2 a JOIN afin2 b
-         |  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-         |JOIN e ea ON ea.vec_id = a.vec_id
-         |JOIN e eb ON eb.vec_id = b.vec_id
-         |WHERE round(list_dot_product(ea.v, eb.v)
-         |         / (sqrt(list_dot_product(ea.v, ea.v))
-         |            * sqrt(list_dot_product(eb.v, eb.v))), 6) >= $SEMTAU
-         |ORDER BY id_a, id_b""".stripMargin,
+         |$semdedupMultiPairsCte
+         |SELECT id_a, id_b, cos FROM mpairs
+         |WHERE cos >= $SEMTAU ORDER BY id_a, id_b""".stripMargin,
+
+    "q_semdedup_keep_mp" ->
+      s"""$kmeansCtes,
+         |$semdedupMultiPairsCte
+         |SELECT f.vec_id, CAST(f.cluster AS BIGINT) AS cluster
+         |FROM afin f
+         |WHERE f.vec_id NOT IN
+         |  (SELECT id_b FROM mpairs WHERE cos >= $SEMTAU)
+         |ORDER BY f.vec_id""".stripMargin,
 
     "q_semdedup_incr" ->
       s"""$kmeansCtes,

@@ -242,6 +242,23 @@ class SemDedupSpec extends SparkSpec {
     assert(multiIds == expected)
   }
 
+  test("multi-probe survivors ⊆ single-probe survivors (more pairs, fewer keeps)") {
+    val single = SemDedup.keep(emb, "vec_id", "embedding", model, Tau)
+      .select($"vec_id").as[Long].collect().toSet
+    val multi = SemDedup.keepMultiProbe(emb, "vec_id", "embedding",
+        model, Tau, nprobe = 2)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(multi.subsetOf(single))
+    assert(multi.size < single.size,
+      "recovered boundary pairs must drop additional duplicates")
+    // dropped-set check: exactly the ids with a lower-id multiprobe pair
+    val dropped = SemDedup.pairsMultiProbe(emb, "vec_id", "embedding",
+        model, Tau, nprobe = 2)
+      .select($"id_b").as[Long].collect().toSet
+    val all = emb.select($"vec_id").as[Long].collect().toSet
+    assert(multi == all -- dropped)
+  }
+
   test("cellsOf(nprobe=1) agrees with the hard cellOf assignment") {
     val both = emb.select(
         KMeansQuant.cellOf($"embedding", model).as("hard"),

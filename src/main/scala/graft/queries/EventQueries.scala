@@ -100,7 +100,108 @@ object EventQueries extends QueryModule {
         .agg(count(lit(1)).as("n_events"))
         .select(col("user_id"), col("w.start").as("session_start"),
           col("n_events"))
-        .orderBy(col("user_id"), col("session_start")))
+        .orderBy(col("user_id"), col("session_start"))),
+
+    // Ordered conversion funnel signup -> click -> purchase: per user,
+    // first signup, first click AT OR AFTER it, first purchase at or
+    // after that click. Three chained unbounded window mins over the
+    // SAME user partitioning — Catalyst plans ONE Exchange reused by all
+    // three Window operators (pinned in PlanSpec), then a global
+    // conditional count. No self-joins, no per-stage re-scan.
+    "q_funnel" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .withColumn("s_ts",
+          min(when(col("event_type") === "signup", col("ts"))).over(w))
+        .withColumn("c_ts",
+          min(when(col("event_type") === "click" && col("ts") >= col("s_ts"),
+            col("ts"))).over(w))
+        .withColumn("p_ts",
+          min(when(col("event_type") === "purchase" && col("ts") >= col("c_ts"),
+            col("ts"))).over(w))
+        .agg(
+          count_distinct(when(col("s_ts").isNotNull, col("user_id")))
+            .as("n_signup"),
+          count_distinct(when(col("c_ts").isNotNull, col("user_id")))
+            .as("n_click_after"),
+          count_distinct(when(col("p_ts").isNotNull, col("user_id")))
+            .as("n_purchase_after"))
+    }),
+
+    // Weekly cohort retention: cohort = Monday of each user's first
+    // event week; n_users = distinct users from that cohort active at
+    // each whole-week offset. Both week boundaries are UTC Monday
+    // midnights, so the offset is an exact integer division of the
+    // micros difference — engine-stable, no calendar arithmetic drift.
+    "q_retention" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("ts"))
+      val cohort = ev.groupBy(col("user_id"))
+        .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+      val weekUs = 7L * 24 * 3600 * 1000000L
+      ev.join(cohort, "user_id")
+        .select(col("user_id"), col("cohort_week"),
+          ((unix_micros(date_trunc("week", col("ts"))) -
+            unix_micros(col("cohort_week"))) / lit(weekUs))
+            .cast("long").as("week_offset"))
+        .groupBy(col("cohort_week"), col("week_offset"))
+        .agg(count_distinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    }),
+
+    // Hourly grid + forward fill (LOCF): per user, every hour between
+    // the first and last event hour carries the value of the latest
+    // event at or before it (exact cents; latest = max (ts, event_id),
+    // so ties are impossible). The grid explodes from ONE per-user
+    // min/max aggregate — never a driver-side loop — and the fill is a
+    // running `last(ignoreNulls)` over the same user partitioning the
+    // (user, hour) join already produced.
+    "q_gapfill" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          graft.functions.Money.cents(col("value")).as("cents"))
+        .withColumn("hour", date_trunc("hour", col("ts")))
+      val hourly = ev.groupBy(col("user_id"), col("hour"))
+        .agg(max_by(col("cents"), struct(col("ts"), col("event_id")))
+          .as("cents"))
+      val grid = ev.groupBy(col("user_id"))
+        .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+        .select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"),
+            expr("interval 1 hour"))).as("hour"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourly, Seq("user_id", "hour"), "left")
+        .withColumn("value_filled",
+          last(col("cents"), ignoreNulls = true).over(w)
+            .cast("double") / 100.0)
+        .select(col("user_id"), col("hour"), col("value_filled"))
+        .orderBy(col("user_id"), col("hour"))
+    }),
+
+    // Navigation window family over one (user, ts, event_id) sort:
+    // lag/lead of the exact-cents value, ntile quartile, percent_rank.
+    // All four share a single Window spec — one shuffle, one sort.
+    // percent_rank = (rank-1)/(n-1) over a UNIQUE ordering, so the
+    // double is the same IEEE division in both engines.
+    "q_window_lag" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          graft.functions.Money.cents(col("value")).as("cents"))
+        .select(col("user_id"), col("event_id"),
+          (lag(col("cents"), 1).over(w).cast("double") / 100.0)
+            .as("prev_value"),
+          (lead(col("cents"), 1).over(w).cast("double") / 100.0)
+            .as("next_value"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w), 6).as("pr"))
+        .orderBy(col("user_id"), col("event_id"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -205,6 +306,81 @@ object EventQueries extends QueryModule {
         |SELECT user_id, min(ts) AS session_start,
         |  CAST(count(*) AS BIGINT) AS n_events
         |FROM y GROUP BY user_id, session_id
-        |ORDER BY user_id, session_start""".stripMargin
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    "q_funnel" ->
+      """WITH s AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup' THEN ts END) AS s_ts
+        |  FROM events GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS c_ts
+        |  FROM events e JOIN s ON e.user_id = s.user_id
+        |  WHERE e.event_type = 'click' AND s.s_ts IS NOT NULL
+        |    AND e.ts >= s.s_ts
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts
+        |  GROUP BY e.user_id)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM s WHERE s_ts IS NOT NULL)
+        |    AS n_signup,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_click_after,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchase_after""".stripMargin,
+
+    "q_retention" ->
+      """WITH cohort AS (
+        |  SELECT user_id,
+        |    CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+        |  FROM events GROUP BY user_id)
+        |SELECT c.cohort_week,
+        |  CAST((epoch_us(CAST(date_trunc('week', e.ts) AS TIMESTAMP))
+        |        - epoch_us(c.cohort_week)) // 604800000000 AS BIGINT)
+        |    AS week_offset,
+        |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |FROM events e JOIN cohort c ON e.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_gapfill" ->
+      s"""WITH ev AS (
+        |  SELECT user_id, ts, event_id,
+        |    ${graft.functions.Money.centsSql("value")} AS cents,
+        |    date_trunc('hour', ts) AS hour
+        |  FROM events),
+        |hourly AS (
+        |  SELECT user_id, hour, cents FROM (
+        |    SELECT user_id, hour, cents,
+        |      row_number() OVER (PARTITION BY user_id, hour
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM ev) WHERE rn = 1),
+        |grid AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        |  FROM (SELECT user_id, min(hour) AS h0, max(hour) AS h1
+        |        FROM ev GROUP BY user_id))
+        |SELECT g.user_id, g.hour,
+        |  CAST(last_value(h.cents IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.hour
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / 100.0 AS value_filled
+        |FROM grid g LEFT JOIN hourly h
+        |  ON g.user_id = h.user_id AND g.hour = h.hour
+        |ORDER BY g.user_id, g.hour""".stripMargin,
+
+    "q_window_lag" ->
+      s"""WITH ev AS (
+        |  SELECT user_id, event_id, ts,
+        |    ${graft.functions.Money.centsSql("value")} AS cents
+        |  FROM events)
+        |SELECT user_id, event_id,
+        |  CAST(lag(cents, 1) OVER w AS DOUBLE) / 100.0 AS prev_value,
+        |  CAST(lead(cents, 1) OVER w AS DOUBLE) / 100.0 AS next_value,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pr
+        |FROM ev
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin
   )
 }

@@ -312,7 +312,38 @@ object RelationalQueries extends QueryModule {
         .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
           coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
           col("n"))
-        .orderBy(col("status"), col("priority")))
+        .orderBy(col("status"), col("priority"))),
+
+    // Correlation / least-squares regression of price on quantity, per
+    // returnflag — the money-sum discipline applied to second moments:
+    // every power sum (Σx, Σy, Σxy, Σx², Σy²) is an EXACT integer
+    // (quantity is integer-valued, price in integer cents; per-row
+    // products fit a long, totals summed as DECIMAL so 100 TB can't
+    // overflow), and the Pearson/OLS closed forms are then the SAME
+    // IEEE double op chain in both engines. One partial+final hash
+    // aggregation — the five moments travel together, a single scan.
+    "q_corr_stats" -> ((s, d) => {
+      val x = col("l_quantity").cast("long")
+      val y = cents(col("l_extendedprice"))
+      def dsum(c: Column) = sum(c.cast("decimal(38,0)")).cast("double")
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), x.as("x"), y.as("y"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+          dsum(col("x") * col("y")).as("sxy"),
+          dsum(col("x") * col("x")).as("sxx"),
+          dsum(col("y") * col("y")).as("syy"))
+        .select(col("l_returnflag"), col("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy"))), 6)
+            .as("corr_qty_price"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")), 6)
+            .as("slope_cents_per_qty"))
+        .orderBy(col("l_returnflag"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -490,6 +521,28 @@ object RelationalQueries extends QueryModule {
         |  coalesce(o_orderpriority, 'ALL') AS priority,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
-        |ORDER BY status, priority""".stripMargin
+        |ORDER BY status, priority""".stripMargin,
+
+    // Power sums exact (DuckDB sum(BIGINT) accumulates in HUGEINT), then
+    // the identical double op chain as the Spark side: (n*sxy - sx*sy)
+    // first, sqrt of the product of the two centered second moments.
+    "q_corr_stats" ->
+      s"""WITH m AS (
+        |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(x * y) AS DOUBLE) AS sxy,
+        |    CAST(sum(x * x) AS DOUBLE) AS sxx,
+        |    CAST(sum(y * y) AS DOUBLE) AS syy
+        |  FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+        |          ${centsSql("l_extendedprice")} AS y
+        |        FROM lineitem)
+        |  GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  round((n * sxy - sx * sy) /
+        |    sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+        |    AS corr_qty_price,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+        |    AS slope_cents_per_qty
+        |FROM m ORDER BY l_returnflag""".stripMargin
   )
 }

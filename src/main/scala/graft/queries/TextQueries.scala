@@ -102,7 +102,29 @@ object TextQueries extends QueryModule {
     "q_sample" -> ((s, d) =>
       Tables.documents(s, d).sample(withReplacement = false, 0.2, seed = 42)
         .select(col("doc_id"), col("lang"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // Per-language length outliers (|z| > 2) — the statistical-outlier
+    // curation gate. Algebra keeps everything integer until ONE double
+    // division: z = (x - μ)/σ_pop = (x·n - Σx) / sqrt(n·Σx² - (Σx)²),
+    // numerator and radicand exact longs, so the double (and the >2
+    // boundary) is the same IEEE chain in both engines. The per-lang
+    // moment table is group-count-sized and broadcasts back — the
+    // corpus scans twice but never shuffles.
+    "q_outlier_docs" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val st = docs.groupBy(col("lang")).agg(
+        count(lit(1)).as("n"),
+        sum(col("n_chars")).as("sx"),
+        sum(col("n_chars") * col("n_chars")).as("sxx"))
+      val z = (col("n_chars") * col("n") - col("sx")).cast("double") /
+        sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+      docs.join(broadcast(st), "lang")
+        .filter(abs(z) > 2.0)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          round(z, 6).as("z"))
+        .orderBy(col("doc_id"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -163,6 +185,20 @@ object TextQueries extends QueryModule {
         |    AS bin_start,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM documents WHERE text IS NOT NULL
-        |GROUP BY 1 ORDER BY bin_start""".stripMargin
+        |GROUP BY 1 ORDER BY bin_start""".stripMargin,
+
+    "q_outlier_docs" ->
+      """WITH st AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(n_chars) AS BIGINT) AS sx,
+        |    CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx
+        |  FROM documents GROUP BY lang)
+        |SELECT d.doc_id, d.lang, d.n_chars,
+        |  round(CAST(d.n_chars * st.n - st.sx AS DOUBLE) /
+        |    sqrt(CAST(st.n * st.sxx - st.sx * st.sx AS DOUBLE)), 6) AS z
+        |FROM documents d JOIN st ON d.lang = st.lang
+        |WHERE abs(CAST(d.n_chars * st.n - st.sx AS DOUBLE) /
+        |    sqrt(CAST(st.n * st.sxx - st.sx * st.sx AS DOUBLE))) > 2
+        |ORDER BY doc_id""".stripMargin
   )
 }

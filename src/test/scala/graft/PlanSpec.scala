@@ -452,4 +452,63 @@ class PlanSpec extends SparkSpec {
       conf.set("spark.sql.shuffle.partitions", prevParts)
     }
   }
+
+  private def nodeCount(plan: String, node: String): Int =
+    plan.linesIterator.count(_.trim.matches(s"""\\(\\d+\\) $node( .*)?"""))
+
+  private def hashExchanges(plan: String): Int =
+    plan.linesIterator.count(_.contains("Arguments: hashpartitioning"))
+
+  test("q_funnel: the three stage Windows share ONE user shuffle; no self-joins") {
+    val plan = formatted("q_funnel")
+    assert(!plan.contains("Join"),
+      s"the funnel must not self-join per stage:\n$plan")
+    assert(nodeCount(plan, "Window") == 3,
+      s"expected 3 chained Window ops:\n$plan")
+    // one hash exchange feeds all three Windows (same partitioning, so
+    // Catalyst reuses it); the count-distinct Expand adds exactly one
+    // more — a third would mean a funnel stage re-shuffled the corpus
+    assert(hashExchanges(plan) <= 2,
+      s"expected <=2 hash exchanges, got ${hashExchanges(plan)}:\n$plan")
+  }
+
+  test("q_window_lag: all four navigation functions ride one shuffle+sort") {
+    val plan = formatted("q_window_lag")
+    assert(nodeCount(plan, "Window") == 1,
+      s"lag/lead/ntile/percent_rank must share one Window op:\n$plan")
+    assert(hashExchanges(plan) == 1,
+      s"expected exactly 1 hash exchange:\n$plan")
+  }
+
+  test("q_gapfill: keyed outer join + one fill Window — never a loop over the grid") {
+    val plan = formatted("q_gapfill")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"grid join degraded:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"expected a keyed (user, hour) join:\n$plan")
+    assert(nodeCount(plan, "Window") == 1,
+      s"LOCF must be one running-last Window:\n$plan")
+    assert(nodeCount(plan, "Generate") == 1,
+      s"the grid must explode from ONE min/max aggregate:\n$plan")
+  }
+
+  test("q_corr_stats: five exact moments in one partial+final aggregation") {
+    val plan = formatted("q_corr_stats")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected partial+final moment aggregation:\n$plan")
+    assert(hashExchanges(plan) == 1,
+      s"the five power sums must travel in one shuffle:\n$plan")
+    assert(nodeCount(plan, "Scan parquet") == 1,
+      s"moments must come from a single scan:\n$plan")
+  }
+
+  test("q_outlier_docs: moment table broadcasts — corpus never hash-shuffles") {
+    val plan = formatted("q_outlier_docs")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-lang moments should broadcast back:\n$plan")
+    // the only hash exchange is inside the tiny moment aggregation;
+    // the corpus side flows scan -> broadcast join -> output sort
+    assert(hashExchanges(plan) <= 1,
+      s"corpus side must not hash-shuffle:\n$plan")
+  }
 }

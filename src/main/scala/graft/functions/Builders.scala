@@ -7,6 +7,13 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   * (a wrong-arity SQL call must fail with a clean message, not an
   * IndexOutOfBoundsException from inside the analyzer). */
 private[graft] object Builders {
+  def unary(name: String)(mk: Expression => Expression)
+      : Seq[Expression] => Expression = { exprs =>
+    require(exprs.size == 1,
+      s"$name expects exactly 1 argument, got ${exprs.size}")
+    mk(exprs(0))
+  }
+
   def binary(name: String)(mk: (Expression, Expression) => Expression)
       : Seq[Expression] => Expression = { exprs =>
     require(exprs.size == 2,

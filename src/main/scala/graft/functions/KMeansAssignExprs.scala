@@ -1,0 +1,224 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructField, StructType}
+
+/** Nearest-centroid assignment of a micro-grid vector in ONE codegen'd
+  * loop — the hot inner step of every `KMeansQuant` consumer (semantic
+  * dedup, IVF routing, cluster capping, inertia).
+  *
+  * Why an expression instead of the HOF composition it replaces: the
+  * composed form is `array(k × aggregate(zip_with(vq, array(dim literal
+  * nodes))))` + `array_min` + `array_position` — a plan subtree of
+  * k·dim literal nodes that every consumer re-inlines (CollapseProject),
+  * paying plan/codegen latency per query, and an interpreted lambda
+  * dispatch per element at runtime. Here the centroid matrix rides
+  * along as ONE codegen reference object and the argmin is a tight
+  * integer double-loop. Semantics are bit-identical to the HOF form
+  * (exact integer distances; ties break to the LOWEST cell id; any null
+  * element or a dimension mismatch yields NULL — the same outcome the
+  * zip_with null-padding produced).
+  */
+private[graft] object KMeansAssignKernel {
+  /** Shared eval-path argmin: (bestCell, bestDist2), or null. */
+  def distances(x: ArrayData, m: Array[Array[Long]]): Array[Long] = {
+    val n = x.numElements()
+    if (m.length == 0 || m(0).length != n) return null
+    var i = 0
+    while (i < n) { if (x.isNullAt(i)) return null; i += 1 }
+    val v = x.toLongArray()
+    val out = new Array[Long](m.length)
+    var c = 0
+    while (c < m.length) {
+      val cen = m(c)
+      var acc = 0L
+      i = 0
+      while (i < n) { val d = v(i) - cen(i); acc += d * d; i += 1 }
+      out(c) = acc
+      c += 1
+    }
+    out
+  }
+}
+
+/** `struct(c, d)` of the nearest centroid: hard assignment + its exact
+  * squared distance. */
+case class NearestCellExpr(child: Expression, centroids: Array[Array[Long]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("c", LongType, nullable = false),
+    StructField("d", LongType, nullable = false)))
+  override def prettyName: String = "kmq_nearest"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val dists = KMeansAssignKernel.distances(
+      v.asInstanceOf[ArrayData], centroids)
+    if (dists == null) return null
+    var bestC = 0
+    var bestD = dists(0)
+    var c = 1
+    while (c < dists.length) {
+      if (dists(c) < bestD) { bestD = dists(c); bestC = c }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestC.toLong, bestD))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("centroids", centroids, "long[][]")
+    nullSafeCodeGen(ctx, ev, x => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val c = ctx.freshName("c")
+      val v = ctx.freshName("v")
+      val cen = ctx.freshName("cen")
+      val acc = ctx.freshName("acc")
+      val df = ctx.freshName("df")
+      val bestC = ctx.freshName("bestC")
+      val bestD = ctx.freshName("bestD")
+      s"""
+         |int $n = $x.numElements();
+         |if ($mRef.length == 0 || $mRef[0].length != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  }
+         |}
+         |if (!${ev.isNull}) {
+         |  long[] $v = $x.toLongArray();
+         |  long $bestC = 0L; long $bestD = Long.MAX_VALUE;
+         |  for (int $c = 0; $c < $mRef.length; $c++) {
+         |    long[] $cen = $mRef[$c];
+         |    long $acc = 0L;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      long $df = $v[$i] - $cen[$i]; $acc += $df * $df;
+         |    }
+         |    if ($acc < $bestD) { $bestD = $acc; $bestC = $c; }
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |    new Object[]{ java.lang.Long.valueOf($bestC), java.lang.Long.valueOf($bestD) });
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : NearestCellExpr = copy(child = newChild)
+}
+
+/** The `nprobe` nearest cell ids, ordered by (distance, cell id) — the
+  * multi-probe / soft assignment. `out(0)` equals the hard assignment. */
+case class NearestCellsExpr(child: Expression, centroids: Array[Array[Long]],
+    nprobe: Int) extends UnaryExpression {
+
+  require(nprobe >= 1 && nprobe <= centroids.length,
+    s"nprobe must be in [1, ${centroids.length}], got $nprobe")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "kmq_cells"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val dists = KMeansAssignKernel.distances(
+      v.asInstanceOf[ArrayData], centroids)
+    if (dists == null) return null
+    val order = Array.tabulate(dists.length)(_.toLong)
+      .sortBy(c => (dists(c.toInt), c))
+    new GenericArrayData(order.take(nprobe))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("centroids", centroids, "long[][]")
+    nullSafeCodeGen(ctx, ev, x => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val c = ctx.freshName("c")
+      val j = ctx.freshName("j")
+      val v = ctx.freshName("v")
+      val cen = ctx.freshName("cen")
+      val acc = ctx.freshName("acc")
+      val df = ctx.freshName("df")
+      val dists = ctx.freshName("dists")
+      val order = ctx.freshName("order")
+      val sel = ctx.freshName("sel")
+      val tmp = ctx.freshName("tmp")
+      val k = centroids.length
+      s"""
+         |int $n = $x.numElements();
+         |if ($mRef.length == 0 || $mRef[0].length != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  }
+         |}
+         |if (!${ev.isNull}) {
+         |  long[] $v = $x.toLongArray();
+         |  long[] $dists = new long[$k];
+         |  for (int $c = 0; $c < $k; $c++) {
+         |    long[] $cen = $mRef[$c];
+         |    long $acc = 0L;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      long $df = $v[$i] - $cen[$i]; $acc += $df * $df;
+         |    }
+         |    $dists[$c] = $acc;
+         |  }
+         |  long[] $order = new long[$nprobe];
+         |  boolean[] $sel = new boolean[$k];
+         |  for (int $j = 0; $j < $nprobe; $j++) {
+         |    int $tmp = -1;
+         |    for (int $c = 0; $c < $k; $c++) {
+         |      if (!$sel[$c] && ($tmp < 0 || $dists[$c] < $dists[$tmp])) $tmp = $c;
+         |    }
+         |    $sel[$tmp] = true; $order[$j] = (long) $tmp;
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($order);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : NearestCellsExpr = copy(child = newChild)
+}
+
+object KMeansAssignExprs {
+
+  private def registry(spark: org.apache.spark.sql.SparkSession) =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+
+  /** Content-hashed name so equal centroid sets reuse one registration
+    * (same discipline as [[HyperplaneSigs.sigs]]). */
+  private def nameFor(kind: String, m: Array[Array[Long]], extra: String) =
+    s"kmq_${kind}_" + java.lang.Integer.toUnsignedString(
+      java.util.Arrays.deepHashCode(m.asInstanceOf[Array[AnyRef]]), 16) + extra
+
+  /** `struct(c, d)` hard assignment of a quantized array<long> column.
+    * Registers on `SparkSession.active` — Column construction always
+    * happens on the driver with a session in scope. */
+  def nearestCell(vq: Column, centroids: Array[Array[Long]]): Column = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val name = nameFor("nearest", centroids, "")
+    registry(spark).createOrReplaceTempFunction(name,
+      Builders.unary(name)(NearestCellExpr(_, centroids)), "scala_udf")
+    org.apache.spark.sql.functions.call_function(name, vq)
+  }
+
+  /** The `nprobe` nearest cell ids of a quantized array<long> column. */
+  def nearestCells(vq: Column, centroids: Array[Array[Long]],
+      nprobe: Int): Column = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val name = nameFor("cells", centroids, s"_$nprobe")
+    registry(spark).createOrReplaceTempFunction(name,
+      Builders.unary(name)(NearestCellsExpr(_, centroids, nprobe)), "scala_udf")
+    org.apache.spark.sql.functions.call_function(name, vq)
+  }
+}

@@ -52,18 +52,17 @@ object KMeansQuant {
     transform(vec.cast("array<double>"),
       x => round(x * lit(1e6)).cast("long"))
 
-  /** Exact squared euclidean distance (integer) to a literal centroid. */
-  private def dist2(vq: Column, centroid: Array[Long]): Column =
-    aggregate(
-      zip_with(vq, array(centroid.map(lit(_)): _*), (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, x) => acc + x)
-
   /** (cluster, dist2) of the nearest centroid — row-local; ties break to
-    * the lowest cluster id via array_position's first-match semantics. */
+    * the lowest cluster id. One codegen'd argmin loop with the centroid
+    * matrix as a plan reference object
+    * ([[graft.functions.NearestCellExpr]]) — bit-identical semantics to
+    * the k × `aggregate(zip_with(...))` HOF composition it replaced,
+    * without the k·dim literal nodes in the plan or the interpreted
+    * lambda dispatch per element (the measured constant overhead of the
+    * semdedup query family). */
   private def nearest(vq: Column, m: Model): (Column, Column) = {
-    val dists = array(m.centroids.map(c => dist2(vq, c)): _*)
-    val best = array_min(dists)
-    ((array_position(dists, best) - 1).cast("long"), best)
+    val st = graft.functions.KMeansAssignExprs.nearestCell(vq, m.centroids)
+    (st.getField("c"), st.getField("d"))
   }
 
   /** HALF_UP (away-from-zero) long rounding — the same convention as
@@ -125,13 +124,11 @@ object KMeansQuant {
   def cellsOf(vec: Column, m: Model, nprobe: Int): Column = {
     require(nprobe >= 1 && nprobe <= m.k,
       s"nprobe must be in [1, k=${m.k}], got $nprobe")
-    val vq = quantize(vec)
-    // array_sort on structs orders lexicographically (d, then c) —
-    // exactly the (distance, lowest-cell) tie-break of the hard assign
-    val entries = array(m.centroids.zipWithIndex.map { case (c, i) =>
-      struct(dist2(vq, c).as("d"), lit(i.toLong).as("c"))
-    }: _*)
-    transform(slice(array_sort(entries), 1, nprobe), s => s.getField("c"))
+    // one codegen'd distance pass + (d, c)-ordered selection — same
+    // (distance, lowest-cell) tie-break as the hard assign, which it
+    // equals at position 0
+    graft.functions.KMeansAssignExprs.nearestCells(
+      quantize(vec), m.centroids, nprobe)
   }
 
   /** IVF ANN serving through the deterministic model: rank cells by

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.KMeansQuant
+
+/** The codegen'd nearest-cell expressions must be bit-identical to the
+  * semantics of the HOF composition they replaced: exact integer
+  * distances, ties to the LOWEST cell id, NULL on any null element or a
+  * dimension mismatch, and `cellsOf(...)(0) == cellOf(...)`. Checked
+  * against a driver-side brute force on adversarial vectors (exact
+  * ties, negative coordinates, boundary rounding). */
+class KMeansAssignSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val m = KMeansQuant.Model(Array(
+    Array(0L, 0L, 0L),
+    Array(1000000L, 0L, 0L),
+    Array(1000000L, 0L, 0L), // duplicate of cell 1: every tie must pick 1
+    Array(-500000L, 250000L, -250000L)))
+
+  private def bruteDists(v: Array[Long]): Array[Long] =
+    m.centroids.map(c => c.zip(v).map { case (a, b) =>
+      val d = b - a; d * d
+    }.sum)
+
+  private val vecs: Seq[Seq[Double]] = Seq(
+    Seq(0.0, 0.0, 0.0),
+    Seq(0.5, 0.0, 0.0),        // exact midpoint of cells 0 and 1/2 → 0
+    Seq(1.0, 0.0, 0.0),        // exact hit on the duplicated centroid → 1
+    Seq(0.7500004999, -0.25, 0.25),
+    Seq(-0.49999951, 0.2500005, -0.25),
+    Seq(1e-7, -1e-7, 4.9999e-7))
+
+  test("hard assignment matches driver-side brute force (ties → lowest id)") {
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "embedding")
+    val got = KMeansQuant.assign(df, "id", "embedding", m)
+      .orderBy("id").collect()
+    vecs.zipWithIndex.foreach { case (v, i) =>
+      val q = KMeansQuant.quantizeVec(v)
+      val dists = bruteDists(q)
+      val bestD = dists.min
+      val bestC = dists.indexOf(bestD).toLong
+      assert(got(i).getLong(1) == bestC, s"vector $i cell")
+      assert(got(i).getLong(2) == bestD, s"vector $i dist2")
+    }
+  }
+
+  test("cellsOf orders by (distance, cell id) and starts at the hard assign") {
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "embedding")
+    val got = df.select(col("id"),
+        KMeansQuant.cellOf(col("embedding"), m).as("hard"),
+        KMeansQuant.cellsOf(col("embedding"), m, 4).as("cells"))
+      .orderBy("id").collect()
+    vecs.zipWithIndex.foreach { case (v, i) =>
+      val dists = bruteDists(KMeansQuant.quantizeVec(v))
+      val expect = dists.zipWithIndex
+        .map { case (d, c) => (d, c.toLong) }.sorted.map(_._2).toSeq
+      val cells = got(i).getSeq[Long](2)
+      assert(cells == expect, s"vector $i full order")
+      assert(got(i).getLong(1) == cells.head, s"vector $i hard==cells(0)")
+    }
+  }
+
+  test("null element and dimension mismatch yield NULL, not a fabricated cell") {
+    val df = Seq(
+      (1L, Seq[java.lang.Double](1.0, null, 0.0)),
+      (2L, Seq[java.lang.Double](1.0, 0.0)), // 2-dim vs 3-dim model
+      (3L, Seq[java.lang.Double](1.0, 0.0, 0.0))
+    ).toDF("id", "embedding")
+    val got = df.select(col("id"),
+        KMeansQuant.cellOf(col("embedding"), m).as("cell"),
+        KMeansQuant.cellsOf(col("embedding"), m, 2).as("cells"))
+      .orderBy("id").collect()
+    assert(got(0).isNullAt(1) && got(0).isNullAt(2), "null element")
+    assert(got(1).isNullAt(1) && got(1).isNullAt(2), "dim mismatch")
+    assert(!got(2).isNullAt(1) && got(2).getLong(1) == 1L, "clean row still assigns")
+  }
+
+  test("interpreted eval path agrees with codegen (expression evaluated standalone)") {
+    // force the no-codegen path by eval'ing the expression directly
+    val cen = m.centroids
+    vecs.foreach { v =>
+      val q = KMeansQuant.quantizeVec(v)
+      val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(q)
+      val row = graft.functions.NearestCellExpr(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(arr,
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType)), cen)
+        .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+        .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+      val dists = bruteDists(q)
+      assert(row.getLong(0) == dists.indexOf(dists.min).toLong)
+      assert(row.getLong(1) == dists.min)
+      val cells = graft.functions.NearestCellsExpr(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(arr,
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType)), cen, 3)
+        .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray().toSeq
+      val expect = dists.zipWithIndex
+        .map { case (d, c) => (d, c.toLong) }.sorted.map(_._2).take(3).toSeq
+      assert(cells == expect)
+    }
+  }
+}

@@ -201,6 +201,34 @@ object EventQueries extends QueryModule {
           ntile(4).over(w).cast("long").as("quartile"),
           round(percent_rank().over(w), 6).as("pr"))
         .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // Time-weighted average value (TWAP): each event's exact-cents value
+    // weighted by its holding duration (micros until the next event of
+    // the same user). Both factors are exact integers; the products sum
+    // as DECIMAL (cents×micros ≈ 1e17/row — longs would overflow on a
+    // month of data, let alone 100 TB), and ONE double division renders
+    // the average. One lead() pass, one grouped aggregation.
+    "q_twap" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"), col("ts"),
+          graft.functions.Money.cents(col("value")).as("cents"))
+        .withColumn("next_us", lead(col("us"), 1).over(w))
+        .filter(col("next_us").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(
+          sum((col("cents") * (col("next_us") - col("us")))
+            .cast("decimal(38,0)")).as("wv"),
+          sum((col("next_us") - col("us")).cast("decimal(38,0)")).as("dur"))
+        .select(col("user_id"),
+          round(col("wv").cast("double") / col("dur").cast("double") / 100.0,
+            6).as("twap"),
+          col("dur").cast("long").as("held_us"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -381,6 +409,23 @@ object EventQueries extends QueryModule {
         |  round(percent_rank() OVER w, 6) AS pr
         |FROM ev
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-        |ORDER BY user_id, event_id""".stripMargin
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q_twap" ->
+      s"""WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    ${graft.functions.Money.centsSql("value")} AS cents,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_us
+        |  FROM events),
+        |agg AS (
+        |  SELECT user_id,
+        |    sum(CAST(cents * (next_us - us) AS HUGEINT)) AS wv,
+        |    sum(CAST(next_us - us AS HUGEINT)) AS dur
+        |  FROM ev WHERE next_us IS NOT NULL GROUP BY user_id)
+        |SELECT user_id,
+        |  round(CAST(wv AS DOUBLE) / CAST(dur AS DOUBLE) / 100.0, 6) AS twap,
+        |  CAST(dur AS BIGINT) AS held_us
+        |FROM agg ORDER BY user_id""".stripMargin
   )
 }

@@ -343,6 +343,27 @@ object RelationalQueries extends QueryModule {
             (col("n") * col("sxx") - col("sx") * col("sx")), 6)
             .as("slope_cents_per_qty"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // TPC-H Q3 shape (shipping priority): selective filters on all three
+    // inputs reach the scans (PushedFilters), the two equi-joins shuffle
+    // on their keys (AQE picks broadcast for the filtered customer side
+    // when it fits — forcing it would be the 100 TB bug), and the top-10
+    // is TakeOrderedAndProject: per-partition heads, never a global
+    // sort. Revenue on the exact 1e-4-dollar grid; ties broken by
+    // orderkey so the cut is deterministic.
+    "q_ship_priority" -> ((s, d) => {
+      val cut = lit("1998-06-01").cast("timestamp")
+      val c = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d).filter(col("o_orderdate") < cut)
+      val li = Tables.lineitem(s, d).filter(col("l_shipdate") > cut)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(dollars(sum(revenueTerm), 1e4).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
     })
   )
 
@@ -543,6 +564,18 @@ object RelationalQueries extends QueryModule {
         |    AS corr_qty_price,
         |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
         |    AS slope_cents_per_qty
-        |FROM m ORDER BY l_returnflag""".stripMargin
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+
+    "q_ship_priority" ->
+      s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(sum($revenueTermSql) AS DOUBLE) / 1e4 AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
   )
 }

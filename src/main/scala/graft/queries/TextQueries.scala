@@ -124,6 +124,57 @@ object TextQueries extends QueryModule {
         .select(col("doc_id"), col("lang"), col("n_chars"),
           round(z, 6).as("z"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Chi-square test of lang x source independence (is the corpus mix
+    // skewed?). One corpus aggregation builds the contingency cells;
+    // margins derive from the CELL table (contingency-sized — never a
+    // corpus re-scan). Per-cell term algebra stays integer to the last
+    // step: (O·N − R·C)² / (N·R·C), both sides exact DECIMAL products,
+    // ONE double division, then the 1e-9-grid quantize-and-integer-sum
+    // discipline (a raw double sum over cells would be
+    // accumulation-order-dependent).
+    "q_chi2_assoc" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      val cells = Tables.documents(s, d)
+        .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("o"))
+      // margins as window sums OVER THE CELL TABLE — the corpus scans
+      // exactly once (plan-pinned); the windows (including the global
+      // one) move only contingency-sized rows
+      val withMargins = cells
+        .withColumn("r", sum(col("o")).over(Window.partitionBy(col("lang"))))
+        .withColumn("c", sum(col("o")).over(Window.partitionBy(col("source"))))
+        .withColumn("nn", sum(col("o")).over(Window.partitionBy()))
+      val num = dec(col("o")) * dec(col("nn")) - dec(col("r")) * dec(col("c"))
+      val qterm = round((num * num).cast("double") /
+          (dec(col("nn")) * dec(col("r")) * dec(col("c"))).cast("double")
+          * 1e9).cast("long")
+      withMargins.agg(count(lit(1)).as("n_cells"),
+        ((count_distinct(col("lang")) - 1) *
+          (count_distinct(col("source")) - 1)).as("dof"),
+        round(sum(qterm).cast("double") / 1e9, 6).as("chi2"))
+    }),
+
+    // Shannon entropy of the language mix per source (corpus-diversity
+    // readout). p·ln p terms quantize to the 1e-9 integer grid before
+    // the (order-free) sum — the q_unigram_nll discipline for
+    // transcendental terms.
+    "q_source_entropy" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val cells = Tables.documents(s, d)
+        .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("o"))
+      // the per-source total is a window sum over the cell table — one
+      // corpus scan, and the second grouping reuses the partitioning
+      val p = col("o").cast("double") /
+        sum(col("o")).over(Window.partitionBy(col("source"))).cast("double")
+      val qterm = round(p * log(p) * lit(1e9)).cast("long")
+      cells
+        .select(col("source"), qterm.as("qterm"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_langs"),
+          round(-(sum(col("qterm")).cast("double") / 1e9), 6).as("entropy"))
+        .orderBy(col("source"))
     })
   )
 
@@ -199,6 +250,48 @@ object TextQueries extends QueryModule {
         |FROM documents d JOIN st ON d.lang = st.lang
         |WHERE abs(CAST(d.n_chars * st.n - st.sx AS DOUBLE) /
         |    sqrt(CAST(st.n * st.sxx - st.sx * st.sx AS DOUBLE))) > 2
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_chi2_assoc" ->
+      """WITH cells AS (
+        |  SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+        |  FROM documents GROUP BY lang, source),
+        |r AS (SELECT lang, CAST(sum(o) AS BIGINT) AS r
+        |      FROM cells GROUP BY lang),
+        |c AS (SELECT source, CAST(sum(o) AS BIGINT) AS c
+        |      FROM cells GROUP BY source),
+        |t AS (SELECT CAST(sum(o) AS BIGINT) AS nn,
+        |        CAST(count(DISTINCT lang) AS BIGINT) AS nl,
+        |        CAST(count(DISTINCT source) AS BIGINT) AS ns
+        |      FROM cells),
+        |q AS (
+        |  SELECT CAST(round(
+        |    CAST((CAST(cells.o AS HUGEINT) * t.nn - CAST(r.r AS HUGEINT) * c.c)
+        |       * (CAST(cells.o AS HUGEINT) * t.nn - CAST(r.r AS HUGEINT) * c.c)
+        |      AS DOUBLE) /
+        |    CAST(CAST(t.nn AS HUGEINT) * r.r * c.c AS DOUBLE) * 1e9)
+        |    AS BIGINT) AS qterm,
+        |    t.nl AS nl, t.ns AS ns
+        |  FROM cells JOIN r ON cells.lang = r.lang
+        |             JOIN c ON cells.source = c.source
+        |             CROSS JOIN t)
+        |SELECT CAST(count(*) AS BIGINT) AS n_cells,
+        |  max((nl - 1) * (ns - 1)) AS dof,
+        |  round(CAST(sum(qterm) AS DOUBLE) / 1e9, 6) AS chi2
+        |FROM q""".stripMargin,
+
+    "q_source_entropy" ->
+      """WITH cells AS (
+        |  SELECT source, lang, CAST(count(*) AS BIGINT) AS o
+        |  FROM documents GROUP BY source, lang),
+        |r AS (SELECT source, CAST(sum(o) AS BIGINT) AS r
+        |      FROM cells GROUP BY source)
+        |SELECT cells.source, CAST(count(*) AS BIGINT) AS n_langs,
+        |  round(-(CAST(sum(CAST(round(
+        |      CAST(o AS DOUBLE) / CAST(r.r AS DOUBLE)
+        |        * ln(CAST(o AS DOUBLE) / CAST(r.r AS DOUBLE)) * 1e9)
+        |    AS BIGINT)) AS DOUBLE) / 1e9), 6) AS entropy
+        |FROM cells JOIN r ON cells.source = r.source
+        |GROUP BY cells.source ORDER BY cells.source""".stripMargin
   )
 }

@@ -511,4 +511,39 @@ class PlanSpec extends SparkSpec {
     assert(hashExchanges(plan) <= 1,
       s"corpus side must not hash-shuffle:\n$plan")
   }
+
+  test("q_ship_priority: filters pushed to all three scans, heap top-k — no global sort") {
+    val plan = formatted("q_ship_priority")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-10 must be a per-partition heap, not a full sort:\n$plan")
+    assert(plan.contains("EqualTo(c_mktsegment,BUILDING)"),
+      s"segment filter not pushed:\n$plan")
+    assert(plan.contains("LessThan(o_orderdate") &&
+      plan.contains("GreaterThan(l_shipdate"),
+      s"date filters not pushed:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"join degraded:\n$plan")
+  }
+
+  test("q_twap: the grouped average reuses the window's user partitioning") {
+    val plan = formatted("q_twap")
+    assert(nodeCount(plan, "Window") == 1,
+      s"one lead() pass expected:\n$plan")
+    // the groupBy(user) rides the Window's hashpartitioning(user) — a
+    // second hash exchange would mean the aggregation re-shuffled
+    assert(hashExchanges(plan) == 1,
+      s"expected the window shuffle only:\n$plan")
+  }
+
+  test("q_chi2_assoc and q_source_entropy scan the corpus exactly once") {
+    // margins are window sums over the contingency-sized cell table —
+    // deriving them as separate groupBys re-scanned documents 4x
+    // (caught at plan review in round 16)
+    for (q <- Seq("q_chi2_assoc", "q_source_entropy")) {
+      val plan = formatted(q)
+      assert(nodeCount(plan, "Scan parquet") == 1,
+        s"$q must not re-scan the corpus for margins:\n$plan")
+      assert(!plan.contains("Join"), s"$q needs no join at all:\n$plan")
+    }
+  }
 }

@@ -364,6 +364,65 @@ object RelationalQueries extends QueryModule {
         .agg(dollars(sum(revenueTerm), 1e4).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
+    }),
+
+    // Winsorized mean (p05/p95 clipping) per returnflag — the robust
+    // cousin of q_agg_pricing. The clip bounds are exact-percentile
+    // doubles ROUNDED ONTO THE CENTS GRID (interpolation of integer
+    // cents is exact in doubles, so the rounding agrees cross-engine),
+    // which keeps every clipped value an integer and the final mean a
+    // single division of an exact DECIMAL sum. Bounds broadcast back —
+    // the fact table scans twice, never shuffles for the clip.
+    "q_winsorize" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), cents(col("l_extendedprice")).as("cents"))
+      val st = li.groupBy(col("l_returnflag")).agg(
+        round(expr("percentile(cents, 0.05)")).cast("long").as("lo_cents"),
+        round(expr("percentile(cents, 0.95)")).cast("long").as("hi_cents"))
+      li.join(broadcast(st), "l_returnflag")
+        .select(col("l_returnflag"), col("lo_cents"), col("hi_cents"),
+          least(greatest(col("cents"), col("lo_cents")), col("hi_cents"))
+            .as("w"))
+        .groupBy(col("l_returnflag"), col("lo_cents"), col("hi_cents"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("w").cast("decimal(38,0)")).as("sw"))
+        .select(col("l_returnflag"), col("n"), col("lo_cents"),
+          col("hi_cents"),
+          round(col("sw").cast("double") / col("n").cast("double") / 100.0,
+            6).as("winsorized_mean"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Median/MAD robust outliers over PER-ORDER totals (uniform unit
+    // prices have no tails; order totals compound into them). The
+    // half-grid trick keeps everything integer: a median of integers is
+    // integer-or-half, so med2 = 2·median is EXACT, deviations
+    // |2·tot − med2| are exact longs, and mad4 = 2·median(dev) is exact
+    // again — robust z is then one double division of integer terms.
+    // Exact global percentiles collect the orders-sized total set into
+    // one aggregation buffer: the oracle-checkable baseline; at 100 TB
+    // the same report rides the mergeable GK digests
+    // (q_quantile_rollup) with an ε bound instead. The two scalar
+    // stats rows broadcast back (1-row nested-loop by construction,
+    // like the BM25 corpus-stats row).
+    "q_robust_outliers" -> ((s, d) => {
+      val t = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(cents(col("l_extendedprice"))).as("tot"))
+      val med = t.agg(
+        (expr("percentile(tot, 0.5)") * 2).cast("long").as("med2"))
+      val tm = t.crossJoin(broadcast(med))
+      val mad = tm.agg(
+        (expr("percentile(abs(tot * 2 - med2), 0.5)") * 2).cast("long")
+          .as("mad4"))
+      val z = (col("tot") * 4 - col("med2") * 2).cast("double") /
+        (lit(1.4826) * col("mad4").cast("double"))
+      tm.crossJoin(broadcast(mad))
+        .filter(abs(z) > 3.5)
+        .select(col("l_orderkey"),
+          (col("tot").cast("double") / 100.0).as("order_total"),
+          round(z, 6).as("z"))
+        .orderBy(col("l_orderkey"))
     })
   )
 
@@ -576,6 +635,42 @@ object RelationalQueries extends QueryModule {
         |  AND o_orderdate < TIMESTAMP '1998-06-01'
         |  AND l_shipdate > TIMESTAMP '1998-06-01'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
-        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q_winsorize" ->
+      s"""WITH li AS (
+        |  SELECT l_returnflag, ${centsSql("l_extendedprice")} AS cents
+        |  FROM lineitem),
+        |st AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(quantile_cont(cents, 0.05)) AS BIGINT) AS lo_cents,
+        |    CAST(round(quantile_cont(cents, 0.95)) AS BIGINT) AS hi_cents
+        |  FROM li GROUP BY l_returnflag)
+        |SELECT li.l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  st.lo_cents, st.hi_cents,
+        |  round(CAST(sum(least(greatest(cents, lo_cents), hi_cents))
+        |      AS DOUBLE) / CAST(count(*) AS DOUBLE) / 100.0, 6)
+        |    AS winsorized_mean
+        |FROM li JOIN st ON li.l_returnflag = st.l_returnflag
+        |GROUP BY li.l_returnflag, st.lo_cents, st.hi_cents
+        |ORDER BY li.l_returnflag""".stripMargin,
+
+    "q_robust_outliers" ->
+      s"""WITH t AS (
+        |  SELECT l_orderkey, sum(${centsSql("l_extendedprice")}) AS tot
+        |  FROM lineitem GROUP BY l_orderkey),
+        |med AS (SELECT CAST(quantile_cont(tot, 0.5) * 2 AS BIGINT) AS med2
+        |        FROM t),
+        |mad AS (SELECT CAST(quantile_cont(abs(tot * 2 - med2), 0.5) * 2
+        |          AS BIGINT) AS mad4
+        |        FROM t, med)
+        |SELECT l_orderkey,
+        |  CAST(tot AS DOUBLE) / 100.0 AS order_total,
+        |  round(CAST(tot * 4 - med2 * 2 AS DOUBLE) /
+        |    (1.4826 * CAST(mad4 AS DOUBLE)), 6) AS z
+        |FROM t, med, mad
+        |WHERE abs(CAST(tot * 4 - med2 * 2 AS DOUBLE) /
+        |    (1.4826 * CAST(mad4 AS DOUBLE))) > 3.5
+        |ORDER BY l_orderkey""".stripMargin
   )
 }

@@ -84,7 +84,10 @@ class PlanSpec extends SparkSpec {
       "q_unigram_nll", "q_rerank_linear", "q_ivf_kmeans_topk",
       // recall eval joins the IVF and brute-force top-10s — both carry
       // the 1-row query-vector scalar join by construction
-      "q_ivf_recall")
+      "q_ivf_recall",
+      // the global median / MAD stats rows broadcast back as 1-row
+      // scalar joins (no join key exists)
+      "q_robust_outliers")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan =

@@ -23,10 +23,21 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructField, S
   * zip_with null-padding produced).
   */
 private[graft] object KMeansAssignKernel {
-  /** Shared eval-path argmin: (bestCell, bestDist2), or null. */
+  /** A ragged matrix is a caller bug (a malformed Model), not a data
+    * condition — fail at expression construction, not with an
+    * ArrayIndexOutOfBounds in an executor loop. The NULL-on-mismatch
+    * semantics below are reserved for DATA issues (a vector whose
+    * dimension differs from the model's, or null elements). */
+  def requireRectangular(m: Array[Array[Long]]): Unit = {
+    require(m.nonEmpty, "centroid matrix must be non-empty")
+    require(m.forall(_.length == m(0).length),
+      s"ragged centroid matrix: dims ${m.map(_.length).distinct.mkString(",")}")
+  }
+
+  /** Shared eval-path distance kernel (null = data mismatch). */
   def distances(x: ArrayData, m: Array[Array[Long]]): Array[Long] = {
     val n = x.numElements()
-    if (m.length == 0 || m(0).length != n) return null
+    if (m(0).length != n) return null
     var i = 0
     while (i < n) { if (x.isNullAt(i)) return null; i += 1 }
     val v = x.toLongArray()
@@ -42,12 +53,53 @@ private[graft] object KMeansAssignKernel {
     }
     out
   }
+
+  /** The guard + per-centroid distance loop as a codegen fragment —
+    * ONE source of truth for both expressions' doGenCode (and kept in
+    * lockstep with [[distances]] above by KMeansAssignSpec's
+    * interpreted==codegen test). Emits `distsVar` (long[k]) under
+    * `!isNullVar`. */
+  def genDistances(ctx: CodegenContext, x: String, mRef: String,
+      isNullVar: String, distsVar: String): String = {
+    val n = ctx.freshName("n")
+    val i = ctx.freshName("i")
+    val c = ctx.freshName("c")
+    val v = ctx.freshName("v")
+    val cen = ctx.freshName("cen")
+    val acc = ctx.freshName("acc")
+    val df = ctx.freshName("df")
+    s"""
+       |int $n = $x.numElements();
+       |long[] $distsVar = null;
+       |if ($mRef[0].length != $n) {
+       |  $isNullVar = true;
+       |} else {
+       |  for (int $i = 0; $i < $n; $i++) {
+       |    if ($x.isNullAt($i)) { $isNullVar = true; break; }
+       |  }
+       |}
+       |if (!$isNullVar) {
+       |  long[] $v = $x.toLongArray();
+       |  $distsVar = new long[$mRef.length];
+       |  for (int $c = 0; $c < $mRef.length; $c++) {
+       |    long[] $cen = $mRef[$c];
+       |    long $acc = 0L;
+       |    for (int $i = 0; $i < $n; $i++) {
+       |      long $df = $v[$i] - $cen[$i]; $acc += $df * $df;
+       |    }
+       |    $distsVar[$c] = $acc;
+       |  }
+       |}
+     """.stripMargin
+  }
 }
 
 /** `struct(c, d)` of the nearest centroid: hard assignment + its exact
   * squared distance. */
 case class NearestCellExpr(child: Expression, centroids: Array[Array[Long]])
     extends UnaryExpression {
+
+  KMeansAssignKernel.requireRectangular(centroids)
 
   override def dataType: DataType = StructType(Seq(
     StructField("c", LongType, nullable = false),
@@ -73,34 +125,16 @@ case class NearestCellExpr(child: Expression, centroids: Array[Array[Long]])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val mRef = ctx.addReferenceObj("centroids", centroids, "long[][]")
     nullSafeCodeGen(ctx, ev, x => {
-      val n = ctx.freshName("n")
-      val i = ctx.freshName("i")
+      val dists = ctx.freshName("dists")
       val c = ctx.freshName("c")
-      val v = ctx.freshName("v")
-      val cen = ctx.freshName("cen")
-      val acc = ctx.freshName("acc")
-      val df = ctx.freshName("df")
       val bestC = ctx.freshName("bestC")
       val bestD = ctx.freshName("bestD")
+      KMeansAssignKernel.genDistances(ctx, x, mRef, ev.isNull, dists) +
       s"""
-         |int $n = $x.numElements();
-         |if ($mRef.length == 0 || $mRef[0].length != $n) {
-         |  ${ev.isNull} = true;
-         |} else {
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    if ($x.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |  }
-         |}
          |if (!${ev.isNull}) {
-         |  long[] $v = $x.toLongArray();
-         |  long $bestC = 0L; long $bestD = Long.MAX_VALUE;
-         |  for (int $c = 0; $c < $mRef.length; $c++) {
-         |    long[] $cen = $mRef[$c];
-         |    long $acc = 0L;
-         |    for (int $i = 0; $i < $n; $i++) {
-         |      long $df = $v[$i] - $cen[$i]; $acc += $df * $df;
-         |    }
-         |    if ($acc < $bestD) { $bestD = $acc; $bestC = $c; }
+         |  long $bestC = 0L; long $bestD = $dists[0];
+         |  for (int $c = 1; $c < $dists.length; $c++) {
+         |    if ($dists[$c] < $bestD) { $bestD = $dists[$c]; $bestC = $c; }
          |  }
          |  ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
          |    new Object[]{ java.lang.Long.valueOf($bestC), java.lang.Long.valueOf($bestD) });
@@ -118,6 +152,7 @@ case class NearestCellExpr(child: Expression, centroids: Array[Array[Long]])
 case class NearestCellsExpr(child: Expression, centroids: Array[Array[Long]],
     nprobe: Int) extends UnaryExpression {
 
+  KMeansAssignKernel.requireRectangular(centroids)
   require(nprobe >= 1 && nprobe <= centroids.length,
     s"nprobe must be in [1, ${centroids.length}], got $nprobe")
 
@@ -137,39 +172,16 @@ case class NearestCellsExpr(child: Expression, centroids: Array[Array[Long]],
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val mRef = ctx.addReferenceObj("centroids", centroids, "long[][]")
     nullSafeCodeGen(ctx, ev, x => {
-      val n = ctx.freshName("n")
-      val i = ctx.freshName("i")
       val c = ctx.freshName("c")
       val j = ctx.freshName("j")
-      val v = ctx.freshName("v")
-      val cen = ctx.freshName("cen")
-      val acc = ctx.freshName("acc")
-      val df = ctx.freshName("df")
       val dists = ctx.freshName("dists")
       val order = ctx.freshName("order")
       val sel = ctx.freshName("sel")
       val tmp = ctx.freshName("tmp")
       val k = centroids.length
+      KMeansAssignKernel.genDistances(ctx, x, mRef, ev.isNull, dists) +
       s"""
-         |int $n = $x.numElements();
-         |if ($mRef.length == 0 || $mRef[0].length != $n) {
-         |  ${ev.isNull} = true;
-         |} else {
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    if ($x.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |  }
-         |}
          |if (!${ev.isNull}) {
-         |  long[] $v = $x.toLongArray();
-         |  long[] $dists = new long[$k];
-         |  for (int $c = 0; $c < $k; $c++) {
-         |    long[] $cen = $mRef[$c];
-         |    long $acc = 0L;
-         |    for (int $i = 0; $i < $n; $i++) {
-         |      long $df = $v[$i] - $cen[$i]; $acc += $df * $df;
-         |    }
-         |    $dists[$c] = $acc;
-         |  }
          |  long[] $order = new long[$nprobe];
          |  boolean[] $sel = new boolean[$k];
          |  for (int $j = 0; $j < $nprobe; $j++) {
@@ -201,14 +213,55 @@ object KMeansAssignExprs {
     s"kmq_${kind}_" + java.lang.Integer.toUnsignedString(
       java.util.Arrays.deepHashCode(m.asInstanceOf[Array[AnyRef]]), 16) + extra
 
+  /** Each registered builder closure pins its k×dim matrix in the
+    * session's FunctionRegistry for the session's lifetime — a
+    * many-iteration `fit` (one matrix per Lloyd round) or many refits
+    * would accumulate unboundedly (review finding r16). Registrations
+    * are therefore a bounded FIFO per session: beyond `MaxLive`, the
+    * oldest is dropped. Dropping only affects FUTURE analysis — plans
+    * already analyzed carry the expression (and its matrix) embedded,
+    * so in-flight queries are untouched; re-registering the same
+    * content-hashed name later is cheap and idempotent. The one hazard
+    * is a Column BUILT but not yet analyzed when its name is evicted
+    * (resolution would fail) — MaxLive=16 means that takes 8+ DISTINCT
+    * models built-but-unexecuted concurrently, far outside the
+    * build-then-run usage of every caller in this library. */
+  private val MaxLive = 16
+  private val live = new java.util.WeakHashMap[
+    org.apache.spark.sql.SparkSession,
+    scala.collection.mutable.Queue[String]]()
+
+  private def registerBounded(spark: org.apache.spark.sql.SparkSession,
+      name: String, builder: Seq[Expression] => Expression): Unit =
+    live.synchronized {
+      val q = {
+        val cur = live.get(spark)
+        if (cur != null) cur
+        else {
+          val fresh = scala.collection.mutable.Queue[String]()
+          live.put(spark, fresh)
+          fresh
+        }
+      }
+      registry(spark).createOrReplaceTempFunction(name, builder, "scala_udf")
+      if (!q.contains(name)) {
+        q.enqueue(name)
+        while (q.size > MaxLive) {
+          val evict = q.dequeue()
+          registry(spark).dropFunction(
+            org.apache.spark.sql.catalyst.FunctionIdentifier(evict))
+        }
+      }
+    }
+
   /** `struct(c, d)` hard assignment of a quantized array<long> column.
     * Registers on `SparkSession.active` — Column construction always
     * happens on the driver with a session in scope. */
   def nearestCell(vq: Column, centroids: Array[Array[Long]]): Column = {
     val spark = org.apache.spark.sql.SparkSession.active
     val name = nameFor("nearest", centroids, "")
-    registry(spark).createOrReplaceTempFunction(name,
-      Builders.unary(name)(NearestCellExpr(_, centroids)), "scala_udf")
+    registerBounded(spark, name,
+      Builders.unary(name)(NearestCellExpr(_, centroids)))
     org.apache.spark.sql.functions.call_function(name, vq)
   }
 
@@ -217,8 +270,8 @@ object KMeansAssignExprs {
       nprobe: Int): Column = {
     val spark = org.apache.spark.sql.SparkSession.active
     val name = nameFor("cells", centroids, s"_$nprobe")
-    registry(spark).createOrReplaceTempFunction(name,
-      Builders.unary(name)(NearestCellsExpr(_, centroids, nprobe)), "scala_udf")
+    registerBounded(spark, name,
+      Builders.unary(name)(NearestCellsExpr(_, centroids, nprobe)))
     org.apache.spark.sql.functions.call_function(name, vq)
   }
 }

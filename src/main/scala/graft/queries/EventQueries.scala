@@ -221,8 +221,10 @@ object EventQueries extends QueryModule {
         .filter(col("next_us").isNotNull)
         .groupBy(col("user_id"))
         .agg(
-          sum((col("cents") * (col("next_us") - col("us")))
-            .cast("decimal(38,0)")).as("wv"),
+          // cents casts to DECIMAL BEFORE the multiply — a long product
+          // wraps at ~$10k held for ~107 days (review finding r16)
+          sum(col("cents").cast("decimal(38,0)") *
+            (col("next_us") - col("us")).cast("decimal(38,0)")).as("wv"),
           sum((col("next_us") - col("us")).cast("decimal(38,0)")).as("dur"))
         .select(col("user_id"),
           round(col("wv").cast("double") / col("dur").cast("double") / 100.0,
@@ -420,7 +422,7 @@ object EventQueries extends QueryModule {
         |  FROM events),
         |agg AS (
         |  SELECT user_id,
-        |    sum(CAST(cents * (next_us - us) AS HUGEINT)) AS wv,
+        |    sum(CAST(cents AS HUGEINT) * (next_us - us)) AS wv,
         |    sum(CAST(next_us - us AS HUGEINT)) AS dur
         |  FROM ev WHERE next_us IS NOT NULL GROUP BY user_id)
         |SELECT user_id,

@@ -317,23 +317,27 @@ object RelationalQueries extends QueryModule {
     // Correlation / least-squares regression of price on quantity, per
     // returnflag — the money-sum discipline applied to second moments:
     // every power sum (Σx, Σy, Σxy, Σx², Σy²) is an EXACT integer
-    // (quantity is integer-valued, price in integer cents; per-row
-    // products fit a long, totals summed as DECIMAL so 100 TB can't
-    // overflow), and the Pearson/OLS closed forms are then the SAME
-    // IEEE double op chain in both engines. One partial+final hash
-    // aggregation — the five moments travel together, a single scan.
+    // (quantity is integer-valued, price in integer cents; products
+    // FORM in DECIMAL/HUGEINT — not long — and sum exactly, so neither
+    // a huge single amount nor 100 TB of rows can overflow), and the
+    // Pearson/OLS closed forms are then the SAME IEEE double op chain
+    // in both engines. One partial+final hash aggregation — the five
+    // moments travel together, a single scan.
     "q_corr_stats" -> ((s, d) => {
       val x = col("l_quantity").cast("long")
       val y = cents(col("l_extendedprice"))
-      def dsum(c: Column) = sum(c.cast("decimal(38,0)")).cast("double")
+      def dsum(c: Column) = sum(c).cast("double")
+      // products form in DECIMAL, not long — y² wraps a long once a
+      // single amount passes ~$960M (review finding r16)
+      def dec(c: Column) = c.cast("decimal(38,0)")
       Tables.lineitem(s, d)
         .select(col("l_returnflag"), x.as("x"), y.as("y"))
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
-          dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
-          dsum(col("x") * col("y")).as("sxy"),
-          dsum(col("x") * col("x")).as("sxx"),
-          dsum(col("y") * col("y")).as("syy"))
+          dsum(dec(col("x"))).as("sx"), dsum(dec(col("y"))).as("sy"),
+          dsum(dec(col("x")) * dec(col("y"))).as("sxy"),
+          dsum(dec(col("x")) * dec(col("x"))).as("sxx"),
+          dsum(dec(col("y")) * dec(col("y"))).as("syy"))
         .select(col("l_returnflag"), col("n"),
           round((col("n") * col("sxy") - col("sx") * col("sy")) /
             sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
@@ -366,19 +370,23 @@ object RelationalQueries extends QueryModule {
         .limit(10)
     }),
 
-    // Winsorized mean (p05/p95 clipping) per returnflag — the robust
-    // cousin of q_agg_pricing. The clip bounds are exact-percentile
-    // doubles ROUNDED ONTO THE CENTS GRID (interpolation of integer
-    // cents is exact in doubles, so the rounding agrees cross-engine),
-    // which keeps every clipped value an integer and the final mean a
-    // single division of an exact DECIMAL sum. Bounds broadcast back —
-    // the fact table scans twice, never shuffles for the clip.
+    // Winsorized mean (quartile clipping) per returnflag — the robust
+    // cousin of q_agg_pricing. The clip bounds are the EXACT p25/p75:
+    // at quarter probabilities the interpolation position 0.25·(n−1)
+    // and fraction (∈ {0, ¼, ½, ¾}) are exactly representable, so the
+    // interpolated value is an exact quarter-cent rational in BOTH
+    // engines regardless of how each arranges the lerp — at p05/p95
+    // the 0.05 fraction is inexact and a 1-ulp formula difference
+    // could flip round() by a whole cent (review finding r16). Rounded
+    // onto the cents grid, clipped values stay integers and the mean
+    // is a single division of an exact DECIMAL sum. Bounds broadcast
+    // back — the fact table scans twice, never shuffles for the clip.
     "q_winsorize" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
         .select(col("l_returnflag"), cents(col("l_extendedprice")).as("cents"))
       val st = li.groupBy(col("l_returnflag")).agg(
-        round(expr("percentile(cents, 0.05)")).cast("long").as("lo_cents"),
-        round(expr("percentile(cents, 0.95)")).cast("long").as("hi_cents"))
+        round(expr("percentile(cents, 0.25)")).cast("long").as("lo_cents"),
+        round(expr("percentile(cents, 0.75)")).cast("long").as("hi_cents"))
       li.join(broadcast(st), "l_returnflag")
         .select(col("l_returnflag"), col("lo_cents"), col("hi_cents"),
           least(greatest(col("cents"), col("lo_cents")), col("hi_cents"))
@@ -610,9 +618,9 @@ object RelationalQueries extends QueryModule {
       s"""WITH m AS (
         |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
         |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
-        |    CAST(sum(x * y) AS DOUBLE) AS sxy,
-        |    CAST(sum(x * x) AS DOUBLE) AS sxx,
-        |    CAST(sum(y * y) AS DOUBLE) AS syy
+        |    CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
         |  FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
         |          ${centsSql("l_extendedprice")} AS y
         |        FROM lineitem)
@@ -643,8 +651,8 @@ object RelationalQueries extends QueryModule {
         |  FROM lineitem),
         |st AS (
         |  SELECT l_returnflag,
-        |    CAST(round(quantile_cont(cents, 0.05)) AS BIGINT) AS lo_cents,
-        |    CAST(round(quantile_cont(cents, 0.95)) AS BIGINT) AS hi_cents
+        |    CAST(round(quantile_cont(cents, 0.25)) AS BIGINT) AS lo_cents,
+        |    CAST(round(quantile_cont(cents, 0.75)) AS BIGINT) AS hi_cents
         |  FROM li GROUP BY l_returnflag)
         |SELECT li.l_returnflag, CAST(count(*) AS BIGINT) AS n,
         |  st.lo_cents, st.hi_cents,

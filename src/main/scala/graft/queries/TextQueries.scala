@@ -107,18 +107,22 @@ object TextQueries extends QueryModule {
     // Per-language length outliers (|z| > 2) — the statistical-outlier
     // curation gate. Algebra keeps everything integer until ONE double
     // division: z = (x - μ)/σ_pop = (x·n - Σx) / sqrt(n·Σx² - (Σx)²),
-    // numerator and radicand exact longs, so the double (and the >2
-    // boundary) is the same IEEE chain in both engines. The per-lang
-    // moment table is group-count-sized and broadcasts back — the
-    // corpus scans twice but never shuffles.
+    // numerator and radicand exact DECIMAL integers (Σx² and (Σx)² wrap
+    // a long once a group passes ~3e9 total chars — review finding
+    // r16), so the double (and the >2 boundary) is the same IEEE chain
+    // in both engines. The per-lang moment table is group-count-sized
+    // and broadcasts back — the corpus scans twice but never shuffles.
     "q_outlier_docs" -> ((s, d) => {
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
       val docs = Tables.documents(s, d)
       val st = docs.groupBy(col("lang")).agg(
         count(lit(1)).as("n"),
-        sum(col("n_chars")).as("sx"),
-        sum(col("n_chars") * col("n_chars")).as("sxx"))
-      val z = (col("n_chars") * col("n") - col("sx")).cast("double") /
-        sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+        sum(dec(col("n_chars"))).as("sx"),
+        sum(dec(col("n_chars")) * dec(col("n_chars"))).as("sxx"))
+      val z = (dec(col("n_chars")) * dec(col("n")) - col("sx"))
+        .cast("double") /
+        sqrt((dec(col("n")) * col("sxx") - col("sx") * col("sx"))
+          .cast("double"))
       docs.join(broadcast(st), "lang")
         .filter(abs(z) > 2.0)
         .select(col("doc_id"), col("lang"), col("n_chars"),
@@ -146,14 +150,21 @@ object TextQueries extends QueryModule {
         .withColumn("r", sum(col("o")).over(Window.partitionBy(col("lang"))))
         .withColumn("c", sum(col("o")).over(Window.partitionBy(col("source"))))
         .withColumn("nn", sum(col("o")).over(Window.partitionBy()))
-      val num = dec(col("o")) * dec(col("nn")) - dec(col("r")) * dec(col("c"))
-      val qterm = round((num * num).cast("double") /
+      // the exact-DECIMAL difference rounds to double ONCE and squares
+      // in double — squaring in decimal(38,0) would NULL out past 38
+      // digits (~N ≥ 5.6e9 rows) and silently drop the cell (review
+      // finding r16); the qterm sum accumulates in DECIMAL for the same
+      // reason (a long wraps once chi2 exceeds ~9.2e9 on the 1e9 grid)
+      val num = (dec(col("o")) * dec(col("nn")) -
+        dec(col("r")) * dec(col("c"))).cast("double")
+      val qterm = round(num * num /
           (dec(col("nn")) * dec(col("r")) * dec(col("c"))).cast("double")
           * 1e9).cast("long")
       withMargins.agg(count(lit(1)).as("n_cells"),
         ((count_distinct(col("lang")) - 1) *
           (count_distinct(col("source")) - 1)).as("dof"),
-        round(sum(qterm).cast("double") / 1e9, 6).as("chi2"))
+        round(sum(qterm.cast("decimal(38,0)")).cast("double") / 1e9, 6)
+          .as("chi2"))
     }),
 
     // Shannon entropy of the language mix per source (corpus-diversity
@@ -240,9 +251,9 @@ object TextQueries extends QueryModule {
 
     "q_outlier_docs" ->
       """WITH st AS (
-        |  SELECT lang, CAST(count(*) AS BIGINT) AS n,
-        |    CAST(sum(n_chars) AS BIGINT) AS sx,
-        |    CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx
+        |  SELECT lang, CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(n_chars) AS HUGEINT) AS sx,
+        |    sum(CAST(n_chars AS HUGEINT) * n_chars) AS sxx
         |  FROM documents GROUP BY lang)
         |SELECT d.doc_id, d.lang, d.n_chars,
         |  round(CAST(d.n_chars * st.n - st.sx AS DOUBLE) /
@@ -266,9 +277,10 @@ object TextQueries extends QueryModule {
         |      FROM cells),
         |q AS (
         |  SELECT CAST(round(
-        |    CAST((CAST(cells.o AS HUGEINT) * t.nn - CAST(r.r AS HUGEINT) * c.c)
-        |       * (CAST(cells.o AS HUGEINT) * t.nn - CAST(r.r AS HUGEINT) * c.c)
-        |      AS DOUBLE) /
+        |    CAST(CAST(cells.o AS HUGEINT) * t.nn
+        |         - CAST(r.r AS HUGEINT) * c.c AS DOUBLE)
+        |    * CAST(CAST(cells.o AS HUGEINT) * t.nn
+        |         - CAST(r.r AS HUGEINT) * c.c AS DOUBLE) /
         |    CAST(CAST(t.nn AS HUGEINT) * r.r * c.c AS DOUBLE) * 1e9)
         |    AS BIGINT) AS qterm,
         |    t.nl AS nl, t.ns AS ns

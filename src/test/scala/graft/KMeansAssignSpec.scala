@@ -79,6 +79,40 @@ class KMeansAssignSpec extends SparkSpec {
     assert(!got(2).isNullAt(1) && got(2).getLong(1) == 1L, "clean row still assigns")
   }
 
+  test("a ragged centroid matrix fails at construction, not in an executor loop") {
+    val ragged = Array(Array(1L, 2L, 3L), Array(1L))
+    val dummy = org.apache.spark.sql.catalyst.expressions.Literal.create(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(0L, 0L, 0L)),
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType))
+    intercept[IllegalArgumentException] {
+      graft.functions.NearestCellExpr(dummy, ragged)
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.NearestCellsExpr(dummy, ragged, 1)
+    }
+  }
+
+  test("registrations are bounded: many distinct models don't accumulate forever") {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    val before = reg.listFunction().count(_.funcName.startsWith("kmq_"))
+    // churn 40 distinct single-centroid models through the cache
+    val df = Seq((1L, Seq(0.0, 0.0))).toDF("id", "embedding")
+    (1 to 40).foreach { i =>
+      val mi = KMeansQuant.Model(Array(Array(i.toLong, 0L), Array(0L, i.toLong)))
+      df.select(KMeansQuant.cellOf(col("embedding"), mi)).collect()
+    }
+    val after = reg.listFunction().count(_.funcName.startsWith("kmq_"))
+    assert(after <= before + 16,
+      s"registry grew unboundedly: $before -> $after kmq_ functions")
+    // an evicted model re-registers transparently on next use
+    val m1 = KMeansQuant.Model(Array(Array(1L, 0L), Array(0L, 1L)))
+    val got = df.select(KMeansQuant.cellOf(col("embedding"), m1).as("c"))
+      .head().getLong(0)
+    assert(got == 0L)
+  }
+
   test("interpreted eval path agrees with codegen (expression evaluated standalone)") {
     // force the no-codegen path by eval'ing the expression directly
     val cen = m.centroids

@@ -30,18 +30,29 @@ import org.apache.spark.sql.functions._
 object AsOfJoin {
 
   /** @param payload right-side columns to attach (must not collide with
-    *                left column names). */
+    *                left column names).
+    * @param toleranceUs optional staleness bound (micros): a match older
+    *                than `leftTs - toleranceUs` is rejected — the
+    *                `merge_asof(tolerance=...)` semantics. Same ONE
+    *                shuffle: the carried struct also carries the
+    *                matched right timestamp, and the bound is a
+    *                row-local filter AFTER the fill (never a range
+    *                join). */
   def asof(left: DataFrame, right: DataFrame, leftKey: String,
       rightKey: String, leftTs: String, rightTs: String,
-      payload: Seq[String]): DataFrame = {
+      payload: Seq[String], toleranceUs: Option[Long] = None): DataFrame = {
+    require(!payload.contains("__rts"), "__rts is reserved")
     val leftCols = left.columns.toSeq
     // The payload rides as ONE struct so last(ignoreNulls) picks the
     // entire latest right ROW: a NULL field inside the newest matching
     // row stays NULL (DuckDB ASOF semantics) instead of falling back to
     // a stale older value, and fields can never be stitched together
-    // from different right rows.
+    // from different right rows. The struct additionally carries the
+    // right row's timestamp (`__rts`) so a tolerance bound can reject
+    // stale matches row-locally; it is stripped from the output.
     val payloadStructType = org.apache.spark.sql.types.StructType(
-      payload.map(p => right.schema(p).copy(name = p)))
+      payload.map(p => right.schema(p).copy(name = p)) :+
+        right.schema(rightTs).copy(name = "__rts"))
     val lTagged = left
       .withColumn("__k", col(leftKey))
       .withColumn("__ts", col(leftTs))
@@ -58,14 +69,19 @@ object AsOfJoin {
       .withColumn("__side", lit(0))
       .select(Seq(col("__k"), col("__ts"), col("__side")) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
-        struct(payload.map(col): _*).as("__p"): _*)
+        struct(payload.map(col) :+ col(rightTs).as("__rts"): _*).as("__p"): _*)
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    lTagged.unionByName(rTagged)
+    val filled = lTagged.unionByName(rTagged)
       .withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(leftCols.map(col) ++
-        payload.map(p => col("__p").getField(p).as(p)): _*)
+    val bounded = toleranceUs.fold(filled) { tol =>
+      filled.withColumn("__p",
+        when(unix_micros(col("__ts")) -
+          unix_micros(col("__p").getField("__rts")) <= tol, col("__p")))
+    }
+    bounded.select(leftCols.map(col) ++
+      payload.map(p => col("__p").getField(p).as(p)): _*)
   }
 }

@@ -84,6 +84,29 @@ object EventQueries extends QueryModule {
         .orderBy(col("click_id"), col("purchase_id"))
     }),
 
+    // As-of with a staleness bound (merge_asof tolerance semantics):
+    // each purchase picks up the user's latest click at or before it,
+    // but ONLY if that click is at most 30 minutes old — the
+    // attribution-window variant of q_asof_join. Same one-shuffle union
+    // trick; the bound is a row-local filter on the carried right
+    // timestamp, never a range join.
+    "q_asof_tolerance" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      // deterministic winner per (user, ts): max click id
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        .agg(max(col("event_id")).as("click_id"))
+      graft.operators.AsOfJoin.asof(purchases, clicks,
+          leftKey = "user_id", rightKey = "c_user",
+          leftTs = "ts", rightTs = "c_ts",
+          payload = Seq("click_id"),
+          toleranceUs = Some(30L * 60 * 1000000))
+        .select(col("event_id"), col("user_id"), col("click_id"))
+        .orderBy(col("event_id"))
+    }),
+
     // Gap-based sessionization (30-minute inactivity) → session stats.
     "q_sessionize" -> ((s, d) =>
       EventOps.sessionStats(
@@ -412,6 +435,29 @@ object EventQueries extends QueryModule {
         |FROM ev
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, event_id""".stripMargin,
+
+    // The latest click overall, if within the window, IS the latest
+    // within the window; if it is older than the bound, every other
+    // click is older still — so the bounded-range mirror equals the
+    // engine's fill-then-reject form.
+    "q_asof_tolerance" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id AS c_user, ts AS c_ts, max(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |j AS (
+        |  SELECT p.event_id, c.click_id,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |      ORDER BY c.c_ts DESC, c.click_id DESC) AS rn
+        |  FROM p JOIN c ON p.user_id = c.c_user
+        |    AND c.c_ts <= p.ts
+        |    AND epoch_us(c.c_ts) >= epoch_us(p.ts) - 1800000000)
+        |SELECT p.event_id, p.user_id, j.click_id
+        |FROM p LEFT JOIN (SELECT event_id, click_id FROM j WHERE rn = 1) j
+        |  ON p.event_id = j.event_id
+        |ORDER BY p.event_id""".stripMargin,
 
     "q_twap" ->
       s"""WITH ev AS (

@@ -28,6 +28,32 @@ class AsOfJoinSpec extends SparkSpec {
       3L -> None, 4L -> None))
   }
 
+  test("tolerance bound rejects stale matches; exact boundary is kept (<=)") {
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0),
+      (2L, ts("2024-01-01 09:00:00"), 200.0)
+    ).toDF("qk", "qts", "price")
+    val trades = Seq(
+      (1L, 1L, ts("2024-01-01 10:20:00")), // 20 min stale -> kept
+      (2L, 1L, ts("2024-01-01 10:30:00")), // EXACTLY 30 min -> kept (<=)
+      (3L, 1L, ts("2024-01-01 10:30:01")), // 30 min 1 s -> rejected
+      (4L, 2L, ts("2024-01-01 11:00:00"))  // 2 h stale -> rejected
+    ).toDF("trade_id", "tk", "tts")
+    val out = AsOfJoin.asof(trades, quotes, "tk", "qk", "tts", "qts",
+        Seq("price"), toleranceUs = Some(30L * 60 * 1000000))
+      .select($"trade_id", $"price").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(out === Map(1L -> Some(100.0), 2L -> Some(100.0),
+      3L -> None, 4L -> None))
+    // and the unbounded form still matches all four
+    val unbounded = AsOfJoin.asof(trades, quotes, "tk", "qk", "tts", "qts",
+        Seq("price"))
+      .select($"trade_id", $"price").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(unbounded === Map(1L -> Some(100.0), 2L -> Some(100.0),
+      3L -> Some(100.0), 4L -> Some(200.0)))
+  }
+
   test("NULL keys and NULL timestamps never match (SQL ASOF semantics)") {
     val quotes = Seq(
       (Some(1L), Some(ts("2024-01-01 10:00:00")), 100.0),

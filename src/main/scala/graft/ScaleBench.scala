@@ -138,6 +138,41 @@ object ScaleBench {
         results += ((q, base, scaled, ratio, exponent, baseRows, scaledRows))
         completed += 1
       }
+
+      // SemDeDup operating-discipline rehearsal: the query form holds k
+      // FIXED (its oracle contract), under which Σ|cell|² — the
+      // within-cell candidate count — grows ×N² by construction. The
+      // discipline the survey claims for 100 TB is k ∝ n/targetCellSize
+      // (SemDeDup ran 11k cells for 3.7B embeddings), so THIS rehearsal
+      // refits the N× corpus with k×N cells and times the pair search:
+      // near-linear is the evidence the equi-join-on-cell shape (not a
+      // fixed k) is what scales. Fit cost is outside the timed region —
+      // the rehearsal measures the pair search, and the fit is k·dim
+      // aggregation state either way.
+      {
+        import graft.operators.{KMeansQuant, SemDedup}
+        val tau = 0.35 // the query family's SEMTAU
+        def timePairs(dir: String, k: Int): (Seq[Double], Long) = {
+          val emb = Tables.embeddings(spark, dir)
+          val m = KMeansQuant.fit(emb, "vec_id", "embedding", k, iters = 2)
+          var rows = 0L
+          val runs = (1 to nRuns).map { _ =>
+            val t0 = System.nanoTime()
+            rows = SemDedup.pairs(emb, "vec_id", "embedding", m, tau).count()
+            (System.nanoTime() - t0) / 1e9
+          }
+          (runs, rows)
+        }
+        val (base, baseRows) = timePairs(sfDir, 4)
+        val (scaled, scaledRows) = timePairs(outDir, 4 * scale)
+        val ratio = scaled.min / base.min
+        val exponent = math.log(ratio) / math.log(scale.toDouble)
+        System.err.println(f"[scale] semdedup_pairs_k_scaled     1x ${base.min}%6.2f s" +
+          f" -> ${scale}x ${scaled.min}%6.2f s  ratio ${ratio}%5.2f  " +
+          f"exp $exponent%5.2f  rows $baseRows -> $scaledRows")
+        results += (("semdedup_pairs_k_scaled", base, scaled, ratio,
+          exponent, baseRows, scaledRows))
+      }
     } finally {
       val qJson = results.result().map { case (q, b, s, ratio, exp, br, sr) =>
         Telemetry.jstr(q) + s""":{"base_runs":${b.mkString("[", ",", "]")},""" +

@@ -50,6 +50,16 @@ object RelationalQueries extends QueryModule {
   private def dollars(sumCol: Column, scale: Double): Column =
     sumCol.cast("double") / scale
 
+  /** One SQL text, two engines (q_grouping_sets) — the NULL→'ALL'
+    * coalesce convention of q_rollup/q_cube. */
+  private val SharedGroupingSetsSql =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |  coalesce(o_orderpriority, 'ALL') AS priority,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY status, priority""".stripMargin
+
   val queries: Map[String, Q] = Map(
     // 4-dim star join. region/nation are tiny → explicit broadcast;
     // customer/orders are left to Catalyst + AQE (at 100 TB they exceed
@@ -203,6 +213,18 @@ object RelationalQueries extends QueryModule {
     "q_sql_pricing" -> ((s, d) => {
       Tables.registerViews(s, d)
       s.sql(SharedPricingSql)
+    }),
+
+    // Explicit GROUPING SETS — the arbitrary-set-list member of the
+    // grouping family (rollup and cube above are its two canned
+    // specializations; this set list ((status), (priority), ()) is
+    // expressible by NEITHER). One SQL text, two engines, like
+    // q_sql_pricing; Spark plans the same single Expand + one hash
+    // aggregation as cube — rows replicate |sets|-fold map-side, one
+    // shuffle, no per-set rescan.
+    "q_grouping_sets" -> ((s, d) => {
+      Tables.registerViews(s, d)
+      s.sql(SharedGroupingSetsSql)
     }),
 
     // Top-k: TakeOrderedAndProject — never a full global sort at scale.
@@ -497,6 +519,7 @@ object RelationalQueries extends QueryModule {
 
     // literally the same text the Spark side executes (see queries map)
     "q_sql_pricing" -> SharedPricingSql,
+    "q_grouping_sets" -> SharedGroupingSetsSql,
 
     "q_expectations" ->
       """WITH c AS (

@@ -172,6 +172,7 @@ object ScaleBench {
           f"exp $exponent%5.2f  rows $baseRows -> $scaledRows")
         results += (("semdedup_pairs_k_scaled", base, scaled, ratio,
           exponent, baseRows, scaledRows))
+        completed += 1
       }
     } finally {
       val qJson = results.result().map { case (q, b, s, ratio, exp, br, sr) =>
@@ -181,7 +182,9 @@ object ScaleBench {
       }.mkString("{", ",", "}")
       val json = s"""{"scale":$scale,"sf":${Telemetry.jstr(sfDir)},""" +
         s""""heap_max_mb":${Runtime.getRuntime.maxMemory() / (1024 * 1024)},""" +
-        s""""agg":"min_of_$nRuns","partial":${completed < queries.size},""" +
+        // queries.size + 1: the semdedup k-scaled rehearsal counts too —
+        // a record missing it must self-report partial
+        s""""agg":"min_of_$nRuns","partial":${completed < queries.size + 1},""" +
         s""""generated":{"documents":$nDocs,"embeddings":$nVecs},""" +
         s""""queries":$qJson,"loadavg_before":${Telemetry.jstr(loadBefore)},""" +
         s""""loadavg_after":${Telemetry.jstr(Telemetry.loadavg())}}"""

@@ -42,17 +42,29 @@ object AsOfJoin {
       rightKey: String, leftTs: String, rightTs: String,
       payload: Seq[String], toleranceUs: Option[Long] = None): DataFrame = {
     require(!payload.contains("__rts"), "__rts is reserved")
+    // a negative bound rejects EVERY match (the staleness diff is
+    // always >= 0) — that is a sign slip at the call site, not a
+    // query; fail loudly like merge_asof does
+    require(toleranceUs.forall(_ >= 0),
+      s"toleranceUs must be >= 0, got ${toleranceUs.get}")
+    // the tolerance path reads both ts columns through unix_micros, so
+    // it requires TIMESTAMP-typed columns (a DATE rightTs fails at
+    // analysis); the unbounded path has no such constraint
+    val carryRts = toleranceUs.isDefined
     val leftCols = left.columns.toSeq
     // The payload rides as ONE struct so last(ignoreNulls) picks the
     // entire latest right ROW: a NULL field inside the newest matching
     // row stays NULL (DuckDB ASOF semantics) instead of falling back to
     // a stale older value, and fields can never be stitched together
-    // from different right rows. The struct additionally carries the
-    // right row's timestamp (`__rts`) so a tolerance bound can reject
-    // stale matches row-locally; it is stripped from the output.
+    // from different right rows. Under a tolerance bound the struct
+    // additionally carries the right row's timestamp (`__rts`) so the
+    // bound can reject stale matches row-locally; unbounded callers
+    // don't pay the extra carried field, and it is stripped from the
+    // output either way.
     val payloadStructType = org.apache.spark.sql.types.StructType(
-      payload.map(p => right.schema(p).copy(name = p)) :+
-        right.schema(rightTs).copy(name = "__rts"))
+      payload.map(p => right.schema(p).copy(name = p)) ++
+        (if (carryRts) Seq(right.schema(rightTs).copy(name = "__rts"))
+         else Seq.empty))
     val lTagged = left
       .withColumn("__k", col(leftKey))
       .withColumn("__ts", col(leftTs))
@@ -69,7 +81,9 @@ object AsOfJoin {
       .withColumn("__side", lit(0))
       .select(Seq(col("__k"), col("__ts"), col("__side")) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
-        struct(payload.map(col) :+ col(rightTs).as("__rts"): _*).as("__p"): _*)
+        struct(payload.map(col) ++
+          (if (carryRts) Seq(col(rightTs).as("__rts")) else Seq.empty): _*)
+          .as("__p"): _*)
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

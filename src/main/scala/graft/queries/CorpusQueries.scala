@@ -131,6 +131,22 @@ object CorpusQueries extends QueryModule {
           "embedding", model(s, d), SEMTAU, nprobe = 2)
         .orderBy(col("vec_id"))),
 
+    // Semantic CLUSTER labels: connected components over the semantic
+    // pair graph — the embedding-space sibling of q_dedup_groups'
+    // lexical components, and the transitive view anchor-wins pruning
+    // doesn't give (A~B and B~C label A,B,C together even when A~C
+    // falls below τ). Composition of two existing operators; the same
+    // union-find/pointer-jumping scale split as the lexical form.
+    "q_semdedup_groups" -> ((s, d) => {
+      val p = SemDedup.pairs(Tables.embeddings(s, d), "vec_id",
+          "embedding", model(s, d), SEMTAU)
+        .select(col("id_a"), col("id_b"))
+      graft.operators.DedupGroups.connectedComponents(
+          Tables.embeddings(s, d).select(col("vec_id")), "vec_id", p)
+        .select(col("id").as("vec_id"), col("comp").as("component"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Incremental semantic dedup: the id space split at max_id/2 plays
     // an already-ingested corpus (low ids) + a new batch (high ids);
     // the batch broadcasts against the corpus anchors (corpus never
@@ -507,6 +523,21 @@ object CorpusQueries extends QueryModule {
          |WHERE f.vec_id NOT IN
          |  (SELECT id_b FROM cpairs WHERE cos >= $SEMTAU)
          |ORDER BY f.vec_id""".stripMargin,
+
+    // transitive closure over the semantic pair set — the leading WITH
+    // gains RECURSIVE (harmless for the non-recursive CTEs ahead of
+    // `reach`), then min-reachable-id labels each component
+    "q_semdedup_groups" ->
+      s"""${kmeansCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |$semdedupPairsCte,
+         |p2 AS (SELECT id_a, id_b FROM cpairs WHERE cos >= $SEMTAU),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM p2
+         |          UNION SELECT id_b, id_a FROM p2),
+         |reach AS (SELECT vec_id AS id, vec_id AS r FROM embeddings
+         |          UNION SELECT reach.id, edges.dst
+         |                FROM reach JOIN edges ON reach.r = edges.src)
+         |SELECT id AS vec_id, min(r) AS component
+         |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin,
 
     "q_semdedup_multiprobe" ->
       s"""$kmeansCtes,

@@ -226,6 +226,24 @@ object EventQueries extends QueryModule {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // Per-user event-type transition counts (the first-order Markov
+    // matrix behind behavior modeling): one lag() pass in event-time
+    // order, then a 25-cell pair count — the second shuffle moves only
+    // type-pair cardinality.
+    "q_transition_matrix" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("prev_type"), col("next_type"))
+    }),
+
     // Time-weighted average value (TWAP): each event's exact-cents value
     // weighted by its holding duration (micros until the next event of
     // the same user). Both factors are exact integers; the products sum
@@ -458,6 +476,17 @@ object EventQueries extends QueryModule {
         |FROM p LEFT JOIN (SELECT event_id, click_id FROM j WHERE rn = 1) j
         |  ON p.event_id = j.event_id
         |ORDER BY p.event_id""".stripMargin,
+
+    "q_transition_matrix" ->
+      """WITH x AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_type
+        |  FROM events)
+        |SELECT prev_type, event_type AS next_type,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM x WHERE prev_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_twap" ->
       s"""WITH ev AS (

@@ -505,6 +505,26 @@ class PlanSpec extends SparkSpec {
       s"moments must come from a single scan:\n$plan")
   }
 
+  test("q_transition_matrix: one lag Window, pair count reuses nothing heavier") {
+    val plan = formatted("q_transition_matrix")
+    assert(nodeCount(plan, "Window") == 1,
+      s"one lag() pass expected:\n$plan")
+    assert(!plan.contains("Join"), s"transition counts need no join:\n$plan")
+    // the user-partition window shuffle + the (prev,next) pair-count
+    // shuffle — the latter moves only type-pair cardinality
+    assert(hashExchanges(plan) <= 2,
+      s"expected the window + pair-count exchanges only:\n$plan")
+  }
+
+  test("q_asof_tolerance: the staleness bound stays row-local — never a range join") {
+    val plan = formatted("q_asof_tolerance")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"the bound must not degrade to a range join:\n$plan")
+    assert(nodeCount(plan, "Window") == 1,
+      s"the union trick carries one Window:\n$plan")
+  }
+
   test("q_outlier_docs: moment table broadcasts — corpus never hash-shuffles") {
     val plan = formatted("q_outlier_docs")
     assert(plan.contains("BroadcastHashJoin"),

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Loud scale guard for EXACT order-statistics aggregates.
+  *
+  * `percentile(...)` (and any exact rank statistic) holds every value of
+  * its group in ONE aggregation buffer — correct and oracle-checkable at
+  * survey scale, a single-task OOM at 100 TB. Every other exact baseline
+  * in this library trips a loud `require` before going super-scale
+  * ([[Similarity]]'s 100k brute-force cap, [[SemDedup]]'s `maxCellRows`);
+  * this is the same honest-threshold discipline for the percentile
+  * family: one cheap count-by-group probe, then `require`, with the
+  * message naming the mergeable-sketch route (the Greenwald-Khanna
+  * digests behind `q_quantile_rollup`) as the over-threshold path.
+  *
+  * The probe is a count-only aggregation of the SAME frame the caller is
+  * about to aggregate — partial aggregation map-side, a few bytes per
+  * group over the wire, so the guard costs one cheap pass and never
+  * materializes values.
+  */
+object ExactStats {
+
+  /** Default per-group ceiling for an exact-percentile buffer: 10M longs
+    * is ~80 MB of raw values (several hundred MB as an OpenHashMap-backed
+    * buffer) — near the practical single-buffer limit on a healthy
+    * executor, far above any survey fixture. */
+  val DefaultMaxGroupRows: Long = 10000000L
+
+  /** Require that no percentile group of `values` exceeds `maxGroupRows`.
+    * `groupCols` empty means one GLOBAL group (a global percentile's
+    * buffer holds the whole frame). `what` names the calling computation
+    * in the failure message. */
+  def guardExactPercentile(values: DataFrame, groupCols: Seq[String],
+      what: String, maxGroupRows: Long = DefaultMaxGroupRows): Unit = {
+    val counted =
+      if (groupCols.isEmpty) values.agg(count(lit(1)).as("count"))
+      else values.groupBy(groupCols.map(col): _*).agg(count(lit(1)).as("count"))
+    val hot = counted.filter(col("count") > maxGroupRows).limit(1).collect()
+    require(hot.isEmpty, {
+      val r = hot.head
+      val grp =
+        if (groupCols.isEmpty) "the global group"
+        else groupCols.zipWithIndex
+          .map { case (c, i) => s"$c=${r.get(i)}" }.mkString("group (", ", ", ")")
+      s"$what: $grp holds ${r.getLong(r.length - 1)} values > " +
+        s"maxGroupRows=$maxGroupRows — an exact percentile buffers every " +
+        "group value in one aggregation buffer. At this scale use the " +
+        "mergeable GK quantile digests (QuantileSketchAgg / " +
+        "q_quantile_rollup) with an explicit rank-error bound, or pass " +
+        "maxGroupRows to opt into the bigger buffer."
+    })
+  }
+}

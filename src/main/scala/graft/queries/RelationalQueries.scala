@@ -403,25 +403,7 @@ object RelationalQueries extends QueryModule {
     // onto the cents grid, clipped values stay integers and the mean
     // is a single division of an exact DECIMAL sum. Bounds broadcast
     // back — the fact table scans twice, never shuffles for the clip.
-    "q_winsorize" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-        .select(col("l_returnflag"), cents(col("l_extendedprice")).as("cents"))
-      val st = li.groupBy(col("l_returnflag")).agg(
-        round(expr("percentile(cents, 0.25)")).cast("long").as("lo_cents"),
-        round(expr("percentile(cents, 0.75)")).cast("long").as("hi_cents"))
-      li.join(broadcast(st), "l_returnflag")
-        .select(col("l_returnflag"), col("lo_cents"), col("hi_cents"),
-          least(greatest(col("cents"), col("lo_cents")), col("hi_cents"))
-            .as("w"))
-        .groupBy(col("l_returnflag"), col("lo_cents"), col("hi_cents"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("w").cast("decimal(38,0)")).as("sw"))
-        .select(col("l_returnflag"), col("n"), col("lo_cents"),
-          col("hi_cents"),
-          round(col("sw").cast("double") / col("n").cast("double") / 100.0,
-            6).as("winsorized_mean"))
-        .orderBy(col("l_returnflag"))
-    }),
+    "q_winsorize" -> ((s, d) => winsorize(s, d)),
 
     // Median/MAD robust outliers over PER-ORDER totals (uniform unit
     // prices have no tails; order totals compound into them). The
@@ -435,26 +417,69 @@ object RelationalQueries extends QueryModule {
     // (q_quantile_rollup) with an ε bound instead. The two scalar
     // stats rows broadcast back (1-row nested-loop by construction,
     // like the BM25 corpus-stats row).
-    "q_robust_outliers" -> ((s, d) => {
-      val t = Tables.lineitem(s, d)
-        .groupBy(col("l_orderkey"))
-        .agg(sum(cents(col("l_extendedprice"))).as("tot"))
-      val med = t.agg(
-        (expr("percentile(tot, 0.5)") * 2).cast("long").as("med2"))
-      val tm = t.crossJoin(broadcast(med))
-      val mad = tm.agg(
-        (expr("percentile(abs(tot * 2 - med2), 0.5)") * 2).cast("long")
-          .as("mad4"))
-      val z = (col("tot") * 4 - col("med2") * 2).cast("double") /
-        (lit(1.4826) * col("mad4").cast("double"))
-      tm.crossJoin(broadcast(mad))
-        .filter(abs(z) > 3.5)
-        .select(col("l_orderkey"),
-          (col("tot").cast("double") / 100.0).as("order_total"),
-          round(z, 6).as("z"))
-        .orderBy(col("l_orderkey"))
-    })
+    "q_robust_outliers" -> ((s, d) => robustOutliers(s, d))
   )
+
+  /** q_winsorize body, with the exact-percentile scale guard
+    * parameterized so WinsorizeGuardSpec can prove it trips. The guard
+    * probe counts the SAME per-flag groups the percentile aggregates —
+    * one cheap count pass before the buffered pass
+    * ([[graft.operators.ExactStats]]; at over-threshold scale ride the
+    * GK digests of q_quantile_rollup instead). */
+  private[graft] def winsorize(s: org.apache.spark.sql.SparkSession,
+      d: String,
+      maxGroupRows: Long = graft.operators.ExactStats.DefaultMaxGroupRows)
+      : org.apache.spark.sql.DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), cents(col("l_extendedprice")).as("cents"))
+    graft.operators.ExactStats.guardExactPercentile(
+      li, Seq("l_returnflag"), "winsorized mean (exact p25/p75 clip)",
+      maxGroupRows)
+    val st = li.groupBy(col("l_returnflag")).agg(
+      round(expr("percentile(cents, 0.25)")).cast("long").as("lo_cents"),
+      round(expr("percentile(cents, 0.75)")).cast("long").as("hi_cents"))
+    li.join(broadcast(st), "l_returnflag")
+      .select(col("l_returnflag"), col("lo_cents"), col("hi_cents"),
+        least(greatest(col("cents"), col("lo_cents")), col("hi_cents"))
+          .as("w"))
+      .groupBy(col("l_returnflag"), col("lo_cents"), col("hi_cents"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("w").cast("decimal(38,0)")).as("sw"))
+      .select(col("l_returnflag"), col("n"), col("lo_cents"),
+        col("hi_cents"),
+        round(col("sw").cast("double") / col("n").cast("double") / 100.0,
+          6).as("winsorized_mean"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** q_robust_outliers body, guard parameterized (see [[winsorize]]).
+    * The global median/MAD buffer holds one value per ORDER, so the
+    * probe counts the aggregated totals frame, not lineitem. */
+  private[graft] def robustOutliers(s: org.apache.spark.sql.SparkSession,
+      d: String,
+      maxGroupRows: Long = graft.operators.ExactStats.DefaultMaxGroupRows)
+      : org.apache.spark.sql.DataFrame = {
+    val t = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(cents(col("l_extendedprice"))).as("tot"))
+    graft.operators.ExactStats.guardExactPercentile(
+      t, Seq.empty, "median/MAD outliers (exact global percentiles)",
+      maxGroupRows)
+    val med = t.agg(
+      (expr("percentile(tot, 0.5)") * 2).cast("long").as("med2"))
+    val tm = t.crossJoin(broadcast(med))
+    val mad = tm.agg(
+      (expr("percentile(abs(tot * 2 - med2), 0.5)") * 2).cast("long")
+        .as("mad4"))
+    val z = (col("tot") * 4 - col("med2") * 2).cast("double") /
+      (lit(1.4826) * col("mad4").cast("double"))
+    tm.crossJoin(broadcast(mad))
+      .filter(abs(z) > 3.5)
+      .select(col("l_orderkey"),
+        (col("tot").cast("double") / 100.0).as("order_total"),
+        round(z, 6).as("z"))
+      .orderBy(col("l_orderkey"))
+  }
 
   val oracle: Map[String, String] = Map(
     "q_join_star" ->

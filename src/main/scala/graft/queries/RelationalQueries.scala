@@ -288,6 +288,42 @@ object RelationalQueries extends QueryModule {
         .na.fill(0L)
         .orderBy(col("source"))),
 
+    // UNPIVOT (wide → long): the inverse of q_pivot, via the native
+    // Dataset.unpivot (one Expand over the 3-row aggregate — no join,
+    // no extra shuffle; the wide frame is group-count-sized so the
+    // Expand multiplies rows AFTER aggregation, never the fact table).
+    // All measures are exact BIGINTs (cents sums ride the DECIMAL
+    // discipline first, cast once at the end) so the long-format value
+    // column is cross-engine hash-exact.
+    "q_unpivot" -> ((s, d) => {
+      val wide = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(cents(col("l_quantity")).cast("decimal(20,0)"))
+            .cast("bigint").as("qty_cents"),
+          sum(cents(col("l_extendedprice")).cast("decimal(20,0)"))
+            .cast("bigint").as("price_cents"),
+          count(lit(1)).as("n_lines"))
+      wide.unpivot(
+          Array(col("l_returnflag")),
+          Array(col("qty_cents"), col("price_cents"), col("n_lines")),
+          "measure", "value")
+        .orderBy(col("l_returnflag"), col("measure"))
+    }),
+
+    // TABLESAMPLE — the SQL sampling verb (scan-level Bernoulli sample:
+    // the filter applies AT the scan, before any shuffle). REPEATABLE
+    // seed makes the row set stable run-over-run in THIS engine;
+    // cross-engine the RNG differs → rows-only (the fraction band and
+    // same-seed determinism are specced, mirroring q_sample's contract).
+    "q_tablesample" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("graft_tablesample_src")
+      s.sql(
+        """SELECT l_orderkey, l_linenumber, l_returnflag
+          |FROM graft_tablesample_src TABLESAMPLE (10 PERCENT) REPEATABLE (42)
+          |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+    }),
+
     // The z-order (Morton) layout key over (customer, order-day), the
     // clustering key Compaction.compactZOrder sorts by so a filter on
     // EITHER dimension prunes row groups via parquet min/max stats.
@@ -611,6 +647,23 @@ object RelationalQueries extends QueryModule {
         |  CAST(count(*) AS BIGINT) AS n,
         |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust
         |FROM orders GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin,
+
+    "q_unpivot" ->
+      s"""WITH wide AS (
+         |  SELECT l_returnflag,
+         |    CAST(sum(CAST(${centsSql("l_quantity")} AS DECIMAL(20,0)))
+         |      AS BIGINT) AS qty_cents,
+         |    CAST(sum(CAST(${centsSql("l_extendedprice")} AS DECIMAL(20,0)))
+         |      AS BIGINT) AS price_cents,
+         |    CAST(count(*) AS BIGINT) AS n_lines
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag, measure, value FROM (
+         |  SELECT l_returnflag, 'qty_cents' AS measure, qty_cents AS value FROM wide
+         |  UNION ALL
+         |  SELECT l_returnflag, 'price_cents' AS measure, price_cents AS value FROM wide
+         |  UNION ALL
+         |  SELECT l_returnflag, 'n_lines' AS measure, n_lines AS value FROM wide)
+         |ORDER BY l_returnflag, measure""".stripMargin,
 
     "q_pivot" ->
       """SELECT source,

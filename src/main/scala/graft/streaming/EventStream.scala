@@ -131,6 +131,66 @@ object EventStream {
   final case class UserEvent(user_id: Long, value: Double)
   final case class UserTotal(user_id: Long, n_events: Long, total_cents: Long)
 
+  final case class FunnelEvent(user_id: Long, event_type: String, ts_us: Long)
+  /** Per-user funnel progress; stage timestamps are event-time micros,
+    * None until the stage converts. */
+  final case class FunnelUser(user_id: Long, s_ts: Option[Long],
+      c_ts: Option[Long], p_ts: Option[Long])
+
+  /** Streaming twin of `q_funnel`'s chained window-min stages
+    * (signup → first click at-or-after → first purchase at-or-after),
+    * maintained incrementally per user via mapGroupsWithState: state is
+    * THREE timestamps per user — O(users), never the event history.
+    *
+    * Exactness contract: equals the batch chained-min form when each
+    * user's events arrive in event-time order ACROSS micro-batches (the
+    * shape of a time-partitioned append log — within one micro-batch
+    * arrival order doesn't matter, events fold in (ts, stage) order).
+    * An out-of-order signup EARLIER than an already-folded click can
+    * under-count downstream stages — bound that with the source's
+    * watermark/ordering guarantee, or run the batch form over the closed
+    * history. Equal-timestamp events fold signup → click → purchase,
+    * matching the batch `>=` stage predicates.
+    *
+    * Retention (`q_retention`) deliberately has NO streaming twin: its
+    * cohort matrix joins every event against each user's whole-history
+    * first week, so exact incremental maintenance needs unbounded
+    * per-user event retention (not O(1) state like this funnel). Run it
+    * as an incremental BATCH rollup over closed weeks instead
+    * ([[Incremental.runParquet]] is the ingestion half of that). */
+  def funnelStages(events: DataFrame): Dataset[FunnelUser] = {
+    import events.sparkSession.implicits._
+    val stageRank = Map("signup" -> 0, "click" -> 1, "purchase" -> 2)
+    val typed = events
+      .filter(col("event_type").isin("signup", "click", "purchase"))
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us")).as[FunnelEvent]
+    typed.groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelUser, FunnelUser](
+        GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[FunnelUser]) =>
+          val prev = state.getOption.getOrElse(FunnelUser(uid, None, None, None))
+          var s = prev.s_ts
+          var c = prev.c_ts
+          var p = prev.p_ts
+          rows.toSeq
+            .sortBy(e => (e.ts_us, stageRank(e.event_type)))
+            .foreach { e =>
+              e.event_type match {
+                case "signup" if s.isEmpty => s = Some(e.ts_us)
+                case "click" if c.isEmpty && s.exists(_ <= e.ts_us) =>
+                  c = Some(e.ts_us)
+                case "purchase" if p.isEmpty && c.exists(_ <= e.ts_us) =>
+                  p = Some(e.ts_us)
+                case _ => ()
+              }
+            }
+          val next = FunnelUser(uid, s, c, p)
+          state.update(next)
+          next
+      }
+  }
+
   /** Custom stateful op: running per-user totals via mapGroupsWithState
     * (exact cents in state, like the batch runningTotal). State here is
     * O(distinct users); for unbounded key spaces switch to

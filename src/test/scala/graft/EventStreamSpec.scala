@@ -108,6 +108,45 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel stages == batch q_funnel over ts-ordered micro-batches") {
+    // two micro-batches split at the time median — the ts-ordered
+    // append-log arrival shape the twin's exactness contract names
+    val ev = Tables.events(spark, sf001)
+    val mid = ev.selectExpr("percentile(unix_micros(ts), 0.5)").head().getDouble(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-funnel")
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-funnel-w")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part), dir.resolve(name))
+    }
+    stage(ev.filter(unix_micros($"ts") <= mid), "a.parquet")
+    val q = EventStream.funnelStages(EventStream.read(spark, dir.toString))
+      .writeStream.outputMode("update")
+      .format("memory").queryName("funnel_out").start()
+    try {
+      q.processAllAvailable()
+      stage(ev.filter(unix_micros($"ts") > mid), "b.parquet")
+      q.processAllAvailable()
+      // a stage ts is written at most once per user, so max-per-user over
+      // the update log IS the final state
+      val fin = spark.table("funnel_out")
+        .groupBy($"user_id")
+        .agg(max($"s_ts").as("s"), max($"c_ts").as("c"), max($"p_ts").as("p"))
+        .agg(count(when($"s".isNotNull, 1)).as("n_signup"),
+          count(when($"c".isNotNull, 1)).as("n_click_after"),
+          count(when($"p".isNotNull, 1)).as("n_purchase_after"))
+        .head()
+      val batch = graft.queries.EventQueries.queries("q_funnel")(spark, sf001)
+        .head()
+      assert(fin.getLong(0) == batch.getLong(0), "n_signup")
+      assert(fin.getLong(1) == batch.getLong(1), "n_click_after")
+      assert(fin.getLong(2) == batch.getLong(2), "n_purchase_after")
+      assert(batch.getLong(0) > 0, "fixture must actually convert")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops watermark-window duplicates") {
     // Stage the same file twice -> every event arrives duplicated.
     val dir = java.nio.file.Files.createTempDirectory("graft-dedup")

@@ -25,6 +25,31 @@ class RelationalSpec extends SparkSpec {
     assert(out.select("doc_id").as[Long].collect().toSet === Set(1L, 3L))
   }
 
+  test("TABLESAMPLE: fraction in band, same-seed deterministic, subset of source") {
+    val q = graft.queries.RelationalQueries.queries("q_tablesample")
+    val total = Tables.lineitem(spark, sf01).count()
+    val s1 = q(spark, sf01).collect()
+    val s2 = q(spark, sf01).collect()
+    assert(s1.toSeq == s2.toSeq, "REPEATABLE seed must make the sample stable")
+    val frac = s1.length.toDouble / total
+    assert(frac > 0.05 && frac < 0.15, s"10% sample out of band: $frac")
+    // every sampled key exists in the source (it's a filter, not a generator)
+    val keys = Tables.lineitem(spark, sf01)
+      .select($"l_orderkey", $"l_linenumber".cast("long"))
+      .as[(Long, Long)].collect().toSet
+    assert(s1.forall(r => keys.contains((r.getLong(0), r.getInt(1).toLong))))
+  }
+
+  test("unpivot long form is exactly the wide aggregate, re-keyed") {
+    val out = graft.queries.RelationalQueries.queries("q_unpivot")(spark, sf001)
+      .collect()
+    // 3 measures per returnflag, no nulls, and n_lines rows sum to the count
+    val flags = out.map(_.getString(0)).distinct
+    assert(out.length == flags.length * 3)
+    val n = out.filter(_.getString(1) == "n_lines").map(_.getLong(2)).sum
+    assert(n == Tables.lineitem(spark, sf001).count())
+  }
+
   test("approx_count_distinct within 5% of exact") {
     val li = Tables.lineitem(spark, sf01)
     val exact = li.select(countDistinct($"l_partkey")).as[Long].head()

@@ -558,6 +558,33 @@ class PlanSpec extends SparkSpec {
       s"expected the window shuffle only:\n$plan")
   }
 
+  test("q_unpivot expands AFTER the aggregation — never the fact table") {
+    val plan = formatted("q_unpivot")
+    // one Expand, and it must sit above the final HashAggregate (Expand
+    // below the agg would multiply every lineitem row 3x before the
+    // shuffle; above, it multiplies the 3-row group table)
+    assert(nodeCount(plan, "Expand") == 1, s"one Expand expected:\n$plan")
+    val tree = plan.linesIterator.takeWhile(_.nonEmpty).toSeq
+    val expandLine = tree.indexWhere(_.contains("Expand"))
+    val aggLines = tree.zipWithIndex.filter(_._1.contains("HashAggregate")).map(_._2)
+    assert(expandLine >= 0 && aggLines.nonEmpty &&
+      expandLine < aggLines.min,
+      s"Expand must consume the aggregate, not the scan:\n$plan")
+  }
+
+  test("q_tablesample samples AT the scan — no post-shuffle filter stage") {
+    val plan = formatted("q_tablesample")
+    assert(plan.contains("Sample"), s"no Sample node:\n$plan")
+    // the sample feeds the sort directly off the scan: no exchange
+    // below the Sample (sampling after a shuffle would move 100% of the
+    // data to drop 90% of it)
+    val tree = plan.linesIterator.takeWhile(_.nonEmpty).toSeq
+    val sampleLine = tree.indexWhere(_.contains("Sample"))
+    val exchangeLines = tree.zipWithIndex.filter(_._1.contains("Exchange")).map(_._2)
+    assert(exchangeLines.forall(_ < sampleLine),
+      s"Exchange below Sample — sampled after shuffling:\n$plan")
+  }
+
   test("q_chi2_assoc and q_source_entropy scan the corpus exactly once") {
     // margins are window sums over the contingency-sized cell table —
     // deriving them as separate groupBys re-scanned documents 4x

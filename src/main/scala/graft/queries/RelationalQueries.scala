@@ -234,6 +234,38 @@ object RelationalQueries extends QueryModule {
         .select(col("o_orderkey"), col("o_totalprice"))
         .limit(10)),
 
+    // Per-GROUP top-k (the QUALIFY verb): top-3 orders by total price
+    // within each priority — ONE window over the group shuffle, filter
+    // on row_number, never a global sort (the global q_topk's
+    // TakeOrderedAndProject can't express per-group cuts). Unique
+    // (price desc, orderkey) ordering makes the cut deterministic.
+    "q_topk_per_group" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          col("o_totalprice"), row_number().over(w).cast("long").as("rk"))
+        .filter(col("rk") <= 3)
+        .orderBy(col("o_orderpriority"), col("rk"))
+    }),
+
+    // EXISTS correlated subquery — the declarative SQL form. Catalyst
+    // rewrites it to a left-semi join (plan-pinned): the subquery never
+    // executes per-row, it becomes the same join q_semi_join spells
+    // manually. The DataFrame API and SQL surface converge on one plan.
+    "q_exists" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("graft_exists_orders")
+      Tables.lineitem(s, d).createOrReplaceTempView("graft_exists_lineitem")
+      s.sql(
+        """SELECT o_orderkey, o_orderpriority
+          |FROM graft_exists_orders o
+          |WHERE EXISTS (
+          |  SELECT 1 FROM graft_exists_lineitem l
+          |  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 49)
+          |ORDER BY o_orderkey""".stripMargin)
+    }),
+
     // Set ops over dimension keys.
     "q_set_intersect" -> ((s, d) =>
       Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
@@ -573,6 +605,23 @@ object RelationalQueries extends QueryModule {
         |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q_topk_per_group" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rk FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
+        |  FROM orders)
+        |WHERE rk <= 3
+        |ORDER BY o_orderpriority, rk""".stripMargin,
+
+    "q_exists" ->
+      """SELECT o_orderkey, o_orderpriority
+        |FROM orders o
+        |WHERE EXISTS (
+        |  SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 49)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_topk" ->
       """SELECT o_orderkey, o_totalprice FROM orders

@@ -585,6 +585,20 @@ class PlanSpec extends SparkSpec {
       s"Exchange below Sample — sampled after shuffling:\n$plan")
   }
 
+  test("q_exists: the EXISTS subquery rewrites to one semi join, never per-row execution") {
+    val plan = formatted("q_exists")
+    assert(plan.contains("LeftSemi"), s"EXISTS not rewritten to semi join:\n$plan")
+    assert(!plan.contains("Subquery"), s"residual subquery execution:\n$plan")
+  }
+
+  test("q_topk_per_group: one window over the group shuffle, filter before any sort") {
+    val plan = formatted("q_topk_per_group")
+    assert(nodeCount(plan, "Window") == 1, s"one Window expected:\n$plan")
+    // the rank filter must prune inside/above the window stage, so the
+    // final presentation sort sees ~k rows per group, not the table
+    assert(plan.contains("rk"), plan)
+  }
+
   test("q_chi2_assoc and q_source_entropy scan the corpus exactly once") {
     // margins are window sums over the contingency-sized cell table —
     // deriving them as separate groupBys re-scanned documents 4x

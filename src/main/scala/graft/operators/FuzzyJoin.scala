@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Edit-distance self-join (fuzzy entity matching / typo-level dedup):
+  * all pairs with `levenshtein(a, b) <= maxDist`, found WITHOUT the n²
+  * cross join.
+  *
+  * The blocking is the classic exact q-gram + prefix-filter stack — no
+  * false negatives, so the output equals the brute-force join and is
+  * DuckDB-oracle-checkable:
+  *
+  *  1. '''Count bound''' (Gravano et al., VLDB'01): with padded q-grams a
+  *     string of length L has L+q-1 grams and one edit destroys at most q
+  *     of them, so a pair within distance d shares at least
+  *     T = Lmax+q-1-q·d grams (as a MULTISET).
+  *  2. '''Prefix filter''' (Chaudhuri et al. ICDE'06 / Bayardo WWW'07):
+  *     order gram instances globally by ascending document frequency;
+  *     a pair sharing >= T tokens must collide inside each side's
+  *     (|G|-T+1)-token prefix. Each string therefore indexes only its
+  *     2d+1 RAREST gram instances (for L >= q·d the per-string bound
+  *     T_a = L_a+q-1-q·d <= T_pair keeps the filter lossless) — hot
+  *     grams like a shared brand prefix never fan out, because they sort
+  *     to the END of the df order and fall outside every prefix.
+  *  3. '''Multiset correctness''': the k-th occurrence of gram g is the
+  *     token (g, k) (ppjoin's bag-to-set reduction), so duplicated grams
+  *     inside one string can't satisfy the count bound spuriously — and
+  *     the set-prefix lemma applies verbatim.
+  *  4. '''Verify''': candidates (deduped pairs) re-join their strings and
+  *     run the codegen'd `levenshtein(l, r, threshold)` builtin — the
+  *     thresholded form abandons a row's DP early once the bound is
+  *     exceeded.
+  *
+  * Degenerate-length escape hatch: a pair can sit within distance d while
+  * sharing ZERO grams only if both lengths are <= q·d-1 (destroying all
+  * L+q-1 grams needs ceil((L+q-1)/q) <= d edits). Those short strings get
+  * an exact length-banded pairing in their own tiny bucket, guarded by a
+  * loud `require` (the [[Similarity.nearDupPairs]] honest-threshold
+  * pattern) so a corpus of one-word strings fails fast instead of going
+  * quadratic.
+  *
+  * Scale notes (100 TB): the gram-df side is broadcast — its size is the
+  * q-gram vocabulary (charset^q, ~16k rows for ASCII bigrams), not the
+  * data; the per-string prefix is O(d) tokens, so the candidate join
+  * carries (2d+1)·n rows with rare join keys by construction; the only
+  * wide shuffles key on (gram, occ) and on the id pair — both
+  * high-cardinality. Reference behavior: /root/reference/pipeline/clean.py
+  * (exact-match dedup) generalized to typo tolerance.
+  */
+object FuzzyJoin {
+
+  // Sentinel pad chars (must not occur in the data; control chars are
+  // outside every text column here). Distinct L/R pads keep the first and
+  // last char's grams anchored to their end of the string.
+  private val PadL = "\u0001"
+  private val PadR = "\u0002"
+
+  /** Padded q-gram instances of `strCol`: one row per (id, gram, pos). */
+  private def gramRows(base: DataFrame, q: Int): DataFrame = {
+    val padded = concat(lit(PadL * (q - 1)), col("__s"), lit(PadR * (q - 1)))
+    base.select(col("__id"), col("__len"),
+        posexplode(transform(
+          sequence(lit(1), col("__len") + q - 1),
+          i => padded.substr(i, lit(q)))).as(Seq("__pos", "__gram")))
+  }
+
+  /** All pairs (id_a < id_b) with edit distance <= maxDist. Output columns:
+    * `id_a, id_b, dist`. Exact — equal to the brute-force O(n²) join.
+    *
+    * @param maxShortRows loud guard on the degenerate short-string bucket
+    *   (strings shorter than q·maxDist), which has no sub-quadratic exact
+    *   filter; raise explicitly to opt in.
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int, q: Int = 2, maxShortRows: Long = 10000L): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    require(q >= 2, s"q must be >= 2, got $q")
+    val base = df.filter(col(strCol).isNotNull)
+      .select(col(idCol).as("__id"), col(strCol).as("__s"),
+        length(col(strCol)).as("__len"))
+
+    // ---- degenerate bucket: both lengths < q·d can share zero grams ----
+    val shortLen = q * maxDist - 1
+    val shorts = base.filter(col("__len") <= shortLen)
+    val nShort = shorts.limit((maxShortRows min Int.MaxValue.toLong).toInt + 1)
+      .count()
+    require(nShort <= maxShortRows,
+      s"editDistancePairs: over $maxShortRows strings shorter than " +
+        s"${shortLen + 1} chars — the degenerate bucket has no exact " +
+        "sub-quadratic filter and would pair quadratically. Pre-filter " +
+        "trivial strings or pass maxShortRows explicitly to opt in.")
+    val shortPairs = shorts.select(col("__id").as("id_a"), col("__s").as("sa"),
+        col("__len").as("la"))
+      .join(shorts.select(col("__id").as("id_b"), col("__s").as("sb"),
+          col("__len").as("lb")),
+        col("id_a") < col("id_b") &&
+          abs(col("la") - col("lb")) <= maxDist)
+      .select(col("id_a"), col("id_b"))
+
+    // ---- prefix-filter candidates for everything else ----
+    // Token = (gram, occurrence#): ppjoin's bag-to-set reduction, so the
+    // set-prefix lemma covers multiset gram overlap. The Window keys on
+    // (__id, __gram) — id is in the key, so it scales with the data.
+    val occW = Window.partitionBy(col("__id"), col("__gram"))
+      .orderBy(col("__pos"))
+    val tokens = gramRows(base, q)
+      .withColumn("__occ", row_number().over(occW))
+    // Global rarity order: df over tokens. Vocabulary-sized → broadcast.
+    val tokenDf = tokens.groupBy(col("__gram"), col("__occ"))
+      .agg(count(lit(1)).as("__df"))
+    // Per-string prefix: sort this string's tokens by (df, gram, occ) and
+    // keep the first |G| - T_a + 1 = min(|G|, q·d + 1) — constant in L
+    // once the count bound binds, all-of-them below (T_a clamps to 1).
+    val prefixLen = least(col("__len") + q - 1, lit(q * maxDist + 1))
+    val prefixes = tokens
+      .join(broadcast(tokenDf), Seq("__gram", "__occ"))
+      .groupBy(col("__id"), col("__len"))
+      .agg(array_sort(collect_list(
+        struct(col("__df"), col("__gram"), col("__occ")))).as("__toks"))
+      .select(col("__id"), col("__len"),
+        explode(slice(col("__toks"), lit(1), prefixLen)).as("__t"))
+      .select(col("__id"), col("__len"),
+        col("__t.__gram").as("__gram"), col("__t.__occ").as("__occ"))
+    val cand = prefixes.select(col("__id").as("id_a"), col("__len").as("la"),
+        col("__gram"), col("__occ"))
+      .join(prefixes.select(col("__id").as("id_b"), col("__len").as("lb"),
+          col("__gram"), col("__occ")),
+        Seq("__gram", "__occ"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(col("la") - col("lb")) <= maxDist)
+      .select(col("id_a"), col("id_b"))
+
+    // ---- verify: exact thresholded levenshtein on the deduped pairs ----
+    val pairs = cand.union(shortPairs).dropDuplicates("id_a", "id_b")
+    pairs
+      .join(base.select(col("__id").as("id_a"), col("__s").as("__sa")), "id_a")
+      .join(base.select(col("__id").as("id_b"), col("__s").as("__sb")), "id_b")
+      .withColumn("dist",
+        levenshtein(col("__sa"), col("__sb"), maxDist).cast("long"))
+      .filter(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
+  /** The unfiltered brute-force form — the correctness baseline the spec
+    * compares against, guarded exactly like [[Similarity.nearDupPairs]]. */
+  def bruteForcePairs(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int, maxExactRows: Long = 100000L): DataFrame = {
+    val over = df.limit((maxExactRows min Int.MaxValue.toLong).toInt + 1)
+      .count() > maxExactRows
+    require(!over,
+      s"bruteForcePairs is the O(n²) verification baseline: over " +
+        s"$maxExactRows rows. Use editDistancePairs at scale.")
+    val base = df.filter(col(strCol).isNotNull)
+    val a = base.select(col(idCol).as("id_a"), col(strCol).as("__sa"))
+    val b = base.select(col(idCol).as("id_b"), col(strCol).as("__sb"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("dist",
+        levenshtein(col("__sa"), col("__sb"), maxDist).cast("long"))
+      .filter(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+}

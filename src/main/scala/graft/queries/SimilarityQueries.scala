@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.util.SessionCache
 import graft.ml.AnnIndex
-import graft.operators.{DedupGroups, MinHashDedup, SimHash, Similarity, TokenOps}
+import graft.operators.{DedupGroups, FuzzyJoin, MinHashDedup, SimHash, Similarity, TokenOps}
 
 /** Similarity search + near-duplicate detection (SURVEY.md §2.7, §7 step 7).
   *
@@ -124,6 +124,15 @@ object SimilarityQueries extends QueryModule {
     // Exact 3-gram shingle Jaccard pairs >= 0.5 (near-dup ground truth).
     "q_jaccard_pairs" -> ((s, d) =>
       jaccardPairs(s, d).orderBy(col("id_a"), col("id_b"))),
+
+    // Fuzzy entity matching: every part-name pair within edit distance 2,
+    // via the exact q-gram prefix-filter join (no n² — see FuzzyJoin).
+    // Oracle is DuckDB's brute-force levenshtein join: same pairs, same
+    // distances, proving the blocking is lossless.
+    "q_fuzzy_pairs" -> ((s, d) =>
+      FuzzyJoin.editDistancePairs(Tables.part(s, d),
+          "p_partkey", "p_name", maxDist = 2)
+        .orderBy(col("id_a"), col("id_b"))),
 
     // Duplicate-GROUP resolution: the exact Jaccard pairs above as edges
     // → connected components (min-label propagation) → every document
@@ -298,6 +307,13 @@ object SimilarityQueries extends QueryModule {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE round(list_dot_product(a.v, b.v)
         |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_fuzzy_pairs" ->
+      """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |  levenshtein(a.p_name, b.p_name) AS dist
+        |FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_jaccard_pairs" ->

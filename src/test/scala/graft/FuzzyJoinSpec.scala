@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.FuzzyJoin
+
+/** The prefix-filter edit-distance join must equal the brute-force O(n²)
+  * join — the blocking is exact, not approximate. Edge cases target the
+  * lemma's boundaries: zero-gram-overlap short strings, duplicated grams
+  * (multiset counting), and the length filter.
+  */
+class FuzzyJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(rows: Seq[(Long, String)], d: Int) = {
+    val df = rows.toDF("id", "s")
+    val got = FuzzyJoin.editDistancePairs(df, "id", "s", d)
+      .orderBy("id_a", "id_b")
+      .as[(Long, Long, Long)].collect().toSeq
+    val want = FuzzyJoin.bruteForcePairs(df, "id", "s", d)
+      .orderBy("id_a", "id_b")
+      .as[(Long, Long, Long)].collect().toSeq
+    (got, want)
+  }
+
+  test("equals brute force on real part names (sf0.001, d=2)") {
+    val part = Tables.part(spark, sf001).select(
+      col("p_partkey").as("id"), col("p_name").as("s"))
+    val got = FuzzyJoin.editDistancePairs(part, "id", "s", 2)
+      .orderBy("id_a", "id_b").as[(Long, Long, Long)].collect().toSeq
+    val want = FuzzyJoin.bruteForcePairs(part, "id", "s", 2)
+      .orderBy("id_a", "id_b").as[(Long, Long, Long)].collect().toSeq
+    assert(got.nonEmpty, "expected at least one fuzzy match in part names")
+    assert(got == want)
+  }
+
+  test("zero-gram-overlap short pairs are still found (degenerate bucket)") {
+    // "ab" vs "cd": ed=2, sharing no padded bigram — the count filter is
+    // vacuous here; only the short bucket can find it. "xay" vs "uav"
+    // (ed=2, shared middle char, zero shared grams) likewise.
+    val (got, want) = run(
+      Seq((1L, "ab"), (2L, "cd"), (3L, "xay"), (4L, "uav")), 2)
+    assert(want.contains((1L, 2L, 2L)) && want.contains((3L, 4L, 2L)))
+    assert(got == want)
+  }
+
+  test("duplicated grams count as a multiset, not a set") {
+    // "aaaa" vs "aa": every gram is "aa"/padded — distance 2 (2 deletes).
+    // "aaaa" vs "bbbb": distance 4, must NOT appear at d=2 even though
+    // both collapse to one distinct gram each.
+    val (got, want) = run(
+      Seq((1L, "aaaaaa"), (2L, "aaaa"), (3L, "bbbbbb"), (4L, "caaaaad")), 2)
+    assert(got == want)
+    assert(got.contains((1L, 2L, 2L)) && got.contains((1L, 4L, 2L)))
+    assert(!got.exists(p => p._1 == 1L && p._2 == 3L))
+  }
+
+  test("length filter: |len diff| > d pairs never verify") {
+    val (got, want) = run(Seq((1L, "abcdefgh"), (2L, "abc"), (3L, "abcdefg")), 2)
+    assert(got == want)
+    assert(got.contains((1L, 3L, 1L)) && !got.exists(p => p._1 == 1L && p._2 == 2L))
+  }
+
+  test("the short-bucket guard trips loudly on a degenerate corpus") {
+    val tiny = (0L until 50L).map(i => (i, "a" + (i % 9))).toDF("id", "s")
+    val e = intercept[IllegalArgumentException] {
+      FuzzyJoin.editDistancePairs(tiny, "id", "s", 2, maxShortRows = 10L).count()
+    }
+    assert(e.getMessage.contains("degenerate bucket"))
+    // and the explicit opt-in works, matching brute force
+    val got = FuzzyJoin.editDistancePairs(tiny, "id", "s", 2, maxShortRows = 100L)
+      .orderBy("id_a", "id_b").as[(Long, Long, Long)].collect().toSeq
+    val want = FuzzyJoin.bruteForcePairs(tiny, "id", "s", 2)
+      .orderBy("id_a", "id_b").as[(Long, Long, Long)].collect().toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("d=1 on typo'd tokens") {
+    val (got, want) = run(Seq(
+      (1L, "widget"), (2L, "widgit"), (3L, "gadget"), (4L, "widgets"),
+      (5L, "small ring"), (6L, "small ping"), (7L, "large ring")), 1)
+    assert(got == want)
+    assert(got.contains((1L, 2L, 1L)) && got.contains((1L, 4L, 1L)) &&
+      got.contains((5L, 6L, 1L)))
+  }
+}

@@ -599,6 +599,20 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("rk"), plan)
   }
 
+  test("q_fuzzy_pairs: candidate join is keyed on gram tokens, df side broadcast") {
+    val plan = formatted("q_fuzzy_pairs")
+    // the prefix-filter candidate join must stay an equi-join on
+    // (gram, occ) — a cartesian anywhere means the blocking collapsed
+    // (the only non-equi path, the degenerate short bucket, is empty for
+    // this corpus and guarded in any case)
+    assert(!plan.contains("CartesianProduct"),
+      s"fuzzy join degraded to a cartesian:\n$plan")
+    // the token-df rarity table is vocabulary-sized and must broadcast
+    assert(plan.contains("BroadcastHashJoin"),
+      s"token-df side not broadcast:\n$plan")
+    assert(plan.contains("levenshtein"), s"verify stage missing:\n$plan")
+  }
+
   test("q_chi2_assoc and q_source_entropy scan the corpus exactly once") {
     // margins are window sums over the contingency-sized cell table —
     // deriving them as separate groupBys re-scanned documents 4x

@@ -227,6 +227,24 @@ object RelationalQueries extends QueryModule {
       s.sql(SharedGroupingSetsSql)
     }),
 
+    // Distribution-rank window family: ntile / percent_rank / cume_dist
+    // in ONE window pass per priority group (all three share the same
+    // partitioning and sort, so Catalyst plans a single shuffle+sort).
+    // The (totalprice, orderkey) ordering is UNIQUE — ntile's bucket
+    // assignment is order-dependent under ties, so a non-unique sort
+    // would be nondeterministic and oracle-unverifiable.
+    "q_window_dist" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w), 6).as("prank"),
+          round(cume_dist().over(w), 6).as("cdist"))
+        .orderBy(col("o_orderpriority"), col("o_orderkey"))
+    }),
+
     // Top-k: TakeOrderedAndProject — never a full global sort at scale.
     "q_topk" -> ((s, d) =>
       Tables.orders(s, d)
@@ -622,6 +640,16 @@ object RelationalQueries extends QueryModule {
         |  SELECT 1 FROM lineitem l
         |  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 49)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_window_dist" ->
+      """SELECT o_orderpriority, o_orderkey,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS prank,
+        |  round(cume_dist() OVER w, 6) AS cdist
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
 
     "q_topk" ->
       """SELECT o_orderkey, o_totalprice FROM orders

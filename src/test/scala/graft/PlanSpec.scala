@@ -599,6 +599,12 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("rk"), plan)
   }
 
+  test("q_window_dist: ntile/percent_rank/cume_dist share ONE window pass") {
+    val plan = formatted("q_window_dist")
+    assert(nodeCount(plan, "Window") == 1,
+      s"all three ranking functions must ride one shuffle+sort:\n$plan")
+  }
+
   test("q_fuzzy_pairs: candidate join is keyed on gram tokens, df side broadcast") {
     val plan = formatted("q_fuzzy_pairs")
     // the prefix-filter candidate join must stay an equi-join on

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.operators.KMeansQuant.Model
+
+/** Product quantization for ANN search (Jégou, Douze, Schmid — "Product
+  * quantization for nearest neighbor search", TPAMI 2011): split the
+  * embedding into `m` contiguous subvectors, learn a small codebook per
+  * subspace, and represent every vector by its `m` codeword ids — the
+  * memory layout that makes billion-vector search fit in RAM (m·log2(k)
+  * bits per vector instead of dim·32).
+  *
+  * Query scoring is ADC (asymmetric distance computation): the query
+  * stays UNQUANTIZED; a per-subspace distance table `dtab[s][c] =
+  * ||q_s - codeword_{s,c}||²` (m·k entries, computed once on the
+  * driver) turns each row's distance into `m` table lookups + adds —
+  * scan-stage, row-local, zero shuffles, and the final top-k is a
+  * TakeOrderedAndProject.
+  *
+  * Built on [[KMeansQuant]]'s grid-exact deterministic Lloyd's, so unlike
+  * classic PQ the whole stack — codebooks, codes, ADC distances — is
+  * bit-reproducible and DuckDB-oracle-checkable: every distance is an
+  * exact integer on the 1e-6 micro-grid. ADC here is EXACTLY the squared
+  * L2 distance between the query and each row's RECONSTRUCTION (the
+  * concatenated codewords) — the identity PqSpec pins.
+  *
+  * Scale notes (100 TB): training touches only `iters` aggregation passes
+  * per subspace (k·dsub rows of state each); encoding is row-local
+  * against broadcast literal codebooks; serving ships m·k longs of dtab
+  * in the plan. Compose with [[KMeansQuant.ivfTopK]]'s cell routing for
+  * IVF-PQ: route to nprobe cells, ADC-score only those partitions.
+  */
+object Pq {
+
+  /** Fitted product quantizer: `books(s)` is subspace s's codebook on the
+    * micro-grid; all subspaces share k and the subvector width. */
+  final case class PqModel(books: Array[Model]) {
+    def m: Int = books.length
+    def k: Int = books.headOption.map(_.k).getOrElse(0)
+    def dsub: Int = books.headOption.map(_.dim).getOrElse(0)
+  }
+
+  private def subVec(vecCol: String, s: Int, dsub: Int): Column =
+    slice(col(vecCol), s * dsub + 1, dsub)
+
+  /** Train one grid-exact codebook per subspace (same min-id init and
+    * HALF_UP update discipline as [[KMeansQuant.fit]], applied to the
+    * sliced projection — determinism is inherited, not re-proven). */
+  def fit(emb: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, iters: Int): PqModel = {
+    val dim = emb.select(size(col(vecCol))).head().getInt(0)
+    require(m > 0 && dim % m == 0,
+      s"dim $dim must divide into m=$m equal subspaces")
+    val dsub = dim / m
+    PqModel((0 until m).toArray.map { s =>
+      KMeansQuant.fit(
+        emb.select(col(idCol), subVec(vecCol, s, dsub).as(vecCol)),
+        idCol, vecCol, k, iters)
+    })
+  }
+
+  /** Long-format codes: (id, sub, code) — one row per (vector, subspace).
+    * All m assignments happen in ONE scan (an m-element array per row,
+    * then posexplode) — a per-subspace union would re-read the corpus m
+    * times. Row-local against the broadcast literal codebooks. */
+  def codes(emb: DataFrame, idCol: String, vecCol: String,
+      pm: PqModel): DataFrame = {
+    val codeCols = (0 until pm.m).map { s =>
+      val vq = KMeansQuant.quantize(subVec(vecCol, s, pm.dsub))
+      graft.functions.KMeansAssignExprs.nearestCell(vq, pm.books(s).centroids)
+        .getField("c")
+    }
+    emb.select(col(idCol),
+        posexplode(array(codeCols: _*)).as(Seq("sub", "code")))
+      .select(col(idCol), col("sub").cast("long").as("sub"), col("code"))
+  }
+
+  /** Exact integer ||q_s - codeword||² table for one subspace. */
+  private def dtab(qSub: Array[Long], book: Model): Array[Long] =
+    book.centroids.map { cen =>
+      var acc = 0L
+      var i = 0
+      while (i < cen.length) { val d = qSub(i) - cen(i); acc += d * d; i += 1 }
+      acc
+    }
+
+  /** ADC top-k: the k ids with the smallest Σ_s dtab[s][code_s] — equal
+    * to the exact grid-L2² against each row's reconstruction. The query
+    * row (1 row, bounded) is collected to build the m·k-entry table;
+    * everything else is scan-stage. */
+  def adcTopK(emb: DataFrame, idCol: String, vecCol: String, pm: PqModel,
+      queryId: Long, k: Int): DataFrame = {
+    val q = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol).cast("array<double>")).head().getSeq[Double](0)
+    val qQuant = KMeansQuant.quantizeVec(q)
+    val sub = (0 until pm.m).map { s =>
+      val tab = dtab(qQuant.slice(s * pm.dsub, (s + 1) * pm.dsub), pm.books(s))
+      val vq = KMeansQuant.quantize(subVec(vecCol, s, pm.dsub))
+      val code = graft.functions.KMeansAssignExprs
+        .nearestCell(vq, pm.books(s).centroids).getField("c")
+      // dtab lookup: element_at is 1-based; code is 0-based
+      element_at(array(tab.map(lit(_)).toIndexedSeq: _*), (code + 1).cast("int"))
+    }
+    emb.filter(col(idCol) =!= queryId)
+      .select(col(idCol), sub.reduce(_ + _).as("d2"))
+      .orderBy(col("d2"), col(idCol))
+      .limit(k)
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Bpe, KMeansQuant, SemDedup, TokenOps, UnigramLM}
+import graft.operators.{Bpe, KMeansQuant, Pq, SemDedup, TokenOps, UnigramLM}
 
 /** Corpus-modeling operators (SURVEY.md §2.7): deterministic k-means
   * clustering over `embeddings`, unigram-LM NLL quality scoring over
@@ -29,6 +29,19 @@ object CorpusQueries extends QueryModule {
     modelCache.getOrElseUpdate(s, d) {
       KMeansQuant.fit(Tables.embeddings(s, d), "vec_id", "embedding",
         k = K, iters = ITERS)
+    }
+
+  private val PQ_M = 4    // product-quantization subspaces (64-dim → 16 each)
+  private val PQ_K = 8    // codewords per subspace
+
+  /** One PQ training per (session, dataset) — PQ_M independent subspace
+    * fits of the same grid-exact Lloyd's; both pq queries share it. */
+  private val pqCache = new graft.util.SessionCache[Pq.PqModel]
+  private def pqModel(s: org.apache.spark.sql.SparkSession,
+      d: String): Pq.PqModel =
+    pqCache.getOrElseUpdate(s, d) {
+      Pq.fit(Tables.embeddings(s, d), "vec_id", "embedding",
+        m = PQ_M, k = PQ_K, iters = ITERS)
     }
 
   /** One served IVF layout per (session, dataset). */
@@ -225,6 +238,25 @@ object CorpusQueries extends QueryModule {
           round(col("inertia").cast("double") / col("n"), 6))
         .orderBy(col("cluster"))),
 
+    // Product quantization (Jégou et al., TPAMI'11) on the grid-exact
+    // Lloyd's: every vector as PQ_M codeword ids — the RAM-resident
+    // billion-vector ANN layout. Codes are row-local against broadcast
+    // literal codebooks; the whole train+encode stack is integer-exact,
+    // so the codes themselves are oracle-checked (per-subspace unrolled
+    // Lloyd mirrors).
+    "q_pq_codes" -> ((s, d) =>
+      Pq.codes(Tables.embeddings(s, d), "vec_id", "embedding",
+          pqModel(s, d))
+        .orderBy(col("vec_id"), col("sub"))),
+
+    // ADC serving: the query stays unquantized; a driver-built m·k
+    // distance table turns each row's distance into m lookups + adds —
+    // scan-stage, TakeOrderedAndProject top-k, zero shuffles. Exact
+    // integer distances ⇒ the ADC ranking is oracle-checked too.
+    "q_pq_topk" -> ((s, d) =>
+      Pq.adcTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        pqModel(s, d), queryId = 0L, k = 10)),
+
     // In-engine ANN evaluation: recall@10 of the nprobe=2/4 IVF probe
     // against exact brute force, for the standard query vector. Both
     // sides deterministic ⇒ the recall NUMBER is oracle-checked, not
@@ -311,10 +343,11 @@ object CorpusQueries extends QueryModule {
     * centroids in `cent` — exact integer d2; ties → lowest cluster.
     * maxRn=1 is the hard assignment; maxRn=2 the multi-probe soft
     * assignment (cellsOf's mirror). */
-  private def assignCte(name: String, cent: String, maxRn: Int = 1): String =
+  private def assignCte(name: String, cent: String, maxRn: Int = 1,
+      dims: String = "dims"): String =
     s"""${name}_d AS (
        |  SELECT d.vec_id, c.cluster, sum((d.q - c.q)*(d.q - c.q)) AS d2
-       |  FROM dims d JOIN $cent c USING (i) GROUP BY d.vec_id, c.cluster),
+       |  FROM $dims d JOIN $cent c USING (i) GROUP BY d.vec_id, c.cluster),
        |$name AS (
        |  SELECT vec_id, cluster, d2 FROM (
        |    SELECT vec_id, cluster, d2,
@@ -324,12 +357,13 @@ object CorpusQueries extends QueryModule {
 
   /** Update CTE `name`: mean of members per (cluster, dim), HALF_UP back
     * onto the grid; empty clusters keep `prev`'s coordinate. */
-  private def updateCte(name: String, assign: String, prev: String): String =
+  private def updateCte(name: String, assign: String, prev: String,
+      dims: String = "dims"): String =
     s"""${name}_u AS (
        |  SELECT a.cluster, d.i,
        |         CAST(round(CAST(sum(d.q) AS DOUBLE)
        |                    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS q
-       |  FROM dims d JOIN $assign a USING (vec_id) GROUP BY a.cluster, d.i),
+       |  FROM $dims d JOIN $assign a USING (vec_id) GROUP BY a.cluster, d.i),
        |$name AS (
        |  SELECT p.cluster, p.i, COALESCE(u.q, p.q) AS q
        |  FROM $prev p LEFT JOIN ${name}_u u
@@ -356,6 +390,50 @@ object CorpusQueries extends QueryModule {
        |$rounds,
        |${assignCte("afin", s"c$ITERS")},
        |${assignCte("afin2", s"c$ITERS", maxRn = 2)}""".stripMargin
+  }
+
+  // -- product quantization: per-subspace unrolled Lloyd mirrors -------
+
+  /** The embeddings fixture is 64-dim; the Spark side derives dsub from
+    * the data, so a fixture-dim drift fails the oracle loudly instead of
+    * silently re-slicing. */
+  private val PQ_DSUB = 16
+
+  /** Same vq/dims base as [[kmeansCtes]], sliced into PQ_M re-indexed
+    * subspaces, each trained with its own PQ_K min-id init and ITERS
+    * assign→update rounds; `pqa{s}` is subspace s's final code
+    * assignment. */
+  private val pqCtes: String = {
+    val subs = (0 until PQ_M).map { s =>
+      val lo = s * PQ_DSUB
+      val hi = (s + 1) * PQ_DSUB
+      val base =
+        s"""sdims$s AS (
+           |  SELECT vec_id, i - $lo AS i, q FROM dims
+           |  WHERE i > $lo AND i <= $hi),
+           |pc${s}_0 AS (SELECT c.cluster, d.i, d.q
+           |             FROM sdims$s d JOIN pq0_ids c USING (vec_id))""".stripMargin
+      val rounds = (1 to ITERS).map { r =>
+        assignCte(s"pa${s}_$r", s"pc${s}_${r - 1}", dims = s"sdims$s") +
+          ",\n" +
+          updateCte(s"pc${s}_$r", s"pa${s}_$r", s"pc${s}_${r - 1}",
+            dims = s"sdims$s")
+      }.mkString(",\n")
+      base + ",\n" + rounds + ",\n" +
+        assignCte(s"pqa$s", s"pc${s}_$ITERS", dims = s"sdims$s")
+    }.mkString(",\n")
+    s"""WITH vq AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding::DOUBLE[],
+       |                        x -> CAST(round(x * 1000000.0) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |dims AS (
+       |  SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS q
+       |  FROM vq),
+       |pq0_ids AS (
+       |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster
+       |  FROM (SELECT vec_id FROM vq ORDER BY vec_id LIMIT $PQ_K)),
+       |$subs""".stripMargin
   }
 
   // -- BPE: unrolled merge rounds --------------------------------------
@@ -610,6 +688,39 @@ object CorpusQueries extends QueryModule {
          |SELECT CAST(cluster AS BIGINT) AS cluster, CAST(i AS BIGINT) AS dim,
          |       CAST(q AS BIGINT) AS q
          |FROM c$ITERS ORDER BY cluster, dim""".stripMargin,
+
+    "q_pq_codes" ->
+      s"""$pqCtes
+         |SELECT vec_id, CAST(sub AS BIGINT) AS sub,
+         |       CAST(code AS BIGINT) AS code
+         |FROM (${(0 until PQ_M).map(s =>
+               s"SELECT vec_id, $s AS sub, cluster AS code FROM pqa$s")
+               .mkString(" UNION ALL ")})
+         |ORDER BY vec_id, sub""".stripMargin,
+
+    "q_pq_topk" -> {
+      val dtabs = (0 until PQ_M).map { s =>
+        s"""qsub$s AS (SELECT i, q FROM sdims$s WHERE vec_id = 0),
+           |dtab$s AS (
+           |  SELECT c.cluster, sum((qs.q - c.q)*(qs.q - c.q)) AS d2
+           |  FROM qsub$s qs JOIN pc${s}_$ITERS c USING (i)
+           |  GROUP BY c.cluster)""".stripMargin
+      }.mkString(",\n")
+      val joins = (1 until PQ_M).map { s =>
+        s"""  JOIN pqa$s a$s ON a$s.vec_id = a0.vec_id
+           |  JOIN dtab$s t$s ON a$s.cluster = t$s.cluster""".stripMargin
+      }.mkString("\n")
+      val dsum = (0 until PQ_M).map(s => s"t$s.d2").mkString(" + ")
+      s"""$pqCtes,
+         |$dtabs,
+         |adc AS (
+         |  SELECT a0.vec_id, $dsum AS d2
+         |  FROM pqa0 a0
+         |  JOIN dtab0 t0 ON a0.cluster = t0.cluster
+         |$joins)
+         |SELECT vec_id, CAST(d2 AS BIGINT) AS d2 FROM adc
+         |WHERE vec_id <> 0 ORDER BY d2, vec_id LIMIT 10""".stripMargin
+    },
 
     "q_ivf_kmeans_topk" -> ivfKmeansSql,
 

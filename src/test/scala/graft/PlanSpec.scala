@@ -599,6 +599,19 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("rk"), plan)
   }
 
+  test("q_pq_codes: all m subspace assignments ride ONE corpus scan") {
+    val plan = formatted("q_pq_codes")
+    assert(nodeCount(plan, "Scan parquet") == 1,
+      s"per-subspace unions would re-scan the corpus m times:\n$plan")
+  }
+
+  test("q_pq_topk: ADC scoring is scan-stage — no Exchange anywhere") {
+    val plan = formatted("q_pq_topk")
+    assert(!plan.contains("Exchange"),
+      s"ADC must be row-local lookups + TakeOrdered, never a shuffle:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("q_window_dist: ntile/percent_rank/cume_dist share ONE window pass") {
     val plan = formatted("q_window_dist")
     assert(nodeCount(plan, "Window") == 1,

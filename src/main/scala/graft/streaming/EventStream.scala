@@ -131,6 +131,14 @@ object EventStream {
   final case class UserEvent(user_id: Long, value: Double)
   final case class UserTotal(user_id: Long, n_events: Long, total_cents: Long)
 
+  final case class TransEvent(user_id: Long, event_type: String,
+      ts_us: Long, event_id: Long)
+  /** The one remembered event per user (the next seam's `prev`). */
+  final case class TransLast(ts_us: Long, event_id: Long, event_type: String)
+  /** One micro-batch's pair-count contribution for one user. */
+  final case class TransitionDelta(user_id: Long, prev_type: String,
+      next_type: String, n: Long)
+
   final case class FunnelEvent(user_id: Long, event_type: String, ts_us: Long)
   /** Per-user funnel progress; stage timestamps are event-time micros,
     * None until the stage converts. */
@@ -188,6 +196,48 @@ object EventStream {
           val next = FunnelUser(uid, s, c, p)
           state.update(next)
           next
+      }
+  }
+
+  /** Streaming twin of `q_transition_matrix`'s lag-window pair counts:
+    * per-user state is the single LAST event (ts, event_id, type) —
+    * O(users), never the history — and each micro-batch emits the
+    * (prev_type, next_type) pair-count DELTAS its events create,
+    * including the seam pair between the stored last event and the
+    * batch's first. Summing deltas across batches equals the batch
+    * matrix (specced over a median-split two-batch run); the downstream
+    * rollup is a plain `groupBy(prev, next).sum(n)` the sink owns.
+    *
+    * Same exactness contract as [[funnelStages]]: per-user event-time
+    * order across micro-batches (append-log arrival); within a batch
+    * arrival order is irrelevant — events fold in (ts, event_id) order,
+    * the batch window's exact sort key. An out-of-order straggler would
+    * mis-pair only its own seam; bound that with the source's ordering
+    * guarantee or run the batch form over closed history. */
+  def transitionDeltas(events: DataFrame): Dataset[TransitionDelta] = {
+    import events.sparkSession.implicits._
+    val typed = events
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      .as[TransEvent]
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransLast, TransitionDelta](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[TransLast]) =>
+          var last = state.getOption
+          val counts = scala.collection.mutable.LinkedHashMap
+            .empty[(String, String), Long]
+          rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            last.foreach { l =>
+              val k = (l.event_type, e.event_type)
+              counts(k) = counts.getOrElse(k, 0L) + 1L
+            }
+            last = Some(TransLast(e.ts_us, e.event_id, e.event_type))
+          }
+          last.foreach(state.update)
+          counts.iterator.map { case ((p, n), c) =>
+            TransitionDelta(uid, p, n, c)
+          }
       }
   }
 

@@ -147,6 +147,46 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming transition deltas sum to the batch matrix across micro-batches") {
+    // Two micro-batches split at the time median: the seam pair (last
+    // event of batch A → first of batch B, per user) only exists if the
+    // stored last-event state works; a stateless per-batch lag would
+    // under-count exactly those pairs.
+    val ev = Tables.events(spark, sf001)
+    val mid = ev.selectExpr("percentile(unix_micros(ts), 0.5)").head().getDouble(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-trans")
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-trans-w")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part), dir.resolve(name))
+    }
+    stage(ev.filter(unix_micros($"ts") <= mid), "a.parquet")
+    val q = EventStream.transitionDeltas(EventStream.read(spark, dir.toString))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("trans_out").start()
+    try {
+      q.processAllAvailable()
+      val afterA = spark.table("trans_out").agg(sum($"n")).head().getLong(0)
+      stage(ev.filter(unix_micros($"ts") > mid), "b.parquet")
+      q.processAllAvailable()
+      val streamed = spark.table("trans_out")
+        .groupBy($"prev_type", $"next_type")
+        .agg(sum($"n").as("n"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSet
+      val batch = graft.queries.EventQueries
+        .queries("q_transition_matrix")(spark, sf001)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+      // batch B must actually have contributed seam+new pairs
+      assert(afterA < streamed.toSeq.map(_._3).sum)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops watermark-window duplicates") {
     // Stage the same file twice -> every event arrives duplicated.
     val dir = java.nio.file.Files.createTempDirectory("graft-dedup")

@@ -85,25 +85,66 @@ object Pq {
       acc
     }
 
-  /** ADC top-k: the k ids with the smallest Σ_s dtab[s][code_s] — equal
-    * to the exact grid-L2² against each row's reconstruction. The query
-    * row (1 row, bounded) is collected to build the m·k-entry table;
-    * everything else is scan-stage. */
-  def adcTopK(emb: DataFrame, idCol: String, vecCol: String, pm: PqModel,
-      queryId: Long, k: Int): DataFrame = {
+  /** The quantized query vector (one bounded 1-row collect). */
+  private def queryQuant(emb: DataFrame, idCol: String, vecCol: String,
+      queryId: Long): Array[Long] = {
     val q = emb.filter(col(idCol) === queryId)
       .select(col(vecCol).cast("array<double>")).head().getSeq[Double](0)
-    val qQuant = KMeansQuant.quantizeVec(q)
-    val sub = (0 until pm.m).map { s =>
+    KMeansQuant.quantizeVec(q)
+  }
+
+  /** Row-local ADC distance column: Σ_s dtab[s][code_s], the m·k table
+    * entries riding the plan as literals. */
+  private def adcCol(vecCol: String, pm: PqModel,
+      qQuant: Array[Long]): Column =
+    (0 until pm.m).map { s =>
       val tab = dtab(qQuant.slice(s * pm.dsub, (s + 1) * pm.dsub), pm.books(s))
       val vq = KMeansQuant.quantize(subVec(vecCol, s, pm.dsub))
       val code = graft.functions.KMeansAssignExprs
         .nearestCell(vq, pm.books(s).centroids).getField("c")
       // dtab lookup: element_at is 1-based; code is 0-based
       element_at(array(tab.map(lit(_)).toIndexedSeq: _*), (code + 1).cast("int"))
-    }
+    }.reduce(_ + _)
+
+  /** ADC top-k: the k ids with the smallest Σ_s dtab[s][code_s] — equal
+    * to the exact grid-L2² against each row's reconstruction. The query
+    * row (1 row, bounded) is collected to build the m·k-entry table;
+    * everything else is scan-stage. */
+  def adcTopK(emb: DataFrame, idCol: String, vecCol: String, pm: PqModel,
+      queryId: Long, k: Int): DataFrame = {
+    val qQuant = queryQuant(emb, idCol, vecCol, queryId)
     emb.filter(col(idCol) =!= queryId)
-      .select(col(idCol), sub.reduce(_ + _).as("d2"))
+      .select(col(idCol), adcCol(vecCol, pm, qQuant).as("d2"))
+      .orderBy(col("d2"), col(idCol))
+      .limit(k)
+  }
+
+  /** IVF-PQ serving (the IVFADC shape — Jégou et al. §IV; non-residual
+    * variant: codes quantize the raw vectors, so the same codebooks and
+    * codes serve both the routed and the exhaustive path): rank the
+    * coarse quantizer's cells by exact integer distance to the query
+    * (driver-side — k_coarse cells, bounded), then ADC-score ONLY the
+    * nprobe nearest cells' members. The cell filter is the same
+    * row-local nearest-cell argmin the corpus was assigned with — over a
+    * cell-partitioned layout ([[KMeansQuant.buildIndex]]) it becomes
+    * partition pruning; either way no shuffle, and the scan does
+    * 1/nlist·nprobe of the ADC work. */
+  def adcTopKRouted(emb: DataFrame, idCol: String, vecCol: String,
+      pm: PqModel, coarse: Model, queryId: Long, k: Int,
+      nprobe: Int): DataFrame = {
+    val qQuant = queryQuant(emb, idCol, vecCol, queryId)
+    val probed = coarse.centroids.zipWithIndex.map { case (cen, c) =>
+      var acc = 0L
+      var i = 0
+      while (i < cen.length) { val d = qQuant(i) - cen(i); acc += d * d; i += 1 }
+      (acc, c)
+    }.sortBy(identity).take(nprobe).map(_._2.toLong).toSeq
+    val cell = graft.functions.KMeansAssignExprs
+      .nearestCell(KMeansQuant.quantize(col(vecCol)), coarse.centroids)
+      .getField("c")
+    emb.filter(col(idCol) =!= queryId)
+      .filter(cell.isin(probed: _*))
+      .select(col(idCol), adcCol(vecCol, pm, qQuant).as("d2"))
       .orderBy(col("d2"), col(idCol))
       .limit(k)
   }

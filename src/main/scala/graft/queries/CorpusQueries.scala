@@ -257,6 +257,15 @@ object CorpusQueries extends QueryModule {
       Pq.adcTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         pqModel(s, d), queryId = 0L, k = 10)),
 
+    // IVF-PQ: the coarse k-means routes the query to nprobe=2 of K cells
+    // (ranked driver-side by exact integer centroid distance), and only
+    // those cells' members pay ADC — the FAISS IVFADC serving shape,
+    // with BOTH stages deterministic and therefore oracle-checked
+    // end-to-end (coarse mirror ∩ PQ mirror in one CTE chain).
+    "q_ivfpq_topk" -> ((s, d) =>
+      Pq.adcTopKRouted(Tables.embeddings(s, d), "vec_id", "embedding",
+        pqModel(s, d), model(s, d), queryId = 0L, k = 10, nprobe = 2)),
+
     // In-engine ANN evaluation: recall@10 of the nprobe=2/4 IVF probe
     // against exact brute force, for the standard query vector. Both
     // sides deterministic ⇒ the recall NUMBER is oracle-checked, not
@@ -369,20 +378,27 @@ object CorpusQueries extends QueryModule {
        |  FROM $prev p LEFT JOIN ${name}_u u
        |    ON p.cluster = u.cluster AND p.i = u.i)""".stripMargin
 
-  private val kmeansCtes: String = {
-    val rounds = (1 to ITERS).map { i =>
-      assignCte(s"a$i", s"c${i - 1}") + ",\n" +
-        updateCte(s"c$i", s"a$i", s"c${i - 1}")
-    }.mkString(",\n")
-    s"""WITH vq AS (
+  /** The shared micro-grid base (vq + dims) every unrolled mirror builds
+    * on — split out so the coarse-kmeans and PQ CTE bodies can share one
+    * WITH block (the IVF-PQ mirror needs both). */
+  private val gridBase: String =
+    s"""vq AS (
        |  SELECT vec_id,
        |         list_transform(embedding::DOUBLE[],
        |                        x -> CAST(round(x * 1000000.0) AS BIGINT)) AS v
        |  FROM embeddings),
        |dims AS (
        |  SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS q
-       |  FROM vq),
-       |c0_ids AS (
+       |  FROM vq)""".stripMargin
+
+  /** Coarse k-means body: init, ITERS rounds, final hard (`afin`) and
+    * nprobe=2 soft (`afin2`) assignments. Needs [[gridBase]]. */
+  private val kmeansBody: String = {
+    val rounds = (1 to ITERS).map { i =>
+      assignCte(s"a$i", s"c${i - 1}") + ",\n" +
+        updateCte(s"c$i", s"a$i", s"c${i - 1}")
+    }.mkString(",\n")
+    s"""c0_ids AS (
        |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster
        |  FROM (SELECT vec_id FROM vq ORDER BY vec_id LIMIT $K)),
        |c0 AS (SELECT c.cluster, d.i, d.q
@@ -392,6 +408,8 @@ object CorpusQueries extends QueryModule {
        |${assignCte("afin2", s"c$ITERS", maxRn = 2)}""".stripMargin
   }
 
+  private val kmeansCtes: String = s"WITH $gridBase,\n$kmeansBody"
+
   // -- product quantization: per-subspace unrolled Lloyd mirrors -------
 
   /** The embeddings fixture is 64-dim; the Spark side derives dsub from
@@ -399,11 +417,10 @@ object CorpusQueries extends QueryModule {
     * silently re-slicing. */
   private val PQ_DSUB = 16
 
-  /** Same vq/dims base as [[kmeansCtes]], sliced into PQ_M re-indexed
-    * subspaces, each trained with its own PQ_K min-id init and ITERS
-    * assign→update rounds; `pqa{s}` is subspace s's final code
-    * assignment. */
-  private val pqCtes: String = {
+  /** PQ body: [[gridBase]]'s dims sliced into PQ_M re-indexed subspaces,
+    * each trained with its own PQ_K min-id init and ITERS assign→update
+    * rounds; `pqa{s}` is subspace s's final code assignment. */
+  private val pqBody: String = {
     val subs = (0 until PQ_M).map { s =>
       val lo = s * PQ_DSUB
       val hi = (s + 1) * PQ_DSUB
@@ -422,18 +439,37 @@ object CorpusQueries extends QueryModule {
       base + ",\n" + rounds + ",\n" +
         assignCte(s"pqa$s", s"pc${s}_$ITERS", dims = s"sdims$s")
     }.mkString(",\n")
-    s"""WITH vq AS (
-       |  SELECT vec_id,
-       |         list_transform(embedding::DOUBLE[],
-       |                        x -> CAST(round(x * 1000000.0) AS BIGINT)) AS v
-       |  FROM embeddings),
-       |dims AS (
-       |  SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS q
-       |  FROM vq),
-       |pq0_ids AS (
+    s"""pq0_ids AS (
        |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster
        |  FROM (SELECT vec_id FROM vq ORDER BY vec_id LIMIT $PQ_K)),
        |$subs""".stripMargin
+  }
+
+  private val pqCtes: String = s"WITH $gridBase,\n$pqBody"
+
+  /** The ADC tail shared by q_pq_topk (over the whole corpus) and
+    * q_ivfpq_topk (over the routed candidate set `cand(vec_id)`). */
+  private def adcTail(from: String): String = {
+    val dtabs = (0 until PQ_M).map { s =>
+      s"""qsub$s AS (SELECT i, q FROM sdims$s WHERE vec_id = 0),
+         |dtab$s AS (
+         |  SELECT c.cluster, sum((qs.q - c.q)*(qs.q - c.q)) AS d2
+         |  FROM qsub$s qs JOIN pc${s}_$ITERS c USING (i)
+         |  GROUP BY c.cluster)""".stripMargin
+    }.mkString(",\n")
+    val joins = (1 until PQ_M).map { s =>
+      s"""  JOIN pqa$s a$s ON a$s.vec_id = a0.vec_id
+         |  JOIN dtab$s t$s ON a$s.cluster = t$s.cluster""".stripMargin
+    }.mkString("\n")
+    val dsum = (0 until PQ_M).map(s => s"t$s.d2").mkString(" + ")
+    s"""$dtabs,
+       |adc AS (
+       |  SELECT a0.vec_id, $dsum AS d2
+       |  FROM $from a0
+       |  JOIN dtab0 t0 ON a0.cluster = t0.cluster
+       |$joins)
+       |SELECT vec_id, CAST(d2 AS BIGINT) AS d2 FROM adc
+       |WHERE vec_id <> 0 ORDER BY d2, vec_id LIMIT 10""".stripMargin
   }
 
   // -- BPE: unrolled merge rounds --------------------------------------
@@ -698,29 +734,26 @@ object CorpusQueries extends QueryModule {
                .mkString(" UNION ALL ")})
          |ORDER BY vec_id, sub""".stripMargin,
 
-    "q_pq_topk" -> {
-      val dtabs = (0 until PQ_M).map { s =>
-        s"""qsub$s AS (SELECT i, q FROM sdims$s WHERE vec_id = 0),
-           |dtab$s AS (
-           |  SELECT c.cluster, sum((qs.q - c.q)*(qs.q - c.q)) AS d2
-           |  FROM qsub$s qs JOIN pc${s}_$ITERS c USING (i)
-           |  GROUP BY c.cluster)""".stripMargin
-      }.mkString(",\n")
-      val joins = (1 until PQ_M).map { s =>
-        s"""  JOIN pqa$s a$s ON a$s.vec_id = a0.vec_id
-           |  JOIN dtab$s t$s ON a$s.cluster = t$s.cluster""".stripMargin
-      }.mkString("\n")
-      val dsum = (0 until PQ_M).map(s => s"t$s.d2").mkString(" + ")
+    "q_pq_topk" ->
       s"""$pqCtes,
-         |$dtabs,
-         |adc AS (
-         |  SELECT a0.vec_id, $dsum AS d2
-         |  FROM pqa0 a0
-         |  JOIN dtab0 t0 ON a0.cluster = t0.cluster
-         |$joins)
-         |SELECT vec_id, CAST(d2 AS BIGINT) AS d2 FROM adc
-         |WHERE vec_id <> 0 ORDER BY d2, vec_id LIMIT 10""".stripMargin
-    },
+         |${adcTail("pqa0")}""".stripMargin,
+
+    // IVF-PQ (FAISS's IVFADC shape, non-residual variant: codes are over
+    // the raw vectors, documented in operators/Pq): coarse-route the
+    // query to its NPROBE nearest cells, ADC-score only those cells'
+    // members.
+    "q_ivfpq_topk" ->
+      s"""WITH $gridBase,
+         |$kmeansBody,
+         |$pqBody,
+         |qcell AS (
+         |  SELECT c.cluster, sum((d.q - c.q)*(d.q - c.q)) AS d2
+         |  FROM (SELECT i, q FROM dims WHERE vec_id = 0) d
+         |  JOIN c$ITERS c USING (i) GROUP BY c.cluster),
+         |probed AS (SELECT cluster FROM qcell ORDER BY d2, cluster LIMIT 2),
+         |cand AS (SELECT vec_id FROM afin
+         |         WHERE cluster IN (SELECT cluster FROM probed)),
+         |${adcTail("(SELECT p.* FROM pqa0 p JOIN cand USING (vec_id))")}""".stripMargin,
 
     "q_ivf_kmeans_topk" -> ivfKmeansSql,
 

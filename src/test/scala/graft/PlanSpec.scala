@@ -612,6 +612,13 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("q_ivfpq_topk: cell routing + ADC stay scan-stage — no Exchange") {
+    val plan = formatted("q_ivfpq_topk")
+    assert(!plan.contains("Exchange"),
+      s"routing must be a row-local filter, never a shuffle:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("q_window_dist: ntile/percent_rank/cume_dist share ONE window pass") {
     val plan = formatted("q_window_dist")
     assert(nodeCount(plan, "Window") == 1,

@@ -51,6 +51,39 @@ class PqSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("IVF-PQ routing == driver-recomputed ADC over exactly the probed cells") {
+    val queryId = 0L
+    val coarse = KMeansQuant.fit(emb, "vec_id", "embedding", k = 4, iters = 2)
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val qq = KMeansQuant.quantizeVec(q)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => val d = x - y; d * d }.sum
+    val probed = coarse.centroids.zipWithIndex
+      .map { case (cen, c) => (d2(qq, cen), c) }
+      .sortBy(identity).take(2).map(_._2.toLong).toSet
+    val members = KMeansQuant.assign(emb, "vec_id", "embedding", coarse)
+      .as[(Long, Long, Long)].collect()
+      .collect { case (id, cell, _) if probed(cell) => id }.toSet
+    val codes = Pq.codes(emb, "vec_id", "embedding", pm)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (id, rows) =>
+        id -> rows.sortBy(_._2).map(_._3.toInt) }
+    val expected = codes.collect {
+      case (id, cs) if id != queryId && members(id) =>
+        val dist = (0 until pm.m).map { s =>
+          d2(qq.slice(s * pm.dsub, (s + 1) * pm.dsub),
+            pm.books(s).centroids(cs(s)))
+        }.sum
+        (id, dist)
+    }.toSeq.sortBy { case (id, dist) => (dist, id) }.take(10)
+    val got = Pq.adcTopKRouted(emb, "vec_id", "embedding", pm, coarse,
+      queryId, 10, nprobe = 2).as[(Long, Long)].collect().toSeq
+    assert(got == expected)
+    // the routing must actually prune: fewer members than the corpus
+    assert(members.size < emb.count())
+  }
+
   test("fit fails loudly when m does not divide the dimension") {
     val e = intercept[IllegalArgumentException] {
       Pq.fit(emb, "vec_id", "embedding", m = 5, k = 4, iters = 1)

@@ -134,6 +134,21 @@ object SimilarityQueries extends QueryModule {
           "p_partkey", "p_name", maxDist = 2)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // Fuzzy entity RESOLUTION: connected components over the d<=1 pair
+    // graph (one-typo radius — the d=2 radius above chains half the
+    // catalog into one entity; at d=1 the components are real typo
+    // clusters). Same union-find machinery as the lexical/semantic
+    // group queries.
+    "q_fuzzy_groups" -> ((s, d) => {
+      val part = Tables.part(s, d)
+      DedupGroups.connectedComponents(
+          part.select(col("p_partkey")), "p_partkey",
+          FuzzyJoin.editDistancePairs(part, "p_partkey", "p_name",
+            maxDist = 1))
+        .select(col("id").as("p_partkey"), col("comp").as("component"))
+        .orderBy(col("p_partkey"))
+    }),
+
     // Duplicate-GROUP resolution: the exact Jaccard pairs above as edges
     // → connected components (min-label propagation) → every document
     // labeled with its component (survivor = the component id itself).
@@ -315,6 +330,19 @@ object SimilarityQueries extends QueryModule {
         |FROM part a JOIN part b ON a.p_partkey < b.p_partkey
         |WHERE levenshtein(a.p_name, b.p_name) <= 2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_fuzzy_groups" ->
+      """WITH RECURSIVE
+        |pairs AS (SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+        |          FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+        |          AND levenshtein(a.p_name, b.p_name) <= 1),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (SELECT p_partkey AS id, p_partkey AS r FROM part
+        |          UNION SELECT reach.id, edges.dst
+        |                FROM reach JOIN edges ON reach.r = edges.src)
+        |SELECT id AS p_partkey, min(r) AS component
+        |FROM reach GROUP BY id ORDER BY p_partkey""".stripMargin,
 
     "q_jaccard_pairs" ->
       s"""WITH toks AS (SELECT doc_id,

@@ -46,7 +46,13 @@ import org.apache.spark.sql.functions._
   * data; the per-string prefix is O(d) tokens, so the candidate join
   * carries (2d+1)·n rows with rare join keys by construction; the only
   * wide shuffles key on (gram, occ) and on the id pair — both
-  * high-cardinality. Reference behavior: /root/reference/pipeline/clean.py
+  * high-cardinality. OPERATING DISCIPLINE: exact-dedup first and match
+  * the DISTINCT-key dictionary (one `groupBy(key).agg(min(id))` —
+  * q_fuzzy_pairs' shape), because duplicated keys square their
+  * multiplicity into every matching pair: the output itself goes
+  * quadratic, no blocking can fix the result being large (measured 50 s
+  * on 20k rows / 64 distinct names before the dictionary form; trivial
+  * after). Reference behavior: /root/reference/pipeline/clean.py
   * (exact-match dedup) generalized to typo tolerance.
   */
 object FuzzyJoin {

@@ -125,27 +125,48 @@ object SimilarityQueries extends QueryModule {
     "q_jaccard_pairs" -> ((s, d) =>
       jaccardPairs(s, d).orderBy(col("id_a"), col("id_b"))),
 
-    // Fuzzy entity matching: every part-name pair within edit distance 2,
-    // via the exact q-gram prefix-filter join (no n² — see FuzzyJoin).
-    // Oracle is DuckDB's brute-force levenshtein join: same pairs, same
-    // distances, proving the blocking is lossless.
-    "q_fuzzy_pairs" -> ((s, d) =>
-      FuzzyJoin.editDistancePairs(Tables.part(s, d),
-          "p_partkey", "p_name", maxDist = 2)
-        .orderBy(col("id_a"), col("id_b"))),
+    // Fuzzy entity matching over the DISTINCT-name dictionary (exact
+    // dedup first — the entity-resolution discipline that keeps this
+    // scale-stable: the dictionary is vocabulary-sized and CONSTANT in
+    // the row count, so neither the candidate set nor the result grows
+    // with data volume; matching raw rows would square every duplicated
+    // name's multiplicity into the output). Pairs within edit distance 2
+    // via the exact q-gram prefix-filter join, with each side's
+    // occurrence count carried along. Oracle is DuckDB's brute-force
+    // levenshtein join over the same dictionary — proving the blocking
+    // is lossless.
+    "q_fuzzy_pairs" -> ((s, d) => {
+      val dict = Tables.part(s, d).groupBy(col("p_name"))
+        .agg(min(col("p_partkey")).as("id"), count(lit(1)).as("n"))
+      FuzzyJoin.editDistancePairs(dict, "id", "p_name", maxDist = 2)
+        .join(broadcast(dict.select(col("id").as("id_a"),
+          col("n").as("n_a"))), "id_a")
+        .join(broadcast(dict.select(col("id").as("id_b"),
+          col("n").as("n_b"))), "id_b")
+        .select(col("id_a"), col("id_b"), col("dist"), col("n_a"),
+          col("n_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
 
-    // Fuzzy entity RESOLUTION: connected components over the d<=1 pair
-    // graph (one-typo radius — the d=2 radius above chains half the
-    // catalog into one entity; at d=1 the components are real typo
-    // clusters). Same union-find machinery as the lexical/semantic
-    // group queries.
+    // Fuzzy entity RESOLUTION: connected components over the d<=1
+    // DICTIONARY pair graph (one-typo radius — d=2 chains half the
+    // vocabulary into one entity), then every part labeled through a
+    // broadcast name→component map. Identical labels to running CC over
+    // the raw pair graph (dist-0 pairs merge identical names, and the
+    // component's global-min part id is always a name representative) at
+    // a dictionary-sized fraction of the work.
     "q_fuzzy_groups" -> ((s, d) => {
       val part = Tables.part(s, d)
-      DedupGroups.connectedComponents(
-          part.select(col("p_partkey")), "p_partkey",
-          FuzzyJoin.editDistancePairs(part, "p_partkey", "p_name",
-            maxDist = 1))
-        .select(col("id").as("p_partkey"), col("comp").as("component"))
+      val dict = part.groupBy(col("p_name"))
+        .agg(min(col("p_partkey")).as("id"))
+      val comps = DedupGroups.connectedComponents(
+        dict.select(col("id")), "id",
+        FuzzyJoin.editDistancePairs(dict, "id", "p_name", maxDist = 1))
+      part.select(col("p_partkey"), col("p_name"))
+        .join(broadcast(dict), "p_name")
+        .join(broadcast(comps.select(col("id"),
+          col("comp").as("component"))), "id")
+        .select(col("p_partkey"), col("component"))
         .orderBy(col("p_partkey"))
     }),
 
@@ -325,24 +346,31 @@ object SimilarityQueries extends QueryModule {
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_fuzzy_pairs" ->
-      """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
-        |  levenshtein(a.p_name, b.p_name) AS dist
-        |FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+      """WITH names AS (SELECT p_name, min(p_partkey) AS id, count(*) AS n
+        |               FROM part GROUP BY p_name)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  levenshtein(a.p_name, b.p_name) AS dist, a.n AS n_a, b.n AS n_b
+        |FROM names a JOIN names b ON a.id < b.id
         |WHERE levenshtein(a.p_name, b.p_name) <= 2
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_fuzzy_groups" ->
       """WITH RECURSIVE
-        |pairs AS (SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
-        |          FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+        |names AS (SELECT p_name, min(p_partkey) AS id
+        |          FROM part GROUP BY p_name),
+        |pairs AS (SELECT a.id AS id_a, b.id AS id_b
+        |          FROM names a JOIN names b ON a.id < b.id
         |          AND levenshtein(a.p_name, b.p_name) <= 1),
         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
         |          UNION SELECT id_b, id_a FROM pairs),
-        |reach AS (SELECT p_partkey AS id, p_partkey AS r FROM part
+        |reach AS (SELECT id, id AS r FROM names
         |          UNION SELECT reach.id, edges.dst
-        |                FROM reach JOIN edges ON reach.r = edges.src)
-        |SELECT id AS p_partkey, min(r) AS component
-        |FROM reach GROUP BY id ORDER BY p_partkey""".stripMargin,
+        |                FROM reach JOIN edges ON reach.r = edges.src),
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+        |SELECT p.p_partkey, c.component
+        |FROM part p JOIN names nm ON p.p_name = nm.p_name
+        |JOIN comp c ON nm.id = c.id
+        |ORDER BY p.p_partkey""".stripMargin,
 
     "q_jaccard_pairs" ->
       s"""WITH toks AS (SELECT doc_id,

@@ -149,6 +149,34 @@ object FuzzyJoin {
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 
+  /** All pairs with Jaro-Winkler similarity >= `minSim` (scored by the
+    * codegen'd [[graft.functions.JaroWinkler]] expression). Unlike edit
+    * distance, JW admits no exact sub-quadratic filter (a high-JW pair
+    * can share no q-gram at all — the transposition term sees through
+    * scrambles), so this is an O(n²) DICTIONARY operator by contract:
+    * run it on a distinct-key dictionary (vocabulary-sized, like
+    * q_fuzzy_pairs' shape) or on an already-blocked candidate set, and
+    * the loud guard enforces that contract. The threshold compares the
+    * 6-dp ROUNDED score so the cut is reproducible across engines. */
+  def jaroWinklerPairs(df: DataFrame, idCol: String, strCol: String,
+      minSim: Double, maxExactRows: Long = 100000L): DataFrame = {
+    val over = df.limit((maxExactRows min Int.MaxValue.toLong).toInt + 1)
+      .count() > maxExactRows
+    require(!over,
+      s"jaroWinklerPairs is O(n²) by contract (JW has no exact blocking): " +
+        s"over $maxExactRows rows. Dedup to a key dictionary first, or " +
+        "pass maxExactRows explicitly to opt in.")
+    graft.functions.StringSim.register(df.sparkSession)
+    val base = df.filter(col(strCol).isNotNull)
+    val a = base.select(col(idCol).as("id_a"), col(strCol).as("__sa"))
+    val b = base.select(col(idCol).as("id_b"), col(strCol).as("__sb"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("jw", round(
+        graft.functions.StringSim.jaro_winkler(col("__sa"), col("__sb")), 6))
+      .filter(col("jw") >= minSim)
+      .select(col("id_a"), col("id_b"), col("jw"))
+  }
+
   /** The unfiltered brute-force form — the correctness baseline the spec
     * compares against, guarded exactly like [[Similarity.nearDupPairs]]. */
   def bruteForcePairs(df: DataFrame, idCol: String, strCol: String,

@@ -148,6 +148,18 @@ object SimilarityQueries extends QueryModule {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Jaro-Winkler scoring over the same dictionary — the record-linkage
+    // scorer levenshtein can't express (prefix-weighted, transposition-
+    // aware), as a native codegen'd expression. O(dict²) by documented
+    // contract (JW admits no exact blocking); the dictionary is
+    // vocabulary-sized so the cross stays trivial at any data volume.
+    "q_fuzzy_jw" -> ((s, d) => {
+      val dict = Tables.part(s, d).groupBy(col("p_name"))
+        .agg(min(col("p_partkey")).as("id"))
+      FuzzyJoin.jaroWinklerPairs(dict, "id", "p_name", minSim = 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Fuzzy entity RESOLUTION: connected components over the d<=1
     // DICTIONARY pair graph (one-typo radius — d=2 chains half the
     // vocabulary into one entity), then every part labeled through a
@@ -352,6 +364,15 @@ object SimilarityQueries extends QueryModule {
         |  levenshtein(a.p_name, b.p_name) AS dist, a.n AS n_a, b.n AS n_b
         |FROM names a JOIN names b ON a.id < b.id
         |WHERE levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_fuzzy_jw" ->
+      """WITH names AS (SELECT p_name, min(p_partkey) AS id
+        |               FROM part GROUP BY p_name)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+        |FROM names a JOIN names b ON a.id < b.id
+        |WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_fuzzy_groups" ->

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.util.SessionCache
 import graft.ml.AnnIndex
-import graft.operators.{DedupGroups, FuzzyJoin, MinHashDedup, SimHash, Similarity, TokenOps}
+import graft.operators.{DedupGroups, FuzzyJoin, MinHashDedup, PageRank, SimHash, Similarity, TokenOps}
 
 /** Similarity search + near-duplicate detection (SURVEY.md §2.7, §7 step 7).
   *
@@ -83,6 +83,19 @@ object SimilarityQueries extends QueryModule {
     */
   private val pairsCache = new SessionCache[DataFrame]
 
+  /** Memoized d<=1 dictionary pair set for q_fuzzy_groups (same
+    * materialize-once reasoning as [[jaccardPairs]]: the prefix-filter
+    * pipeline runs ~10 small jobs whose fixed overhead dwarfs the
+    * 64-name dictionary — pay it once per (session, dataset)). */
+  private val fuzzyPairsCache = new SessionCache[DataFrame]
+  private def fuzzyDictPairs(s: SparkSession, d: String): DataFrame =
+    fuzzyPairsCache.getOrElseUpdate(s, d) {
+      val dict = Tables.part(s, d).groupBy(col("p_name"))
+        .agg(min(col("p_partkey")).as("id"))
+      FuzzyJoin.editDistancePairs(dict, "id", "p_name", maxDist = 1)
+        .localCheckpoint()
+    }
+
   /** Memoized, MATERIALIZED form: q_jaccard_pairs and q_dedup_groups both
     * consume this exact pair set — computing the self-join twice per run
     * is pure waste (same reasoning as IndexCache: materialize once,
@@ -148,6 +161,30 @@ object SimilarityQueries extends QueryModule {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Deterministic PageRank over the exact near-dup graph: power
+    // iteration on an integer nano grid (per-node rounded contribution,
+    // then ORDER-FREE integer sums — the unigram-LM money-sum trick
+    // applied to graph centrality), so 3 unrolled iterations are
+    // bit-reproducible and DuckDB-mirrored. Each iteration is one
+    // rank⋈edges equi-join + one groupBy(dst) sum: the Pregel-in-
+    // DataFrames layout.
+    "q_pagerank" -> ((s, d) =>
+      PageRank.ranks(Tables.documents(s, d).select(col("doc_id")),
+          "doc_id", jaccardPairs(s, d), iters = 3)
+        .select(col("id").as("doc_id"), col("pr_nano"))
+        .orderBy(col("doc_id"))),
+
+    // Centrality-based canonical selection: each duplicate component's
+    // survivor is its highest-PageRank member (ties to lowest id) — the
+    // principled replacement for min-id survivor choice, composing the
+    // CC structure with the ranks above.
+    "q_canonical_docs" -> ((s, d) =>
+      PageRank.canonical(Tables.documents(s, d).select(col("doc_id")),
+          "doc_id", jaccardPairs(s, d), iters = 3)
+        .select(col("id").as("doc_id"), col("component"), col("pr_nano"),
+          col("canonical"))
+        .orderBy(col("doc_id"))),
+
     // Jaro-Winkler scoring over the same dictionary — the record-linkage
     // scorer levenshtein can't express (prefix-weighted, transposition-
     // aware), as a native codegen'd expression. O(dict²) by documented
@@ -172,8 +209,7 @@ object SimilarityQueries extends QueryModule {
       val dict = part.groupBy(col("p_name"))
         .agg(min(col("p_partkey")).as("id"))
       val comps = DedupGroups.connectedComponents(
-        dict.select(col("id")), "id",
-        FuzzyJoin.editDistancePairs(dict, "id", "p_name", maxDist = 1))
+        dict.select(col("id")), "id", fuzzyDictPairs(s, d))
       part.select(col("p_partkey"), col("p_name"))
         .join(broadcast(dict), "p_name")
         .join(broadcast(comps.select(col("id"),
@@ -338,7 +374,66 @@ object SimilarityQueries extends QueryModule {
 
   private val wsSql = TokenOps.WsRun
 
+  /** Shared CTE chain: the exact shingle-Jaccard >= 0.5 pair set (the
+    * same derivation q_jaccard_pairs / q_dedup_groups inline) plus the
+    * graph scaffolding for the PageRank mirrors. */
+  private lazy val prGraphCtes: String =
+    s"""toks AS (SELECT doc_id,
+       |  regexp_split_to_array(lower(text), '$wsSql') AS t FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+       |       FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |jpairs AS (SELECT id_a, id_b FROM inter
+       |           JOIN sizes sa ON sa.doc_id = id_a
+       |           JOIN sizes sb ON sb.doc_id = id_b
+       |           WHERE round(ni * 1.0 / (sa.n + sb.n - ni), 6) >= 0.5),
+       |nodes AS (SELECT doc_id AS id FROM documents),
+       |stats AS (SELECT count(*) AS n FROM nodes),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM jpairs
+       |          UNION ALL SELECT id_b, id_a FROM jpairs),
+       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+       |pr0 AS (SELECT id, CAST(round(1000000000.0 / st.n) AS BIGINT) AS pr
+       |        FROM nodes CROSS JOIN stats st)""".stripMargin
+
+  /** Unrolled power-iteration rounds on the integer nano grid — the SQL
+    * twin of PageRank.ranks' loop body, one (contrib, in-sum, rank)
+    * CTE triple per round. */
+  private def prIterCtes(iters: Int): String =
+    (1 to iters).map { k =>
+      s"""pc$k AS (SELECT p.id,
+         |           CAST(round(CAST(p.pr AS DOUBLE) / d.deg) AS BIGINT) AS c
+         |         FROM pr${k - 1} p JOIN deg d ON p.id = d.src),
+         |ps$k AS (SELECT e.dst AS id, sum(c.c) AS s
+         |         FROM edges e JOIN pc$k c ON e.src = c.id GROUP BY e.dst),
+         |pr$k AS (SELECT n2.id,
+         |           CAST(round((1.0 - 0.85) * 1000000000.0 / st.n) AS BIGINT)
+         |           + CAST(round(0.85 * CAST(COALESCE(s.s, 0) AS DOUBLE))
+         |                  AS BIGINT) AS pr
+         |         FROM nodes n2 CROSS JOIN stats st
+         |         LEFT JOIN ps$k s ON n2.id = s.id)""".stripMargin
+    }.mkString(",\n")
+
   val oracle: Map[String, String] = Map(
+    "q_pagerank" ->
+      s"""WITH $prGraphCtes,
+         |${prIterCtes(3)}
+         |SELECT id AS doc_id, pr AS pr_nano FROM pr3 ORDER BY doc_id""".stripMargin,
+
+    "q_canonical_docs" ->
+      s"""WITH RECURSIVE $prGraphCtes,
+         |${prIterCtes(3)},
+         |reach AS (SELECT id, id AS r FROM nodes
+         |          UNION SELECT reach.id, edges.dst
+         |                FROM reach JOIN edges ON reach.r = edges.src),
+         |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+         |SELECT c.id AS doc_id, c.component, p.pr AS pr_nano,
+         |       first_value(c.id) OVER (PARTITION BY c.component
+         |                               ORDER BY p.pr DESC, c.id) AS canonical
+         |FROM comp c JOIN pr3 p ON c.id = p.id
+         |ORDER BY doc_id""".stripMargin,
     "q_cosine_topk" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id <> 0)

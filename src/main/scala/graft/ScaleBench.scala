@@ -60,7 +60,16 @@ object ScaleBench {
     // bounds — the rehearsal measures the exact path inside its
     // guarded envelope: 10× sf0.1 stays under DefaultMaxGroupRows)
     "q_funnel", "q_retention", "q_gapfill", "q_window_lag", "q_twap",
-    "q_transition_matrix", "q_winsorize", "q_robust_outliers")
+    "q_transition_matrix", "q_winsorize", "q_robust_outliers",
+    // round-13 additions: PQ encode/serve are row-local scans (run 1
+    // carries the memoized per-dataset fits), IVF-PQ probes a fixed-K
+    // cell layout whose members grow ×N, PageRank iterates join+agg
+    // over a pair set the honesty construction grows ~×N, and the
+    // fuzzy dictionary queries should hold ~FLAT: the catalog grows ×N
+    // but the distinct-name dictionary is vocabulary-sized by design —
+    // the scale claim the dictionary rewrite exists to make true
+    "q_pq_codes", "q_pq_topk", "q_ivfpq_topk", "q_pagerank",
+    "q_fuzzy_pairs", "q_fuzzy_groups")
 
   def generate(spark: SparkSession, sfDir: String, outDir: String,
       scale: Int): (Long, Long) = {
@@ -113,6 +122,17 @@ object ScaleBench {
         col("event_type"), col("value"), col("props"))
     }.reduce(_.unionAll(_)).write.mode("overwrite")
       .parquet(s"$outDir/events.parquet")
+
+    // part: copy k shifts the key space, names UNCHANGED — catalogs
+    // grow by SKUs that share the naming scheme, so the distinct-name
+    // dictionary stays vocabulary-sized while rows grow ×N: exactly the
+    // axis the fuzzy dictionary queries claim to be flat on.
+    val pt = Tables.part(spark, sfDir)
+    val maxPart = pt.agg(max(col("p_partkey"))).head().getLong(0) + 1
+    (0 until scale).map { k =>
+      pt.withColumn("p_partkey", col("p_partkey") + lit(k * maxPart))
+    }.reduce(_.unionAll(_)).write.mode("overwrite")
+      .parquet(s"$outDir/part.parquet")
 
     // lineitem: copy k shifts the order key space — per-flag value
     // counts and the per-order totals set both grow ×N, which is

@@ -119,6 +119,30 @@ object Pq {
       .limit(k)
   }
 
+  /** Two-stage serving: ADC shortlist → EXACT re-rank (Jégou et al.
+    * §V.C's refinement stage — the production answer to PQ's lossy
+    * distances): take the `shortlist` best by ADC, then re-score only
+    * those against the query with the exact grid distance and cut to k.
+    * The shortlist is bounded (≤ a few hundred ids), so it broadcasts
+    * into a semi-join and the re-rank touches `shortlist` rows, not the
+    * corpus. Exact distance reuses the codegen'd nearest-cell kernel
+    * with the query as a 1-row matrix — same integer math the oracle
+    * mirrors. */
+  def refineTopK(emb: DataFrame, idCol: String, vecCol: String,
+      pm: PqModel, queryId: Long, k: Int, shortlist: Int = 100): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k=$k")
+    val qQuant = queryQuant(emb, idCol, vecCol, queryId)
+    val short = adcTopK(emb, idCol, vecCol, pm, queryId, shortlist)
+      .select(col(idCol))
+    val exactD2 = graft.functions.KMeansAssignExprs
+      .nearestCell(KMeansQuant.quantize(col(vecCol)), Array(qQuant))
+      .getField("d")
+    emb.join(broadcast(short), Seq(idCol), "leftsemi")
+      .select(col(idCol), exactD2.as("d2"))
+      .orderBy(col("d2"), col(idCol))
+      .limit(k)
+  }
+
   /** IVF-PQ serving (the IVFADC shape — Jégou et al. §IV; non-residual
     * variant: codes quantize the raw vectors, so the same codebooks and
     * codes serve both the routed and the exhaustive path): rank the

@@ -266,6 +266,14 @@ object CorpusQueries extends QueryModule {
       Pq.adcTopKRouted(Tables.embeddings(s, d), "vec_id", "embedding",
         pqModel(s, d), model(s, d), queryId = 0L, k = 10, nprobe = 2)),
 
+    // Two-stage refinement: ADC shortlist (top-50) → exact grid-distance
+    // re-rank to 10 — the production answer to PQ's lossy distances;
+    // the bounded shortlist broadcasts into a semi-join so the exact
+    // stage touches 50 rows, never the corpus.
+    "q_pq_refine" -> ((s, d) =>
+      Pq.refineTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        pqModel(s, d), queryId = 0L, k = 10, shortlist = 50)),
+
     // In-engine ANN evaluation: recall@10 of the nprobe=2/4 IVF probe
     // against exact brute force, for the standard query vector. Both
     // sides deterministic ⇒ the recall NUMBER is oracle-checked, not
@@ -447,9 +455,10 @@ object CorpusQueries extends QueryModule {
 
   private val pqCtes: String = s"WITH $gridBase,\n$pqBody"
 
-  /** The ADC tail shared by q_pq_topk (over the whole corpus) and
-    * q_ivfpq_topk (over the routed candidate set `cand(vec_id)`). */
-  private def adcTail(from: String): String = {
+  /** The ADC distance-table CTEs shared by q_pq_topk (over the whole
+    * corpus), q_ivfpq_topk (over the routed candidate set), and
+    * q_pq_refine (as the shortlist stage). */
+  private def adcCte(from: String): String = {
     val dtabs = (0 until PQ_M).map { s =>
       s"""qsub$s AS (SELECT i, q FROM sdims$s WHERE vec_id = 0),
          |dtab$s AS (
@@ -467,10 +476,13 @@ object CorpusQueries extends QueryModule {
        |  SELECT a0.vec_id, $dsum AS d2
        |  FROM $from a0
        |  JOIN dtab0 t0 ON a0.cluster = t0.cluster
-       |$joins)
+       |$joins)""".stripMargin
+  }
+
+  private def adcTail(from: String): String =
+    s"""${adcCte(from)}
        |SELECT vec_id, CAST(d2 AS BIGINT) AS d2 FROM adc
        |WHERE vec_id <> 0 ORDER BY d2, vec_id LIMIT 10""".stripMargin
-  }
 
   // -- BPE: unrolled merge rounds --------------------------------------
 
@@ -754,6 +766,19 @@ object CorpusQueries extends QueryModule {
          |cand AS (SELECT vec_id FROM afin
          |         WHERE cluster IN (SELECT cluster FROM probed)),
          |${adcTail("(SELECT p.* FROM pqa0 p JOIN cand USING (vec_id))")}""".stripMargin,
+
+    "q_pq_refine" ->
+      s"""$pqCtes,
+         |${adcCte("pqa0")},
+         |shortl AS (SELECT vec_id FROM adc WHERE vec_id <> 0
+         |           ORDER BY d2, vec_id LIMIT 50),
+         |exact AS (SELECT d.vec_id, sum((d.q - q.q)*(d.q - q.q)) AS d2
+         |          FROM dims d
+         |          JOIN (SELECT i, q FROM dims WHERE vec_id = 0) q USING (i)
+         |          JOIN shortl USING (vec_id)
+         |          GROUP BY d.vec_id)
+         |SELECT vec_id, CAST(d2 AS BIGINT) AS d2 FROM exact
+         |ORDER BY d2, vec_id LIMIT 10""".stripMargin,
 
     "q_ivf_kmeans_topk" -> ivfKmeansSql,
 

@@ -226,6 +226,38 @@ object EventQueries extends QueryModule {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // Last-touch attribution WITHOUT the self-join: q_asof_join answers
+    // "latest click before each purchase" as a join of two derived
+    // tables; this is the same logical ask as ONE window pass over ONE
+    // scan — running conditional max for the last click, running
+    // conditional count differenced at purchases for the touch count
+    // since the previous purchase. At scale the join form shuffles the
+    // events table twice; this shape shuffles it once. Equal-timestamp
+    // events attribute by (ts, event_id) order — same contract as every
+    // window in this family, mirrored identically.
+    "q_attribution" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wp = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("last_click_us",
+          max(when(col("event_type") === "click", col("us"))).over(w))
+        .withColumn("cum_clicks",
+          count(when(col("event_type") === "click", lit(1))).over(w))
+        .filter(col("event_type") === "purchase")
+        .withColumn("touches", col("cum_clicks") -
+          coalesce(lag(col("cum_clicks"), 1).over(wp), lit(0L)))
+        .select(col("user_id"), col("event_id"),
+          col("us").as("purchase_us"), col("last_click_us"),
+          col("touches"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // Per-user event-type transition counts (the first-order Markov
     // matrix behind behavior modeling): one lag() pass in event-time
     // order, then a 25-cell pair count — the second shuffle moves only
@@ -452,6 +484,26 @@ object EventQueries extends QueryModule {
         |  round(percent_rank() OVER w, 6) AS pr
         |FROM ev
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q_attribution" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |  FROM events),
+        |runw AS (
+        |  SELECT user_id, event_id, event_type, us,
+        |    max(CASE WHEN event_type = 'click' THEN us END)
+        |      OVER w AS last_click_us,
+        |    count(CASE WHEN event_type = 'click' THEN 1 END)
+        |      OVER w AS cum_clicks
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id, us AS purchase_us, last_click_us,
+        |  cum_clicks - COALESCE(lag(cum_clicks, 1)
+        |    OVER (PARTITION BY user_id ORDER BY us, event_id), 0)
+        |    AS touches
+        |FROM runw WHERE event_type = 'purchase'
         |ORDER BY user_id, event_id""".stripMargin,
 
     // The latest click overall, if within the window, IS the latest

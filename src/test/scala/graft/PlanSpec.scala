@@ -87,7 +87,17 @@ class PlanSpec extends SparkSpec {
       "q_ivf_recall",
       // the global median / MAD stats rows broadcast back as 1-row
       // scalar joins (no join key exists)
-      "q_robust_outliers")
+      "q_robust_outliers",
+      // the degenerate short-string bucket (strings < q·d chars, where
+      // no exact gram filter exists) plans its length-banded non-equi
+      // pairing as a nested loop — EMPTY on this corpus (min name length
+      // 7) and loudly count-guarded in FuzzyJoin before it can run
+      "q_fuzzy_pairs", "q_fuzzy_groups",
+      // Jaro-Winkler is O(dict²) BY DOCUMENTED CONTRACT (no exact
+      // blocking exists — transpositions see through gram scrambles);
+      // the cross join runs over the vocabulary-sized dictionary under
+      // jaroWinklerPairs' loud guard
+      "q_fuzzy_jw")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan =

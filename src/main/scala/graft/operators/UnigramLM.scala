@@ -43,6 +43,54 @@ object UnigramLM {
     round(-log((c + lit(1L)).cast("double") / (n + v).cast("double"))
       * lit(1e9)).cast("long")
 
+  /** (id, n_tokens, nll): mean per-token NLL under an INTERPOLATED
+    * bigram model — p(t|prev) = λ·p_bi + (1−λ)·p_uni with MLE bigram
+    * probabilities (c_{prev,t} / Σ_t c_{prev,t}) backing off to the
+    * add-one unigram; a document's first token scores unigram-only
+    * (Jelinek-Mercer interpolation, the textbook smoothing the unigram
+    * model can't express: "the car" is likelier than "car the").
+    *
+    * The (prev, token) pairs are built ROW-LOCAL (zip the token array
+    * with its own shift — no positional self-join), so scoring adds two
+    * vocabulary-sized equi-joins (bigram + history counts) to the
+    * unigram plan, nothing corpus-shaped. Same nano-grid determinism
+    * discipline as [[nll]]. */
+  def bigramNll(docs: DataFrame, idCol: String, textCol: String,
+      lam: Double = 0.5): DataFrame = {
+    val counts = tokenCounts(docs, textCol).localCheckpoint()
+    val stats = counts.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
+    val withPrev = docs.select(col(idCol),
+        TokenOps.tokenize(col(textCol)).as("t"))
+      .select(col(idCol), explode(zip_with(
+        col("t"),
+        concat(array(lit(null).cast("string")),
+          slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0)))),
+        (tok, prev) => struct(tok.as("token"), prev.as("prev"))))
+        .as("bg"))
+      .select(col(idCol), col("bg.token").as("token"),
+        col("bg.prev").as("prev"))
+    val bigramCounts = withPrev.filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("token")).agg(count(lit(1)).as("cb"))
+      .localCheckpoint()
+    val histCounts = bigramCounts.groupBy(col("prev"))
+      .agg(sum(col("cb")).as("ch"))
+    val pu = (col("c") + lit(1L)).cast("double") /
+      (col("n") + col("v")).cast("double")
+    val pb = col("cb").cast("double") / col("ch").cast("double")
+    val p = when(col("prev").isNull, pu)
+      .otherwise(lit(lam) * coalesce(pb, lit(0.0)) + lit(1.0 - lam) * pu)
+    withPrev
+      .join(counts, "token")
+      .join(bigramCounts, Seq("prev", "token"), "left")
+      .join(histCounts, Seq("prev"), "left")
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), round(-log(p) * lit(1e9)).cast("long").as("nq"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("nq")).cast("double") / lit(1e9)
+          / count(lit(1)).cast("double"), 6).as("nll"))
+  }
+
   /** (id, n_tokens, nll): mean per-token negative log-likelihood,
     * rounded to 6dp. Documents with zero tokens cannot occur under the
     * whitespace tokenizer (splitting any string yields ≥1 token, possibly

@@ -300,6 +300,15 @@ object CorpusQueries extends QueryModule {
       UnigramLM.nll(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // Interpolated bigram NLL (Jelinek-Mercer λ=0.5 over MLE bigrams +
+    // add-one unigrams): (prev, token) pairs built row-local by zipping
+    // the token array with its own shift — no positional self-join; two
+    // extra vocabulary-sized equi-joins over the unigram plan. Same
+    // nano-grid determinism ⇒ oracle-checked.
+    "q_bigram_nll" -> ((s, d) =>
+      UnigramLM.bigramNll(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // Mergeable Misra-Gries heavy hitters: per-source summaries
     // (precompute; O(capacity) state per group, map-side combined),
     // rolled up by heavy_hitters_merge WITHOUT re-scanning raw tokens —
@@ -784,6 +793,39 @@ object CorpusQueries extends QueryModule {
 
     // served layout must equal the in-plan filter form — same mirror
     "q_ivf_kmeans_served" -> ivfKmeansSql,
+
+    "q_bigram_nll" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_split_to_array(lower(text), '$wsSql') AS t
+         |  FROM documents),
+         |seq AS (SELECT doc_id, generate_subscripts(t, 1) AS i,
+         |               unnest(t) AS token FROM toks),
+         |wp AS (SELECT s.doc_id, s.token, p.token AS prev
+         |       FROM seq s LEFT JOIN seq p
+         |         ON p.doc_id = s.doc_id AND p.i = s.i - 1),
+         |counts AS (SELECT token, count(*) AS c FROM seq GROUP BY token),
+         |stats AS (SELECT sum(c) AS n, count(*) AS v FROM counts),
+         |bc AS (SELECT prev, token, count(*) AS cb FROM wp
+         |       WHERE prev IS NOT NULL GROUP BY 1, 2),
+         |hc AS (SELECT prev, sum(cb) AS ch FROM bc GROUP BY prev),
+         |scored AS (
+         |  SELECT w.doc_id,
+         |    CAST(round(-ln(
+         |      CASE WHEN w.prev IS NULL
+         |        THEN CAST(c + 1 AS DOUBLE) / CAST(n + v AS DOUBLE)
+         |        ELSE 0.5 * COALESCE(CAST(cb AS DOUBLE)
+         |                            / CAST(ch AS DOUBLE), 0.0)
+         |             + 0.5 * (CAST(c + 1 AS DOUBLE)
+         |                      / CAST(n + v AS DOUBLE)) END)
+         |      * 1000000000.0) AS BIGINT) AS nq
+         |  FROM wp w JOIN counts USING (token)
+         |  LEFT JOIN bc ON bc.prev = w.prev AND bc.token = w.token
+         |  LEFT JOIN hc ON hc.prev = w.prev
+         |  CROSS JOIN stats)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |       round(CAST(sum(nq) AS DOUBLE) / 1000000000.0
+         |             / CAST(count(*) AS DOUBLE), 6) AS nll
+         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_unigram_nll" ->
       s"""WITH toks AS (

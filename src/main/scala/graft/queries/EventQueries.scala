@@ -226,6 +226,26 @@ object EventQueries extends QueryModule {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // Time-based rolling aggregate: the RANGE frame (trailing 1 hour of
+    // EVENT TIME per user) — a different verb from every ROWS frame in
+    // this family: the frame bound is a value offset on the ordering
+    // column, so ties and gaps are handled by time, not row position.
+    // Exact cents in the sum; count rides the same frame.
+    "q_rolling_range" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"))
+        .rangeBetween(-3600000000L, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"),
+          graft.functions.Money.cents(col("value")).as("cents"))
+        .select(col("user_id"), col("event_id"), col("us"),
+          sum(col("cents")).over(w).as("hour_cents"),
+          count(lit(1)).over(w).as("hour_events"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // Last-touch attribution WITHOUT the self-join: q_asof_join answers
     // "latest click before each purchase" as a join of two derived
     // tables; this is the same logical ask as ONE window pass over ONE
@@ -484,6 +504,19 @@ object EventQueries extends QueryModule {
         |  round(percent_rank() OVER w, 6) AS pr
         |FROM ev
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q_rolling_range" ->
+      s"""WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    ${graft.functions.Money.centsSql("value")} AS cents
+        |  FROM events)
+        |SELECT user_id, event_id, us,
+        |  sum(cents) OVER w AS hour_cents,
+        |  count(*) OVER w AS hour_events
+        |FROM ev
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, event_id""".stripMargin,
 
     "q_attribution" ->

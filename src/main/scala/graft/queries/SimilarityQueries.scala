@@ -185,6 +185,19 @@ object SimilarityQueries extends QueryModule {
           col("canonical"))
         .orderBy(col("doc_id"))),
 
+    // The hot-shared-prefix stress case: every customer name starts
+    // "Customer#000..." so every prefix gram has df = n — the exact
+    // shape that melts naive q-gram blocking (one gram bucket = n² join
+    // rows). The df-ordered prefix filter keeps only each name's 2d+1
+    // RAREST gram instances — the distinguishing digit grams — so hot
+    // grams never enter the candidate join. Names are unique here, so
+    // this runs on raw rows (no dictionary needed) BY DESIGN: it proves
+    // the blocking, not the dedup discipline.
+    "q_fuzzy_customer" -> ((s, d) =>
+      FuzzyJoin.editDistancePairs(Tables.customer(s, d),
+          "c_custkey", "c_name", maxDist = 1)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // Jaro-Winkler scoring over the same dictionary — the record-linkage
     // scorer levenshtein can't express (prefix-weighted, transposition-
     // aware), as a native codegen'd expression. O(dict²) by documented
@@ -459,6 +472,13 @@ object SimilarityQueries extends QueryModule {
         |  levenshtein(a.p_name, b.p_name) AS dist, a.n AS n_a, b.n AS n_b
         |FROM names a JOIN names b ON a.id < b.id
         |WHERE levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_fuzzy_customer" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  levenshtein(a.c_name, b.c_name) AS dist
+        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_fuzzy_jw" ->

@@ -74,6 +74,26 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("randomized corpora: prefix filter == brute force for d in 1..3") {
+    // Deterministic ScalaCheck sampling (the PropertySpec convention):
+    // small alphabets force heavy gram collisions, duplicates, and
+    // boundary lengths — the regimes where a blocking bug would hide.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    val word = for {
+      n <- Gen.choose(0, 8)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString
+    for (seed <- 1L to 4L; d <- 1 to 3) {
+      val strs = sample(Gen.listOfN(60, word), seed * 31 + d)
+      val rows = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      val (got, want) = run(rows, d)
+      assert(got == want, s"seed=$seed d=$d: got ${got.size} want ${want.size}")
+    }
+  }
+
   test("d=1 on typo'd tokens") {
     val (got, want) = run(Seq(
       (1L, "widget"), (2L, "widgit"), (3L, "gadget"), (4L, "widgets"),

@@ -131,6 +131,14 @@ object EventStream {
   final case class UserEvent(user_id: Long, value: Double)
   final case class UserTotal(user_id: Long, n_events: Long, total_cents: Long)
 
+  /** Per-user attribution state: the last click seen, clicks so far,
+    * and the click count frozen at the previous purchase. */
+  final case class AttrState(last_click_us: Option[Long],
+      cum_clicks: Long, clicks_at_prev_purchase: Long)
+  /** One attributed purchase (q_attribution's row shape). */
+  final case class AttributedPurchase(user_id: Long, event_id: Long,
+      purchase_us: Long, last_click_us: Option[Long], touches: Long)
+
   final case class TransEvent(user_id: Long, event_type: String,
       ts_us: Long, event_id: Long)
   /** The one remembered event per user (the next seam's `prev`). */
@@ -196,6 +204,41 @@ object EventStream {
           val next = FunnelUser(uid, s, c, p)
           state.update(next)
           next
+      }
+  }
+
+  /** Streaming twin of `q_attribution`'s join-free window pass: per-user
+    * state is THREE numbers (last click, running click count, count
+    * frozen at the previous purchase) — O(users); each purchase emits
+    * its attribution row as it arrives. Same ordered-arrival exactness
+    * contract as [[funnelStages]]/[[transitionDeltas]]; within a batch
+    * events fold in (ts, event_id) order, the batch window's sort key. */
+  def attributedPurchases(events: DataFrame): Dataset[AttributedPurchase] = {
+    import events.sparkSession.implicits._
+    val typed = events
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      .as[TransEvent]
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[AttrState, AttributedPurchase](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[AttrState]) =>
+          var st = state.getOption.getOrElse(AttrState(None, 0L, 0L))
+          val out = Seq.newBuilder[AttributedPurchase]
+          rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            if (e.event_type == "click") {
+              st = st.copy(last_click_us = Some(e.ts_us),
+                cum_clicks = st.cum_clicks + 1)
+            } else {
+              out += AttributedPurchase(uid, e.event_id, e.ts_us,
+                st.last_click_us,
+                st.cum_clicks - st.clicks_at_prev_purchase)
+              st = st.copy(clicks_at_prev_purchase = st.cum_clicks)
+            }
+          }
+          state.update(st)
+          out.result().iterator
       }
   }
 

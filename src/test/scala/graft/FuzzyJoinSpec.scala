@@ -94,6 +94,38 @@ class FuzzyJoinSpec extends SparkSpec {
     }
   }
 
+  test("deletion-neighborhood join == brute force at d=1 (FastSS)") {
+    // real fixed-format names plus randomized corpora: the three d=1
+    // collision cases (identity, insertion, same-position substitution)
+    // and the near-miss hamming-2 non-collisions
+    val cust = Tables.customer(spark, sf001).select(
+      col("c_custkey").as("id"), col("c_name").as("s"))
+    val got = graft.operators.FuzzyJoin
+      .deletionNeighborhoodPairs(cust, "id", "s")
+      .orderBy("id_a", "id_b").as[(Long, Long, Long)].collect().toSeq
+    val want = graft.operators.FuzzyJoin.bruteForcePairs(cust, "id", "s", 1)
+      .orderBy("id_a", "id_b").as[(Long, Long, Long)].collect().toSeq
+    assert(got == want && got.nonEmpty)
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    val word = for {
+      n <- Gen.choose(0, 6)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b'))
+    } yield cs.mkString
+    for (seed <- 1L to 3L) {
+      val rows = sample(Gen.listOfN(50, word), seed)
+        .zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "s")
+      val g = graft.operators.FuzzyJoin
+        .deletionNeighborhoodPairs(rows, "id", "s")
+        .orderBy("id_a", "id_b").as[(Long, Long, Long)].collect().toSeq
+      val w = graft.operators.FuzzyJoin.bruteForcePairs(rows, "id", "s", 1)
+        .orderBy("id_a", "id_b").as[(Long, Long, Long)].collect().toSeq
+      assert(g == w, s"seed=$seed")
+    }
+  }
+
   test("d=1 on typo'd tokens") {
     val (got, want) = run(Seq(
       (1L, "widget"), (2L, "widgit"), (3L, "gadget"), (4L, "widgets"),

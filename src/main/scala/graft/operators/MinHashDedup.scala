@@ -52,8 +52,13 @@ object MinHashDedup {
     * Returns (id_a, id_b) with id_a < id_b, distinct. */
   def candidatePairs(df: DataFrame, idCol: String, bandsCol: String)
       : DataFrame = {
+    // Materialized once: the self-join references this frame twice, and
+    // the upstream signature aggregation (shingle explode + 32 min-aggs)
+    // would otherwise execute once per side (the SimHash/FuzzyJoin
+    // lesson). Bands-per-doc rows — signature-sized, not corpus-sized.
     val exploded = df.select(col(idCol),
         posexplode(col(bandsCol)).as(Seq("band_id", "band_key")))
+      .localCheckpoint()
     val a = exploded.select(col(idCol).as("id_a"),
       col("band_id"), col("band_key"))
     val b = exploded.select(col(idCol).as("id_b"),

@@ -227,6 +227,25 @@ object RelationalQueries extends QueryModule {
       s.sql(SharedGroupingSetsSql)
     }),
 
+    // FULL OUTER reconciliation — the one join type with no query id
+    // yet: daily order counts vs daily ship counts, days present on
+    // either side only surfacing with zeros. Aggregate-then-join: both
+    // sides shrink to day-cardinality BEFORE the join, so the full
+    // outer moves calendar-sized frames, never facts.
+    "q_full_outer" -> ((s, d) => {
+      val od = Tables.orders(s, d)
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n_orders"))
+      val sd = Tables.lineitem(s, d)
+        .groupBy(date_format(col("l_shipdate"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n_ships"))
+      od.join(sd, Seq("day"), "full_outer")
+        .select(col("day"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("n_ships"), lit(0L)).as("n_ships"))
+        .orderBy(col("day"))
+    }),
+
     // MERGE INTO semantics, Spark-native (operators/Upsert): update rows
     // win on key match, unmatched update rows insert, everything else
     // carries over — ONE left-anti join against the update keys (never a
@@ -668,6 +687,19 @@ object RelationalQueries extends QueryModule {
         |  SELECT 1 FROM lineitem l
         |  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 49)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_full_outer" ->
+      """WITH od AS (SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d')
+        |              AS day, CAST(count(*) AS BIGINT) AS n_orders
+        |            FROM orders GROUP BY 1),
+        |sd AS (SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d')
+        |         AS day, CAST(count(*) AS BIGINT) AS n_ships
+        |       FROM lineitem GROUP BY 1)
+        |SELECT COALESCE(od.day, sd.day) AS day,
+        |  COALESCE(n_orders, 0) AS n_orders,
+        |  COALESCE(n_ships, 0) AS n_ships
+        |FROM od FULL OUTER JOIN sd ON od.day = sd.day
+        |ORDER BY day""".stripMargin,
 
     "q_merge_upsert" ->
       """WITH heavy AS (SELECT o_custkey AS c_custkey FROM orders

@@ -93,10 +93,11 @@ class PlanSpec extends SparkSpec {
       "q_robust_outliers",
       // the degenerate short-string bucket (strings < q·d chars, where
       // no exact gram filter exists) plans its length-banded non-equi
-      // pairing as a nested loop — EMPTY on these corpora (min name
-      // length 7 / fixed 18) and loudly count-guarded in FuzzyJoin
-      // before it can run
-      "q_fuzzy_pairs", "q_fuzzy_groups", "q_fuzzy_customer",
+      // pairing as a nested loop — EMPTY on this corpus (min name length
+      // 7) and loudly count-guarded in FuzzyJoin before it can run.
+      // q_fuzzy_customer is deliberately NOT here: its deletion-
+      // neighborhood join is a pure equi-join and must stay one.
+      "q_fuzzy_pairs", "q_fuzzy_groups",
       // Jaro-Winkler is O(dict²) BY DOCUMENTED CONTRACT (no exact
       // blocking exists — transpositions see through gram scrambles);
       // the cross join runs over the vocabulary-sized dictionary under

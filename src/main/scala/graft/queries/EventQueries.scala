@@ -153,6 +153,39 @@ object EventQueries extends QueryModule {
             .as("n_purchase_after"))
     }),
 
+    // Bounded-conversion-window funnel (the product-analytics form of
+    // q_funnel): a click only converts within 30 days of the first
+    // signup, a purchase within 7 days of that click. Same one-Exchange
+    // chained-window shape; the bounds are exact micros arithmetic on
+    // the already-selected stage timestamps, so no extra shuffle and no
+    // calendar drift between engines.
+    "q_funnel_window" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+      val clickBudget = 30L * 86400L * 1000000L
+      val purchaseBudget = 7L * 86400L * 1000000L
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("s_us",
+          min(when(col("event_type") === "signup", col("us"))).over(w))
+        .withColumn("c_us",
+          min(when(col("event_type") === "click" &&
+            col("us") >= col("s_us") &&
+            col("us") <= col("s_us") + clickBudget, col("us"))).over(w))
+        .withColumn("p_us",
+          min(when(col("event_type") === "purchase" &&
+            col("us") >= col("c_us") &&
+            col("us") <= col("c_us") + purchaseBudget, col("us"))).over(w))
+        .agg(
+          count_distinct(when(col("s_us").isNotNull, col("user_id")))
+            .as("n_signup"),
+          count_distinct(when(col("c_us").isNotNull, col("user_id")))
+            .as("n_click_within"),
+          count_distinct(when(col("p_us").isNotNull, col("user_id")))
+            .as("n_purchase_within"))
+    }),
+
     // Weekly cohort retention: cohort = Monday of each user's first
     // event week; n_users = distinct users from that cohort active at
     // each whole-week offset. Both week boundaries are UTC Monday
@@ -452,6 +485,30 @@ object EventQueries extends QueryModule {
         |    AS n_signup,
         |  (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_click_after,
         |  (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchase_after""".stripMargin,
+
+    "q_funnel_window" ->
+      """WITH s AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS s_us
+        |  FROM events GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS c_us
+        |  FROM events e JOIN s ON e.user_id = s.user_id
+        |  WHERE e.event_type = 'click' AND s.s_us IS NOT NULL
+        |    AND epoch_us(e.ts) >= s.s_us
+        |    AND epoch_us(e.ts) <= s.s_us + 2592000000000
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= c.c_us
+        |    AND epoch_us(e.ts) <= c.c_us + 604800000000
+        |  GROUP BY e.user_id)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM s WHERE s_us IS NOT NULL)
+        |    AS n_signup,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_click_within,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchase_within""".stripMargin,
 
     "q_retention" ->
       """WITH cohort AS (

@@ -69,7 +69,12 @@ object ScaleBench {
     // but the distinct-name dictionary is vocabulary-sized by design —
     // the scale claim the dictionary rewrite exists to make true
     "q_pq_codes", "q_pq_topk", "q_ivfpq_topk", "q_pagerank",
-    "q_fuzzy_pairs", "q_fuzzy_groups")
+    "q_fuzzy_pairs", "q_fuzzy_groups",
+    // FastSS deletion join: keys and true pairs both grow ~×N (fresh
+    // Customer#... id ranges per copy — names stay unique and keep the
+    // fixed format), so expected ~linear — the contrast case to the
+    // flat dictionary queries above
+    "q_fuzzy_customer")
 
   def generate(spark: SparkSession, sfDir: String, outDir: String,
       scale: Int): (Long, Long) = {
@@ -133,6 +138,20 @@ object ScaleBench {
       pt.withColumn("p_partkey", col("p_partkey") + lit(k * maxPart))
     }.reduce(_.unionAll(_)).write.mode("overwrite")
       .parquet(s"$outDir/part.parquet")
+
+    // customer: copy k is a fresh key range with names REGENERATED from
+    // the shifted key in the reference format — names stay unique and
+    // fixed-format (the FastSS regime), and near-pairs arise within and
+    // across copies exactly like a real growing account base.
+    val cu = Tables.customer(spark, sfDir)
+    val maxCust = cu.agg(max(col("c_custkey"))).head().getLong(0) + 1
+    (0 until scale).map { k =>
+      val key = col("c_custkey") + lit(k * maxCust)
+      cu.withColumn("c_custkey", key)
+        .withColumn("c_name",
+          concat(lit("Customer#"), lpad(key.cast("string"), 9, "0")))
+    }.reduce(_.unionAll(_)).write.mode("overwrite")
+      .parquet(s"$outDir/customer.parquet")
 
     // lineitem: copy k shifts the order key space — per-flag value
     // counts and the per-order totals set both grow ×N, which is

@@ -183,12 +183,15 @@ object FuzzyJoin {
     val base = df.filter(col(strCol).isNotNull)
       .select(col(idCol).as("__id"), col(strCol).as("__s"),
         length(col(strCol)).as("__len"))
-    // i = 0 is the identity key; i in 1..L deletes character i
+    // i = 0 is the identity key; i in 1..L deletes character i.
+    // Materialized once — the self-join references it twice (the
+    // SimHash/gram-join lesson); (L+1)·n rows, key-sized.
     val keyed = base.select(col("__id"), col("__s"),
       explode(transform(sequence(lit(0), col("__len")), i =>
         when(i === 0, col("__s")).otherwise(concat(
           col("__s").substr(lit(1), i - 1),
           col("__s").substr(i + 1, col("__len") - i))))).as("__k"))
+      .localCheckpoint()
     keyed.select(col("__id").as("id_a"), col("__s").as("__sa"), col("__k"))
       .join(keyed.select(col("__id").as("id_b"), col("__s").as("__sb"),
         col("__k")), Seq("__k"))

@@ -42,6 +42,21 @@ object EventQueries extends QueryModule {
           get_json_object(col("props"), "$.k").cast("long").as("k"))
         .orderBy(col("event_id"))),
 
+    // The same extraction through Spark 4's VARIANT engine: parse_json
+    // builds the binary-encoded semi-structured value ONCE and
+    // variant_get navigates it natively — at scale this replaces
+    // re-parsing the JSON string per accessed field (the q_json_extract
+    // path re-tokenizes per get_json_object call). Same answers, newer
+    // engine path, both oracle-checked against the same SQL.
+    "q_variant_agg" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          variant_get(parse_json(col("props")), "$.k", "long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n"), sum(col("k")).as("sum_k"),
+          max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))),
+
     // Aggregate over an extracted JSON field, grouped by event type.
     "q_json_agg" -> ((s, d) =>
       Tables.events(s, d)
@@ -392,6 +407,13 @@ object EventQueries extends QueryModule {
         |  FROM events)
         |SELECT window_start, CAST(count(*) AS BIGINT) AS n
         |FROM x GROUP BY window_start ORDER BY window_start""".stripMargin,
+
+    "q_variant_agg" ->
+      """SELECT event_type,
+        |  CAST(count(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS n,
+        |  CAST(sum(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(max(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_json_extract" ->
       """SELECT event_id,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.util.SessionCache
 import graft.ml.AnnIndex
-import graft.operators.{DedupGroups, FuzzyJoin, MinHashDedup, PageRank, SimHash, Similarity, TokenOps}
+import graft.operators.{DedupGroups, FuzzyJoin, GraphMetrics, MinHashDedup, PageRank, SimHash, Similarity, TokenOps}
 
 /** Similarity search + near-duplicate detection (SURVEY.md §2.7, §7 step 7).
   *
@@ -172,6 +172,18 @@ object SimilarityQueries extends QueryModule {
       PageRank.ranks(Tables.documents(s, d).select(col("doc_id")),
           "doc_id", jaccardPairs(s, d), iters = 3)
         .select(col("id").as("doc_id"), col("pr_nano"))
+        .orderBy(col("doc_id"))),
+
+    // Duplicate-cluster cohesion QA: per-document triangle count and
+    // local clustering coefficient over the same near-dup graph — a
+    // clique-like component is one entity, a star-like one is a hub
+    // string chaining unrelated near-misses. Oriented-wedge join (edges
+    // already id_a < id_b), each triangle counted exactly once.
+    "q_triangle_stats" -> ((s, d) =>
+      GraphMetrics.triangleStats(
+          Tables.documents(s, d).select(col("doc_id")), "doc_id",
+          jaccardPairs(s, d))
+        .select(col("id").as("doc_id"), col("n_triangles"), col("coeff"))
         .orderBy(col("doc_id"))),
 
     // Centrality-based canonical selection: each duplicate component's
@@ -439,6 +451,29 @@ object SimilarityQueries extends QueryModule {
       s"""WITH $prGraphCtes,
          |${prIterCtes(3)}
          |SELECT id AS doc_id, pr AS pr_nano FROM pr3 ORDER BY doc_id""".stripMargin,
+
+    "q_triangle_stats" ->
+      s"""WITH $prGraphCtes,
+         |tri AS (SELECT x.id_a AS u, x.id_b AS v, y.id_b AS w
+         |        FROM jpairs x
+         |        JOIN jpairs y ON x.id_b = y.id_a
+         |        JOIN jpairs z ON z.id_a = x.id_a AND z.id_b = y.id_b),
+         |pern AS (SELECT id, count(*) AS t FROM (
+         |           SELECT u AS id FROM tri
+         |           UNION ALL SELECT v FROM tri
+         |           UNION ALL SELECT w FROM tri) GROUP BY id),
+         |udeg AS (SELECT id, count(*) AS deg FROM (
+         |           SELECT id_a AS id FROM jpairs
+         |           UNION ALL SELECT id_b FROM jpairs) GROUP BY id)
+         |SELECT n.id AS doc_id,
+         |  CAST(COALESCE(p.t, 0) AS BIGINT) AS n_triangles,
+         |  CASE WHEN COALESCE(d.deg, 0) < 2 THEN 0.0
+         |       ELSE round(2.0 * COALESCE(p.t, 0)
+         |                  / (d.deg * (d.deg - 1)), 6) END AS coeff
+         |FROM nodes n
+         |LEFT JOIN udeg d ON n.id = d.id
+         |LEFT JOIN pern p ON n.id = p.id
+         |ORDER BY doc_id""".stripMargin,
 
     "q_canonical_docs" ->
       s"""WITH RECURSIVE $prGraphCtes,

@@ -20,6 +20,39 @@ import org.apache.spark.sql.functions._
   */
 object GraphMetrics {
 
+  /** k-core membership by iterated peeling: drop every node whose degree
+    * among SURVIVORS falls below k, repeat. Runs a FIXED `rounds` count
+    * (not to-convergence) so the DuckDB mirror can unroll the identical
+    * rounds — a peel cascade longer than `rounds` would under-peel, so
+    * callers size rounds above the expected cascade depth (each round
+    * peels at least one node of any unstable chain; 10 covers any
+    * fixture-sized tail, and the spec asserts a fixpoint was reached).
+    * Each round is one degree count over survivor-filtered edges; the
+    * survivor set is checkpointed per round to keep plans flat (the
+    * iterative-algorithm discipline PageRank documents).
+    *
+    * Returns one row per input id: (id, in_core 0/1). */
+  def kCore(ids: DataFrame, idCol: String, pairs: DataFrame, k: Int,
+      rounds: Int = 10): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"need k>=1, rounds>=1; got $k/$rounds")
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    var alive = ids.select(col(idCol).as("id")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      alive = edges
+        .join(alive.select(col("id").as("src")), "src")
+        .join(alive.select(col("id").as("dst")), "dst")
+        .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("src").as("id"))
+        .localCheckpoint()
+    }
+    ids.select(col(idCol).as("id"))
+      .join(alive.withColumn("in_core", lit(1L)), Seq("id"), "left")
+      .select(col("id"), coalesce(col("in_core"), lit(0L)).as("in_core"))
+  }
+
   /** (id, n_triangles, coeff): triangles per node and local clustering
     * coefficient 2T/(deg·(deg−1)) rounded to 6dp (0.0 where deg < 2),
     * one row for EVERY id in `ids` (zero-filled). `pairs` holds

@@ -186,6 +186,17 @@ object SimilarityQueries extends QueryModule {
         .select(col("id").as("doc_id"), col("n_triangles"), col("coeff"))
         .orderBy(col("doc_id"))),
 
+    // Dense-core extraction: 2-core membership by 10 fixed peel rounds
+    // (nodes keeping >= 2 surviving neighbors) — strips the chains and
+    // pendants off dup components, leaving the clique-ish cores the
+    // cohesion stats above score. Fixed rounds so the mirror unrolls
+    // identically; KCoreSpec asserts the fixpoint landed.
+    "q_kcore" -> ((s, d) =>
+      GraphMetrics.kCore(Tables.documents(s, d).select(col("doc_id")),
+          "doc_id", jaccardPairs(s, d), k = 2)
+        .select(col("id").as("doc_id"), col("in_core"))
+        .orderBy(col("doc_id"))),
+
     // Centrality-based canonical selection: each duplicate component's
     // survivor is its highest-PageRank member (ties to lowest id) — the
     // principled replacement for min-id survivor choice, composing the
@@ -416,16 +427,16 @@ object SimilarityQueries extends QueryModule {
        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
        |          GROUP BY 1, 2),
-       |jpairs AS (SELECT id_a, id_b FROM inter
+       |jpairs AS MATERIALIZED (SELECT id_a, id_b FROM inter
        |           JOIN sizes sa ON sa.doc_id = id_a
        |           JOIN sizes sb ON sb.doc_id = id_b
        |           WHERE round(ni * 1.0 / (sa.n + sb.n - ni), 6) >= 0.5),
-       |nodes AS (SELECT doc_id AS id FROM documents),
+       |nodes AS MATERIALIZED (SELECT doc_id AS id FROM documents),
        |stats AS (SELECT count(*) AS n FROM nodes),
-       |edges AS (SELECT id_a AS src, id_b AS dst FROM jpairs
+       |edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM jpairs
        |          UNION ALL SELECT id_b, id_a FROM jpairs),
-       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
-       |pr0 AS (SELECT id, CAST(round(1000000000.0 / st.n) AS BIGINT) AS pr
+       |deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+       |pr0 AS MATERIALIZED (SELECT id, CAST(round(1000000000.0 / st.n) AS BIGINT) AS pr
        |        FROM nodes CROSS JOIN stats st)""".stripMargin
 
   /** Unrolled power-iteration rounds on the integer nano grid — the SQL
@@ -446,7 +457,34 @@ object SimilarityQueries extends QueryModule {
          |         LEFT JOIN ps$k s ON n2.id = s.id)""".stripMargin
     }.mkString(",\n")
 
+  /** Unrolled k-core peel rounds — the SQL twin of GraphMetrics.kCore's
+    * fixed-round loop. Needs [[prGraphCtes]]'s nodes + edges. Every
+    * round CTE is MATERIALIZED: DuckDB inlines plain CTEs, and each
+    * round references its predecessor TWICE (both join sides), so
+    * without the hint the expansion doubles per round — 2^rounds copies
+    * of the whole pair-derivation pipeline (found the hard way: the
+    * un-hinted oracle never finished). */
+  private def kcoreCtes(k: Int, rounds: Int): String = {
+    val rs = (1 to rounds).map { r =>
+      s"""kd$r AS MATERIALIZED (SELECT e.src AS id, count(*) AS c
+         |         FROM edges e JOIN ka${r - 1} x ON e.src = x.id
+         |         JOIN ka${r - 1} y ON e.dst = y.id GROUP BY e.src),
+         |ka$r AS MATERIALIZED (SELECT id FROM kd$r WHERE c >= $k)""".stripMargin
+    }.mkString(",\n")
+    s"""ka0 AS MATERIALIZED (SELECT id FROM nodes),
+       |$rs""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_kcore" ->
+      s"""WITH $prGraphCtes,
+         |${kcoreCtes(2, 10)}
+         |SELECT n.id AS doc_id,
+         |  CAST(CASE WHEN ka10.id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         |    AS in_core
+         |FROM nodes n LEFT JOIN ka10 ON n.id = ka10.id
+         |ORDER BY doc_id""".stripMargin,
+
     "q_pagerank" ->
       s"""WITH $prGraphCtes,
          |${prIterCtes(3)}

@@ -23,6 +23,23 @@ class GraphMetricsSpec extends SparkSpec {
       (6L, 0L, 0.0)))
   }
 
+  test("k-core peel cascades (a chain peels one node per round) and reaches a fixpoint") {
+    // triangle 0-1-2 with a pendant chain 2-3-4-5: the 2-core is exactly
+    // the triangle, but node 3 only drops AFTER 5 then 4 drop — a
+    // single-round degree filter would keep 3 and 4 wrongly.
+    val nodes = (0L to 5L).toDF("id")
+    val pairs = Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L), (3L, 4L),
+      (4L, 5L)).toDF("id_a", "id_b")
+    val got = GraphMetrics.kCore(nodes, "id", pairs, k = 2)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 1L), (1L, 1L), (2L, 1L), (3L, 0L), (4L, 0L),
+      (5L, 0L)))
+    // fixpoint: one more round changes nothing
+    val more = GraphMetrics.kCore(nodes, "id", pairs, k = 2, rounds = 11)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(more == got)
+  }
+
   test("each triangle counted exactly once (orientation, no distinct pass)") {
     // K4: 4 triangles, every node in 3 of them, deg 3 → coeff 1.0
     val nodes = (0L to 3L).toDF("id")

@@ -39,7 +39,15 @@ object GraphMetrics {
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint()
     var alive = ids.select(col(idCol).as("id")).localCheckpoint()
-    for (_ <- 1 to rounds) {
+    // Early exit at the fixpoint: once no node peels, every further
+    // round is the identity, so stopping gives BIT-IDENTICAL results to
+    // the mirror's full unroll while paying only cascade-depth rounds
+    // (the checkpoint already materialized the frame — the count is a
+    // cached-size read, not a job).
+    var n = alive.count()
+    var r = 0
+    var stable = false
+    while (r < rounds && !stable) {
       alive = edges
         .join(alive.select(col("id").as("src")), "src")
         .join(alive.select(col("id").as("dst")), "dst")
@@ -47,6 +55,10 @@ object GraphMetrics {
         .filter(col("deg") >= k)
         .select(col("src").as("id"))
         .localCheckpoint()
+      val n2 = alive.count()
+      stable = n2 == n
+      n = n2
+      r += 1
     }
     ids.select(col(idCol).as("id"))
       .join(alive.withColumn("in_core", lit(1L)), Seq("id"), "left")

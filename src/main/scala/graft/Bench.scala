@@ -80,6 +80,27 @@ object Bench {
       gateWaitedSec += 10
     }
 
+    // Untimed model warm: force each module's one-time memoized fit
+    // (k-means/PQ/BPE) BEFORE the first timed run. With the shuffled
+    // order, whichever model-cache-cold query ran first used to absorb
+    // the ~9 s Lloyd fit — a nondeterministic victim every round (r13's
+    // q_cluster_cap phantom 19x regression). Each warm's cost is still
+    // recorded (under its own name, in the "warm" key + stderr) so the
+    // one-time cost stays visible, just attributed honestly. Selected-
+    // query debug runs warm too: their numbers should match the suite's.
+    val warmTimings = SparkEntry.warmups.toSeq.sortBy(_._1).map {
+      case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] warm $name FAILED: ${e.getMessage}")
+            false
+          }
+        val sec = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] warm $name%-22s $sec%8.2f s")
+        (name, if (ok) sec else -sec)
+    }
+
     // Order de-bias: a FIXED (alphabetical) order lets whichever family
     // sorts first absorb any residual contention/warm-up every single
     // round — a systematic bias the min-of-n can't wash out. Shuffle
@@ -201,6 +222,10 @@ object Bench {
       val full = json(_.toString).dropRight(1) +
         s""","runs":$runsJson,"runs_shape":"[elapsed_sec,gc_delta_ms,load1,storage_free_mb]"""" +
         s""","agg":"min_of_$nRuns","apps":$appsJson""" +
+        // untimed one-time model fits, cost attributed by name (negative
+        // = the warm failed; its queries then pay the fit themselves)
+        warmTimings.map { case (k, v) => jstr(k) + ":" + v }
+          .mkString(""","warm":{""", ",", "}") +
         // heap size pins the record's environment: round 9 measured the
         // same code 20%+ apart suite-wide (and the app chain 3-4x) purely
         // from SPARK_DRIVER_MEM — cross-heap diffs are not comparable

@@ -63,4 +63,11 @@ object SparkEntry {
     * (reserved for RNG/hash/ML-dependent operators). */
   def oracleSql: Map[String, String] =
     modules.flatMap(_.oracle).toMap
+
+  /** One-time memoized model fits ([[graft.queries.QueryModule.warmups]]) —
+    * Bench forces these untimed before its first timed run so the fit
+    * cost is attributed explicitly instead of to a shuffled-order victim
+    * query. */
+  def warmups: Map[String, (SparkSession, String) => Unit] =
+    modules.flatMap(_.warmups).toMap
 }

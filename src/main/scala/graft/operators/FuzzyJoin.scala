@@ -52,16 +52,33 @@ import org.apache.spark.sql.functions._
   * multiplicity into every matching pair: the output itself goes
   * quadratic, no blocking can fix the result being large (measured 50 s
   * on 20k rows / 64 distinct names before the dictionary form; trivial
-  * after). Reference behavior: /root/reference/pipeline/clean.py
-  * (exact-match dedup) generalized to typo tolerance.
+  * after). Reference behavior: /root/reference/preprocessing.py:38,99-108
+  * (dropna + exact text cleaning) generalized to typo tolerance.
   */
 object FuzzyJoin {
 
-  // Sentinel pad chars (must not occur in the data; control chars are
-  // outside every text column here). Distinct L/R pads keep the first and
-  // last char's grams anchored to their end of the string.
+  // Sentinel pad chars. Distinct L/R pads keep the first and last char's
+  // grams anchored to their end of the string. A string ACTUALLY containing
+  // one would mis-anchor its grams and could silently drop true pairs, so
+  // editDistancePairs probes for them and fails loudly (guardSentinels)
+  // instead of trusting a comment.
   private val PadL = "\u0001"
   private val PadR = "\u0002"
+
+  /** Loud guard: fail fast if any input string contains a pad sentinel
+    * (which would corrupt the gram anchoring and silently violate the
+    * equal-to-brute-force contract). One limit(1) probe over the base
+    * frame — stops at the first offender. */
+  private def guardSentinels(base: DataFrame): Unit = {
+    val offender = base
+      .filter(col("__s").contains(PadL) || col("__s").contains(PadR))
+      .select(col("__id")).limit(1).collect()
+    require(offender.isEmpty,
+      s"editDistancePairs: input string (id=${offender.headOption.map(_.get(0)).orNull}) " +
+        "contains a reserved pad sentinel (U+0001/U+0002) - q-gram anchoring " +
+        "would be corrupted and true pairs silently dropped. Strip control " +
+        "chars from the key column first.")
+  }
 
   /** Padded q-gram instances of `strCol`: one row per (id, gram, pos). */
   private def gramRows(base: DataFrame, q: Int): DataFrame = {
@@ -86,6 +103,7 @@ object FuzzyJoin {
     val base = df.filter(col(strCol).isNotNull)
       .select(col(idCol).as("__id"), col(strCol).as("__s"),
         length(col(strCol)).as("__len"))
+    guardSentinels(base)
 
     // ---- degenerate bucket: both lengths < q·d can share zero grams ----
     val shortLen = q * maxDist - 1
@@ -160,43 +178,87 @@ object FuzzyJoin {
       .dropDuplicates("id_a", "id_b")
   }
 
-  /** FastSS / SymSpell deletion-neighborhood join for `maxDist = 1`
+  /** FastSS / SymSpell deletion-neighborhood join for `maxDist` in {1, 2}
     * (Bocek et al. "Fast Similarity Search in Large Dictionaries" 2007;
-    * the SymSpell spell-checker's index): every string emits L+1 keys —
-    * itself plus each single-character deletion — and any pair within
-    * edit distance 1 must collide on one of them (equal strings on the
-    * identity key; an insertion pair on the shorter string itself; a
-    * substitution pair on the same-position deletions). Collisions are
-    * nearly TRUE pairs (two strings at hamming distance 2 share no
-    * single-deletion key), so candidate volume ≈ result volume — unlike
-    * gram blocking, whose Σdf² saturates quadratically when keys share a
-    * fixed format over a small discriminating alphabet (the
-    * customer-name regime: measured 3.3M gram candidates vs ~0.4M
-    * deletion candidates for 262k true pairs at sf0.1).
+    * the SymSpell spell-checker's index): every string emits its
+    * <=maxDist-deletion neighborhood as keys — itself, each
+    * single-character deletion, and (for d=2) each unordered pair of
+    * deletions — and any pair within edit distance d must collide on one
+    * of them (FastSS: ed(a,b) <= d implies the <=d-deletion
+    * neighborhoods intersect). Collisions are then verified with the
+    * thresholded levenshtein, so the output is EXACT. At d=1 candidate
+    * volume ≈ result volume — unlike gram blocking, whose Σdf² saturates
+    * quadratically when keys share a fixed format over a small
+    * discriminating alphabet (the customer-name regime: measured 3.3M
+    * gram candidates vs ~0.4M deletion candidates for 262k true pairs at
+    * sf0.1).
     *
-    * Cost model: n·(L+1) generated keys, one equi-join on long-ish
-    * string keys, verification only on collisions. The d=1 restriction
-    * is intrinsic — the d-deletion generalization emits C(L,d) variants
-    * per row; use [[editDistancePairs]] for d >= 2. */
+    * Cost model: d=1 emits L+1 keys per string; d=2 emits
+    * 1 + L + L(L-1)/2 — QUADRATIC in string length. The d=2 blow-up is
+    * guarded loudly: the exact total key count is probed first and must
+    * stay under `maxKeyRows` (one sum-aggregate over lengths — no key
+    * generation happens before the guard passes). d >= 3 is refused by
+    * contract (L³ keys per string); route those through
+    * [[editDistancePairs]], whose prefix filter is constant per string.
+    *
+    * @param maxDist  1 or 2 (deletion-neighborhood depth)
+    * @param maxKeyRows loud guard on the generated key volume for d=2;
+    *   raise explicitly to opt in to a bigger index. */
   def deletionNeighborhoodPairs(df: DataFrame, idCol: String,
-      strCol: String): DataFrame = {
+      strCol: String, maxDist: Int = 1,
+      maxKeyRows: Long = 20000000L): DataFrame = {
+    require(maxDist == 1 || maxDist == 2,
+      s"deletionNeighborhoodPairs supports maxDist in {1, 2}, got $maxDist " +
+        "- the d-deletion neighborhood is C(L,d) keys per string " +
+        "(L^3 at d=3); use editDistancePairs for larger distances.")
     val base = df.filter(col(strCol).isNotNull)
       .select(col(idCol).as("__id"), col(strCol).as("__s"),
         length(col(strCol)).as("__len"))
+    if (maxDist == 2) {
+      // Exact key volume BEFORE generating anything: sum of per-row
+      // 1 + L + L(L-1)/2. One cheap aggregate over the length column.
+      val keyCount = base.agg(sum(
+        lit(1L) + col("__len").cast("long") +
+          col("__len").cast("long") * (col("__len").cast("long") - 1) / 2)
+        .as("n")).collect()(0).getAs[Any]("n") match {
+        case null      => 0L
+        case n: Long   => n
+        case n: Number => n.longValue()
+      }
+      require(keyCount <= maxKeyRows,
+        s"deletionNeighborhoodPairs(d=2) would generate $keyCount deletion " +
+          s"keys (> $maxKeyRows): the 2-deletion neighborhood is " +
+          "1 + L + L(L-1)/2 keys per string. Dedup to a key dictionary " +
+          "first, use editDistancePairs (constant keys per string), or " +
+          "pass maxKeyRows explicitly to opt in.")
+    }
     // i = 0 is the identity key; i in 1..L deletes character i.
+    val del1 = transform(sequence(lit(0), col("__len")), i =>
+      when(i === 0, col("__s")).otherwise(concat(
+        col("__s").substr(lit(1), i - 1),
+        col("__s").substr(i + 1, col("__len") - i))))
+    // Delete positions i < j (both 1-based). Guarded with when(len >= 2):
+    // Spark's sequence(1, 0) DESCENDS instead of being empty.
+    val del2 = when(col("__len") >= 2, flatten(
+      transform(sequence(lit(1), col("__len") - 1), i =>
+        transform(sequence(i + 1, col("__len")), j =>
+          concat(
+            col("__s").substr(lit(1), i - 1),
+            col("__s").substr(i + 1, j - i - 1),
+            col("__s").substr(j + 1, col("__len") - j))))))
+      .otherwise(array().cast("array<string>"))
+    val keys = if (maxDist == 1) del1 else concat(del1, del2)
     // Materialized once — the self-join references it twice (the
-    // SimHash/gram-join lesson); (L+1)·n rows, key-sized.
+    // SimHash/gram-join lesson); key-sized, guarded above for d=2.
     val keyed = base.select(col("__id"), col("__s"),
-      explode(transform(sequence(lit(0), col("__len")), i =>
-        when(i === 0, col("__s")).otherwise(concat(
-          col("__s").substr(lit(1), i - 1),
-          col("__s").substr(i + 1, col("__len") - i))))).as("__k"))
+        explode(keys).as("__k"))
       .localCheckpoint()
     keyed.select(col("__id").as("id_a"), col("__s").as("__sa"), col("__k"))
       .join(keyed.select(col("__id").as("id_b"), col("__s").as("__sb"),
         col("__k")), Seq("__k"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("dist", levenshtein(col("__sa"), col("__sb"), 1).cast("long"))
+      .withColumn("dist",
+        levenshtein(col("__sa"), col("__sb"), maxDist).cast("long"))
       .filter(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist"))
       .dropDuplicates("id_a", "id_b")

@@ -9,14 +9,21 @@ import org.apache.spark.sql.functions._
   * star-like one is a hub string chaining unrelated near-misses, the
   * thing an anchor-wins prune should NOT collapse).
   *
-  * Shape: the classic oriented-wedge join. Edges are kept oriented
-  * low-id → high-id (the input contract, `id_a < id_b`), so every
-  * triangle {u < v < w} is counted EXACTLY once as the wedge
-  * (u,v)+(v,w) closed by (u,w) — two equi-joins, no distinct pass, and
-  * the wedge count Σ deg(v)² is the only quadratic-ish term (the
-  * standard mitigation at extreme scale is orienting by DEGREE instead
-  * of id; id-orientation keeps the oracle mirror trivial and is
-  * documented as the contract here).
+  * Shape: the classic oriented-wedge join, in two orientations that
+  * produce the IDENTICAL triangle set (specced equal):
+  *
+  *  - [[triangleStats]] orients low-id → high-id (the input contract,
+  *    `id_a < id_b`): every triangle {u < v < w} is counted exactly once
+  *    as the wedge (u,v)+(v,w) closed by (u,w). Trivial to mirror in
+  *    SQL — it IS the oracle form — but the wedge count is Σ deg⁺(v)²
+  *    over id-order out-degrees, so a hub node with high id-order
+  *    out-degree owns a quadratic wedge set.
+  *  - [[triangleStatsByDegree]] orients by (degree, id) rank
+  *    (Ortmann/Brandes' standard degree ordering): each node's
+  *    out-degree is O(√m), so Σ outdeg² ≤ m·√m REGARDLESS of hubs —
+  *    the production path at scale. Same triangle set, because any
+  *    total order on nodes counts each triangle exactly once at its
+  *    order-minimum vertex.
   */
 object GraphMetrics {
 
@@ -60,6 +67,15 @@ object GraphMetrics {
       n = n2
       r += 1
     }
+    // Loud under-peel guard: a cascade deeper than `rounds` would return
+    // a superset of the true core with no signal (and the identically
+    // unrolled mirror could not catch it — both sides would be equally
+    // wrong). Fail instead, naming the fix.
+    require(stable,
+      s"kCore did not reach the peel fixpoint within $rounds rounds " +
+        s"($n nodes still alive, k=$k) — the cascade is deeper than the " +
+        "unrolled-mirror contract covers. Raise `rounds` (and unroll the " +
+        "mirror to match).")
     ids.select(col(idCol).as("id"))
       .join(alive.withColumn("in_core", lit(1L)), Seq("id"), "left")
       .select(col("id"), coalesce(col("in_core"), lit(0L)).as("in_core"))
@@ -83,6 +99,64 @@ object GraphMetrics {
     val deg = e.select(col("id_a").as("id"))
       .union(e.select(col("id_b").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    ids.select(col(idCol).as("id"))
+      .join(deg, Seq("id"), "left")
+      .join(perNode, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("t"), lit(0L)).as("n_triangles"),
+        when(coalesce(col("deg"), lit(0L)) < 2, lit(0.0))
+          .otherwise(round(
+            lit(2.0) * coalesce(col("t"), lit(0L)) /
+              (col("deg") * (col("deg") - 1)), 6))
+          .as("coeff"))
+  }
+
+  /** [[triangleStats]] with DEGREE-ordered edge orientation — the hub-safe
+    * production form. Orient every edge from its (deg, id)-smaller
+    * endpoint; wedges form only between a node's OUT-edges, and a node's
+    * out-degree under degree ordering is O(√m) (it can only point at
+    * nodes of equal-or-higher degree, and there are at most 2√m nodes of
+    * degree ≥ √m), so the wedge volume is bounded by m·√m even when one
+    * hub touches everything. Output and semantics identical to
+    * [[triangleStats]] — any total order counts each triangle exactly
+    * once at its order-minimum vertex — and GraphMetricsSpec proves the
+    * two orientations equal, including on a star graph where the id
+    * orientation's wedge set is quadratic. */
+  def triangleStatsByDegree(ids: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
+    val e = pairs.select(col("id_a"), col("id_b"))
+    val deg = e.select(col("id_a").as("id"))
+      .union(e.select(col("id_b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    // Orient src → dst with (deg, id) ascending; carry dst's degree so
+    // the wedge join can order its two spokes without re-joining deg.
+    // The degree side is vocabulary-of-nodes sized relative to edges and
+    // joins by equi-key; input contract id_a < id_b breaks (deg) ties.
+    val withDeg = e
+      .join(deg.select(col("id").as("id_a"), col("deg").as("da")), "id_a")
+      .join(deg.select(col("id").as("id_b"), col("deg").as("db")), "id_b")
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("id_a") < col("id_b"))
+    val oriented = withDeg.select(
+        when(aFirst, col("id_a")).otherwise(col("id_b")).as("src"),
+        when(aFirst, col("id_b")).otherwise(col("id_a")).as("dst"),
+        when(aFirst, col("db")).otherwise(col("da")).as("ddst"))
+      // The wedge join references this frame three times — materialize
+      // once (the SimHash/gram-join lesson).
+      .localCheckpoint()
+    // Wedge at u between out-edges (u→v), (u→w) with v before w in the
+    // (deg, id) order; triangle iff the oriented edge (v→w) exists.
+    val tri = oriented.select(col("src").as("u"), col("dst").as("v"),
+        col("ddst").as("dv"))
+      .join(oriented.select(col("src").as("u"), col("dst").as("w"),
+        col("ddst").as("dw")), "u")
+      .filter(col("dv") < col("dw") ||
+        (col("dv") === col("dw") && col("v") < col("w")))
+      .join(oriented.select(col("src").as("v"), col("dst").as("w")),
+        Seq("v", "w"))
+    val perNode = tri.select(explode(array(col("u"), col("v"), col("w")))
+        .as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("t"))
     ids.select(col(idCol).as("id"))
       .join(deg, Seq("id"), "left")
       .join(perNode, Seq("id"), "left")

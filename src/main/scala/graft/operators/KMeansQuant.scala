@@ -77,6 +77,7 @@ object KMeansQuant {
   def fit(emb: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int): Model = {
     require(k > 0 && iters >= 0, s"need k>0, iters>=0; got k=$k iters=$iters")
+    val tFit0 = System.nanoTime()
     val vq = quantize(col(vecCol))
     val init = emb.select(col(idCol), vq.as("vq"))
       .orderBy(col(idCol)).limit(k)
@@ -98,6 +99,12 @@ object KMeansQuant {
       }
       model = Model(next)
     }
+    // Fit cost is logged unconditionally: a fit that runs INSIDE a timed
+    // region must be attributable from the round log (the r13 bench
+    // record's 19x q_cluster_cap artifact was exactly an unlogged fit
+    // landing in a shuffled-order victim's timed run).
+    System.err.println(
+      f"[kmeans] fit k=$k iters=$iters took ${(System.nanoTime() - tFit0) / 1e9}%.2f s")
     model
   }
 

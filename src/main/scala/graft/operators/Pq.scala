@@ -85,12 +85,19 @@ object Pq {
       acc
     }
 
-  /** The quantized query vector (one bounded 1-row collect). */
+  /** The quantized query vector (one bounded 1-row collect). Loud on a
+    * missing id — every PQ serving entry point routes through here, and
+    * an opaque NoSuchElementException from head() would not name the
+    * query. */
   private def queryQuant(emb: DataFrame, idCol: String, vecCol: String,
       queryId: Long): Array[Long] = {
-    val q = emb.filter(col(idCol) === queryId)
-      .select(col(vecCol).cast("array<double>")).head().getSeq[Double](0)
-    KMeansQuant.quantizeVec(q)
+    val row = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol).cast("array<double>")).limit(1).collect()
+      .headOption
+    require(row.isDefined,
+      s"PQ query id $queryId not found in column '$idCol' of the " +
+        "embeddings frame — nothing to serve.")
+    KMeansQuant.quantizeVec(row.get.getSeq[Double](0))
   }
 
   /** Row-local ADC distance column: Σ_s dtab[s][code_s], the m·k table

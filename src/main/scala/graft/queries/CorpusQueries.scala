@@ -66,6 +66,17 @@ object CorpusQueries extends QueryModule {
       Bpe.train(Tables.documents(s, d), "text", MERGES)._1
     }
 
+  /** The module's one-time fits, exposed for Bench's untimed warm phase
+    * (each forces the corresponding SessionCache entry; see
+    * [[QueryModule.warmups]]). The IVF served layout and the curated
+    * checkpoint are NOT here — their builds are carried by explicit
+    * query ids / are part of the measured query by contract. */
+  override val warmups: Map[String, (org.apache.spark.sql.SparkSession, String) => Unit] = Map(
+    "kmeans_model" -> ((s, d) => { model(s, d); () }),
+    "pq_model" -> ((s, d) => { pqModel(s, d); () }),
+    "bpe_merges" -> ((s, d) => { merges(s, d); () })
+  )
+
   val queries: Map[String, Q] = Map(
     // Deterministic Lloyd's on the 1e-6 integer grid: min-id init, 2
     // assign→update rounds, final row-local assignment vs broadcast

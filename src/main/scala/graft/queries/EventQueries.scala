@@ -591,7 +591,7 @@ object EventQueries extends QueryModule {
         |    ${graft.functions.Money.centsSql("value")} AS cents
         |  FROM events)
         |SELECT user_id, event_id, us,
-        |  sum(cents) OVER w AS hour_cents,
+        |  CAST(sum(cents) OVER w AS BIGINT) AS hour_cents,
         |  count(*) OVER w AS hour_events
         |FROM ev
         |WINDOW w AS (PARTITION BY user_id ORDER BY us

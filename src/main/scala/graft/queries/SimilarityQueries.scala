@@ -177,10 +177,13 @@ object SimilarityQueries extends QueryModule {
     // Duplicate-cluster cohesion QA: per-document triangle count and
     // local clustering coefficient over the same near-dup graph — a
     // clique-like component is one entity, a star-like one is a hub
-    // string chaining unrelated near-misses. Oriented-wedge join (edges
-    // already id_a < id_b), each triangle counted exactly once.
+    // string chaining unrelated near-misses. Production path is the
+    // DEGREE-oriented wedge join (hub-safe: Σ outdeg² ≤ m·√m); the
+    // mirror stays the trivially-SQL id orientation — same triangle
+    // set by the total-order argument, so the oracle hash proves the
+    // orientation invariance every round on real data.
     "q_triangle_stats" -> ((s, d) =>
-      GraphMetrics.triangleStats(
+      GraphMetrics.triangleStatsByDegree(
           Tables.documents(s, d).select(col("doc_id")), "doc_id",
           jaccardPairs(s, d))
         .select(col("id").as("doc_id"), col("n_triangles"), col("coeff"))
@@ -190,7 +193,9 @@ object SimilarityQueries extends QueryModule {
     // (nodes keeping >= 2 surviving neighbors) — strips the chains and
     // pendants off dup components, leaving the clique-ish cores the
     // cohesion stats above score. Fixed rounds so the mirror unrolls
-    // identically; KCoreSpec asserts the fixpoint landed.
+    // identically; the engine now REQUIRES the fixpoint inside the
+    // round budget (loud under-peel guard) rather than only asserting
+    // it in KCoreSpec.
     "q_kcore" -> ((s, d) =>
       GraphMetrics.kCore(Tables.documents(s, d).select(col("doc_id")),
           "doc_id", jaccardPairs(s, d), k = 2)

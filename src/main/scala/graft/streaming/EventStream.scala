@@ -284,6 +284,80 @@ object EventStream {
       }
   }
 
+  final case class RollEvent(user_id: Long, event_id: Long, ts_us: Long,
+      cents: Long)
+  /** Per-user trailing-window buffer: (ts_us, cents) of events still
+    * inside the RANGE frame of the newest event seen. */
+  final case class RollState(buf: Seq[(Long, Long)])
+  final case class RollingRow(user_id: Long, event_id: Long, us: Long,
+      hour_cents: Long, hour_events: Long)
+
+  /** Streaming twin of `q_rolling_range`'s RANGE time-frame window
+    * (trailing `windowUs` of EVENT TIME per user): per-user state is the
+    * (ts, cents) pairs still inside the trailing window of the newest
+    * event — bounded by the user's events-per-window, NOT the history
+    * (the watermark-shaped analogue of the batch frame; a RANGE frame is
+    * exactly a self-eviction rule). Each arriving event evicts expired
+    * entries, joins the buffer, and emits its frame aggregate.
+    *
+    * Exactness contract (the [[funnelStages]] family's): equals the
+    * batch RANGE window when each user's events arrive in event-time
+    * order across micro-batches; within one micro-batch events fold in
+    * (ts, event_id) order. RANGE frames include equal-ts PEERS in both
+    * directions, so equal-ts events are folded as one run — every event
+    * of the run emits the run's closing aggregate, matching the batch
+    * peer semantics — which makes the twin exact as long as equal-ts
+    * peers of one user land in the SAME micro-batch (split-run peers
+    * would under-count the earlier batch's rows; the batch form over
+    * closed history is the recourse, same as every twin here). */
+  def rollingRange(events: DataFrame,
+      windowUs: Long = 3600000000L): Dataset[RollingRow] = {
+    import events.sparkSession.implicits._
+    require(windowUs > 0, s"windowUs must be positive, got $windowUs")
+    val typed = events
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        graft.functions.Money.cents(col("value")).as("cents"))
+      .as[RollEvent]
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[RollState, RollingRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[RollState]) =>
+          var buf = state.getOption.map(_.buf.toList).getOrElse(Nil)
+          val out = Seq.newBuilder[RollingRow]
+          // fold runs of equal ts together: RANGE includes equal-ts
+          // peers, so every event of a run shares the run's aggregate
+          rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
+            .foldLeft(List.empty[RollEvent]) { (run, e) =>
+              if (run.nonEmpty && run.head.ts_us != e.ts_us) {
+                buf = flushRun(run, buf, windowUs, out); List(e)
+              } else e :: run
+            } match {
+              case Nil => ()
+              case run => buf = flushRun(run, buf, windowUs, out)
+            }
+          state.update(RollState(buf))
+          out.result().iterator
+      }
+  }
+
+  /** Close one equal-ts run: evict entries older than the frame start,
+    * admit the run, emit each run event with the shared frame aggregate.
+    * Returns the updated buffer (ascending ts). */
+  private def flushRun(run: List[RollEvent], buf0: List[(Long, Long)],
+      windowUs: Long, out: scala.collection.mutable.Builder[RollingRow, Seq[RollingRow]])
+      : List[(Long, Long)] = {
+    val t = run.head.ts_us
+    val buf = buf0.dropWhile(_._1 < t - windowUs) ++
+      run.reverseIterator.map(e => (e.ts_us, e.cents))
+    val cents = buf.iterator.map(_._2).sum
+    val n = buf.size.toLong
+    run.reverseIterator.foreach { e =>
+      out += RollingRow(e.user_id, e.event_id, t, cents, n)
+    }
+    buf
+  }
+
   /** Custom stateful op: running per-user totals via mapGroupsWithState
     * (exact cents in state, like the batch runningTotal). State here is
     * O(distinct users); for unbounded key spaces switch to

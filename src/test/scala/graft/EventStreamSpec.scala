@@ -187,6 +187,65 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming rolling RANGE window == batch q_rolling_range across micro-batches") {
+    // The cross-batch hazard: an event near the seam whose trailing-hour
+    // frame reaches back into batch A — a stateless per-batch window
+    // would under-count exactly those frames. The fixture's same-user
+    // events are mostly > 1 h apart, so a blind median split can land
+    // where no frame spans it (it did); derive the split from the MEDIAN
+    // within-hour same-user pair instead, so by construction some
+    // batch-B frame must reach into batch A. Splitting between two
+    // distinct timestamps also keeps equal-ts peers together (the twin's
+    // documented contract).
+    val ev = Tables.events(spark, sf001)
+    val usAll = ev.select($"user_id", unix_micros($"ts").as("us"))
+    val mid = usAll.as("a").join(usAll.as("b"),
+        $"a.user_id" === $"b.user_id" && $"b.us" > $"a.us" &&
+          $"b.us" - $"a.us" <= 3600000000L)
+      .select((($"a.us" + $"b.us") / 2).cast("long").as("split"))
+      .orderBy($"split").collect().map(_.getLong(0)) match {
+        // the MIDDLE pair's own midpoint (an interpolated percentile of
+        // midpoints might straddle no actual pair)
+        case splits => splits(splits.length / 2).toDouble
+      }
+    val dir = java.nio.file.Files.createTempDirectory("graft-roll")
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-roll-w")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part), dir.resolve(name))
+    }
+    stage(ev.filter(unix_micros($"ts") <= mid), "a.parquet")
+    val q = EventStream.rollingRange(EventStream.read(spark, dir.toString))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("roll_out").start()
+    try {
+      q.processAllAvailable()
+      stage(ev.filter(unix_micros($"ts") > mid), "b.parquet")
+      q.processAllAvailable()
+      val streamed = spark.table("roll_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      val batch = graft.queries.EventQueries
+        .queries("q_rolling_range")(spark, sf001)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+      // seam coverage: some batch-B event's frame must reach back into
+      // batch A (otherwise this test proves nothing about cross-batch
+      // state) — i.e. a same-user event pair within the hour straddling
+      // the median
+      val us = ev.select($"user_id", unix_micros($"ts").as("us"))
+      val spanning = us.as("a").join(us.as("b"),
+          $"a.user_id" === $"b.user_id" && $"a.us" <= mid &&
+            $"b.us" > mid && $"b.us" - $"a.us" <= 3600000000L)
+        .limit(1).count()
+      assert(spanning > 0, "fixture has no frame spanning the seam")
+    } finally q.stop()
+  }
+
   test("streaming attribution == batch q_attribution across micro-batches") {
     // The cross-batch hazards are different from the transition twin's:
     // a click in batch A attributing a purchase in batch B needs the

@@ -126,6 +126,63 @@ class FuzzyJoinSpec extends SparkSpec {
     }
   }
 
+  test("deletion-neighborhood join == brute force at d=2 (FastSS d=2)") {
+    // real names at d=2 plus randomized small-alphabet corpora — the
+    // regimes where the 2-deletion intersection argument must hold for
+    // substitution+substitution, insert+delete, and mixed edits.
+    val part = Tables.part(spark, sf001).select(
+      col("p_partkey").as("id"), col("p_name").as("s"))
+    val got = FuzzyJoin.deletionNeighborhoodPairs(part, "id", "s", maxDist = 2)
+      .orderBy("id_a", "id_b").as[(Long, Long, Long)].collect().toSeq
+    val want = FuzzyJoin.bruteForcePairs(part, "id", "s", 2)
+      .orderBy("id_a", "id_b").as[(Long, Long, Long)].collect().toSeq
+    assert(got == want && got.nonEmpty)
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    val word = for {
+      n <- Gen.choose(0, 6)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b'))
+    } yield cs.mkString
+    for (seed <- 1L to 3L) {
+      val rows = sample(Gen.listOfN(50, word), seed)
+        .zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "s")
+      val g = FuzzyJoin.deletionNeighborhoodPairs(rows, "id", "s", maxDist = 2)
+        .orderBy("id_a", "id_b").as[(Long, Long, Long)].collect().toSeq
+      val w = FuzzyJoin.bruteForcePairs(rows, "id", "s", 2)
+        .orderBy("id_a", "id_b").as[(Long, Long, Long)].collect().toSeq
+      assert(g == w, s"seed=$seed")
+    }
+  }
+
+  test("FastSS d=2 key-volume guard trips loudly; d=3 refused by contract") {
+    val rows = (0L until 100L)
+      .map(i => (i, "abcdefghijklmnopqrst" + i)).toDF("id", "s")
+    // 100 strings of length ~22 → ~25k keys; a 1k budget must trip.
+    val e = intercept[IllegalArgumentException] {
+      FuzzyJoin.deletionNeighborhoodPairs(rows, "id", "s", maxDist = 2,
+        maxKeyRows = 1000L).count()
+    }
+    assert(e.getMessage.contains("deletion keys"))
+    val e3 = intercept[IllegalArgumentException] {
+      FuzzyJoin.deletionNeighborhoodPairs(rows, "id", "s", maxDist = 3).count()
+    }
+    assert(e3.getMessage.contains("editDistancePairs"))
+  }
+
+  test("pad-sentinel-bearing input fails fast instead of dropping pairs") {
+    val rows = Seq((1L, "widget"), (2L, "wid\u0001get"), (3L, "gadget"))
+      .toDF("id", "s")
+    val e = intercept[IllegalArgumentException] {
+      FuzzyJoin.editDistancePairs(rows, "id", "s", 1).count()
+    }
+    assert(e.getMessage.contains("sentinel"))
+    // clean input still runs (the guard is a probe, not a result tax)
+    val clean = Seq((1L, "widget"), (2L, "widgit")).toDF("id", "s")
+    assert(FuzzyJoin.editDistancePairs(clean, "id", "s", 1).count() == 1L)
+  }
+
   test("d=1 on typo'd tokens") {
     val (got, want) = run(Seq(
       (1L, "widget"), (2L, "widgit"), (3L, "gadget"), (4L, "widgets"),

@@ -49,4 +49,56 @@ class GraphMetricsSpec extends SparkSpec {
       .orderBy("id").as[(Long, Long, Double)].collect().toSeq
     assert(got.forall { case (_, t, c) => t == 3L && c == 1.0 })
   }
+
+  test("under-sized rounds fail loudly instead of silently under-peeling") {
+    // the chain fixture needs 3 peel rounds + 1 confirming round; a
+    // 3-round budget cannot CONFIRM the fixpoint and must throw (the
+    // identically-unrolled mirror would have been equally wrong — the
+    // one failure class the oracle can't catch)
+    val nodes = (0L to 5L).toDF("id")
+    val pairs = Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L), (3L, 4L),
+      (4L, 5L)).toDF("id_a", "id_b")
+    val e = intercept[IllegalArgumentException] {
+      GraphMetrics.kCore(nodes, "id", pairs, k = 2, rounds = 3).count()
+    }
+    assert(e.getMessage.contains("fixpoint"))
+    // one more round confirms and succeeds
+    val got = GraphMetrics.kCore(nodes, "id", pairs, k = 2, rounds = 4)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(got.map(_._2) == Seq(1L, 1L, 1L, 0L, 0L, 0L))
+  }
+
+  test("degree orientation == id orientation (same triangle set), hub-safe") {
+    // Star K1,50 + one triangle hanging off the hub: id orientation gives
+    // the hub (id 0) a quadratic out-wedge set; degree orientation points
+    // every spoke edge AT the hub (spokes have deg 1 < hub) so the hub's
+    // out-degree is ~2. Results must be identical.
+    val nodes = (0L to 51L).toDF("id")
+    val star = (1L to 50L).map(i => (0L, i))
+    val pairs = (star ++ Seq((1L, 51L), (0L, 51L))).toDF("id_a", "id_b")
+    val byId = GraphMetrics.triangleStats(nodes, "id", pairs)
+      .orderBy("id").as[(Long, Long, Double)].collect().toSeq
+    val byDeg = GraphMetrics.triangleStatsByDegree(nodes, "id", pairs)
+      .orderBy("id").as[(Long, Long, Double)].collect().toSeq
+    assert(byDeg == byId)
+    assert(byId.head._2 == 1L) // hub is in exactly the one triangle
+    // randomized graphs: any total order counts each triangle once
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    val edge = for {
+      a <- Gen.choose(0L, 19L); b <- Gen.choose(0L, 19L) if a != b
+    } yield (math.min(a, b), math.max(a, b))
+    for (seed <- 1L to 3L) {
+      val es = sample(Gen.listOfN(60, edge), seed).distinct
+      val n = (0L to 19L).toDF("id")
+      val p = es.toDF("id_a", "id_b")
+      val a = GraphMetrics.triangleStats(n, "id", p)
+        .orderBy("id").as[(Long, Long, Double)].collect().toSeq
+      val b = GraphMetrics.triangleStatsByDegree(n, "id", p)
+        .orderBy("id").as[(Long, Long, Double)].collect().toSeq
+      assert(a == b, s"seed=$seed")
+    }
+  }
 }

@@ -91,6 +91,13 @@ class PqSpec extends SparkSpec {
     assert(e.getMessage.contains("subspaces"))
   }
 
+  test("a missing query id fails loudly, naming the id") {
+    val e = intercept[IllegalArgumentException] {
+      Pq.adcTopK(emb, "vec_id", "embedding", pm, queryId = -12345L, 10).count()
+    }
+    assert(e.getMessage.contains("-12345"))
+  }
+
   test("subspace codebooks equal KMeansQuant.fit on the sliced projection") {
     // fit() must be exactly the composition it claims — no drift between
     // the PQ path and the oracle's per-subspace unrolled mirror.

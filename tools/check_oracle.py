@@ -41,9 +41,14 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns {gcols} vs {ecols}"); n_fail += 1; continue
         gtypes = dict(zip(got.columns, [str(t) for t in got.types]))
         etypes = dict(zip(exp.columns, [str(t) for t in exp.types]))
-        type_note = ""
+        # The driver's hash is TYPE-SENSITIVE: a value-identical result with a
+        # differing column type (e.g. DuckDB sum(BIGINT) -> HUGEINT vs Spark
+        # BIGINT) hash-mismatches. A type diff here is therefore a FAIL, not a
+        # note — the r13 q_rolling_range escape must stay impossible.
         if {c: gtypes[c] for c in gcols} != {c: etypes[c] for c in ecols}:
-            type_note = f"  [TYPE DIFF: spark={gtypes} duckdb={etypes}]"
+            diff = {c: (gtypes[c], etypes[c]) for c in gcols if gtypes[c] != etypes[c]}
+            print(f"FAIL {name}: type diff (spark, duckdb) = {diff}"); n_fail += 1; continue
+        type_note = ""
         grows = got.select(*gcols).fetchall()
         erows = exp.select(*ecols).fetchall()
         if len(grows) != len(erows):

@@ -52,6 +52,11 @@ object ScaleBench {
     // under the rotation — the realistic case); BPE encode is a
     // row-local fold chain (run 1 carries the memoized merge training)
     "q_kmeans_assign", "q_unigram_nll", "q_bpe_encode",
+    // span-level dedup (round 14): wordcount-shaped gram shuffle — the
+    // alphabet rotation keeps cross-copy grams distinct, so dup
+    // structure grows ~N× (within copies) and the gram vocabulary ~N×;
+    // expected ~linear
+    "q_span_dedup",
     // analytics family (round 13, judge r12 #3): the event-window shapes
     // grow by USERS (copy k = a fresh user cohort in the same time
     // range — per-user window work constant, user count ×N ⇒ expected

@@ -342,8 +342,30 @@ object TokenQueries extends QueryModule {
     "q_lang_id" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"), col("lang"),
         LangId.detectText(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))),
+
+    // Substring-level dedup (Lee et al. ACL'22 ExactSubstr, k-gram
+    // form): per-doc duplicated-span profile + retention cut. k=5
+    // separates incidental shared spans (1-4% of a doc here) from
+    // near-full duplicates (94-100%); tau=0.5 keeps the former. One
+    // wordcount-shaped shuffle on the gram + reduced-row ownership
+    // window — no self-join (SpanDedup scaladoc has the 100 TB shape).
+    "q_span_dedup" -> ((s, d) =>
+      graft.operators.SpanDedup.stats(Tables.documents(s, d),
+          "doc_id", "text", k = SpanK, tau = SpanTau)
+        .orderBy(col("doc_id"))),
+
+    // The trim itself: duplicated spans removed token-wise (coverage of
+    // any dup window), canonical copies untouched — output text is
+    // hash-compared against the mirror's list-lambda reconstruction.
+    "q_span_trim" -> ((s, d) =>
+      graft.operators.SpanDedup.trimDupSpans(Tables.documents(s, d),
+          "doc_id", "text", k = SpanK)
         .orderBy(col("doc_id")))
   )
+
+  private val SpanK = 5
+  private val SpanTau = 0.5
 
   private val stopSql = TokenOps.sqlList(stop)
   // The SAME whitespace-run pattern TokenOps.tokenize compiles (explicit
@@ -355,6 +377,22 @@ object TokenQueries extends QueryModule {
   // uppercase or irregular spacing.
   private val toksSql =
     s"SELECT doc_id, unnest(regexp_split_to_array(lower(text), '$wsSql')) AS token FROM documents"
+
+  /** Shared CTE prefix for the span-dedup mirrors: tokenized docs (t)
+    * and the 1-based k-token sliding grams (g2), textually mirroring
+    * SpanDedup.spanGrams (range's exclusive end is empty when the doc
+    * is shorter than k — the same guard as the engine's when(size>=k)). */
+  private val spanGramsSql =
+    s"""t AS (SELECT doc_id,
+       |    regexp_split_to_array(lower(text), '$wsSql') AS toks
+       |  FROM documents),
+       |g AS (SELECT doc_id,
+       |    unnest(range(1, greatest(len(toks) - $SpanK + 2, 1))) AS pos,
+       |    toks
+       |  FROM t),
+       |g2 AS (SELECT doc_id, pos,
+       |    array_to_string(toks[pos : pos + $SpanK - 1], ' ') AS gram
+       |  FROM g)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_token_explode" ->
@@ -478,6 +516,58 @@ object TokenQueries extends QueryModule {
          |SELECT doc_id, lang,
          |  CASE WHEN b.s > 0 THEN b.lang ELSE 'und' END AS lang_pred
          |FROM best ORDER BY doc_id""".stripMargin
+    },
+
+    "q_span_dedup" -> {
+      val k = SpanK
+      s"""WITH $spanGramsSql,
+         |pg AS (SELECT gram, doc_id, count(*) AS n FROM g2 GROUP BY 1, 2),
+         |own AS (SELECT doc_id, n,
+         |    min(doc_id) OVER (PARTITION BY gram) AS owner
+         |  FROM pg),
+         |per AS (SELECT doc_id, sum(n) AS ns,
+         |    sum(CASE WHEN owner < doc_id THEN n ELSE 0 END) AS nd
+         |  FROM own GROUP BY 1),
+         |base AS (SELECT d.doc_id,
+         |    CAST(COALESCE(per.ns, 0) AS BIGINT) AS n_spans,
+         |    CAST(COALESCE(per.nd, 0) AS BIGINT) AS n_dup_spans
+         |  FROM (SELECT doc_id FROM documents) d
+         |  LEFT JOIN per USING (doc_id)),
+         |r AS (SELECT doc_id, n_spans, n_dup_spans,
+         |    CASE WHEN n_spans = 0 THEN 0.0
+         |      ELSE round(CAST(n_dup_spans AS DOUBLE) / n_spans, 6)
+         |    END AS dup_ratio
+         |  FROM base)
+         |SELECT doc_id, n_spans, n_dup_spans, dup_ratio,
+         |  CAST(CASE WHEN dup_ratio <= $SpanTau THEN 1 ELSE 0 END
+         |    AS BIGINT) AS keep
+         |FROM r ORDER BY doc_id""".stripMargin
+    },
+
+    "q_span_trim" -> {
+      val k = SpanK
+      s"""WITH $spanGramsSql,
+         |o AS (SELECT gram, min(doc_id) AS owner FROM g2 GROUP BY 1),
+         |dp AS (SELECT g2.doc_id, g2.pos FROM g2
+         |  JOIN o USING (gram) WHERE o.owner < g2.doc_id),
+         |dl AS (SELECT doc_id, list_sort(list(pos)) AS dups
+         |  FROM dp GROUP BY 1),
+         |tr AS (SELECT t.doc_id, t.toks,
+         |    COALESCE(dl.dups, []) AS dups
+         |  FROM t LEFT JOIN dl USING (doc_id)),
+         |kk AS (SELECT doc_id,
+         |    list_transform(
+         |      list_filter(range(1, len(toks) + 1), tt ->
+         |        len(list_filter(dups, p ->
+         |          p >= tt - ${k - 1} AND p <= tt)) = 0),
+         |      tt -> toks[tt]) AS kept,
+         |    len(toks) AS total
+         |  FROM tr)
+         |SELECT doc_id,
+         |  COALESCE(array_to_string(kept, ' '), '') AS text,
+         |  CAST(len(kept) AS BIGINT) AS n_tokens_kept,
+         |  CAST(total - len(kept) AS BIGINT) AS n_tokens_dropped
+         |FROM kk ORDER BY doc_id""".stripMargin
     },
 
     "q_repetition" -> {

@@ -68,6 +68,34 @@ class GraphMetricsSpec extends SparkSpec {
     assert(got.map(_._2) == Seq(1L, 1L, 1L, 0L, 0L, 0L))
   }
 
+  test("k-core driver path == distributed path (KCorePathSpec contract)") {
+    // maxDriverEdges=0 forces the distributed loop; default takes the
+    // driver peel — both must produce the identical membership on the
+    // chain fixture and on randomized graphs (isolated nodes included:
+    // the two paths initialize alive differently but share the fixpoint)
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    val edge = for {
+      a <- Gen.choose(0L, 24L); b <- Gen.choose(0L, 24L) if a != b
+    } yield (math.min(a, b), math.max(a, b))
+    for (seed <- 1L to 3L; k <- Seq(2, 3)) {
+      val es = sample(Gen.listOfN(50, edge), seed * 7 + k).distinct
+      val n = (0L to 30L).toDF("id") // ids 25..30 isolated
+      val p = es.toDF("id_a", "id_b")
+      // rounds >= node count: a random sparse graph's cascade can be
+      // deeper than the default-10 budget (both paths would throw the
+      // same under-peel guard; here we compare the converged answers)
+      val local = GraphMetrics.kCore(n, "id", p, k, rounds = 31)
+        .orderBy("id").as[(Long, Long)].collect().toSeq
+      val dist = GraphMetrics.kCore(n, "id", p, k, rounds = 31,
+          maxDriverEdges = 0L)
+        .orderBy("id").as[(Long, Long)].collect().toSeq
+      assert(local == dist, s"seed=$seed k=$k")
+    }
+  }
+
   test("degree orientation == id orientation (same triangle set), hub-safe") {
     // Star K1,50 + one triangle hanging off the hub: id orientation gives
     // the hub (id 0) a quadratic out-wedge set; degree orientation points

@@ -97,4 +97,30 @@ object EventOps {
         unix_micros(col(rightTs)) < unix_micros(col(leftTs)) + us)
       .drop("__rk")
   }
+
+  /** Sequential pattern mining, the n-gram form: frequency and user
+    * support of every length-`n` consecutive run of `labelCol` values in
+    * each key's (ts, tiebreak)-ordered stream — "view→click→purchase
+    * happened 312 times across 41 users". The n-gram restriction of
+    * GSP/PrefixSpan keeps it one windowed pass: `lead` builds the runs
+    * in the same single Exchange the other window operators here use
+    * (no self-join — a length-n join on position would shuffle the
+    * stream n times), then a hash agg over the label^n key space — the
+    * output is at most |labels|^n rows, vocabulary-sized, regardless of
+    * stream length. */
+  def sequenceNgrams(df: DataFrame, key: String, ts: String,
+      tiebreak: String, labelCol: String, n: Int): DataFrame = {
+    require(n >= 2 && n <= 5, s"sequence n-gram length $n outside [2,5]")
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tiebreak))
+    val steps = (0 until n).map { i =>
+      val c = if (i == 0) col(labelCol) else lead(col(labelCol), i).over(w)
+      c.as(s"s$i")
+    }
+    val runs = df.select((col(key) +: steps): _*)
+      .filter((1 until n).map(i => col(s"s$i").isNotNull)
+        .reduce(_ && _))
+    runs.groupBy((0 until n).map(i => col(s"s$i")): _*)
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col(key)).as("n_users"))
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Bpe, KMeansQuant, Pq, SemDedup, TokenOps, UnigramLM}
+import graft.operators.{Bpe, Dsir, KMeansQuant, Pq, SemDedup, TokenOps, UnigramLM}
 
 /** Corpus-modeling operators (SURVEY.md §2.7): deterministic k-means
   * clustering over `embeddings`, unigram-LM NLL quality scoring over
@@ -74,7 +74,8 @@ object CorpusQueries extends QueryModule {
   override val warmups: Map[String, (org.apache.spark.sql.SparkSession, String) => Unit] = Map(
     "kmeans_model" -> ((s, d) => { model(s, d); () }),
     "pq_model" -> ((s, d) => { pqModel(s, d); () }),
-    "bpe_merges" -> ((s, d) => { merges(s, d); () })
+    "bpe_merges" -> ((s, d) => { merges(s, d); () }),
+    "dsir_weights" -> ((s, d) => { dsirWeightsMemo(s, d); () })
   )
 
   val queries: Map[String, Q] = Map(
@@ -367,8 +368,50 @@ object CorpusQueries extends QueryModule {
       Bpe.encode(Tables.documents(s, d), "doc_id", "text", merges(s, d))
         .select(col("doc_id"), col("n_bpe_tokens"),
           concat_ws(" ", slice(col("tokens"), 1, 5)).as("head_tokens"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // DSIR importance weights (Xie et al. '23): every document scored
+    // against the English subcorpus as target domain in a 4096-bucket
+    // hashed unigram+bigram space. poly_hash makes the feature hashing
+    // itself oracle-mirrorable — the ONLY corpus-wide fit state is the
+    // B-row bucket table, broadcast back (no vocabulary ever exists).
+    "q_dsir_weights" -> ((s, d) =>
+      dsirWeights(s, d).orderBy(col("doc_id"))),
+
+    // Deterministic selection: the 100 most target-like documents
+    // (TakeOrderedAndProject — nothing global sorts). Selection reads
+    // the memoized weights table: q_dsir_weights is this family's
+    // explicit build id (the q_ann_index_build discipline), so the two
+    // selection queries measure SELECTION, not a re-fit.
+    "q_dsir_select" -> ((s, d) =>
+      Dsir.selectTopK(dsirWeightsMemo(s, d), "doc_id", 100)),
+
+    // Gumbel top-k importance RESAMPLING — sampling-without-replacement
+    // with prob ∝ exp(logw), noise derived from poly_hash of the doc id
+    // under a seed tag, so even the RANDOMNESS is oracle-recomputable
+    // (unlike every xxhash-based sampler here, which is rows-only).
+    "q_dsir_sample" -> ((s, d) =>
+      Dsir.gumbelTopK(dsirWeightsMemo(s, d), "doc_id", 100, seed = 7))
   )
+
+  private val DSIR_B = 4096
+
+  private def dsirWeights(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    graft.functions.PolyHashF.register(s)
+    Dsir.weights(Tables.documents(s, d), "doc_id", "text",
+      col("lang") === "en", DSIR_B)
+  }
+
+  /** One checkpointed weights table per (session, dataset) — corpus-row
+    * sized but THIN (id, n_grams, logw); the selection queries read it
+    * instead of re-running the fit+score pipeline per invocation. */
+  private val dsirCache =
+    new graft.util.SessionCache[org.apache.spark.sql.DataFrame]
+
+  private def dsirWeightsMemo(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    dsirCache.getOrElseUpdate(s, d) { dsirWeights(s, d).localCheckpoint() }
 
   // ---- DuckDB mirrors ------------------------------------------------
 
@@ -618,7 +661,64 @@ object CorpusQueries extends QueryModule {
 
   private val stopSql = TokenOps.sqlList(TokenOps.englishStopwords)
 
+  /** Shared DSIR mirror: hashed-ngram bucket fit + per-doc weight sum,
+    * textually mirroring [[graft.operators.Dsir.weights]] — the hash is
+    * [[graft.functions.PolyHashF.polyHashSql]], the SAME definition the
+    * engine's kernel documents, so drift is single-point. */
+  private val dsirCtes = {
+    val ph = graft.functions.PolyHashF.polyHashSql("gram")
+    s"""toks AS (
+       |  SELECT doc_id, lang = 'en' AS is_target,
+       |         regexp_split_to_array(lower(text), '$wsSql') AS t
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id, is_target, unnest(t) AS gram FROM toks
+       |  UNION ALL
+       |  SELECT doc_id, is_target, t[i] || ' ' || t[i + 1] AS gram
+       |  FROM (SELECT doc_id, is_target, t, unnest(range(1, len(t))) AS i
+       |        FROM toks)),
+       |bkt AS (SELECT doc_id, is_target,
+       |               $ph % $DSIR_B AS bucket FROM grams),
+       |counts AS (SELECT bucket, count(*) AS r,
+       |                  count(*) FILTER (WHERE is_target) AS t
+       |           FROM bkt GROUP BY bucket),
+       |tot AS (SELECT sum(r) AS rn, sum(t) AS tn FROM counts),
+       |deltas AS (SELECT bucket,
+       |    CAST(round((ln(CAST(t + 1 AS DOUBLE) / CAST(tn + $DSIR_B AS DOUBLE))
+       |              - ln(CAST(r + 1 AS DOUBLE) / CAST(rn + $DSIR_B AS DOUBLE)))
+       |               * 1000000000.0) AS BIGINT) AS dq
+       |  FROM counts CROSS JOIN tot),
+       |dc AS (SELECT doc_id, bucket, count(*) AS c FROM bkt GROUP BY 1, 2),
+       |dsir_w AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+       |       round(CAST(sum(c * dq) AS DOUBLE) / 1000000000.0, 6) AS logw
+       |  FROM dc JOIN deltas USING (bucket) GROUP BY doc_id)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_dsir_weights" ->
+      s"""WITH $dsirCtes
+         |SELECT doc_id, n_grams, logw FROM dsir_w
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_dsir_select" ->
+      s"""WITH $dsirCtes
+         |SELECT doc_id, n_grams, logw FROM dsir_w
+         |ORDER BY logw DESC, doc_id LIMIT 100""".stripMargin,
+
+    "q_dsir_sample" -> {
+      val phid = graft.functions.PolyHashF.polyHashSql(
+        "'g7:' || CAST(doc_id AS VARCHAR)")
+      s"""WITH $dsirCtes,
+         |keyed AS (SELECT doc_id, logw,
+         |    CAST(round(logw * 1000000000.0) AS BIGINT)
+         |    + CAST(round(-ln(-ln(CAST($phid + 1 AS DOUBLE) / 1000000008.0))
+         |                 * 1000000000.0) AS BIGINT) AS key_nano
+         |  FROM dsir_w)
+         |SELECT doc_id, logw,
+         |       round(CAST(key_nano AS DOUBLE) / 1000000000.0, 6) AS gumbel_key
+         |FROM keyed ORDER BY key_nano DESC, doc_id LIMIT 100""".stripMargin
+    },
+
     "q_curate_semantic" ->
       s"""$kmeansCtes,
          |$semdedupPairsCte,

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.EventOps
+import graft.operators.{EventOps, Scd}
 
 /** Windowed event analytics + JSON extraction (SURVEY.md §7 step 6, §2.7).
   * All timestamps are UTC micros; interval math is done on unix_micros /
@@ -372,10 +372,95 @@ object EventQueries extends QueryModule {
             6).as("twap"),
           col("dur").cast("long").as("held_us"))
         .orderBy(col("user_id"))
-    })
+    }),
+
+    // SCD Type-2 dimension history: the event stream as a CDC feed of a
+    // per-user attribute (the props.k value bucketed into 4 tiers), so
+    // runs of equal tiers collapse and versioned validity intervals
+    // come out. One Exchange total — change-detect lag, version
+    // row_number and interval-closing lead all share the (user | ts,
+    // event_id) window layout.
+    "q_scd2_history" -> ((s, d) =>
+      Scd.history(Tables.events(s, d), "user_id", "ts", "event_id",
+          tierAttr)
+        .orderBy(col("user_id"), col("version"))),
+
+    // Point-in-time read off the history: every user's tier as of
+    // mid-month. The consumption side of SCD2 — a range filter on the
+    // intervals, never a replay of the feed.
+    "q_scd2_snapshot" -> ((s, d) =>
+      Scd.snapshotAt(
+          Scd.history(Tables.events(s, d), "user_id", "ts", "event_id",
+            tierAttr),
+          ScdT)
+        .select(col("user_id"), col("attr"), col("valid_from"))
+        .orderBy(col("user_id"))),
+
+    // Sequential pattern mining (n-gram form): global frequency + user
+    // support of every consecutive event-type trigram. lead() builds
+    // runs in the shared single-Exchange window layout; the aggregate
+    // output is ≤ |event_types|³ rows however long the stream grows.
+    "q_event_trigrams" -> ((s, d) =>
+      EventOps.sequenceNgrams(Tables.events(s, d), "user_id", "ts",
+          "event_id", "event_type", 3)
+        .orderBy(col("n_occurrences").desc, col("s0"), col("s1"),
+          col("s2")))
   )
 
+  /** props.k (0–99) bucketed into 4 tiers — the slowly-changing
+    * attribute the SCD2 queries version. */
+  private def tierAttr =
+    floor(get_json_object(col("props"), "$.k").cast("long") / lit(25))
+
+  /** 2024-01-16T00:00:00Z in unix micros — the snapshot instant. */
+  private val ScdT = 1705363200000000L
+
+  /** Shared SCD2 mirror CTEs: change-detect → version/close intervals,
+    * textually mirroring [[graft.operators.Scd.history]]. */
+  private val scd2Ctes =
+    """ev AS (
+      |  SELECT user_id, ts, event_id,
+      |    CAST(json_extract_string(props, '$.k') AS BIGINT) // 25 AS attr
+      |  FROM events),
+      |ch AS (SELECT user_id, ts, event_id, attr,
+      |         lag(attr) OVER cw AS prev,
+      |         lag(1) OVER cw IS NULL AS opens
+      |       FROM ev
+      |       WINDOW cw AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |chg AS (SELECT * FROM ch WHERE opens OR prev IS DISTINCT FROM attr),
+      |h AS (SELECT user_id, attr,
+      |        CAST(row_number() OVER w AS BIGINT) AS version,
+      |        epoch_us(ts) AS valid_from,
+      |        epoch_us(lead(ts, 1) OVER w) AS valid_to
+      |      FROM chg
+      |      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_scd2_history" ->
+      s"""WITH $scd2Ctes
+         |SELECT user_id, version, attr, valid_from, valid_to,
+         |       valid_to IS NULL AS is_current
+         |FROM h ORDER BY user_id, version""".stripMargin,
+
+    "q_scd2_snapshot" ->
+      s"""WITH $scd2Ctes
+         |SELECT user_id, attr, valid_from FROM h
+         |WHERE valid_from <= 1705363200000000
+         |  AND (valid_to IS NULL OR valid_to > 1705363200000000)
+         |ORDER BY user_id""".stripMargin,
+
+    "q_event_trigrams" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type AS s0,
+        |    lead(event_type, 1) OVER w AS s1,
+        |    lead(event_type, 2) OVER w AS s2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT s0, s1, s2, CAST(count(*) AS BIGINT) AS n_occurrences,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM s WHERE s1 IS NOT NULL AND s2 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY n_occurrences DESC, s0, s1, s2""".stripMargin,
     "q_window_rank" ->
       """SELECT user_id, event_id, value, CAST(rn AS BIGINT) AS rn FROM (
         |  SELECT user_id, event_id, value,

@@ -53,4 +53,40 @@ class EventOpsSpec extends SparkSpec {
       .agg(sum($"n")).as[Long].head()
     assert(total === 2 * events.count())
   }
+
+  test("sequenceNgrams equals a brute-force slide over each user's stream") {
+    val rows = Seq(
+      (1L, 1, "v"), (1L, 2, "c"), (1L, 3, "p"), (1L, 4, "v"), (1L, 5, "c"),
+      (2L, 1, "v"), (2L, 2, "c"), (2L, 3, "p"),
+      (3L, 1, "v"), (3L, 2, "v")) // too short for a trigram
+    val df = rows.map { case (u, m, e) => (u, new Timestamp(m * 60000L), m.toLong, e) }
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = EventOps.sequenceNgrams(df, "user_id", "ts", "event_id",
+        "event_type", 3)
+      .orderBy("s0", "s1", "s2")
+      .as[(String, String, String, Long, Long)].collect().toSeq
+    val brute = rows.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      es.sortBy(_._2).map(_._3).sliding(3).filter(_.size == 3)
+        .map(g => (g(0), g(1), g(2)) -> u).toSeq
+    }
+    val want = brute.groupBy(_._1).view.mapValues(v =>
+        (v.size.toLong, v.map(_._2).distinct.size.toLong))
+      .toSeq.map { case ((a, b, c), (n, s)) => (a, b, c, n, s) }
+      .sortBy(t => (t._1, t._2, t._3))
+    assert(got == want)
+    // vcp occurs in users 1 and 2
+    assert(got.find(t => (t._1, t._2, t._3) == (("v", "c", "p")))
+      .contains(("v", "c", "p", 2L, 2L)))
+  }
+
+  test("sequenceNgrams refuses degenerate lengths") {
+    val df = Seq((1L, new Timestamp(0L), 1L, "v"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    intercept[IllegalArgumentException] {
+      EventOps.sequenceNgrams(df, "user_id", "ts", "event_id", "event_type", 1)
+    }
+    intercept[IllegalArgumentException] {
+      EventOps.sequenceNgrams(df, "user_id", "ts", "event_id", "event_type", 9)
+    }
+  }
 }

@@ -102,7 +102,11 @@ class PlanSpec extends SparkSpec {
       // blocking exists — transpositions see through gram scrambles);
       // the cross join runs over the vocabulary-sized dictionary under
       // jaroWinklerPairs' loud guard
-      "q_fuzzy_jw")
+      "q_fuzzy_jw",
+      // DSIR's bucket-delta fit joins the 1-row (rn, tn) totals frame
+      // back over the B-row counts — the same no-join-key scalar
+      // broadcast shape as the BM25/unigram stats rows
+      "q_dsir_weights", "q_dsir_select", "q_dsir_sample")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan =
@@ -664,5 +668,34 @@ class PlanSpec extends SparkSpec {
         s"$q must not re-scan the corpus for margins:\n$plan")
       assert(!plan.contains("Join"), s"$q needs no join at all:\n$plan")
     }
+  }
+
+  test("q_scd2_history: change-detect, versioning and interval close share one shuffle") {
+    val plan = formatted("q_scd2_history")
+    // lag rides one Window; row_number+lead share a second — both on the
+    // SAME (user | ts, event_id) layout, so exactly one hash exchange
+    // feeds them (the trailing rangepartitioning is the ORDER BY)
+    assert(nodeCount(plan, "Window") == 2,
+      s"expected 2 chained Window ops:\n$plan")
+    assert(hashExchanges(plan) == 1,
+      s"history build must shuffle the feed exactly once:\n$plan")
+    assert(!plan.contains("Join"),
+      s"SCD2 must not self-join the feed:\n$plan")
+  }
+
+  test("q_dsir_weights: the B-row delta table joins broadcast") {
+    val plan = formatted("q_dsir_weights")
+    // corpus side: partial-agg (doc,bucket) then BroadcastHashJoin the
+    // bucket deltas — a shuffle join here would mean the fit state got
+    // treated as corpus-shaped
+    assert(plan.contains("BroadcastHashJoin"),
+      s"delta table not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin"),
+      s"DSIR scoring must not shuffle-join:\n$plan")
+    // exactly one parquet scan: the fit pass is the checkpointed B-row
+    // table, scoring is the single live corpus pass
+    assert(nodeCount(plan, "Scan parquet") == 1,
+      s"scoring must read the corpus once:\n$plan")
   }
 }

@@ -342,6 +342,50 @@ object CorpusQueries extends QueryModule {
         .orderBy(col("est").desc, col("item"))
     }),
 
+    // Count-Min sketch cells, built per source and rolled up by the
+    // LOSSLESS pointwise-sum merge (CMS is exactly additive, so the
+    // per-source precompute path provably equals the direct build —
+    // and the oracle checks it: cells are deterministic sums over the
+    // poly_hash row family, unlike Misra-Gries' partition-dependent
+    // retained set, so this sketch is hash-checked, not rows-only.
+    "q_cms_cells" -> ((s, d) => {
+      graft.functions.CountMin.register(s)
+      Tables.documents(s, d)
+        .select(col("source"),
+          explode(TokenOps.tokenize(col("text"))).as("token"))
+        .groupBy(col("source"))
+        .agg(graft.functions.CountMin
+          .count_min(col("token"), CMS_W, CMS_D).as("sk"))
+        .agg(graft.functions.CountMin
+          .count_min_merge(col("sk"), CMS_W, CMS_D).as("sk"))
+        .select(posexplode(col("sk")))
+        .select(col("pos").cast("long").as("cell_idx"),
+          col("col").as("cnt"))
+        .orderBy(col("cell_idx"))
+    }),
+
+    // Point estimates against exact truth for the whole vocabulary:
+    // est = min over depth rows, one element_at per row off the 1-row
+    // broadcast sketch (the corpus-stats scalar-join shape). est ≥ true
+    // unconditionally — visible in the data AND enforced by
+    // CountMinSpec; the oracle recomputes every estimate from its own
+    // cell table, so the hash family, the layout and the min-read all
+    // sit under the hash check.
+    "q_cms_estimates" -> ((s, d) => {
+      graft.functions.CountMin.register(s)
+      graft.functions.PolyHashF.register(s)
+      val toks = Tables.documents(s, d)
+        .select(explode(TokenOps.tokenize(col("text"))).as("token"))
+      val sketch = toks.agg(graft.functions.CountMin
+        .count_min(col("token"), CMS_W, CMS_D).as("sk"))
+      toks.groupBy(col("token")).agg(count(lit(1)).as("true_cnt"))
+        .crossJoin(broadcast(sketch))
+        .select(col("token"), col("true_cnt"),
+          graft.functions.CountMin
+            .estimate(col("sk"), col("token"), CMS_W, CMS_D).as("est"))
+        .orderBy(col("token"))
+    }),
+
     // BPE round 0: adjacent character-pair counts weighted by word
     // frequency — the statistic every merge decision reads.
     "q_bpe_pairs" -> ((s, d) =>
@@ -395,6 +439,8 @@ object CorpusQueries extends QueryModule {
   )
 
   private val DSIR_B = 4096
+  private val CMS_W = 256
+  private val CMS_D = 4
 
   private def dsirWeights(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
@@ -694,7 +740,48 @@ object CorpusQueries extends QueryModule {
        |  FROM dc JOIN deltas USING (bucket) GROUP BY doc_id)""".stripMargin
   }
 
+  /** Shared CMS mirror CTEs (end in `cm_cells(j, c, cnt)`): per-row-hash
+    * cell sums over the corpus tokens, textually mirroring
+    * [[graft.functions.CountMin]]'s `h_j(x) = ((2j+1)·poly_hash(x) + j)
+    * mod P mod W` family — the row index j is a plain column, so one
+    * grouped aggregate builds all depth rows. */
+  private val cmsCtes = {
+    val ph = graft.functions.PolyHashF.polyHashSql("token")
+    s"""cm_toks AS (
+       |  SELECT unnest(regexp_split_to_array(lower(text), '$wsSql'))
+       |    AS token
+       |  FROM documents),
+       |cm_cells AS (
+       |  SELECT j.j AS j,
+       |    ((2 * j.j + 1) * $ph + j.j) % 1000000007 % $CMS_W AS c,
+       |    count(*) AS cnt
+       |  FROM cm_toks CROSS JOIN range($CMS_D) j(j)
+       |  GROUP BY 1, 2)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_cms_cells" ->
+      s"""WITH $cmsCtes,
+         |grid AS (SELECT j.j AS j, c.i AS c
+         |         FROM range($CMS_D) j(j) CROSS JOIN range($CMS_W) c(i))
+         |SELECT CAST(grid.j * $CMS_W + grid.c AS BIGINT) AS cell_idx,
+         |       CAST(coalesce(cnt, 0) AS BIGINT) AS cnt
+         |FROM grid LEFT JOIN cm_cells USING (j, c)
+         |ORDER BY cell_idx""".stripMargin,
+
+    "q_cms_estimates" -> {
+      val ph = graft.functions.PolyHashF.polyHashSql("t.token")
+      s"""WITH $cmsCtes,
+         |truth AS (SELECT token, CAST(count(*) AS BIGINT) AS true_cnt
+         |          FROM cm_toks GROUP BY token)
+         |SELECT t.token, t.true_cnt, CAST(min(cl.cnt) AS BIGINT) AS est
+         |FROM truth t CROSS JOIN range($CMS_D) j(j)
+         |JOIN cm_cells cl ON cl.j = j.j
+         |  AND cl.c = ((2 * j.j + 1) * $ph + j.j) % 1000000007 % $CMS_W
+         |GROUP BY t.token, t.true_cnt
+         |ORDER BY t.token""".stripMargin
+    },
+
     "q_dsir_weights" ->
       s"""WITH $dsirCtes
          |SELECT doc_id, n_grams, logw FROM dsir_w

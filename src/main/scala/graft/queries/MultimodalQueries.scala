@@ -170,10 +170,82 @@ object MultimodalQueries extends QueryModule {
           (0 until 8).map(i =>
             round(element_at(col("features"), i + 1), 6).as(s"f$i")): _*)
         .orderBy(col("media_id"))
-    })
+    }),
+
+    // Perceptual hash (aHash) over REALLY-decoded BMP pixels: integer
+    // block-mean-vs-global-mean bits, carried as two 32-bit halves. The
+    // oracle re-derives every hash from the fixture's closed-form pixel
+    // (seed+7x+13y)&0xFF, so a regression anywhere in decode → pool →
+    // threshold breaks the hash-match.
+    "q_image_ahash" -> ((s, d) =>
+      graft.operators.MediaHash.imageHashes(
+          containerMedia(s, d).where(col("kind") === "image"))
+        .toDF()
+        .select(col("media_id"), col("ahash_hi"), col("ahash_lo"))
+        .orderBy(col("media_id"))),
+
+    // Perceptual near-dup pairs: 16-bit-band pigeonhole candidates
+    // (plain equi-join — no O(n²)) + exact popcount verify at
+    // Hamming ≤ 3. The mirror brute-forces all pairs over its own
+    // recomputed hashes, so the banding's losslessness is ALSO under
+    // oracle check, not just the spec.
+    "q_image_neardup" -> ((s, d) =>
+      graft.operators.MediaHash.nearDuplicates(
+          graft.operators.MediaHash.imageHashes(
+            containerMedia(s, d).where(col("kind") === "image")).toDF())
+        .orderBy(col("id_a"), col("id_b")))
   )
 
+  /** Shared aHash mirror CTEs (ends in `hsh(media_id, ahash_hi,
+    * ahash_lo)`): the fixture's closed-form gray pixel, Rec.709 scaled
+    * by 10⁴ (integer-exact), blocked by the same (x*8)//w banding, bit
+    * set on strict integer cross-multiply — textually mirroring
+    * [[graft.operators.MediaHash.ahash]]. */
+  private val ahashCtes =
+    """m AS (
+      |  SELECT doc_id AS media_id, doc_id AS seed,
+      |    n_chars % 64 + 1 AS w, n_chars % 48 + 1 AS h
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |px AS (
+      |  -- y.i is the IMAGE row; the BMP fixture stores rows bottom-up,
+      |  -- so the decoded pixel at image row y carries the closed form's
+      |  -- value at generator row h-1-y. The x-banded feature mirror
+      |  -- never saw this (its bands ignore y); the 8x8 block grid does.
+      |  SELECT media_id, (y.i * 8) // h * 8 + (x.i * 8) // w AS idx,
+      |    10000 * ((seed + 7 * x.i + 13 * (h - 1 - y.i)) % 256) AS lum
+      |  FROM m, range(64) x(i), range(48) y(i)
+      |  WHERE x.i < w AND y.i < h),
+      |blk AS (
+      |  SELECT media_id, idx, sum(lum) AS bs, count(*) AS bc
+      |  FROM px GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT media_id, sum(bs) AS ts, sum(bc) AS tc FROM blk GROUP BY 1),
+      |hsh AS (
+      |  SELECT b.media_id,
+      |    CAST(sum(CASE WHEN b.idx >= 32 AND b.bs * t.tc > t.ts * b.bc
+      |         THEN (CAST(1 AS BIGINT) << CAST(b.idx - 32 AS INT))
+      |         ELSE 0 END) AS BIGINT) AS ahash_hi,
+      |    CAST(sum(CASE WHEN b.idx < 32 AND b.bs * t.tc > t.ts * b.bc
+      |         THEN (CAST(1 AS BIGINT) << CAST(b.idx AS INT))
+      |         ELSE 0 END) AS BIGINT) AS ahash_lo
+      |  FROM blk b JOIN tot t USING (media_id) GROUP BY b.media_id)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_image_ahash" ->
+      s"""WITH $ahashCtes
+         |SELECT media_id, ahash_hi, ahash_lo FROM hsh
+         |ORDER BY media_id""".stripMargin,
+
+    "q_image_neardup" ->
+      s"""WITH $ahashCtes
+         |SELECT a.media_id AS id_a, b.media_id AS id_b,
+         |  CAST(bit_count(xor(a.ahash_hi, b.ahash_hi))
+         |     + bit_count(xor(a.ahash_lo, b.ahash_lo)) AS BIGINT) AS hamming
+         |FROM hsh a JOIN hsh b ON a.media_id < b.media_id
+         |WHERE bit_count(xor(a.ahash_hi, b.ahash_hi))
+         |    + bit_count(xor(a.ahash_lo, b.ahash_lo)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
+
     // Video rows split by id parity: even = MJPEG-in-AVI, odd =
     // ISO-BMFF/MP4 with a real stbl sample table — both share the
     // 40 ms/frame x (nc % 8 + 2) duration/frame convention, and every

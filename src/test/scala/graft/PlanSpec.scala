@@ -106,7 +106,11 @@ class PlanSpec extends SparkSpec {
       // DSIR's bucket-delta fit joins the 1-row (rn, tn) totals frame
       // back over the B-row counts — the same no-join-key scalar
       // broadcast shape as the BM25/unigram stats rows
-      "q_dsir_weights", "q_dsir_select", "q_dsir_sample")
+      "q_dsir_weights", "q_dsir_select", "q_dsir_sample",
+      // the 1-row Count-Min sketch frame broadcasts back over the exact
+      // truth table for the estimate-vs-true compare — the same
+      // no-join-key scalar-broadcast shape as the stats rows above
+      "q_cms_estimates")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan =

@@ -123,4 +123,69 @@ object EventOps {
       .agg(count(lit(1)).as("n_occurrences"),
         countDistinct(col(key)).as("n_users"))
   }
+
+  /** OHLC bar resample: per (`key`, tumbling `widthUs` bucket of `tsUs`)
+    * candlestick — open/close = the value at the FIRST/LAST event of the
+    * bucket, high/low = extrema, plus count and exact-cents volume. The
+    * time-series downsampling verb next to [[tumbling]]'s count and
+    * TWAP's integral: one hash aggregate, ONE shuffle on (key, bucket),
+    * map-side combined — `min_by`/`max_by` over a (ts, tiebreak) struct
+    * replaces the window row_number alternative that would sort-shuffle
+    * every bucket. `tiebreak` must make the ordering total (a unique id)
+    * so open/close are deterministic on both engines. All values ride
+    * the integer cents grid — cross-engine exact, no float anywhere. */
+  def ohlcBars(df: DataFrame, key: String, tsUs: Column, tiebreak: String,
+      cents: Column, widthUs: Long): DataFrame = {
+    require(widthUs > 0, s"bar width must be positive, got $widthUs")
+    val ord = struct(tsUs.as("us"), col(tiebreak))
+    df.select(col(key), tsUs.as("us"), col(tiebreak), cents.as("cents"))
+      .groupBy(col(key),
+        (col("us") - pmod(col("us"), lit(widthUs))).as("bar_us"))
+      .agg(
+        min_by(col("cents"), struct(col("us"), col(tiebreak))).as("open_cents"),
+        max_by(col("cents"), struct(col("us"), col(tiebreak))).as("close_cents"),
+        max(col("cents")).as("high_cents"),
+        min(col("cents")).as("low_cents"),
+        count(lit(1)).as("n_events"),
+        sum(col("cents")).as("volume_cents"))
+  }
+
+  /** CUSUM change-point detection (Page 1954): for each `key`'s
+    * (ts, tiebreak)-ordered value series, the position where the
+    * cumulative deviation from the series mean peaks — the standard
+    * "did the level shift, and when" screen over metric streams. The
+    * statistic is kept EXACT by scaling out the division: with
+    * S_i = Σ_{j≤i} x_j, the textbook |S_i − i·x̄| maximizes at the same
+    * i as the integer |n·S_i − i·S_n|, so everything stays on the cents
+    * grid and both engines agree bit-for-bit (`cusum_stat` is the
+    * n-scaled statistic, stated loudly in the name of reproducibility).
+    *
+    * Shape: one window pass (row_number + running sum share a single
+    * (key | ts, tiebreak) Exchange), the key-cardinality (n, total)
+    * frame broadcast back, then a vocabulary-sized argmax aggregate —
+    * `max_by` over (stat, −i) picks the highest peak, earliest position
+    * on ties, deterministically. Bound: |n·S_i| ≤ n²·max|cents|, so the
+    * long grid holds to ~10⁹ rows per key at 10⁴ cents — beyond that,
+    * pre-aggregate the series to coarser bars ([[ohlcBars]]) first. */
+  def cusumChangepoint(df: DataFrame, key: String, tsUs: Column,
+      tiebreak: String, cents: Column): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col("us"), col(tiebreak))
+    val ev = df.select(col(key), tsUs.as("us"), col(tiebreak),
+      cents.as("cents"))
+    val totals = ev.groupBy(col(key))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("total_cents"))
+    ev.withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("cents")).over(w))
+      .join(broadcast(totals), Seq(key))
+      .withColumn("stat",
+        abs(col("n_events") * col("cum") - col("i") * col("total_cents")))
+      .groupBy(col(key))
+      .agg(
+        max(col("n_events")).as("n_events"),
+        max_by(struct(col("i"), col(tiebreak)),
+          struct(col("stat"), -col("i"))).as("cp"),
+        max(col("stat")).as("cusum_stat"))
+      .select(col(key), col("n_events"), col("cp.i").as("cp_pos"),
+        col(s"cp.$tiebreak").as("cp_id"), col("cusum_stat"))
+  }
 }

@@ -72,6 +72,36 @@ object Sampling {
     (df.filter(!p), df.filter(p))
   }
 
+  /** LEAKAGE-SAFE split: train/test membership decided per duplicate
+    * GROUP, not per row — every near-dup cluster lands whole on one
+    * side. [[hashSplit]] on raw ids is wrong for training corpora: a
+    * document and its near-copy can straddle the boundary, and the test
+    * side then "evaluates" on memorized training text (the
+    * train-test-contamination failure mode decontamination guards
+    * against AFTER the fact; this prevents it at split time).
+    *
+    * pairs → connected components ([[DedupGroups]]: driver union-find
+    * below the edge threshold, min-label propagation above) → the
+    * component id's content hash decides the side for all members.
+    * Output: (id, component, split). Scale shape: the component labels
+    * are pair-vertex-sized and broadcast back; the split predicate is
+    * row-local — the corpus itself never shuffles.
+    *
+    * Stability contract (weaker than [[hashSplit]]'s, stated honestly):
+    * membership is a pure function of the component id, so it is stable
+    * across partitioning and re-runs; but a grown corpus can MERGE two
+    * components (a new doc links them), moving the smaller group's side
+    * with its new component id. That is inherent to leakage-safety —
+    * group membership itself changed — not an artifact of the hash. */
+  def groupHashSplit(ids: DataFrame, idCol: String, pairs: DataFrame,
+      testFraction: Double, seed: Long = 42L): DataFrame = {
+    val comps = DedupGroups.connectedComponents(ids, idCol, pairs)
+    comps.select(col("id").as(idCol), col("comp").as("component"),
+      when(coalesce(contentHashPredicate(col("comp").cast("string"),
+          testFraction, seed), lit(false)), "test")
+        .otherwise("train").as("split"))
+  }
+
   /** Weighted corpus mix: per-stratum sampling fractions (e.g.
     * lang -> weight, source -> weight), unknown strata fall back to
     * `defaultFraction`. One row-local predicate — the standard

@@ -294,6 +294,27 @@ object EventQueries extends QueryModule {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // OHLC candlestick bars: per (event_type, tumbling day) open/close
+    // at the first/last event plus extrema, count and exact-cents
+    // volume — min_by/max_by over the (us, event_id) total order, one
+    // hash aggregate, no window sort (see EventOps.ohlcBars).
+    "q_ohlc" -> ((s, d) =>
+      EventOps.ohlcBars(Tables.events(s, d), "event_type",
+          unix_micros(col("ts")), "event_id",
+          graft.functions.Money.cents(col("value")), widthUs = 86400000000L)
+        .orderBy(col("event_type"), col("bar_us"))),
+
+    // CUSUM change-point: where each event_type's cumulative deviation
+    // from its own mean peaks, on the exact integer grid (the n-scaled
+    // |n·S_i − i·S_n| statistic — see EventOps.cusumChangepoint).
+    "q_changepoint" -> ((s, d) =>
+      EventOps.cusumChangepoint(Tables.events(s, d), "event_type",
+          unix_micros(col("ts")), "event_id",
+          graft.functions.Money.cents(col("value")))
+        .select(col("event_type"), col("n_events"), col("cp_pos"),
+          col("cp_id").as("cp_event_id"), col("cusum_stat"))
+        .orderBy(col("event_type"))),
+
     // Last-touch attribution WITHOUT the self-join: q_asof_join answers
     // "latest click before each purchase" as a join of two derived
     // tables; this is the same logical ask as ONE window pass over ONE
@@ -682,6 +703,47 @@ object EventQueries extends QueryModule {
         |WINDOW w AS (PARTITION BY user_id ORDER BY us
         |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, event_id""".stripMargin,
+
+    // open/close via DuckDB's ordered first/last over the same
+    // (us, event_id) total order min_by/max_by walks in the engine.
+    "q_ohlc" ->
+      s"""WITH ev AS (
+        |  SELECT event_type, epoch_us(ts) AS us, event_id,
+        |    ${graft.functions.Money.centsSql("value")} AS cents
+        |  FROM events)
+        |SELECT event_type, us - us % 86400000000 AS bar_us,
+        |  first(cents ORDER BY us, event_id) AS open_cents,
+        |  last(cents ORDER BY us, event_id) AS close_cents,
+        |  max(cents) AS high_cents,
+        |  min(cents) AS low_cents,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(cents) AS BIGINT) AS volume_cents
+        |FROM ev GROUP BY 1, 2
+        |ORDER BY event_type, bar_us""".stripMargin,
+
+    "q_changepoint" ->
+      s"""WITH ev AS (
+        |  SELECT event_type, epoch_us(ts) AS us, event_id,
+        |    ${graft.functions.Money.centsSql("value")} AS cents
+        |  FROM events),
+        |tot AS (SELECT event_type, count(*) AS n, sum(cents) AS tot
+        |        FROM ev GROUP BY event_type),
+        |sc AS (SELECT event_type, event_id,
+        |         CAST(row_number() OVER w AS BIGINT) AS i,
+        |         CAST(sum(cents) OVER w AS BIGINT) AS cum
+        |       FROM ev
+        |       WINDOW w AS (PARTITION BY event_type ORDER BY us, event_id)),
+        |st AS (SELECT s.event_type, s.event_id, s.i,
+        |         abs(t.n * s.cum - s.i * CAST(t.tot AS BIGINT)) AS stat,
+        |         t.n
+        |       FROM sc s JOIN tot t USING (event_type))
+        |SELECT event_type,
+        |  CAST(max(n) AS BIGINT) AS n_events,
+        |  first(i ORDER BY stat DESC, i ASC) AS cp_pos,
+        |  first(event_id ORDER BY stat DESC, i ASC) AS cp_event_id,
+        |  CAST(max(stat) AS BIGINT) AS cusum_stat
+        |FROM st GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "q_attribution" ->
       """WITH ev AS (

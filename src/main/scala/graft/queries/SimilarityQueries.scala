@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.util.SessionCache
 import graft.ml.AnnIndex
-import graft.operators.{DedupGroups, FuzzyJoin, GraphMetrics, MinHashDedup, PageRank, SimHash, Similarity, TokenOps}
+import graft.operators.{DedupGroups, FuzzyJoin, GraphMetrics, MinHashDedup, PageRank, Sampling, SimHash, Similarity, TokenOps}
 
 /** Similarity search + near-duplicate detection (SURVEY.md §2.7, §7 step 7).
   *
@@ -274,6 +274,18 @@ object SimilarityQueries extends QueryModule {
           Tables.documents(s, d).select(col("doc_id")), "doc_id",
           jaccardPairs(s, d))
         .select(col("id").as("doc_id"), col("comp").as("component"))
+        .orderBy(col("doc_id"))),
+
+    // Leakage-safe train/test split: the side is decided per duplicate
+    // GROUP (component content-hash), so a doc and its near-copy can
+    // never straddle the boundary — the split-time complement of
+    // decontamination. The mirror recomputes components via recursive
+    // reachability AND the md5 side decision, so group-wholeness is
+    // under the oracle hash, not just the spec.
+    "q_leak_split" -> ((s, d) =>
+      Sampling.groupHashSplit(
+          Tables.documents(s, d).select(col("doc_id")), "doc_id",
+          jaccardPairs(s, d), testFraction = 0.2)
         .orderBy(col("doc_id"))),
 
     // LSH-bucketed all-pairs embedding near-dups — the scale path for
@@ -659,6 +671,37 @@ object SimilarityQueries extends QueryModule {
         |          UNION SELECT reach.id, edges.dst
         |                FROM reach JOIN edges ON reach.r = edges.src)
         |SELECT id AS doc_id, min(r) AS component
-        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // q_dedup_groups' component derivation + the content-hash side
+    // decision on the component id (graft.operators.Sampling's md5
+    // predicate, seed 42, test fraction 0.2) — mirroring BOTH halves of
+    // groupHashSplit so a drift in either breaks the hash.
+    "q_leak_split" ->
+      s"""WITH RECURSIVE
+        |toks AS (SELECT doc_id,
+        |  regexp_split_to_array(lower(text), '$wsSql') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+        |       FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b FROM inter
+        |          JOIN sizes sa ON sa.doc_id = id_a
+        |          JOIN sizes sb ON sb.doc_id = id_b
+        |          WHERE round(ni * 1.0 / (sa.n + sb.n - ni), 6) >= 0.5),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (SELECT doc_id AS id, doc_id AS r FROM documents
+        |          UNION SELECT reach.id, edges.dst
+        |                FROM reach JOIN edges ON reach.r = edges.src),
+        |comp AS (SELECT id AS doc_id, min(r) AS component
+        |         FROM reach GROUP BY id)
+        |SELECT doc_id, component,
+        |  CASE WHEN substring(md5('42:' || CAST(component AS VARCHAR)), 1, 12)
+        |            < '${graft.operators.Sampling.hexThreshold(0.2)}'
+        |       THEN 'test' ELSE 'train' END AS split
+        |FROM comp ORDER BY doc_id""".stripMargin
   )
 }

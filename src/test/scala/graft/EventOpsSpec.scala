@@ -89,4 +89,77 @@ class EventOpsSpec extends SparkSpec {
       EventOps.sequenceNgrams(df, "user_id", "ts", "event_id", "event_type", 9)
     }
   }
+
+  test("ohlcBars == brute-force per-bucket walk on real events") {
+    val width = 86400000000L
+    val rows = Tables.events(spark, sf001)
+      .select($"event_type", unix_micros($"ts").as("us"), $"event_id",
+        graft.functions.Money.cents($"value").as("cents"))
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val want = rows.groupBy(r => (r._1, r._2 - math.floorMod(r._2, width)))
+      .map { case ((et, bar), es) =>
+        val sorted = es.sortBy(e => (e._2, e._3))
+        (et, bar, sorted.head._4, sorted.last._4,
+          es.map(_._4).max, es.map(_._4).min,
+          es.size.toLong, es.map(_._4).sum)
+      }.toSet
+    val got = EventOps.ohlcBars(Tables.events(spark, sf001), "event_type",
+        unix_micros($"ts"), "event_id",
+        graft.functions.Money.cents($"value"), width)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("ohlcBars invariants: extrema bracket open/close, bars partition") {
+    val ev = Tables.events(spark, sf001)
+    val bars = EventOps.ohlcBars(ev, "event_type", unix_micros($"ts"),
+      "event_id", graft.functions.Money.cents($"value"), 3600000000L)
+    val bad = bars.filter($"high_cents" < $"open_cents" ||
+      $"high_cents" < $"close_cents" || $"low_cents" > $"open_cents" ||
+      $"low_cents" > $"close_cents" || $"high_cents" < $"low_cents")
+    assert(bad.count() === 0)
+    assert(bars.agg(sum($"n_events")).as[Long].head() === ev.count(),
+      "bars must partition the event stream")
+  }
+
+  test("cusumChangepoint == driver brute force; finds a planted shift") {
+    // planted level shift: key "a" jumps from 100 to 900 cents at i=6
+    val rows = (1 to 10).map(i => ("a", i.toLong * 1000L, i.toLong,
+        if (i <= 5) 100L else 900L)) ++
+      (1 to 7).map(i => ("b", i.toLong * 1000L, 100L + i, 500L))
+    val df = rows.toDF("k", "us", "event_id", "cents")
+    val got = EventOps.cusumChangepoint(df, "k", $"us", "event_id",
+        $"cents")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // brute force: argmax |n*S_i - i*S_n|, earliest i on ties
+    val want = rows.groupBy(_._1).map { case (k, es) =>
+      val s = es.sortBy(e => (e._2, e._3))
+      val n = s.size.toLong
+      val tot = s.map(_._4).sum
+      val stats = s.zipWithIndex.map { case (e, ix) =>
+        val i = ix + 1L
+        (i, e._3, math.abs(n * s.take(ix + 1).map(_._4).sum - i * tot))
+      }
+      val best = stats.maxBy(t => (t._3, -t._1))
+      k -> ((n, best._1, best._2, best._3))
+    }
+    assert(got === want)
+    // the shift is between i=5 and i=6: CUSUM peaks at the last
+    // pre-shift position
+    assert(got("a")._2 === 5L, s"planted shift misplaced: ${got("a")}")
+    // a constant series has stat 0 everywhere -> earliest position wins
+    assert(got("b")._2 === 1L && got("b")._4 === 0L)
+  }
+
+  test("cusumChangepoint is partitioning-invariant on real events") {
+    val ev = Tables.events(spark, sf001)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      EventOps.cusumChangepoint(df, "event_type", unix_micros($"ts"),
+          "event_id", graft.functions.Money.cents($"value"))
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(run(ev) === run(ev.repartition(13)))
+  }
 }

@@ -34,4 +34,50 @@ object Upsert {
     updates.unionByName(
       target.join(updates.select(keys.map(col): _*), keys, "left_anti"))
   }
+
+  /** CDC apply: a change feed with an op column (`I`/`U`/`D`) folded
+    * into the target — the MERGE form with a DELETE arm, i.e. the full
+    * WHEN MATCHED UPDATE / WHEN MATCHED DELETE / WHEN NOT MATCHED
+    * INSERT triple over immutable frames.
+    *
+    * Same one-anti-join shape as [[upsert]]: ALL change keys (including
+    * deletes) anti-join the target once, then the non-delete rows union
+    * back — deletes simply never return. The target shuffles once; the
+    * change batch (bounded, CDC-sized) is the broadcast side.
+    *
+    * Contract, enforced loudly on cheap bounded probes:
+    *  - ops must be exactly 'I'/'U'/'D' (a typo'd op silently treated
+    *    as either insert or delete corrupts the table);
+    *  - change keys must be unique across the WHOLE batch (same
+    *    non-determinism as [[upsert]] — sequence the feed first);
+    *  - an 'I' whose key already exists in the target is a feed error
+    *    (the upstream lost track of liveness) and fails rather than
+    *    silently degrading to an update.
+    * 'U' on an absent key inserts (the convergent choice: a compacted /
+    * replayed feed may carry U for rows the target never materialized);
+    * 'D' on an absent key is a no-op (idempotent deletes — the standard
+    * CDC replay contract).
+    */
+  def applyCdc(target: DataFrame, changes: DataFrame, keys: Seq[String],
+      opCol: String = "op"): DataFrame = {
+    require(keys.nonEmpty, "applyCdc needs at least one key column")
+    val badOp = changes.filter(!col(opCol).isin("I", "U", "D"))
+      .limit(1).count()
+    require(badOp == 0L,
+      s"applyCdc: op column '$opCol' contains values outside I/U/D")
+    val dupKeys = changes.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).count()
+    require(dupKeys == 0L,
+      s"applyCdc: duplicate keys in the change batch on (${keys.mkString(", ")})" +
+        " — sequence the feed to one change per key first")
+    val insertOnLive = changes.filter(col(opCol) === "I")
+      .join(target.select(keys.map(col): _*), keys, "left_semi")
+      .limit(1).count()
+    require(insertOnLive == 0L,
+      "applyCdc: an 'I' change targets a key that already exists — " +
+        "the feed lost track of liveness; emit 'U' (or fix the feed)")
+    val upserts = changes.filter(col(opCol) =!= "D").drop(opCol)
+    target.join(changes.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(upserts)
+  }
 }

@@ -274,6 +274,41 @@ object RelationalQueries extends QueryModule {
         .orderBy(col("c_custkey"))
     }),
 
+    // The MERGE triple with a DELETE arm (operators/Upsert.applyCdc):
+    // one CDC batch exercising all three ops — heavy customers (>= 18
+    // orders) re-segmented 'VIP' (U), churned low-activity customers
+    // (< 4 orders) purged (D), one 'HOUSE' account per nation inserted
+    // past the max key
+    // (I). Same one-anti-join shape as q_merge_upsert; deletes are rows
+    // that simply never union back.
+    "q_cdc_apply" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      val orderCounts = Tables.orders(s, d)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+      val updates = cust
+        .join(orderCounts.filter(col("n") >= 18)
+          .select(col("o_custkey").as("c_custkey")), "c_custkey")
+        .withColumn("c_mktsegment", lit("VIP"))
+        .select(cust.columns.map(col) :+ lit("U").as("op"): _*)
+      val deletes = cust
+        .join(orderCounts.filter(col("n") < 4)
+          .select(col("o_custkey").as("c_custkey")), "c_custkey")
+        .select(cust.columns.map(col) :+ lit("D").as("op"): _*)
+      val base = cust.agg((max(col("c_custkey")) + 1L).as("base"))
+      val inserts = Tables.nation(s, d).crossJoin(broadcast(base))
+        .select(
+          (col("base") + col("n_nationkey")).as("c_custkey"),
+          concat(lit("House#"), col("n_name")).as("c_name"),
+          col("n_nationkey").as("c_nationkey"),
+          lit(0.0).as("c_acctbal"),
+          lit("HOUSE").as("c_mktsegment"),
+          lit("I").as("op"))
+      Upsert.applyCdc(cust,
+          updates.unionByName(deletes).unionByName(inserts),
+          Seq("c_custkey"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // Distribution-rank window family: ntile / percent_rank / cume_dist
     // in ONE window pass per priority group (all three share the same
     // partitioning and sort, so Catalyst plans a single shuffle+sort).
@@ -718,6 +753,30 @@ object RelationalQueries extends QueryModule {
         |UNION ALL
         |SELECT c.* FROM customer c
         |WHERE c.c_custkey NOT IN (SELECT c_custkey FROM updates)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_cdc_apply" ->
+      """WITH oc AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1),
+        |updates AS (SELECT c.c_custkey, c.c_name, c.c_nationkey,
+        |                   c.c_acctbal, 'VIP' AS c_mktsegment
+        |            FROM customer c JOIN oc ON oc.o_custkey = c.c_custkey
+        |            WHERE oc.n >= 18),
+        |deletes AS (SELECT c.c_custkey FROM customer c
+        |            JOIN oc ON oc.o_custkey = c.c_custkey
+        |            WHERE oc.n < 4),
+        |base AS (SELECT max(c_custkey) + 1 AS b FROM customer),
+        |inserts AS (SELECT b + n_nationkey AS c_custkey,
+        |                   'House#' || n_name AS c_name,
+        |                   n_nationkey AS c_nationkey,
+        |                   0.0 AS c_acctbal, 'HOUSE' AS c_mktsegment
+        |            FROM nation CROSS JOIN base),
+        |allkeys AS (SELECT c_custkey FROM updates
+        |            UNION ALL SELECT c_custkey FROM deletes
+        |            UNION ALL SELECT c_custkey FROM inserts)
+        |SELECT c.* FROM customer c
+        |WHERE c.c_custkey NOT IN (SELECT c_custkey FROM allkeys)
+        |UNION ALL SELECT * FROM updates
+        |UNION ALL SELECT * FROM inserts
         |ORDER BY c_custkey""".stripMargin,
 
     "q_window_dist" ->

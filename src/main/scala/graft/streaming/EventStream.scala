@@ -86,6 +86,37 @@ object EventStream {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("n_events"))
 
+  /** Streaming OHLC bars — the twin of [[graft.operators.EventOps
+    * .ohlcBars]]: per (event_type, tumbling window) open/high/low/close
+    * + count + exact-cents volume. min_by/max_by over the
+    * (us, event_id) total order are declarative aggregates, so their
+    * partial (value, ordering) buffers persist in the state store
+    * between micro-batches exactly like sum/count — the open of a bar
+    * whose first event arrived three micro-batches ago survives
+    * restarts. State per key is O(1) (six scalars), bounded overall by
+    * the watermark horizon × bar width. */
+  def ohlcBars(events: DataFrame, width: String = "1 day",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .select(col("ts"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        graft.functions.Money.cents(col("value")).as("cents"))
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(
+        min_by(col("cents"), struct(col("us"), col("event_id")))
+          .as("open_cents"),
+        max_by(col("cents"), struct(col("us"), col("event_id")))
+          .as("close_cents"),
+        max(col("cents")).as("high_cents"),
+        min(col("cents")).as("low_cents"),
+        count(lit(1)).as("n_events"),
+        sum(col("cents")).as("volume_cents"))
+      .select(unix_micros(col("window.start")).as("bar_us"),
+        col("event_type"), col("open_cents"), col("close_cents"),
+        col("high_cents"), col("low_cents"), col("n_events"),
+        col("volume_cents"))
+
   /** Streaming exact dedup by event id: duplicates arriving within the
     * watermark horizon are dropped; state is bounded by the watermark
     * (unlike plain dropDuplicates, whose state grows forever). */

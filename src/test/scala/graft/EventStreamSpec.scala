@@ -108,6 +108,48 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming OHLC bars == batch ohlcBars across a two-batch split") {
+    // two micro-batches split at the time median: the open of a bar
+    // straddling the seam was fixed by batch A and must survive in the
+    // min_by state buffer while batch B events extend the same bar
+    val ev = Tables.events(spark, sf001)
+    val mid = ev.selectExpr("percentile(unix_micros(ts), 0.5)").head().getDouble(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ohlc")
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ohlc-w")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part), dir.resolve(name))
+    }
+    stage(ev.filter(unix_micros($"ts") <= mid), "a.parquet")
+    val q = EventStream.ohlcBars(EventStream.read(spark, dir.toString),
+        "6 hours", "2 hours")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("ohlc_out").start()
+    try {
+      q.processAllAvailable()
+      stage(ev.filter(unix_micros($"ts") > mid), "b.parquet")
+      q.processAllAvailable()
+      val streamed = spark.table("ohlc_out")
+        .as[(Long, String, Long, Long, Long, Long, Long, Long)]
+        .collect().toSet
+      val batch = EventOps.ohlcBars(ev, "event_type", unix_micros($"ts"),
+          "event_id", graft.functions.Money.cents($"value"),
+          6L * 3600000000L)
+        .select($"bar_us", $"event_type", $"open_cents", $"close_cents",
+          $"high_cents", $"low_cents", $"n_events", $"volume_cents")
+        .as[(Long, String, Long, Long, Long, Long, Long, Long)]
+        .collect().toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+      // the seam must actually split a bar (else the state survival
+      // claim was never exercised): some bar spans mid
+      assert(batch.exists(b => b._1 <= mid.toLong &&
+        mid.toLong < b._1 + 6L * 3600000000L))
+    } finally q.stop()
+  }
+
   test("streaming funnel stages == batch q_funnel over ts-ordered micro-batches") {
     // two micro-batches split at the time median — the ts-ordered
     // append-log arrival shape the twin's exactness contract names

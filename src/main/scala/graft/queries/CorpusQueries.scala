@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Bpe, Dsir, KMeansQuant, Pq, SemDedup, TokenOps, UnigramLM}
+import graft.operators.{Bpe, Collocations, Dsir, KMeansQuant, Pq, SemDedup, TokenOps, UnigramLM}
 
 /** Corpus-modeling operators (SURVEY.md §2.7): deterministic k-means
   * clustering over `embeddings`, unigram-LM NLL quality scoring over
@@ -386,6 +386,15 @@ object CorpusQueries extends QueryModule {
         .orderBy(col("token"))
     }),
 
+    // Collocation mining: top-20 token pairs by document-presence PMI
+    // (Church & Hanks 1990) on the nano grid — pair counting self-joins
+    // the df-filtered per-doc token sets with the candidate volume
+    // loud-guarded through JoinDiagnostics.requireBounded first.
+    "q_collocations" -> ((s, d) =>
+      Collocations.pmiPairs(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("pmi_nano").desc, col("tok_a"), col("tok_b"))
+        .limit(20)),
+
     // BPE round 0: adjacent character-pair counts weighted by word
     // frequency — the statistic every merge decision reads.
     "q_bpe_pairs" -> ((s, d) =>
@@ -760,6 +769,30 @@ object CorpusQueries extends QueryModule {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_collocations" ->
+      s"""WITH toks AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(regexp_split_to_array(lower(text), '$wsSql')) AS tok
+         |  FROM documents),
+         |dfs AS (SELECT tok, count(*) AS df FROM toks
+         |        GROUP BY tok HAVING count(*) >= 5),
+         |nn AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+         |vt AS (SELECT t.doc_id, t.tok FROM toks t
+         |       JOIN dfs ON dfs.tok = t.tok),
+         |pairs AS (SELECT a.tok AS tok_a, b.tok AS tok_b,
+         |            count(*) AS n_ab
+         |          FROM vt a JOIN vt b
+         |            ON a.doc_id = b.doc_id AND a.tok < b.tok
+         |          GROUP BY 1, 2 HAVING count(*) >= 5)
+         |SELECT tok_a, tok_b, n_ab, da.df AS df_a, db.df AS df_b,
+         |  CAST(round(ln(CAST(n_ab AS DOUBLE) * nn.n_docs
+         |    / (da.df * db.df)) * 1e9) AS BIGINT) AS pmi_nano
+         |FROM pairs
+         |JOIN dfs da ON da.tok = tok_a
+         |JOIN dfs db ON db.tok = tok_b
+         |CROSS JOIN nn
+         |ORDER BY pmi_nano DESC, tok_a, tok_b LIMIT 20""".stripMargin,
+
     "q_cms_cells" ->
       s"""WITH $cmsCtes,
          |grid AS (SELECT j.j AS j, c.i AS c

@@ -309,6 +309,19 @@ object RelationalQueries extends QueryModule {
         .orderBy(col("c_custkey"))
     }),
 
+    // Pre-flight join-explosion report (operators/JoinDiagnostics): the
+    // exact output cardinality of the lineitem-lineitem self-join on
+    // part — the candidate-pair shape — per key, top 10 exploding keys,
+    // computed from vocabulary-sized histograms WITHOUT running the
+    // join. The guard form (requireBounded) is specced separately.
+    "q_join_cardinality" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_partkey"))
+      graft.operators.JoinDiagnostics
+        .joinCardinality(li, li, Seq("l_partkey"))
+        .orderBy(col("n_pairs").desc, col("l_partkey"))
+        .limit(10)
+    }),
+
     // Distribution-rank window family: ntile / percent_rank / cume_dist
     // in ONE window pass per priority group (all three share the same
     // partitioning and sort, so Catalyst plans a single shuffle+sort).
@@ -778,6 +791,14 @@ object RelationalQueries extends QueryModule {
         |UNION ALL SELECT * FROM updates
         |UNION ALL SELECT * FROM inserts
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_cardinality" ->
+      """WITH h AS (SELECT l_partkey, count(*) AS n
+        |           FROM lineitem GROUP BY 1)
+        |SELECT l_partkey, n AS n_left, n AS n_right,
+        |  CAST(n * n AS BIGINT) AS n_pairs
+        |FROM h
+        |ORDER BY n_pairs DESC, l_partkey LIMIT 10""".stripMargin,
 
     "q_window_dist" ->
       """SELECT o_orderpriority, o_orderkey,

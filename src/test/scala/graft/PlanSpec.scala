@@ -83,8 +83,9 @@ class PlanSpec extends SparkSpec {
       // query vector against the kmeans-IVF probed cells
       "q_unigram_nll", "q_rerank_linear", "q_ivf_kmeans_topk",
       // same 1-row scalar joins: the bigram model's (N, V) stats row;
-      // the upsert's max-key base row for keyed-past-max inserts
-      "q_bigram_nll", "q_merge_upsert",
+      // the upsert's max-key base row for keyed-past-max inserts (the
+      // CDC form carries the same 1-row insert-key base frame)
+      "q_bigram_nll", "q_merge_upsert", "q_cdc_apply",
       // recall eval joins the IVF and brute-force top-10s — both carry
       // the 1-row query-vector scalar join by construction
       "q_ivf_recall",
@@ -110,7 +111,10 @@ class PlanSpec extends SparkSpec {
       // the 1-row Count-Min sketch frame broadcasts back over the exact
       // truth table for the estimate-vs-true compare — the same
       // no-join-key scalar-broadcast shape as the stats rows above
-      "q_cms_estimates")
+      "q_cms_estimates",
+      // PMI's 1-row corpus-size frame (n_docs) broadcast over the
+      // vocabulary-sized pair table — the same scalar-join shape
+      "q_collocations")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan =

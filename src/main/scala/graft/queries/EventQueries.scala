@@ -294,6 +294,22 @@ object EventQueries extends QueryModule {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // ORC source/sink round-trip (sources/OrcTable): events written as
+    // ORC once per session, read back, and aggregated — the oracle
+    // reads the PARQUET side, so any write/read drift in timestamps,
+    // doubles, strings or longs through the ORC boundary breaks the
+    // hash. The second columnar format next to parquet (the
+    // Hive/Trino interop edge).
+    "q_orc_scan" -> ((s, d) =>
+      graft.sources.OrcTable.roundTrip(s, d, Tables.events(s, d))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          min(unix_micros(col("ts"))).as("min_us"),
+          max(unix_micros(col("ts"))).as("max_us"),
+          sum(graft.functions.Money.cents(col("value"))).as("total_cents"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("event_type"))),
+
     // OHLC candlestick bars: per (event_type, tumbling day) open/close
     // at the first/last event plus extrema, count and exact-cents
     // volume — min_by/max_by over the (us, event_id) total order, one
@@ -703,6 +719,17 @@ object EventQueries extends QueryModule {
         |WINDOW w AS (PARTITION BY user_id ORDER BY us
         |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, event_id""".stripMargin,
+
+    "q_orc_scan" ->
+      s"""SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  min(epoch_us(ts)) AS min_us,
+        |  max(epoch_us(ts)) AS max_us,
+        |  CAST(sum(${graft.functions.Money.centsSql("value")}) AS BIGINT)
+        |    AS total_cents,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     // open/close via DuckDB's ordered first/last over the same
     // (us, event_id) total order min_by/max_by walks in the engine.

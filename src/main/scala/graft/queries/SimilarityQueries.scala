@@ -342,6 +342,26 @@ object SimilarityQueries extends QueryModule {
             (count(lit(1)) * lit(1e6)), 6).as("c"))
         .orderBy(col("label"), col("pos"))),
 
+    // Feature-wise z-scoring (operators/EmbedNormalize): per-DIMENSION
+    // standardization on exact micro-grid moments — z computed from
+    // exact integers with one division + one sqrt (both IEEE-correctly
+    // rounded), so the doubles match DuckDB bit-for-bit. Relationalized
+    // per vector: integer z-sum pins every component, min/max the tails.
+    "q_embed_standardize" -> ((s, d) => {
+      val z = graft.operators.EmbedNormalize.standardize(
+        Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+        "embedding")
+      z.select(col("vec_id"),
+          graft.functions.ColumnOps.bind(col("z"), zc => struct(
+            aggregate(zc, lit(0L),
+              (a, x) => a + round(x * 1e6).cast("long")).as("z_sum_micro"),
+            round(array_min(zc), 6).as("z_min"),
+            round(array_max(zc), 6).as("z_max"))).as("st"))
+        .select(col("vec_id"), col("st.z_sum_micro"), col("st.z_min"),
+          col("st.z_max"))
+        .orderBy(col("vec_id"))
+    }),
+
     // MinHash+LSH near-dups (32 hashes, 8 bands) — rows-only; recall vs
     // q_jaccard_pairs ground truth is property-tested.
     "q_minhash_neardup" -> ((s, d) =>
@@ -640,6 +660,26 @@ object SimilarityQueries extends QueryModule {
         |  CAST(list_max(qc) AS BIGINT) AS max_code,
         |  CAST(list_sum(qc) AS BIGINT) AS sum_codes
         |FROM c ORDER BY vec_id""".stripMargin,
+
+    "q_embed_standardize" ->
+      """WITH q AS (SELECT vec_id, i,
+        |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+        |      AS q
+        |  FROM embeddings,
+        |    unnest(generate_series(1, len(embedding))) AS u(i)),
+        |st AS (SELECT i, count(*) AS n, sum(q) AS s1, sum(q * q) AS s2
+        |       FROM q GROUP BY i),
+        |z AS (SELECT vec_id, q.i,
+        |        CASE WHEN n * s2 - s1 * s1 = 0 THEN 0.0
+        |             ELSE (n * q.q - s1)
+        |                  / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) END AS z
+        |      FROM q JOIN st ON st.i = q.i)
+        |SELECT vec_id,
+        |  CAST(sum(CAST(round(z * 1000000) AS BIGINT)) AS BIGINT)
+        |    AS z_sum_micro,
+        |  round(min(z), 6) AS z_min,
+        |  round(max(z), 6) AS z_max
+        |FROM z GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     "q_embed_centroid" ->
       """SELECT label, CAST(i AS BIGINT) AS pos,

@@ -79,7 +79,18 @@ object ScaleBench {
     // Customer#... id ranges per copy — names stay unique and keep the
     // fixed format), so expected ~linear — the contrast case to the
     // flat dictionary queries above
-    "q_fuzzy_customer")
+    "q_fuzzy_customer",
+    // round-14 additions: leak split = pair derivation + components +
+    // row-local hash (pairs grow within copies only under the alphabet
+    // rotation — ~linear); collocations = df-filtered per-doc self-join
+    // whose vocabulary grows ~×N under the rotation (pair space per doc
+    // constant — ~linear, and the requireBounded probe rides inside);
+    // CMS cells = one sketch-buffer aggregate, state CONSTANT in rows
+    // (the flat case); OHLC and CUSUM are single-Exchange event shapes
+    // growing by users (~linear); phrase search legs are df-sized
+    // (~linear); join-cardinality is two wordcount aggregates (~linear)
+    "q_leak_split", "q_collocations", "q_cms_cells", "q_ohlc",
+    "q_changepoint", "q_phrase_search", "q_join_cardinality")
 
   def generate(spark: SparkSession, sfDir: String, outDir: String,
       scale: Int): (Long, Long) = {

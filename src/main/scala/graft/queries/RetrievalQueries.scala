@@ -82,6 +82,18 @@ object RetrievalQueries extends QueryModule {
       Bm25.topK(Tables.documents(s, d), "doc_id", "text", terms, k = 10,
         k1 = k1, b = b)),
 
+    // Exact phrase search (operators/PhraseSearch): every occurrence of
+    // "slow hash batch" AS A CONSECUTIVE SEQUENCE — the positional-
+    // intersection verb bag-of-words BM25 cannot answer. Legs intersect
+    // rarest-first on (doc_id, pos-offset) equi-joins, each leg
+    // df-sized. The mirror re-derives every occurrence from the raw
+    // token arrays.
+    "q_phrase_search" -> ((s, d) =>
+      graft.operators.PhraseSearch.phraseOccurrences(
+          Tables.documents(s, d), "doc_id", "text",
+          Seq("slow", "hash", "batch"))
+        .orderBy(col("doc_id"), col("start_pos"))),
+
     // Hybrid retrieval: top-50 lexical ∪ top-50 dense, fused by
     // reciprocal rank (k=60), top-10 by fused score. Ranks are assigned
     // AFTER the top-k cuts (windows sort ≤50 rows, not a corpus).
@@ -209,6 +221,15 @@ object RetrievalQueries extends QueryModule {
       s"""$scoredSql
          |SELECT doc_id, bm25 FROM scored WHERE bm25 > 0
          |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q_phrase_search" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |  regexp_split_to_array(lower(text), '$wsSql') AS t
+         |  FROM documents)
+         |SELECT doc_id, CAST(i AS BIGINT) AS start_pos
+         |FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)
+         |WHERE t[i] = 'slow' AND t[i+1] = 'hash' AND t[i+2] = 'batch'
+         |ORDER BY doc_id, start_pos""".stripMargin,
 
     "q_postings_build" ->
       s"""WITH toks AS (SELECT doc_id,

@@ -320,6 +320,39 @@ object EventQueries extends QueryModule {
           graft.functions.Money.cents(col("value")), widthUs = 86400000000L)
         .orderBy(col("event_type"), col("bar_us"))),
 
+    // Inter-arrival statistics + burstiness (Goh & Barabási 2008):
+    // per event_type, the gap distribution between consecutive events —
+    // exact integer micros off one lag() window (the family's shared
+    // single-Exchange layout), moments as exact decimal sums (the
+    // q_corr_stats construction: gap² wraps a long at month-scale
+    // gaps × big streams), burstiness B = (σ−μ)/(σ+μ) as the identical
+    // IEEE double chain on both engines (the n in σ and μ cancels,
+    // so B = (√(n·Σg²−(Σg)²) − Σg)/(√(n·Σg²−(Σg)²) + Σg) exactly).
+    "q_interarrival" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("us"), col("event_id"))
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      val root = sqrt(col("n_gaps") * col("sgg") - col("sg") * col("sg"))
+      Tables.events(s, d)
+        .select(col("event_type"), unix_micros(col("ts")).as("us"),
+          col("event_id"))
+        .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+        .filter(col("gap").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_gaps"),
+          min(col("gap")).as("min_gap_us"),
+          max(col("gap")).as("max_gap_us"),
+          sum(dec(col("gap"))).cast("double").as("sg"),
+          sum(dec(col("gap")) * dec(col("gap"))).cast("double").as("sgg"))
+        .select(col("event_type"), col("n_gaps"), col("min_gap_us"),
+          col("max_gap_us"),
+          round(col("sg") / col("n_gaps"), 6).as("mean_gap_us"),
+          round((root - col("sg")) / (root + col("sg")), 6)
+            .as("burstiness"))
+        .orderBy(col("event_type"))
+    }),
+
     // CUSUM change-point: where each event_type's cumulative deviation
     // from its own mean peaks, on the exact integer grid (the n-scaled
     // |n·S_i − i·S_n| statistic — see EventOps.cusumChangepoint).
@@ -747,6 +780,25 @@ object EventQueries extends QueryModule {
         |  CAST(sum(cents) AS BIGINT) AS volume_cents
         |FROM ev GROUP BY 1, 2
         |ORDER BY event_type, bar_us""".stripMargin,
+
+    "q_interarrival" ->
+      """WITH ev AS (
+        |  SELECT event_type, epoch_us(ts) AS us, event_id FROM events),
+        |g AS (SELECT event_type,
+        |        us - lag(us) OVER (PARTITION BY event_type
+        |                           ORDER BY us, event_id) AS gap
+        |      FROM ev),
+        |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+        |        CAST(min(gap) AS BIGINT) AS min_gap_us,
+        |        CAST(max(gap) AS BIGINT) AS max_gap_us,
+        |        CAST(sum(gap) AS DOUBLE) AS sg,
+        |        CAST(sum(CAST(gap AS HUGEINT) * gap) AS DOUBLE) AS sgg
+        |      FROM g WHERE gap IS NOT NULL GROUP BY event_type)
+        |SELECT event_type, n_gaps, min_gap_us, max_gap_us,
+        |  round(sg / n_gaps, 6) AS mean_gap_us,
+        |  round((sqrt(n_gaps * sgg - sg * sg) - sg)
+        |      / (sqrt(n_gaps * sgg - sg * sg) + sg), 6) AS burstiness
+        |FROM m ORDER BY event_type""".stripMargin,
 
     "q_changepoint" ->
       s"""WITH ev AS (

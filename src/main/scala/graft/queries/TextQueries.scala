@@ -186,6 +186,41 @@ object TextQueries extends QueryModule {
         .agg(count(lit(1)).as("n_langs"),
           round(-(sum(col("qterm")).cast("double") / 1e9), 6).as("entropy"))
         .orderBy(col("source"))
+    }),
+
+    // Per-document CHARACTER-distribution entropy — the gibberish /
+    // binary-noise screen quality pipelines run beside the word-level
+    // gopher rules (natural text sits in a narrow entropy band; base64
+    // blobs and aaaa-runs fall far outside it). Per-class −ln(c/n)
+    // quantizes to the 1e-9 grid, rides the EXACT integer weighted sum
+    // Σ c·t (order-free), and divides back once — the q_unigram_nll
+    // transcendental discipline. Shape: char explode → (doc, char)
+    // wordcount shuffle with map-side combine (≤ alphabet rows per doc
+    // reach the reduce side), one doc-sized rollup.
+    "q_char_entropy" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), length(col("text"))),
+            i => col("text").substr(i, lit(1)))).as("ch"))
+        .groupBy(col("doc_id"), col("ch"))
+        .agg(count(lit(1)).as("c"))
+      // per-doc total as a window sum over the (doc, char) CELL table —
+      // alphabet-sized rows, the q_source_entropy layout
+      val withT = counts
+        .withColumn("n", sum(col("c")).over(Window.partitionBy(col("doc_id"))))
+        .withColumn("t",
+          round(-log(col("c").cast("double") / col("n").cast("double"))
+            * lit(1e9)).cast("long"))
+      withT
+        .groupBy(col("doc_id"))
+        .agg(max(col("n")).as("n_chars"),
+          count(lit(1)).as("n_classes"),
+          sum(col("c") * col("t")).as("s"))
+        .select(col("doc_id"), col("n_chars"), col("n_classes"),
+          round(col("s").cast("double") / col("n_chars")).cast("long")
+            .as("entropy_nano"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -304,6 +339,23 @@ object TextQueries extends QueryModule {
         |        * ln(CAST(o AS DOUBLE) / CAST(r.r AS DOUBLE)) * 1e9)
         |    AS BIGINT)) AS DOUBLE) / 1e9), 6) AS entropy
         |FROM cells JOIN r ON cells.source = r.source
-        |GROUP BY cells.source ORDER BY cells.source""".stripMargin
+        |GROUP BY cells.source ORDER BY cells.source""".stripMargin,
+
+    "q_char_entropy" ->
+      """WITH ch AS (SELECT doc_id, substring(text, i, 1) AS ch
+        |            FROM documents,
+        |              unnest(generate_series(1, length(text))) AS u(i)),
+        |c AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+        |w AS (SELECT doc_id, c, sum(c) OVER (PARTITION BY doc_id) AS n
+        |      FROM c),
+        |t AS (SELECT doc_id, c, n,
+        |        CAST(round(-ln(CAST(c AS DOUBLE) / n) * 1e9) AS BIGINT)
+        |          AS t
+        |      FROM w)
+        |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_chars,
+        |  CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(round(CAST(sum(c * t) AS DOUBLE) / max(n)) AS BIGINT)
+        |    AS entropy_nano
+        |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

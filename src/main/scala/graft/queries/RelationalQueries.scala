@@ -309,6 +309,59 @@ object RelationalQueries extends QueryModule {
         .orderBy(col("c_custkey"))
     }),
 
+    // TPC-H Q17 shape (small-quantity orders): lineitems below 20% of
+    // their part's average quantity. The fractional threshold is an
+    // EXACT integer cross-multiply — q < Σq/(5n) ⟺ 5·q·n < Σq on the
+    // cents grid, no division anywhere — and the part-level stats are
+    // a vocabulary-sized aggregate joined back (the correlated-scalar-
+    // subquery shape, decorrelated by construction).
+    "q_small_orders" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_partkey"),
+        cents(col("l_quantity")).as("qc"),
+        cents(col("l_extendedprice")).as("pc"))
+      val stats = li.groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n"), sum(col("qc")).as("sq"))
+      li.join(stats, "l_partkey")
+        .filter(lit(5L) * col("qc") * col("n") < col("sq"))
+        .agg(count(lit(1)).as("n_small"),
+          (sum(col("pc").cast("decimal(20,0)")).cast("double") / 100.0)
+            .as("revenue"))
+    }),
+
+    // TPC-H Q21 shape (suppliers who kept everyone waiting): suppliers
+    // that were the ONLY late supplier (ship lag > 60 days) on a
+    // multi-supplier finished order — the classic EXISTS + NOT EXISTS
+    // double-correlation, decorrelated to one semi and one anti join
+    // over deduped (order, supplier) pairs; every leg an equi-join on
+    // the order key with a row-local inequality residual.
+    "q_waiting_supplier" -> ((s, d) => {
+      val pairs = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderstatus") === "F")
+            .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"),
+          (unix_micros(col("l_shipdate").cast("timestamp")) -
+            unix_micros(col("o_orderdate").cast("timestamp"))
+            > lit(60L * 86400000000L)).as("late"))
+        .groupBy(col("ok"), col("sk"))
+        .agg(max(col("late")).as("late"))
+        .localCheckpoint() // three legs below read this one frame
+      val l1 = pairs.filter(col("late"))
+      val withOther = l1.as("a").join(pairs.as("b"),
+          col("a.ok") === col("b.ok") && col("a.sk") =!= col("b.sk"),
+          "left_semi")
+      val onlyLate = withOther.as("a").join(l1.as("c"),
+          col("a.ok") === col("c.ok") && col("a.sk") =!= col("c.sk"),
+          "left_anti")
+      onlyLate
+        .join(Tables.supplier(s, d), col("sk") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(10)
+    }),
+
     // Pre-flight join-explosion report (operators/JoinDiagnostics): the
     // exact output cardinality of the lineitem-lineitem self-join on
     // part — the candidate-pair shape — per key, top 10 exploding keys,
@@ -791,6 +844,37 @@ object RelationalQueries extends QueryModule {
         |UNION ALL SELECT * FROM updates
         |UNION ALL SELECT * FROM inserts
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_small_orders" ->
+      s"""WITH li AS (SELECT l_partkey,
+        |    ${centsSql("l_quantity")} AS qc,
+        |    ${centsSql("l_extendedprice")} AS pc
+        |  FROM lineitem),
+        |st AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(qc) AS BIGINT) AS sq
+        |       FROM li GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_small,
+        |  CAST(sum(CAST(pc AS HUGEINT)) AS DOUBLE) / 100.0 AS revenue
+        |FROM li JOIN st USING (l_partkey)
+        |WHERE 5 * qc * n < sq""".stripMargin,
+
+    "q_waiting_supplier" ->
+      """WITH pairs AS (
+        |  SELECT l_orderkey AS ok, l_suppkey AS sk,
+        |    max(CASE WHEN epoch_us(l_shipdate) - epoch_us(o_orderdate)
+        |             > 60 * 86400000000 THEN 1 ELSE 0 END) = 1 AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |  GROUP BY 1, 2),
+        |l1 AS (SELECT ok, sk FROM pairs WHERE late)
+        |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM l1 a JOIN supplier ON a.sk = s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM pairs b
+        |              WHERE b.ok = a.ok AND b.sk <> a.sk)
+        |  AND NOT EXISTS (SELECT 1 FROM l1 c
+        |                  WHERE c.ok = a.ok AND c.sk <> a.sk)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin,
 
     "q_join_cardinality" ->
       """WITH h AS (SELECT l_partkey, count(*) AS n

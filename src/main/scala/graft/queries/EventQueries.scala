@@ -320,6 +320,17 @@ object EventQueries extends QueryModule {
           graft.functions.Money.cents(col("value")), widthUs = 86400000000L)
         .orderBy(col("event_type"), col("bar_us"))),
 
+    // Two-sample KS drift screen (operators/Drift): did the purchase
+    // value distribution shift vs clicks — exact integer ECDF gap
+    // |C1·n2 − C2·n1| over the value GRID (value-cardinality-sized;
+    // the single global cumsum window sorts the grid, never the data),
+    // one division at the end, smallest value wins gap ties.
+    "q_ks_drift" -> ((s, d) =>
+      graft.operators.Drift.ksStatistic(
+        Tables.events(s, d).select(col("event_type"),
+          graft.functions.Money.cents(col("value")).as("cents")),
+        col("event_type"), col("cents"), "click", "purchase")),
+
     // Inter-arrival statistics + burstiness (Goh & Barabási 2008):
     // per event_type, the gap distribution between consecutive events —
     // exact integer micros off one lag() window (the family's shared
@@ -780,6 +791,31 @@ object EventQueries extends QueryModule {
         |  CAST(sum(cents) AS BIGINT) AS volume_cents
         |FROM ev GROUP BY 1, 2
         |ORDER BY event_type, bar_us""".stripMargin,
+
+    "q_ks_drift" ->
+      s"""WITH vals AS (
+        |  SELECT event_type AS s, ${graft.functions.Money.centsSql("value")} AS v
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |grid AS (SELECT v,
+        |    sum(CASE WHEN s = 'click' THEN 1 ELSE 0 END) AS da,
+        |    sum(CASE WHEN s = 'purchase' THEN 1 ELSE 0 END) AS db
+        |  FROM vals GROUP BY v),
+        |c AS (SELECT v, sum(da) OVER w AS ca, sum(db) OVER w AS cb,
+        |        sum(da) OVER () AS na, sum(db) OVER () AS nb
+        |      FROM grid
+        |      WINDOW w AS (ORDER BY v
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |g AS (SELECT v,
+        |        abs(CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na)
+        |          AS gap, na, nb
+        |      FROM c)
+        |SELECT CAST(max(na) AS BIGINT) AS n_a,
+        |  CAST(max(nb) AS BIGINT) AS n_b,
+        |  round(CAST(max(gap) AS DOUBLE)
+        |    / (CAST(max(na) AS DOUBLE) * CAST(max(nb) AS DOUBLE)), 6)
+        |    AS ks_d,
+        |  first(v ORDER BY gap DESC, v ASC) AS ks_at
+        |FROM g""".stripMargin,
 
     "q_interarrival" ->
       """WITH ev AS (

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Drift
+
+class DriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ks(rows: Seq[(String, Long)]): (Long, Long, Double, Long) =
+    Drift.ksStatistic(rows.toDF("s", "v"), $"s", $"v", "a", "b")
+      .as[(Long, Long, Double, Long)].head()
+
+  test("ksStatistic == driver brute-force ECDF gap on real events") {
+    val ev = Tables.events(spark, sf001)
+      .select($"event_type", graft.functions.Money.cents($"value").as("c"))
+      .as[(String, Long)].collect()
+    val xa = ev.collect { case ("click", v) => v }.sorted
+    val xb = ev.collect { case ("purchase", v) => v }.sorted
+    val support = (xa ++ xb).distinct.sorted
+    val want = support.map { v =>
+      val ca = xa.count(_ <= v).toLong
+      val cb = xb.count(_ <= v).toLong
+      math.abs(ca * xb.length - cb * xa.length)
+    }.max.toDouble / (xa.length.toLong * xb.length)
+    val got = Drift.ksStatistic(
+      Tables.events(spark, sf001).select($"event_type",
+        graft.functions.Money.cents($"value").as("c")),
+      $"event_type", $"c", "click", "purchase")
+      .as[(Long, Long, Double, Long)].head()
+    assert(got._1 === xa.length.toLong && got._2 === xb.length.toLong)
+    assert(math.abs(got._3 - want) < 5e-7, s"got ${got._3}, want $want")
+  }
+
+  test("identical slices score 0; disjoint slices score 1") {
+    val same = (1L to 100L).flatMap(v => Seq(("a", v), ("b", v)))
+    assert(ks(same)._3 === 0.0)
+    val disjoint = (1L to 50L).map(("a", _)) ++ (51L to 100L).map(("b", _))
+    assert(ks(disjoint)._3 === 1.0)
+  }
+
+  test("a planted location shift is detected at the boundary") {
+    // b = a + 100: D = 1 at the gap between supports; ks_at = max(a)
+    val shifted = (1L to 50L).map(("a", _)) ++ (101L to 150L).map(("b", _))
+    val (_, _, d, at) = ks(shifted)
+    assert(d === 1.0)
+    assert(at === 50L, s"max gap should first be attained at 50, got $at")
+  }
+
+  test("gap ties resolve to the smallest value") {
+    // a={1}, b={3}: gap=1·1 at v=1 and v=2... grid only holds observed
+    // values, so v in {1,3}; gap at 1 is 1, at 3 is 0 -> at=1
+    val (_, _, d, at) = ks(Seq(("a", 1L), ("b", 3L)))
+    assert(d === 1.0 && at === 1L)
+  }
+}

@@ -42,6 +42,30 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("count_min sketch survives streaming state round-trips == batch") {
+    // the CountMin TypedImperativeAggregate's serialize/deserialize is
+    // exercised for real: partial cell buffers persist in the state
+    // store between micro-batches, and CMS determinism means the
+    // streamed sketch must equal the batch sketch CELL FOR CELL
+    graft.functions.CountMin.register(spark)
+    val stream = EventStream.read(spark, eventsDir)
+      .groupBy($"event_type")
+      .agg(graft.functions.CountMin.count_min($"event_type", 64, 4).as("sk"))
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("cms_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("cms_out")
+        .as[(String, Seq[Long])].collect().toMap
+      val batch = Tables.events(spark, sf001)
+        .groupBy($"event_type")
+        .agg(graft.functions.CountMin.count_min($"event_type", 64, 4).as("sk"))
+        .as[(String, Seq[Long])].collect().toMap
+      assert(streamed === batch)
+      assert(streamed.nonEmpty && streamed.values.exists(_.exists(_ > 0L)))
+    } finally q.stop()
+  }
+
   test("native bottom_k aggregate survives streaming state round-trips") {
     // the TypedImperativeAggregate's serialize/deserialize is exercised
     // for real here: streaming aggregation persists partial buffers in

@@ -57,4 +57,62 @@ object Drift {
           .as("ks_d"),
         col("ks_at"))
   }
+
+  /** The monitoring form: per-partition KS against the GLOBAL
+    * distribution — "which day drifted" as one frame, no driver loop.
+    * Returns (part, n_part, ks_d) per partition value.
+    *
+    * The ECDF gap must be evaluated on the UNION support (a partition's
+    * step function holds constant through values it never saw, but the
+    * global ECDF moves there), so the grid densifies to
+    * partitions × |support| rows first — bounded by the VALUE DOMAIN
+    * times the partition count, never the corpus, and guarded loudly
+    * (`maxCells`) because a floating-point value column would make
+    * |support| ≈ corpus and silently explode it. Cumulative sums then
+    * ride two value-ordered windows (per-partition and global), both
+    * over the dense GRID. */
+  def ksByPartition(df: DataFrame, partCol: Column, valueCol: Column,
+      maxCells: Long = 100000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val grid = df
+      .filter(partCol.isNotNull && valueCol.isNotNull)
+      .select(partCol.as("p"), valueCol.as("v"))
+      .groupBy(col("p"), col("v"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // sized below, then consumed twice (support/parts)
+    val sizes = grid.agg(countDistinct(col("p")).as("np"),
+      countDistinct(col("v")).as("nv")).head()
+    val cells = sizes.getLong(0) * sizes.getLong(1)
+    require(cells <= maxCells,
+      s"ksByPartition: dense grid needs $cells cells " +
+        s"(${sizes.getLong(0)} partitions x ${sizes.getLong(1)} distinct " +
+        s"values > budget $maxCells) — quantize the value column to a " +
+        "coarser grid or raise the budget deliberately")
+    val support = grid.select(col("v")).distinct()
+    val parts = grid.select(col("p")).distinct()
+    val wPart = Window.partitionBy(col("p")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wGlob = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val globCum = grid.groupBy(col("v")).agg(sum(col("c")).as("g"))
+      .withColumn("cg", sum(col("g")).over(wGlob))
+    parts.crossJoin(support)
+      .join(grid, Seq("p", "v"), "left")
+      .withColumn("cd", sum(coalesce(col("c"), lit(0L))).over(wPart))
+      .join(globCum.select(col("v"), col("cg")), Seq("v"))
+      .withColumn("nd", sum(coalesce(col("c"), lit(0L)))
+        .over(Window.partitionBy(col("p"))))
+      .withColumn("ng", sum(coalesce(col("c"), lit(0L)))
+        .over(Window.partitionBy()))
+      .groupBy(col("p"))
+      .agg(max(col("nd")).as("n_part"),
+        max(abs(dec(col("cd")) * dec(col("ng")) -
+          dec(col("cg")) * dec(col("nd")))).as("gmax"),
+        max(col("ng")).as("ng"))
+      .select(col("p"), col("n_part"),
+        round(col("gmax").cast("double") /
+          (col("n_part").cast("double") * col("ng").cast("double")), 6)
+          .as("ks_d"))
+  }
 }

@@ -331,6 +331,21 @@ object EventQueries extends QueryModule {
           graft.functions.Money.cents(col("value")).as("cents")),
         col("event_type"), col("cents"), "click", "purchase")),
 
+    // The drift MONITOR: per-day KS of the value distribution against
+    // the global one — "which day drifted", one frame, no driver loop
+    // (see Drift.ksByPartition: union-support dense grid, loudly
+    // size-guarded, value-ordered cumsum windows over the GRID).
+    "q_ks_daily" -> ((s, d) => {
+      val us = unix_micros(col("ts"))
+      graft.operators.Drift.ksByPartition(
+          Tables.events(s, d).select(
+            (us - pmod(us, lit(86400000000L))).as("day_us"),
+            graft.functions.Money.cents(col("value")).as("cents")),
+          col("day_us"), col("cents"))
+        .select(col("p").as("day_us"), col("n_part"), col("ks_d"))
+        .orderBy(col("day_us"))
+    }),
+
     // Inter-arrival statistics + burstiness (Goh & Barabási 2008):
     // per event_type, the gap distribution between consecutive events —
     // exact integer micros off one lag() window (the family's shared
@@ -816,6 +831,36 @@ object EventQueries extends QueryModule {
         |    AS ks_d,
         |  first(v ORDER BY gap DESC, v ASC) AS ks_at
         |FROM g""".stripMargin,
+
+    "q_ks_daily" ->
+      s"""WITH vals AS (
+        |  SELECT epoch_us(ts) - epoch_us(ts) % 86400000000 AS p,
+        |    ${graft.functions.Money.centsSql("value")} AS v
+        |  FROM events),
+        |grid AS (SELECT p, v, count(*) AS c FROM vals GROUP BY 1, 2),
+        |sup AS (SELECT DISTINCT v FROM grid),
+        |ps AS (SELECT DISTINCT p FROM grid),
+        |dense AS (SELECT ps.p, sup.v, coalesce(grid.c, 0) AS c
+        |          FROM ps CROSS JOIN sup
+        |          LEFT JOIN grid ON grid.p = ps.p AND grid.v = sup.v),
+        |gcum AS (SELECT v, sum(g) OVER (ORDER BY v
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS cg
+        |         FROM (SELECT v, sum(c) AS g FROM grid GROUP BY v)),
+        |cum AS (SELECT d.p, d.v, d.c,
+        |          sum(d.c) OVER (PARTITION BY d.p ORDER BY d.v
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS cd,
+        |          sum(d.c) OVER (PARTITION BY d.p) AS nd,
+        |          sum(d.c) OVER () AS ng,
+        |          g.cg
+        |        FROM dense d JOIN gcum g ON d.v = g.v)
+        |SELECT p AS day_us, CAST(max(nd) AS BIGINT) AS n_part,
+        |  round(CAST(max(abs(CAST(cd AS HUGEINT) * ng
+        |      - CAST(cg AS HUGEINT) * nd)) AS DOUBLE)
+        |    / (CAST(max(nd) AS DOUBLE) * CAST(max(ng) AS DOUBLE)), 6)
+        |    AS ks_d
+        |FROM cum GROUP BY p ORDER BY day_us""".stripMargin,
 
     "q_interarrival" ->
       """WITH ev AS (

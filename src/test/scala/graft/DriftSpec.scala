@@ -52,4 +52,41 @@ class DriftSpec extends SparkSpec {
     val (_, _, d, at) = ks(Seq(("a", 1L), ("b", 3L)))
     assert(d === 1.0 && at === 1L)
   }
+
+  test("ksByPartition == driver brute force per partition vs global") {
+    val rows = Seq(
+      // d1 mirrors the global mix (half low, half high); d2 is shifted
+      // entirely right — d2 must read as more drifted than d1
+      ("d1", 1L), ("d1", 2L), ("d1", 100L), ("d1", 101L),
+      ("d2", 100L), ("d2", 101L), ("d2", 102L),
+      ("d3", 1L), ("d3", 100L))
+    val got = Drift.ksByPartition(rows.toDF("p", "v"), $"p", $"v")
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val all = rows.map(_._2)
+    val support = all.distinct.sorted
+    val want = rows.groupBy(_._1).map { case (p, es) =>
+      val xs = es.map(_._2)
+      val d = support.map { v =>
+        val cd = xs.count(_ <= v).toLong
+        val cg = all.count(_ <= v).toLong
+        math.abs(cd * all.length - cg * xs.length)
+      }.max
+      p -> ((xs.length.toLong,
+        BigDecimal(d.toDouble / (xs.length.toLong * all.length))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }
+    assert(got === want)
+    // the shifted partition must read as the most drifted
+    assert(got("d2")._2 > got("d1")._2)
+  }
+
+  test("ksByPartition dense-grid guard trips loudly") {
+    val rows = (1L to 100L).map(v => (s"p$v", v))
+    val e = intercept[IllegalArgumentException] {
+      Drift.ksByPartition(rows.toDF("p", "v"), $"p", $"v",
+        maxCells = 50L).count()
+    }
+    assert(e.getMessage.contains("dense grid"))
+  }
 }

@@ -114,7 +114,12 @@ class PlanSpec extends SparkSpec {
       "q_cms_estimates",
       // PMI's 1-row corpus-size frame (n_docs) broadcast over the
       // vocabulary-sized pair table — the same scalar-join shape
-      "q_collocations")
+      "q_collocations",
+      // the KS monitor's union-support dense grid is a DELIBERATE
+      // partitions x |support| cross join — bounded by the value
+      // domain (never the corpus) and loudly size-guarded in
+      // Drift.ksByPartition before it can run
+      "q_ks_daily")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan =

@@ -67,11 +67,15 @@ object Bench {
     // exactly one family's numbers. Wait (bounded) for the box to quiet
     // down before the first timed run; the wait itself is recorded so a
     // gated record is distinguishable from an instant one.
+    // Default 4.0 (NOT cpus/2): the r14 record started at load1 13.4
+    // under a 16.0 gate and every headline "regression" was contention —
+    // a gate that admits a half-loaded box defeats its purpose. A quiet
+    // box reads < 2; 4.0 tolerates daemon noise but nothing concurrent.
     val loadGateMax = scala.util.Try(sys.env.getOrElse(
-      "SPARK_GRAFT_BENCH_LOAD_MAX", (cpus.toInt / 2).toString).toDouble)
-      .getOrElse(16.0)
+      "SPARK_GRAFT_BENCH_LOAD_MAX", "4.0").toDouble)
+      .getOrElse(4.0)
     val loadGateWaitCap = scala.util.Try(sys.env.getOrElse(
-      "SPARK_GRAFT_BENCH_LOAD_WAIT_SEC", "300").toInt).getOrElse(300)
+      "SPARK_GRAFT_BENCH_LOAD_WAIT_SEC", "600").toInt).getOrElse(600)
     var gateWaitedSec = 0
     while (load1() > loadGateMax && gateWaitedSec < loadGateWaitCap) {
       System.err.println(f"[bench] load gate: load1=${load1()}%.1f > " +

@@ -70,9 +70,17 @@ object Drift {
     * (`maxCells`) because a floating-point value column would make
     * |support| ≈ corpus and silently explode it. Cumulative sums then
     * ride two value-ordered windows (per-partition and global), both
-    * over the dense GRID. */
+    * over the dense GRID.
+    *
+    * The default budget is 10⁶ cells, deliberately conservative: the
+    * global cumsum window (`wGlob`, and the `ng` total) is a SINGLE
+    * unpartitioned sort task, so the budget bounds one task's sort —
+    * 10⁸ cells there is minutes of single-thread wall and a spill risk,
+    * not a safety margin. Raising it is a deliberate act: pass a bigger
+    * `maxCells` only after deciding one task may own that sort, or
+    * quantize the value column coarser instead (the intended path). */
   def ksByPartition(df: DataFrame, partCol: Column, valueCol: Column,
-      maxCells: Long = 100000000L): DataFrame = {
+      maxCells: Long = 1000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def dec(c: Column) = c.cast("decimal(38,0)")
     val grid = df

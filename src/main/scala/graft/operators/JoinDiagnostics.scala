@@ -29,7 +29,15 @@ object JoinDiagnostics {
     * same frame twice; n_pairs then counts ORDERED pairs including
     * self-matches (k·k per key) — the `a.id < b.id` candidate form is
     * (Σk² − Σk)/2, derivable from this table, stated here so nobody
-    * halves the wrong thing. */
+    * halves the wrong thing.
+    *
+    * `n_pairs` is decimal(38,0), NOT long: this module exists to catch
+    * petabyte-output joins, and two 10⁹-row hot keys already put
+    * n_left·n_right past Long.MaxValue — a wrapped (negative) product
+    * would make [[requireBounded]] pass silently at exactly the scale it
+    * guards. decimal(19,0)·decimal(19,0) → decimal(38,0) holds any
+    * product of realistic counts exactly (the [[Drift]] ECDF-numerator
+    * discipline). */
   def joinCardinality(left: DataFrame, right: DataFrame,
       keys: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "joinCardinality needs at least one key column")
@@ -37,32 +45,43 @@ object JoinDiagnostics {
     val r = right.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n_right"))
     l.join(r, keys)
       .select(keys.map(col) :+ col("n_left") :+ col("n_right") :+
-        (col("n_left") * col("n_right")).as("n_pairs"): _*)
+        (col("n_left").cast("decimal(19,0)") *
+          col("n_right").cast("decimal(19,0)"))
+          .cast("decimal(38,0)").as("n_pairs"): _*)
   }
 
   /** Exact inner-join output rows, as one number (the per-key table
-    * reduced). Aggregate-sized collect — safe at any scale. */
+    * reduced). Aggregate-sized collect — safe at any scale; the total
+    * stays decimal(38,0) end-to-end so it cannot wrap either. */
   def outputRows(left: DataFrame, right: DataFrame,
-      keys: Seq[String]): Long =
-    joinCardinality(left, right, keys)
-      .agg(coalesce(sum(col("n_pairs")), lit(0L)))
-      .head().getLong(0)
+      keys: Seq[String]): BigDecimal = {
+    val v = joinCardinality(left, right, keys)
+      .agg(coalesce(sum(col("n_pairs")),
+        lit(0).cast("decimal(38,0)")).as("total"))
+      .head().getDecimal(0)
+    BigDecimal(v)
+  }
 
   /** The loud guard: fail BEFORE a join whose exact output exceeds
     * `maxRows`, naming the worst key — the [[FuzzyJoin]] maxCellRows /
     * [[SemDedup]] maxCellRows discipline applied to arbitrary equi-joins.
     * Returns the exact output size for logging on the pass path. */
   def requireBounded(left: DataFrame, right: DataFrame, keys: Seq[String],
-      maxRows: Long): Long = {
+      maxRows: Long): BigDecimal = {
     val agg = joinCardinality(left, right, keys)
-      .agg(coalesce(sum(col("n_pairs")), lit(0L)).as("total"),
+      .agg(coalesce(sum(col("n_pairs")),
+          lit(0).cast("decimal(38,0)")).as("total"),
         max(col("n_pairs")).as("worst"))
       .head()
-    val total = agg.getLong(0)
-    require(total <= maxRows,
+    // decimal end-to-end: a long total would wrap negative in exactly
+    // the petabyte-output regime this guard exists for, and a wrapped
+    // total "passes" the budget silently
+    val total = BigDecimal(agg.getDecimal(0))
+    require(total <= BigDecimal(maxRows),
       s"join on (${keys.mkString(", ")}) would produce $total rows " +
         s"(> budget $maxRows; worst single key contributes " +
-        s"${agg.getLong(1)}) — filter the hot keys, block differently, " +
+        s"${Option(agg.getDecimal(1)).map(BigDecimal(_)).getOrElse(BigDecimal(0))}) — " +
+        "filter the hot keys, block differently, " +
         "or raise the budget deliberately")
     total
   }

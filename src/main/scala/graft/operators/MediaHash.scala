@@ -41,6 +41,25 @@ object MediaHash {
   final case class ImageHash(media_id: Long, width: Int, height: Int,
       ahash_hi: Long, ahash_lo: Long)
 
+  /** Exact sign of a·b vs c·d for NON-NEGATIVE longs via full 128-bit
+    * products (Math.multiplyHigh + unsigned low-word compare). The naive
+    * `a*b > c*d` long compare silently wraps once a side crosses
+    * Long.MaxValue — for [[ahash]] that is a luminance sum (≤ 2.55e6 per
+    * pixel) times a pixel count, i.e. real-world photos above roughly 15
+    * megapixels — and a wrapped compare flips hash bits without any
+    * error, corrupting near-dup detection exactly on large images. The
+    * small closed-form fixtures can never trip it, so the oracle cannot
+    * catch the wrap; this helper keeps the compare exact at any image
+    * size instead. */
+  private[graft] def mulCompare(a: Long, b: Long, c: Long, d: Long): Int = {
+    require(a >= 0 && b >= 0 && c >= 0 && d >= 0,
+      s"mulCompare is unsigned-exact for non-negative inputs only: $a,$b,$c,$d")
+    val hi1 = Math.multiplyHigh(a, b)
+    val hi2 = Math.multiplyHigh(c, d)
+    if (hi1 != hi2) java.lang.Long.compare(hi1, hi2)
+    else java.lang.Long.compareUnsigned(a * b, c * d)
+  }
+
   /** aHash of one decoded image as (hi, lo) 32-bit halves. Blocks are
     * the same `(x*8)/w` banding the feature extractor uses (for w < 8
     * the high blocks are empty → their bits stay 0); ties (uniform
@@ -76,8 +95,10 @@ object MediaHash {
     var lo = 0L
     var i = 0
     while (i < 64) {
-      // strict >: ties (and empty blocks) leave the bit unset
-      if (bc(i) > 0 && bs(i) * tc > ts * bc(i)) {
+      // strict >: ties (and empty blocks) leave the bit unset; the
+      // block-mean vs global-mean cross-multiply rides the exact 128-bit
+      // compare — bs·tc wraps a long around 15 MP (see mulCompare)
+      if (bc(i) > 0 && mulCompare(bs(i), tc, ts, bc(i)) > 0) {
         if (i >= 32) hi |= 1L << (i - 32) else lo |= 1L << i
       }
       i += 1

@@ -792,12 +792,16 @@ object EventQueries extends QueryModule {
 
     // open/close via DuckDB's ordered first/last over the same
     // (us, event_id) total order min_by/max_by walks in the engine.
+    // Bucketing is FLOOR-mod (((us % w) + w) % w) to match the engine's
+    // pmod: DuckDB's plain % truncates toward zero, which disagrees with
+    // pmod on pre-epoch (negative-micros) timestamps by a full bar.
     "q_ohlc" ->
       s"""WITH ev AS (
         |  SELECT event_type, epoch_us(ts) AS us, event_id,
         |    ${graft.functions.Money.centsSql("value")} AS cents
         |  FROM events)
-        |SELECT event_type, us - us % 86400000000 AS bar_us,
+        |SELECT event_type,
+        |  us - ((us % 86400000000) + 86400000000) % 86400000000 AS bar_us,
         |  first(cents ORDER BY us, event_id) AS open_cents,
         |  last(cents ORDER BY us, event_id) AS close_cents,
         |  max(cents) AS high_cents,
@@ -832,9 +836,12 @@ object EventQueries extends QueryModule {
         |  first(v ORDER BY gap DESC, v ASC) AS ks_at
         |FROM g""".stripMargin,
 
+    // day bucket is floor-mod for the same pre-epoch reason as q_ohlc
     "q_ks_daily" ->
       s"""WITH vals AS (
-        |  SELECT epoch_us(ts) - epoch_us(ts) % 86400000000 AS p,
+        |  SELECT epoch_us(ts)
+        |      - ((epoch_us(ts) % 86400000000) + 86400000000) % 86400000000
+        |      AS p,
         |    ${graft.functions.Money.centsSql("value")} AS v
         |  FROM events),
         |grid AS (SELECT p, v, count(*) AS c FROM vals GROUP BY 1, 2),

@@ -880,7 +880,7 @@ object RelationalQueries extends QueryModule {
       """WITH h AS (SELECT l_partkey, count(*) AS n
         |           FROM lineitem GROUP BY 1)
         |SELECT l_partkey, n AS n_left, n AS n_right,
-        |  CAST(n * n AS BIGINT) AS n_pairs
+        |  CAST(CAST(n AS HUGEINT) * n AS DECIMAL(38,0)) AS n_pairs
         |FROM h
         |ORDER BY n_pairs DESC, l_partkey LIMIT 10""".stripMargin,
 

@@ -200,6 +200,12 @@ object TextQueries extends QueryModule {
     "q_char_entropy" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val counts = Tables.documents(s, d)
+        // empty docs out BEFORE the index sequence: Spark's
+        // sequence(1, 0) DESCENDS to [1, 0] (two phantom '' chars) while
+        // DuckDB's generate_series(1, 0) emits nothing — the SpanDedup/
+        // FuzzyJoin gotcha. Filtered, both engines agree: an empty doc
+        // has no character distribution and no row here.
+        .filter(length(col("text")) >= 1)
         .select(col("doc_id"),
           explode(transform(sequence(lit(1), length(col("text"))),
             i => col("text").substr(i, lit(1)))).as("ch"))

@@ -81,12 +81,24 @@ class DriftSpec extends SparkSpec {
     assert(got("d2")._2 > got("d1")._2)
   }
 
-  test("ksByPartition dense-grid guard trips loudly") {
+  test("ksByPartition dense-grid guard trips loudly and names the budget") {
     val rows = (1L to 100L).map(v => (s"p$v", v))
     val e = intercept[IllegalArgumentException] {
       Drift.ksByPartition(rows.toDF("p", "v"), $"p", $"v",
         maxCells = 50L).count()
     }
     assert(e.getMessage.contains("dense grid"))
+    assert(e.getMessage.contains("budget 50"),
+      s"guard must name the budget it enforces: ${e.getMessage}")
+  }
+
+  test("ksByPartition default budget bounds the single-task global sort") {
+    // the global cumulative window is one unpartitioned sort task; the
+    // DEFAULT budget must stay ~1e6 cells so nobody inherits a 1e8-cell
+    // single-thread sort by omission (raising it is a deliberate act)
+    val m = Drift.getClass.getMethods
+      .find(_.getName == "ksByPartition$default$4")
+    assert(m.map(_.invoke(Drift)) === Some(1000000L),
+      "ksByPartition maxCells default must be 1e6")
   }
 }

@@ -124,6 +124,20 @@ class EventOpsSpec extends SparkSpec {
       "bars must partition the event stream")
   }
 
+  test("ohlcBars floor-buckets pre-epoch timestamps (pmod contract)") {
+    // us = -1 (1969-12-31T23:59:59.999999) belongs to the LAST 1969 bar,
+    // not bar 0: pmod bucketing floors, and the DuckDB mirrors now use
+    // the same ((us % w) + w) % w form — truncating % would put both
+    // pre- and post-epoch values in bar 0 and split engines from oracle
+    val day = 86400000000L
+    val rows = Seq(("a", -1L, 1L, 10L), ("a", -day, 2L, 20L),
+      ("a", 0L, 3L, 30L), ("a", day - 1L, 4L, 40L))
+    val got = EventOps.ohlcBars(rows.toDF("k", "us", "event_id", "cents"),
+        "k", $"us", "event_id", $"cents", day)
+      .select($"bar_us", $"n_events").as[(Long, Long)].collect().toMap
+    assert(got === Map(-day -> 2L, 0L -> 2L))
+  }
+
   test("cusumChangepoint == driver brute force; finds a planted shift") {
     // planted level shift: key "a" jumps from 100 to 900 cents at i=6
     val rows = (1 to 10).map(i => ("a", i.toLong * 1000L, i.toLong,

@@ -21,6 +21,31 @@ class MediaHashSpec extends SparkSpec {
     img
   }
 
+  test("mulCompare is exact where the naive long compare wraps (>15 MP)") {
+    // the bit test multiplies a luminance sum (<= 2.55e6/px) by a pixel
+    // count: above ~15 megapixels the product crosses Long.MaxValue and
+    // a plain a*b > c*d silently flips bits. Check the 128-bit compare
+    // against BigInt on exactly that regime, plus a case where the
+    // wrapped compare provably disagrees.
+    val px20mp = 20000000L                       // 20 MP image
+    val cases = Seq(
+      // (blockSum, totalCnt, totalSum, blockCnt)
+      (2550000L * 400000L, px20mp, 2550000L * px20mp / 2L, 400000L),
+      (2550000L * 300000L, px20mp, 2549999L * px20mp / 3L, 312500L),
+      (1L, 1L, 1L, 1L), (0L, 5L, 3L, 0L),
+      (Long.MaxValue / 2, 3L, Long.MaxValue / 3, 2L))
+    for ((a, b, c, d) <- cases) {
+      val want = (BigInt(a) * BigInt(b)).compare(BigInt(c) * BigInt(d))
+      assert(Integer.signum(MediaHash.mulCompare(a, b, c, d)) === want,
+        s"mulCompare($a,$b,$c,$d)")
+    }
+    // the naive form wraps here (a*b overflows, c*d doesn't): proves the
+    // guard is load-bearing, not hypothetical
+    val (a, b, c, d) = (2550000L * 2000000L, px20mp, 7L, 11L)
+    assert(a * b < c * d, "expected the naive compare to wrap negative")
+    assert(MediaHash.mulCompare(a, b, c, d) > 0)
+  }
+
   test("ahash matches a driver-side brute force of the documented rule") {
     for ((w, h, seed) <- Seq((16, 12, 3), (64, 48, 41), (5, 3, 7), (8, 8, 0))) {
       val img = gradImg(w, h, seed)

@@ -57,4 +57,23 @@ class TextCleanSpec extends SparkSpec {
       Tables.documents(spark, sf001)).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
+
+  test("q_char_entropy: empty docs emit no rows (sequence(1,0) descends)") {
+    // Spark's sequence(1, 0) yields [1, 0] — two phantom '' characters —
+    // while the DuckDB mirror's generate_series(1, 0) emits nothing; the
+    // query must filter empty docs out so both engines agree.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-chent").toString
+    Seq((1L, "aaaa", "en", "web", 4L), (2L, "", "en", "web", 0L),
+        (3L, "abab", "en", "web", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q_char_entropy")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (id, n, k, e) => id -> ((n, k, e)) }.toMap
+    assert(!got.contains(2L), s"empty doc produced phantom rows: $got")
+    assert(got(1L) === ((4L, 1L, 0L)))         // single-class: entropy 0
+    // two classes, uniform: entropy = ln 2 on the nano grid
+    assert(got(3L) === ((4L, 2L, math.round(math.log(2.0) * 1e9))))
+  }
 }

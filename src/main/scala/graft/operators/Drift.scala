@@ -58,6 +58,56 @@ object Drift {
         col("ks_at"))
   }
 
+  /** Population Stability Index — the drift number production scorecards
+    * actually report (credit-risk lineage; the bucketed complement to
+    * the rank-based [[ksStatistic]]): with expected (slice `a`) and
+    * actual (slice `b`) bucket proportions pᵉ, pᵃ,
+    * PSI = Σ_buckets (pᵃ − pᵉ)·ln(pᵃ/pᵉ). Every term is ≥ 0 (the factors
+    * share a sign), identical slices score exactly 0, and the usual
+    * reading is <0.1 stable / 0.1–0.25 shifting / >0.25 drifted.
+    *
+    * Zero-count buckets (support present in only one slice) would make a
+    * term infinite; the standard remedy, applied here, floors each
+    * proportion at `floor` (default 1e-6) — deterministic on both
+    * engines, and disjoint support then scores the maximal finite PSI
+    * for the bucket count rather than blowing up.
+    *
+    * Cross-engine exactness: the per-bucket transcendental term rides
+    * the 1e-9 quantize-then-integer-sum discipline (q_source_entropy /
+    * q_unigram_nll) — one identically-associated IEEE double chain per
+    * bucket, rounded onto an integer grid, summed order-free, divided
+    * back once.
+    *
+    * Scale shape: the corpus reduces to a bucket-cardinality grid FIRST
+    * (`bucketCol` must be a bucketed/quantized column — that is what the
+    * P in PSI means); the only unpartitioned windows run over the GRID.
+    * Returns one row: (n_a, n_b, n_buckets, psi rounded 6). */
+  def psi(df: DataFrame, sliceCol: Column, bucketCol: Column,
+      a: String, b: String, floor: Double = 1e-6): DataFrame = {
+    require(floor > 0.0 && floor < 1.0,
+      s"psi zero-bucket floor must be in (0,1), got $floor")
+    import org.apache.spark.sql.expressions.Window
+    val grid = df
+      .filter(sliceCol.isin(a, b) && bucketCol.isNotNull)
+      .select(sliceCol.as("s"), bucketCol.as("k"))
+      .groupBy(col("k"))
+      .agg(sum(when(col("s") === a, 1L).otherwise(0L)).as("da"),
+        sum(when(col("s") === b, 1L).otherwise(0L)).as("db"))
+    val wAll = Window.partitionBy()
+    val pe = greatest(col("da").cast("double") / col("na").cast("double"),
+      lit(floor))
+    val pa = greatest(col("db").cast("double") / col("nb").cast("double"),
+      lit(floor))
+    grid
+      .withColumn("na", sum(col("da")).over(wAll))
+      .withColumn("nb", sum(col("db")).over(wAll))
+      .withColumn("qt",
+        round((pa - pe) * log(pa / pe) * lit(1e9)).cast("long"))
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        count(lit(1)).as("n_buckets"),
+        round(sum(col("qt")).cast("double") / lit(1e9), 6).as("psi"))
+  }
+
   /** The monitoring form: per-partition KS against the GLOBAL
     * distribution — "which day drifted" as one frame, no driver loop.
     * Returns (part, n_part, ks_d) per partition value.

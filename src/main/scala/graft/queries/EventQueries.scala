@@ -331,6 +331,20 @@ object EventQueries extends QueryModule {
           graft.functions.Money.cents(col("value")).as("cents")),
         col("event_type"), col("cents"), "click", "purchase")),
 
+    // PSI drift score (operators/Drift.psi): the bucketed
+    // (actual%−expected%)·ln(actual%/expected%) scorecard number between
+    // the click and purchase value distributions, 10-unit (1000-cent)
+    // buckets. The corpus reduces to a bucket grid first; per-bucket
+    // terms ride the 1e-9 quantize-then-integer-sum discipline.
+    "q_psi_drift" -> ((s, d) => {
+      val cents = graft.functions.Money.cents(col("value"))
+      val bucket = ((cents - pmod(cents, lit(1000L))) / lit(1000L))
+        .cast("long")
+      graft.operators.Drift.psi(
+        Tables.events(s, d).select(col("event_type"), bucket.as("bk")),
+        col("event_type"), col("bk"), "click", "purchase")
+    }),
+
     // The drift MONITOR: per-day KS of the value distribution against
     // the global one — "which day drifted", one frame, no driver loop
     // (see Drift.ksByPartition: union-support dense grid, loudly
@@ -835,6 +849,35 @@ object EventQueries extends QueryModule {
         |    AS ks_d,
         |  first(v ORDER BY gap DESC, v ASC) AS ks_at
         |FROM g""".stripMargin,
+
+    // PSI mirror: identical IEEE chain per bucket — floor at 1e-6,
+    // (pa−pe)·ln(pa/pe), quantize 1e9, integer sum, divide back once
+    "q_psi_drift" ->
+      s"""WITH v AS (
+        |  SELECT event_type AS s,
+        |    (${graft.functions.Money.centsSql("value")}
+        |      - ((${graft.functions.Money.centsSql("value")} % 1000) + 1000)
+        |        % 1000) // 1000 AS k
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |grid AS (SELECT k,
+        |    sum(CASE WHEN s = 'click' THEN 1 ELSE 0 END) AS da,
+        |    sum(CASE WHEN s = 'purchase' THEN 1 ELSE 0 END) AS db
+        |  FROM v GROUP BY k),
+        |t AS (SELECT k, da, db,
+        |        sum(da) OVER () AS na, sum(db) OVER () AS nb
+        |      FROM grid),
+        |q AS (SELECT na, nb,
+        |        CAST(round(
+        |          (greatest(CAST(db AS DOUBLE) / CAST(nb AS DOUBLE), 1.0E-6)
+        |            - greatest(CAST(da AS DOUBLE) / CAST(na AS DOUBLE), 1.0E-6))
+        |          * ln(greatest(CAST(db AS DOUBLE) / CAST(nb AS DOUBLE), 1.0E-6)
+        |            / greatest(CAST(da AS DOUBLE) / CAST(na AS DOUBLE), 1.0E-6))
+        |          * 1e9) AS BIGINT) AS qt
+        |      FROM t)
+        |SELECT CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+        |  CAST(count(*) AS BIGINT) AS n_buckets,
+        |  round(CAST(sum(qt) AS DOUBLE) / 1e9, 6) AS psi
+        |FROM q""".stripMargin,
 
     // day bucket is floor-mod for the same pre-epoch reason as q_ohlc
     "q_ks_daily" ->

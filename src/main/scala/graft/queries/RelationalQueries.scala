@@ -328,6 +328,28 @@ object RelationalQueries extends QueryModule {
             .as("revenue"))
     }),
 
+    // TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
+    // customer→orders with a FILTERED join predicate, orders counted per
+    // customer (zero-order customers kept by the outer join), then the
+    // distribution of those counts — the canonical "aggregate of an
+    // aggregate over an outer join". Scale shape: orders pre-aggregate
+    // to custkey-sized counts BEFORE the join (the orders-sized shuffle
+    // happens once, map-side combined; the outer join then matches two
+    // custkey-sized sides), identical semantics to joining raw orders
+    // because the join filter touches only order columns.
+    "q_custdist" -> ((s, d) => {
+      val perCust = Tables.orders(s, d)
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"))
+      Tables.customer(s, d)
+        .join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
+        .select(coalesce(col("n"), lit(0L)).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
     // TPC-H Q21 shape (suppliers who kept everyone waiting): suppliers
     // that were the ONLY late supplier (ship lag > 60 days) on a
     // multi-supplier finished order — the classic EXISTS + NOT EXISTS
@@ -875,6 +897,18 @@ object RelationalQueries extends QueryModule {
         |                  WHERE c.ok = a.ok AND c.sk <> a.sk)
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin,
+
+    // the textbook Q13 form (filter in the ON clause) — equivalent to
+    // the engine's pre-aggregated plan because the predicate touches
+    // only order columns
+    "q_custdist" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
 
     "q_join_cardinality" ->
       """WITH h AS (SELECT l_partkey, count(*) AS n

@@ -81,6 +81,72 @@ class DriftSpec extends SparkSpec {
     assert(got("d2")._2 > got("d1")._2)
   }
 
+  private def psiOf(rows: Seq[(String, Long)],
+      floor: Double = 1e-6): (Long, Long, Long, Double) =
+    Drift.psi(rows.toDF("s", "k"), $"s", $"k", "a", "b", floor)
+      .as[(Long, Long, Long, Double)].head()
+
+  test("psi: zero shift scores exactly 0") {
+    val same = (1L to 20L).flatMap(k =>
+      Seq.fill(3)(("a", k)) ++ Seq.fill(3)(("b", k)))
+    val (na, nb, nk, psi) = psiOf(same)
+    assert((na, nb, nk) === ((60L, 60L, 20L)))
+    assert(psi === 0.0)
+  }
+
+  test("psi: scale invariance — proportions, not counts") {
+    // b has 10x a's rows but the SAME distribution: still exactly 0
+    val rows = (1L to 5L).flatMap(k =>
+      Seq.fill(2)(("a", k)) ++ Seq.fill(20)(("b", k)))
+    assert(psiOf(rows)._4 === 0.0)
+  }
+
+  test("psi: disjoint support hits the floored maximum, brute-force exact") {
+    val rows = (1L to 4L).map(("a", _)) ++ (11L to 14L).map(("b", _))
+    val (_, _, nk, psi) = psiOf(rows)
+    assert(nk === 8L)
+    // brute force with the documented floor: each bucket has p=0.25 on
+    // one side and the 1e-6 floor on the other
+    val term = (0.25 - 1e-6) * math.log(0.25 / 1e-6)
+    val want = BigDecimal(8 * math.round(term * 1e9) / 1e9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(psi === want, s"got $psi want $want")
+    // well past every scorecard's 0.25 'drifted' line
+    assert(psi > 0.25)
+  }
+
+  test("psi == driver brute force on real events (click vs purchase)") {
+    val ev = Tables.events(spark, sf001)
+      .select($"event_type",
+        graft.functions.Money.cents($"value").as("c"))
+      .as[(String, Long)].collect()
+      .collect { case (s, c) if s == "click" || s == "purchase" =>
+        (s, Math.floorDiv(c, 1000L)) }
+    val na = ev.count(_._1 == "click").toDouble
+    val nb = ev.count(_._1 == "purchase").toDouble
+    val buckets = ev.map(_._2).distinct
+    val want = buckets.map { k =>
+      val pe = math.max(ev.count(e => e._1 == "click" && e._2 == k) / na, 1e-6)
+      val pa = math.max(ev.count(e => e._1 == "purchase" && e._2 == k) / nb, 1e-6)
+      math.round((pa - pe) * math.log(pa / pe) * 1e9)
+    }.sum / 1e9
+    val got = Drift.psi(
+      Tables.events(spark, sf001).select($"event_type",
+        (graft.functions.Money.cents($"value")
+          - pmod(graft.functions.Money.cents($"value"), lit(1000L)))
+          .divide(lit(1000L)).cast("long").as("k")),
+      $"event_type", $"k", "click", "purchase")
+      .as[(Long, Long, Long, Double)].head()
+    assert(got._1.toDouble === na && got._2.toDouble === nb)
+    assert(got._3 === buckets.length.toLong)
+    assert(math.abs(got._4 - want) < 5e-7, s"got ${got._4}, want $want")
+  }
+
+  test("psi rejects a nonsensical floor loudly") {
+    val e = intercept[IllegalArgumentException] { psiOf(Seq(("a", 1L)), 0.0) }
+    assert(e.getMessage.contains("floor"))
+  }
+
   test("ksByPartition dense-grid guard trips loudly and names the budget") {
     val rows = (1L to 100L).map(v => (s"p$v", v))
     val e = intercept[IllegalArgumentException] {

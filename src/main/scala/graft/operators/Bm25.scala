@@ -259,6 +259,102 @@ object Bm25 {
     fs.delete(new org.apache.hadoop.fs.Path(stage), true)
   }
 
+  /** Incremental index DELETION: remove a set of documents from an
+    * existing [[buildPostings]]/[[appendPostings]] layout without
+    * rebuilding — the missing half of the LSM-ish index story (real
+    * corpora delete: takedowns, retention windows, dedup survivors
+    * superseding their group). The result is bit-indistinguishable from
+    * an index the documents were never added to (specced, and the
+    * served-topk oracle is SHARED with the never-added build):
+    *
+    *  - `postings/` — the TOUCHED bucket partitions (only buckets that
+    *    actually hold a deleted doc's postings — found by one semi-join
+    *    over the index, never the corpus) are rewritten via anti-join
+    *    and REPLACED; untouched buckets keep their files byte-identical.
+    *    The rewrite doubles as compaction: a bucket fragmented by
+    *    repeated [[appendPostings]] deltas comes out one-file again.
+    *  - `terms/` — df/cf are additive, so the deleted rows' per-term
+    *    (count, Σtf) subtract exactly; terms reaching df = 0 drop out,
+    *    leaving the vocabulary identical to a never-added build.
+    *  - `doclens/` — anti-join rewrite (doc-count-sized; bucket it by
+    *    doc_id before this matters at 100 TB).
+    *  - `stats/` — additive 1-row rewrite (counts/lengths from the
+    *    doclens semi-join, NOT recomputed from text — deletion needs no
+    *    access to the original documents at all).
+    *
+    * Same staging discipline as [[appendPostings]]: all Spark jobs write
+    * `.staged-<uuid>`, then a metadata-only commit swaps results in.
+    * Unknown ids are no-ops. Deleting the same id twice is safe only if
+    * the second call happens after the first committed (the contract a
+    * retry satisfies); concurrent mutators need a table-format manifest,
+    * as documented on append. */
+  def deletePostings(docIds: DataFrame, idCol: String, path: String,
+      nBuckets: Int = 64): Unit = {
+    val spark = docIds.sparkSession
+    val stage = s"$path/.staged-" + java.util.UUID.randomUUID()
+    val ids = docIds.select(col(idCol).as("doc_id")).distinct()
+      .localCheckpoint() // consumed by four legs below
+    val postings = graft.sources.PartitionedParquet
+      .read(spark, s"$path/postings")
+
+    // ---- STAGE (live index only read; failure here is retry-safe)
+    // the deleted docs' posting rows: bounded by THEIR postings, and the
+    // source of both the touched-bucket set and the term decrements
+    val removed = postings.join(ids, Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    // partition-dir inference types `bucket` as int on read — normalize
+    val touched = removed.select(col("bucket").cast("long")).distinct()
+      .collect().map(_.getLong(0)) // ≤ nBuckets rows by construction
+    if (touched.nonEmpty) {
+      postings.filter(col("bucket").isin(touched.toSeq: _*))
+        .join(ids, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("token"), col("tf"), col("bucket"))
+        .repartition(touched.length, col("bucket"))
+        .write.partitionBy("bucket").parquet(s"$stage/postings")
+    }
+    val dec = removed.groupBy(col("token"))
+      .agg(count(lit(1)).as("df_rm"), sum(col("tf")).as("cf_rm"))
+    val newTerms = graft.sources.PartitionedParquet
+      .read(spark, s"$path/terms")
+      .select(col("token"), col("df"), col("cf"))
+      .join(dec, Seq("token"), "left")
+      .select(col("token"),
+        (col("df") - coalesce(col("df_rm"), lit(0L))).as("df"),
+        (col("cf") - coalesce(col("cf_rm"), lit(0L))).as("cf"))
+      .filter(col("df") > 0)
+    graft.sources.PartitionedParquet.write(
+      bucketed(newTerms, nBuckets), s"$stage/terms", Seq("bucket"))
+    val doclens = spark.read.parquet(s"$path/doclens")
+    doclens.join(ids, Seq("doc_id"), "left_anti")
+      .write.parquet(s"$stage/doclens")
+    // deleted doc count/length off the index itself — no document access
+    val delStats = doclens.join(ids, Seq("doc_id"), "left_semi")
+      .agg(coalesce(count(lit(1)), lit(0L)).as("n_del"),
+        coalesce(sum(col("dl")), lit(0L)).as("len_del"))
+    spark.read.parquet(s"$path/stats")
+      .crossJoin(delStats)
+      .select((col("n_docs") - col("n_del")).as("n_docs"),
+        (col("total_len") - col("len_del")).as("total_len"))
+      .write.parquet(s"$stage/stats")
+
+    // ---- COMMIT (metadata-only renames; window caveats as on append)
+    val hc = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hc)
+    touched.foreach { b =>
+      // REPLACE each touched bucket partition: a bucket whose every row
+      // was deleted has no staged dir and must end up absent
+      val live = new org.apache.hadoop.fs.Path(s"$path/postings/bucket=$b")
+      val staged = new org.apache.hadoop.fs.Path(s"$stage/postings/bucket=$b")
+      fs.delete(live, true)
+      if (fs.exists(staged))
+        require(fs.rename(staged, live), s"rename $staged -> $live failed")
+    }
+    swapDir(fs, s"$stage/doclens", s"$path/doclens")
+    swapDir(fs, s"$stage/stats", s"$path/stats")
+    swapDir(fs, s"$stage/terms", s"$path/terms")
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+  }
+
   /** Move staged parquet part-files into the live tree (bucket-partition
     * subdirs when `partitioned`) — UUID file names make collisions
     * impossible and re-moves idempotent. */

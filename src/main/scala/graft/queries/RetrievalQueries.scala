@@ -75,6 +75,33 @@ object RetrievalQueries extends QueryModule {
       p
     }
 
+  /** The add-then-delete round trip: full-corpus build, a shifted-id
+    * copy of every document appended, then deleted again — the served
+    * index must be bit-indistinguishable from the never-added build, so
+    * BOTH deleted-index queries share the full-corpus mirrors. */
+  private val delCache = new graft.util.SessionCache[String]
+  private def deletedIndex(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    delCache.getOrElseUpdate(s, d) {
+      val p = graft.util.IndexPaths.fresh(d, "bm25-postings-del")
+      val docs = Tables.documents(s, d)
+      Bm25.buildPostings(docs, "doc_id", "text", p)
+      val delta = docs.select((col("doc_id") + lit(10000000L)).as("doc_id"),
+        col("text"))
+      Bm25.appendPostings(delta, "doc_id", "text", p)
+      Bm25.deletePostings(delta.select(col("doc_id")), "doc_id", p)
+      p
+    }
+
+  /** One-time index materializations, forced untimed by Bench so the
+    * timed queries measure the SERVING path (pruned reads + broadcast
+    * probe), not a corpus build — the kmeans/PQ/BPE warm discipline. */
+  override val warmups: Map[String, (org.apache.spark.sql.SparkSession,
+      String) => Unit] = Map(
+    "bm25_postings" -> ((s, d) => { postingsIndex(s, d); () }),
+    "bm25_incr" -> ((s, d) => { incrementalIndex(s, d); () }),
+    "bm25_del" -> ((s, d) => { deletedIndex(s, d); () }))
+
   val queries: Map[String, Q] = Map(
     // BM25 top-10: one singleton corpus-stats aggregate, broadcast back,
     // row-local scoring, TakeOrderedAndProject. Zero wide shuffles.
@@ -142,6 +169,23 @@ object RetrievalQueries extends QueryModule {
     // Must agree with q_bm25_topk's one-shot scoring to ≤1.5e-9/term.
     "q_bm25_postings_topk" -> ((s, d) =>
       Bm25.topKFromPostings(s, postingsIndex(s, d), terms, k = 10,
+        k1 = k1, b = b)),
+
+    // The deleted index's term table: add-then-delete must be
+    // indistinguishable from never-added — SAME full-corpus oracle as
+    // q_postings_build (deletion re-subtracts df/cf exactly; delta-only
+    // terms drop out at df = 0).
+    "q_postings_deleted" -> ((s, d) =>
+      graft.sources.PartitionedParquet
+        .read(s, deletedIndex(s, d) + "/terms")
+        .select(col("token"), col("df"), col("cf"))
+        .orderBy(col("token"))),
+
+    // BM25 top-10 served from the deleted index — the anti-join-rewritten
+    // bucket partitions and subtracted stats must score byte-identically
+    // to the never-added build (same quantized-sum mirror).
+    "q_bm25_del_topk" -> ((s, d) =>
+      Bm25.topKFromPostings(s, deletedIndex(s, d), terms, k = 10,
         k1 = k1, b = b))
   )
 
@@ -259,6 +303,23 @@ object RetrievalQueries extends QueryModule {
          |FROM tf GROUP BY token ORDER BY token""".stripMargin,
 
     "q_bm25_incr_topk" ->
+      s"""$scoredQuantSql
+         |SELECT doc_id, bm25 FROM scored WHERE bm25 > 0
+         |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
+
+    // add-then-delete round trip vs the never-added full-corpus mirrors:
+    // the deletion path must leave no trace
+    "q_postings_deleted" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |  unnest(regexp_split_to_array(lower(text), '$wsSql')) AS token
+         |  FROM documents),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+         |       GROUP BY doc_id, token)
+         |SELECT token, CAST(count(*) AS BIGINT) AS df,
+         |       CAST(sum(tf) AS BIGINT) AS cf
+         |FROM tf GROUP BY token ORDER BY token""".stripMargin,
+
+    "q_bm25_del_topk" ->
       s"""$scoredQuantSql
          |SELECT doc_id, bm25 FROM scored WHERE bm25 > 0
          |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,

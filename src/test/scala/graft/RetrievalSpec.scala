@@ -152,6 +152,70 @@ class RetrievalSpec extends SparkSpec {
       bucketDirs.exists(_.listFiles().count(_.getName.endsWith(".parquet")) > 1))
   }
 
+  test("add-then-delete equals the never-added build bit-exactly") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-del").toString
+    val full = s"$base/full"; val del = s"$base/del"
+    val corpus = Tables.documents(spark, sf001)
+    Bm25.buildPostings(corpus, "doc_id", "text", full, nBuckets = 8)
+    Bm25.buildPostings(corpus, "doc_id", "text", del, nBuckets = 8)
+    val delta = corpus.select(($"doc_id" + 10000000L).as("doc_id"), $"text")
+    Bm25.appendPostings(delta, "doc_id", "text", del, nBuckets = 8)
+    Bm25.deletePostings(delta.select($"doc_id"), "doc_id", del, nBuckets = 8)
+    def comp(p: String, sub: String, cols: Seq[String]) =
+      graft.sources.PartitionedParquet.read(spark, s"$p/$sub")
+        .select(cols.map(c => col(c).cast("string")): _*)
+        .collect().map(_.toSeq).toSet
+    // every component content-identical to an index the delta never
+    // touched: postings rows, term stats, doc lengths, corpus stats
+    assert(comp(del, "postings", Seq("doc_id", "token", "tf", "bucket"))
+      === comp(full, "postings", Seq("doc_id", "token", "tf", "bucket")))
+    assert(comp(del, "terms", Seq("token", "df", "cf"))
+      === comp(full, "terms", Seq("token", "df", "cf")))
+    assert(comp(del, "doclens", Seq("doc_id", "dl"))
+      === comp(full, "doclens", Seq("doc_id", "dl")))
+    assert(spark.read.parquet(s"$del/stats").as[(Long, Long)].head()
+      === spark.read.parquet(s"$full/stats").as[(Long, Long)].head())
+    // and the probe path scores identically through the rewritten buckets
+    def probe(p: String) = Bm25.topKFromPostings(spark, p,
+      Seq("spark", "window", "dup"), k = 10, nBuckets = 8)
+      .as[(Long, Double)].collect().toSeq
+    assert(probe(del) === probe(full))
+    // the rewrite compacted the touched buckets back to one file set:
+    // no bucket dir keeps both a base and a delta file
+    val fragmented = new java.io.File(s"$del/postings").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+      .filter(_.listFiles().count(_.getName.endsWith(".parquet")) > 1)
+    assert(fragmented.isEmpty,
+      s"delete rewrite should compact: ${fragmented.mkString(", ")}")
+  }
+
+  test("deleting unknown ids and partial deletes subtract exactly") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-del2").toString + "/idx"
+    val docs = Seq((1L, "red fox"), (2L, "red red dog"), (3L, "blue fox"))
+      .toDF("doc_id", "text")
+    Bm25.buildPostings(docs, "doc_id", "text", base, nBuckets = 4)
+    // unknown id: complete no-op
+    Bm25.deletePostings(Seq(99L).toDF("doc_id"), "doc_id", base, nBuckets = 4)
+    def terms() = graft.sources.PartitionedParquet
+      .read(spark, s"$base/terms")
+      .select($"token", $"df", $"cf")
+      .as[(String, Long, Long)].collect().toSet
+    assert(terms() === Set(("red", 2L, 3L), ("fox", 2L, 2L),
+      ("dog", 1L, 1L), ("blue", 1L, 1L)))
+    // delete doc 2: 'dog' vanishes (df 0), 'red' decrements df AND cf
+    Bm25.deletePostings(Seq(2L).toDF("doc_id"), "doc_id", base, nBuckets = 4)
+    assert(terms() === Set(("red", 1L, 1L), ("fox", 2L, 2L),
+      ("blue", 1L, 1L)))
+    assert(spark.read.parquet(s"$base/stats").as[(Long, Long)].head()
+      === ((2L, 4L)))
+    val remaining = graft.sources.PartitionedParquet
+      .read(spark, s"$base/postings").select($"doc_id").distinct()
+      .as[Long].collect().toSet
+    assert(remaining === Set(1L, 3L))
+  }
+
   test("rerank: scores bounded by the weight mass; ranking is deterministic") {
     val out = graft.queries.RetrievalQueries.queries("q_rerank_linear")(spark, sf001)
       .as[(Long, Double)].collect()

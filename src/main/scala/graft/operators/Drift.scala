@@ -130,14 +130,31 @@ object Drift {
     * `maxCells` only after deciding one task may own that sort, or
     * quantize the value column coarser instead (the intended path). */
   def ksByPartition(df: DataFrame, partCol: Column, valueCol: Column,
+      maxCells: Long = 1000000L): DataFrame =
+    ksByPartitionCounts(
+      df.filter(partCol.isNotNull && valueCol.isNotNull)
+        .select(partCol.as("p"), valueCol.as("v"))
+        .groupBy(col("p"), col("v"))
+        .agg(count(lit(1)).as("c")),
+      maxCells)
+
+  /** [[ksByPartition]] from PRE-COUNTED (p, v, c) sufficient statistics —
+    * the entry point the streaming monitor scores through
+    * ([[graft.streaming.EventStream.ksDaily]] maintains the count grid
+    * as ordinary streaming-aggregation state and re-scores it per
+    * micro-batch; KS is a global order statistic over the grid, so it
+    * recomputes from the compacted statistics rather than living in a
+    * state store). Duplicate (p, v) rows are summed, so any partial
+    * grid union is a valid input. Same budget guard, same exact integer
+    * arithmetic, same output as [[ksByPartition]]. */
+  def ksByPartitionCounts(counts: DataFrame,
       maxCells: Long = 1000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def dec(c: Column) = c.cast("decimal(38,0)")
-    val grid = df
-      .filter(partCol.isNotNull && valueCol.isNotNull)
-      .select(partCol.as("p"), valueCol.as("v"))
+    val grid = counts
+      .filter(col("p").isNotNull && col("v").isNotNull)
       .groupBy(col("p"), col("v"))
-      .agg(count(lit(1)).as("c"))
+      .agg(sum(col("c").cast("long")).as("c"))
       .localCheckpoint() // sized below, then consumed twice (support/parts)
     val sizes = grid.agg(countDistinct(col("p")).as("np"),
       countDistinct(col("v")).as("nv")).head()

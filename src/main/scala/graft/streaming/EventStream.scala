@@ -389,6 +389,46 @@ object EventStream {
     buf
   }
 
+  /** Streaming twin of the KS drift monitor (`q_ks_daily`): the stream
+    * reduces to the per-(day, value-grid) count table as ORDINARY
+    * streaming-aggregation state — domain-bounded (days × value grid),
+    * never stream-sized — and every micro-batch re-scores per-day KS
+    * against the global distribution from the compacted grid through
+    * [[graft.operators.Drift.ksByPartitionCounts]]'s exact integer form.
+    * KS is a global order statistic over the grid, so it recomputes from
+    * sufficient statistics each batch instead of living in a state store
+    * (the same reason the batch form sorts the GRID, never the data);
+    * the recompute is grid-sized and guarded by the same `maxCells`
+    * budget. Complete output mode — a drifting day's score keeps
+    * updating as its stragglers arrive, and there is no eviction to
+    * watermark (cap the day horizon upstream if the monitor must
+    * forget). `sink` receives the scored (p, n_part, ks_d) frame plus
+    * the micro-batch id.
+    *
+    * [[graft.operators.EventOps.cusumChangepoint]] deliberately has NO
+    * streaming twin: its statistic is a retrospective argmax over
+    * position indices of the COMPLETE series — any prefix's answer can
+    * be overturned by one more event, so the honest streaming form is
+    * this monitor (or OHLC pre-aggregation feeding periodic batch
+    * CUSUM), not a fake incremental change-point. */
+  def ksDaily(events: DataFrame, maxCells: Long = 1000000L)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val us = unix_micros(col("ts"))
+    events
+      .select((us - pmod(us, lit(86400000000L))).as("p"),
+        graft.functions.Money.cents(col("value")).as("v"))
+      .groupBy(col("p"), col("v"))
+      .agg(count(lit(1)).as("c"))
+      .writeStream.outputMode("complete")
+      .foreachBatch { (grid: Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        sink(graft.operators.Drift.ksByPartitionCounts(grid.toDF(),
+          maxCells), batchId)
+      }
+      .start()
+  }
+
   /** Custom stateful op: running per-user totals via mapGroupsWithState
     * (exact cents in state, like the batch runningTotal). State here is
     * O(distinct users); for unbounded key spaces switch to

@@ -107,6 +107,46 @@ object Sampling {
     * `defaultFraction`. One row-local predicate — the standard
     * dataset-mixing recipe (N sources, each downsampled to its weight)
     * without N separate scans. */
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis 2006,
+    * algorithm A-ES): each row draws u ∈ (0,1) and the k largest
+    * u^(1/w) win — exactly k distinct rows, inclusion probability
+    * proportional to weight at each of the k sequential draws. Ordered
+    * by the equivalent log-key ln(u)/w (monotone in u^(1/w), no
+    * pow-underflow for tiny weights).
+    *
+    * The randomness is the [[Dsir.gumbelTopK]] trick hardened by an md5
+    * stage: u derives from `poly_hash(md5("w<seed>:" || id))` —
+    * deterministic per (seed, id), so the DuckDB mirror RECOMPUTES the
+    * draw (no rows-only sampler hand-waving), and membership is a pure
+    * function of the data like every sampler in this file. The md5 is
+    * LOAD-BEARING: poly_hash alone is order-preserving across
+    * same-length ids under a shared seed prefix (h = Σcᵢ·31ᵏ mod p wraps
+    * rarely), which would make every equal-weight draw "largest id
+    * wins" for every seed; the digest supplies the avalanche, poly_hash
+    * folds it to the (0,1) grid both engines share. The log-key
+    * quantizes onto the 1e-9 integer grid before ordering, keeping the
+    * sort key integer-exact across engines; ties break by id.
+    *
+    * Scale shape: row-local key computation over the scan, then top-k =
+    * TakeOrderedAndProject — no shuffle, no global sort, no RNG state.
+    * Zero/negative weights are excluded (u^(1/w) is undefined there),
+    * matching the algorithm's w > 0 precondition.
+    * Requires [[graft.functions.PolyHashF.register]] on the session. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: Column,
+      k: Int, seed: Int): DataFrame = {
+    require(k > 0, s"sample size must be positive, got $k")
+    val p = graft.functions.PolyHashKernel.Mod
+    val u = (graft.functions.PolyHashF.poly_hash(
+        md5(concat(lit(s"w$seed:"), col(idCol).cast("string"))
+          .cast("binary"))) + lit(1L))
+      .cast("double") / lit((p + 1L).toDouble)
+    df.filter(weightCol > lit(0.0))
+      .withColumn("key_nano",
+        round(log(u) / weightCol.cast("double") * lit(1e9)).cast("long"))
+      .orderBy(col("key_nano").desc, col(idCol))
+      .limit(k)
+  }
+
   def mixByStratum(df: DataFrame, key: Column, stratum: Column,
       fractions: Map[String, Double], defaultFraction: Double = 0.0,
       seed: Long = 42L): DataFrame = {

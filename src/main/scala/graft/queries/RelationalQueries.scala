@@ -384,6 +384,22 @@ object RelationalQueries extends QueryModule {
         .limit(10)
     }),
 
+    // Weighted sampling without replacement (Efraimidis–Spirakis A-ES,
+    // operators/Sampling.weightedSample): 100 orders drawn with
+    // inclusion probability ∝ o_totalprice. The draw u derives from
+    // poly_hash under a seed tag, so the mirror RECOMPUTES the
+    // randomness (the q_dsir_sample discipline) — an oracle-checked
+    // weighted sampler, not a rows-only one. Row-local keys +
+    // TakeOrderedAndProject; no shuffle.
+    "q_weighted_sample" -> ((s, d) => {
+      graft.functions.PolyHashF.register(s)
+      graft.operators.Sampling.weightedSample(
+          Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice")),
+          "o_orderkey", col("o_totalprice"), k = 100, seed = 7)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          round(col("key_nano").cast("double") / lit(1e9), 6).as("wkey"))
+    }),
+
     // Pre-flight join-explosion report (operators/JoinDiagnostics): the
     // exact output cardinality of the lineitem-lineitem self-join on
     // part — the candidate-pair shape — per key, top 10 exploding keys,
@@ -897,6 +913,21 @@ object RelationalQueries extends QueryModule {
         |                  WHERE c.ok = a.ok AND c.sk <> a.sk)
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin,
+
+    // A-ES mirror: the identical ln((h+1)/(P+1))/w chain, quantized to
+    // the 1e-9 grid before ordering, ties by key
+    "q_weighted_sample" -> {
+      val ph = graft.functions.PolyHashF.polyHashSql(
+        "md5('w7:' || CAST(o_orderkey AS VARCHAR))")
+      s"""WITH keyed AS (
+         |  SELECT o_orderkey, o_totalprice,
+         |    CAST(round(ln(CAST($ph + 1 AS DOUBLE) / 1000000008.0)
+         |      / CAST(o_totalprice AS DOUBLE) * 1e9) AS BIGINT) AS key_nano
+         |  FROM orders WHERE o_totalprice > 0)
+         |SELECT o_orderkey, o_totalprice,
+         |  round(CAST(key_nano AS DOUBLE) / 1e9, 6) AS wkey
+         |FROM keyed ORDER BY key_nano DESC, o_orderkey LIMIT 100""".stripMargin
+    },
 
     // the textbook Q13 form (filter in the ON clause) — equivalent to
     // the engine's pre-aggregated plan because the predicate touches

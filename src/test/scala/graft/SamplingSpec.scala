@@ -221,4 +221,50 @@ class SamplingSpec extends SparkSpec {
     assert(a === b)
     assert(a.nonEmpty)
   }
+
+  test("weightedSample == driver brute force of the documented A-ES key") {
+    graft.functions.PolyHashF.register(spark)
+    val orders = Tables.orders(spark, sf001)
+      .select($"o_orderkey", $"o_totalprice")
+    val got = Sampling.weightedSample(orders, "o_orderkey",
+        $"o_totalprice", k = 50, seed = 7)
+      .select($"o_orderkey", $"key_nano").as[(Long, Long)].collect().toSeq
+    // driver brute force: same poly_hash -> u -> ln(u)/w -> nano grid
+    val all = orders.as[(Long, Double)].collect()
+    val want = all.filter(_._2 > 0).map { case (id, w) =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"w7:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val h = graft.functions.PolyHashKernel.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(digest))
+      val u = (h + 1).toDouble / 1000000008.0
+      (id, math.round(math.log(u) / w * 1e9))
+    }.sortBy { case (id, kn) => (-kn, id) }.take(50).toSeq
+    assert(got === want)
+    // without replacement: k distinct ids
+    assert(got.map(_._1).distinct.size === 50)
+  }
+
+  test("weightedSample favors heavy weights and is seed-deterministic") {
+    graft.functions.PolyHashF.register(spark)
+    val rows = (1L to 50L).map(i => (i, if (i == 42L) 1e6 else 1.0))
+      .toDF("id", "w")
+    // the 1e6-weight row wins a top-5 slot under EVERY seed: u^(1/w) -> 1
+    for (seed <- 1 to 20) {
+      val picked = Sampling.weightedSample(rows, "id", $"w", 5, seed)
+        .select($"id").as[Long].collect().toSet
+      assert(picked.contains(42L), s"seed $seed missed the heavy row")
+      assert(picked.size === 5)
+    }
+    // same seed twice -> identical draw; different seeds -> different draws
+    def draw(seed: Int) = Sampling.weightedSample(rows, "id", $"w", 5, seed)
+      .select($"id").as[Long].collect().toSeq
+    assert(draw(3) === draw(3))
+    assert((1 to 20).map(draw).distinct.size > 1)
+    // zero/negative weights are excluded, never sampled
+    val withBad = rows.union(Seq((51L, 0.0), (52L, -3.0)).toDF("id", "w"))
+    val ids = Sampling.weightedSample(withBad, "id", $"w", 50, 1)
+      .select($"id").as[Long].collect().toSet
+    assert(!ids.contains(51L) && !ids.contains(52L))
+  }
 }

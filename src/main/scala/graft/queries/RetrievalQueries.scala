@@ -171,6 +171,52 @@ object RetrievalQueries extends QueryModule {
       Bm25.topKFromPostings(s, postingsIndex(s, d), terms, k = 10,
         k1 = k1, b = b)),
 
+    // Retrieval evaluation loop: recall@10 and MRR of the lexical,
+    // fused, and reranked top-10 lists against a deterministic relevance
+    // set (docs containing >= 2 of the 3 query terms — deliberately NOT
+    // any single retriever's own criterion). The q_ivf_recall pattern
+    // applied to the lexical stack: the eval itself is in-engine and
+    // oracle-checked, so a retrieval regression breaks a hash, not a
+    // dashboard. Ranks are windows over <= 10-row lists; the relevance
+    // join is a semi-join against the list union.
+    "q_retrieval_eval" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val rel = docs.select(col("doc_id"),
+          size(array_intersect(
+            array_distinct(TokenOps.tokenize(col("text"))),
+            array(terms.map(lit): _*))).as("nm"))
+        .filter(col("nm") >= 2)
+        .select(col("doc_id"))
+      val nRel = rel.agg(count(lit(1)).as("n_relevant"))
+      def rankedList(df: org.apache.spark.sql.DataFrame,
+          score: org.apache.spark.sql.Column, m: String) =
+        df.select(col("doc_id"),
+            row_number().over(Window.orderBy(score.desc, col("doc_id")))
+              .as("rank"))
+          .withColumn("method", lit(m))
+      val lex = Bm25.topK(docs, "doc_id", "text", terms, k = 10,
+        k1 = k1, b = b)
+      val fused = fusedTopK(s, d, 10)
+      val rr = Rerank.linear(fusedTopK(s, d, 20),
+        docs, Tables.embeddings(s, d), "doc_id", "text",
+        "vec_id", "embedding", queryId = 0L, terms = terms, k = 10,
+        w = rerankW, k1 = k1, b = b)
+      rankedList(lex, col("bm25"), "bm25")
+        .unionAll(rankedList(fused, col("rrf"), "rrf"))
+        .unionAll(rankedList(rr, col("rerank"), "rerank"))
+        .join(rel, Seq("doc_id"), "left_semi")
+        .groupBy(col("method"))
+        .agg(count(lit(1)).as("hits"),
+          round(max(lit(1.0) / col("rank").cast("double")), 6).as("mrr"))
+        .crossJoin(broadcast(nRel))
+        .select(col("method"), col("n_relevant"), col("hits"),
+          round(col("hits").cast("double") / col("n_relevant").cast("double"),
+            6).as("recall_at_10"),
+          col("mrr"))
+        .orderBy(col("method"))
+    }),
+
     // The deleted index's term table: add-then-delete must be
     // indistinguishable from never-added — SAME full-corpus oracle as
     // q_postings_build (deletion re-subtracts df/cf exactly; delta-only
@@ -254,6 +300,34 @@ object RetrievalQueries extends QueryModule {
        |        + COALESCE(1.0::DOUBLE / (60 + de.dense_rank), 0.0), 6) AS rrf
        |  FROM lex l FULL OUTER JOIN dense de ON l.doc_id = de.doc_id)""".stripMargin
 
+  /** The rerank pipeline through scoring as CTEs (`rr` holds every
+    * candidate's 6dp rerank score) — shared by the rerank query's mirror
+    * and the retrieval-eval mirror. Feature SQL stays in the same
+    * textual order as Rerank.linear's Column expressions (weights
+    * interpolated from the SAME Weights instance). */
+  private val rerankCtes: String =
+    s"""$fusedCtes,
+       |cand AS (SELECT doc_id FROM fused ORDER BY rrf DESC, doc_id LIMIT 20),
+       |feat AS (SELECT c.doc_id,
+       |    COALESCE(s2.bm25, 0.0) AS bm25,
+       |    COALESCE(co.cos, 0.0) AS cos,
+       |    CAST(${terms.map(t =>
+             s"(CASE WHEN list_contains(t, '$t') THEN 1 ELSE 0 END)")
+            .mkString(" + ")} AS DOUBLE) / ${terms.size.toDouble} AS overlap,
+       |    1.0 / (1.0 + ln(1.0 + CAST(len(t) AS DOUBLE))) AS len_prior
+       |  FROM cand c
+       |  JOIN toks tk ON c.doc_id = tk.doc_id
+       |  LEFT JOIN (SELECT doc_id, bm25 FROM scored WHERE bm25 > 0) s2
+       |    ON c.doc_id = s2.doc_id
+       |  LEFT JOIN cos co ON c.doc_id = co.vec_id),
+       |mx AS (SELECT max(bm25) AS mb FROM feat),
+       |rr AS (SELECT doc_id, round(
+       |    ${rerankW.bm25} * (CASE WHEN mb > 0 THEN bm25 / mb ELSE 0.0 END)
+       |  + ${rerankW.cos} * cos
+       |  + ${rerankW.overlap} * overlap
+       |  + ${rerankW.len} * len_prior, 6) AS rerank
+       |  FROM feat CROSS JOIN mx)""".stripMargin
+
   private val scoredQuantSql: String =
     s"""$ctePrefix,
        |scored AS (SELECT doc_id, round(CAST(
@@ -333,27 +407,42 @@ object RetrievalQueries extends QueryModule {
     // textual order as Rerank.linear's Column expressions (weights
     // interpolated from the SAME Weights instance).
     "q_rerank_linear" ->
-      s"""$fusedCtes,
-         |cand AS (SELECT doc_id FROM fused ORDER BY rrf DESC, doc_id LIMIT 20),
-         |feat AS (SELECT c.doc_id,
-         |    COALESCE(s2.bm25, 0.0) AS bm25,
-         |    COALESCE(co.cos, 0.0) AS cos,
-         |    CAST(${terms.map(t =>
-                 s"(CASE WHEN list_contains(t, '$t') THEN 1 ELSE 0 END)")
-                .mkString(" + ")} AS DOUBLE) / ${terms.size.toDouble} AS overlap,
-         |    1.0 / (1.0 + ln(1.0 + CAST(len(t) AS DOUBLE))) AS len_prior
-         |  FROM cand c
-         |  JOIN toks tk ON c.doc_id = tk.doc_id
-         |  LEFT JOIN (SELECT doc_id, bm25 FROM scored WHERE bm25 > 0) s2
-         |    ON c.doc_id = s2.doc_id
-         |  LEFT JOIN cos co ON c.doc_id = co.vec_id),
-         |mx AS (SELECT max(bm25) AS mb FROM feat)
-         |SELECT doc_id, round(
-         |    ${rerankW.bm25} * (CASE WHEN mb > 0 THEN bm25 / mb ELSE 0.0 END)
-         |  + ${rerankW.cos} * cos
-         |  + ${rerankW.overlap} * overlap
-         |  + ${rerankW.len} * len_prior, 6) AS rerank
-         |FROM feat CROSS JOIN mx
-         |ORDER BY rerank DESC, doc_id LIMIT 10""".stripMargin
+      s"""$rerankCtes
+         |SELECT doc_id, rerank FROM rr
+         |ORDER BY rerank DESC, doc_id LIMIT 10""".stripMargin,
+
+    // retrieval eval mirror: the same three ranked lists the engine
+    // builds (lexical / fused / reranked top-10), scored against the
+    // >=2-query-terms relevance set
+    "q_retrieval_eval" ->
+      s"""$rerankCtes,
+         |rel AS (SELECT doc_id FROM toks
+         |  WHERE (${terms.map(t =>
+               s"(CASE WHEN list_contains(t, '$t') THEN 1 ELSE 0 END)")
+              .mkString(" + ")}) >= 2),
+         |nrel AS (SELECT CAST(count(*) AS BIGINT) AS n_relevant FROM rel),
+         |lexlist AS (SELECT doc_id,
+         |    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+         |  FROM (SELECT doc_id, bm25 FROM scored WHERE bm25 > 0
+         |        ORDER BY bm25 DESC, doc_id LIMIT 10)),
+         |fusedlist AS (SELECT doc_id,
+         |    row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank
+         |  FROM (SELECT doc_id, rrf FROM fused
+         |        ORDER BY rrf DESC, doc_id LIMIT 10)),
+         |rrlist AS (SELECT doc_id,
+         |    row_number() OVER (ORDER BY rerank DESC, doc_id) AS rank
+         |  FROM (SELECT doc_id, rerank FROM rr
+         |        ORDER BY rerank DESC, doc_id LIMIT 10)),
+         |lists AS (SELECT 'bm25' AS method, doc_id, rank FROM lexlist
+         |  UNION ALL SELECT 'rrf', doc_id, rank FROM fusedlist
+         |  UNION ALL SELECT 'rerank', doc_id, rank FROM rrlist),
+         |hit AS (SELECT method, rank FROM lists
+         |        WHERE doc_id IN (SELECT doc_id FROM rel))
+         |SELECT method, n_relevant, CAST(count(*) AS BIGINT) AS hits,
+         |  round(CAST(count(*) AS DOUBLE) / CAST(n_relevant AS DOUBLE), 6)
+         |    AS recall_at_10,
+         |  round(max(1.0 / CAST(rank AS DOUBLE)), 6) AS mrr
+         |FROM hit CROSS JOIN nrel
+         |GROUP BY method, n_relevant ORDER BY method""".stripMargin
   )
 }

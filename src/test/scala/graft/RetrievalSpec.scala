@@ -152,6 +152,22 @@ class RetrievalSpec extends SparkSpec {
       bucketDirs.exists(_.listFiles().count(_.getName.endsWith(".parquet")) > 1))
   }
 
+  test("retrieval eval scores all three lists with consistent metrics") {
+    val rows = SparkEntry.queries("q_retrieval_eval")(spark, sf001)
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rows.keySet === Set("bm25", "rrf", "rerank"))
+    rows.values.foreach { case (m, nRel, hits, recall, mrr) =>
+      assert(nRel > 0, s"$m: empty relevance set makes the eval vacuous")
+      assert(hits >= 1 && hits <= 10, s"$m: hits $hits outside top-10 bounds")
+      // recall is literally hits/n_relevant, mrr the best relevant rank
+      val wantRecall = BigDecimal(hits.toDouble / nRel)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(recall === wantRecall, s"$m: recall $recall != $wantRecall")
+      assert(mrr >= 0.1 && mrr <= 1.0, s"$m: mrr $mrr outside [1/10, 1]")
+    }
+  }
+
   test("add-then-delete equals the never-added build bit-exactly") {
     val base = java.nio.file.Files
       .createTempDirectory("graft-del").toString

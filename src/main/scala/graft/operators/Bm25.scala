@@ -355,6 +355,46 @@ object Bm25 {
     fs.delete(new org.apache.hadoop.fs.Path(stage), true)
   }
 
+  /** Standalone compaction for append-fragmented postings buckets: each
+    * [[appendPostings]] batch adds a delta file per touched bucket, and
+    * after many batches a probe pays one footer-parse per file. This
+    * pass rewrites ONLY the fragmented buckets (>1 data file — found by
+    * a driver-side listing of ≤ nBuckets dirs, never a data read) back
+    * to one sorted file set each, content-identical: rows sort by
+    * (token, doc_id) within the rewrite so parquet row-group min/max
+    * stats prune inside a bucket too (the probe filters on token after
+    * partition-pruning on bucket). [[deletePostings]] already compacts
+    * the buckets it rewrites; this is the delete-free maintenance form
+    * (the [[graft.sources.Compaction]] verb specialized to the index
+    * layout). Same staged-then-replace commit as delete. */
+  def compactPostings(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val hc = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(s"$path/postings")
+    val fs = root.getFileSystem(hc)
+    val fragmented = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+      .filter(d => fs.listStatus(d.getPath)
+        .count(f => f.isFile && f.getPath.getName.endsWith(".parquet")) > 1)
+      .map(_.getPath.getName.stripPrefix("bucket=").toLong)
+      .sorted
+    if (fragmented.isEmpty) return
+    val stage = s"$path/.staged-" + java.util.UUID.randomUUID()
+    graft.sources.PartitionedParquet.read(spark, s"$path/postings")
+      .filter(col("bucket").isin(fragmented.toSeq: _*))
+      .select(col("doc_id"), col("token"), col("tf"), col("bucket"))
+      .repartition(fragmented.length, col("bucket"))
+      .sortWithinPartitions(col("token"), col("doc_id"))
+      .write.partitionBy("bucket").parquet(s"$stage/postings")
+    fragmented.foreach { b =>
+      val live = new org.apache.hadoop.fs.Path(s"$path/postings/bucket=$b")
+      val staged = new org.apache.hadoop.fs.Path(s"$stage/postings/bucket=$b")
+      fs.delete(live, true)
+      require(fs.rename(staged, live), s"rename $staged -> $live failed")
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+  }
+
   /** Move staged parquet part-files into the live tree (bucket-partition
     * subdirs when `partitioned`) — UUID file names make collisions
     * impossible and re-moves idempotent. */

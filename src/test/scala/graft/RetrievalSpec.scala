@@ -206,6 +206,39 @@ class RetrievalSpec extends SparkSpec {
       s"delete rewrite should compact: ${fragmented.mkString(", ")}")
   }
 
+  test("compactPostings folds append fragments to one sorted file per bucket") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-cmp").toString + "/idx"
+    val corpus = Tables.documents(spark, sf001)
+    Bm25.buildPostings(corpus.filter($"doc_id" % 2 === 0),
+      "doc_id", "text", base, nBuckets = 8)
+    Bm25.appendPostings(corpus.filter($"doc_id" % 2 === 1),
+      "doc_id", "text", base, nBuckets = 8)
+    def bucketFiles() = new java.io.File(s"$base/postings").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+      .map(d => d.getName ->
+        d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    assert(bucketFiles().values.exists(_ > 1), "append should fragment")
+    def rows() = graft.sources.PartitionedParquet
+      .read(spark, s"$base/postings")
+      .select($"doc_id", $"token", $"tf", $"bucket".cast("long"))
+      .as[(Long, String, Long, Long)].collect().toSet
+    val before = rows()
+    val topkBefore = Bm25.topKFromPostings(spark, base,
+      Seq("spark", "window", "dup"), k = 10, nBuckets = 8)
+      .as[(Long, Double)].collect().toSeq
+    Bm25.compactPostings(spark, base)
+    assert(bucketFiles().values.forall(_ === 1),
+      s"fragments survived: ${bucketFiles()}")
+    assert(rows() === before, "compaction must not change content")
+    assert(Bm25.topKFromPostings(spark, base,
+        Seq("spark", "window", "dup"), k = 10, nBuckets = 8)
+      .as[(Long, Double)].collect().toSeq === topkBefore)
+    // idempotent: a second pass finds nothing to do and changes nothing
+    Bm25.compactPostings(spark, base)
+    assert(rows() === before)
+  }
+
   test("deleting unknown ids and partial deletes subtract exactly") {
     val base = java.nio.file.Files
       .createTempDirectory("graft-del2").toString + "/idx"

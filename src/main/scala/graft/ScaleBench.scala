@@ -90,7 +90,18 @@ object ScaleBench {
     // growing by users (~linear); phrase search legs are df-sized
     // (~linear); join-cardinality is two wordcount aggregates (~linear)
     "q_leak_split", "q_collocations", "q_cms_cells", "q_ohlc",
-    "q_changepoint", "q_phrase_search", "q_join_cardinality")
+    "q_changepoint", "q_phrase_search", "q_join_cardinality",
+    // round-15 additions: the drift screens reduce to VALUE-GRID cell
+    // tables — fresh cohorts repeat the same value distribution, so the
+    // grid (and every window over it) stays constant while the reduce
+    // grows ×N (~linear, flat-ish at this absolute scale); custdist is
+    // an orders-sized pre-aggregate + custkey-sized outer join, both
+    // axes ×N (~linear); the weighted sampler is a row-local key scan +
+    // TakeOrderedAndProject (~linear scan, constant result); the
+    // retrieval eval is one lex scan + one dense brute-force + a
+    // bounded rerank (~linear in corpus+vectors)
+    "q_psi_drift", "q_ks_daily", "q_custdist", "q_weighted_sample",
+    "q_retrieval_eval")
 
   def generate(spark: SparkSession, sfDir: String, outDir: String,
       scale: Int): (Long, Long) = {
@@ -168,6 +179,17 @@ object ScaleBench {
           concat(lit("Customer#"), lpad(key.cast("string"), 9, "0")))
     }.reduce(_.unionAll(_)).write.mode("overwrite")
       .parquet(s"$outDir/customer.parquet")
+
+    // orders: copy k mirrors customer's fresh cohorts — order keys and
+    // custkeys shift together, so each copy is a self-consistent order
+    // book and the custdist distribution repeats per cohort.
+    val or = Tables.orders(spark, sfDir)
+    val maxOrd = or.agg(max(col("o_orderkey"))).head().getLong(0) + 1
+    (0 until scale).map { k =>
+      or.withColumn("o_orderkey", col("o_orderkey") + lit(k * maxOrd))
+        .withColumn("o_custkey", col("o_custkey") + lit(k * maxCust))
+    }.reduce(_.unionAll(_)).write.mode("overwrite")
+      .parquet(s"$outDir/orders.parquet")
 
     // lineitem: copy k shifts the order key space — per-flag value
     // counts and the per-order totals set both grow ×N, which is

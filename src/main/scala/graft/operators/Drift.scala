@@ -108,6 +108,54 @@ object Drift {
         round(sum(col("qt")).cast("double") / lit(1e9), 6).as("psi"))
   }
 
+  /** The PSI monitoring form: per-partition PSI against the GLOBAL
+    * bucket distribution — "which day's scorecard moved" as one frame,
+    * the [[psi]] twin of [[ksByPartition]]. Expected = the global bucket
+    * proportions, actual = the partition's; buckets a partition never
+    * saw floor at `floor` (the dense union-support grid, partitions ×
+    * buckets, same loud `maxCells` budget and same single-task-sort
+    * rationale as the KS monitor). Returns (p, n_part, n_buckets, psi)
+    * per partition, psi rounded 6. */
+  def psiByPartition(df: DataFrame, partCol: Column, bucketCol: Column,
+      floor: Double = 1e-6, maxCells: Long = 1000000L): DataFrame = {
+    require(floor > 0.0 && floor < 1.0,
+      s"psi zero-bucket floor must be in (0,1), got $floor")
+    import org.apache.spark.sql.expressions.Window
+    val grid = df
+      .filter(partCol.isNotNull && bucketCol.isNotNull)
+      .select(partCol.as("p"), bucketCol.as("k"))
+      .groupBy(col("p"), col("k"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // sized below, then consumed thrice
+    val sizes = grid.agg(countDistinct(col("p")).as("np"),
+      countDistinct(col("k")).as("nk")).head()
+    val cells = sizes.getLong(0) * sizes.getLong(1)
+    require(cells <= maxCells,
+      s"psiByPartition: dense grid needs $cells cells " +
+        s"(${sizes.getLong(0)} partitions x ${sizes.getLong(1)} buckets " +
+        s"> budget $maxCells) — coarsen the bucket column or raise the " +
+        "budget deliberately")
+    val glob = grid.groupBy(col("k")).agg(sum(col("c")).as("g"))
+    val parts = grid.select(col("p")).distinct()
+    val dense = parts.crossJoin(glob)
+      .join(grid, Seq("p", "k"), "left")
+      .select(col("p"), col("k"), col("g"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val pe = greatest(col("g").cast("double") / col("ng").cast("double"),
+      lit(floor))
+    val pa = greatest(col("c").cast("double") / col("np").cast("double"),
+      lit(floor))
+    dense
+      .withColumn("np", sum(col("c")).over(Window.partitionBy(col("p"))))
+      .withColumn("ng", sum(col("c")).over(Window.partitionBy()))
+      .withColumn("qt",
+        round((pa - pe) * log(pa / pe) * lit(1e9)).cast("long"))
+      .groupBy(col("p"))
+      .agg(max(col("np")).as("n_part"),
+        count(lit(1)).as("n_buckets"),
+        round(sum(col("qt")).cast("double") / lit(1e9), 6).as("psi"))
+  }
+
   /** The monitoring form: per-partition KS against the GLOBAL
     * distribution — "which day drifted" as one frame, no driver loop.
     * Returns (part, n_part, ks_d) per partition value.

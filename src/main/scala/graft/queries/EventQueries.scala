@@ -345,6 +345,24 @@ object EventQueries extends QueryModule {
         col("event_type"), col("bk"), "click", "purchase")
     }),
 
+    // The PSI MONITOR: per-day PSI of the bucketed value distribution
+    // against the global one — "which day's scorecard moved", one
+    // frame, dense union-support grid (days × buckets, size-guarded)
+    // like the KS monitor beside it.
+    "q_psi_daily" -> ((s, d) => {
+      val us = unix_micros(col("ts"))
+      val cents = graft.functions.Money.cents(col("value"))
+      graft.operators.Drift.psiByPartition(
+          Tables.events(s, d).select(
+            (us - pmod(us, lit(86400000000L))).as("day_us"),
+            ((cents - pmod(cents, lit(1000L))) / lit(1000L)).cast("long")
+              .as("bk")),
+          col("day_us"), col("bk"))
+        .select(col("p").as("day_us"), col("n_part"), col("n_buckets"),
+          col("psi"))
+        .orderBy(col("day_us"))
+    }),
+
     // The drift MONITOR: per-day KS of the value distribution against
     // the global one — "which day drifted", one frame, no driver loop
     // (see Drift.ksByPartition: union-support dense grid, loudly
@@ -878,6 +896,40 @@ object EventQueries extends QueryModule {
         |  CAST(count(*) AS BIGINT) AS n_buckets,
         |  round(CAST(sum(qt) AS DOUBLE) / 1e9, 6) AS psi
         |FROM q""".stripMargin,
+
+    // per-day PSI mirror: dense day×bucket grid (0-fill), global
+    // proportions as expected, the identical floored IEEE term chain
+    "q_psi_daily" ->
+      s"""WITH v AS (
+        |  SELECT epoch_us(ts)
+        |      - ((epoch_us(ts) % 86400000000) + 86400000000) % 86400000000
+        |      AS p,
+        |    (${graft.functions.Money.centsSql("value")}
+        |      - ((${graft.functions.Money.centsSql("value")} % 1000) + 1000)
+        |        % 1000) // 1000 AS k
+        |  FROM events),
+        |grid AS (SELECT p, k, count(*) AS c FROM v GROUP BY 1, 2),
+        |gl AS (SELECT k, sum(c) AS g FROM grid GROUP BY k),
+        |ps AS (SELECT DISTINCT p FROM grid),
+        |dense AS (SELECT ps.p, gl.k, gl.g, coalesce(grid.c, 0) AS c
+        |          FROM ps CROSS JOIN gl
+        |          LEFT JOIN grid ON grid.p = ps.p AND grid.k = gl.k),
+        |w AS (SELECT p, k, g, c,
+        |        sum(c) OVER (PARTITION BY p) AS np,
+        |        sum(c) OVER () AS ng
+        |      FROM dense),
+        |q AS (SELECT p, np,
+        |        CAST(round(
+        |          (greatest(CAST(c AS DOUBLE) / CAST(np AS DOUBLE), 1.0E-6)
+        |            - greatest(CAST(g AS DOUBLE) / CAST(ng AS DOUBLE), 1.0E-6))
+        |          * ln(greatest(CAST(c AS DOUBLE) / CAST(np AS DOUBLE), 1.0E-6)
+        |            / greatest(CAST(g AS DOUBLE) / CAST(ng AS DOUBLE), 1.0E-6))
+        |          * 1e9) AS BIGINT) AS qt
+        |      FROM w)
+        |SELECT p AS day_us, CAST(max(np) AS BIGINT) AS n_part,
+        |  CAST(count(*) AS BIGINT) AS n_buckets,
+        |  round(CAST(sum(qt) AS DOUBLE) / 1e9, 6) AS psi
+        |FROM q GROUP BY p ORDER BY day_us""".stripMargin,
 
     // day bucket is floor-mod for the same pre-epoch reason as q_ohlc
     "q_ks_daily" ->

@@ -350,6 +350,33 @@ object RelationalQueries extends QueryModule {
         .orderBy(col("custdist").desc, col("c_count").desc)
     }),
 
+    // TPC-H Q22 shape (global sales opportunity): positive-balance
+    // customers above the AVERAGE positive balance — a scalar-aggregate
+    // subquery — who have placed no urgent order (NOT EXISTS → anti
+    // join), grouped by nation. The average threshold rides the exact
+    // q_small_orders cross-multiply (bal·n > Σbal on the cents grid —
+    // no float average anywhere; Σbal·bal_max ≈ 1e16·1e6 bounds the
+    // long at ~1e12 customers); balances sum as exact cents, one
+    // division at the end. Anti join's right side is the urgent-order
+    // key column only (filter + projection pushed to the scan).
+    "q_sales_opportunity" -> ((s, d) => {
+      val bal = graft.functions.Money.cents(col("c_acctbal"))
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"), bal.as("bal"))
+      val stats = cust.filter(col("bal") > 0)
+        .agg(sum(col("bal")).as("s"), count(lit(1)).as("n"))
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      cust.crossJoin(broadcast(stats))
+        .filter(col("bal") * col("n") > col("s"))
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"),
+          round(sum(col("bal")).cast("double") / 100.0, 2).as("totacctbal"))
+        .orderBy(col("c_nationkey"))
+    }),
+
     // TPC-H Q21 shape (suppliers who kept everyone waiting): suppliers
     // that were the ONLY late supplier (ship lag > 60 days) on a
     // multi-supplier finished order — the classic EXISTS + NOT EXISTS
@@ -928,6 +955,22 @@ object RelationalQueries extends QueryModule {
          |  round(CAST(key_nano AS DOUBLE) / 1e9, 6) AS wkey
          |FROM keyed ORDER BY key_nano DESC, o_orderkey LIMIT 100""".stripMargin
     },
+
+    // Q22 mirror: textbook NOT EXISTS + scalar-subquery form, threshold
+    // as the same integer cross-multiply
+    "q_sales_opportunity" ->
+      s"""WITH c AS (SELECT c_custkey, c_nationkey,
+        |    ${graft.functions.Money.centsSql("c_acctbal")} AS bal
+        |  FROM customer),
+        |t AS (SELECT sum(bal) AS s, count(*) AS n FROM c WHERE bal > 0),
+        |e AS (SELECT c_nationkey, bal FROM c CROSS JOIN t
+        |      WHERE bal * n > s
+        |        AND NOT EXISTS (SELECT 1 FROM orders o
+        |                        WHERE o.o_custkey = c.c_custkey
+        |                          AND o.o_orderpriority = '1-URGENT'))
+        |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+        |  round(CAST(sum(bal) AS DOUBLE) / 100.0, 2) AS totacctbal
+        |FROM e GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     // the textbook Q13 form (filter in the ON clause) — equivalent to
     // the engine's pre-aggregated plan because the predicate touches

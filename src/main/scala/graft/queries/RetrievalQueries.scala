@@ -197,8 +197,13 @@ object RetrievalQueries extends QueryModule {
           .withColumn("method", lit(m))
       val lex = Bm25.topK(docs, "doc_id", "text", terms, k = 10,
         k1 = k1, b = b)
-      val fused = fusedTopK(s, d, 10)
-      val rr = Rerank.linear(fusedTopK(s, d, 20),
+      // ONE fused pipeline feeds both lists: the top-10 is a prefix of
+      // the top-20 by construction (same ordering, different cut), and
+      // the 20-row checkpoint stops the lex+dense retrieve from running
+      // twice (the shared-frame discipline)
+      val fused20 = fusedTopK(s, d, 20).localCheckpoint()
+      val fused = fused20.orderBy(col("rrf").desc, col("doc_id")).limit(10)
+      val rr = Rerank.linear(fused20,
         docs, Tables.embeddings(s, d), "doc_id", "text",
         "vec_id", "embedding", queryId = 0L, terms = terms, k = 10,
         w = rerankW, k1 = k1, b = b)

@@ -147,6 +147,42 @@ class DriftSpec extends SparkSpec {
     assert(e.getMessage.contains("floor"))
   }
 
+  test("psiByPartition == driver brute force; shifted day reads highest") {
+    val rows = Seq(
+      // d1 mirrors the global mix; d2 sits entirely in the high buckets
+      ("d1", 1L), ("d1", 2L), ("d1", 10L), ("d1", 11L),
+      ("d2", 10L), ("d2", 11L), ("d2", 12L),
+      ("d3", 1L), ("d3", 10L))
+    val got = Drift.psiByPartition(rows.toDF("p", "k"), $"p", $"k")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val buckets = rows.map(_._2).distinct.sorted
+    val ng = rows.size.toDouble
+    val want = rows.groupBy(_._1).map { case (p, es) =>
+      val np = es.size.toDouble
+      val psi = buckets.map { k =>
+        val pe = math.max(rows.count(_._2 == k) / ng, 1e-6)
+        val pa = math.max(es.count(_._2 == k) / np, 1e-6)
+        math.round((pa - pe) * math.log(pa / pe) * 1e9)
+      }.sum / 1e9
+      p -> ((es.size.toLong, buckets.size.toLong,
+        BigDecimal(psi).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble))
+    }
+    assert(got === want)
+    assert(got("d2")._3 > got("d1")._3, "the shifted day must score higher")
+  }
+
+  test("psiByPartition dense-grid guard trips loudly") {
+    val rows = (1L to 100L).map(v => (s"p$v", v))
+    val e = intercept[IllegalArgumentException] {
+      Drift.psiByPartition(rows.toDF("p", "k"), $"p", $"k",
+        maxCells = 50L).count()
+    }
+    assert(e.getMessage.contains("dense grid") &&
+      e.getMessage.contains("budget 50"))
+  }
+
   test("ksByPartition dense-grid guard trips loudly and names the budget") {
     val rows = (1L to 100L).map(v => (s"p$v", v))
     val e = intercept[IllegalArgumentException] {

@@ -95,6 +95,9 @@ class PlanSpec extends SparkSpec {
       // the global median / MAD stats rows broadcast back as 1-row
       // scalar joins (no join key exists)
       "q_robust_outliers",
+      // Q22's (Σbal, n) average-threshold row — the same 1-row scalar
+      // broadcast; the anti join itself stays an equi-join
+      "q_sales_opportunity",
       // the degenerate short-string bucket (strings < q·d chars, where
       // no exact gram filter exists) plans its length-banded non-equi
       // pairing as a nested loop — EMPTY on this corpus (min name length
@@ -118,11 +121,11 @@ class PlanSpec extends SparkSpec {
       // PMI's 1-row corpus-size frame (n_docs) broadcast over the
       // vocabulary-sized pair table — the same scalar-join shape
       "q_collocations",
-      // the KS monitor's union-support dense grid is a DELIBERATE
-      // partitions x |support| cross join — bounded by the value
+      // the KS/PSI monitors' union-support dense grids are DELIBERATE
+      // partitions x |support| cross joins — bounded by the value
       // domain (never the corpus) and loudly size-guarded in
-      // Drift.ksByPartition before it can run
-      "q_ks_daily")
+      // Drift.ksByPartition / Drift.psiByPartition before they can run
+      "q_ks_daily", "q_psi_daily")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan =

@@ -80,4 +80,53 @@ object Upsert {
     target.join(changes.select(keys.map(col): _*), keys, "left_anti")
       .unionByName(upserts)
   }
+
+  /** CDC feed GENERATION — the inverse of [[applyCdc]]: diff two full
+    * snapshots of a keyed table into the minimal I/U/D change batch,
+    * such that `applyCdc(old, snapshotDiff(old, new))` reproduces `new`
+    * row-for-row (specced as a round trip). The production shape this
+    * serves: an upstream that can only hand over full dumps still feeds
+    * incremental consumers — the diff IS the change feed, and
+    * downstream the whole [[applyCdc]]/SCD2/incremental-index machinery
+    * applies unchanged.
+    *
+    * One full-outer join on the key. Non-key columns compare NULL-SAFELY
+    * (`<=>`), so a null→value edit is an update, not a phantom match.
+    * Unchanged rows emit NOTHING — minimality is the contract (a diff
+    * that re-emits the table is a snapshot with extra steps). Output:
+    * (`opCol`, keys..., new-side payload...); 'D' rows carry null
+    * payload (the key is the tombstone).
+    *
+    * Contract: both snapshots key-unique (loud bounded probes, as
+    * [[applyCdc]]) and same-schema. Scale shape: one key-partitioned
+    * shuffle of each snapshot; output is delta-sized. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+      keys: Seq[String], opCol: String = "op"): DataFrame = {
+    require(keys.nonEmpty, "snapshotDiff needs at least one key column")
+    require(oldSnap.columns.toSet == newSnap.columns.toSet,
+      s"snapshotDiff: snapshot schemas differ — old has " +
+        s"${oldSnap.columns.toSet -- newSnap.columns.toSet}, new has " +
+        s"${newSnap.columns.toSet -- oldSnap.columns.toSet}")
+    Seq("old" -> oldSnap, "new" -> newSnap).foreach { case (side, df) =>
+      val dup = df.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).count()
+      require(dup == 0L,
+        s"snapshotDiff: duplicate keys in the $side snapshot on " +
+          s"(${keys.mkString(", ")}) — a keyed diff needs key-unique sides")
+    }
+    val payload = newSnap.columns.filterNot(keys.contains).toSeq
+    val l = oldSnap.select(
+      (keys.map(col) :+ lit(true).as("__in_old")) ++
+        payload.map(c => col(c).as(s"__o_$c")): _*)
+    val r = newSnap.withColumn("__in_new", lit(true))
+    val changed = payload.map(c => !(col(c) <=> col(s"__o_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    l.join(r, keys, "full_outer")
+      .withColumn(opCol,
+        when(col("__in_old").isNull, "I")
+          .when(col("__in_new").isNull, "D")
+          .when(changed, "U"))
+      .filter(col(opCol).isNotNull) // unchanged rows emit nothing
+      .select(col(opCol) +: (keys.map(col) ++ payload.map(col)): _*)
+  }
 }

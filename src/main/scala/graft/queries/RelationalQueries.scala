@@ -309,6 +309,55 @@ object RelationalQueries extends QueryModule {
         .orderBy(col("c_custkey"))
     }),
 
+    // CDC feed GENERATION (Upsert.snapshotDiff — the inverse of
+    // q_cdc_apply): diff two full order-book snapshots into the minimal
+    // I/U/D batch. The "new" snapshot derives deterministically from
+    // the raw table on BOTH engines: keys %97 deleted, %89 repriced
+    // (+1.00), %83 re-inserted under a shifted key. One full-outer
+    // key shuffle; unchanged rows emit nothing (minimality is specced,
+    // and applyCdc(old, diff) == new round-trips in UpsertSpec).
+    "q_snapshot_diff" -> ((s, d) => {
+      val old = Tables.orders(s, d)
+      val mutated = old.filter(col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 89 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+      val inserts = old.filter(col("o_orderkey") % 83 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+      Upsert.snapshotDiff(old, mutated.unionByName(inserts),
+          Seq("o_orderkey"))
+        .orderBy(col("op"), col("o_orderkey"))
+    }),
+
+    // Exact Gini coefficient per order priority — the inequality /
+    // skew-audit number for "how concentrated is revenue over orders"
+    // (1 − equality; 0 = uniform). With x sorted ascending,
+    // G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx): one row_number window per
+    // group (shared Exchange), decimal(38,0) moment sums (i·x wraps a
+    // long near 10¹¹ rows·cents), ONE double division at the end.
+    "q_value_gini" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      def dec(c: Column) = c.cast("decimal(19,0)")
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("c"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          cents(col("o_totalprice")).as("c"))
+        .withColumn("i", row_number().over(w).cast("long"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("c")).cast("decimal(38,0)")).as("s"),
+          sum((dec(col("i")) * dec(col("c"))).cast("decimal(38,0)"))
+            .as("sic"))
+        .select(col("o_orderpriority"), col("n"),
+          round((lit(2).cast("decimal(38,0)") * col("sic")
+              - (dec(col("n")) + lit(1)).cast("decimal(38,0)") * col("s"))
+              .cast("double")
+            / (dec(col("n")).cast("decimal(38,0)") * col("s")).cast("double"),
+            6).as("gini"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // TPC-H Q17 shape (small-quantity orders): lineitems below 20% of
     // their part's average quantity. The fractional threshold is an
     // EXACT integer cross-multiply — q < Σq/(5n) ⟺ 5·q·n < Σq on the
@@ -954,6 +1003,59 @@ object RelationalQueries extends QueryModule {
          |SELECT o_orderkey, o_totalprice,
          |  round(CAST(key_nano AS DOUBLE) / 1e9, 6) AS wkey
          |FROM keyed ORDER BY key_nano DESC, o_orderkey LIMIT 100""".stripMargin
+    },
+
+    // snapshot-diff mirror: same deterministic mutation, textbook
+    // full-outer diff with IS NOT DISTINCT FROM (null-safe) compares
+    "q_snapshot_diff" ->
+      """WITH newt AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+        |    o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 83 = 0),
+        |j AS (SELECT
+        |    coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |    o.o_orderkey IS NOT NULL AS in_old,
+        |    n.o_orderkey IS NOT NULL AS in_new,
+        |    n.o_custkey, n.o_orderstatus, n.o_totalprice, n.o_orderdate,
+        |    n.o_orderpriority,
+        |    (n.o_custkey IS NOT DISTINCT FROM o.o_custkey
+        |     AND n.o_orderstatus IS NOT DISTINCT FROM o.o_orderstatus
+        |     AND n.o_totalprice IS NOT DISTINCT FROM o.o_totalprice
+        |     AND n.o_orderdate IS NOT DISTINCT FROM o.o_orderdate
+        |     AND n.o_orderpriority IS NOT DISTINCT FROM o.o_orderpriority)
+        |      AS same
+        |  FROM orders o FULL OUTER JOIN newt n
+        |    ON o.o_orderkey = n.o_orderkey)
+        |SELECT CASE WHEN NOT in_old THEN 'I'
+        |            WHEN NOT in_new THEN 'D'
+        |            ELSE 'U' END AS op,
+        |  o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM j WHERE NOT in_old OR NOT in_new OR NOT same
+        |ORDER BY op, o_orderkey""".stripMargin,
+
+    // Gini mirror: identical sorted-index moment sums in HUGEINT, one
+    // double division
+    "q_value_gini" -> {
+      val c = graft.functions.Money.centsSql("o_totalprice")
+      s"""WITH r AS (SELECT o_orderpriority, $c AS c,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY $c, o_orderkey) AS i
+        |  FROM orders),
+        |a AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |        sum(CAST(c AS HUGEINT)) AS s,
+        |        sum(CAST(i AS HUGEINT) * c) AS sic
+        |      FROM r GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, n,
+        |  round(CAST(2 * sic - (n + 1) * s AS DOUBLE)
+        |    / CAST(n * s AS DOUBLE), 6) AS gini
+        |FROM a ORDER BY o_orderpriority""".stripMargin
     },
 
     // Q22 mirror: textbook NOT EXISTS + scalar-subquery form, threshold

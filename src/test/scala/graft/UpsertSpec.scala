@@ -62,4 +62,41 @@ class UpsertSpec extends SparkSpec {
       Upsert.applyCdc(target, liveInsert, Seq("k")).count()
     }.getMessage.contains("already exists"))
   }
+
+  test("snapshotDiff emits the minimal I/U/D batch; applyCdc round-trips") {
+    val old = Seq((1L, Option("a"), 10.0), (2L, None, 20.0),
+      (3L, Option("c"), 30.0), (4L, Option("d"), 40.0))
+      .toDF("k", "s", "v")
+    // 1 unchanged, 2 null->value update, 3 deleted, 4 value update,
+    // 5 inserted
+    val neu = Seq((1L, Option("a"), 10.0), (2L, Option("b"), 20.0),
+      (4L, Option("d"), 41.0), (5L, Option("e"), 50.0))
+      .toDF("k", "s", "v")
+    val diff = Upsert.snapshotDiff(old, neu, Seq("k"))
+    val got = diff.as[(String, Long, Option[String], Option[Double])]
+      .collect().toSet
+    assert(got === Set(("U", 2L, Some("b"), Some(20.0)),
+      ("D", 3L, None, None), ("U", 4L, Some("d"), Some(41.0)),
+      ("I", 5L, Some("e"), Some(50.0))),
+      "minimal batch: unchanged row 1 must emit nothing")
+    // the round trip: applying the diff to old reproduces new exactly
+    val applied = Upsert.applyCdc(old, diff, Seq("k"))
+      .as[(Long, Option[String], Double)].collect().toSet
+    assert(applied === neu.as[(Long, Option[String], Double)].collect().toSet)
+    // identical snapshots diff to nothing
+    assert(Upsert.snapshotDiff(old, old, Seq("k")).count() === 0L)
+  }
+
+  test("snapshotDiff guards: schema mismatch and duplicate keys are loud") {
+    val a = Seq((1L, 1.0)).toDF("k", "v")
+    val e1 = intercept[IllegalArgumentException] {
+      Upsert.snapshotDiff(a, Seq((1L, "x")).toDF("k", "s"), Seq("k"))
+    }
+    assert(e1.getMessage.contains("schemas differ"))
+    val dup = Seq((1L, 1.0), (1L, 2.0)).toDF("k", "v")
+    val e2 = intercept[IllegalArgumentException] {
+      Upsert.snapshotDiff(a, dup, Seq("k"))
+    }
+    assert(e2.getMessage.contains("duplicate keys"))
+  }
 }

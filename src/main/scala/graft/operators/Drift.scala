@@ -117,15 +117,27 @@ object Drift {
     * rationale as the KS monitor). Returns (p, n_part, n_buckets, psi)
     * per partition, psi rounded 6. */
   def psiByPartition(df: DataFrame, partCol: Column, bucketCol: Column,
-      floor: Double = 1e-6, maxCells: Long = 1000000L): DataFrame = {
+      floor: Double = 1e-6, maxCells: Long = 1000000L): DataFrame =
+    psiByPartitionCounts(
+      df.filter(partCol.isNotNull && bucketCol.isNotNull)
+        .select(partCol.as("p"), bucketCol.as("k"))
+        .groupBy(col("p"), col("k"))
+        .agg(count(lit(1)).as("c")),
+      floor, maxCells)
+
+  /** [[psiByPartition]] from PRE-COUNTED (p, k, c) sufficient statistics
+    * — the [[ksByPartitionCounts]] twin, and the entry point the
+    * streaming monitor scores through. Duplicate (p, k) rows sum, so
+    * any partial grid union is a valid input. */
+  def psiByPartitionCounts(counts: DataFrame, floor: Double = 1e-6,
+      maxCells: Long = 1000000L): DataFrame = {
     require(floor > 0.0 && floor < 1.0,
       s"psi zero-bucket floor must be in (0,1), got $floor")
     import org.apache.spark.sql.expressions.Window
-    val grid = df
-      .filter(partCol.isNotNull && bucketCol.isNotNull)
-      .select(partCol.as("p"), bucketCol.as("k"))
+    val grid = counts
+      .filter(col("p").isNotNull && col("k").isNotNull)
       .groupBy(col("p"), col("k"))
-      .agg(count(lit(1)).as("c"))
+      .agg(sum(col("c").cast("long")).as("c"))
       .localCheckpoint() // sized below, then consumed thrice
     val sizes = grid.agg(countDistinct(col("p")).as("np"),
       countDistinct(col("k")).as("nk")).head()

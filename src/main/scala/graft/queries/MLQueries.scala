@@ -81,6 +81,26 @@ object MLQueries extends QueryModule {
           round(col("fpr"), 6).as("fpr"), round(col("tpr"), 6).as("tpr"))
         .orderBy(col("threshold").desc)),
 
+    // Calibration curve (reliability diagram) over the deterministic
+    // score — the ML-eval verb beside ROC: per decile bin, count, mean
+    // predicted confidence, observed positive rate. Confidence rides
+    // the 1e-9 quantize-then-integer-sum grid (double avg is
+    // summation-order dependent; integer sums are not), one division
+    // back per bin.
+    "q_calibration" -> ((s, d) =>
+      labeled(s, d)
+        .select(least(floor(col("score") * 10), lit(9)).cast("long")
+            .as("bin"),
+          round(col("score") * lit(1e9)).cast("long").as("sn"),
+          col("label"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          round((sum(col("sn")).cast("double")
+            / count(lit(1)).cast("double")) / lit(1e9), 6).as("confidence"),
+          round(sum(col("label")).cast("double")
+            / count(lit(1)).cast("double"), 6).as("accuracy"))
+        .orderBy(col("bin"))),
+
     // LR sentiment pipeline end-to-end (fit + transform on the 80/20
     // reference split) — rows-only: L-BFGS float iterations. The
     // tokenize→stopwords→TF-IDF front half is fit once per dataset and
@@ -116,6 +136,20 @@ object MLQueries extends QueryModule {
         |    AS BIGINT) AS prediction,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM documents GROUP BY 1, 2 ORDER BY label, prediction""".stripMargin,
+
+    "q_calibration" ->
+      """WITH b AS (
+        |  SELECT CAST(least(floor(least(n_chars / 500.0, 0.999) * 10), 9)
+        |      AS BIGINT) AS bin,
+        |    CAST(round(least(n_chars / 500.0, 0.999) * 1e9) AS BIGINT) AS sn,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents)
+        |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |  round((CAST(sum(sn) AS DOUBLE) / CAST(count(*) AS DOUBLE)) / 1e9, 6)
+        |    AS confidence,
+        |  round(CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |    AS accuracy
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
 
     "q_roc_exact" ->
       """WITH s AS (

@@ -429,6 +429,31 @@ object EventStream {
       .start()
   }
 
+  /** Streaming twin of the PSI drift monitor (`q_psi_daily`): identical
+    * machinery to [[ksDaily]] — the per-(day, bucket) count table as
+    * ordinary streaming-aggregation state, re-scored per micro-batch
+    * through [[graft.operators.Drift.psiByPartitionCounts]]. Buckets are
+    * 1000-cent floors of the value column (the q_psi_drift grid). */
+  def psiDaily(events: DataFrame, floor: Double = 1e-6,
+      maxCells: Long = 1000000L)(sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val us = unix_micros(col("ts"))
+    val cents = graft.functions.Money.cents(col("value"))
+    events
+      .select((us - pmod(us, lit(86400000000L))).as("p"),
+        ((cents - pmod(cents, lit(1000L))) / lit(1000L)).cast("long")
+          .as("k"))
+      .groupBy(col("p"), col("k"))
+      .agg(count(lit(1)).as("c"))
+      .writeStream.outputMode("complete")
+      .foreachBatch { (grid: Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        sink(graft.operators.Drift.psiByPartitionCounts(grid.toDF(),
+          floor, maxCells), batchId)
+      }
+      .start()
+  }
+
   /** Custom stateful op: running per-user totals via mapGroupsWithState
     * (exact cents in state, like the batch runningTotal). State here is
     * O(distinct users); for unbounded key spaces switch to

@@ -172,6 +172,44 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming psiDaily == batch psiByPartition across a two-batch split") {
+    val ev = Tables.events(spark, sf001)
+    val mid = ev.selectExpr("percentile(unix_micros(ts), 0.5)")
+      .head().getDouble(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-psid")
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-psid-w")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part),
+        dir.resolve(name))
+    }
+    stage(ev.filter(unix_micros($"ts") <= mid), "a.parquet")
+    @volatile var last = Set.empty[(Long, Long, Long, Double)]
+    val q = EventStream.psiDaily(EventStream.read(spark, dir.toString)) {
+      (scored, _) =>
+        last = scored.as[(Long, Long, Long, Double)].collect().toSet
+    }
+    try {
+      q.processAllAvailable()
+      val afterA = last
+      stage(ev.filter(unix_micros($"ts") > mid), "b.parquet")
+      q.processAllAvailable()
+      val us = unix_micros($"ts")
+      val cents = graft.functions.Money.cents($"value")
+      val batch = graft.operators.Drift.psiByPartition(
+          ev.select((us - pmod(us, lit(86400000000L))).as("day_us"),
+            ((cents - pmod(cents, lit(1000L))) / lit(1000L)).cast("long")
+              .as("bk")),
+          $"day_us", $"bk")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(last === batch)
+      assert(last.nonEmpty)
+      assert(afterA != last, "second batch must move the scores")
+    } finally q.stop()
+  }
+
   test("streaming OHLC bars == batch ohlcBars across a two-batch split") {
     // two micro-batches split at the time median: the open of a bar
     // straddling the seam was fixed by batch A and must survive in the

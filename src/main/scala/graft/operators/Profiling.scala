@@ -42,6 +42,71 @@ object Profiling {
         col("m.n_distinct"), col("m.min_value"), col("m.max_value"))
   }
 
+  /** Snapshot profile DIFF — the schema/content drift report between
+    * two versions of the same table: per column, both sides' row/null/
+    * distinct counts, the null-rate delta, and whether the min/max
+    * envelope moved. This is the pre-commit twin of the [[graft
+    * .operators.Drift]] family: Drift scores a VALUE distribution,
+    * profileDiff screens the whole table shape (a column suddenly 30%
+    * null, a distinct-count collapse, an envelope jump — the three
+    * upstream-breakage signatures). Two one-pass [[profile]] aggregates
+    * joined on the column-count-sized name key; no data-to-data join. */
+  def profileDiff(oldDf: DataFrame, newDf: DataFrame,
+      cols: Seq[String]): DataFrame = {
+    val po = profile(oldDf, cols).select(col("column"),
+      col("n_rows").as("n_old"), col("n_nulls").as("nulls_old"),
+      col("n_distinct").as("distinct_old"),
+      col("min_value").as("__mn_o"), col("max_value").as("__mx_o"))
+    val pn = profile(newDf, cols).select(col("column"),
+      col("n_rows").as("n_new"), col("n_nulls").as("nulls_new"),
+      col("n_distinct").as("distinct_new"),
+      col("min_value").as("__mn_n"), col("max_value").as("__mx_n"))
+    po.join(pn, "column")
+      .select(col("column"), col("n_old"), col("n_new"),
+        col("nulls_old"), col("nulls_new"),
+        col("distinct_old"), col("distinct_new"),
+        round(col("nulls_new").cast("double") / col("n_new").cast("double")
+          - col("nulls_old").cast("double") / col("n_old").cast("double"),
+          6).as("null_rate_delta"),
+        (!(col("__mn_n") <=> col("__mn_o")) ||
+          !(col("__mx_n") <=> col("__mx_o"))).as("minmax_changed"))
+  }
+
+  /** Mutual information I(X;Y) in nats between two categorical columns
+    * — the association/leakage screen beside chi² (`q_chi2_assoc`): MI
+    * says HOW MANY BITS one column reveals about the other (feature
+    * selection, "does `source` leak the label", redundant-column
+    * detection), where chi² only says whether independence is rejected.
+    * I = Σ_cells (c/n)·ln(c·n / (n_x·n_y)); exactly 0 iff the counts
+    * factorize, and I(X;X) = H(X).
+    *
+    * Scale shape: the corpus reduces to the contingency CELL table
+    * first (|X|·|Y| rows — categorical cardinality, never the corpus);
+    * margins ride two cell-table windows. Per-cell transcendental terms
+    * quantize onto the 1e-9 grid and sum order-free (the
+    * q_source_entropy discipline). Returns one row:
+    * (n_rows, n_cells, mi_nats rounded 6). */
+  def mutualInformation(df: DataFrame, xCol: String,
+      yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).as("c"))
+    val withM = cells
+      .withColumn("nx", sum(col("c")).over(Window.partitionBy(col("x"))))
+      .withColumn("ny", sum(col("c")).over(Window.partitionBy(col("y"))))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy()))
+    val arg = (col("c").cast("double") * col("n").cast("double")) /
+      (col("nx").cast("double") * col("ny").cast("double"))
+    withM
+      .withColumn("t",
+        round((col("c").cast("double") / col("n").cast("double"))
+          * log(arg) * lit(1e9)).cast("long"))
+      .agg(max(col("n")).as("n_rows"), count(lit(1)).as("n_cells"),
+        round(sum(col("t")).cast("double") / lit(1e9), 6).as("mi_nats"))
+  }
+
   /** Binned text-length histogram (the `preprocessing.py:78,137` chart
     * input, computed in-engine instead of sampling to pandas): ONE hash
     * aggregation to ≤ clampLen/binWidth + 1 rows at any corpus size —

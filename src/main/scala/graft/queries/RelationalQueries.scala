@@ -163,6 +163,31 @@ object RelationalQueries extends QueryModule {
           Tables.documents(s, d), Seq("doc_id", "lang", "source"))
         .orderBy(col("column"))),
 
+    // Snapshot profile DIFF — the table-shape drift report between two
+    // versions (Profiling.profileDiff): per column, both sides' counts,
+    // the null-rate delta, and whether the min/max envelope moved. The
+    // "new" snapshot derives deterministically on both engines (rows
+    // %11 dropped, lang nulled on %13) — the three upstream-breakage
+    // signatures (null spike / distinct collapse / envelope jump) all
+    // light up.
+    "q_profile_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val mutated = docs.filter(col("doc_id") % 11 =!= 0)
+        .withColumn("lang",
+          when(col("doc_id") % 13 === 0, lit(null)).otherwise(col("lang")))
+      graft.operators.Profiling.profileDiff(docs, mutated,
+          Seq("doc_id", "lang", "source"))
+        .orderBy(col("column"))
+    }),
+
+    // Mutual information I(lang; source) in nats — the association /
+    // leakage screen beside chi²: how much one categorical column
+    // reveals about another (Profiling.mutualInformation; contingency
+    // cell table + margin windows, nano-grid terms).
+    "q_mutual_info" -> ((s, d) =>
+      graft.operators.Profiling.mutualInformation(
+        Tables.documents(s, d), "lang", "source")),
+
     // Mergeable-sketch rollup — the 100 TB distinct-counting pattern:
     // build one datasketches-HLL sketch per (day, event_type) partition
     // (a partial agg any ingestion job can precompute and persist), then
@@ -1143,6 +1168,58 @@ object RelationalQueries extends QueryModule {
       Seq("doc_id", "lang", "source").map(branch)
         .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
     },
+
+    "q_profile_diff" -> {
+      def side(from: String) = {
+        def branch(c: String) =
+          s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS nulls,
+             |  CAST(count(DISTINCT $c) AS BIGINT) AS dist,
+             |  CAST(min($c) AS VARCHAR) AS mn,
+             |  CAST(max($c) AS VARCHAR) AS mx
+             |FROM $from""".stripMargin
+        Seq("doc_id", "lang", "source").map(branch)
+          .mkString("", "\nUNION ALL\n", "")
+      }
+      s"""WITH newd AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 13 = 0 THEN NULL ELSE lang END AS lang,
+         |    source
+         |  FROM documents WHERE doc_id % 11 <> 0),
+         |po AS (${side("documents")}),
+         |pn AS (${side("newd")})
+         |SELECT po."column", po.n AS n_old, pn.n AS n_new,
+         |  po.nulls AS nulls_old, pn.nulls AS nulls_new,
+         |  po.dist AS distinct_old, pn.dist AS distinct_new,
+         |  round(CAST(pn.nulls AS DOUBLE) / CAST(pn.n AS DOUBLE)
+         |    - CAST(po.nulls AS DOUBLE) / CAST(po.n AS DOUBLE), 6)
+         |    AS null_rate_delta,
+         |  (pn.mn IS DISTINCT FROM po.mn OR pn.mx IS DISTINCT FROM po.mx)
+         |    AS minmax_changed
+         |FROM po JOIN pn USING ("column")
+         |ORDER BY po."column"""".stripMargin
+    },
+
+    "q_mutual_info" ->
+      """WITH cells AS (
+        |  SELECT lang AS x, source AS y, count(*) AS c FROM documents
+        |  WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+        |m AS (SELECT c,
+        |        sum(c) OVER (PARTITION BY x) AS nx,
+        |        sum(c) OVER (PARTITION BY y) AS ny,
+        |        sum(c) OVER () AS n
+        |      FROM cells),
+        |q AS (SELECT n, CAST(round(
+        |        (CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * ln((CAST(c AS DOUBLE) * CAST(n AS DOUBLE))
+        |          / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)))
+        |        * 1e9) AS BIGINT) AS t
+        |      FROM m)
+        |SELECT CAST(max(n) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_cells,
+        |  round(CAST(sum(t) AS DOUBLE) / 1e9, 6) AS mi_nats
+        |FROM q""".stripMargin,
 
     "q_set_intersect" ->
       """SELECT c_nationkey AS nationkey FROM customer

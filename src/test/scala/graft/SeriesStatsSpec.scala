@@ -47,4 +47,44 @@ class SeriesStatsSpec extends SparkSpec {
       .select($"entropy_nano").as[Long].collect()
     assert(real.nonEmpty && real.forall(v => v > 0L))
   }
+
+  test("mutual information: independence = exactly 0; I(X;X) = H(X)") {
+    import graft.operators.Profiling
+    // counts FACTORIZE (every (x,y) cell = 6 rows, margins uniform):
+    // each cell's c*n == nx*ny -> ln(1) = 0 -> MI exactly 0.0
+    val indep = (for { x <- 1 to 4; y <- 1 to 3; _ <- 1 to 6 }
+      yield (s"x$x", s"y$y")).toDF("a", "b")
+    val (n0, k0, mi0) = Profiling.mutualInformation(indep, "a", "b")
+      .as[(Long, Long, Double)].head()
+    assert((n0, k0) === ((72L, 12L)))
+    assert(mi0 === 0.0)
+    // self-information: I(X;X) = H(X), the entropy of the marginal
+    val self = (Seq.fill(6)("u") ++ Seq.fill(3)("v") ++ Seq.fill(1)("w"))
+      .map(x => (x, x)).toDF("a", "b")
+    val mi = Profiling.mutualInformation(self, "a", "b")
+      .as[(Long, Long, Double)].head()._3
+    val h = -Seq(6.0, 3.0, 1.0).map(_ / 10.0).map(p => p * math.log(p)).sum
+    assert(math.abs(mi - h) < 2e-6, s"I(X;X)=$mi vs H(X)=$h")
+    // dependence reads strictly above the independent landmark
+    assert(mi > 0.0)
+  }
+
+  test("mutual information == driver brute force on real documents") {
+    import graft.operators.Profiling
+    val rows = Tables.documents(spark, sf001)
+      .select($"lang", $"source").as[(String, String)].collect()
+      .filter(r => r._1 != null && r._2 != null)
+    val n = rows.length.toDouble
+    val cells = rows.groupBy(identity).view.mapValues(_.length).toMap
+    val nx = rows.groupBy(_._1).view.mapValues(_.length).toMap
+    val ny = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    val want = cells.map { case ((x, y), c) =>
+      math.round((c / n) * math.log(c * n / (nx(x).toDouble * ny(y))) * 1e9)
+    }.sum / 1e9
+    val got = Profiling.mutualInformation(
+        Tables.documents(spark, sf001), "lang", "source")
+      .as[(Long, Long, Double)].head()
+    assert(got._1 === rows.length.toLong && got._2 === cells.size.toLong)
+    assert(math.abs(got._3 - want) < 5e-7, s"got ${got._3}, want $want")
+  }
 }

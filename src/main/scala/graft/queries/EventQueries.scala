@@ -345,6 +345,38 @@ object EventQueries extends QueryModule {
         col("event_type"), col("bk"), "click", "purchase")
     }),
 
+    // Seasonal-naive forecast error (MASE, Hyndman & Koehler 2006): per
+    // event_type, the weekly-seasonal-naive forecast (lag-7 over the
+    // observed daily count grid) scored against the one-step naive
+    // baseline — MASE < 1 means weekly seasonality genuinely predicts.
+    // The metric every monitoring stack uses to decide if a metric IS
+    // forecastable. All errors are exact integer counts; MASE rides ONE
+    // double division via the integer cross-multiply (s7·c1)/(s1·c7).
+    "q_forecast_mase" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val us = unix_micros(col("ts"))
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          (us - pmod(us, lit(86400000000L))).as("day_us"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day_us"))
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
+      daily
+        .withColumn("e7", abs(col("n") - lag(col("n"), 7).over(w)))
+        .withColumn("e1", abs(col("n") - lag(col("n"), 1).over(w)))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("e7")).as("s7"), count(col("e7")).as("c7"),
+          sum(col("e1")).as("s1"), count(col("e1")).as("c1"))
+        .select(col("event_type"), col("n_days"),
+          round(col("s7").cast("double") / col("c7").cast("double"), 6)
+            .as("mae_seasonal"),
+          round((dec(col("s7")) * dec(col("c1"))).cast("double")
+            / (dec(col("s1")) * dec(col("c7"))).cast("double"), 6)
+            .as("mase"))
+        .orderBy(col("event_type"))
+    }),
+
     // The PSI MONITOR: per-day PSI of the bucketed value distribution
     // against the global one — "which day's scorecard moved", one
     // frame, dense union-support grid (days × buckets, size-guarded)
@@ -896,6 +928,30 @@ object EventQueries extends QueryModule {
         |  CAST(count(*) AS BIGINT) AS n_buckets,
         |  round(CAST(sum(qt) AS DOUBLE) / 1e9, 6) AS psi
         |FROM q""".stripMargin,
+
+    // MASE mirror: same lag windows over the observed daily grid, same
+    // integer cross-multiply for the ratio
+    "q_forecast_mase" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    epoch_us(ts)
+        |      - ((epoch_us(ts) % 86400000000) + 86400000000) % 86400000000
+        |      AS day_us,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |e AS (SELECT event_type,
+        |        abs(n - lag(n, 7) OVER w) AS e7,
+        |        abs(n - lag(n, 1) OVER w) AS e1
+        |      FROM daily
+        |      WINDOW w AS (PARTITION BY event_type ORDER BY day_us)),
+        |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |        sum(e7) AS s7, count(e7) AS c7,
+        |        sum(e1) AS s1, count(e1) AS c1
+        |      FROM e GROUP BY event_type)
+        |SELECT event_type, n_days,
+        |  round(CAST(s7 AS DOUBLE) / CAST(c7 AS DOUBLE), 6) AS mae_seasonal,
+        |  round(CAST(s7 * c1 AS DOUBLE) / CAST(s1 * c7 AS DOUBLE), 6) AS mase
+        |FROM a ORDER BY event_type""".stripMargin,
 
     // per-day PSI mirror: dense day×bucket grid (0-fill), global
     // proportions as expected, the identical floored IEEE term chain

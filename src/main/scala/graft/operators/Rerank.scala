@@ -109,4 +109,89 @@ object Rerank {
       .orderBy(col("rerank").desc, col(idCol))
       .limit(k)
   }
+
+  /** Maximal Marginal Relevance (Carbonell & Goldstein 1998) diversity
+    * selection over a BOUNDED candidate list: greedily pick `k` docs,
+    * each round maximizing λ·rel(d) − (1−λ)·max_{s∈S} sim(d, S) — the
+    * standard de-redundancy pass between retrieval and a context window
+    * (two near-identical top hits waste the second slot; MMR keeps one
+    * and spends the slot on coverage).
+    *
+    * Greedy selection is inherently sequential, so this runs the
+    * k-round loop DRIVER-SIDE over the collected candidate list — the
+    * audited-bounded-collect pattern ([[graft.operators.DedupGroups]]'s
+    * union-find): `maxCandidates` guards the contract loudly, and the
+    * only cluster work is one candidate²-bounded pairwise-cosine join.
+    * The DuckDB mirror UNROLLS the same greedy rounds as a generated
+    * CTE chain (the k-means/BPE unroll discipline), so the whole
+    * selection — including every tie-break — is oracle-checked.
+    *
+    * Determinism contract (shared with the mirror): rel comes in
+    * already 6dp-rounded, pairwise cosines round to 6dp, scores are the
+    * identical λ·rel − (1−λ)·maxsim double chain, ties break by id
+    * ascending, and candidates with no embedding row have sim ≡ 0.
+    * Ids must be LONG (the corpus id space).
+    * Returns (idCol, pick_rank 1..k, mmr_score rounded 6). */
+  def mmr(candidates: DataFrame, embeddings: DataFrame, idCol: String,
+      vecIdCol: String, vecCol: String, relCol: String, k: Int,
+      lambda: Double, maxCandidates: Int = 10000): DataFrame = {
+    require(k > 0, s"mmr needs k > 0, got $k")
+    require(lambda >= 0.0 && lambda <= 1.0,
+      s"mmr lambda must be in [0,1], got $lambda")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val cand = candidates.select(col(idCol), col(relCol).cast("double"))
+      .localCheckpoint() // consumed by the pair join AND the collect
+    val n = cand.count()
+    require(n <= maxCandidates,
+      s"mmr: $n candidates > bound $maxCandidates — MMR is a bounded " +
+        "post-retrieval pass; cut the candidate list first (topK/fuse)")
+    val withV = cand
+      .join(embeddings.select(col(vecIdCol).as(idCol),
+        col(vecCol).cast("array<double>").as("__v")), Seq(idCol), "inner")
+      .select(col(idCol), col("__v"))
+      .localCheckpoint() // both sides of the pair join below
+    val a = withV.select(col(idCol).as("__a"), col("__v").as("__va"))
+    val b = withV.select(col(idCol).as("__b"), col("__v").as("__vb"))
+    val pairRows = a.join(b, col("__a") < col("__b"))
+      .select(col("__a"), col("__b"),
+        round(Similarity.cosineFast(col("__va"), col("__vb")), 6).as("__c"))
+      .as[(Long, Long, Double)].collect() // ≤ n(n−1)/2, bounded above
+    val sims = new scala.collection.mutable.HashMap[(Long, Long), Double]
+    pairRows.foreach { case (x, y, c) => sims((x, y)) = c; sims((y, x)) = c }
+    val rels = cand.as[(Long, Double)].collect().sortBy(_._1)
+    val oneMinus = 1.0 - lambda
+    val selected = scala.collection.mutable.ArrayBuffer[(Long, Int, Double)]()
+    val remaining = scala.collection.mutable.LinkedHashMap(rels: _*)
+    var rank = 1
+    while (rank <= k && remaining.nonEmpty) {
+      var bestId = Long.MinValue
+      var bestScore = Double.NegativeInfinity
+      remaining.foreach { case (id, rel) =>
+        // max over PRESENT pairs only (can be negative — anti-similar
+        // neighbors must not be clamped to 0, matching the mirror's
+        // max(cos)); no present pair at all ⇒ 0 (the coalesce arm)
+        var maxSim = Double.NegativeInfinity
+        var any = false
+        selected.foreach { case (sid, _, _) =>
+          sims.get((id, sid)).foreach { s =>
+            any = true; if (s > maxSim) maxSim = s
+          }
+        }
+        if (!any) maxSim = 0.0
+        val score = lambda * rel - oneMinus * maxSim
+        if (score > bestScore || (score == bestScore && id < bestId)) {
+          bestScore = score; bestId = id
+        }
+      }
+      selected += ((bestId, rank,
+        BigDecimal(bestScore).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble))
+      remaining.remove(bestId)
+      rank += 1
+    }
+    selected.toSeq.toDF(idCol, "pick_rank", "mmr_score")
+      .select(col(idCol), col("pick_rank").cast("long").as("pick_rank"),
+        col("mmr_score"))
+  }
 }

@@ -24,6 +24,8 @@ object RetrievalQueries extends QueryModule {
   private val b = 0.75
   private val topN = 50 // candidate-list bound per retriever before fusion
   private val rerankW = Rerank.Weights() // shared with the oracle mirror
+  private val MmrK = 8
+  private val MmrLambda = 0.7 // mirror interpolates λ and the COMPUTED 1−λ
 
   /** One postings-index build per (session, dataset); probes then read
     * pruned bucket partitions (same memoization discipline as
@@ -222,6 +224,20 @@ object RetrievalQueries extends QueryModule {
         .orderBy(col("method"))
     }),
 
+    // MMR diversity selection (Rerank.mmr): the fused top-20 de-redunded
+    // to 8 slots — each greedy round maximizes λ·rel − (1−λ)·max-sim to
+    // the already-picked set (λ=0.7). The k-round greedy is inherently
+    // sequential (bounded driver loop over ≤20 candidates; pairwise
+    // cosines are the only cluster work); the mirror UNROLLS the same
+    // rounds as a generated CTE chain, so every pick and tie-break is
+    // oracle-checked.
+    "q_mmr_select" -> ((s, d) =>
+      Rerank.mmr(
+          fusedTopK(s, d, 20).select(col("doc_id"), col("rrf").as("rel")),
+          Tables.embeddings(s, d), "doc_id", "vec_id", "embedding",
+          "rel", k = MmrK, lambda = MmrLambda)
+        .orderBy(col("pick_rank"))),
+
     // The deleted index's term table: add-then-delete must be
     // indistinguishable from never-added — SAME full-corpus oracle as
     // q_postings_build (deletion re-subtracts df/cf exactly; delta-only
@@ -415,6 +431,53 @@ object RetrievalQueries extends QueryModule {
       s"""$rerankCtes
          |SELECT doc_id, rerank FROM rr
          |ORDER BY rerank DESC, doc_id LIMIT 10""".stripMargin,
+
+    // MMR mirror: the greedy rounds UNROLLED as a CTE chain (the
+    // k-means/BPE discipline) — identical λ·rel − (1−λ)·maxsim double
+    // chain (1−λ interpolated as the COMPUTED Scala double, 0.7 → 1−λ =
+    // 0.30000000000000004), 6dp pairwise cosines, ties by doc_id
+    "q_mmr_select" -> {
+      val l = MmrLambda
+      val om = 1.0 - MmrLambda
+      val rounds = (2 to MmrK).map { i =>
+        s"""sc$i AS (SELECT c.doc_id,
+           |    $l * c.rel - $om * coalesce(mx.m, 0.0) AS score
+           |  FROM cand c
+           |  LEFT JOIN (SELECT ps.a AS doc_id, max(ps.c) AS m
+           |             FROM ps JOIN sel${i - 1}all s ON ps.b = s.doc_id
+           |             GROUP BY ps.a) mx
+           |    ON c.doc_id = mx.doc_id
+           |  WHERE c.doc_id NOT IN (SELECT doc_id FROM sel${i - 1}all)),
+           |pick$i AS (SELECT doc_id, $i AS pick_rank,
+           |    round(score, 6) AS mmr_score
+           |  FROM sc$i ORDER BY score DESC, doc_id LIMIT 1),
+           |sel${i}all AS (SELECT doc_id FROM sel${i - 1}all
+           |  UNION ALL SELECT doc_id FROM pick$i)""".stripMargin
+      }.mkString(",\n")
+      val picks = (2 to MmrK).map(i => s"SELECT * FROM pick$i")
+        .mkString("\nUNION ALL ")
+      s"""$fusedCtes,
+         |cand AS MATERIALIZED (SELECT doc_id, rrf AS rel FROM fused
+         |         ORDER BY rrf DESC, doc_id LIMIT 20),
+         |cv AS MATERIALIZED (SELECT c.doc_id, e.embedding::DOUBLE[] AS v
+         |       FROM cand c JOIN embeddings e ON c.doc_id = e.vec_id),
+         |pc AS MATERIALIZED (SELECT x.doc_id AS a, y.doc_id AS b,
+         |         round(list_dot_product(x.v, y.v)
+         |           / (sqrt(list_dot_product(x.v, x.v))
+         |             * sqrt(list_dot_product(y.v, y.v))), 6) AS c
+         |       FROM cv x JOIN cv y ON x.doc_id < y.doc_id),
+         |ps AS MATERIALIZED (SELECT a, b, c FROM pc
+         |       UNION ALL SELECT b AS a, a AS b, c FROM pc),
+         |pick1 AS (SELECT doc_id, 1 AS pick_rank,
+         |    round($l * rel - $om * 0.0, 6) AS mmr_score
+         |  FROM cand ORDER BY $l * rel - $om * 0.0 DESC, doc_id LIMIT 1),
+         |sel1all AS (SELECT doc_id FROM pick1),
+         |$rounds
+         |SELECT doc_id, CAST(pick_rank AS BIGINT) AS pick_rank, mmr_score
+         |FROM (SELECT * FROM pick1
+         |UNION ALL $picks)
+         |ORDER BY pick_rank""".stripMargin
+    },
 
     // retrieval eval mirror: the same three ranked lists the engine
     // builds (lexical / fused / reranked top-10), scored against the

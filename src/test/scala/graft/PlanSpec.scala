@@ -78,8 +78,9 @@ class PlanSpec extends SparkSpec {
       "q_cosine_topk", "q_tfidf_topk", "q_bm25_topk", "q_hybrid_rrf",
       "q_bm25_postings_topk", "q_bm25_incr_topk", "q_bm25_del_topk",
       // the eval inherits the hybrid/rerank scalar joins above plus its
-      // own 1-row n_relevant frame — all broadcast single rows
-      "q_retrieval_eval",
+      // own 1-row n_relevant frame — all broadcast single rows; the MMR
+      // candidate list comes from the same fused pipeline
+      "q_retrieval_eval", "q_mmr_select",
       // same 1-row scalar-join shape: the (N, V) corpus-stats row for
       // the smoothed unigram probabilities / the BM25-stats + query-
       // vector rows inside the rerank's feature computation / the

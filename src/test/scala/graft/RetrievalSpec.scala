@@ -152,6 +152,41 @@ class RetrievalSpec extends SparkSpec {
       bucketDirs.exists(_.listFiles().count(_.getName.endsWith(".parquet")) > 1))
   }
 
+  test("mmr diversifies: near-duplicate high-rel candidates can't both win early") {
+    import graft.operators.Rerank
+    // two clusters of near-identical vectors; relevance alone ranks the
+    // 'a' cluster 1-2-3, but after picking a1 its twins are penalized
+    // and slot 2 goes to the best 'b' doc
+    val cand = Seq((1L, 0.9), (2L, 0.89), (3L, 0.88), (10L, 0.5),
+      (11L, 0.49)).toDF("doc_id", "rel")
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.999f, 0.01f)),
+      (3L, Array(0.998f, 0.02f)),
+      (10L, Array(0.0f, 1.0f)), (11L, Array(0.01f, 0.999f)))
+      .toDF("vec_id", "embedding")
+    val picks = Rerank.mmr(cand, vecs, "doc_id", "vec_id", "embedding",
+        "rel", k = 3, lambda = 0.5)
+      .orderBy($"pick_rank").as[(Long, Long, Double)].collect().toSeq
+    assert(picks.map(_._1) === Seq(1L, 10L, 2L),
+      s"expected cluster alternation, got $picks")
+    // deterministic: same inputs, same picks
+    assert(Rerank.mmr(cand, vecs, "doc_id", "vec_id", "embedding",
+        "rel", k = 3, lambda = 0.5)
+      .orderBy($"pick_rank").as[(Long, Long, Double)].collect().toSeq
+      === picks)
+    // lambda = 1 degenerates to pure relevance ranking
+    assert(Rerank.mmr(cand, vecs, "doc_id", "vec_id", "embedding",
+        "rel", k = 3, lambda = 1.0)
+      .orderBy($"pick_rank").select($"doc_id").as[Long].collect().toSeq
+      === Seq(1L, 2L, 3L))
+    // the bounded-candidates guard trips loudly
+    val e = intercept[IllegalArgumentException] {
+      Rerank.mmr(cand, vecs, "doc_id", "vec_id", "embedding",
+        "rel", k = 2, lambda = 0.5, maxCandidates = 3)
+    }
+    assert(e.getMessage.contains("bound 3"))
+  }
+
   test("retrieval eval scores all three lists with consistent metrics") {
     val rows = SparkEntry.queries("q_retrieval_eval")(spark, sf001)
       .as[(String, Long, Long, Double, Double)].collect()

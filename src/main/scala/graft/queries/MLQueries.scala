@@ -101,6 +101,32 @@ object MLQueries extends QueryModule {
             / count(lit(1)).cast("double"), 6).as("accuracy"))
         .orderBy(col("bin"))),
 
+    // Expected Calibration Error — the one-number summary of the
+    // reliability diagram above: ECE = Σ_bins (n_b/N)·|acc_b − conf_b|.
+    // Same integer-grid confidence, |…| on doubles identical both
+    // engines, weighted sum quantized per bin before the order-free
+    // integer total.
+    "q_calibration_ece" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val bins = labeled(s, d)
+        .select(least(floor(col("score") * 10), lit(9)).cast("long")
+            .as("bin"),
+          round(col("score") * lit(1e9)).cast("long").as("sn"),
+          col("label"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("sn")).as("ssn"),
+          sum(col("label")).as("sy"))
+      val conf = (col("ssn").cast("double") / col("n").cast("double")) / lit(1e9)
+      val acc = col("sy").cast("double") / col("n").cast("double")
+      bins
+        .withColumn("tot", sum(col("n")).over(Window.partitionBy()))
+        .withColumn("t",
+          round((col("n").cast("double") / col("tot").cast("double"))
+            * abs(acc - conf) * lit(1e9)).cast("long"))
+        .agg(max(col("tot")).as("n_rows"), count(lit(1)).as("n_bins"),
+          round(sum(col("t")).cast("double") / lit(1e9), 6).as("ece"))
+    }),
+
     // LR sentiment pipeline end-to-end (fit + transform on the 80/20
     // reference split) — rows-only: L-BFGS float iterations. The
     // tokenize→stopwords→TF-IDF front half is fit once per dataset and
@@ -150,6 +176,27 @@ object MLQueries extends QueryModule {
         |  round(CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
         |    AS accuracy
         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "q_calibration_ece" ->
+      """WITH b AS (
+        |  SELECT CAST(least(floor(least(n_chars / 500.0, 0.999) * 10), 9)
+        |      AS BIGINT) AS bin,
+        |    CAST(round(least(n_chars / 500.0, 0.999) * 1e9) AS BIGINT) AS sn,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |g AS (SELECT bin, count(*) AS n, sum(sn) AS ssn, sum(y) AS sy
+        |      FROM b GROUP BY bin),
+        |w AS (SELECT n, ssn, sy, sum(n) OVER () AS tot FROM g),
+        |q AS (SELECT tot, CAST(round(
+        |        (CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))
+        |        * abs(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+        |          - (CAST(ssn AS DOUBLE) / CAST(n AS DOUBLE)) / 1e9)
+        |        * 1e9) AS BIGINT) AS t
+        |      FROM w)
+        |SELECT CAST(max(tot) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_bins,
+        |  round(CAST(sum(t) AS DOUBLE) / 1e9, 6) AS ece
+        |FROM q""".stripMargin,
 
     "q_roc_exact" ->
       """WITH s AS (

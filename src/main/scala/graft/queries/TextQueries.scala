@@ -13,6 +13,35 @@ import graft.operators.TextClean
   */
 object TextQueries extends QueryModule {
 
+  /** The shared chi² cell machinery (q_chi2_assoc / q_cramers_v): the
+    * (lang, source) contingency cells with margin window sums and the
+    * per-cell quantized (o·n − r·c)²/(n·r·c) term. Margins ride window
+    * sums OVER THE CELL TABLE — the corpus scans exactly once
+    * (plan-pinned); the windows (including the global one) move only
+    * contingency-sized rows. The exact-DECIMAL difference rounds to
+    * double ONCE and squares in double — squaring in decimal(38,0)
+    * would NULL out past 38 digits (~N ≥ 5.6e9 rows) and silently drop
+    * the cell (review finding r16); callers accumulate the qterm sum in
+    * DECIMAL for the same reason (a long wraps once chi² exceeds ~9.2e9
+    * on the 1e9 grid). */
+  private def chi2Frame(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val cells = Tables.documents(s, d)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("o"))
+    val withMargins = cells
+      .withColumn("r", sum(col("o")).over(Window.partitionBy(col("lang"))))
+      .withColumn("c", sum(col("o")).over(Window.partitionBy(col("source"))))
+      .withColumn("nn", sum(col("o")).over(Window.partitionBy()))
+    val num = (dec(col("o")) * dec(col("nn")) -
+      dec(col("r")) * dec(col("c"))).cast("double")
+    withMargins.withColumn("qterm",
+      round(num * num /
+        (dec(col("nn")) * dec(col("r")) * dec(col("c"))).cast("double")
+        * 1e9).cast("long"))
+  }
+
   val queries: Map[String, Q] = Map(
     // S1/S3 + P2: scan with projection + pushed predicate. At scale the
     // filter and the 3-column projection must reach the parquet reader
@@ -138,34 +167,31 @@ object TextQueries extends QueryModule {
     // ONE double division, then the 1e-9-grid quantize-and-integer-sum
     // discipline (a raw double sum over cells would be
     // accumulation-order-dependent).
-    "q_chi2_assoc" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
-      val cells = Tables.documents(s, d)
-        .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("o"))
-      // margins as window sums OVER THE CELL TABLE — the corpus scans
-      // exactly once (plan-pinned); the windows (including the global
-      // one) move only contingency-sized rows
-      val withMargins = cells
-        .withColumn("r", sum(col("o")).over(Window.partitionBy(col("lang"))))
-        .withColumn("c", sum(col("o")).over(Window.partitionBy(col("source"))))
-        .withColumn("nn", sum(col("o")).over(Window.partitionBy()))
-      // the exact-DECIMAL difference rounds to double ONCE and squares
-      // in double — squaring in decimal(38,0) would NULL out past 38
-      // digits (~N ≥ 5.6e9 rows) and silently drop the cell (review
-      // finding r16); the qterm sum accumulates in DECIMAL for the same
-      // reason (a long wraps once chi2 exceeds ~9.2e9 on the 1e9 grid)
-      val num = (dec(col("o")) * dec(col("nn")) -
-        dec(col("r")) * dec(col("c"))).cast("double")
-      val qterm = round(num * num /
-          (dec(col("nn")) * dec(col("r")) * dec(col("c"))).cast("double")
-          * 1e9).cast("long")
-      withMargins.agg(count(lit(1)).as("n_cells"),
+    "q_chi2_assoc" -> ((s, d) =>
+      chi2Frame(s, d).agg(count(lit(1)).as("n_cells"),
         ((count_distinct(col("lang")) - 1) *
           (count_distinct(col("source")) - 1)).as("dof"),
-        round(sum(qterm.cast("decimal(38,0)")).cast("double") / 1e9, 6)
-          .as("chi2"))
-    }),
+        round(sum(col("qterm").cast("decimal(38,0)")).cast("double") / 1e9, 6)
+          .as("chi2"))),
+
+    // Cramér's V — the NORMALIZED effect size on top of the chi²
+    // statistic above: V = √(χ²/n / (min(r,c)−1)) ∈ [0,1], the number
+    // analysts actually compare ACROSS tables of different sizes (a
+    // chi² of 900 is huge at n=1000 and noise at n=10⁹; V says which).
+    // Computed from the same exact-decimal cell machinery; V derives
+    // from the 6dp-rounded chi² so both engines run the identical
+    // sqrt chain.
+    "q_cramers_v" -> ((s, d) =>
+      chi2Frame(s, d)
+        .agg(max(col("nn")).as("n_rows"),
+          count_distinct(col("lang")).as("nl"),
+          count_distinct(col("source")).as("ns"),
+          round(sum(col("qterm").cast("decimal(38,0)")).cast("double") / 1e9,
+            6).as("chi2"))
+        .select(col("n_rows"), col("chi2"),
+          round(sqrt(col("chi2") / col("n_rows").cast("double")
+            / (least(col("nl"), col("ns")) - 1).cast("double")), 6)
+            .as("cramers_v"))),
 
     // Shannon entropy of the language mix per source (corpus-diversity
     // readout). p·ln p terms quantize to the 1e-9 integer grid before
@@ -332,6 +358,41 @@ object TextQueries extends QueryModule {
         |  max((nl - 1) * (ns - 1)) AS dof,
         |  round(CAST(sum(qterm) AS DOUBLE) / 1e9, 6) AS chi2
         |FROM q""".stripMargin,
+
+    // Cramér's V mirror: the chi² chain plus the identical
+    // √(χ²/n/(min−1)) from the 6dp-rounded chi²
+    "q_cramers_v" ->
+      """WITH cells AS (
+        |  SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+        |  FROM documents GROUP BY lang, source),
+        |r AS (SELECT lang, CAST(sum(o) AS BIGINT) AS r
+        |      FROM cells GROUP BY lang),
+        |c AS (SELECT source, CAST(sum(o) AS BIGINT) AS c
+        |      FROM cells GROUP BY source),
+        |t AS (SELECT CAST(sum(o) AS BIGINT) AS nn,
+        |        CAST(count(DISTINCT lang) AS BIGINT) AS nl,
+        |        CAST(count(DISTINCT source) AS BIGINT) AS ns
+        |      FROM cells),
+        |q AS (
+        |  SELECT CAST(round(
+        |    CAST(CAST(cells.o AS HUGEINT) * t.nn
+        |         - CAST(r.r AS HUGEINT) * c.c AS DOUBLE)
+        |    * CAST(CAST(cells.o AS HUGEINT) * t.nn
+        |         - CAST(r.r AS HUGEINT) * c.c AS DOUBLE) /
+        |    CAST(CAST(t.nn AS HUGEINT) * r.r * c.c AS DOUBLE) * 1e9)
+        |    AS BIGINT) AS qterm,
+        |    t.nn AS nn, t.nl AS nl, t.ns AS ns
+        |  FROM cells JOIN r ON cells.lang = r.lang
+        |             JOIN c ON cells.source = c.source
+        |             CROSS JOIN t),
+        |a AS (SELECT CAST(max(nn) AS BIGINT) AS n_rows,
+        |        max(least(nl, ns) - 1) AS mindim,
+        |        round(CAST(sum(qterm) AS DOUBLE) / 1e9, 6) AS chi2
+        |      FROM q)
+        |SELECT n_rows, chi2,
+        |  round(sqrt(chi2 / CAST(n_rows AS DOUBLE)
+        |    / CAST(mindim AS DOUBLE)), 6) AS cramers_v
+        |FROM a""".stripMargin,
 
     "q_source_entropy" ->
       """WITH cells AS (

@@ -81,10 +81,17 @@ object Bench {
       .getOrElse(4.0)
     val loadGateWaitCap = scala.util.Try(sys.env.getOrElse(
       "SPARK_GRAFT_BENCH_LOAD_WAIT_SEC", "600").toInt).getOrElse(600)
+    // The gate reads BOTH load1 and load5: r15's driver record passed a
+    // load1-only check at 3.76 while load5/15 were ~14.5 — a box that
+    // had been saturated minutes earlier, and every headline number was
+    // contention. load5 > gate means "recently busy, caches/IO still
+    // settling"; wait for both. The wait cap still bounds the stall.
+    def gateLoad(): Double = math.max(load1(), Telemetry.load5())
     var gateWaitedSec = 0
-    while (load1() > loadGateMax && gateWaitedSec < loadGateWaitCap) {
-      System.err.println(f"[bench] load gate: load1=${load1()}%.1f > " +
-        f"$loadGateMax%.1f, waiting (${gateWaitedSec}s/${loadGateWaitCap}s)")
+    while (gateLoad() > loadGateMax && gateWaitedSec < loadGateWaitCap) {
+      System.err.println(f"[bench] load gate: load1=${load1()}%.1f " +
+        f"load5=${Telemetry.load5()}%.1f > $loadGateMax%.1f, " +
+        f"waiting (${gateWaitedSec}s/${loadGateWaitCap}s)")
       Thread.sleep(10000)
       gateWaitedSec += 10
     }

@@ -101,7 +101,17 @@ object ScaleBench {
     // retrieval eval is one lex scan + one dense brute-force + a
     // bounded rerank (~linear in corpus+vectors)
     "q_psi_drift", "q_ks_daily", "q_custdist", "q_weighted_sample",
-    "q_retrieval_eval")
+    "q_retrieval_eval",
+    // round-16 additions (the r15 post-record set, VERDICT #7): all are
+    // bounded cell-table reductions — profile/MI/Cramér's V reduce the
+    // corpus to (lang, source)-sized cells (cells constant under the
+    // cohort construction, reduce grows ×N), calibration bins to 10
+    // fixed confidence buckets, MASE to a day-grid of daily totals
+    // (grid constant, membership ×N), and MMR's greedy is candidate-
+    // bounded post-retrieval (the corpus only pays the fused top-20
+    // retrieval scan) — expected ~linear with flat-ish absolutes
+    "q_profile_diff", "q_mutual_info", "q_calibration_ece", "q_cramers_v",
+    "q_forecast_mase", "q_mmr_select")
 
   def generate(spark: SparkSession, sfDir: String, outDir: String,
       scale: Int): (Long, Long) = {

@@ -39,6 +39,13 @@ object Telemetry {
   def load1(): Double =
     scala.util.Try(loadavg().split("\\s+")(0).toDouble).getOrElse(-1.0)
 
+  /** 5-minute load. The r15 driver record passed a load1-only gate at
+    * load1 3.76 while load5/15 sat at ~14.5 — the box had been heavily
+    * loaded minutes earlier and every headline number was contention.
+    * load1 says "quiet now"; load5 says "quiet long enough to trust". */
+  def load5(): Double =
+    scala.util.Try(loadavg().split("\\s+")(1).toDouble).getOrElse(-1.0)
+
   /** Cumulative GC time across all collectors, ms since JVM start; the
     * per-region delta separates "allocated hard" from "box was busy". */
   def gcMs(): Long = {

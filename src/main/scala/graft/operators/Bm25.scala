@@ -342,12 +342,117 @@ object Bm25 {
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hc)
     touched.foreach { b =>
       // REPLACE each touched bucket partition: a bucket whose every row
-      // was deleted has no staged dir and must end up absent
-      val live = new org.apache.hadoop.fs.Path(s"$path/postings/bucket=$b")
-      val staged = new org.apache.hadoop.fs.Path(s"$stage/postings/bucket=$b")
-      fs.delete(live, true)
-      if (fs.exists(staged))
-        require(fs.rename(staged, live), s"rename $staged -> $live failed")
+      // was deleted has no staged dir and must end up absent (replaceDir
+      // encodes exactly that, with the destructive step last)
+      replaceDir(fs,
+        new org.apache.hadoop.fs.Path(s"$stage/postings/bucket=$b"),
+        new org.apache.hadoop.fs.Path(s"$path/postings/bucket=$b"))
+    }
+    swapDir(fs, s"$stage/doclens", s"$path/doclens")
+    swapDir(fs, s"$stage/stats", s"$path/stats")
+    swapDir(fs, s"$stage/terms", s"$path/terms")
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+  }
+
+  /** Incremental document REPLACEMENT (upsert): fold a batch of NEW
+    * VERSIONS of documents into an existing layout in ONE staged-then-
+    * committed operation — the re-crawl verb. Ids already indexed lose
+    * their old postings and gain the new text's; ids not yet indexed
+    * simply insert (replace-or-insert, so one verb serves both arms of
+    * a crawl delta). The result is bit-indistinguishable from a
+    * from-scratch [[buildPostings]] over the mutated corpus (specced,
+    * and the declared queries share the full-corpus mirrors).
+    *
+    * Exists as ONE operation because composing [[deletePostings]] +
+    * [[appendPostings]] by hand leaves a torn window BETWEEN the two
+    * commits where the documents are absent from the served index (and
+    * a crash there strands them absent until an operator intervenes).
+    * Here both halves stage off the same live read and commit once:
+    *
+    *  - `postings/` — touched buckets (old rows' buckets ∪ new rows'
+    *    buckets) rewrite as (live ∖ batch-ids) ∪ new rows and REPLACE;
+    *    untouched buckets keep their files byte-identical. The rewrite
+    *    doubles as compaction, like delete's.
+    *  - `terms/` — one vocabulary-sized re-aggregate of
+    *    old ∪ (−removed) ∪ (+new); df = 0 terms drop out.
+    *  - `doclens/` — anti-join ∪ new lengths rewrite.
+    *  - `stats/` — additive 1-row rewrite (− removed, + new).
+    *
+    * Same staging/commit discipline and concurrency caveats as append
+    * and delete. Batch ids must be unique (one text per id) — guarded
+    * loudly; the probe is delta-sized, not corpus-sized. */
+  def replacePostings(docs: DataFrame, idCol: String, textCol: String,
+      path: String, nBuckets: Int = 64): Unit = {
+    val spark = docs.sparkSession
+    val stage = s"$path/.staged-" + java.util.UUID.randomUUID()
+    val ids = docs.select(col(idCol).as("doc_id")).distinct()
+      .localCheckpoint() // consumed by five legs below
+    val nBatch = docs.count()
+    val nIds = ids.count()
+    require(nIds == nBatch,
+      s"replacePostings: batch ids must be unique — $nBatch rows but " +
+        s"$nIds distinct $idCol (which text would win is undefined)")
+    val tf = tokenTf(docs, idCol, textCol)
+      .localCheckpoint() // postings leg + terms increment leg
+    val postings = graft.sources.PartitionedParquet
+      .read(spark, s"$path/postings")
+
+    // ---- STAGE (live index only read; failure here is retry-safe)
+    val removed = postings.join(ids, Seq("doc_id"), "left_semi")
+      .localCheckpoint() // touched-bucket set + term decrements
+    // partition-dir inference types `bucket` as int on read — normalize;
+    // union the NEW rows' buckets: an inserted id can touch buckets the
+    // deletes never reach
+    val touched = removed.select(col("bucket").cast("long"))
+      .union(tf.select(bucketOf(nBuckets)))
+      .distinct().collect().map(_.getLong(0)) // ≤ nBuckets rows
+    if (touched.nonEmpty) {
+      postings.filter(col("bucket").isin(touched.toSeq: _*))
+        .join(ids, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("token"), col("tf"),
+          col("bucket").cast("long").as("bucket"))
+        .unionAll(tf.withColumn("bucket", bucketOf(nBuckets)))
+        .repartition(touched.length, col("bucket"))
+        .write.partitionBy("bucket").parquet(s"$stage/postings")
+    }
+    val dec = removed.groupBy(col("token"))
+      .agg((-count(lit(1))).as("df"), (-sum(col("tf"))).as("cf"))
+    val inc = tf.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+    val newTerms = graft.sources.PartitionedParquet
+      .read(spark, s"$path/terms")
+      .select(col("token"), col("df"), col("cf"))
+      .unionAll(dec).unionAll(inc)
+      .groupBy(col("token"))
+      .agg(sum(col("df")).as("df"), sum(col("cf")).as("cf"))
+      .filter(col("df") > 0)
+    graft.sources.PartitionedParquet.write(
+      bucketed(newTerms, nBuckets), s"$stage/terms", Seq("bucket"))
+    val doclens = spark.read.parquet(s"$path/doclens")
+    doclens.join(ids, Seq("doc_id"), "left_anti")
+      .unionAll(docs.select(col(idCol).as("doc_id"),
+        size(TokenOps.tokenize(col(textCol))).cast("int").as("dl")))
+      .write.parquet(s"$stage/doclens")
+    // replaced doc count/length off the index itself; added off the batch
+    val delStats = doclens.join(ids, Seq("doc_id"), "left_semi")
+      .agg(coalesce(count(lit(1)), lit(0L)).as("n_del"),
+        coalesce(sum(col("dl")), lit(0L)).as("len_del"))
+    val addStats = corpusStats(docs, textCol, Nil)
+      .select(col("n_docs").as("n_add"), col("total_len").as("len_add"))
+    spark.read.parquet(s"$path/stats")
+      .crossJoin(delStats).crossJoin(addStats)
+      .select((col("n_docs") - col("n_del") + col("n_add")).as("n_docs"),
+        (col("total_len") - col("len_del") + col("len_add"))
+          .as("total_len"))
+      .write.parquet(s"$stage/stats")
+
+    // ---- COMMIT (metadata-only renames; window caveats as on append)
+    val hc = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hc)
+    touched.foreach { b =>
+      replaceDir(fs,
+        new org.apache.hadoop.fs.Path(s"$stage/postings/bucket=$b"),
+        new org.apache.hadoop.fs.Path(s"$path/postings/bucket=$b"))
     }
     swapDir(fs, s"$stage/doclens", s"$path/doclens")
     swapDir(fs, s"$stage/stats", s"$path/stats")
@@ -387,10 +492,9 @@ object Bm25 {
       .sortWithinPartitions(col("token"), col("doc_id"))
       .write.partitionBy("bucket").parquet(s"$stage/postings")
     fragmented.foreach { b =>
-      val live = new org.apache.hadoop.fs.Path(s"$path/postings/bucket=$b")
-      val staged = new org.apache.hadoop.fs.Path(s"$stage/postings/bucket=$b")
-      fs.delete(live, true)
-      require(fs.rename(staged, live), s"rename $staged -> $live failed")
+      replaceDir(fs,
+        new org.apache.hadoop.fs.Path(s"$stage/postings/bucket=$b"),
+        new org.apache.hadoop.fs.Path(s"$path/postings/bucket=$b"))
     }
     fs.delete(new org.apache.hadoop.fs.Path(stage), true)
   }
@@ -423,11 +527,34 @@ object Bm25 {
   /** Replace `dir` with the fully-staged `staged` via delete + rename —
     * never write into a dir a lazy read may still be scanning. */
   private def swapDir(fs: org.apache.hadoop.fs.FileSystem,
-      staged: String, dir: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    fs.delete(p, true)
-    require(fs.rename(new org.apache.hadoop.fs.Path(staged), p),
-      s"rename $staged -> $dir failed; staged data preserved")
+      staged: String, dir: String): Unit =
+    replaceDir(fs, new org.apache.hadoop.fs.Path(staged),
+      new org.apache.hadoop.fs.Path(dir))
+
+  /** Replace `live` with `staged` with the DESTRUCTIVE step last: live
+    * first renames to a dot-prefixed trash sibling (invisible to
+    * Spark's file discovery, so a crashed commit never corrupts reads),
+    * staged renames into place, and only then the trash is deleted. The
+    * old delete-then-rename order lost the live copy with nothing in
+    * its place if the process died between the two — unlike
+    * [[moveDataFiles]], which never destroys live data. A missing
+    * staged dir means "this dir must end up absent" (a fully-deleted
+    * postings bucket); a failed staged rename restores live from trash
+    * before raising. */
+  private def replaceDir(fs: org.apache.hadoop.fs.FileSystem,
+      staged: org.apache.hadoop.fs.Path,
+      live: org.apache.hadoop.fs.Path): Unit = {
+    val trash = new org.apache.hadoop.fs.Path(
+      live.getParent, s".trash-${java.util.UUID.randomUUID()}")
+    val hadLive = fs.exists(live)
+    if (hadLive)
+      require(fs.rename(live, trash), s"rename $live -> $trash failed")
+    if (fs.exists(staged) && !fs.rename(staged, live)) {
+      if (hadLive) fs.rename(trash, live) // best-effort restore
+      throw new IllegalStateException(
+        s"rename $staged -> $live failed; live copy restored from trash")
+    }
+    if (hadLive) fs.delete(trash, true)
   }
 
   /** The buckets a query's terms live in, computed through the SAME

@@ -146,6 +146,14 @@ object Rerank {
     require(n <= maxCandidates,
       s"mmr: $n candidates > bound $maxCandidates — MMR is a bounded " +
         "post-retrieval pass; cut the candidate list first (topK/fuse)")
+    // duplicate ids would silently collapse in the driver-side maps
+    // (last rel wins) and desync the selection from the mirror's
+    // candidate list — fail loudly instead (the Upsert duplicate-key
+    // probe discipline)
+    val nDistinct = cand.select(col(idCol)).distinct().count()
+    require(nDistinct == n,
+      s"mmr: candidate ids must be unique — $n rows but $nDistinct " +
+        s"distinct $idCol (duplicates would collapse nondeterministically)")
     val withV = cand
       .join(embeddings.select(col(vecIdCol).as(idCol),
         col(vecCol).cast("array<double>").as("__v")), Seq(idCol), "inner")

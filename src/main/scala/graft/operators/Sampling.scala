@@ -129,18 +129,25 @@ object Sampling {
     *
     * Scale shape: row-local key computation over the scan, then top-k =
     * TakeOrderedAndProject — no shuffle, no global sort, no RNG state.
-    * Zero/negative weights are excluded (u^(1/w) is undefined there),
-    * matching the algorithm's w > 0 precondition.
+    * Weights below `minWeight` are excluded along with zero/negative
+    * ones (u^(1/w) is undefined for w ≤ 0): |ln u| ≤ ln(p+1) ≈ 20.8, so
+    * key_nano ≤ 20.8/w·1e9 and a weight below ~2.3e-9 overflows the
+    * BIGINT cast — which Spark's non-ANSI cast would SATURATE silently
+    * while DuckDB's errors, splitting engine from oracle. The floor
+    * keeps the key integer-exact on both engines by construction; a
+    * sub-floor weight has inclusion probability ≤ 1e-8/Σw anyway.
     * Requires [[graft.functions.PolyHashF.register]] on the session. */
   def weightedSample(df: DataFrame, idCol: String, weightCol: Column,
-      k: Int, seed: Int): DataFrame = {
+      k: Int, seed: Int, minWeight: Double = 1e-8): DataFrame = {
     require(k > 0, s"sample size must be positive, got $k")
+    require(minWeight >= 2.3e-9,
+      s"minWeight must be >= 2.3e-9 (BIGINT key bound), got $minWeight")
     val p = graft.functions.PolyHashKernel.Mod
     val u = (graft.functions.PolyHashF.poly_hash(
         md5(concat(lit(s"w$seed:"), col(idCol).cast("string"))
           .cast("binary"))) + lit(1L))
       .cast("double") / lit((p + 1L).toDouble)
-    df.filter(weightCol > lit(0.0))
+    df.filter(weightCol >= lit(minWeight))
       .withColumn("key_nano",
         round(log(u) / weightCol.cast("double") * lit(1e9)).cast("long"))
       .orderBy(col("key_nano").desc, col(idCol))

@@ -171,16 +171,70 @@ object SemDedup {
   def appendKeep(oldEmb: DataFrame, newVecs: DataFrame, idCol: String,
       vecCol: String, m: KMeansQuant.Model, threshold: Double,
       maxCellRows: Long = 100000L): DataFrame = {
-    VectorFunctions.register(oldEmb.sparkSession)
     val cell = KMeansQuant.cellOf(col(vecCol), m)
-    def shaped(df: DataFrame, id: String, vec: String) =
-      df.select(cell.as("cluster"), col(idCol).as(id),
+    val oldAnchors = oldEmb.select(cell.as("cluster"),
+      col(idCol).as("id_a"), toDouble(col(vecCol)).as("__va"))
+    appendKeepFrom(oldAnchors, newVecs, idCol, vecCol, m, threshold,
+      maxCellRows)
+  }
+
+  /** [[appendKeep]] over the SERVED cell-partitioned layout
+    * ([[KMeansQuant.buildIndex]]'s `cell=<id>/` tree) instead of an
+    * in-plan corpus frame: the batch's touched cells are computed
+    * driver-side (≤ k values, row-local assignment under the frozen
+    * quantizer) and the anchor read filters `cell IN (touched)`, so
+    * PartitionFilters prune every untouched cell partition BEFORE any
+    * file opens — the corpus pays I/O proportional to the batch's
+    * footprint, not its own size. At 100 TB this is the difference
+    * between an ingest tick scanning the full corpus (appendKeep's
+    * contract when handed a raw frame) and scanning only the handful of
+    * cells the batch lands in. Bit-equal to [[appendKeep]] over the
+    * same rows (specced, plan-pinned). Same frozen-model/increasing-id
+    * contract; the layout must be current (pair it with
+    * [[KMeansQuant.appendIndex]] in the ingestion loop). */
+  def appendKeepFromIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, newVecs: DataFrame, idCol: String, vecCol: String,
+      m: KMeansQuant.Model, threshold: Double,
+      maxCellRows: Long = 100000L): DataFrame = {
+    VectorFunctions.register(spark)
+    // The batch is materialized once (delta-sized by the ingestion
+    // contract) for two reasons: it feeds four legs of the core, and a
+    // live batch SCAN beside the partitioned index scan invites Spark's
+    // runtime InSubquery filter (cellOf(vec) IN <index cells>) onto the
+    // batch side, which aborts with "dynamicpruning has not finished"
+    // in this union+broadcast shape (hit in SemDedupSpec) — an
+    // RDD-backed frame carries no scan for the planner to decorate.
+    val batch = newVecs.select(col(idCol), col(vecCol)).localCheckpoint()
+    val cell = KMeansQuant.cellOf(col(vecCol), m)
+    val touched = batch.select(cell.as("cluster")).distinct()
+      .collect().map(_.getLong(0)) // ≤ m.k values by construction
+    // partition-dir inference types `cell` as int on read — normalize
+    val oldAnchors = graft.sources.PartitionedParquet.read(spark, path)
+      .filter(col("cell").isin(touched.toSeq: _*))
+      .select(col("cell").cast("long").as("cluster"),
+        col(idCol).as("id_a"), toDouble(col(vecCol)).as("__va"))
+    appendKeepFrom(oldAnchors, batch, idCol, vecCol, m, threshold,
+      maxCellRows)
+  }
+
+  /** Shared incremental-dedup core: `oldAnchors` is the already-
+    * ingested corpus as (cluster, id_a, __va) — either the in-plan
+    * frame (appendKeep) or the pruned served-layout read
+    * (appendKeepFromIndex); rows outside the batch's touched cells are
+    * join-eliminated either way, so pre-pruning changes I/O, never the
+    * result. */
+  private def appendKeepFrom(oldAnchors: DataFrame, newVecs: DataFrame,
+      idCol: String, vecCol: String, m: KMeansQuant.Model,
+      threshold: Double, maxCellRows: Long): DataFrame = {
+    VectorFunctions.register(newVecs.sparkSession)
+    val cell = KMeansQuant.cellOf(col(vecCol), m)
+    def shaped(id: String, vec: String) =
+      newVecs.select(cell.as("cluster"), col(idCol).as(id),
         toDouble(col(vecCol)).as(vec))
-    val newE = shaped(newVecs, "id_b", "__vb")
-    // anchors = full old corpus ∪ lower-id new rows (the within-batch
+    val newE = shaped("id_b", "__vb")
+    // anchors = old corpus ∪ lower-id new rows (the within-batch
     // anchor-wins pass rides the same join)
-    val anchors = shaped(oldEmb, "id_a", "__va")
-      .unionByName(shaped(newVecs, "id_a", "__va"))
+    val anchors = oldAnchors.unionByName(shaped("id_a", "__va"))
     val hot = anchors
       .join(broadcast(newE.select(col("cluster")).distinct()), Seq("cluster"))
       .groupBy(col("cluster")).count()

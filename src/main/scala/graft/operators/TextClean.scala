@@ -92,6 +92,20 @@ object TextClean {
     s"regexp_replace($r2, '$PiiPhonePattern', '<PHONE>', 'g')"
   }
 
+  /** Unicode NFC canonicalization — apply BEFORE [[cleanText]],
+    * tokenization, or any fingerprint so composed/decomposed spellings
+    * of the same text dedup together (see
+    * [[graft.functions.UnicodeNormKernel]]). Requires
+    * [[graft.functions.UnicodeNormF.register]] on the session. */
+  def normalizeNfc(text: Column): Column =
+    graft.functions.UnicodeNormF.nfc_normalize(text)
+
+  /** Compatibility (NFKC) form — folds ligatures/width/digit variants
+    * too; the aggressive pre-tokenization normalization. No DuckDB twin
+    * exists, so NFKC paths are spec-checked, not oracle-checked. */
+  def normalizeNfkc(text: Column): Column =
+    graft.functions.UnicodeNormF.nfkc_normalize(text)
+
   /** Sentiment140 label normalization: 0/4 → 0/1 (`preprocessing.py:93-96`). */
   def normalizeLabel(sentiment: Column): Column =
     when(sentiment === 4, 1).otherwise(0)

@@ -107,6 +107,16 @@ object Upsert {
       s"snapshotDiff: snapshot schemas differ — old has " +
         s"${oldSnap.columns.toSet -- newSnap.columns.toSet}, new has " +
         s"${newSnap.columns.toSet -- oldSnap.columns.toSet}")
+    // reserved-name guard: a payload column named opCol would be
+    // silently overwritten by withColumn, and the __o_/__in_ prefixes
+    // are this operator's internal scratch space — collisions corrupt
+    // the diff without error, so fail loudly (the module's discipline)
+    val reserved = newSnap.columns.filter(c =>
+      c == opCol || c.startsWith("__o_") || c == "__in_old" || c == "__in_new")
+    require(reserved.isEmpty,
+      s"snapshotDiff: snapshot columns ${reserved.mkString(", ")} collide " +
+        s"with the output op column '$opCol' or the internal __o_/__in_ " +
+        "prefixes — rename them or pass a different opCol")
     Seq("old" -> oldSnap, "new" -> newSnap).foreach { case (side, df) =>
       val dup = df.groupBy(keys.map(col): _*)
         .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).count()

@@ -46,6 +46,7 @@ object CorpusQueries extends QueryModule {
 
   /** One served IVF layout per (session, dataset). */
   private val ivfIndexCache = new graft.util.SessionCache[String]
+  private val semIncrIndexCache = new graft.util.SessionCache[String]
 
   /** One curated-stage materialization per (session, dataset): the
     * localCheckpoint'd frame q_curate_semantic caps over. Cached so
@@ -184,6 +185,29 @@ object CorpusQueries extends QueryModule {
       SemDedup.appendKeep(emb.filter(col("vec_id") <= cut),
           emb.filter(col("vec_id") > cut), "vec_id", "embedding",
           model(s, d), SEMTAU)
+        .orderBy(col("vec_id"))
+    }),
+
+    // The SAME incremental dedup served from the cell-partitioned
+    // layout (KMeansQuant.buildIndex over the already-ingested half):
+    // the batch's touched cells prune the anchor read at the partition
+    // level (PartitionFilters — plan-pinned in SemDedupSpec), so an
+    // ingest tick pays I/O for the cells it lands in, never the corpus.
+    // Shares q_semdedup_incr's full-rebuild mirror — in-plan, served,
+    // and rebuild must all agree bit-exactly.
+    "q_semdedup_incr_srv" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cut = emb.agg(max(col("vec_id"))).head().getLong(0) / 2
+      val m = model(s, d)
+      val path = semIncrIndexCache.getOrElseUpdate(s, d) {
+        val p = graft.util.IndexPaths.fresh(d, "semdedup-incr")
+        KMeansQuant.buildIndex(emb.filter(col("vec_id") <= cut),
+          "vec_id", "embedding", m, p)
+        p
+      }
+      SemDedup.appendKeepFromIndex(s, path,
+          emb.filter(col("vec_id") > cut), "vec_id", "embedding",
+          m, SEMTAU)
         .orderBy(col("vec_id"))
     }),
 
@@ -921,6 +945,18 @@ object CorpusQueries extends QueryModule {
          |ORDER BY f.vec_id""".stripMargin,
 
     "q_semdedup_incr" ->
+      s"""$kmeansCtes,
+         |$semdedupPairsCte
+         |SELECT f.vec_id, CAST(f.cluster AS BIGINT) AS cluster
+         |FROM afin f
+         |WHERE f.vec_id > (SELECT max(vec_id) // 2 FROM embeddings)
+         |  AND f.vec_id NOT IN
+         |    (SELECT id_b FROM cpairs WHERE cos >= $SEMTAU)
+         |ORDER BY f.vec_id""".stripMargin,
+
+    // served-layout twin: the SAME full-rebuild mirror — in-plan,
+    // partition-pruned-index, and rebuild forms must agree bit-exactly
+    "q_semdedup_incr_srv" ->
       s"""$kmeansCtes,
          |$semdedupPairsCte
          |SELECT f.vec_id, CAST(f.cluster AS BIGINT) AS cluster

@@ -494,11 +494,16 @@ object RelationalQueries extends QueryModule {
     // TakeOrderedAndProject; no shuffle.
     "q_weighted_sample" -> ((s, d) => {
       graft.functions.PolyHashF.register(s)
+      // Emit the exact integer-grid key, NOT a rounded double: the
+      // top-100 keys are tiny negatives that round to zero, and IEEE
+      // zero carries a sign — Spark's round lands on +0.0 where
+      // DuckDB's lands on -0.0, a value-equal/hash-different split the
+      // r15 driver flagged. key_nano is already exact on the 1e-9 grid
+      // (Sampling.weightedSample), so the BIGINT is the honest output.
       graft.operators.Sampling.weightedSample(
           Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice")),
           "o_orderkey", col("o_totalprice"), k = 100, seed = 7)
-        .select(col("o_orderkey"), col("o_totalprice"),
-          round(col("key_nano").cast("double") / lit(1e9), 6).as("wkey"))
+        .select(col("o_orderkey"), col("o_totalprice"), col("key_nano"))
     }),
 
     // Pre-flight join-explosion report (operators/JoinDiagnostics): the
@@ -508,10 +513,16 @@ object RelationalQueries extends QueryModule {
     // join. The guard form (requireBounded) is specced separately.
     "q_join_cardinality" -> ((s, d) => {
       val li = Tables.lineitem(s, d).select(col("l_partkey"))
+      // JoinDiagnostics keeps n_pairs as decimal(38,0) internally (the
+      // module exists to catch silent long-wrap), but DECLARED query
+      // outputs must never carry DECIMAL: the driver's hash cannot
+      // canonicalize Decimal vs int across engines (r15 red). The top-10
+      // values here are ≤ a few thousand, so BIGINT presentation is exact.
       graft.operators.JoinDiagnostics
         .joinCardinality(li, li, Seq("l_partkey"))
         .orderBy(col("n_pairs").desc, col("l_partkey"))
         .limit(10)
+        .withColumn("n_pairs", col("n_pairs").cast("long"))
     }),
 
     // Distribution-rank window family: ntile / percent_rank / cume_dist
@@ -1024,9 +1035,8 @@ object RelationalQueries extends QueryModule {
          |  SELECT o_orderkey, o_totalprice,
          |    CAST(round(ln(CAST($ph + 1 AS DOUBLE) / 1000000008.0)
          |      / CAST(o_totalprice AS DOUBLE) * 1e9) AS BIGINT) AS key_nano
-         |  FROM orders WHERE o_totalprice > 0)
-         |SELECT o_orderkey, o_totalprice,
-         |  round(CAST(key_nano AS DOUBLE) / 1e9, 6) AS wkey
+         |  FROM orders WHERE o_totalprice >= 1e-8)
+         |SELECT o_orderkey, o_totalprice, key_nano
          |FROM keyed ORDER BY key_nano DESC, o_orderkey LIMIT 100""".stripMargin
     },
 
@@ -1115,7 +1125,7 @@ object RelationalQueries extends QueryModule {
       """WITH h AS (SELECT l_partkey, count(*) AS n
         |           FROM lineitem GROUP BY 1)
         |SELECT l_partkey, n AS n_left, n AS n_right,
-        |  CAST(CAST(n AS HUGEINT) * n AS DECIMAL(38,0)) AS n_pairs
+        |  CAST(CAST(n AS HUGEINT) * n AS BIGINT) AS n_pairs
         |FROM h
         |ORDER BY n_pairs DESC, l_partkey LIMIT 10""".stripMargin,
 

@@ -95,6 +95,31 @@ object RetrievalQueries extends QueryModule {
       p
     }
 
+  /** The replace (re-crawl upsert) round trip: the index starts WRONG —
+    * every doc_id % 3 == 0 document indexed with corrupted (reversed)
+    * text, every doc_id % 5 == 0 document missing entirely — then ONE
+    * `replacePostings` call upserts the true text for both sets. The
+    * served index must be bit-indistinguishable from a full-corpus
+    * build, so both replaced-index queries share the full-corpus
+    * mirrors (the deletedIndex discipline, exercising BOTH verb arms:
+    * replace-existing and insert-missing). */
+  private val replCache = new graft.util.SessionCache[String]
+  private def replacedIndex(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    replCache.getOrElseUpdate(s, d) {
+      val p = graft.util.IndexPaths.fresh(d, "bm25-postings-repl")
+      val docs = Tables.documents(s, d)
+      val corrupted = docs
+        .filter(col("doc_id") % 5 =!= 0)
+        .withColumn("text", when(col("doc_id") % 3 === 0,
+          reverse(col("text"))).otherwise(col("text")))
+      Bm25.buildPostings(corrupted, "doc_id", "text", p)
+      Bm25.replacePostings(
+        docs.filter(col("doc_id") % 3 === 0 || col("doc_id") % 5 === 0),
+        "doc_id", "text", p)
+      p
+    }
+
   /** One-time index materializations, forced untimed by Bench so the
     * timed queries measure the SERVING path (pruned reads + broadcast
     * probe), not a corpus build — the kmeans/PQ/BPE warm discipline. */
@@ -102,7 +127,8 @@ object RetrievalQueries extends QueryModule {
       String) => Unit] = Map(
     "bm25_postings" -> ((s, d) => { postingsIndex(s, d); () }),
     "bm25_incr" -> ((s, d) => { incrementalIndex(s, d); () }),
-    "bm25_del" -> ((s, d) => { deletedIndex(s, d); () }))
+    "bm25_del" -> ((s, d) => { deletedIndex(s, d); () }),
+    "bm25_repl" -> ((s, d) => { replacedIndex(s, d); () }))
 
   val queries: Map[String, Q] = Map(
     // BM25 top-10: one singleton corpus-stats aggregate, broadcast back,
@@ -253,6 +279,22 @@ object RetrievalQueries extends QueryModule {
     // to the never-added build (same quantized-sum mirror).
     "q_bm25_del_topk" -> ((s, d) =>
       Bm25.topKFromPostings(s, deletedIndex(s, d), terms, k = 10,
+        k1 = k1, b = b)),
+
+    // The replaced index's term table: corrupted/missing docs upserted by
+    // ONE replacePostings call — checked against the SAME full-corpus
+    // oracle as q_postings_build (the replace must leave no trace of the
+    // corrupted text and fill in the missing docs exactly).
+    "q_postings_replaced" -> ((s, d) =>
+      graft.sources.PartitionedParquet
+        .read(s, replacedIndex(s, d) + "/terms")
+        .select(col("token"), col("df"), col("cf"))
+        .orderBy(col("token"))),
+
+    // BM25 top-10 served from the replaced index (same quantized-sum
+    // full-corpus mirror).
+    "q_bm25_repl_topk" -> ((s, d) =>
+      Bm25.topKFromPostings(s, replacedIndex(s, d), terms, k = 10,
         k1 = k1, b = b))
   )
 
@@ -415,6 +457,24 @@ object RetrievalQueries extends QueryModule {
          |FROM tf GROUP BY token ORDER BY token""".stripMargin,
 
     "q_bm25_del_topk" ->
+      s"""$scoredQuantSql
+         |SELECT doc_id, bm25 FROM scored WHERE bm25 > 0
+         |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
+
+    // replace (re-crawl upsert) round trip vs the never-corrupted
+    // full-corpus mirrors: one replacePostings call must erase the
+    // corrupted text and insert the missing docs exactly
+    "q_postings_replaced" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |  unnest(regexp_split_to_array(lower(text), '$wsSql')) AS token
+         |  FROM documents),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+         |       GROUP BY doc_id, token)
+         |SELECT token, CAST(count(*) AS BIGINT) AS df,
+         |       CAST(sum(tf) AS BIGINT) AS cf
+         |FROM tf GROUP BY token ORDER BY token""".stripMargin,
+
+    "q_bm25_repl_topk" ->
       s"""$scoredQuantSql
          |SELECT doc_id, bm25 FROM scored WHERE bm25 > 0
          |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,

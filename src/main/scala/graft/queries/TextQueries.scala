@@ -83,6 +83,29 @@ object TextQueries extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // Unicode NFC canonicalization (functions.UnicodeNormalize). The
+    // fixture corpus is pure ASCII — already NFC — so a DECOMPOSED-form
+    // suffix is appended first (' cafe' + U+0301 combining acute, ' n' +
+    // U+0303 combining tilde), which NFC must compose to é/ñ on both
+    // engines: a real cross-engine normalization check on every row, not
+    // an identity pass (the q_redact inject-the-dirt discipline).
+    // len_raw − len_nfc == 2 per row (two combining marks composed away);
+    // tail5 carries the composed non-ASCII text through the driver hash;
+    // fp poly-hashes the WHOLE normalized string.
+    "q_nfc_clean" -> ((s, d) => {
+      graft.functions.UnicodeNormF.register(s)
+      graft.functions.PolyHashF.register(s)
+      val dirty = concat(col("text"), lit(" cafe\u0301 n\u0303o"))
+      val norm = TextClean.normalizeNfc(dirty)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          length(dirty).cast("long").as("len_raw"),
+          length(norm).cast("long").as("len_nfc"),
+          substring(norm, -5, 5).as("tail5"),
+          graft.functions.PolyHashF.poly_hash(norm).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
     // P5: predicate filter on computed length.
     "q_filter_length" -> ((s, d) =>
       Tables.documents(s, d)
@@ -279,6 +302,20 @@ object TextQueries extends QueryModule {
     "q_filter_length" ->
       """SELECT doc_id, n_chars FROM documents
         |WHERE length(text) > 250 ORDER BY doc_id""".stripMargin,
+
+    // NFC mirror: DuckDB's BUILT-IN nfc_normalize (the Spark-side name
+    // matches it deliberately); chr(769)/chr(771) are the combining
+    // acute/tilde the Spark literal embeds as ́/̃.
+    "q_nfc_clean" -> {
+      val dirty = "(text || ' cafe' || chr(769) || ' n' || chr(771) || 'o')"
+      val norm = s"nfc_normalize($dirty)"
+      s"""SELECT doc_id,
+         |  CAST(length($dirty) AS BIGINT) AS len_raw,
+         |  CAST(length($norm) AS BIGINT) AS len_nfc,
+         |  substring($norm, -5, 5) AS tail5,
+         |  ${graft.functions.PolyHashF.polyHashSql(norm)} AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
 
     "q_redact" -> {
       // `||` (not concat()) so a NULL text stays NULL like Spark's concat.

@@ -241,6 +241,51 @@ class RetrievalSpec extends SparkSpec {
       s"delete rewrite should compact: ${fragmented.mkString(", ")}")
   }
 
+  test("replacePostings upsert equals the never-corrupted build bit-exactly") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-repl").toString
+    val full = s"$base/full"; val repl = s"$base/repl"
+    val corpus = Tables.documents(spark, sf001)
+    Bm25.buildPostings(corpus, "doc_id", "text", full, nBuckets = 8)
+    // the index starts WRONG: %3 docs carry reversed text, %5 docs are
+    // missing — one replacePostings upserts the truth for both arms
+    val corrupted = corpus.filter($"doc_id" % 5 =!= 0)
+      .withColumn("text",
+        when($"doc_id" % 3 === 0, reverse($"text")).otherwise($"text"))
+    Bm25.buildPostings(corrupted, "doc_id", "text", repl, nBuckets = 8)
+    Bm25.replacePostings(
+      corpus.filter($"doc_id" % 3 === 0 || $"doc_id" % 5 === 0),
+      "doc_id", "text", repl, nBuckets = 8)
+    def comp(p: String, sub: String, cols: Seq[String]) =
+      graft.sources.PartitionedParquet.read(spark, s"$p/$sub")
+        .select(cols.map(c => col(c).cast("string")): _*)
+        .collect().map(_.toSeq).toSet
+    assert(comp(repl, "postings", Seq("doc_id", "token", "tf", "bucket"))
+      === comp(full, "postings", Seq("doc_id", "token", "tf", "bucket")))
+    assert(comp(repl, "terms", Seq("token", "df", "cf"))
+      === comp(full, "terms", Seq("token", "df", "cf")))
+    assert(comp(repl, "doclens", Seq("doc_id", "dl"))
+      === comp(full, "doclens", Seq("doc_id", "dl")))
+    assert(spark.read.parquet(s"$repl/stats").as[(Long, Long)].head()
+      === spark.read.parquet(s"$full/stats").as[(Long, Long)].head())
+    def probe(p: String) = Bm25.topKFromPostings(spark, p,
+      Seq("spark", "window", "dup"), k = 10, nBuckets = 8)
+      .as[(Long, Double)].collect().toSeq
+    assert(probe(repl) === probe(full))
+  }
+
+  test("replacePostings rejects duplicate batch ids loudly") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-repl2").toString + "/idx"
+    val docs = Seq((1L, "red fox"), (2L, "blue dog")).toDF("doc_id", "text")
+    Bm25.buildPostings(docs, "doc_id", "text", base, nBuckets = 4)
+    val dup = Seq((1L, "new text"), (1L, "other text")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Bm25.replacePostings(dup, "doc_id", "text", base, nBuckets = 4)
+    }
+    assert(e.getMessage.contains("unique"))
+  }
+
   test("compactPostings folds append fragments to one sorted file per bucket") {
     val base = java.nio.file.Files
       .createTempDirectory("graft-cmp").toString + "/idx"

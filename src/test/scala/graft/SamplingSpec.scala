@@ -231,7 +231,7 @@ class SamplingSpec extends SparkSpec {
       .select($"o_orderkey", $"key_nano").as[(Long, Long)].collect().toSeq
     // driver brute force: same poly_hash -> u -> ln(u)/w -> nano grid
     val all = orders.as[(Long, Double)].collect()
-    val want = all.filter(_._2 > 0).map { case (id, w) =>
+    val want = all.filter(_._2 >= 1e-8).map { case (id, w) =>
       val digest = java.security.MessageDigest.getInstance("MD5")
         .digest(s"w7:$id".getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
@@ -261,10 +261,18 @@ class SamplingSpec extends SparkSpec {
       .select($"id").as[Long].collect().toSeq
     assert(draw(3) === draw(3))
     assert((1 to 20).map(draw).distinct.size > 1)
-    // zero/negative weights are excluded, never sampled
-    val withBad = rows.union(Seq((51L, 0.0), (52L, -3.0)).toDF("id", "w"))
+    // zero/negative/sub-floor weights are excluded, never sampled: a
+    // weight below minWeight (1e-8 default) would overflow the BIGINT
+    // key cast, which Spark saturates silently and DuckDB errors on —
+    // the filter keeps both engines on the exact integer grid
+    val withBad = rows.union(
+      Seq((51L, 0.0), (52L, -3.0), (53L, 1e-9)).toDF("id", "w"))
     val ids = Sampling.weightedSample(withBad, "id", $"w", 50, 1)
       .select($"id").as[Long].collect().toSet
-    assert(!ids.contains(51L) && !ids.contains(52L))
+    assert(!ids.contains(51L) && !ids.contains(52L) && !ids.contains(53L))
+    // and the floor itself is guarded against unsafe values
+    intercept[IllegalArgumentException] {
+      Sampling.weightedSample(rows, "id", $"w", 5, 1, minWeight = 1e-10)
+    }
   }
 }

@@ -116,6 +116,43 @@ class SemDedupSpec extends SparkSpec {
     assert(oldAlone == oldInFull)
   }
 
+  test("appendKeepFromIndex == appendKeep, with partition-pruned anchor read") {
+    val cut = emb.agg(max($"vec_id")).head().getLong(0) / 2
+    val old = emb.filter($"vec_id" <= cut)
+    val fresh = emb.filter($"vec_id" > cut)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-semidx").toString + "/idx"
+    KMeansQuant.buildIndex(old, "vec_id", "embedding", model, path)
+    val served = SemDedup.appendKeepFromIndex(spark, path, fresh,
+      "vec_id", "embedding", model, Tau)
+    val inPlan = SemDedup.appendKeep(old, fresh, "vec_id", "embedding",
+        model, Tau)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(served.as[(Long, Long)].collect().sorted.toSeq === inPlan)
+    assert(inPlan.nonEmpty)
+    // plan pin: the anchor scan carries cell PartitionFilters — the
+    // untouched cells' partitions are pruned before any file opens
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.contains("cell#"),
+      s"expected a cell partition filter on the index scan:\n$plan")
+    // and a batch landing in FEWER cells than the model has reads only
+    // those partitions: a one-cell batch must not scan every cell dir
+    val oneCellBatch = {
+      val byCell = KMeansQuant.assign(fresh, "vec_id", "embedding", model)
+        .select($"vec_id", $"cluster").as[(Long, Long)].collect()
+      val target = byCell.groupBy(_._2).maxBy(_._2.length)._1
+      val ids = byCell.filter(_._2 == target).map(_._1).toSet
+      fresh.filter($"vec_id".isin(ids.toSeq: _*))
+    }
+    val pruned = SemDedup.appendKeepFromIndex(spark, path, oneCellBatch,
+      "vec_id", "embedding", model, Tau)
+    val prunedRebuild = SemDedup.appendKeep(old, oneCellBatch,
+        "vec_id", "embedding", model, Tau)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(pruned.as[(Long, Long)].collect().sorted.toSeq === prunedRebuild)
+  }
+
   test("appendKeep checks new vectors against dropped old anchors too") {
     // anchor-wins anchors on the PAIR set, not the survivor set: a new
     // vector duplicating an old vector that was itself dropped must

@@ -8,16 +8,30 @@ matching oracle SQL from oracle_sql.json in DuckDB against the raw testdata
 parquet tables, sorts columns by name, and compares row-by-row. Dev tool only
 — NOT part of the shipped library (the engine itself has zero non-Spark deps).
 """
-import json, sys, glob, math
+import json, sys, glob, math, decimal
 import duckdb
 
 TABLES = ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]
 
 def norm(v):
+    # The driver's hash stringifies values per engine, so it is strictly
+    # LESS forgiving than Python ==. Tag every numeric with its value
+    # class (Decimal('1') == 1 == 1.0 in Python but hash differently in
+    # the driver) and carry the sign of zero (-0.0 == 0.0 in Python but
+    # str() differs) — both were r15 escapes (q_join_cardinality,
+    # q_weighted_sample shipped "pre-flight green", driver red).
+    if isinstance(v, bool):
+        return ("bool", v)
     if isinstance(v, float):
-        if math.isnan(v): return "NaN"
-        return v
+        if math.isnan(v): return ("float", "NaN")
+        return ("float", math.copysign(1.0, v), v)
+    if isinstance(v, decimal.Decimal):
+        return ("decimal", str(v))
+    if isinstance(v, int):
+        return ("int", v)
+    if isinstance(v, (list, tuple)):
+        return tuple(map(norm, v))
     return v
 
 def main(sf_dir, out_dir):
@@ -48,6 +62,16 @@ def main(sf_dir, out_dir):
         if {c: gtypes[c] for c in gcols} != {c: etypes[c] for c in ecols}:
             diff = {c: (gtypes[c], etypes[c]) for c in gcols if gtypes[c] != etypes[c]}
             print(f"FAIL {name}: type diff (spark, duckdb) = {diff}"); n_fail += 1; continue
+        # Repo rule (r15): no DECIMAL-typed column in any DECLARED query
+        # output — even when BOTH engines agree on decimal(38,0), the
+        # driver's per-engine value canonicalization diverges on it.
+        # Decimal belongs inside operators (overflow guards), never in
+        # the presented schema.
+        dec_cols = [c for c in gcols if "DECIMAL" in gtypes[c].upper()
+                    or "DECIMAL" in etypes[c].upper()]
+        if dec_cols:
+            print(f"FAIL {name}: DECIMAL-typed output columns {dec_cols} "
+                  f"(present as BIGINT/DOUBLE instead)"); n_fail += 1; continue
         type_note = ""
         grows = got.select(*gcols).fetchall()
         erows = exp.select(*ecols).fetchall()

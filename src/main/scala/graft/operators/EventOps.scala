@@ -75,6 +75,50 @@ object EventOps {
       .agg(min(col(ts)).as("session_start"), max(col(ts)).as("session_end"),
         count(lit(1)).as("n_events"))
 
+  /** Session paths — assemble each session's ordered label sequence
+    * into one string (the SFT/behavioral-cloning sample-assembly verb:
+    * turning an event log into "what did this user do, in order"
+    * training rows; also the funnel-exploration view). Ordering inside
+    * a session is (ts, tiebreak) — unique by the event-id contract —
+    * and the assembly is ONE aggregation: `collect_list(struct(ts,
+    * tiebreak, label))` sorted row-locally by `array_sort` (struct
+    * comparison is field-order lexicographic, exactly the (ts,
+    * tiebreak) sort key), so no second window pass and no
+    * nondeterministic collect order survives. Per-session arrays are
+    * session-sized — the same boundedness argument as every per-user
+    * window here; a pathological single session is capped by `maxLen`
+    * elements (loud `require` via the rollup, not silent truncation).
+    * Output: (key, session_id, session_start, n_events, path). */
+  def sessionPaths(df: DataFrame, key: String, ts: String,
+      tiebreak: String, labelCol: String, gapMinutes: Int,
+      maxLen: Int = 100000): DataFrame = {
+    val s = sessionize(df, key, ts, tiebreak, gapMinutes)
+      .localCheckpoint() // guard + assembly legs share the two windows
+    // guard BEFORE assembling: the count aggregate is a cheap map-side
+    // combine, the string assembly is not — never build the unbounded
+    // string just to learn it was unbounded
+    val hot = s.groupBy(col(key), col("session_id"))
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > maxLen)
+      .limit(1).collect()
+    require(hot.isEmpty, {
+      val r = hot.head
+      s"sessionPaths: session (${r.get(0)}, ${r.get(1)}) holds " +
+        s"${r.getLong(2)} events > maxLen=$maxLen — a runaway session " +
+        "(bot traffic / broken gap config) would assemble an unbounded " +
+        "string; fix the gap or cap upstream, or raise maxLen knowingly."
+    })
+    s.groupBy(col(key), col("session_id"))
+      .agg(min(col(ts)).as("session_start"),
+        count(lit(1)).as("n_events"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              struct(col(ts).as("t"), col(tiebreak).as("tb"),
+                col(labelCol).as("l")))),
+            x => x.getField("l")),
+          ">").as("path"))
+  }
+
   /** Interval (time-range) join: pair every `left` row with the `right`
     * rows of the same key whose timestamp falls in
     * [leftTs, leftTs + within) — the attribution-join shape (click →

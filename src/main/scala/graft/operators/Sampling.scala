@@ -72,6 +72,34 @@ object Sampling {
     (df.filter(!p), df.filter(p))
   }
 
+  /** Deterministic THREE-WAY split (train/dev/test) on one content
+    * hash: the hex key partitions as [0, t_test) → test,
+    * [t_test, t_test+dev) → dev, rest → train. Same contract family as
+    * [[hashSplit]] — exactly-partitioning (every row lands in exactly
+    * one side, NULL keys in train), stable under repartitioning and
+    * corpus growth, pure function of content — which `randomSplit`
+    * with three weights gives up on all counts. One row-local
+    * predicate; the engine never shuffles for the split. Returns the
+    * input plus `splitCol` ∈ {train, dev, test}. */
+  def hashSplit3(df: DataFrame, key: Column, devFraction: Double,
+      testFraction: Double, seed: Long = 42L,
+      splitCol: String = "split"): DataFrame = {
+    require(devFraction > 0.0 && testFraction > 0.0 &&
+      devFraction + testFraction < 1.0,
+      s"need 0 < dev, 0 < test, dev+test < 1; got dev=$devFraction " +
+        s"test=$testFraction")
+    require(!df.columns.contains(splitCol),
+      s"hashSplit3: input already has a '$splitCol' column")
+    val h = substring(md5(concat(lit(seed.toString), lit(":"), key)),
+      1, HexDigits)
+    val tTest = hexThreshold(testFraction)
+    val tDev = hexThreshold(testFraction + devFraction)
+    df.withColumn(splitCol,
+      when(h < lit(tTest), "test")
+        .when(h < lit(tDev), "dev")
+        .otherwise("train")) // includes NULL keys: h NULL fails both <
+  }
+
   /** LEAKAGE-SAFE split: train/test membership decided per duplicate
     * GROUP, not per row — every near-dup cluster lands whole on one
     * side. [[hashSplit]] on raw ids is wrong for training corpora: a

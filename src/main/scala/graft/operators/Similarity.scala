@@ -58,6 +58,52 @@ object Similarity {
       .limit(k)
   }
 
+  /** Hard-negative mining for contrastive/embedding training: for each
+    * anchor, the top-k corpus vectors whose cosine lands in
+    * [lo, hi) — similar enough to be informative negatives, below the
+    * near-duplicate band where a "negative" is really a positive
+    * (the standard curation recipe for training retrieval/embedding
+    * models: random negatives are too easy, near-dups are label noise).
+    *
+    * Scale shape: the anchor set is REQUIRED small (≤ maxAnchors,
+    * guarded loudly) and broadcasts, so the corpus scans once with no
+    * shuffle for scoring; the band filter drops the bulk of rows before
+    * the per-anchor window, whose sort is bounded by the band's
+    * membership per anchor. The window shuffle keys on anchor_id — k
+    * and |anchors| bound the output. Self-matches are excluded; cosine
+    * rounds to 6dp before the band test and the ranking (the
+    * cross-engine ordering grid), ties break by candidate id.
+    * Output: (anchor_id, idCol, cos, rank 1..k). */
+  def hardNegatives(embeddings: DataFrame, idCol: String, vecCol: String,
+      anchorIds: Seq[Long], k: Int, lo: Double, hi: Double,
+      maxAnchors: Int = 1000): DataFrame = {
+    require(anchorIds.nonEmpty, "hardNegatives needs at least one anchor")
+    require(anchorIds.size <= maxAnchors,
+      s"hardNegatives: ${anchorIds.size} anchors > bound $maxAnchors — " +
+        "the anchor set broadcasts and multiplies the corpus scan; mine " +
+        "in batches (or raise maxAnchors knowingly)")
+    require(anchorIds.distinct.size == anchorIds.size,
+      "hardNegatives: duplicate anchor ids")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi)")
+    require(k > 0, s"hardNegatives needs k > 0, got $k")
+    VectorFunctions.register(embeddings.sparkSession)
+    val anchors = embeddings.filter(col(idCol).isin(anchorIds: _*))
+      .select(col(idCol).as("anchor_id"), toDouble(col(vecCol)).as("__qa"))
+    val scored = embeddings
+      .select(col(idCol), toDouble(col(vecCol)).as("__v"))
+      .crossJoin(broadcast(anchors))
+      .filter(col(idCol) =!= col("anchor_id"))
+      .withColumn("cos", round(cosineFast(col("__v"), col("__qa")), 6))
+      .filter(col("cos") >= lo && col("cos") < hi)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("anchor_id"))
+      .orderBy(col("cos").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("anchor_id"), col(idCol), col("cos"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** Exact all-pairs near-duplicates: pairs with cosine >= threshold.
     * O(n²) — verification scale only; [[annNearDupPairs]] is the
     * production path. GUARDED: fails loudly (one cheap count job, then

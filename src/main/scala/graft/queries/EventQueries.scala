@@ -129,6 +129,17 @@ object EventQueries extends QueryModule {
         "user_id", "ts")
         .orderBy(col("user_id"), col("session_id"))),
 
+    // Session paths (EventOps.sessionPaths): each session's ordered
+    // event-type sequence as one string — the SFT sample-assembly verb
+    // (event log → "what did this user do, in order" training rows).
+    // Ordering is (ts, event_id) inside one collect+array_sort
+    // aggregation; the mirror's string_agg(… ORDER BY ts, event_id)
+    // must reproduce it exactly.
+    "q_session_paths" -> ((s, d) =>
+      EventOps.sessionPaths(Tables.events(s, d), "user_id", "ts",
+          "event_id", "event_type", gapMinutes = 30)
+        .orderBy(col("user_id"), col("session_id"))),
+
     // Native session_window operator (same gap semantics as
     // q_sessionize; window.start == first event of the session).
     "q_session_window" -> ((s, d) =>
@@ -707,6 +718,26 @@ object EventQueries extends QueryModule {
         |  FROM x)
         |SELECT user_id, session_id, min(ts) AS session_start,
         |  max(ts) AS session_end, CAST(count(*) AS BIGINT) AS n_events
+        |FROM y GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "q_session_paths" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |y AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_id
+        |  FROM x)
+        |SELECT user_id, session_id, min(ts) AS session_start,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  string_agg(event_type, '>' ORDER BY ts, event_id) AS path
         |FROM y GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
 

@@ -134,6 +134,17 @@ object SimilarityQueries extends QueryModule {
           "vec_id", "embedding", 0.5)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // Hard-negative mining for contrastive training: per anchor, the
+    // top-5 vectors in the cosine band [0.15, 0.5) — informative
+    // negatives below the near-dup line (which sits at 0.5 on this
+    // fixture, q_embed_neardup). The broadcast anchor set multiplies
+    // one corpus scan; the band filter bounds the per-anchor window.
+    "q_hard_negatives" -> ((s, d) =>
+      Similarity.hardNegatives(Tables.embeddings(s, d),
+          "vec_id", "embedding", anchorIds = Seq(0L, 1L, 2L),
+          k = 5, lo = 0.15, hi = 0.5)
+        .orderBy(col("anchor_id"), col("rank"))),
+
     // Exact 3-gram shingle Jaccard pairs >= 0.5 (near-dup ground truth).
     "q_jaccard_pairs" -> ((s, d) =>
       jaccardPairs(s, d).orderBy(col("id_a"), col("id_b"))),
@@ -569,6 +580,21 @@ object SimilarityQueries extends QueryModule {
         |  / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos
         |FROM e CROSS JOIN q
         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS anchor_id, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id IN (0, 1, 2)),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |scored AS (SELECT anchor_id, vec_id,
+        |    round(list_dot_product(v, qv)
+        |      / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos
+        |  FROM e CROSS JOIN q WHERE vec_id <> anchor_id),
+        |r AS (SELECT anchor_id, vec_id, cos,
+        |    row_number() OVER (PARTITION BY anchor_id
+        |      ORDER BY cos DESC, vec_id) AS rank
+        |  FROM scored WHERE cos >= 0.15 AND cos < 0.5)
+        |SELECT anchor_id, vec_id, cos, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 5 ORDER BY anchor_id, rank""".stripMargin,
 
     "q_embed_neardup" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

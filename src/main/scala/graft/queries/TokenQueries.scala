@@ -191,6 +191,29 @@ object TokenQueries extends QueryModule {
         .select(col("doc_id"))
         .orderBy(col("doc_id"))),
 
+    // Three-way train/dev/test split on one content hash
+    // (Sampling.hashSplit3): exactly-partitioning, stable under
+    // repartitioning and growth — what randomSplit with three weights
+    // gives up. Row-local predicate; per-(split, lang) counts verify
+    // both thresholds and the remainder on the oracle.
+    "q_split3" -> ((s, d) =>
+      graft.operators.Sampling.hashSplit3(
+          Tables.documents(s, d), col("text"),
+          devFraction = 0.1, testFraction = 0.1)
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("split"), col("lang"))),
+
+    // Per-document tf·idf keywords (operators/Keywords): top-3 terms per
+    // doc by tf·ln((N+1)/(df+1)) on the 1e-9 grid, df >= 2, ties by
+    // token — the labeling/routing primitive. One wordcount aggregate +
+    // vocab join + per-doc bounded window; the 1-row N frame broadcasts
+    // (PlanSpec scalar-join allowlist).
+    "q_doc_keywords" -> ((s, d) =>
+      graft.operators.Keywords.docKeywords(
+          Tables.documents(s, d), "doc_id", "text", k = 3)
+        .orderBy(col("doc_id"), col("rank"))),
+
     // Weighted corpus mix: per-language sampling fractions in ONE
     // row-local predicate (the dataset-mixing recipe: N sources, each
     // downsampled to its weight, without N scans).
@@ -765,6 +788,44 @@ object TokenQueries extends QueryModule {
          |WHERE substr(md5('42:' || text), 1, 12) < '$t'
          |ORDER BY doc_id""".stripMargin
     },
+
+    // hashSplit3 mirror: identical hex thresholds off the shared
+    // hexThreshold constants — test < t1, dev < t2, remainder train
+    "q_split3" -> {
+      val t1 = graft.operators.Sampling.hexThreshold(0.1)
+      val t2 = graft.operators.Sampling.hexThreshold(0.2)
+      s"""SELECT CASE WHEN substr(md5('42:' || text), 1, 12) < '$t1'
+         |         THEN 'test'
+         |       WHEN substr(md5('42:' || text), 1, 12) < '$t2'
+         |         THEN 'dev'
+         |       ELSE 'train' END AS split,
+         |  lang, CAST(count(*) AS BIGINT) AS n
+         |FROM documents
+         |GROUP BY split, lang ORDER BY split, lang""".stripMargin
+    },
+
+    // docKeywords mirror: the same tf / df / add-one idf double chain,
+    // quantized to the integer grid before the per-doc rank
+    "q_doc_keywords" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |  unnest(regexp_split_to_array(lower(text), '$wsSql')) AS token
+         |  FROM documents),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+         |       WHERE token <> '' GROUP BY doc_id, token),
+         |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token
+         |          HAVING count(*) >= 2),
+         |n AS (SELECT count(*) AS nn FROM documents),
+         |scored AS (SELECT doc_id, token,
+         |    CAST(round(CAST(tf AS DOUBLE)
+         |      * ln((CAST(nn AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0))
+         |      * 1e9) AS BIGINT) AS score_nano
+         |  FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+         |r AS (SELECT doc_id, token, score_nano,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY score_nano DESC, token) AS rank
+         |  FROM scored)
+         |SELECT doc_id, CAST(rank AS BIGINT) AS rank, token, score_nano
+         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     "q_corpus_mix" -> {
       val (t8, t5, t1) = (graft.operators.Sampling.hexThreshold(0.8),

@@ -30,6 +30,55 @@ class EventOpsSpec extends SparkSpec {
     assert(n === events.count(), "session event counts must partition all events")
   }
 
+  test("sessionPaths assembles ordered label strings per session") {
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "signup"),
+      (1L, ts("2024-01-01 10:10:00"), 2L, "click"),
+      (1L, ts("2024-01-01 10:10:00"), 3L, "view"), // same ts: id breaks tie
+      (1L, ts("2024-01-01 11:30:00"), 4L, "purchase"), // gap → session 2
+      (2L, ts("2024-01-01 10:05:00"), 5L, "click")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = EventOps.sessionPaths(df, "user_id", "ts", "event_id",
+        "event_type", gapMinutes = 30)
+      .select($"user_id", $"session_id", $"n_events", $"path")
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(out === Set(
+      (1L, 1L, 3L, "signup>click>view"),
+      (1L, 2L, 1L, "purchase"),
+      (2L, 1L, 1L, "click")))
+  }
+
+  test("sessionPaths == per-session brute force on real events") {
+    val events = Tables.events(spark, sf001)
+    val got = EventOps.sessionPaths(events, "user_id", "ts", "event_id",
+        "event_type", gapMinutes = 30)
+      .select($"user_id", $"session_id", $"path")
+      .as[(Long, Long, String)].collect().toSet
+    val sessions = EventOps.sessionize(events, "user_id", "ts",
+        "event_id", 30)
+      .select($"user_id", $"session_id", $"ts", $"event_id", $"event_type")
+      .as[(Long, Long, java.sql.Timestamp, Long, String)].collect()
+    val want = sessions.groupBy(r => (r._1, r._2)).map { case ((u, s), rs) =>
+      // sort on (epoch-second, nanos, id): getTime alone is millis and
+      // would misorder same-millisecond micro-stamped events
+      (u, s, rs.sortBy(r => (r._3.toInstant.getEpochSecond,
+        r._3.getNanos, r._4)).map(_._5).mkString(">"))
+    }.toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("sessionPaths maxLen guard trips on a runaway session") {
+    val df = (1L to 20L).map(i =>
+      (1L, ts(f"2024-01-01 10:00:${i % 60}%02d"), i, "click"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val e = intercept[IllegalArgumentException] {
+      EventOps.sessionPaths(df, "user_id", "ts", "event_id",
+        "event_type", gapMinutes = 30, maxLen = 10)
+    }
+    assert(e.getMessage.contains("maxLen"))
+  }
+
   test("runningTotal is monotone per user for non-negative values") {
     val out = EventOps.runningTotal(Tables.events(spark, sf001),
       "user_id", "ts", "event_id", "value")

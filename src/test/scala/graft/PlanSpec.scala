@@ -120,6 +120,13 @@ class PlanSpec extends SparkSpec {
       // truth table for the estimate-vs-true compare — the same
       // no-join-key scalar-broadcast shape as the stats rows above
       "q_cms_estimates",
+      // docKeywords' 1-row corpus-count frame (idf's N) broadcast over
+      // the (doc, token) tf table — the scalar-join shape again
+      "q_doc_keywords",
+      // hardNegatives broadcasts the BOUNDED anchor set (≤ maxAnchors,
+      // loudly guarded) over one corpus scan — a deliberate k-row
+      // nested loop, the same shape as the query-vector scalar joins
+      "q_hard_negatives",
       // PMI's 1-row corpus-size frame (n_docs) broadcast over the
       // vocabulary-sized pair table — the same scalar-join shape
       "q_collocations",

@@ -222,6 +222,39 @@ class SamplingSpec extends SparkSpec {
     assert(a.nonEmpty)
   }
 
+  test("hashSplit3 partitions exactly, nests hashSplit, and is stable") {
+    val tagged = Sampling.hashSplit3(docs, $"text", 0.1, 0.15)
+    // exactly-partitioning: every row in exactly one side
+    assert(tagged.count() === docs.count())
+    val bySplit = tagged.groupBy($"split").count()
+      .as[(String, Long)].collect().toMap
+    assert(bySplit.keySet === Set("train", "dev", "test"))
+    // the test side is EXACTLY hashSplit's test side at the same
+    // fraction/seed (shared hexThreshold), so 2-way and 3-way contracts
+    // compose: promoting a dev slice never moves test membership
+    val (_, t2) = Sampling.hashSplit(docs, $"text", 0.15)
+    assert(tagged.filter($"split" === "test").select($"doc_id")
+        .as[Long].collect().toSet ===
+      t2.select($"doc_id").as[Long].collect().toSet)
+    // stable under repartitioning
+    val again = Sampling.hashSplit3(docs.repartition(7), $"text", 0.1, 0.15)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    val first = tagged.select($"doc_id", $"split")
+      .as[(Long, String)].collect().toMap
+    assert(again === first)
+    // NULL keys land in train; reserved-column collision fails loudly
+    val withNull = Seq((1L, "x"), (2L, null)).toDF("doc_id", "text")
+    val nullSplit = Sampling.hashSplit3(withNull, $"text", 0.2, 0.2)
+      .filter($"doc_id" === 2L).select($"split").as[String].head()
+    assert(nullSplit === "train")
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit3(tagged, $"text", 0.1, 0.1)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit3(docs, $"text", 0.6, 0.5) // dev+test >= 1
+    }
+  }
+
   test("weightedSample == driver brute force of the documented A-ES key") {
     graft.functions.PolyHashF.register(spark)
     val orders = Tables.orders(spark, sf001)

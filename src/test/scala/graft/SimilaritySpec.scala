@@ -91,6 +91,49 @@ class SimilaritySpec extends SparkSpec {
       s"missed planted near-dups: ${planted -- gotPairs}")
   }
 
+  test("hardNegatives == brute-force band top-k; excludes self and near-dups") {
+    val emb = Tables.embeddings(spark, sf001)
+    val (lo, hi, k) = (0.15, 0.5, 5)
+    val anchors = Seq(0L, 1L, 2L)
+    val got = Similarity.hardNegatives(emb, "vec_id", "embedding",
+        anchors, k, lo, hi)
+      .select($"anchor_id", $"vec_id", $"cos", $"rank")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(got.nonEmpty)
+    // brute force per anchor off the exact cosine column
+    graft.functions.VectorFunctions.register(spark)
+    val all = emb.select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .as[(Long, Seq[Double])].collect()
+    val byId = all.toMap
+    def cosd(a: Seq[Double], b: Seq[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val r = d / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+      BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val want = anchors.flatMap { aid =>
+      all.filter(_._1 != aid)
+        .map { case (id, v) => (id, cosd(byId(aid), v)) }
+        .filter { case (_, c) => c >= lo && c < hi }
+        .sortBy { case (id, c) => (-c, id) }.take(k).zipWithIndex
+        .map { case ((id, c), i) => (aid, id, c, (i + 1).toLong) }
+    }
+    assert(got.sorted === want.sorted)
+    // nothing at or above the near-dup line, nobody mines themselves
+    assert(got.forall { case (a, id, c, _) => c < hi && c >= lo && id != a })
+    // guards
+    intercept[IllegalArgumentException] {
+      Similarity.hardNegatives(emb, "vec_id", "embedding", Seq(0L, 0L), k, lo, hi)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.hardNegatives(emb, "vec_id", "embedding", Seq(0L), k, hi, lo)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.hardNegatives(emb, "vec_id", "embedding",
+        (1L to 20L).toSeq, k, lo, hi, maxAnchors = 10)
+    }
+  }
+
   test("nearDupPairs guard fires beyond maxExactRows, passes under it") {
     val rnd = new scala.util.Random(7)
     val df = (0L until 20L).map(i => (i, Seq.fill(8)(rnd.nextGaussian())))

@@ -111,7 +111,19 @@ object ScaleBench {
     // bounded post-retrieval (the corpus only pays the fused top-20
     // retrieval scan) — expected ~linear with flat-ish absolutes
     "q_profile_diff", "q_mutual_info", "q_calibration_ece", "q_cramers_v",
-    "q_forecast_mase", "q_mmr_select")
+    "q_forecast_mase", "q_mmr_select",
+    // round-16 new operators: doc keywords is wordcount + vocab join
+    // (vocabulary ~×N under the rotation — the realistic axis, like
+    // unigram NLL); session paths is the sessionize windows + one
+    // assembly aggregate growing by users; hard negatives is 3 anchors
+    // × one corpus scan; split3 and nfc_clean are row-local
+    // projections over a group/count reduce — all expected ~linear
+    "q_doc_keywords", "q_session_paths", "q_hard_negatives", "q_split3",
+    "q_nfc_clean",
+    // line explode + line-vocab distinct/count + broadcast anti +
+    // one doc-key reassembly shuffle; vocabulary ~×N under the
+    // rotation (unique bodies), boilerplate set stays tiny — ~linear
+    "q_boilerplate")
 
   def generate(spark: SparkSession, sfDir: String, outDir: String,
       scale: Int): (Long, Long) = {

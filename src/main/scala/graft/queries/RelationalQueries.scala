@@ -485,6 +485,77 @@ object RelationalQueries extends QueryModule {
         .limit(10)
     }),
 
+    // TPC-H Q18 shape (large-volume customers): HAVING-filtered
+    // aggregate subquery → left-semi onto the fact table → 3-way join →
+    // re-aggregate. The big-order key set is pre-aggregated FIRST
+    // (order-count-sized, then HAVING-thinned to the heavy tail), so
+    // the fact table joins semi against a small key set instead of
+    // carrying the full groupBy twice. Quantities ride the exact cents
+    // grid; top-100 by (o_totalprice, date, key) is a heap, not a sort.
+    "q_large_orders" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val big = li.groupBy(col("l_orderkey"))
+        .agg(sum(cents(col("l_quantity")).cast("decimal(20,0)")).as("__qc"))
+        .filter(col("__qc") > lit(25000L)) // 250 units on the cents grid
+        .select(col("l_orderkey").as("__bigkey"))
+      li.join(big, col("l_orderkey") === col("__bigkey"), "left_semi")
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"))
+        .agg(dollars(sum(cents(col("l_quantity")).cast("decimal(20,0)")),
+          1e2).as("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderdate"),
+          col("o_orderkey"))
+        .limit(100)
+    }),
+
+    // TPC-H Q5 shape (local supplier volume): the 6-table star with the
+    // Q5 signature residual — the supplying nation must equal the
+    // customer's nation (c_nationkey = s_nationkey rides the supplier
+    // equi-join). Region/nation broadcast; revenue by nation on the
+    // exact 1e-4 grid.
+    "q_local_supplier_volume" -> ((s, d) => {
+      val cut0 = lit("1996-01-01").cast("timestamp")
+      val cut1 = lit("1997-01-01").cast("timestamp")
+      val n = Tables.nation(s, d)
+        .join(Tables.region(s, d).filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderdate") >= cut0 && col("o_orderdate") < cut1),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, d),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(dollars(sum(revenueTerm), 1e4).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // TPC-H Q10 shape (returned-item reporting): one quarter of orders
+    // joined to their RETURNED lineitems, revenue attributed per
+    // customer, top 20 — the churn-investigation classic. Both filters
+    // push to their scans; nation broadcasts; top-20 is a heap.
+    "q_returned_items" -> ((s, d) => {
+      val cut0 = lit("1996-01-01").cast("timestamp")
+      val cut1 = lit("1996-04-01").cast("timestamp")
+      Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderdate") >= cut0 && col("o_orderdate") < cut1),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("n_name"), col("c_mktsegment"))
+        .agg(dollars(sum(revenueTerm), 1e4).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
     // Weighted sampling without replacement (Efraimidis–Spirakis A-ES,
     // operators/Sampling.weightedSample): 100 orders drawn with
     // inclusion probability ∝ o_totalprice. The draw u derives from
@@ -1362,6 +1433,51 @@ object RelationalQueries extends QueryModule {
         |  AND l_shipdate > TIMESTAMP '1998-06-01'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q_large_orders" ->
+      s"""WITH big AS (
+        |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(CAST(${centsSql("l_quantity")} AS DECIMAL(20,0)))
+        |    > 25000)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  CAST(sum(CAST(${centsSql("l_quantity")} AS DECIMAL(20,0)))
+        |    AS DOUBLE) / 1e2 AS sum_qty
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE l_orderkey IN (SELECT l_orderkey FROM big)
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+        |LIMIT 100""".stripMargin,
+
+    "q_local_supplier_volume" ->
+      s"""SELECT n_name,
+        |  CAST(sum($revenueTermSql) AS DOUBLE) / 1e4 AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |              AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_returned_items" ->
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name, c_mktsegment,
+        |  CAST(sum($revenueTermSql) AS DOUBLE) / 1e4 AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name, c_mktsegment
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
 
     "q_winsorize" ->
       s"""WITH li AS (

@@ -106,6 +106,22 @@ object TextQueries extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // Line-level boilerplate removal (operators/Boilerplate): lines in
+    // ≥ max(2, ceil(0.05·N)) docs vanish, survivors rejoin in order.
+    // The fixture has no newlines, so a shared footer and a per-doc
+    // unique marker line are injected on both engines (the q_redact
+    // discipline): the footer must vanish from every doc, the marker
+    // and the (unique) original text must survive.
+    "q_boilerplate" -> ((s, d) => {
+      val base = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"),
+          lit("\nfollow us on example social\nid marker "),
+          col("doc_id").cast("string")).as("text"))
+      graft.operators.Boilerplate.removeBoilerplate(base, "doc_id", "text")
+        .select(col("doc_id"), col("text").as("clean_text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // P5: predicate filter on computed length.
     "q_filter_length" -> ((s, d) =>
       Tables.documents(s, d)
@@ -302,6 +318,30 @@ object TextQueries extends QueryModule {
     "q_filter_length" ->
       """SELECT doc_id, n_chars FROM documents
         |WHERE length(text) > 250 ORDER BY doc_id""".stripMargin,
+
+    // boilerplate mirror: identical injection, count(DISTINCT doc_id)
+    // per line, the same max(2, ceil(0.05·N)) threshold, NOT EXISTS
+    // anti (never NOT IN three-valued-logic), ordered string_agg
+    "q_boilerplate" ->
+      """WITH d AS (SELECT doc_id,
+        |    text || chr(10) || 'follow us on example social'
+        |      || chr(10) || 'id marker ' || CAST(doc_id AS VARCHAR) AS t
+        |  FROM documents),
+        |l AS (SELECT doc_id, generate_subscripts(split(t, chr(10)), 1) AS pos,
+        |             unnest(split(t, chr(10))) AS line FROM d),
+        |n AS (SELECT count(*) AS nn FROM documents),
+        |b AS (SELECT line FROM
+        |        (SELECT line, count(DISTINCT doc_id) AS ldf FROM l GROUP BY line)
+        |      CROSS JOIN n
+        |      WHERE ldf >= greatest(2,
+        |        CAST(ceil(CAST(nn AS DOUBLE) * 0.05) AS BIGINT))),
+        |k AS (SELECT doc_id, pos, line FROM l
+        |      WHERE NOT EXISTS (SELECT 1 FROM b WHERE b.line = l.line)),
+        |s AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS t
+        |      FROM k GROUP BY doc_id)
+        |SELECT d2.doc_id, coalesce(s.t, '') AS clean_text
+        |FROM documents d2 LEFT JOIN s USING (doc_id)
+        |ORDER BY d2.doc_id""".stripMargin,
 
     // NFC mirror: DuckDB's BUILT-IN nfc_normalize (the Spark-side name
     // matches it deliberately); chr(769)/chr(771) are the combining

@@ -86,6 +86,73 @@ object EventStream {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("n_events"))
 
+  final case class SessEvent(user_id: Long, event_id: Long, ts_us: Long,
+      event_type: String)
+  /** Open-session state: ordinal, bounds, and the labels collected so
+    * far — bounded by the session's own length (maxLen-guarded), never
+    * the user's history. */
+  final case class SessState(session_id: Long, start_us: Long,
+      last_us: Long, n: Long, labels: Seq[String])
+  final case class ClosedSession(user_id: Long, session_id: Long,
+      session_start_us: Long, n_events: Long, path: String)
+
+  /** Streaming twin of [[graft.operators.EventOps.sessionPaths]]: each
+    * user's open session accumulates its ordered label sequence in
+    * `flatMapGroupsWithState`; a gap > `gapMinutes` CLOSES the session
+    * and emits its assembled (ordinal, start, count, path) row — the
+    * continuously-assembling form of the SFT sample-assembly verb.
+    * Emitted rows match the batch form exactly for every session the
+    * stream has closed (specced across a two-batch seam, including
+    * sessions that straddle the seam); each user's final session stays
+    * open in state — the batch form over closed history is the recourse
+    * for flushing it, same as every twin here.
+    *
+    * Exactness contract (the [[funnelStages]] family's): per-user
+    * event-time order across micro-batches (append-log arrival);
+    * within a batch events fold in (ts, event_id) order — the batch
+    * form's exact sort key. Session ids are per-user ordinals, as in
+    * batch. State per user is ONE open session (labels bounded by
+    * `maxLen`, loudly — a runaway session fails the query rather than
+    * silently growing executor state). */
+  def sessionPathsStream(events: DataFrame, gapMinutes: Int = 30,
+      maxLen: Int = 100000): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    val typed = events
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      .as[SessEvent]
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[SessState]) =>
+          var cur = state.getOption
+          val closed = scala.collection.mutable.ArrayBuffer[ClosedSession]()
+          rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            cur match {
+              case Some(s) if e.ts_us - s.last_us <= gapUs =>
+                require(s.n < maxLen,
+                  s"sessionPathsStream: user $uid session ${s.session_id} " +
+                    s"exceeds maxLen=$maxLen events — runaway session " +
+                    "(bot traffic / broken gap config); fix upstream or " +
+                    "raise maxLen knowingly")
+                cur = Some(s.copy(last_us = e.ts_us, n = s.n + 1,
+                  labels = s.labels :+ e.event_type))
+              case Some(s) =>
+                closed += ClosedSession(uid, s.session_id, s.start_us,
+                  s.n, s.labels.mkString(">"))
+                cur = Some(SessState(s.session_id + 1, e.ts_us, e.ts_us,
+                  1L, Seq(e.event_type)))
+              case None =>
+                cur = Some(SessState(1L, e.ts_us, e.ts_us, 1L,
+                  Seq(e.event_type)))
+            }
+          }
+          cur.foreach(state.update)
+          closed.iterator
+      }
+  }
+
   /** Streaming OHLC bars — the twin of [[graft.operators.EventOps
     * .ohlcBars]]: per (event_type, tumbling window) open/high/low/close
     * + count + exact-cents volume. min_by/max_by over the

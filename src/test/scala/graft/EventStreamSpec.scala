@@ -291,6 +291,58 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sessionPaths closes seam-straddling sessions == batch paths") {
+    // Two micro-batches split at the time median: a session whose head
+    // arrived in batch A and whose tail (or closing gap) arrives in
+    // batch B is assembled correctly only if the open-session state —
+    // ordinal, bounds, AND the ordered label buffer — survives the seam.
+    // Every CLOSED session must equal the batch sessionPaths row; each
+    // user's final session stays open (flushed by the batch form over
+    // closed history, the documented contract).
+    val ev = Tables.events(spark, sf001)
+    val mid = ev.selectExpr("percentile(unix_micros(ts), 0.5)")
+      .head().getDouble(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-sesspath")
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sesspath-w")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part),
+        dir.resolve(name))
+    }
+    stage(ev.filter(unix_micros($"ts") <= mid), "a.parquet")
+    val q = EventStream.sessionPathsStream(
+        EventStream.read(spark, dir.toString))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sesspath_out").start()
+    try {
+      q.processAllAvailable()
+      val afterA = spark.table("sesspath_out").count()
+      stage(ev.filter(unix_micros($"ts") > mid), "b.parquet")
+      q.processAllAvailable()
+      val streamed = spark.table("sesspath_out")
+        .select($"user_id", $"session_id", $"session_start_us",
+          $"n_events", $"path")
+        .as[(Long, Long, Long, Long, String)].collect().toSet
+      // batch truth, minus each user's LAST session (still open)
+      val batchAll = graft.operators.EventOps.sessionPaths(ev, "user_id",
+          "ts", "event_id", "event_type", gapMinutes = 30)
+        .select($"user_id", $"session_id",
+          unix_micros($"session_start").as("start_us"),
+          $"n_events", $"path")
+        .as[(Long, Long, Long, Long, String)].collect()
+      val lastPerUser = batchAll.groupBy(_._1)
+        .map { case (u, rs) => u -> rs.map(_._2).max }
+      val wantClosed = batchAll
+        .filterNot(r => lastPerUser(r._1) == r._2).toSet
+      assert(streamed === wantClosed)
+      assert(streamed.nonEmpty)
+      // the second batch must have closed NEW sessions (seam exercised)
+      assert(afterA < streamed.size)
+    } finally q.stop()
+  }
+
   test("streaming transition deltas sum to the batch matrix across micro-batches") {
     // Two micro-batches split at the time median: the seam pair (last
     // event of batch A → first of batch B, per user) only exists if the

@@ -123,6 +123,9 @@ class PlanSpec extends SparkSpec {
       // docKeywords' 1-row corpus-count frame (idf's N) broadcast over
       // the (doc, token) tf table — the scalar-join shape again
       "q_doc_keywords",
+      // boilerplate's 1-row corpus-count frame (the ceil(frac·N)
+      // threshold) broadcast over the line-vocabulary df table
+      "q_boilerplate",
       // hardNegatives broadcasts the BOUNDED anchor set (≤ maxAnchors,
       // loudly guarded) over one corpus scan — a deliberate k-row
       // nested loop, the same shape as the query-vector scalar joins

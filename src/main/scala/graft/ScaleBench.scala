@@ -123,7 +123,12 @@ object ScaleBench {
     // line explode + line-vocab distinct/count + broadcast anti +
     // one doc-key reassembly shuffle; vocabulary ~×N under the
     // rotation (unique bodies), boilerplate set stays tiny — ~linear
-    "q_boilerplate")
+    "q_boilerplate",
+    // served-layout hard negatives: run 1 carries the memoized index
+    // build; the probe itself reads only the anchors' probed cell
+    // partitions, whose membership grows ~×N — ~linear with a small
+    // absolute (the q_ivf_topk shape)
+    "q_hard_negatives_ivf")
 
   def generate(spark: SparkSession, sfDir: String, outDir: String,
       scale: Int): (Long, Long) = {

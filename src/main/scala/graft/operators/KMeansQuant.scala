@@ -239,6 +239,61 @@ object KMeansQuant {
       .limit(k)
   }
 
+  /** Hard-negative mining over the SERVED cell layout — the 100 TB path
+    * of [[Similarity.hardNegatives]]: instead of scanning the full
+    * corpus per anchor batch, each anchor probes its `nprobe` nearest
+    * cells (exact integer centroid distance, driver-side) and only
+    * those cell PARTITIONS are read (PartitionFilters prune the rest),
+    * then the band filter + per-anchor bounded top-k run over the
+    * pruned candidates. Same trade as every IVF probe here: candidates
+    * outside the probed cells are unseen (recall < 1 near cell
+    * boundaries — raise nprobe), in exchange for I/O proportional to
+    * the probe, not the corpus. Deterministic end to end, so the
+    * DuckDB mirror reproduces the probed-cell computation exactly.
+    * Anchor vectors come from the caller (the application knows its
+    * anchors; fishing them out of the layout would scan every cell).
+    * Output: (anchor_id, idCol, cos, rank 1..k). */
+  def hardNegativesFromIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, m: Model, anchors: Seq[(Long, Seq[Double])],
+      k: Int, lo: Double, hi: Double, nprobe: Int,
+      idCol: String, vecCol: String, maxAnchors: Int = 1000): DataFrame = {
+    require(anchors.nonEmpty, "hardNegativesFromIndex needs anchors")
+    require(anchors.size <= maxAnchors,
+      s"hardNegativesFromIndex: ${anchors.size} anchors > bound " +
+        s"$maxAnchors — probe in batches (or raise maxAnchors knowingly)")
+    require(anchors.map(_._1).distinct.size == anchors.size,
+      "hardNegativesFromIndex: duplicate anchor ids")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi)")
+    require(k > 0 && nprobe > 0, s"need k > 0 and nprobe > 0")
+    graft.functions.VectorFunctions.register(spark)
+    import spark.implicits._
+    val probePairs = anchors.flatMap { case (aid, v) =>
+      require(v.length == m.dim,
+        s"anchor $aid dimension ${v.length} != model dimension ${m.dim}")
+      rankCells(m, quantizeVec(v), nprobe).map(c => (aid, c))
+    }
+    val touched = probePairs.map(_._2).distinct
+    val cand = graft.sources.PartitionedParquet.read(spark, path)
+      .filter(col("cell").isin(touched: _*))
+      .select(col(idCol), col(vecCol).cast("array<double>").as("__v"),
+        col("cell").cast("long").as("__cell"))
+    val probe = broadcast(probePairs.toDF("anchor_id", "__cell"))
+    val anchorVecs = broadcast(anchors.toDF("anchor_id", "__qa"))
+    val scored = cand.join(probe, Seq("__cell"))
+      .filter(col(idCol) =!= col("anchor_id"))
+      .join(anchorVecs, Seq("anchor_id"))
+      .withColumn("cos",
+        round(Similarity.cosineFast(col("__v"), col("__qa")), 6))
+      .filter(col("cos") >= lo && col("cos") < hi)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("anchor_id"))
+      .orderBy(col("cos").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("anchor_id"), col(idCol), col("cos"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** The model as a (cluster, dim, q) frame — dim is 1-BASED to match
     * SQL's generate_subscripts convention in the oracle mirror. */
   def centroidsDF(spark: org.apache.spark.sql.SparkSession,

@@ -120,6 +120,31 @@ object CorpusQueries extends QueryModule {
         idCol = "vec_id", vecCol = "embedding", excludeId = Some(0L))
     }),
 
+    // Hard-negative mining over the SERVED cell layout — the scale path
+    // of q_hard_negatives: each anchor probes its 2 nearest cells
+    // (exact integer centroid distance) and only those partitions are
+    // read; band + per-anchor top-k over the pruned candidates. The
+    // mirror reproduces the probed-cell computation exactly, so the
+    // recall-vs-nprobe trade is oracle-checked, not hand-waved.
+    "q_hard_negatives_ivf" -> ((s, d) => {
+      val m = model(s, d)
+      val path = ivfIndexCache.getOrElseUpdate(s, d) {
+        val p = graft.util.IndexPaths.fresh(d, "kmeans-ivf")
+        KMeansQuant.buildIndex(Tables.embeddings(s, d), "vec_id",
+          "embedding", m, p)
+        p
+      }
+      val anchors = Tables.embeddings(s, d)
+        .filter(col("vec_id").isin(0L, 1L, 2L))
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+        .toSeq.sortBy(_._1)
+      KMeansQuant.hardNegativesFromIndex(s, path, m, anchors,
+          k = 5, lo = 0.15, hi = 0.5, nprobe = 2,
+          idCol = "vec_id", vecCol = "embedding")
+        .orderBy(col("anchor_id"), col("rank"))
+    }),
+
     // SemDeDup (Abbas et al. 2023): near-dup pairs WITHIN each k-means
     // cell only — assignment row-local vs broadcast centroids, pair
     // search an equi-join on the cell id (Σ|cell|², never n²; no
@@ -1060,6 +1085,45 @@ object CorpusQueries extends QueryModule {
 
     // served layout must equal the in-plan filter form — same mirror
     "q_ivf_kmeans_served" -> ivfKmeansSql,
+
+    // served-layout hard negatives: per-anchor probed cells off the
+    // SAME unrolled-Lloyd centroids (integer cell ranking, rank ≤ 2),
+    // exact cosine band + per-anchor top-5 among probed members only —
+    // the probe trade itself is what the oracle checks
+    "q_hard_negatives_ivf" ->
+      s"""$kmeansCtes,
+         |aqd AS (SELECT vec_id AS anchor_id, i, q FROM dims
+         |        WHERE vec_id IN (0, 1, 2)),
+         |cellrank2 AS (
+         |  SELECT d.anchor_id, c.cluster,
+         |         sum((c.q - d.q) * (c.q - d.q)) AS d2
+         |  FROM c$ITERS c JOIN aqd d USING (i)
+         |  GROUP BY d.anchor_id, c.cluster),
+         |aprobe AS (SELECT anchor_id, cluster FROM (
+         |    SELECT anchor_id, cluster,
+         |           row_number() OVER (PARTITION BY anchor_id
+         |             ORDER BY d2, cluster) AS rn
+         |    FROM cellrank2) WHERE rn <= 2),
+         |ae AS (SELECT vec_id AS anchor_id, embedding::DOUBLE[] AS av
+         |       FROM embeddings WHERE vec_id IN (0, 1, 2)),
+         |acands AS (
+         |  SELECT p.anchor_id, e.vec_id, e.embedding::DOUBLE[] AS v
+         |  FROM embeddings e
+         |  JOIN afin a ON e.vec_id = a.vec_id
+         |  JOIN aprobe p ON a.cluster = p.cluster
+         |  WHERE e.vec_id <> p.anchor_id),
+         |ascore AS (
+         |  SELECT c.anchor_id, c.vec_id,
+         |    round(list_dot_product(v, av)
+         |      / (sqrt(list_dot_product(v, v))
+         |         * sqrt(list_dot_product(av, av))), 6) AS cos
+         |  FROM acands c JOIN ae USING (anchor_id)),
+         |ar AS (SELECT anchor_id, vec_id, cos,
+         |    row_number() OVER (PARTITION BY anchor_id
+         |      ORDER BY cos DESC, vec_id) AS rank
+         |  FROM ascore WHERE cos >= 0.15 AND cos < 0.5)
+         |SELECT anchor_id, vec_id, cos, CAST(rank AS BIGINT) AS rank
+         |FROM ar WHERE rank <= 5 ORDER BY anchor_id, rank""".stripMargin,
 
     "q_bigram_nll" ->
       s"""WITH toks AS (

@@ -134,6 +134,54 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("hardNegativesFromIndex == brute force restricted to probed cells") {
+    import graft.operators.KMeansQuant
+    val emb = Tables.embeddings(spark, sf001)
+    val m = KMeansQuant.fit(emb, "vec_id", "embedding", k = 4, iters = 2)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-hnidx").toString + "/idx"
+    KMeansQuant.buildIndex(emb, "vec_id", "embedding", m, path)
+    val anchors = emb.filter($"vec_id".isin(0L, 1L, 2L))
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
+    val (lo, hi, k, nprobe) = (0.15, 0.5, 5, 2)
+    val got = KMeansQuant.hardNegativesFromIndex(spark, path, m, anchors,
+        k, lo, hi, nprobe, "vec_id", "embedding")
+      .select($"anchor_id", $"vec_id", $"cos", $"rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    // brute force over ONLY the vectors assigned to each anchor's
+    // probed cells — the trade the served form makes, verified exactly
+    val cells = KMeansQuant.assign(emb, "vec_id", "embedding", m)
+      .select($"vec_id", $"cluster").as[(Long, Long)].collect().toMap
+    val all = emb.select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    def cosd(a: Seq[Double], b: Seq[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      BigDecimal(d / (math.sqrt(a.map(x => x * x).sum) *
+          math.sqrt(b.map(x => x * x).sum)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val want = anchors.flatMap { case (aid, av) =>
+      val probed = m.centroids.zipWithIndex.map { case (c, i) =>
+        (i.toLong, c.zip(KMeansQuant.quantizeVec(av))
+          .map { case (x, y) => (x - y) * (x - y) }.sum)
+      }.sortBy { case (i, d2) => (d2, i) }.take(nprobe).map(_._1).toSet
+      all.filter { case (id, _) => id != aid && probed(cells(id)) }
+        .map { case (id, v) => (id, cosd(av, v)) }
+        .filter { case (_, c) => c >= lo && c < hi }
+        .sortBy { case (id, c) => (-c, id) }.take(k).zipWithIndex
+        .map { case ((id, c), i) => (aid, id, c, (i + 1).toLong) }
+    }.toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+    // the served read is partition-pruned to the probed cells
+    val plan = KMeansQuant.hardNegativesFromIndex(spark, path, m, anchors,
+      k, lo, hi, nprobe, "vec_id", "embedding")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("cell#"),
+      s"expected cell partition pruning on the index scan:\n$plan")
+  }
+
   test("nearDupPairs guard fires beyond maxExactRows, passes under it") {
     val rnd = new scala.util.Random(7)
     val df = (0L until 20L).map(i => (i, Seq.fill(8)(rnd.nextGaussian())))

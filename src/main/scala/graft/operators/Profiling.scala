@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** One-pass column profiling: per-column null counts, exact distinct
@@ -105,6 +105,61 @@ object Profiling {
           * log(arg) * lit(1e9)).cast("long"))
       .agg(max(col("n")).as("n_rows"), count(lit(1)).as("n_cells"),
         round(sum(col("t")).cast("double") / lit(1e9), 6).as("mi_nats"))
+  }
+
+  /** Zipf-law slope of the token frequency distribution — the corpus
+    * health diagnostic LLM pipelines run on every ingest: natural text
+    * follows freq ∝ rank^(−α) with α ≈ 1; a slope far from −1 flags
+    * template spam (too steep — a few tokens dominate) or synthetic
+    * noise (too flat). OLS of ln(freq) on ln(rank) over the top
+    * `topK` tokens (ties rank by token ascending, so the fit is
+    * deterministic): slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²).
+    *
+    * Cross-engine arithmetic: per-row transcendental terms (x, y, xy,
+    * x²) quantize onto the 1e-9 grid and sum as exact integers (the
+    * mutualInformation discipline — ln parity is the only float
+    * dependence, shared with every NLL/BM25 mirror); the closing slope
+    * division happens once in double. Scale shape: one wordcount
+    * aggregate, top-K = TakeOrderedAndProject, the fit over K rows.
+    * Returns one row: (n_tokens, slope rounded 6, intercept rounded 6). */
+  def zipfSlope(docs: DataFrame, textCol: String = "text",
+      topK: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topK >= 2, s"zipfSlope needs topK >= 2, got $topK")
+    val counts = docs
+      .select(explode(TokenOps.tokenize(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(topK)
+    val ranked = counts.withColumn("rank",
+      row_number().over(Window.orderBy(col("freq").desc, col("token"))))
+    def grid(c: Column) = round(c * lit(1e9)).cast("long")
+    val x = log(col("rank").cast("double"))
+    val y = log(col("freq").cast("double"))
+    val terms = ranked.select(
+      grid(x).as("gx"), grid(y).as("gy"),
+      grid(x * y).as("gxy"), grid(x * x).as("gxx"))
+    terms
+      .agg(count(lit(1)).as("n"), sum(col("gx")).as("sx"),
+        sum(col("gy")).as("sy"), sum(col("gxy")).as("sxy"),
+        sum(col("gxx")).as("sxx"))
+      .select(col("n").as("n_tokens"),
+        round((col("n").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double") / lit(1e9)) /
+          (col("n").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double") / lit(1e9)),
+          6).as("slope"),
+        // association pinned as slope * (sx/n) — the mirror's exact
+        // IEEE tree (the long sums exceed 2^53 after multiplication,
+        // so a 1-ulp association difference could flip the 6dp round)
+        round((col("sy").cast("double") / col("n").cast("double") -
+            ((col("n").cast("double") * col("sxy").cast("double") -
+              col("sx").cast("double") * col("sy").cast("double") / lit(1e9)) /
+             (col("n").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double") / lit(1e9)))
+            * (col("sx").cast("double") / col("n").cast("double"))) / lit(1e9),
+          6).as("intercept"))
   }
 
   /** Binned text-length histogram (the `preprocessing.py:78,137` chart

@@ -204,6 +204,13 @@ object TokenQueries extends QueryModule {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("split"), col("lang"))),
 
+    // Zipf-law slope over the top-100 token frequencies
+    // (Profiling.zipfSlope): the corpus-health diagnostic — natural
+    // text reads α ≈ −1; template spam too steep, synthetic noise too
+    // flat. OLS terms on the 1e-9 integer grid, one double close.
+    "q_zipf_slope" -> ((s, d) =>
+      graft.operators.Profiling.zipfSlope(Tables.documents(s, d))),
+
     // Per-document tf·idf keywords (operators/Keywords): top-3 terms per
     // doc by tf·ln((N+1)/(df+1)) on the 1e-9 grid, df >= 2, ties by
     // token — the labeling/routing primitive. One wordcount aggregate +
@@ -803,6 +810,46 @@ object TokenQueries extends QueryModule {
          |FROM documents
          |GROUP BY split, lang ORDER BY split, lang""".stripMargin
     },
+
+    // zipfSlope mirror: same top-100 cut, same 1e-9-grid OLS terms,
+    // same closing double chain (explicit parens pin associativity —
+    // the long sums exceed 2^53 once multiplied, so both engines must
+    // run the IDENTICAL IEEE expression tree)
+    "q_zipf_slope" ->
+      s"""WITH toks AS (SELECT
+         |    unnest(regexp_split_to_array(lower(text), '$wsSql')) AS token
+         |  FROM documents),
+         |counts AS (SELECT token, count(*) AS freq FROM toks
+         |           WHERE token <> '' GROUP BY token
+         |           ORDER BY freq DESC, token LIMIT 100),
+         |ranked AS (SELECT freq,
+         |    row_number() OVER (ORDER BY freq DESC, token) AS rank
+         |  FROM counts),
+         |terms AS (SELECT
+         |    CAST(round(ln(CAST(rank AS DOUBLE)) * 1e9) AS BIGINT) AS gx,
+         |    CAST(round(ln(CAST(freq AS DOUBLE)) * 1e9) AS BIGINT) AS gy,
+         |    CAST(round(ln(CAST(rank AS DOUBLE)) * ln(CAST(freq AS DOUBLE))
+         |         * 1e9) AS BIGINT) AS gxy,
+         |    CAST(round(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE))
+         |         * 1e9) AS BIGINT) AS gxx
+         |  FROM ranked),
+         |s AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(gx) AS sx,
+         |             sum(gy) AS sy, sum(gxy) AS sxy, sum(gxx) AS sxx
+         |      FROM terms)
+         |SELECT n AS n_tokens,
+         |  round(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE))
+         |      - ((CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / 1e9))
+         |    / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE))
+         |      - ((CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / 1e9)), 6)
+         |    AS slope,
+         |  round(((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+         |    - ((((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE))
+         |        - ((CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / 1e9))
+         |      / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE))
+         |        - ((CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / 1e9)))
+         |      * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))) / 1e9, 6)
+         |    AS intercept
+         |FROM s""".stripMargin,
 
     // docKeywords mirror: the same tf / df / add-one idf double chain,
     // quantized to the integer grid before the per-doc rank

@@ -87,4 +87,47 @@ class SeriesStatsSpec extends SparkSpec {
     assert(got._1 === rows.length.toLong && got._2 === cells.size.toLong)
     assert(math.abs(got._3 - want) < 5e-7, s"got ${got._3}, want $want")
   }
+
+  test("zipf slope: an exact power law reads its exponent; driver parity") {
+    import graft.operators.Profiling
+    // a synthetic corpus whose top tokens follow freq = round(1000/rank)
+    // exactly: the fitted slope must sit near -1 (grid/rounding noise
+    // only — freq quantizes to integers)
+    val words = (1 to 20).flatMap { r =>
+      Seq.fill(math.round(1000.0 / r).toInt)(s"w${"%02d".format(r)}")
+    }
+    val docs = words.grouped(50).map(_.mkString(" ")).toSeq
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val (n, slope, icpt) = Profiling.zipfSlope(docs, "text", topK = 20)
+      .as[(Long, Double, Double)].head()
+    assert(n === 20L)
+    assert(math.abs(slope - (-1.0)) < 0.01, s"slope $slope")
+    // driver brute force of the identical grid arithmetic
+    val freqs = (1 to 20).map(r => math.round(1000.0 / r)).sorted.reverse
+    def g(v: Double) = math.round(v * 1e9)
+    val terms = freqs.zipWithIndex.map { case (f, i) =>
+      val x = math.log((i + 1).toDouble); val y = math.log(f.toDouble)
+      (g(x), g(y), g(x * y), g(x * x))
+    }
+    val (sx, sy, sxy, sxx) = (terms.map(_._1).sum, terms.map(_._2).sum,
+      terms.map(_._3).sum, terms.map(_._4).sum)
+    val nn = 20.0
+    val wantSlope = (nn * sxy - sx.toDouble * sy.toDouble / 1e9) /
+      (nn * sxx - sx.toDouble * sx.toDouble / 1e9)
+    assert(slope === BigDecimal(wantSlope)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val wantIcpt = (sy / nn - wantSlope * (sx / nn)) / 1e9
+    assert(math.abs(icpt - wantIcpt) < 1e-5)
+    // and the real fixture reads Zipf-ish: negative, in a sane band
+    val (fn, fslope, _) = Profiling
+      .zipfSlope(Tables.documents(spark, sf001), "text")
+      .as[(Long, Double, Double)].head()
+    // the sf0.001 fixture's whole vocabulary is < topK — the cut keeps
+    // what exists (31 tokens at this scale), and its SYNTHETIC text is
+    // near-uniform over that vocabulary (slope ≈ −0.18): the diagnostic
+    // correctly reads "not natural text" — exactly the flat-corpus flag
+    // the operator exists to raise. Sanity: negative and bounded.
+    assert(fn >= 20L)
+    assert(fslope < 0.0 && fslope > -3.0, s"fixture slope $fslope")
+  }
 }

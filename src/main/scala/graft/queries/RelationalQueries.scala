@@ -556,6 +556,180 @@ object RelationalQueries extends QueryModule {
         .limit(20)
     }),
 
+    // TPC-H Q7 shape (volume shipping between two nations): the
+    // bidirectional nation-pair filter rides the two BROADCAST nation
+    // dimension joins as a post-join residual over broadcast-local
+    // columns — the fact table shuffles only for its three equi-joins,
+    // and the ship-date range pushes to the lineitem scan. Revenue per
+    // (supp_nation, cust_nation, year) on the exact 1e-4 grid.
+    "q_volume_shipping" -> ((s, d) => {
+      val n1 = broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+      val n2 = broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation")))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1999-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("2001-01-01").cast("timestamp"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(n1, col("s_nationkey") === col("s_nk"))
+        .join(n2, col("c_nationkey") === col("c_nk"))
+        .filter((col("supp_nation") === "NATION_1" &&
+            col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" &&
+            col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(dollars(sum(revenueTerm), 1e4).as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
+    // TPC-H Q8 shape (national market share): the 7-table star —
+    // lineitem joins part (PROMO filter pushed to the part scan, the
+    // most selective leg first), orders (date-bounded), customer,
+    // supplier, region-restricted customer nation, and the supplier
+    // nation whose share is measured. share = NATION_5's revenue over
+    // all revenue per year: both sums exact decimal on the 1e-4 grid,
+    // ONE double division at the end (round 6).
+    "q_market_share" -> ((s, d) => {
+      val custNation = broadcast(Tables.nation(s, d)
+        .join(Tables.region(s, d).filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("c_nk")))
+      val suppNation = broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d).filter(col("p_type") === "PROMO")
+          .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("2001-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(custNation, col("c_nationkey") === col("c_nk"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(suppNation, col("s_nationkey") === col("s_nk"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(round(
+          sum(when(col("supp_nation") === "NATION_5", revenueTerm)
+            .otherwise(lit(0).cast("decimal(20,0)"))).cast("double") /
+            sum(revenueTerm).cast("double"), 6).as("mkt_share"))
+        .orderBy(col("o_year"))
+    }),
+
+    // TPC-H Q14 shape (promotion effect): one ship-month of lineitem
+    // joined to part, promo revenue as a percentage of total — the
+    // conditional-aggregate ratio. The month filter pushes to the fact
+    // scan; part joins broadcast-shaped (vocabulary-sized dimension);
+    // both sums exact decimal, one division at the close.
+    "q_promo_revenue" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1999-09-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1999-10-01").cast("timestamp"))
+        .join(broadcast(Tables.part(s, d)
+          .select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .agg(round(lit(100.0) *
+          sum(when(col("p_type") === "PROMO", revenueTerm)
+            .otherwise(lit(0).cast("decimal(20,0)"))).cast("double") /
+          sum(revenueTerm).cast("double"), 6).as("promo_pct"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // TPC-H Q15 shape (top supplier): quarterly revenue per supplier,
+    // then every supplier tied at the GLOBAL max — the correlated
+    // max-subquery, decorrelated to a 1-row broadcast scalar join over
+    // the supplier-sized aggregate (the q_sales_opportunity shape).
+    // Max-equality is EXACT because revenue stays on the integer 1e-4
+    // grid until the final presentation division.
+    "q_top_supplier" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1999-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1999-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(revenueTerm).as("rev4"))
+      val mx = rev.agg(max(col("rev4")).as("mx4"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("rev4") === col("mx4"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          dollars(col("rev4"), 1e4).as("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // TPC-H Q19 shape (discounted revenue, disjunctive predicates): the
+    // equi-join on partkey carries an OR-of-ANDs residual mixing both
+    // sides' columns (brand × quantity-band × size-band) — the classic
+    // "join key plus disjunctive filter" plan: Catalyst must keep the
+    // equi-key (hash join, never nested-loop) and evaluate the residual
+    // post-match. Single-row output on the exact grid.
+    "q_disjunctive_revenue" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"))
+      val p = broadcast(Tables.part(s, d)
+        .select(col("p_partkey"), col("p_brand"), col("p_size")))
+      li.join(p, col("l_partkey") === col("p_partkey") && (
+          (col("p_brand") === "Brand#12" &&
+            col("l_quantity").between(1, 11) && col("p_size").between(1, 5)) ||
+          (col("p_brand") === "Brand#23" &&
+            col("l_quantity").between(10, 20) && col("p_size").between(1, 10)) ||
+          (col("p_brand") === "Brand#34" &&
+            col("l_quantity").between(20, 30) && col("p_size").between(1, 15))))
+        .agg(dollars(sum(revenueTerm), 1e4).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // TPC-H Q9 shape (product-type profit by nation and year), adapted
+    // to this schema's columns: with no partsupp table, supply cost is
+    // proxied as 60% of the part's retail price per unit — the JOIN
+    // TOPOLOGY (fact × part × supplier × orders × nation, grouped by
+    // nation × year) is the point, not the cost constant. Profit stays
+    // exact on a 1e-5 grid: 10·revenue_1e4 − 6·price_cents·qty_cents,
+    // summed as decimal, divided once.
+    "q_nation_profit" -> ((s, d) => {
+      val profitTerm = (revenueTerm * lit(10L) -
+        (cents(col("p_retailprice")) * cents(col("l_quantity")) * lit(6L))
+          .cast("decimal(20,0)")).cast("decimal(38,0)")
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)
+            .filter(col("p_type") === "ECONOMY")
+            .select(col("p_partkey"), col("p_retailprice"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(round(sum(profitTerm).cast("double") / 1e5, 2)
+          .as("profit"))
+        .orderBy(col("n_name"), col("o_year").desc)
+    }),
+
+    // TPC-H Q12 shape (shipping-delay priority audit), adapted: with no
+    // l_shipmode column, lines bucket by ship DELAY (days from order to
+    // ship — the operational quantity shipmode proxies), counting
+    // critical-priority vs other orders per bucket. One fact-dimension
+    // equi-join, delay arithmetic row-local on the day grid, conditional
+    // counts in one aggregate pass.
+    "q_ship_delay_priority" -> ((s, d) => {
+      val delay = datediff(col("l_shipdate").cast("date"),
+        col("o_orderdate").cast("date"))
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(
+          when(delay < 30, "0-fast").when(delay <= 90, "1-normal")
+            .otherwise("2-slow").as("delay_bucket"),
+          (col("o_orderpriority") === "1-URGENT" ||
+            col("o_orderpriority") === "2-HIGH").as("crit"))
+        .groupBy(col("delay_bucket"))
+        .agg(count(when(col("crit"), 1)).as("high_line_count"),
+          count(when(!col("crit"), 1)).as("low_line_count"))
+        .orderBy(col("delay_bucket"))
+    }),
+
     // Weighted sampling without replacement (Efraimidis–Spirakis A-ES,
     // operators/Sampling.weightedSample): 100 orders drawn with
     // inclusion probability ∝ o_totalprice. The draw u derives from
@@ -1478,6 +1652,101 @@ object RelationalQueries extends QueryModule {
         |  AND o_orderdate < TIMESTAMP '1996-04-01'
         |GROUP BY c_custkey, c_name, c_acctbal, n_name, c_mktsegment
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q_volume_shipping" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(sum($revenueTermSql) AS DOUBLE) / 1e4 AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+        |  AND l_shipdate < TIMESTAMP '2001-01-01'
+        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "q_market_share" ->
+      s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  round(CAST(sum(CASE WHEN ns.n_name = 'NATION_5'
+        |      THEN $revenueTermSql ELSE CAST(0 AS DECIMAL(20,0)) END)
+        |    AS DOUBLE) / CAST(sum($revenueTermSql) AS DOUBLE), 6)
+        |    AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation nc ON c_nationkey = nc.n_nationkey
+        |JOIN region ON nc.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ns ON s_nationkey = ns.n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+        |  AND o_orderdate < TIMESTAMP '2001-01-01'
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    "q_promo_revenue" ->
+      s"""SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+        |      THEN $revenueTermSql ELSE CAST(0 AS DECIMAL(20,0)) END)
+        |    AS DOUBLE) / CAST(sum($revenueTermSql) AS DOUBLE), 6)
+        |    AS promo_pct,
+        |  CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1999-09-01'
+        |  AND l_shipdate < TIMESTAMP '1999-10-01'""".stripMargin,
+
+    "q_top_supplier" ->
+      s"""WITH rev AS (
+        |  SELECT l_suppkey, sum($revenueTermSql) AS rev4
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+        |    AND l_shipdate < TIMESTAMP '1999-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name,
+        |  CAST(rev4 AS DOUBLE) / 1e4 AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev4 = (SELECT max(rev4) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q_disjunctive_revenue" ->
+      s"""SELECT CAST(sum($revenueTermSql) AS DOUBLE) / 1e4 AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11
+        |       AND p_size BETWEEN 1 AND 5)
+        |   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20
+        |       AND p_size BETWEEN 1 AND 10)
+        |   OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30
+        |       AND p_size BETWEEN 1 AND 15)""".stripMargin,
+
+    "q_nation_profit" ->
+      s"""SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  round(CAST(sum(CAST($revenueTermSql * 10
+        |      - ${centsSql("p_retailprice")} * ${centsSql("l_quantity")} * 6
+        |      AS DECIMAL(38,0))) AS DOUBLE) / 1e5, 2) AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name, o_year
+        |ORDER BY n_name, o_year DESC""".stripMargin,
+
+    "q_ship_delay_priority" ->
+      """SELECT CASE WHEN datediff('day', CAST(o_orderdate AS DATE),
+        |                 CAST(l_shipdate AS DATE)) < 30 THEN '0-fast'
+        |            WHEN datediff('day', CAST(o_orderdate AS DATE),
+        |                 CAST(l_shipdate AS DATE)) <= 90 THEN '1-normal'
+        |            ELSE '2-slow' END AS delay_bucket,
+        |  CAST(count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 END) AS BIGINT) AS high_line_count,
+        |  CAST(count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY delay_bucket ORDER BY delay_bucket""".stripMargin,
 
     "q_winsorize" ->
       s"""WITH li AS (

@@ -100,6 +100,9 @@ class PlanSpec extends SparkSpec {
       // Q22's (Σbal, n) average-threshold row — the same 1-row scalar
       // broadcast; the anti join itself stays an equi-join
       "q_sales_opportunity",
+      // Q15's 1-row global-max revenue row broadcast over the
+      // supplier-sized aggregate — the same no-join-key scalar shape
+      "q_top_supplier",
       // the degenerate short-string bucket (strings < q·d chars, where
       // no exact gram filter exists) plans its length-banded non-equi
       // pairing as a nested loop — EMPTY on this corpus (min name length

@@ -232,4 +232,33 @@ object EventOps {
       .select(col(key), col("n_events"), col("cp.i").as("cp_pos"),
         col(s"cp.$tiebreak").as("cp_id"), col("cusum_stat"))
   }
+
+  /** Exponentially time-decayed value sum per key, as of a FIXED
+    * reference instant: score = Σ value·exp(−age/τ) — the recency-
+    * weighted popularity/engagement aggregate (feature stores, trending
+    * rankers, freshness-weighted corpus mixing). `asOf` is an explicit
+    * parameter, not max(ts): a data-derived reference would re-weight
+    * every historical score each ingest tick AND need a global scalar
+    * join; a pinned as-of keeps scores immutable and the plan one
+    * map-side-combined aggregate.
+    *
+    * Determinism across engines: age rides the exact micros grid (the
+    * module's epoch-integer discipline) into ONE fixed-shape double
+    * expression `(Δus / 86400e6) / τ` (each step correctly rounded, so
+    * bit-identical on both engines); the weight exp(−age) quantizes to
+    * the 1e-9 integer grid (UnigramLM's −ln p discipline); the per-row
+    * product cents·w_nano is exact integer (≤1e13, inside the long),
+    * summed as decimal, divided once at the close. */
+  def decayScore(df: DataFrame, key: String, ts: Column, value: Column,
+      asOf: String, tauDays: Double = 7.0): DataFrame = {
+    require(tauDays > 0.0, s"decayScore needs tau > 0, got $tauDays")
+    val ageDays = (unix_micros(lit(asOf).cast("timestamp")) -
+      unix_micros(ts)).cast("double") / lit(86400e6)
+    val wNano = round(exp(-(ageDays / lit(tauDays))) * lit(1e9)).cast("long")
+    df.groupBy(col(key))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum((graft.functions.Money.cents(value) * wNano)
+          .cast("decimal(38,0)")).cast("double") / lit(1e11), 6)
+          .as("decay_score"))
+  }
 }

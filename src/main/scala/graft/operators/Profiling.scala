@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** One-pass column profiling: per-column null counts, exact distinct
@@ -190,4 +191,28 @@ object Profiling {
         percentile_approx(col("len"), lit(0.5), lit(10000)).as("median"),
         percentile_approx(col("len"), lit(0.75), lit(10000)).as("q3"),
         max(col("len")).as("max"))
+
+  /** Benford first-digit audit of a positive money column: observed vs
+    * expected leading-digit frequency — the standard fabricated-data /
+    * broken-ingest screen (synthetic or truncated amounts flatten the
+    * log-law; natural multiplicative data follows it). The leading digit
+    * comes from the EXACT cents integer's decimal string — never from
+    * floor(log10(x)), whose 1-ulp libm wobble at exact powers of ten
+    * flips the digit on one engine and not the other. One digit-keyed
+    * aggregate (≤9 groups, map-side combined) plus a 9-row window for
+    * the total; expected freq log10(1+1/d) is a 9-value table whose
+    * round-6 images sit far from .5e-6 boundaries (verified), so the
+    * in-engine log10 is cross-engine safe AFTER rounding. */
+  def benfordDigits(df: DataFrame, amount: Column): DataFrame = {
+    val c = graft.functions.Money.cents(amount)
+    df.filter(c > 0)
+      .groupBy(substring(c.cast("string"), 1, 1).cast("long").as("digit"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("digit"), col("n"),
+        round(col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy()).cast("double"), 6)
+          .as("obs_freq"),
+        round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")), 6)
+          .as("exp_freq"))
+  }
 }

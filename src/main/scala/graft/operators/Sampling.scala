@@ -100,6 +100,44 @@ object Sampling {
         .otherwise("train")) // includes NULL keys: h NULL fails both <
   }
 
+  /** Deterministic K-FOLD assignment for cross-validation: fold i gets
+    * the hex-key band [i/k, (i+1)/k) — the [[hashSplit3]] contract
+    * generalized to k equal bands. Exactly-partitioning (every row in
+    * exactly one fold, NULL keys in the last band via the otherwise),
+    * stable under repartitioning and corpus growth, pure function of
+    * `key` content — so fold membership survives re-runs, engine
+    * versions, and appended data, which `randomSplit`-per-fold cannot
+    * promise. Key on a GROUP id (canonical doc id, user id) for
+    * leakage-safe CV: all of a group's rows share its hash, hence its
+    * fold. One row-local when-chain; the engine never shuffles. */
+  def kFoldAssign(df: DataFrame, key: Column, k: Int, seed: Long = 42L,
+      foldCol: String = "fold"): DataFrame = {
+    require(k >= 2 && k <= 64, s"kFoldAssign needs 2 <= k <= 64, got $k")
+    require(!df.columns.contains(foldCol),
+      s"kFoldAssign: input already has a '$foldCol' column")
+    val h = substring(md5(concat(lit(seed.toString), lit(":"), key)),
+      1, HexDigits)
+    val assigned = (1 until k).foldLeft(Option.empty[Column]) { (acc, i) =>
+      val t = hexThreshold(i.toDouble / k)
+      val branch = lit((i - 1).toLong)
+      Some(acc match {
+        case None => when(h < lit(t), branch)
+        case Some(c) => c.when(h < lit(t), branch)
+      })
+    }
+    df.withColumn(foldCol, assigned.get.otherwise(lit((k - 1).toLong)))
+  }
+
+  /** The [[kFoldAssign]] fold expression as DuckDB SQL over `keyExpr`,
+    * for oracle mirrors — one threshold list, two engines. */
+  def kFoldSql(keyExpr: String, k: Int, seed: Long = 42L): String = {
+    val h = s"substr(md5('$seed:' || $keyExpr), 1, $HexDigits)"
+    val whens = (1 until k).map { i =>
+      s"WHEN $h < '${hexThreshold(i.toDouble / k)}' THEN ${i - 1}"
+    }.mkString(" ")
+    s"CAST(CASE $whens ELSE ${k - 1} END AS BIGINT)"
+  }
+
   /** LEAKAGE-SAFE split: train/test membership decided per duplicate
     * GROUP, not per row — every near-dup cluster lands whole on one
     * side. [[hashSplit]] on raw ids is wrong for training corpora: a

@@ -263,6 +263,16 @@ object EventQueries extends QueryModule {
         .orderBy(col("user_id"), col("hour"))
     }),
 
+    // Recency-weighted engagement (EventOps.decayScore): per-user
+    // Σ value·exp(−age/7d) as of a pinned reference instant — the
+    // trending/feature-store aggregate. Age on the exact micros grid,
+    // weight on the 1e-9 nano grid, value on the cents grid; one
+    // map-side-combined aggregate, no window, no scalar join.
+    "q_decay_score" -> ((s, d) =>
+      graft.operators.EventOps.decayScore(Tables.events(s, d),
+          "user_id", col("ts"), col("value"), asOf = "2024-02-01")
+        .orderBy(col("user_id"))),
+
     // Navigation window family over one (user, ts, event_id) sort:
     // lag/lead of the exact-cents value, ntile quartile, percent_rank.
     // All four share a single Window spec — one shuffle, one sort.
@@ -1163,6 +1173,23 @@ object EventQueries extends QueryModule {
         |SELECT user_id,
         |  round(CAST(wv AS DOUBLE) / CAST(dur AS DOUBLE) / 100.0, 6) AS twap,
         |  CAST(dur AS BIGINT) AS held_us
-        |FROM agg ORDER BY user_id""".stripMargin
+        |FROM agg ORDER BY user_id""".stripMargin,
+
+    // decayScore mirror: the IDENTICAL fixed-shape double chain
+    // ((Δus/86400e6)/τ — every step correctly rounded, bit-equal both
+    // engines) into the 1e-9 weight grid; cents·w_nano exact integer,
+    // decimal sum, one close
+    "q_decay_score" ->
+      s"""WITH ev AS (
+        |  SELECT user_id,
+        |    ${graft.functions.Money.centsSql("value")} AS cents,
+        |    CAST(round(exp(-((CAST(epoch_us(TIMESTAMP '2024-02-01')
+        |        - epoch_us(ts) AS DOUBLE) / 86400000000.0) / 7.0)) * 1e9)
+        |      AS BIGINT) AS wnano
+        |  FROM events)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  round(CAST(sum(CAST(cents * wnano AS HUGEINT)) AS DOUBLE)
+        |    / 1e11, 6) AS decay_score
+        |FROM ev GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

@@ -730,6 +730,16 @@ object RelationalQueries extends QueryModule {
         .orderBy(col("delay_bucket"))
     }),
 
+    // Benford first-digit audit (Profiling.benfordDigits): leading-digit
+    // frequency of order totals vs the log-law expectation — the
+    // fabricated-data / broken-ingest screen. Digit from the exact cents
+    // integer's decimal string (log10-free extraction); a ≤9-group
+    // aggregate plus a 9-row total window — nothing corpus-shaped.
+    "q_benford" -> ((s, d) =>
+      graft.operators.Profiling.benfordDigits(
+          Tables.orders(s, d), col("o_totalprice"))
+        .orderBy(col("digit"))),
+
     // Weighted sampling without replacement (Efraimidis–Spirakis A-ES,
     // operators/Sampling.weightedSample): 100 orders drawn with
     // inclusion probability ∝ o_totalprice. The draw u derives from
@@ -1747,6 +1757,19 @@ object RelationalQueries extends QueryModule {
         |    THEN 1 END) AS BIGINT) AS low_line_count
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY delay_bucket ORDER BY delay_bucket""".stripMargin,
+
+    "q_benford" ->
+      s"""WITH d AS (
+        |  SELECT CAST(substr(CAST(${centsSql("o_totalprice")} AS VARCHAR),
+        |    1, 1) AS BIGINT) AS digit
+        |  FROM orders WHERE ${centsSql("o_totalprice")} > 0),
+        |g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n
+        |      FROM d GROUP BY digit)
+        |SELECT digit, n,
+        |  round(CAST(n AS DOUBLE)
+        |    / CAST(sum(n) OVER () AS DOUBLE), 6) AS obs_freq,
+        |  round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS exp_freq
+        |FROM g ORDER BY digit""".stripMargin,
 
     "q_winsorize" ->
       s"""WITH li AS (

@@ -204,6 +204,34 @@ object TokenQueries extends QueryModule {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("split"), col("lang"))),
 
+    // Deterministic k-fold CV assignment (Sampling.kFoldAssign): five
+    // equal hex bands of the content hash — exactly-partitioning,
+    // stable under repartitioning/growth, leakage-safe when keyed on a
+    // group id. Per-(fold, lang) counts verify all four thresholds and
+    // the remainder band against the mirror's identical CASE chain.
+    "q_kfold_assign" -> ((s, d) =>
+      graft.operators.Sampling.kFoldAssign(
+          Tables.documents(s, d), col("text"), k = 5)
+        .groupBy(col("fold"), col("lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("fold"), col("lang"))),
+
+    // Per-slice model-quality audit: language-ID accuracy BY SOURCE —
+    // the sliced-eval loop every corpus curation runs before trusting a
+    // classifier's labels corpus-wide (a 95% global accuracy can hide a
+    // 40% slice). Shares LangId.detectText with q_lang_id; one
+    // source-keyed aggregate over the scan-stage argmax.
+    "q_slice_metrics" -> ((s, d) => {
+      val correct = (col("lang") === LangId.detectText(col("text")))
+      Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          count(when(correct, 1)).as("n_correct"),
+          round(count(when(correct, 1)).cast("double") /
+            count(lit(1)).cast("double"), 6).as("accuracy"))
+        .orderBy(col("source"))
+    }),
+
     // Zipf-law slope over the top-100 token frequencies
     // (Profiling.zipfSlope): the corpus-health diagnostic — natural
     // text reads α ≈ −1; template spam too steep, synthetic noise too
@@ -809,6 +837,39 @@ object TokenQueries extends QueryModule {
          |  lang, CAST(count(*) AS BIGINT) AS n
          |FROM documents
          |GROUP BY split, lang ORDER BY split, lang""".stripMargin
+    },
+
+    // kFoldAssign mirror: the identical hex-band CASE chain off the
+    // shared hexThreshold constants (Sampling.kFoldSql — one threshold
+    // list, two engines)
+    "q_kfold_assign" ->
+      s"""SELECT ${graft.operators.Sampling.kFoldSql("text", 5)} AS fold,
+         |  lang, CAST(count(*) AS BIGINT) AS n
+         |FROM documents
+         |GROUP BY fold, lang ORDER BY fold, lang""".stripMargin,
+
+    // sliced language-ID accuracy: the q_lang_id marker-argmax mirror,
+    // re-aggregated per source with the declared-lang agreement rate
+    "q_slice_metrics" -> {
+      val langs = LangId.markers.keys.toSeq.sorted
+      val scores = langs.map { l =>
+        s"count(*) FILTER (WHERE token IN (${TokenOps.sqlList(LangId.markers(l))})) AS s_$l"
+      }.mkString(",\n    ")
+      val structs =
+        langs.map(l => s"{'s': coalesce(s_$l, 0), 'lang': '$l'}").mkString(", ")
+      s"""WITH sc AS (SELECT doc_id,
+         |    $scores
+         |  FROM ($toksSql) GROUP BY doc_id),
+         |pred AS (SELECT d.source, d.lang,
+         |    CASE WHEN list_max([$structs]).s > 0
+         |      THEN list_max([$structs]).lang ELSE 'und' END AS lang_pred
+         |  FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(count(CASE WHEN lang = lang_pred THEN 1 END) AS BIGINT)
+         |    AS n_correct,
+         |  round(CAST(count(CASE WHEN lang = lang_pred THEN 1 END)
+         |      AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS accuracy
+         |FROM pred GROUP BY source ORDER BY source""".stripMargin
     },
 
     // zipfSlope mirror: same top-100 cut, same 1e-9-grid OLS terms,

@@ -191,6 +191,40 @@ object EventStream {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming twin of [[graft.operators.EventOps.decayScore]]: the
+    * running recency-weighted score per user, updated each micro-batch.
+    *
+    * The pinned as-of makes every event's decay weight a CONSTANT of
+    * the event (round(exp(−age/τ)·1e9) on the nano grid), so the score
+    * is an ordinary commutative streaming aggregate — Spark's own
+    * aggregation state store carries the running (count, exact nano
+    * numerator) per user, and no bespoke state operator is needed at
+    * all (contrast [[funnelStages]]/[[rollingRange]], whose batch
+    * semantics force custom ordered state). That linearity is the
+    * operational argument FOR the pinned-as-of contract: a max(ts)- or
+    * now()-anchored decay would re-weight all history every tick and
+    * could never stream. Exactness: the accumulated numerator is the
+    * SAME integer sum as the batch form regardless of event order or
+    * batch boundaries, so after any prefix of the log the emitted score
+    * equals the batch operator over that prefix, bit-exact. Update-mode
+    * sink; n_events is strictly increasing per user, so the final score
+    * is the row with each user's max n_events. */
+  def decayScores(events: DataFrame, asOf: String,
+      tauDays: Double = 7.0): DataFrame = {
+    require(tauDays > 0.0, s"decayScores needs tau > 0, got $tauDays")
+    val ageDays = (unix_micros(lit(asOf).cast("timestamp")) -
+      unix_micros(col("ts"))).cast("double") / lit(86400e6)
+    val wNano = round(exp(-(ageDays / lit(tauDays))) * lit(1e9)).cast("long")
+    events
+      .select(col("user_id"),
+        (graft.functions.Money.cents(col("value")) * wNano)
+          .cast("decimal(38,0)").as("nano"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("nano")).cast("double") / lit(1e11), 6)
+          .as("decay_score"))
+  }
+
   /** Stream-stream interval join: left-type events joined to right-type
     * events of the same user within [l_ts, l_ts + within) — streaming
     * attribution (click → purchase). Both sides carry a watermark and

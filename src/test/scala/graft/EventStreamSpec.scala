@@ -383,6 +383,57 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming decay scores == batch q_decay_score after every prefix") {
+    // The pinned-as-of decay is a commutative aggregate, so unlike the
+    // ordered-state twins there is NO seam hazard to exercise — the
+    // point of this spec is the stronger prefix-exactness claim: after
+    // EACH micro-batch, every emitted score equals the batch operator
+    // over the events ingested so far, bit-exact (same integer
+    // numerator), and the final table equals q_decay_score.
+    val ev = Tables.events(spark, sf001)
+    val mid = ev.selectExpr("percentile(unix_micros(ts), 0.5)").head().getDouble(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-decay")
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-decay-w")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part), dir.resolve(name))
+    }
+    def latest(): Map[Long, (Long, Double)] =
+      spark.table("decay_out")
+        .groupBy($"user_id")
+        .agg(max_by(struct($"n_events", $"decay_score"), $"n_events").as("s"))
+        .select($"user_id", $"s.n_events", $"s.decay_score")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+        .toMap
+    def batchOver(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Double)] =
+      graft.operators.EventOps.decayScore(df, "user_id", $"ts", $"value",
+          asOf = "2024-02-01")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+        .toMap
+    val a = ev.filter(unix_micros($"ts") <= mid)
+    stage(a, "a.parquet")
+    val q = EventStream.decayScores(
+        EventStream.read(spark, dir.toString), asOf = "2024-02-01")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("decay_out").start()
+    try {
+      q.processAllAvailable()
+      assert(latest() === batchOver(a)) // prefix exactness after batch A
+      stage(ev.filter(unix_micros($"ts") > mid), "b.parquet")
+      q.processAllAvailable()
+      val fin = latest()
+      assert(fin === batchOver(ev)) // final == full batch operator
+      val declared = graft.queries.EventQueries
+        .queries("q_decay_score")(spark, sf001)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+        .toMap
+      assert(fin === declared)
+      assert(fin.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming rolling RANGE window == batch q_rolling_range across micro-batches") {
     // The cross-batch hazard: an event near the seam whose trailing-hour
     // frame reaches back into batch A — a stateless per-batch window

@@ -128,7 +128,25 @@ object ScaleBench {
     // build; the probe itself reads only the anchors' probed cell
     // partitions, whose membership grows ~×N — ~linear with a small
     // absolute (the q_ivf_topk shape)
-    "q_hard_negatives_ivf")
+    "q_hard_negatives_ivf",
+    // round-16 TPC-H batch: all are fact-table equi-join + aggregate
+    // shapes growing ×N on the fact axis with CONSTANT dimensions
+    // (nation/region broadcast; part keys shift but part stays
+    // vocabulary-sized relative to lineitem) — expected ~linear. Q15's
+    // scalar-max join is supplier-sized (flat); Q8/Q7's selective
+    // nation/type filters keep reduce-side rows near-constant while
+    // the scan grows
+    "q_volume_shipping", "q_market_share", "q_promo_revenue",
+    "q_top_supplier", "q_disjunctive_revenue", "q_nation_profit",
+    "q_ship_delay_priority",
+    // round-16 pipeline verbs: kfold/slice-metrics/char-entropy are
+    // row-local projections (fold chain, marker argmax, run-length
+    // fold) over group/count reduces with constant group cardinality —
+    // the flat-reduce regime; decay score is one map-side-combined
+    // aggregate growing by users; benford is a ≤9-group digit reduce
+    // (the flattest possible)
+    "q_kfold_assign", "q_slice_metrics", "q_char_entropy",
+    "q_decay_score", "q_benford")
 
   def generate(spark: SparkSession, sfDir: String, outDir: String,
       scale: Int): (Long, Long) = {
@@ -228,6 +246,15 @@ object ScaleBench {
       li.withColumn("l_orderkey", col("l_orderkey") + lit(k * maxOrder))
     }.reduce(_.unionAll(_)).write.mode("overwrite")
       .parquet(s"$outDir/lineitem.parquet")
+
+    // constant dimensions: nations/regions don't grow with a corpus and
+    // lineitem's supplier keys are deliberately unshifted — copied
+    // verbatim so the scaled dir is self-contained for the TPC-H join
+    // shapes (whose scale claim is exactly "fact axis ×N, dims flat")
+    Seq("supplier", "nation", "region").foreach { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet").write.mode("overwrite")
+        .parquet(s"$outDir/$t.parquet")
+    }
 
     (spark.read.parquet(s"$outDir/documents.parquet").count(),
       spark.read.parquet(s"$outDir/embeddings.parquet").count())

@@ -220,6 +220,40 @@ object Sampling {
       .limit(k)
   }
 
+  /** STRATIFIED weighted sampling without replacement: [[weightedSample]]
+    * run independently inside every stratum — k rows per group, inclusion
+    * probability ∝ weight WITHIN the group (the corpus-mixing form:
+    * "100 docs per source, weighted by quality"). Same deterministic
+    * A-ES key as the global sampler (one definition, and the same
+    * minWeight/BIGINT-grid contract), so group membership is a pure
+    * function of (seed, id, weight) and the mirror recomputes the draw.
+    *
+    * Scale shape: one shuffle on the group key, then a top-k heap per
+    * group (row_number over the key ordering — rank state is O(1) per
+    * partition, never a global sort). The global [[weightedSample]]
+    * stays TakeOrderedAndProject (no shuffle at all); use this form only
+    * when the quota really is per-group. */
+  def weightedSamplePerGroup(df: DataFrame, idCol: String, weightCol: Column,
+      groupCol: String, kPerGroup: Int, seed: Int,
+      minWeight: Double = 1e-8): DataFrame = {
+    require(kPerGroup > 0, s"per-group sample size must be positive, got $kPerGroup")
+    require(minWeight >= 2.3e-9,
+      s"minWeight must be >= 2.3e-9 (BIGINT key bound), got $minWeight")
+    val p = graft.functions.PolyHashKernel.Mod
+    val u = (graft.functions.PolyHashF.poly_hash(
+        md5(concat(lit(s"w$seed:"), col(idCol).cast("string"))
+          .cast("binary"))) + lit(1L))
+      .cast("double") / lit((p + 1L).toDouble)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("key_nano").desc, col(idCol))
+    df.filter(weightCol >= lit(minWeight))
+      .withColumn("key_nano",
+        round(log(u) / weightCol.cast("double") * lit(1e9)).cast("long"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= kPerGroup)
+  }
+
   def mixByStratum(df: DataFrame, key: Column, stratum: Column,
       fractions: Map[String, Double], defaultFraction: Double = 0.0,
       seed: Long = 42L): DataFrame = {

@@ -761,6 +761,24 @@ object RelationalQueries extends QueryModule {
         .select(col("o_orderkey"), col("o_totalprice"), col("key_nano"))
     }),
 
+    // STRATIFIED weighted sampling (Sampling.weightedSamplePerGroup):
+    // 10 orders per priority, inclusion probability ∝ total price
+    // within the stratum — the per-group quota form of q_weighted_sample
+    // (same deterministic A-ES key, same BIGINT grid; the mirror
+    // recomputes the draw). One group-keyed shuffle + per-group top-k
+    // heap; never a global sort.
+    "q_group_weighted" -> ((s, d) => {
+      graft.functions.PolyHashF.register(s)
+      graft.operators.Sampling.weightedSamplePerGroup(
+          Tables.orders(s, d).select(col("o_orderkey"),
+            col("o_orderpriority"), col("o_totalprice")),
+          "o_orderkey", col("o_totalprice"), "o_orderpriority",
+          kPerGroup = 10, seed = 11)
+        .select(col("o_orderpriority"), col("rk"), col("o_orderkey"),
+          col("key_nano"))
+        .orderBy(col("o_orderpriority"), col("rk"))
+    }),
+
     // Pre-flight join-explosion report (operators/JoinDiagnostics): the
     // exact output cardinality of the lineitem-lineitem self-join on
     // part — the candidate-pair shape — per key, top 10 exploding keys,
@@ -1293,6 +1311,26 @@ object RelationalQueries extends QueryModule {
          |  FROM orders WHERE o_totalprice >= 1e-8)
          |SELECT o_orderkey, o_totalprice, key_nano
          |FROM keyed ORDER BY key_nano DESC, o_orderkey LIMIT 100""".stripMargin
+    },
+
+    // stratified A-ES mirror: the q_weighted_sample draw under seed w11,
+    // ranked within each priority stratum
+    "q_group_weighted" -> {
+      val ph = graft.functions.PolyHashF.polyHashSql(
+        "md5('w11:' || CAST(o_orderkey AS VARCHAR))")
+      s"""WITH keyed AS (
+         |  SELECT o_orderpriority, o_orderkey,
+         |    CAST(round(ln(CAST($ph + 1 AS DOUBLE) / 1000000008.0)
+         |      / CAST(o_totalprice AS DOUBLE) * 1e9) AS BIGINT) AS key_nano
+         |  FROM orders WHERE o_totalprice >= 1e-8),
+         |ranked AS (
+         |  SELECT o_orderpriority, o_orderkey, key_nano,
+         |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+         |      ORDER BY key_nano DESC, o_orderkey) AS BIGINT) AS rk
+         |  FROM keyed)
+         |SELECT o_orderpriority, rk, o_orderkey, key_nano
+         |FROM ranked WHERE rk <= 10
+         |ORDER BY o_orderpriority, rk""".stripMargin
     },
 
     // snapshot-diff mirror: same deterministic mutation, textbook

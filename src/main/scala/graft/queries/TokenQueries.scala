@@ -315,6 +315,36 @@ object TokenQueries extends QueryModule {
           Tables.documents(s, d), "doc_id", "text", n = 5)
         .orderBy(col("doc_id"))),
 
+    // Corpus diversity per source: type-token ratio and distinct-3-gram
+    // share — the lexical-diversity screen beside q_zipf_slope (template
+    // farms and synthetic spam repeat grams; natural prose doesn't).
+    // Tokens filter the ''-token (the corpus mirrors' convention); grams
+    // ride the raw token array (the q_dup_gram_fraction convention).
+    // Two wordcount-shaped aggregates joined on the 20-row source key.
+    "q_distinct_ngrams" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val t = docs.select(col("source"),
+          explode(TokenOps.tokenize(col("text"))).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tokens"),
+          countDistinct(col("tok")).as("n_distinct_tokens"))
+      val g = docs.select(col("source"),
+          explode(graft.operators.MinHashDedup.rawShingles(
+            TokenOps.tokenize(col("text")), 3)).as("g"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_grams"),
+          countDistinct(col("g")).as("n_distinct_grams"))
+      t.join(g, Seq("source"))
+        .select(col("source"), col("n_tokens"), col("n_distinct_tokens"),
+          round(col("n_distinct_tokens").cast("double") /
+            col("n_tokens").cast("double"), 6).as("ttr"),
+          col("n_grams"), col("n_distinct_grams"),
+          round(col("n_distinct_grams").cast("double") /
+            col("n_grams").cast("double"), 6).as("gram_diversity"))
+        .orderBy(col("source"))
+    }),
+
     // Gopher-style quality rules: the published filter family (token
     // bounds, mean word length, alpha-word share, symbol ratio) as one
     // scan-stage projection; per-doc metrics + the pass verdict.
@@ -838,6 +868,29 @@ object TokenQueries extends QueryModule {
          |FROM documents
          |GROUP BY split, lang ORDER BY split, lang""".stripMargin
     },
+
+    // corpus diversity mirror: same ''-filtered token counts and same
+    // raw (duplicates-preserved) space-joined 3-grams as rawShingles
+    "q_distinct_ngrams" ->
+      s"""WITH toks AS (SELECT source,
+         |    regexp_split_to_array(lower(text), '$wsSql') AS t
+         |  FROM documents),
+         |tok AS (SELECT source, unnest(t) AS tok FROM toks),
+         |ts AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+         |         CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct_tokens
+         |       FROM tok WHERE tok <> '' GROUP BY source),
+         |gr AS (SELECT source, array_to_string(t[i:i+2], ' ') AS g
+         |       FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)),
+         |gs AS (SELECT source, CAST(count(*) AS BIGINT) AS n_grams,
+         |         CAST(count(DISTINCT g) AS BIGINT) AS n_distinct_grams
+         |       FROM gr GROUP BY source)
+         |SELECT source, n_tokens, n_distinct_tokens,
+         |  round(CAST(n_distinct_tokens AS DOUBLE)
+         |    / CAST(n_tokens AS DOUBLE), 6) AS ttr,
+         |  n_grams, n_distinct_grams,
+         |  round(CAST(n_distinct_grams AS DOUBLE)
+         |    / CAST(n_grams AS DOUBLE), 6) AS gram_diversity
+         |FROM ts JOIN gs USING (source) ORDER BY source""".stripMargin,
 
     // kFoldAssign mirror: the identical hex-band CASE chain off the
     // shared hexThreshold constants (Sampling.kFoldSql — one threshold

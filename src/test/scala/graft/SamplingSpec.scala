@@ -308,4 +308,30 @@ class SamplingSpec extends SparkSpec {
       Sampling.weightedSample(rows, "id", $"w", 5, 1, minWeight = 1e-10)
     }
   }
+
+  test("weightedSamplePerGroup == global weightedSample restricted per stratum") {
+    // The stratified form must be EXACTLY the global sampler run inside
+    // each group: same key under the same seed, per-group top-k. Checked
+    // by filtering the corpus to one stratum and running the global form
+    // with the same quota — results must be identical rows.
+    graft.functions.PolyHashF.register(spark)
+    val orders = Tables.orders(spark, sf001)
+      .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+    val grouped = Sampling.weightedSamplePerGroup(orders, "o_orderkey",
+        $"o_totalprice", "o_orderpriority", kPerGroup = 10, seed = 11)
+      .select($"o_orderpriority", $"o_orderkey", $"key_nano")
+      .as[(String, Long, Long)].collect().groupBy(_._1)
+    assert(grouped.nonEmpty)
+    grouped.keys.foreach { prio =>
+      val global = Sampling.weightedSample(
+          orders.filter($"o_orderpriority" === prio), "o_orderkey",
+          $"o_totalprice", k = 10, seed = 11)
+        .select($"o_orderkey", $"key_nano").as[(Long, Long)]
+        .collect().toSet
+      assert(grouped(prio).map(r => (r._2, r._3)).toSet === global,
+        s"stratum $prio diverged from the global sampler")
+    }
+    // per-group quota honored
+    grouped.values.foreach(rs => assert(rs.length === 10))
+  }
 }

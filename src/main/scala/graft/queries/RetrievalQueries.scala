@@ -64,6 +64,43 @@ object RetrievalQueries extends QueryModule {
     * build, odd doc_ids folded in by `appendPostings` — the serving
     * path's continuous-ingestion shape. Shares q_postings_build's
     * oracle SQL: the merged index must equal a full-corpus build. */
+  /** The eval loop's shared construction: the three ranked top-10 lists
+    * (lexical BM25 / RRF-fused / reranked) plus the ≥2-query-terms
+    * relevance set and its count — q_retrieval_eval scores recall/MRR
+    * off it, q_retrieval_ndcg the log-discounted gains. ONE fused
+    * pipeline feeds the fused and reranked lists: the top-10 is a
+    * prefix of the checkpointed top-20 by construction (same ordering,
+    * different cut), so the lex+dense retrieve never runs twice. */
+  private def evalLists(s: org.apache.spark.sql.SparkSession, d: String) = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val rel = docs.select(col("doc_id"),
+        size(array_intersect(
+          array_distinct(TokenOps.tokenize(col("text"))),
+          array(terms.map(lit): _*))).as("nm"))
+      .filter(col("nm") >= 2)
+      .select(col("doc_id"))
+    val nRel = rel.agg(count(lit(1)).as("n_relevant"))
+    def rankedList(df: org.apache.spark.sql.DataFrame,
+        score: org.apache.spark.sql.Column, m: String) =
+      df.select(col("doc_id"),
+          row_number().over(Window.orderBy(score.desc, col("doc_id")))
+            .as("rank"))
+        .withColumn("method", lit(m))
+    val lex = Bm25.topK(docs, "doc_id", "text", terms, k = 10,
+      k1 = k1, b = b)
+    val fused20 = fusedTopK(s, d, 20).localCheckpoint()
+    val fused = fused20.orderBy(col("rrf").desc, col("doc_id")).limit(10)
+    val rr = Rerank.linear(fused20,
+      docs, Tables.embeddings(s, d), "doc_id", "text",
+      "vec_id", "embedding", queryId = 0L, terms = terms, k = 10,
+      w = rerankW, k1 = k1, b = b)
+    val lists = rankedList(lex, col("bm25"), "bm25")
+      .unionAll(rankedList(fused, col("rrf"), "rrf"))
+      .unionAll(rankedList(rr, col("rerank"), "rerank"))
+    (lists, rel, nRel)
+  }
+
   private val incrCache = new graft.util.SessionCache[String]
   private def incrementalIndex(s: org.apache.spark.sql.SparkSession,
       d: String): String =
@@ -208,36 +245,8 @@ object RetrievalQueries extends QueryModule {
     // dashboard. Ranks are windows over <= 10-row lists; the relevance
     // join is a semi-join against the list union.
     "q_retrieval_eval" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val docs = Tables.documents(s, d)
-      val rel = docs.select(col("doc_id"),
-          size(array_intersect(
-            array_distinct(TokenOps.tokenize(col("text"))),
-            array(terms.map(lit): _*))).as("nm"))
-        .filter(col("nm") >= 2)
-        .select(col("doc_id"))
-      val nRel = rel.agg(count(lit(1)).as("n_relevant"))
-      def rankedList(df: org.apache.spark.sql.DataFrame,
-          score: org.apache.spark.sql.Column, m: String) =
-        df.select(col("doc_id"),
-            row_number().over(Window.orderBy(score.desc, col("doc_id")))
-              .as("rank"))
-          .withColumn("method", lit(m))
-      val lex = Bm25.topK(docs, "doc_id", "text", terms, k = 10,
-        k1 = k1, b = b)
-      // ONE fused pipeline feeds both lists: the top-10 is a prefix of
-      // the top-20 by construction (same ordering, different cut), and
-      // the 20-row checkpoint stops the lex+dense retrieve from running
-      // twice (the shared-frame discipline)
-      val fused20 = fusedTopK(s, d, 20).localCheckpoint()
-      val fused = fused20.orderBy(col("rrf").desc, col("doc_id")).limit(10)
-      val rr = Rerank.linear(fused20,
-        docs, Tables.embeddings(s, d), "doc_id", "text",
-        "vec_id", "embedding", queryId = 0L, terms = terms, k = 10,
-        w = rerankW, k1 = k1, b = b)
-      rankedList(lex, col("bm25"), "bm25")
-        .unionAll(rankedList(fused, col("rrf"), "rrf"))
-        .unionAll(rankedList(rr, col("rerank"), "rerank"))
+      val (lists, rel, nRel) = evalLists(s, d)
+      lists
         .join(rel, Seq("doc_id"), "left_semi")
         .groupBy(col("method"))
         .agg(count(lit(1)).as("hits"),
@@ -247,6 +256,33 @@ object RetrievalQueries extends QueryModule {
           round(col("hits").cast("double") / col("n_relevant").cast("double"),
             6).as("recall_at_10"),
           col("mrr"))
+        .orderBy(col("method"))
+    }),
+
+    // nDCG@10 of the same three retrievers — the graded-position metric
+    // recall/MRR can't see (a hit at rank 1 and a hit at rank 10 score
+    // the same recall; nDCG discounts by log2(rank+1)). Binary gains on
+    // the 1e-9 grid: per-hit gain_nano = round(1e9/log2(rank+1)) sums
+    // exactly; the ideal DCG folds the same grid over ranks
+    // 1..min(10, n_relevant); ONE double division at the close.
+    "q_retrieval_ndcg" -> ((s, d) => {
+      val (lists, rel, nRel) = evalLists(s, d)
+      val gainNano = round(lit(1e9) /
+        log2(col("rank").cast("double") + lit(1.0))).cast("long")
+      val idcg = nRel.select(col("n_relevant"),
+        aggregate(sequence(lit(1L), least(lit(10L), col("n_relevant"))),
+          lit(0L), (acc, i) => acc + round(lit(1e9) /
+            log2(i.cast("double") + lit(1.0))).cast("long"))
+          .as("idcg_nano"))
+      lists
+        .join(rel, Seq("doc_id"), "left_semi")
+        .groupBy(col("method"))
+        .agg(sum(gainNano).as("dcg_nano"))
+        .crossJoin(broadcast(idcg))
+        .select(col("method"), col("n_relevant"), col("dcg_nano"),
+          col("idcg_nano"),
+          round(col("dcg_nano").cast("double") /
+            col("idcg_nano").cast("double"), 6).as("ndcg_at_10"))
         .orderBy(col("method"))
     }),
 
@@ -571,6 +607,46 @@ object RetrievalQueries extends QueryModule {
          |    AS recall_at_10,
          |  round(max(1.0 / CAST(rank AS DOUBLE)), 6) AS mrr
          |FROM hit CROSS JOIN nrel
-         |GROUP BY method, n_relevant ORDER BY method""".stripMargin
+         |GROUP BY method, n_relevant ORDER BY method""".stripMargin,
+
+    // nDCG mirror: the same three lists, per-hit gains and the ideal
+    // prefix both on the 1e-9 round(1e9/log2(rank+1)) grid, one close
+    "q_retrieval_ndcg" ->
+      s"""$rerankCtes,
+         |rel AS (SELECT doc_id FROM toks
+         |  WHERE (${terms.map(t =>
+               s"(CASE WHEN list_contains(t, '$t') THEN 1 ELSE 0 END)")
+              .mkString(" + ")}) >= 2),
+         |nrel AS (SELECT CAST(count(*) AS BIGINT) AS n_relevant FROM rel),
+         |lexlist AS (SELECT doc_id,
+         |    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+         |  FROM (SELECT doc_id, bm25 FROM scored WHERE bm25 > 0
+         |        ORDER BY bm25 DESC, doc_id LIMIT 10)),
+         |fusedlist AS (SELECT doc_id,
+         |    row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank
+         |  FROM (SELECT doc_id, rrf FROM fused
+         |        ORDER BY rrf DESC, doc_id LIMIT 10)),
+         |rrlist AS (SELECT doc_id,
+         |    row_number() OVER (ORDER BY rerank DESC, doc_id) AS rank
+         |  FROM (SELECT doc_id, rerank FROM rr
+         |        ORDER BY rerank DESC, doc_id LIMIT 10)),
+         |lists AS (SELECT 'bm25' AS method, doc_id, rank FROM lexlist
+         |  UNION ALL SELECT 'rrf', doc_id, rank FROM fusedlist
+         |  UNION ALL SELECT 'rerank', doc_id, rank FROM rrlist),
+         |dcg AS (SELECT method,
+         |    CAST(sum(CAST(round(1e9 / log2(CAST(rank AS DOUBLE) + 1.0))
+         |      AS BIGINT)) AS BIGINT) AS dcg_nano
+         |  FROM lists WHERE doc_id IN (SELECT doc_id FROM rel)
+         |  GROUP BY method),
+         |idcg AS (SELECT n_relevant,
+         |    CAST(sum(CAST(round(1e9 / log2(CAST(i AS DOUBLE) + 1.0))
+         |      AS BIGINT)) AS BIGINT) AS idcg_nano
+         |  FROM nrel, unnest(generate_series(1, least(10, n_relevant)))
+         |    AS u(i)
+         |  GROUP BY n_relevant)
+         |SELECT method, n_relevant, dcg_nano, idcg_nano,
+         |  round(CAST(dcg_nano AS DOUBLE) / CAST(idcg_nano AS DOUBLE), 6)
+         |    AS ndcg_at_10
+         |FROM dcg CROSS JOIN idcg ORDER BY method""".stripMargin
   )
 }

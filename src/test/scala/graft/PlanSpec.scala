@@ -80,8 +80,9 @@ class PlanSpec extends SparkSpec {
       "q_bm25_repl_topk",
       // the eval inherits the hybrid/rerank scalar joins above plus its
       // own 1-row n_relevant frame — all broadcast single rows; the MMR
-      // candidate list comes from the same fused pipeline
-      "q_retrieval_eval", "q_mmr_select",
+      // candidate list comes from the same fused pipeline; the nDCG
+      // variant shares evalLists and adds only the 1-row idcg frame
+      "q_retrieval_eval", "q_retrieval_ndcg", "q_mmr_select",
       // same 1-row scalar-join shape: the (N, V) corpus-stats row for
       // the smoothed unigram probabilities / the BM25-stats + query-
       // vector rows inside the rerank's feature computation / the

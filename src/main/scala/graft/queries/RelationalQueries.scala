@@ -730,6 +730,25 @@ object RelationalQueries extends QueryModule {
         .orderBy(col("delay_bucket"))
     }),
 
+    // Schema-evolution read (sources/SchemaEvolution): one logical
+    // customer table served from an OLD-schema shard (written without
+    // c_mktsegment — even keys) and a NEW-schema shard (full — odd
+    // keys) through a mergeSchema parquet read; old rows surface the
+    // added column as NULL. The oracle recomputes the expected
+    // null-fill from the source table, so the union'd schema, column
+    // order, and null semantics are all hash-checked.
+    "q_schema_evolution" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      graft.sources.SchemaEvolution.mergedRead(s, s"$d/customer-evolve",
+          cust.filter(col("c_custkey") % 2 === 0).drop("c_mktsegment"),
+          cust.filter(col("c_custkey") % 2 =!= 0))
+        .groupBy(coalesce(col("c_mktsegment"), lit("__MISSING__"))
+          .as("segment"))
+        .agg(count(lit(1)).as("n"),
+          count(col("c_mktsegment")).as("n_present"))
+        .orderBy(col("segment"))
+    }),
+
     // Benford first-digit audit (Profiling.benfordDigits): leading-digit
     // frequency of order totals vs the log-law expectation — the
     // fabricated-data / broken-ingest screen. Digit from the exact cents
@@ -1795,6 +1814,14 @@ object RelationalQueries extends QueryModule {
         |    THEN 1 END) AS BIGINT) AS low_line_count
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY delay_bucket ORDER BY delay_bucket""".stripMargin,
+
+    "q_schema_evolution" ->
+      """SELECT CASE WHEN c_custkey % 2 = 0 THEN '__MISSING__'
+        |            ELSE c_mktsegment END AS segment,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(CASE WHEN c_custkey % 2 <> 0 THEN 1 END) AS BIGINT)
+        |    AS n_present
+        |FROM customer GROUP BY segment ORDER BY segment""".stripMargin,
 
     "q_benford" ->
       s"""WITH d AS (

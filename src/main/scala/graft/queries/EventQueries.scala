@@ -263,6 +263,63 @@ object EventQueries extends QueryModule {
         .orderBy(col("user_id"), col("hour"))
     }),
 
+    // Association rules over per-user event-type sets (market-basket):
+    // unordered type pairs with co-occurrence counts, support, and lift
+    // — "users who error also purchase?" is a lift read. The pair space
+    // is users × (types-per-user choose 2) with a 5-type vocabulary —
+    // the self-join is user-keyed (equi) and the output is ≤10 rows;
+    // totals and the 1-row user count broadcast back. Ratios are exact
+    // integer products into one double division each.
+    "q_assoc_rules" -> ((s, d) => {
+      val ut = Tables.events(s, d)
+        .select(col("user_id"), col("event_type")).distinct()
+      val totals = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      val nUsers = ut.select(col("user_id")).distinct()
+        .agg(count(lit(1)).as("n_users"))
+      ut.as("a").join(ut.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("type_a"),
+          col("b.event_type").as("type_b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .join(broadcast(totals.select(col("event_type").as("type_a"),
+          col("n").as("n_a"))), Seq("type_a"))
+        .join(broadcast(totals.select(col("event_type").as("type_b"),
+          col("n").as("n_b"))), Seq("type_b"))
+        .crossJoin(broadcast(nUsers))
+        .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+          col("n_ab"),
+          round(col("n_ab").cast("double") /
+            col("n_users").cast("double"), 6).as("support"),
+          round((col("n_ab") * col("n_users")).cast("double") /
+            (col("n_a") * col("n_b")).cast("double"), 6).as("lift"))
+        .orderBy(col("type_a"), col("type_b"))
+    }),
+
+    // RFM segmentation: per-user recency (days since last event, date
+    // grid), frequency, monetary (exact cents), each cut into ntile(5)
+    // buckets with deterministic user-id tie-breaks. The windows sort
+    // the USER-dimension frame (one aggregate row per user), never the
+    // event log; at 1e9+ users swap ntile for quantile-threshold cuts
+    // (q_quantile_rollup's GK digests) — the doc'd scale path.
+    "q_rfm" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val perUser = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(datediff(lit("2024-02-01").cast("date"),
+            max(col("ts")).cast("date")).cast("long").as("r_days"),
+          count(lit(1)).as("f"),
+          sum(graft.functions.Money.cents(col("value"))).as("m_cents"))
+      def bucket(order: org.apache.spark.sql.Column*) =
+        ntile(5).over(Window.orderBy(order: _*)).cast("long")
+      perUser.select(col("user_id"), col("r_days"), col("f"),
+          (col("m_cents").cast("double") / 100.0).as("monetary"),
+          bucket(col("r_days"), col("user_id")).as("r_bucket"),
+          bucket(col("f").desc, col("user_id")).as("f_bucket"),
+          bucket(col("m_cents").desc, col("user_id")).as("m_bucket"))
+        .orderBy(col("user_id"))
+    }),
+
     // Recency-weighted engagement (EventOps.decayScore): per-user
     // Σ value·exp(−age/7d) as of a pinned reference instant — the
     // trending/feature-store aggregate. Age on the exact micros grid,
@@ -1174,6 +1231,49 @@ object EventQueries extends QueryModule {
         |  round(CAST(wv AS DOUBLE) / CAST(dur AS DOUBLE) / 100.0, 6) AS twap,
         |  CAST(dur AS BIGINT) AS held_us
         |FROM agg ORDER BY user_id""".stripMargin,
+
+    // association-rule mirror: same distinct (user, type) base, same
+    // ordered pair join, same exact-integer ratio shapes
+    "q_assoc_rules" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |        FROM ut GROUP BY event_type),
+        |nu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |       FROM ut),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |        CAST(count(*) AS BIGINT) AS n_ab
+        |      FROM ut a JOIN ut b ON a.user_id = b.user_id
+        |        AND a.event_type < b.event_type
+        |      GROUP BY type_a, type_b)
+        |SELECT type_a, type_b, ta.n AS n_a, tb.n AS n_b, n_ab,
+        |  round(CAST(n_ab AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
+        |    AS support,
+        |  round(CAST(n_ab * n_users AS DOUBLE)
+        |    / CAST(ta.n * tb.n AS DOUBLE), 6) AS lift
+        |FROM p
+        |JOIN tot ta ON p.type_a = ta.event_type
+        |JOIN tot tb ON p.type_b = tb.event_type
+        |CROSS JOIN nu
+        |ORDER BY type_a, type_b""".stripMargin,
+
+    // RFM mirror: same date-grid recency, exact-cents monetary, and
+    // ntile(5) cuts under identical deterministic orderings
+    "q_rfm" ->
+      s"""WITH pu AS (SELECT user_id,
+        |    CAST(datediff('day', CAST(max(ts) AS DATE), DATE '2024-02-01')
+        |      AS BIGINT) AS r_days,
+        |    CAST(count(*) AS BIGINT) AS f,
+        |    sum(${graft.functions.Money.centsSql("value")}) AS m_cents
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, r_days, f,
+        |  CAST(m_cents AS DOUBLE) / 100.0 AS monetary,
+        |  CAST(ntile(5) OVER (ORDER BY r_days, user_id) AS BIGINT)
+        |    AS r_bucket,
+        |  CAST(ntile(5) OVER (ORDER BY f DESC, user_id) AS BIGINT)
+        |    AS f_bucket,
+        |  CAST(ntile(5) OVER (ORDER BY m_cents DESC, user_id) AS BIGINT)
+        |    AS m_bucket
+        |FROM pu ORDER BY user_id""".stripMargin,
 
     // decayScore mirror: the IDENTICAL fixed-shape double chain
     // ((Δus/86400e6)/τ — every step correctly rounded, bit-equal both

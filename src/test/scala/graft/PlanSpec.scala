@@ -104,6 +104,9 @@ class PlanSpec extends SparkSpec {
       // Q15's 1-row global-max revenue row broadcast over the
       // supplier-sized aggregate — the same no-join-key scalar shape
       "q_top_supplier",
+      // the 1-row user-count frame broadcast over the ≤10-row pair
+      // table for support/lift — the scalar-join shape again
+      "q_assoc_rules",
       // the degenerate short-string bucket (strings < q·d chars, where
       // no exact gram filter exists) plans its length-banded non-equi
       // pairing as a nested loop — EMPTY on this corpus (min name length

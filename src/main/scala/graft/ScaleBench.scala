@@ -146,7 +146,22 @@ object ScaleBench {
     // aggregate growing by users; benford is a ≤9-group digit reduce
     // (the flattest possible)
     "q_kfold_assign", "q_slice_metrics", "q_char_entropy",
-    "q_decay_score", "q_benford")
+    "q_decay_score", "q_benford",
+    // round-16 continuation: stratified A-ES is the global sampler's
+    // key scan + a group-keyed top-k heap (~linear scan, constant
+    // result); diversity is two wordcount aggregates whose gram
+    // vocabulary grows ~×N under the rotation; nDCG rides the same
+    // fused pipeline as the eval (corpus-linear retrieve, bounded
+    // lists); schema evolution reads two shards (run 1 pays the
+    // memoized staging write); assoc rules is a user-keyed self-join
+    // over a 5-type vocabulary (pairs-per-user constant, users ×N);
+    // RFM is one user-keyed aggregate + user-frame ntile windows
+    "q_group_weighted", "q_distinct_ngrams", "q_retrieval_ndcg",
+    "q_schema_evolution", "q_assoc_rules", "q_rfm",
+    // Q6 is the flattest fact shape possible (pushed filters + one
+    // global sum); Q4-adapted is a lineitem×orders semi join — both
+    // grow ×N on the fact axis only
+    "q_revenue_forecast", "q_late_order_priority")
 
   def generate(spark: SparkSession, sfDir: String, outDir: String,
       scale: Int): (Long, Long) = {

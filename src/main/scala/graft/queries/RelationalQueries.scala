@@ -556,6 +556,42 @@ object RelationalQueries extends QueryModule {
         .limit(20)
     }),
 
+    // TPC-H Q6 shape (forecasting revenue change): the pure
+    // filter-aggregate — every predicate pushes to the scan, no join,
+    // one map-side-combined global sum. revenue = price·discount on the
+    // exact 1e-4 cents×percent grid.
+    "q_revenue_forecast" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1999-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("2000-01-01").cast("timestamp") &&
+          cents(col("l_discount")).between(5L, 7L) &&
+          col("l_quantity") < 24)
+        .agg((sum((cents(col("l_extendedprice")) * cents(col("l_discount")))
+          .cast("decimal(20,0)")).cast("double") / 1e4).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // TPC-H Q4 shape (order priority checking), adapted: with no
+    // commit/receipt dates, "late" is a ship lag > 60 days (the
+    // q_waiting_supplier grid) — orders with AT LEAST ONE late line,
+    // counted per priority. The EXISTS decorrelates to a left-semi on
+    // the order key with the lag residual pushed below the join.
+    "q_late_order_priority" -> ((s, d) => {
+      val late = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d)
+            .select(col("o_orderkey").as("ok2"), col("o_orderdate")),
+          col("l_orderkey") === col("ok2"))
+        .filter(unix_micros(col("l_shipdate").cast("timestamp")) -
+          unix_micros(col("o_orderdate").cast("timestamp"))
+          > lit(60L * 86400000000L))
+        .select(col("l_orderkey"))
+      Tables.orders(s, d)
+        .join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // TPC-H Q7 shape (volume shipping between two nations): the
     // bidirectional nation-pair filter rides the two BROADCAST nation
     // dimension joins as a post-join residual over broadcast-local
@@ -1719,6 +1755,28 @@ object RelationalQueries extends QueryModule {
         |  AND o_orderdate < TIMESTAMP '1996-04-01'
         |GROUP BY c_custkey, c_name, c_acctbal, n_name, c_mktsegment
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q_revenue_forecast" ->
+      s"""SELECT CAST(sum(CAST(${centsSql("l_extendedprice")}
+        |      * ${centsSql("l_discount")} AS DECIMAL(20,0)))
+        |    AS DOUBLE) / 1e4 AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+        |  AND l_shipdate < TIMESTAMP '2000-01-01'
+        |  AND ${centsSql("l_discount")} BETWEEN 5 AND 7
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q_late_order_priority" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders o
+        |WHERE EXISTS (
+        |  SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey
+        |    AND epoch_us(CAST(l.l_shipdate AS TIMESTAMP))
+        |      - epoch_us(CAST(o.o_orderdate AS TIMESTAMP))
+        |      > 60 * 86400000000)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_volume_shipping" ->
       s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,

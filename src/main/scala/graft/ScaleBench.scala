@@ -161,7 +161,11 @@ object ScaleBench {
     // Q6 is the flattest fact shape possible (pushed filters + one
     // global sum); Q4-adapted is a lineitem×orders semi join — both
     // grow ×N on the fact axis only
-    "q_revenue_forecast", "q_late_order_priority")
+    "q_revenue_forecast", "q_late_order_priority",
+    // PRF: two pruned index probes + ONE postings scan for the
+    // expansion aggregation (the documented doc-probe trade) — the
+    // postings table grows ~×N under the rotation, so ~linear
+    "q_prf_topk")
 
   def generate(spark: SparkSession, sfDir: String, outDir: String,
       scale: Int): (Long, Long) = {

@@ -615,4 +615,43 @@ object Bm25 {
     scoreFromPostings(spark, path, terms, k1, b, nBuckets)
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(k)
+
+  /** Pseudo-relevance feedback (RM3-lite) through the postings index:
+    * run the query, treat the top `nFeedback` docs as relevant, expand
+    * the query with their top `nExpand` index terms by summed tf (query
+    * terms and stopwords excluded, ties by token), and score the
+    * expanded term set — the classic recall lift when the user's terms
+    * under-describe the topic, DETERMINISTIC end-to-end (no model, no
+    * RNG), so the mirror recomputes both passes.
+    *
+    * The expansion term list is a bounded driver collect (≤ nExpand
+    * rows — the MMR greedy discipline) because the second pass's plan
+    * needs the terms at compile time for bucket pruning.
+    *
+    * Scale shape: both scoring passes are pruned index probes
+    * ([[scoreFromPostings]]); the expansion aggregation joins the
+    * postings table against the nFeedback-row broadcast feedback set —
+    * that leg scans the postings ONCE (the bucket layout prunes
+    * term-probes, not doc-probes; a corpus that serves PRF hot should
+    * carry a doc-keyed postings twin, the documented trade). */
+  def prfTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+      terms: Seq[String], stopwords: Seq[String], k: Int = 10,
+      nFeedback: Int = 10, nExpand: Int = 3,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(nExpand > 0 && nExpand <= 16,
+      s"nExpand must be in [1, 16] (bounded driver collect), got $nExpand")
+    require(nFeedback > 0, s"nFeedback must be positive, got $nFeedback")
+    val fb = topKFromPostings(spark, path, terms, k = nFeedback,
+      k1 = k1, b = b).select(col("doc_id"))
+    val expansion = graft.sources.PartitionedParquet
+      .read(spark, s"$path/postings")
+      .join(broadcast(fb), "doc_id")
+      .filter(!col("token").isin(terms: _*) &&
+        !col("token").isin(stopwords: _*))
+      .groupBy(col("token")).agg(sum(col("tf")).as("w"))
+      .orderBy(col("w").desc, col("token"))
+      .limit(nExpand)
+      .collect().map(_.getString(0)).toSeq
+    topKFromPostings(spark, path, terms ++ expansion, k, k1, b)
+  }
 }

@@ -231,6 +231,18 @@ object RetrievalQueries extends QueryModule {
         queryId = 0L, terms = terms, k = 10, w = rerankW,
         k1 = k1, b = b)),
 
+    // Pseudo-relevance feedback (Bm25.prfTopK): top-10 feedback docs →
+    // top-3 expansion terms by summed tf (query terms + the 181-word
+    // stoplist excluded, ties by token) → re-score terms ∪ expansion
+    // through the postings index. Both passes are pruned index probes;
+    // the mirror recomputes the expansion AND the second pass with the
+    // join-form quantized BM25 (dynamic term set — the static per-term
+    // CTE can't know the expansion).
+    "q_prf_topk" -> ((s, d) =>
+      graft.operators.Bm25.prfTopK(s, postingsIndex(s, d), terms,
+        stopwords = TokenOps.englishStopwords, k = 10,
+        nFeedback = 10, nExpand = 3, k1 = k1, b = b)),
+
     // Inverted-index build (one-time cost, explicit — the serving path's
     // amortized corpus work). Output is the full term-statistics table:
     // deterministic relational content, oracle-checked.
@@ -636,6 +648,47 @@ object RetrievalQueries extends QueryModule {
          |  round(max(1.0 / CAST(rank AS DOUBLE)), 6) AS mrr
          |FROM hit CROSS JOIN nrel
          |GROUP BY method, n_relevant ORDER BY method""".stripMargin,
+
+    // PRF mirror: first pass = the static quantized CTE; expansion and
+    // the second pass recomputed in JOIN form (tf/df/dl tables against
+    // the dynamic term set) with the IDENTICAL per-term double chain and
+    // the same 1e-9 per-partial quantization, so the order-free integer
+    // sum matches scoreFromPostings bit-for-bit
+    "q_prf_topk" -> {
+      val termList = terms.map(t => s"'$t'").mkString(", ")
+      val stopList = TokenOps.sqlList(TokenOps.englishStopwords)
+      val partial =
+        s"""ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+           |      / (CAST(df AS DOUBLE) + 0.5))
+           |    * (CAST(tf AS DOUBLE) * ${k1 + 1.0})
+           |    / (CAST(tf AS DOUBLE) + $k1 * (${1.0 - b}
+           |      + $b * CAST(dl AS DOUBLE)
+           |        / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))""".stripMargin
+      s"""$scoredQuantSql,
+         |fb AS (SELECT doc_id FROM scored WHERE bm25 > 0
+         |       ORDER BY bm25 DESC, doc_id LIMIT 10),
+         |tfx AS (SELECT doc_id, unnest(t) AS token FROM toks),
+         |tft AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+         |        FROM tfx GROUP BY doc_id, token),
+         |expn AS (SELECT token FROM tft JOIN fb USING (doc_id)
+         |        WHERE token NOT IN ($termList)
+         |          AND token NOT IN ($stopList)
+         |        GROUP BY token ORDER BY sum(tf) DESC, token LIMIT 3),
+         |qt AS (SELECT unnest([$termList]) AS token
+         |       UNION ALL SELECT token FROM expn),
+         |dft AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+         |        FROM tft GROUP BY token),
+         |dls AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+         |part AS (SELECT tft.doc_id,
+         |    CAST(round(($partial) * 1000000000.0) AS BIGINT) AS pq
+         |  FROM tft JOIN qt USING (token) JOIN dft USING (token)
+         |  JOIN dls ON tft.doc_id = dls.doc_id CROSS JOIN stats),
+         |scored2 AS (SELECT doc_id,
+         |    round(CAST(sum(pq) AS DOUBLE) / 1000000000.0, 6) AS bm25
+         |  FROM part GROUP BY doc_id)
+         |SELECT doc_id, bm25 FROM scored2 WHERE bm25 > 0
+         |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
+    },
 
     // nDCG mirror: the same three lists, per-hit gains and the ideal
     // prefix both on the 1e-9 round(1e9/log2(rank+1)) grid, one close

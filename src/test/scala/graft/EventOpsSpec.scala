@@ -225,4 +225,37 @@ class EventOpsSpec extends SparkSpec {
         .as[(String, Long, Long, Long, Long)].collect().toSet
     assert(run(ev) === run(ev.repartition(13)))
   }
+
+  test("decayScore: zero age is the identity sum, weights decay monotonically") {
+    // events AT the as-of instant carry weight exp(0) = 1 exactly on the
+    // nano grid (w_nano = 1e9), so the score is the plain value sum
+    val at = Seq((1L, ts("2024-02-01 00:00:00"), 10.25),
+      (1L, ts("2024-02-01 00:00:00"), 4.75))
+      .toDF("user_id", "ts", "value")
+    val s0 = EventOps.decayScore(at, "user_id", $"ts", $"value",
+        asOf = "2024-02-01")
+      .select($"decay_score").as[Double].head()
+    assert(s0 === 15.0)
+    // same value, older event → strictly smaller score; ordering of
+    // ages is preserved (weights are monotone in age)
+    val aged = Seq((1L, ts("2024-01-31 00:00:00"), 100.0),
+      (2L, ts("2024-01-24 00:00:00"), 100.0),
+      (3L, ts("2024-01-01 00:00:00"), 100.0))
+      .toDF("user_id", "ts", "value")
+    val scores = EventOps.decayScore(aged, "user_id", $"ts", $"value",
+        asOf = "2024-02-01")
+      .select($"user_id", $"decay_score").as[(Long, Double)].collect().toMap
+    assert(scores(1L) > scores(2L) && scores(2L) > scores(3L))
+    assert(scores(1L) < 100.0 && scores(3L) > 0.0)
+    // one-day age under tau=7d: weight = round(exp(-1/7)*1e9)/1e9
+    val w1 = math.round(math.exp(-((86400e6 / 86400e6) / 7.0)) * 1e9) / 1e9
+    assert(math.abs(scores(1L) - BigDecimal(100.0 * w1)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    // partitioning invariance (exact integer accumulation)
+    val ev = Tables.events(spark, sf001)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      EventOps.decayScore(df, "user_id", $"ts", $"value", "2024-02-01")
+        .as[(Long, Long, Double)].collect().toSet
+    assert(run(ev) === run(ev.repartition(13)))
+  }
 }

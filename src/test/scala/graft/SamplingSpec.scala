@@ -309,6 +309,39 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("kFoldAssign partitions exactly, balances, and survives repartitioning") {
+    val n = docs.count()
+    val folded = Sampling.kFoldAssign(docs, $"text", k = 5)
+    // exactly-partitioning: every row lands in exactly one fold 0..4
+    assert(folded.count() === n)
+    val sizes = folded.groupBy($"fold").count()
+      .as[(Long, Long)].collect().toMap
+    assert(sizes.keySet.subsetOf((0L to 4L).toSet))
+    assert(sizes.values.sum === n)
+    // balance: each fold within 4 sigma of n/5 (binomial tolerance)
+    val p = 1.0 / 5
+    sizes.values.foreach(s => assert(
+      math.abs(s - n * p) < 4 * math.sqrt(n * p * (1 - p)),
+      s"fold sizes $sizes unbalanced for n=$n"))
+    // stability: membership is a pure function of content
+    val a = folded.select($"doc_id", $"fold").as[(Long, Long)].collect().toMap
+    val b = Sampling.kFoldAssign(docs.repartition(7), $"text", k = 5)
+      .select($"doc_id", $"fold").as[(Long, Long)].collect().toMap
+    assert(a === b)
+    // band consistency with hashSplit3: k=10's fold 0 (the [0, 0.1)
+    // hex band) is exactly hashSplit3's test side at testFraction=0.1
+    val fold0 = Sampling.kFoldAssign(docs, $"text", k = 10)
+      .filter($"fold" === 0).select($"doc_id").as[Long].collect().toSet
+    val test3 = Sampling.hashSplit3(docs, $"text",
+        devFraction = 0.1, testFraction = 0.1)
+      .filter($"split" === "test").select($"doc_id").as[Long].collect().toSet
+    assert(fold0 === test3)
+    // guards
+    intercept[IllegalArgumentException] {
+      Sampling.kFoldAssign(docs, $"text", k = 1)
+    }
+  }
+
   test("weightedSamplePerGroup == global weightedSample restricted per stratum") {
     // The stratified form must be EXACTLY the global sampler run inside
     // each group: same key under the same seed, per-group top-k. Checked

@@ -164,8 +164,10 @@ object ScaleBench {
     "q_revenue_forecast", "q_late_order_priority",
     // PRF: two pruned index probes + ONE postings scan for the
     // expansion aggregation (the documented doc-probe trade) — the
-    // postings table grows ~×N under the rotation, so ~linear
-    "q_prf_topk")
+    // postings table grows ~×N under the rotation, so ~linear; the
+    // served twin replaces that scan with a ≤10-bucket pruned read off
+    // the doc-keyed layout, so its expansion leg should hold near-flat
+    "q_prf_topk", "q_prf_topk_srv")
 
   def generate(spark: SparkSession, sfDir: String, outDir: String,
       scale: Int): (Long, Long) = {

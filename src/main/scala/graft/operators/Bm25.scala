@@ -654,4 +654,59 @@ object Bm25 {
       .collect().map(_.getString(0)).toSeq
     topKFromPostings(spark, path, terms ++ expansion, k, k1, b)
   }
+
+  /** Doc-keyed postings twin — the layout [[prfTopK]]'s scaladoc trades
+    * against: the SAME (doc_id, token, tf) rows partitioned by
+    * `dbucket = doc_id % nDocBuckets`, so a feedback-doc probe reads
+    * only the touched bucket partitions (PartitionFilters prune before
+    * any file opens — the KMeansQuant.buildIndex serving discipline),
+    * never the corpus-sized postings. The modulus is plain integer
+    * arithmetic: deterministic, mirror-free (it never reaches an
+    * output), and prunable by Catalyst's partition pruning. */
+  def buildDocPostings(docs: DataFrame, idCol: String, textCol: String,
+      path: String, nDocBuckets: Int = 64): Unit =
+    graft.sources.PartitionedParquet.write(
+      tokenTf(docs, idCol, textCol)
+        .withColumn("dbucket", pmod(col("doc_id"), lit(nDocBuckets.toLong))),
+      s"$path/docposts", Seq("dbucket"))
+
+  /** The served expansion read: the feedback docs' token tf rows off
+    * the doc-keyed layout, bucket-pruned. Exposed so the plan pin
+    * (PartitionFilters) is testable on the exact frame the serving
+    * path consumes. */
+  def expansionCandidates(spark: org.apache.spark.sql.SparkSession,
+      path: String, fbIds: Seq[Long], nDocBuckets: Int = 64): DataFrame = {
+    require(fbIds.nonEmpty, "expansion needs at least one feedback doc")
+    val buckets = fbIds.map(_ % nDocBuckets).distinct
+    graft.sources.PartitionedParquet.read(spark, s"$path/docposts")
+      .filter(col("dbucket").isin(buckets: _*) &&
+        col("doc_id").isin(fbIds: _*))
+  }
+
+  /** [[prfTopK]] over the SERVED doc-keyed layout: identical semantics
+    * and output (shares the oracle), but the expansion leg reads only
+    * the ≤ nFeedback touched doc buckets instead of scanning the
+    * postings — the serve-hot path. The feedback ids are a bounded
+    * (≤ nFeedback) driver collect: the ids must exist driver-side
+    * anyway to compute the pruning buckets, the same contract as the
+    * touched-cell reads in KMeansQuant. */
+  def prfTopKServed(spark: org.apache.spark.sql.SparkSession, path: String,
+      terms: Seq[String], stopwords: Seq[String], k: Int = 10,
+      nFeedback: Int = 10, nExpand: Int = 3,
+      k1: Double = 1.2, b: Double = 0.75, nDocBuckets: Int = 64): DataFrame = {
+    require(nExpand > 0 && nExpand <= 16,
+      s"nExpand must be in [1, 16] (bounded driver collect), got $nExpand")
+    require(nFeedback > 0 && nFeedback <= 1000,
+      s"nFeedback must be in [1, 1000] (bounded driver collect), got $nFeedback")
+    val fbIds = topKFromPostings(spark, path, terms, k = nFeedback,
+      k1 = k1, b = b).select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    val expansion = expansionCandidates(spark, path, fbIds, nDocBuckets)
+      .filter(!col("token").isin(terms: _*) &&
+        !col("token").isin(stopwords: _*))
+      .groupBy(col("token")).agg(sum(col("tf")).as("w"))
+      .orderBy(col("w").desc, col("token"))
+      .limit(nExpand)
+      .collect().map(_.getString(0)).toSeq
+    topKFromPostings(spark, path, terms ++ expansion, k, k1, b)
+  }
 }

@@ -38,6 +38,9 @@ object RetrievalQueries extends QueryModule {
     postingsCache.getOrElseUpdate(s, d) {
       val p = graft.util.IndexPaths.fresh(d, "bm25-postings")
       Bm25.buildPostings(Tables.documents(s, d), "doc_id", "text", p)
+      // the doc-keyed twin rides the same build (same tf rows, second
+      // layout) — the served PRF's expansion probe prunes against it
+      Bm25.buildDocPostings(Tables.documents(s, d), "doc_id", "text", p)
       p
     }
 
@@ -240,6 +243,16 @@ object RetrievalQueries extends QueryModule {
     // CTE can't know the expansion).
     "q_prf_topk" -> ((s, d) =>
       graft.operators.Bm25.prfTopK(s, postingsIndex(s, d), terms,
+        stopwords = TokenOps.englishStopwords, k = 10,
+        nFeedback = 10, nExpand = 3, k1 = k1, b = b)),
+
+    // The SERVED form of q_prf_topk: identical semantics and output
+    // (shared oracle), but the expansion leg reads only the feedback
+    // docs' bucket partitions off the doc-keyed postings twin
+    // (PartitionFilters plan-pinned in RetrievalSpec) instead of
+    // scanning the term-bucketed postings.
+    "q_prf_topk_srv" -> ((s, d) =>
+      graft.operators.Bm25.prfTopKServed(s, postingsIndex(s, d), terms,
         stopwords = TokenOps.englishStopwords, k = 10,
         nFeedback = 10, nExpand = 3, k1 = k1, b = b)),
 
@@ -467,6 +480,46 @@ object RetrievalQueries extends QueryModule {
        |  + ${rerankW.len} * len_prior, 6) AS rerank
        |  FROM feat CROSS JOIN mx)""".stripMargin
 
+  /** The PRF mirror (shared by q_prf_topk and its served twin): first
+    * pass = the static quantized CTE; expansion + second pass in JOIN
+    * form over the dynamic term set, identical double chain, 1e-9
+    * per-partial quantization, order-free integer sum. */
+  private lazy val prfMirrorSql: String = {
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    val stopList = TokenOps.sqlList(TokenOps.englishStopwords)
+    val partial =
+      s"""ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+         |      / (CAST(df AS DOUBLE) + 0.5))
+         |    * (CAST(tf AS DOUBLE) * ${k1 + 1.0})
+         |    / (CAST(tf AS DOUBLE) + $k1 * (${1.0 - b}
+         |      + $b * CAST(dl AS DOUBLE)
+         |        / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))""".stripMargin
+    s"""$scoredQuantSql,
+       |fb AS (SELECT doc_id FROM scored WHERE bm25 > 0
+       |       ORDER BY bm25 DESC, doc_id LIMIT 10),
+       |tfx AS (SELECT doc_id, unnest(t) AS token FROM toks),
+       |tft AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+       |        FROM tfx GROUP BY doc_id, token),
+       |expn AS (SELECT token FROM tft JOIN fb USING (doc_id)
+       |        WHERE token NOT IN ($termList)
+       |          AND token NOT IN ($stopList)
+       |        GROUP BY token ORDER BY sum(tf) DESC, token LIMIT 3),
+       |qt AS (SELECT unnest([$termList]) AS token
+       |       UNION ALL SELECT token FROM expn),
+       |dft AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+       |        FROM tft GROUP BY token),
+       |dls AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+       |part AS (SELECT tft.doc_id,
+       |    CAST(round(($partial) * 1000000000.0) AS BIGINT) AS pq
+       |  FROM tft JOIN qt USING (token) JOIN dft USING (token)
+       |  JOIN dls ON tft.doc_id = dls.doc_id CROSS JOIN stats),
+       |scored2 AS (SELECT doc_id,
+       |    round(CAST(sum(pq) AS DOUBLE) / 1000000000.0, 6) AS bm25
+       |  FROM part GROUP BY doc_id)
+       |SELECT doc_id, bm25 FROM scored2 WHERE bm25 > 0
+       |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
+  }
+
   private val scoredQuantSql: String =
     s"""$ctePrefix,
        |scored AS (SELECT doc_id, round(CAST(
@@ -653,42 +706,11 @@ object RetrievalQueries extends QueryModule {
     // the second pass recomputed in JOIN form (tf/df/dl tables against
     // the dynamic term set) with the IDENTICAL per-term double chain and
     // the same 1e-9 per-partial quantization, so the order-free integer
-    // sum matches scoreFromPostings bit-for-bit
-    "q_prf_topk" -> {
-      val termList = terms.map(t => s"'$t'").mkString(", ")
-      val stopList = TokenOps.sqlList(TokenOps.englishStopwords)
-      val partial =
-        s"""ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
-           |      / (CAST(df AS DOUBLE) + 0.5))
-           |    * (CAST(tf AS DOUBLE) * ${k1 + 1.0})
-           |    / (CAST(tf AS DOUBLE) + $k1 * (${1.0 - b}
-           |      + $b * CAST(dl AS DOUBLE)
-           |        / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))""".stripMargin
-      s"""$scoredQuantSql,
-         |fb AS (SELECT doc_id FROM scored WHERE bm25 > 0
-         |       ORDER BY bm25 DESC, doc_id LIMIT 10),
-         |tfx AS (SELECT doc_id, unnest(t) AS token FROM toks),
-         |tft AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
-         |        FROM tfx GROUP BY doc_id, token),
-         |expn AS (SELECT token FROM tft JOIN fb USING (doc_id)
-         |        WHERE token NOT IN ($termList)
-         |          AND token NOT IN ($stopList)
-         |        GROUP BY token ORDER BY sum(tf) DESC, token LIMIT 3),
-         |qt AS (SELECT unnest([$termList]) AS token
-         |       UNION ALL SELECT token FROM expn),
-         |dft AS (SELECT token, CAST(count(*) AS BIGINT) AS df
-         |        FROM tft GROUP BY token),
-         |dls AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
-         |part AS (SELECT tft.doc_id,
-         |    CAST(round(($partial) * 1000000000.0) AS BIGINT) AS pq
-         |  FROM tft JOIN qt USING (token) JOIN dft USING (token)
-         |  JOIN dls ON tft.doc_id = dls.doc_id CROSS JOIN stats),
-         |scored2 AS (SELECT doc_id,
-         |    round(CAST(sum(pq) AS DOUBLE) / 1000000000.0, 6) AS bm25
-         |  FROM part GROUP BY doc_id)
-         |SELECT doc_id, bm25 FROM scored2 WHERE bm25 > 0
-         |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
-    },
+    // sum matches scoreFromPostings bit-for-bit. The served form reads
+    // the doc-keyed layout but computes the SAME function — one mirror,
+    // two serving paths (the q_semdedup_incr_srv discipline).
+    "q_prf_topk" -> prfMirrorSql,
+    "q_prf_topk_srv" -> prfMirrorSql,
 
     // nDCG mirror: the same three lists, per-hit gains and the ideal
     // prefix both on the 1e-9 round(1e9/log2(rank+1)) grid, one close

@@ -77,7 +77,7 @@ class PlanSpec extends SparkSpec {
       // (q_hybrid_rrf contains both the BM25 and cosine scalar joins)
       "q_cosine_topk", "q_tfidf_topk", "q_bm25_topk", "q_hybrid_rrf",
       "q_bm25_postings_topk", "q_bm25_incr_topk", "q_bm25_del_topk",
-      "q_bm25_repl_topk", "q_prf_topk",
+      "q_bm25_repl_topk", "q_prf_topk", "q_prf_topk_srv",
       // the eval inherits the hybrid/rerank scalar joins above plus its
       // own 1-row n_relevant frame — all broadcast single rows; the MMR
       // candidate list comes from the same fused pipeline; the nDCG

@@ -106,6 +106,34 @@ class RetrievalSpec extends SparkSpec {
     assert(dirs > 0 && dirs <= 64, s"$dirs bucket dirs")
   }
 
+  test("served PRF == in-plan PRF, and its expansion read prunes doc buckets") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25-prf-srv")
+      .toString
+    val fixture = Tables.documents(spark, sf001)
+    Bm25.buildPostings(fixture, "doc_id", "text", dir)
+    Bm25.buildDocPostings(fixture, "doc_id", "text", dir)
+    val stop = graft.operators.TokenOps.englishStopwords
+    val q = Seq("spark", "dup")
+    val inPlan = Bm25.prfTopK(spark, dir, q, stop, k = 10)
+      .as[(Long, Double)].collect().toSeq
+    val served = Bm25.prfTopKServed(spark, dir, q, stop, k = 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(served === inPlan)
+    assert(served.nonEmpty)
+    // the served expansion read is bucket-pruned: PartitionFilters on
+    // dbucket, and it touches at most nFeedback of the 64 partitions
+    val fbIds = Bm25.topKFromPostings(spark, dir, q, k = 10)
+      .select($"doc_id").as[Long].collect().toSeq
+    val cand = Bm25.expansionCandidates(spark, dir, fbIds)
+    val plan = cand.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("dbucket"),
+      s"no doc-bucket pruning:\n$plan")
+    val full = graft.sources.PartitionedParquet
+      .read(spark, s"$dir/docposts").count()
+    assert(cand.count() < full / 4,
+      s"expansion read ${cand.count()} of $full docposts rows")
+  }
+
   test("hybrid rrf on the fixture: a doc ranked by both retrievers beats its single-list twin") {
     val out = graft.queries.RetrievalQueries.queries("q_hybrid_rrf")(spark, sf001)
       .collect()

@@ -191,6 +191,31 @@ object EventStream {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming twin of the Misra-Gries heavy-hitters rollup
+    * (`q_heavy_hitters`): per event type, the capacity-bounded
+    * frequent-users summary maintained across micro-batches.
+    *
+    * Like [[decayScores]], no bespoke state operator exists here — the
+    * native `heavy_hitters` aggregate is a TypedImperativeAggregate, so
+    * Spark's streaming aggregation state store carries the O(capacity)
+    * buffer itself (update mode), and each micro-batch folds into it
+    * through the same merge path the batch rollup uses. The PODS'12
+    * mergeable-summaries bound (est ≤ true ≤ est + maxerr; any item
+    * with true > maxerr is present, maxerr ≤ N/(capacity+1)) therefore
+    * survives ANY micro-batch arrival split by construction — that, not
+    * an exact-equality seam, is the twin's contract, matching the batch
+    * query's rows-only/§2 status (retained sets are fold-order
+    * dependent; the guarantee is not). State per group is O(capacity),
+    * never per-user — the monitor runs forever on bounded memory. */
+  def heavyUsersByType(events: DataFrame, capacity: Int = 8): DataFrame = {
+    graft.functions.HeavyHitters.register(events.sparkSession)
+    events
+      .select(col("event_type"), col("user_id").cast("string").as("item"))
+      .groupBy(col("event_type"))
+      .agg(graft.functions.HeavyHitters.heavy_hitters(col("item"), capacity)
+        .as("hh"))
+  }
+
   /** Streaming twin of [[graft.operators.EventOps.decayScore]]: the
     * running recency-weighted score per user, updated each micro-batch.
     *

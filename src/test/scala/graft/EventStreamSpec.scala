@@ -383,6 +383,59 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming heavy users keep the Misra-Gries guarantee across micro-batches") {
+    // The twin's contract is the PODS'12 mergeable bound, not exact
+    // equality (retained sets are fold-order dependent): after any
+    // micro-batch split, est <= true <= est + maxerr for every reported
+    // item, and every user with true > maxerr is PRESENT. foreachBatch
+    // keeps the latest summary per type (update-mode upsert semantics).
+    val ev = Tables.events(spark, sf001)
+    val mid = ev.selectExpr("percentile(unix_micros(ts), 0.5)").head().getDouble(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-hh")
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-hh-w")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part), dir.resolve(name))
+    }
+    stage(ev.filter(unix_micros($"ts") <= mid), "a.parquet")
+    val latest = scala.collection.concurrent.TrieMap
+      .empty[String, Seq[(String, Long, Long)]]
+    val q = EventStream.heavyUsersByType(
+        EventStream.read(spark, dir.toString), capacity = 8)
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.select($"event_type", $"hh").collect().foreach { r =>
+          latest(r.getString(0)) = r.getSeq[org.apache.spark.sql.Row](1)
+            .map(e => (e.getString(0), e.getLong(1), e.getLong(2)))
+        }
+      }.start()
+    try {
+      q.processAllAvailable()
+      stage(ev.filter(unix_micros($"ts") > mid), "b.parquet")
+      q.processAllAvailable()
+    } finally q.stop()
+    val truth = ev.groupBy($"event_type", $"user_id").count()
+      .collect().map(r => (r.getString(0), r.getLong(1).toString) -> r.getLong(2))
+      .toMap
+    assert(latest.nonEmpty)
+    latest.foreach { case (tpe, summary) =>
+      assert(summary.nonEmpty && summary.size <= 8)
+      val maxerr = summary.map(_._3).max
+      summary.foreach { case (item, est, err) =>
+        val t = truth((tpe, item))
+        assert(est <= t && t <= est + err,
+          s"$tpe/$item: est $est true $t maxerr $err")
+      }
+      // presence: every user strictly above the decrement total is kept
+      val kept = summary.map(_._1).toSet
+      truth.collect { case ((t2, u), c) if t2 == tpe && c > maxerr => u }
+        .foreach(u => assert(kept.contains(u),
+          s"$tpe: frequent user $u (true > $maxerr) missing"))
+    }
+  }
+
   test("streaming decay scores == batch q_decay_score after every prefix") {
     // The pinned-as-of decay is a commutative aggregate, so unlike the
     // ordered-state twins there is NO seam hazard to exercise — the

@@ -167,7 +167,10 @@ object ScaleBench {
     // postings table grows ~×N under the rotation, so ~linear; the
     // served twin replaces that scan with a ≤10-bucket pruned read off
     // the doc-keyed layout, so its expansion leg should hold near-flat
-    "q_prf_topk", "q_prf_topk_srv")
+    "q_prf_topk", "q_prf_topk_srv",
+    // four corpus-linear brute-force scans (the eval is the baseline
+    // truth, not a served path) — ~linear
+    "q_matryoshka_recall")
 
   def generate(spark: SparkSession, sfDir: String, outDir: String,
       scale: Int): (Long, Long) = {

@@ -134,6 +134,29 @@ object SimilarityQueries extends QueryModule {
           "vec_id", "embedding", 0.5)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // Matryoshka truncation eval: recall@10 of brute-force cosine over
+    // the embedding's FIRST 8/16/32 dims against the full 64-dim truth —
+    // the dimension-budget curve behind MRL-style embeddings (query and
+    // corpus truncate together; the cheap serving tier keeps which share
+    // of the full answer?). Deterministic ⇒ the curve itself is
+    // oracle-checked, like q_ivf_recall. Three bounded top-10 scans.
+    "q_matryoshka_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val full = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queryId = 0L, k = 10).select(col("vec_id"))
+      Seq(8, 16, 32).map { dims =>
+        Similarity.bruteForceTopK(
+            emb.select(col("vec_id"),
+              slice(col("embedding"), 1, dims).as("embedding")),
+            "vec_id", "embedding", queryId = 0L, k = 10)
+          .select(col("vec_id"))
+          .join(full, Seq("vec_id"))
+          .agg(count(lit(1)).as("hits"))
+          .select(lit(dims.toLong).as("dims"), col("hits"),
+            round(col("hits").cast("double") / 10.0, 6).as("recall_at_10"))
+      }.reduce(_.unionAll(_)).orderBy(col("dims"))
+    }),
+
     // Hard-negative mining for contrastive training: per anchor, the
     // top-5 vectors in the cosine band [0.15, 0.5) — informative
     // negatives below the near-dup line (which sits at 0.5 on this
@@ -665,6 +688,32 @@ object SimilarityQueries extends QueryModule {
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE round(ni * 1.0 / (sa.n + sb.n - ni), 6) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // matryoshka mirror: the same truncated-both-sides cosine top-10s
+    // against the full-dim truth, one CTE pair per dims budget
+    "q_matryoshka_recall" -> {
+      def top(alias: String, v: String, qv: String) =
+        s"""$alias AS (SELECT vec_id FROM (
+           |  SELECT e.vec_id, round(list_dot_product($v, $qv)
+           |      / (sqrt(list_dot_product($v, $v))
+           |         * sqrt(list_dot_product($qv, $qv))), 6) AS cos
+           |  FROM e CROSS JOIN q ORDER BY cos DESC, vec_id LIMIT 10))""".stripMargin
+      val dims = Seq(8, 16, 32)
+      val tops = dims.map(k => top(s"top$k", s"e.v[1:$k]", s"q.qv[1:$k]"))
+        .mkString(",\n")
+      val rows = dims.map(k =>
+        s"SELECT $k AS dims, count(*) AS hits FROM top$k JOIN fulltop USING (vec_id)")
+        .mkString("\nUNION ALL ")
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+         |           WHERE vec_id = 0),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |      WHERE vec_id <> 0),
+         |${top("fulltop", "e.v", "q.qv")},
+         |$tops
+         |SELECT CAST(dims AS BIGINT) AS dims, CAST(hits AS BIGINT) AS hits,
+         |  round(CAST(hits AS DOUBLE) / 10.0, 6) AS recall_at_10
+         |FROM ($rows) ORDER BY dims""".stripMargin
+    },
 
     "q_embed_norm" ->
       """SELECT vec_id,

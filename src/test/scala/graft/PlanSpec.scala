@@ -93,8 +93,10 @@ class PlanSpec extends SparkSpec {
       // CDC form carries the same 1-row insert-key base frame)
       "q_bigram_nll", "q_merge_upsert", "q_cdc_apply",
       // recall eval joins the IVF and brute-force top-10s — both carry
-      // the 1-row query-vector scalar join by construction
-      "q_ivf_recall",
+      // the 1-row query-vector scalar join by construction; the
+      // matryoshka curve is four such brute-force scans (full + 3
+      // truncation budgets), each with its own 1-row query join
+      "q_ivf_recall", "q_matryoshka_recall",
       // the global median / MAD stats rows broadcast back as 1-row
       // scalar joins (no join key exists)
       "q_robust_outliers",

@@ -169,8 +169,8 @@ object ScaleBench {
     // the doc-keyed layout, so its expansion leg should hold near-flat
     "q_prf_topk", "q_prf_topk_srv",
     // four corpus-linear brute-force scans (the eval is the baseline
-    // truth, not a served path) — ~linear
-    "q_matryoshka_recall")
+    // truth, not a served path) — ~linear; the int8 sibling is two
+    "q_matryoshka_recall", "q_int8_recall")
 
   def generate(spark: SparkSession, sfDir: String, outDir: String,
       scale: Int): (Long, Long) = {

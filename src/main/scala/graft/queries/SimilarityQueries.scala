@@ -157,6 +157,29 @@ object SimilarityQueries extends QueryModule {
       }.reduce(_.unionAll(_)).orderBy(col("dims"))
     }),
 
+    // Int8 serving-tier eval, the quantization sibling of the
+    // matryoshka curve: recall@10 of brute-force cosine over the int8
+    // CODES (query and corpus quantized alike; per-vector scales cancel
+    // in cosine, so code-space cosine IS the quantized similarity)
+    // against the float truth. Integer-valued dots are exact, so the
+    // curve is oracle-checked.
+    "q_int8_recall" -> ((s, d) => {
+      import graft.operators.Quantize
+      val emb = Tables.embeddings(s, d)
+      val v = col("embedding").cast("array<double>")
+      val quant = emb.select(col("vec_id"),
+        Quantize.codes(v).cast("array<double>").as("embedding"))
+      val full = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queryId = 0L, k = 10).select(col("vec_id"))
+      Similarity.bruteForceTopK(quant, "vec_id", "embedding",
+          queryId = 0L, k = 10)
+        .select(col("vec_id"))
+        .join(full, Seq("vec_id"))
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(10L).as("k"), col("hits"),
+          round(col("hits").cast("double") / 10.0, 6).as("recall_at_10"))
+    }),
+
     // Hard-negative mining for contrastive training: per anchor, the
     // top-5 vectors in the cosine band [0.15, 0.5) — informative
     // negatives below the near-dup line (which sits at 0.5 on this
@@ -688,6 +711,36 @@ object SimilarityQueries extends QueryModule {
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE round(ni * 1.0 / (sa.n + sb.n - ni), 6) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // int8 recall mirror: identical per-vector quantization (the
+    // q_embed_quantize chain), cosine over the code vectors
+    "q_int8_recall" ->
+      s"""WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS v
+         |             FROM embeddings),
+         |qz AS (SELECT vec_id,
+         |    list_transform(v, x -> CASE
+         |      WHEN list_max(list_transform(v, y -> abs(y))) / 127.0 = 0
+         |        THEN 0.0
+         |      ELSE CAST(CAST(round(x / (list_max(list_transform(v,
+         |        y -> abs(y))) / 127.0)) AS INT) AS DOUBLE) END) AS cv
+         |  FROM raw),
+         |q AS (SELECT cv AS qv FROM qz WHERE vec_id = 0),
+         |e AS (SELECT vec_id, cv AS v FROM qz WHERE vec_id <> 0),
+         |qtop AS (SELECT vec_id FROM (
+         |  SELECT e.vec_id, round(list_dot_product(e.v, q.qv)
+         |      / (sqrt(list_dot_product(e.v, e.v))
+         |         * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+         |  FROM e CROSS JOIN q ORDER BY cos DESC, vec_id LIMIT 10)),
+         |fq AS (SELECT v AS qv FROM raw WHERE vec_id = 0),
+         |fe AS (SELECT vec_id, v FROM raw WHERE vec_id <> 0),
+         |fulltop AS (SELECT vec_id FROM (
+         |  SELECT fe.vec_id, round(list_dot_product(fe.v, fq.qv)
+         |      / (sqrt(list_dot_product(fe.v, fe.v))
+         |         * sqrt(list_dot_product(fq.qv, fq.qv))), 6) AS cos
+         |  FROM fe CROSS JOIN fq ORDER BY cos DESC, vec_id LIMIT 10))
+         |SELECT CAST(10 AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS hits,
+         |  round(CAST(count(*) AS DOUBLE) / 10.0, 6) AS recall_at_10
+         |FROM qtop JOIN fulltop USING (vec_id)""".stripMargin,
 
     // matryoshka mirror: the same truncated-both-sides cosine top-10s
     // against the full-dim truth, one CTE pair per dims budget

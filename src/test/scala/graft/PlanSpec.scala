@@ -96,7 +96,7 @@ class PlanSpec extends SparkSpec {
       // the 1-row query-vector scalar join by construction; the
       // matryoshka curve is four such brute-force scans (full + 3
       // truncation budgets), each with its own 1-row query join
-      "q_ivf_recall", "q_matryoshka_recall",
+      "q_ivf_recall", "q_matryoshka_recall", "q_int8_recall",
       // the global median / MAD stats rows broadcast back as 1-row
       // scalar joins (no join key exists)
       "q_robust_outliers",

@@ -170,7 +170,10 @@ object ScaleBench {
     "q_prf_topk", "q_prf_topk_srv",
     // four corpus-linear brute-force scans (the eval is the baseline
     // truth, not a served path) — ~linear; the int8 sibling is two
-    "q_matryoshka_recall", "q_int8_recall")
+    "q_matryoshka_recall", "q_int8_recall",
+    // class weights is a label-cardinality reduce; the curriculum grid
+    // is one quality projection + a doc-frame ntile + a ≤30-cell reduce
+    "q_class_weights", "q_curriculum_grid")
 
   def generate(spark: SparkSession, sfDir: String, outDir: String,
       scale: Int): (Long, Long) = {

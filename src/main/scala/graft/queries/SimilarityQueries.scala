@@ -157,6 +157,22 @@ object SimilarityQueries extends QueryModule {
       }.reduce(_.unionAll(_)).orderBy(col("dims"))
     }),
 
+    // Inverse-frequency class weights over the label column — the
+    // training-prep verb for imbalanced corpora: w = N / (k·n_label)
+    // (sklearn's "balanced" convention), exact counts into one double
+    // division. Label-cardinality aggregate + a 1-row totals broadcast.
+    "q_class_weights" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val tot = emb.agg(count(lit(1)).as("n_total"),
+        countDistinct(col("label")).as("n_classes"))
+      emb.groupBy(col("label")).agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(tot))
+        .select(col("label"), col("n"),
+          round(col("n_total").cast("double") /
+            (col("n_classes") * col("n")).cast("double"), 6).as("weight"))
+        .orderBy(col("label"))
+    }),
+
     // Int8 serving-tier eval, the quantization sibling of the
     // matryoshka curve: recall@10 of brute-force cosine over the int8
     // CODES (query and corpus quantized alike; per-vector scales cancel
@@ -711,6 +727,16 @@ object SimilarityQueries extends QueryModule {
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE round(ni * 1.0 / (sa.n + sb.n - ni), 6) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_class_weights" ->
+      """WITH tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total,
+        |    CAST(count(DISTINCT label) AS BIGINT) AS n_classes
+        |  FROM embeddings)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(n_total AS DOUBLE)
+        |    / CAST(n_classes * count(*) AS DOUBLE), 6) AS weight
+        |FROM embeddings CROSS JOIN tot
+        |GROUP BY label, n_total, n_classes ORDER BY label""".stripMargin,
 
     // int8 recall mirror: identical per-vector quantization (the
     // q_embed_quantize chain), cosine over the code vectors

@@ -121,6 +121,28 @@ object TokenQueries extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // Curriculum grid: quality decile × length bucket counts — the
+    // shape report behind curriculum schedules (train easy/short first)
+    // and mix audits (is the high-quality tail all one length band?).
+    // The ntile sorts the DOC-DIMENSION frame on the already-rounded
+    // quality score with doc_id tie-breaks (the q_rfm discipline; GK
+    // quantile cuts are the 1e9-doc path).
+    "q_curriculum_grid" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val (nTok, _, q) = TokenOps.qualityScore(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), nTok.as("n_tokens"), q.as("quality"))
+        .withColumn("q_decile", ntile(10)
+          .over(Window.orderBy(col("quality"), col("doc_id"))).cast("long"))
+        .select(col("q_decile"),
+          when(col("n_tokens") < 20, "0-short")
+            .when(col("n_tokens") < 40, "1-mid")
+            .otherwise("2-long").as("len_bucket"))
+        .groupBy(col("q_decile"), col("len_bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("q_decile"), col("len_bucket"))
+    }),
+
     // Within-doc repetition ratio (Gopher-style boilerplate signal).
     "q_repetition" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
@@ -579,6 +601,32 @@ object TokenQueries extends QueryModule {
          |      + 0.3 * (1.0 - n_stop / n_tok)
          |      + 0.2 * least((n_char / n_tok) / 10.0, 1.0), 6) AS quality
          |FROM q ORDER BY doc_id""".stripMargin,
+
+    // curriculum grid mirror: same quality chain, same ntile ordering
+    // (rounded score, doc_id ties), same length-band case
+    "q_curriculum_grid" ->
+      s"""WITH q AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_split_to_array(lower(text), '$wsSql')) AS DOUBLE) AS n_tok,
+         |    CAST(len(list_filter(regexp_split_to_array(lower(text), '$wsSql'),
+         |      t -> t IN ($stopSql))) AS DOUBLE) AS n_stop,
+         |    CAST(length(replace(text, ' ', '')) AS DOUBLE) AS n_char
+         |  FROM documents),
+         |s AS (SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+         |    round(0.5 * least(n_tok / 100.0, 1.0)
+         |      + 0.3 * (1.0 - n_stop / n_tok)
+         |      + 0.2 * least((n_char / n_tok) / 10.0, 1.0), 6) AS quality
+         |  FROM q),
+         |b AS (SELECT
+         |    CAST(ntile(10) OVER (ORDER BY quality, doc_id) AS BIGINT)
+         |      AS q_decile,
+         |    CASE WHEN n_tokens < 20 THEN '0-short'
+         |         WHEN n_tokens < 40 THEN '1-mid'
+         |         ELSE '2-long' END AS len_bucket
+         |  FROM s)
+         |SELECT q_decile, len_bucket, CAST(count(*) AS BIGINT) AS n
+         |FROM b GROUP BY q_decile, len_bucket
+         |ORDER BY q_decile, len_bucket""".stripMargin,
 
     // Mirrors LangId.detect: per-language marker-hit counts over the
     // shared tokenizer, argmax via struct ordering (DuckDB's list_max

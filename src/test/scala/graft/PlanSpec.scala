@@ -97,6 +97,9 @@ class PlanSpec extends SparkSpec {
       // matryoshka curve is four such brute-force scans (full + 3
       // truncation budgets), each with its own 1-row query join
       "q_ivf_recall", "q_matryoshka_recall", "q_int8_recall",
+      // the 1-row (N, k) class-totals frame broadcast over the
+      // label-cardinality counts — the scalar-join shape
+      "q_class_weights",
       // the global median / MAD stats rows broadcast back as 1-row
       // scalar joins (no join key exists)
       "q_robust_outliers",

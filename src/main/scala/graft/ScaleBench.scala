@@ -173,7 +173,10 @@ object ScaleBench {
     "q_matryoshka_recall", "q_int8_recall",
     // class weights is a label-cardinality reduce; the curriculum grid
     // is one quality projection + a doc-frame ntile + a ≤30-cell reduce
-    "q_class_weights", "q_curriculum_grid")
+    "q_class_weights", "q_curriculum_grid",
+    // triplet assembly = two banded anchor scans (the q_hard_negatives
+    // shape, twice) — ~linear in the corpus
+    "q_training_triplets")
 
   def generate(spark: SparkSession, sfDir: String, outDir: String,
       scale: Int): (Long, Long) = {

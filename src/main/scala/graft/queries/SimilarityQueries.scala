@@ -157,6 +157,28 @@ object SimilarityQueries extends QueryModule {
       }.reduce(_.unionAll(_)).orderBy(col("dims"))
     }),
 
+    // Contrastive training-triplet assembly: per anchor, ONE positive
+    // (the nearest neighbor at/above the near-dup line, cos >= 0.5) and
+    // THREE hard negatives from the informative band [0.15, 0.5) — the
+    // (anchor, positive, negatives) rows an embedding-model trainer
+    // consumes, assembled from the same banded-scan verb both stages
+    // share (broadcast anchors × one corpus scan each). roles carry the
+    // per-role rank so the row set is fully ordered and hash-stable.
+    "q_training_triplets" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val anchors = Seq(0L, 1L, 2L)
+      val pos = Similarity.hardNegatives(emb, "vec_id", "embedding",
+          anchorIds = anchors, k = 1, lo = 0.5, hi = 1.1)
+        .select(col("anchor_id"), lit("positive").as("role"),
+          col("rank"), col("vec_id"), col("cos"))
+      val neg = Similarity.hardNegatives(emb, "vec_id", "embedding",
+          anchorIds = anchors, k = 3, lo = 0.15, hi = 0.5)
+        .select(col("anchor_id"), lit("negative").as("role"),
+          col("rank"), col("vec_id"), col("cos"))
+      pos.unionAll(neg)
+        .orderBy(col("anchor_id"), col("role"), col("rank"))
+    }),
+
     // Inverse-frequency class weights over the label column — the
     // training-prep verb for imbalanced corpora: w = N / (k·n_label)
     // (sklearn's "balanced" convention), exact counts into one double
@@ -727,6 +749,31 @@ object SimilarityQueries extends QueryModule {
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE round(ni * 1.0 / (sa.n + sb.n - ni), 6) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // triplet mirror: one scored CTE, two banded rank windows
+    "q_training_triplets" ->
+      """WITH q AS (SELECT vec_id AS anchor_id, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id IN (0, 1, 2)),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |scored AS (SELECT anchor_id, vec_id,
+        |    round(list_dot_product(v, qv)
+        |      / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos
+        |  FROM e CROSS JOIN q WHERE vec_id <> anchor_id),
+        |pos AS (SELECT anchor_id, 'positive' AS role, rank, vec_id, cos
+        |  FROM (SELECT anchor_id, vec_id, cos,
+        |      row_number() OVER (PARTITION BY anchor_id
+        |        ORDER BY cos DESC, vec_id) AS rank
+        |    FROM scored WHERE cos >= 0.5 AND cos < 1.1)
+        |  WHERE rank <= 1),
+        |neg AS (SELECT anchor_id, 'negative' AS role, rank, vec_id, cos
+        |  FROM (SELECT anchor_id, vec_id, cos,
+        |      row_number() OVER (PARTITION BY anchor_id
+        |        ORDER BY cos DESC, vec_id) AS rank
+        |    FROM scored WHERE cos >= 0.15 AND cos < 0.5)
+        |  WHERE rank <= 3)
+        |SELECT anchor_id, role, CAST(rank AS BIGINT) AS rank, vec_id, cos
+        |FROM (SELECT * FROM pos UNION ALL SELECT * FROM neg)
+        |ORDER BY anchor_id, role, rank""".stripMargin,
 
     "q_class_weights" ->
       """WITH tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total,

@@ -140,8 +140,10 @@ class PlanSpec extends SparkSpec {
       "q_boilerplate",
       // hardNegatives broadcasts the BOUNDED anchor set (≤ maxAnchors,
       // loudly guarded) over one corpus scan — a deliberate k-row
-      // nested loop, the same shape as the query-vector scalar joins
-      "q_hard_negatives",
+      // nested loop, the same shape as the query-vector scalar joins;
+      // the triplet assembly runs that verb twice (positive band +
+      // negative band)
+      "q_hard_negatives", "q_training_triplets",
       // PMI's 1-row corpus-size frame (n_docs) broadcast over the
       // vocabulary-sized pair table — the same scalar-join shape
       "q_collocations",

@@ -238,6 +238,15 @@ object Bm25 {
       .agg(sum(col("n_docs")).as("n_docs"),
         sum(col("total_len")).as("total_len"))
       .write.parquet(s"$stage/stats")
+    // doc-keyed twin: appends are content-monotone, so maintain it in
+    // the same staged commit when it exists (the delta tf rows are
+    // already in hand) — delete/replace DROP it instead (see
+    // dropDocPostings)
+    val docBuckets = docPostsBuckets(spark, path)
+    docBuckets.foreach { nb =>
+      tf.withColumn("dbucket", pmod(col("doc_id"), lit(nb.toLong)))
+        .write.partitionBy("dbucket").parquet(s"$stage/docposts")
+    }
 
     // ---- COMMIT: metadata-only renames (no Spark jobs, no data
     // rewrites). Not atomic as a group — a crash INSIDE this window can
@@ -254,6 +263,9 @@ object Bm25 {
       partitioned = true)
     moveDataFiles(fs, s"$stage/doclens", s"$path/doclens",
       partitioned = false)
+    if (docBuckets.isDefined)
+      moveDataFiles(fs, s"$stage/docposts", s"$path/docposts",
+        partitioned = true)
     swapDir(fs, s"$stage/stats", s"$path/stats")
     swapDir(fs, s"$stage/terms", s"$path/terms")
     fs.delete(new org.apache.hadoop.fs.Path(stage), true)
@@ -352,6 +364,9 @@ object Bm25 {
     swapDir(fs, s"$stage/stats", s"$path/stats")
     swapDir(fs, s"$stage/terms", s"$path/terms")
     fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    // content mutated → the doc-keyed twin may be stale; drop it so the
+    // served PRF fails loudly instead of diverging (rebuild explicitly)
+    dropDocPostings(spark, path)
   }
 
   /** Incremental document REPLACEMENT (upsert): fold a batch of NEW
@@ -458,6 +473,9 @@ object Bm25 {
     swapDir(fs, s"$stage/stats", s"$path/stats")
     swapDir(fs, s"$stage/terms", s"$path/terms")
     fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    // content mutated → the doc-keyed twin may be stale; drop it so the
+    // served PRF fails loudly instead of diverging (rebuild explicitly)
+    dropDocPostings(spark, path)
   }
 
   /** Standalone compaction for append-fragmented postings buckets: each
@@ -664,20 +682,65 @@ object Bm25 {
     * arithmetic: deterministic, mirror-free (it never reaches an
     * output), and prunable by Catalyst's partition pruning. */
   def buildDocPostings(docs: DataFrame, idCol: String, textCol: String,
-      path: String, nDocBuckets: Int = 64): Unit =
+      path: String, nDocBuckets: Int = 64): Unit = {
+    require(nDocBuckets > 0, s"need nDocBuckets > 0, got $nDocBuckets")
     graft.sources.PartitionedParquet.write(
       tokenTf(docs, idCol, textCol)
         .withColumn("dbucket", pmod(col("doc_id"), lit(nDocBuckets.toLong))),
       s"$path/docposts", Seq("dbucket"))
+    // the modulus is NOT recoverable from partition dirs (empty buckets
+    // leave no dir) — persist it so append/probe can never mis-bucket
+    docs.sparkSession.range(1)
+      .select(lit(nDocBuckets).as("n_buckets"))
+      .write.mode("overwrite").parquet(s"$path/docposts_meta")
+  }
+
+  /** The persisted doc-bucket modulus, or None when no doc-keyed twin
+    * exists at `path`. */
+  private def docPostsBuckets(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[Int] = {
+    val hc = spark.sparkContext.hadoopConfiguration
+    val meta = new org.apache.hadoop.fs.Path(s"$path/docposts_meta")
+    if (meta.getFileSystem(hc).exists(meta))
+      Some(spark.read.parquet(meta.toString).head().getInt(0))
+    else None
+  }
+
+  /** Drop the doc-keyed twin (docposts + meta) — called by the
+    * DESTRUCTIVE maintenance verbs ([[deletePostings]],
+    * [[replacePostings]]) AFTER their commit so a stale twin is
+    * impossible: the twin is derived serving data, and serving it past
+    * a content mutation would silently diverge the two PRF paths.
+    * Rebuild with [[buildDocPostings]] when the serve-hot path is
+    * needed again ([[appendPostings]] MAINTAINS it instead — appends
+    * are content-monotone and the delta rows are already in hand;
+    * [[compactPostings]] never touches it — compaction moves files,
+    * not content). */
+  private def dropDocPostings(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val hc = spark.sparkContext.hadoopConfiguration
+    Seq(s"$path/docposts", s"$path/docposts_meta").foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(hc)
+      if (fs.exists(hp)) fs.delete(hp, true)
+    }
+  }
 
   /** The served expansion read: the feedback docs' token tf rows off
     * the doc-keyed layout, bucket-pruned. Exposed so the plan pin
     * (PartitionFilters) is testable on the exact frame the serving
-    * path consumes. */
+    * path consumes. Fails loudly when no (current) twin exists — a
+    * destructive index mutation drops the twin precisely so this can
+    * never serve stale rows. */
   def expansionCandidates(spark: org.apache.spark.sql.SparkSession,
-      path: String, fbIds: Seq[Long], nDocBuckets: Int = 64): DataFrame = {
+      path: String, fbIds: Seq[Long]): DataFrame = {
     require(fbIds.nonEmpty, "expansion needs at least one feedback doc")
-    val buckets = fbIds.map(_ % nDocBuckets).distinct
+    val nb = docPostsBuckets(spark, path).getOrElse(throw
+      new IllegalArgumentException(
+        s"no doc-keyed postings twin at $path — build it with " +
+          "buildDocPostings (a delete/replace mutation drops the twin " +
+          "so it can never serve stale expansion rows)"))
+    val buckets = fbIds.map(_ % nb).distinct
     graft.sources.PartitionedParquet.read(spark, s"$path/docposts")
       .filter(col("dbucket").isin(buckets: _*) &&
         col("doc_id").isin(fbIds: _*))
@@ -693,14 +756,14 @@ object Bm25 {
   def prfTopKServed(spark: org.apache.spark.sql.SparkSession, path: String,
       terms: Seq[String], stopwords: Seq[String], k: Int = 10,
       nFeedback: Int = 10, nExpand: Int = 3,
-      k1: Double = 1.2, b: Double = 0.75, nDocBuckets: Int = 64): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(nExpand > 0 && nExpand <= 16,
       s"nExpand must be in [1, 16] (bounded driver collect), got $nExpand")
     require(nFeedback > 0 && nFeedback <= 1000,
       s"nFeedback must be in [1, 1000] (bounded driver collect), got $nFeedback")
     val fbIds = topKFromPostings(spark, path, terms, k = nFeedback,
       k1 = k1, b = b).select(col("doc_id")).collect().map(_.getLong(0)).toSeq
-    val expansion = expansionCandidates(spark, path, fbIds, nDocBuckets)
+    val expansion = expansionCandidates(spark, path, fbIds)
       .filter(!col("token").isin(terms: _*) &&
         !col("token").isin(stopwords: _*))
       .groupBy(col("token")).agg(sum(col("tf")).as("w"))

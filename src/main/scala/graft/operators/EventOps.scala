@@ -251,14 +251,31 @@ object EventOps {
     * summed as decimal, divided once at the close. */
   def decayScore(df: DataFrame, key: String, ts: Column, value: Column,
       asOf: String, tauDays: Double = 7.0): DataFrame = {
+    // FUTURE-dated events (ts > asOf) make exp(−age) EXPLODE instead of
+    // decay — the weight's long cast errors under ANSI / saturates
+    // non-ANSI while the DuckDB mirror raises, splitting engine from
+    // oracle. Fail loudly with a bounded probe (the Upsert discipline)
+    // instead of letting a clock-skewed ingest corrupt scores.
+    val future = df.filter(ts > lit(asOf).cast("timestamp")).limit(1).count()
+    require(future == 0L,
+      s"decayScore: events dated after asOf=$asOf — a future age makes " +
+        "exp(-age/tau) explode; pin asOf at/after the ingest horizon")
+    df.groupBy(col(key))
+      .agg(count(lit(1)).as("n_events"),
+        decayScoreAgg(ts, value, asOf, tauDays).as("decay_score"))
+  }
+
+  /** The decayed-sum aggregate expression shared by the batch operator
+    * and the streaming twin. The cents·w_nano product multiplies in
+    * DECIMAL (cents ≤ ~9e16 cents would overflow a long against the 1e9
+    * weight grid — the review catch); age ≥ 0 keeps w_nano ≤ 1e9. */
+  private[graft] def decayScoreAgg(ts: Column, value: Column,
+      asOf: String, tauDays: Double): Column = {
     require(tauDays > 0.0, s"decayScore needs tau > 0, got $tauDays")
     val ageDays = (unix_micros(lit(asOf).cast("timestamp")) -
       unix_micros(ts)).cast("double") / lit(86400e6)
     val wNano = round(exp(-(ageDays / lit(tauDays))) * lit(1e9)).cast("long")
-    df.groupBy(col(key))
-      .agg(count(lit(1)).as("n_events"),
-        round(sum((graft.functions.Money.cents(value) * wNano)
-          .cast("decimal(38,0)")).cast("double") / lit(1e11), 6)
-          .as("decay_score"))
+    round(sum(graft.functions.Money.cents(value).cast("decimal(38,0)")
+      * wNano).cast("double") / lit(1e11), 6)
   }
 }

@@ -285,13 +285,9 @@ object KMeansQuant {
       .withColumn("cos",
         round(Similarity.cosineFast(col("__v"), col("__qa")), 6))
       .filter(col("cos") >= lo && col("cos") < hi)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("anchor_id"))
-      .orderBy(col("cos").desc, col(idCol))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("anchor_id"), col(idCol), col("cos"),
-        col("rank").cast("long").as("rank"))
+    // the shared banded-top-k tail (Similarity.bandTopK): grid,
+    // tie-break, and cut are ONE definition across both serving paths
+    Similarity.bandTopK(scored, idCol, k)
   }
 
   /** The model as a (cluster, dim, q) frame — dim is 1-BASED to match

@@ -203,19 +203,29 @@ object Sampling {
     * keeps the key integer-exact on both engines by construction; a
     * sub-floor weight has inclusion probability ≤ 1e-8/Σw anyway.
     * Requires [[graft.functions.PolyHashF.register]] on the session. */
-  def weightedSample(df: DataFrame, idCol: String, weightCol: Column,
-      k: Int, seed: Int, minWeight: Double = 1e-8): DataFrame = {
-    require(k > 0, s"sample size must be positive, got $k")
-    require(minWeight >= 2.3e-9,
-      s"minWeight must be >= 2.3e-9 (BIGINT key bound), got $minWeight")
+  /** The shared A-ES key: ln(u)/w on the 1e-9 grid, u from
+    * poly_hash(md5(seed-tag ‖ id)). ONE definition for the global and
+    * stratified samplers (and the formula the two SQL mirrors
+    * transcribe) — a one-sided tweak here would break the specced
+    * "stratified == global restricted per stratum" identity, so there
+    * is exactly one place to tweak. */
+  private def aesKeyNano(idCol: String, weightCol: Column,
+      seed: Int): Column = {
     val p = graft.functions.PolyHashKernel.Mod
     val u = (graft.functions.PolyHashF.poly_hash(
         md5(concat(lit(s"w$seed:"), col(idCol).cast("string"))
           .cast("binary"))) + lit(1L))
       .cast("double") / lit((p + 1L).toDouble)
+    round(log(u) / weightCol.cast("double") * lit(1e9)).cast("long")
+  }
+
+  def weightedSample(df: DataFrame, idCol: String, weightCol: Column,
+      k: Int, seed: Int, minWeight: Double = 1e-8): DataFrame = {
+    require(k > 0, s"sample size must be positive, got $k")
+    require(minWeight >= 2.3e-9,
+      s"minWeight must be >= 2.3e-9 (BIGINT key bound), got $minWeight")
     df.filter(weightCol >= lit(minWeight))
-      .withColumn("key_nano",
-        round(log(u) / weightCol.cast("double") * lit(1e9)).cast("long"))
+      .withColumn("key_nano", aesKeyNano(idCol, weightCol, seed))
       .orderBy(col("key_nano").desc, col(idCol))
       .limit(k)
   }
@@ -239,17 +249,11 @@ object Sampling {
     require(kPerGroup > 0, s"per-group sample size must be positive, got $kPerGroup")
     require(minWeight >= 2.3e-9,
       s"minWeight must be >= 2.3e-9 (BIGINT key bound), got $minWeight")
-    val p = graft.functions.PolyHashKernel.Mod
-    val u = (graft.functions.PolyHashF.poly_hash(
-        md5(concat(lit(s"w$seed:"), col(idCol).cast("string"))
-          .cast("binary"))) + lit(1L))
-      .cast("double") / lit((p + 1L).toDouble)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol))
       .orderBy(col("key_nano").desc, col(idCol))
     df.filter(weightCol >= lit(minWeight))
-      .withColumn("key_nano",
-        round(log(u) / weightCol.cast("double") * lit(1e9)).cast("long"))
+      .withColumn("key_nano", aesKeyNano(idCol, weightCol, seed))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= kPerGroup)
   }

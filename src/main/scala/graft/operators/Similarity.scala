@@ -89,12 +89,32 @@ object Similarity {
     VectorFunctions.register(embeddings.sparkSession)
     val anchors = embeddings.filter(col(idCol).isin(anchorIds: _*))
       .select(col(idCol).as("anchor_id"), toDouble(col(vecCol)).as("__qa"))
+    // a typo'd anchor id would otherwise just produce ZERO rows for that
+    // anchor — indistinguishable from "no candidates in the band". The
+    // anchor frame is ≤ maxAnchors rows, so the probe is cheap; fail
+    // loudly naming the missing ids (the module's discipline).
+    val present = anchors.select(col("anchor_id"))
+      .collect().map(_.getLong(0)).toSet
+    val missing = anchorIds.filterNot(present)
+    require(missing.isEmpty,
+      s"hardNegatives: anchor ids not in the corpus: ${missing.mkString(", ")}")
     val scored = embeddings
       .select(col(idCol), toDouble(col(vecCol)).as("__v"))
       .crossJoin(broadcast(anchors))
       .filter(col(idCol) =!= col("anchor_id"))
       .withColumn("cos", round(cosineFast(col("__v"), col("__qa")), 6))
       .filter(col("cos") >= lo && col("cos") < hi)
+    bandTopK(scored, idCol, k)
+  }
+
+  /** The shared banded-top-k tail: per-anchor rank over the 6dp cosine
+    * grid (ties by candidate id), cut to k — ONE definition consumed by
+    * [[hardNegatives]] and [[graft.operators.KMeansQuant
+    * .hardNegativesFromIndex]], whose outputs are specced to agree; a
+    * tweak to the grid, tie-break, or band inclusivity lands on both
+    * serving paths (and stays aligned with the shared mirrors). */
+  private[operators] def bandTopK(scored: DataFrame, idCol: String,
+      k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("anchor_id"))
       .orderBy(col("cos").desc, col(idCol))

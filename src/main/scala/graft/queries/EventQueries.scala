@@ -1288,7 +1288,7 @@ object EventQueries extends QueryModule {
         |      AS BIGINT) AS wnano
         |  FROM events)
         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
-        |  round(CAST(sum(CAST(cents * wnano AS HUGEINT)) AS DOUBLE)
+        |  round(CAST(sum(CAST(cents AS HUGEINT) * wnano) AS DOUBLE)
         |    / 1e11, 6) AS decay_score
         |FROM ev GROUP BY user_id ORDER BY user_id""".stripMargin
   )

@@ -91,10 +91,16 @@ object RetrievalQueries extends QueryModule {
       org.apache.spark.sql.DataFrame)]
   private def evalLists(s: org.apache.spark.sql.SparkSession, d: String) =
     evalCache.getOrElseUpdate(s, d) {
-      val (lists, rel, nRel) = evalListsPlan(s, d)
+      val (lists, rel, _) = evalListsPlan(s, d)
       // lists is ≤30 rows, rel is the relevance id set — both tiny;
-      // materialize once so recall/MRR and nDCG are pure aggregates
-      (lists.localCheckpoint(), rel.localCheckpoint(), nRel)
+      // materialize once so recall/MRR and nDCG are pure aggregates.
+      // nRel MUST derive from the checkpointed rel: the plan-form count
+      // would re-run the corpus-wide tokenize scan on every consumer
+      // (the review catch) — off the checkpoint it's a 1-row fold over
+      // the tiny id set.
+      val relCp = rel.localCheckpoint()
+      (lists.localCheckpoint(), relCp,
+        relCp.agg(count(lit(1)).as("n_relevant")))
     }
 
   private def evalListsPlan(s: org.apache.spark.sql.SparkSession, d: String) = {

@@ -142,8 +142,11 @@ object SimilarityQueries extends QueryModule {
     // oracle-checked, like q_ivf_recall. Three bounded top-10 scans.
     "q_matryoshka_recall" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
+      // checkpoint the 10-row truth: three branches join against it, and
+      // the uncheckpointed plan would re-run the full-dim corpus scan
+      // per branch (the fused20 discipline)
       val full = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
-        queryId = 0L, k = 10).select(col("vec_id"))
+        queryId = 0L, k = 10).select(col("vec_id")).localCheckpoint()
       Seq(8, 16, 32).map { dims =>
         Similarity.bruteForceTopK(
             emb.select(col("vec_id"),

@@ -235,20 +235,18 @@ object EventStream {
     * sink; n_events is strictly increasing per user, so the final score
     * is the row with each user's max n_events. */
   def decayScores(events: DataFrame, asOf: String,
-      tauDays: Double = 7.0): DataFrame = {
-    require(tauDays > 0.0, s"decayScores needs tau > 0, got $tauDays")
-    val ageDays = (unix_micros(lit(asOf).cast("timestamp")) -
-      unix_micros(col("ts"))).cast("double") / lit(86400e6)
-    val wNano = round(exp(-(ageDays / lit(tauDays))) * lit(1e9)).cast("long")
+      tauDays: Double = 7.0): DataFrame =
+    // shares the batch operator's exact aggregate expression (decimal
+    // cents·w_nano product — no long wrap). The batch form's loud
+    // future-event probe cannot run on an unbounded stream: the caller
+    // pins asOf at/after the ingest horizon by contract (a violating
+    // event errors the weight cast loudly under ANSI rather than
+    // corrupting scores).
     events
-      .select(col("user_id"),
-        (graft.functions.Money.cents(col("value")) * wNano)
-          .cast("decimal(38,0)").as("nano"))
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("nano")).cast("double") / lit(1e11), 6)
-          .as("decay_score"))
-  }
+        graft.operators.EventOps.decayScoreAgg(col("ts"), col("value"),
+          asOf, tauDays).as("decay_score"))
 
   /** Stream-stream interval join: left-type events joined to right-type
     * events of the same user within [l_ts, l_ts + within) — streaming

@@ -257,5 +257,14 @@ class EventOpsSpec extends SparkSpec {
       EventOps.decayScore(df, "user_id", $"ts", $"value", "2024-02-01")
         .as[(Long, Long, Double)].collect().toSet
     assert(run(ev) === run(ev.repartition(13)))
+    // FUTURE-dated events would make exp(-age) explode (overflowing the
+    // weight grid differently per engine) — the bounded probe refuses
+    val withFuture = aged.union(
+      Seq((9L, ts("2024-03-01 00:00:00"), 1.0)).toDF("user_id", "ts", "value"))
+    val ex = intercept[IllegalArgumentException] {
+      EventOps.decayScore(withFuture, "user_id", $"ts", $"value",
+        asOf = "2024-02-01")
+    }
+    assert(ex.getMessage.contains("after asOf"))
   }
 }

@@ -134,6 +134,52 @@ class RetrievalSpec extends SparkSpec {
       s"expansion read ${cand.count()} of $full docposts rows")
   }
 
+  test("doc-keyed twin lifecycle: append maintains, replace drops loudly, rebuild restores") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25-docposts-life")
+      .toString
+    val fixture = Tables.documents(spark, sf001)
+    val base = fixture.filter($"doc_id" % 2 === 0)
+    val delta = fixture.filter($"doc_id" % 2 =!= 0)
+    Bm25.buildPostings(base, "doc_id", "text", dir)
+    Bm25.buildDocPostings(base, "doc_id", "text", dir)
+    val stop = graft.operators.TokenOps.englishStopwords
+    val q = Seq("spark", "dup")
+    // APPEND maintains the twin in the same staged commit: the served
+    // form over the appended index equals a never-split full build
+    Bm25.appendPostings(delta, "doc_id", "text", dir)
+    val full = java.nio.file.Files.createTempDirectory("bm25-docposts-full")
+      .toString
+    Bm25.buildPostings(fixture, "doc_id", "text", full)
+    Bm25.buildDocPostings(fixture, "doc_id", "text", full)
+    val appended = Bm25.prfTopKServed(spark, dir, q, stop, k = 10)
+      .as[(Long, Double)].collect().toSeq
+    val rebuilt = Bm25.prfTopKServed(spark, full, q, stop, k = 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(appended === rebuilt)
+    assert(appended.nonEmpty)
+    // REPLACE mutates content → the twin is dropped; serving fails
+    // loudly instead of returning stale expansion rows
+    Bm25.replacePostings(
+      fixture.filter($"doc_id" === 0L)
+        .withColumn("text", concat($"text", lit(" zzzreplaced"))),
+      "doc_id", "text", dir)
+    val e = intercept[IllegalArgumentException] {
+      Bm25.prfTopKServed(spark, dir, q, stop, k = 10)
+    }
+    assert(e.getMessage.contains("buildDocPostings"))
+    // rebuild restores the served path, equal to the in-plan form over
+    // the mutated corpus
+    val mutated = fixture.withColumn("text",
+      when($"doc_id" === 0L, concat($"text", lit(" zzzreplaced")))
+        .otherwise($"text"))
+    Bm25.buildDocPostings(mutated, "doc_id", "text", dir)
+    val servedAfter = Bm25.prfTopKServed(spark, dir, q, stop, k = 10)
+      .as[(Long, Double)].collect().toSeq
+    val inPlanAfter = Bm25.prfTopK(spark, dir, q, stop, k = 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(servedAfter === inPlanAfter)
+  }
+
   test("hybrid rrf on the fixture: a doc ranked by both retrievers beats its single-list twin") {
     val out = graft.queries.RetrievalQueries.queries("q_hybrid_rrf")(spark, sf001)
       .collect()

@@ -132,6 +132,13 @@ class SimilaritySpec extends SparkSpec {
       Similarity.hardNegatives(emb, "vec_id", "embedding",
         (1L to 20L).toSeq, k, lo, hi, maxAnchors = 10)
     }
+    // a typo'd anchor id must fail LOUDLY naming it — silent zero rows
+    // for that anchor are indistinguishable from an empty band
+    val missing = intercept[IllegalArgumentException] {
+      Similarity.hardNegatives(emb, "vec_id", "embedding",
+        Seq(0L, 999999L), k, lo, hi)
+    }
+    assert(missing.getMessage.contains("999999"))
   }
 
   test("hardNegativesFromIndex == brute force restricted to probed cells") {

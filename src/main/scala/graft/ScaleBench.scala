@@ -270,10 +270,15 @@ object ScaleBench {
     // counts and the per-order totals set both grow ×N, which is
     // exactly the axis the exact-percentile buffers pay (and the
     // ExactStats guard bounds).
+    // SHARED shift base with orders (maxOrd): if lineitem's own max
+    // order key were used and the fixture ever had trailing orders
+    // without lineitems, the two bases would differ and copies k >= 1
+    // would mis-join, silently invalidating every TPC-H join-shape
+    // scale ratio. One base, derived from orders, keeps each copy a
+    // self-consistent order book by construction.
     val li = Tables.lineitem(spark, sfDir)
-    val maxOrder = li.agg(max(col("l_orderkey"))).head().getLong(0) + 1
     (0 until scale).map { k =>
-      li.withColumn("l_orderkey", col("l_orderkey") + lit(k * maxOrder))
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(k * maxOrd))
     }.reduce(_.unionAll(_)).write.mode("overwrite")
       .parquet(s"$outDir/lineitem.parquet")
 

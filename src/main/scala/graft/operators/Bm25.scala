@@ -259,13 +259,18 @@ object Bm25 {
     // manifest (Delta/Iceberg territory), out of scope for a layout op.
     val hc = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hc)
+    // docposts FIRST: a crash after this move leaves the twin a
+    // SUPERSET of postings (harmless — expansion probes filter by
+    // fbIds drawn from postings, so extra twin rows are unreachable),
+    // whereas the old postings-first order could leave a twin MISSING
+    // appended docs, silently diverging prfTopKServed from prfTopK.
+    if (docBuckets.isDefined)
+      moveDataFiles(fs, s"$stage/docposts", s"$path/docposts",
+        partitioned = true)
     moveDataFiles(fs, s"$stage/postings", s"$path/postings",
       partitioned = true)
     moveDataFiles(fs, s"$stage/doclens", s"$path/doclens",
       partitioned = false)
-    if (docBuckets.isDefined)
-      moveDataFiles(fs, s"$stage/docposts", s"$path/docposts",
-        partitioned = true)
     swapDir(fs, s"$stage/stats", s"$path/stats")
     swapDir(fs, s"$stage/terms", s"$path/terms")
     fs.delete(new org.apache.hadoop.fs.Path(stage), true)
@@ -740,7 +745,11 @@ object Bm25 {
         s"no doc-keyed postings twin at $path — build it with " +
           "buildDocPostings (a delete/replace mutation drops the twin " +
           "so it can never serve stale expansion rows)"))
-    val buckets = fbIds.map(_ % nb).distinct
+    // floorMod, NOT %: the layout is written with pmod, so a negative
+    // doc_id lives in a non-negative bucket — `%` would prune to a
+    // nonexistent partition and silently drop that doc's rows
+    val buckets = fbIds.map(id => java.lang.Math.floorMod(id, nb.toLong))
+      .distinct
     graft.sources.PartitionedParquet.read(spark, s"$path/docposts")
       .filter(col("dbucket").isin(buckets: _*) &&
         col("doc_id").isin(fbIds: _*))

@@ -87,17 +87,21 @@ object Similarity {
     require(lo < hi, s"need lo < hi, got [$lo, $hi)")
     require(k > 0, s"hardNegatives needs k > 0, got $k")
     VectorFunctions.register(embeddings.sparkSession)
-    val anchors = embeddings.filter(col(idCol).isin(anchorIds: _*))
+    // ONE bounded collect serves both needs: the presence check (a
+    // typo'd anchor id would otherwise just produce ZERO rows for that
+    // anchor — indistinguishable from "no candidates in the band"; fail
+    // loudly naming the missing ids, the module's discipline) AND the
+    // broadcast side, rebuilt driver-local so the plan's build side is
+    // a LocalRelation instead of a second corpus scan per invocation.
+    val spark = embeddings.sparkSession
+    val anchorRows = embeddings.filter(col(idCol).isin(anchorIds: _*))
       .select(col(idCol).as("anchor_id"), toDouble(col(vecCol)).as("__qa"))
-    // a typo'd anchor id would otherwise just produce ZERO rows for that
-    // anchor — indistinguishable from "no candidates in the band". The
-    // anchor frame is ≤ maxAnchors rows, so the probe is cheap; fail
-    // loudly naming the missing ids (the module's discipline).
-    val present = anchors.select(col("anchor_id"))
-      .collect().map(_.getLong(0)).toSet
-    val missing = anchorIds.filterNot(present)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+    val missing = anchorIds.filterNot(anchorRows.map(_._1).toSet)
     require(missing.isEmpty,
       s"hardNegatives: anchor ids not in the corpus: ${missing.mkString(", ")}")
+    import spark.implicits._
+    val anchors = anchorRows.toDF("anchor_id", "__qa")
     val scored = embeddings
       .select(col(idCol), toDouble(col(vecCol)).as("__v"))
       .crossJoin(broadcast(anchors))

@@ -92,6 +92,96 @@ object TextClean {
     s"regexp_replace($r2, '$PiiPhonePattern', '<PHONE>', 'g')"
   }
 
+  // ---- HTML stripping (tags, script/style/comment blocks, entities) —
+  // the stage a raw web crawl needs BEFORE the line-level
+  // [[Boilerplate.removeBoilerplate]] scrub sees it. Same Java∩RE2
+  // shared-subset discipline as the chains above: `(?i)(?s)` inline
+  // flags, non-greedy `.*?`, `\b`, `\A`/`\z` and explicit whitespace
+  // classes are all in the shared subset (`^`/`$` are NOT — Java's `$`
+  // matches before a final newline, RE2's does not — hence \A/\z).
+  val HtmlScriptPattern  = "(?is)<script[^>]*>.*?</script>"
+  val HtmlStylePattern   = "(?is)<style[^>]*>.*?</style>"
+  val HtmlCommentPattern = "(?s)<!--.*?-->"
+  // block-level tags become newlines so the line structure the
+  // boilerplate scrub keys on survives; everything else becomes a space
+  val HtmlBlockTagPattern =
+    "(?i)</?(br|p|div|li|ul|ol|h[1-6]|tr|table|blockquote)\\b[^>]*>"
+  val HtmlTagPattern     = "(?s)</?[A-Za-z!][^>]*>"
+  // Entity policy (ORDER IS THE CONTRACT): named decodes first with
+  // &amp; LAST among them (emulating single-pass left-to-right decode:
+  // '&amp;lt;' must NOT double-decode to '<'), then a catch-all that
+  // removes every residual entity — INCLUDING the one &amp; just
+  // re-formed from a double-encoded layer. That makes the whole chain
+  // a fixpoint (specced): double-encoded entities are dropped to a
+  // space rather than faithfully decoded one layer, a deliberate trade
+  // — idempotence beats double-decode fidelity in a cleaning stage.
+  // &lt;/&gt; decode to SPACE, never to '<'/'>': decoded angle brackets
+  // could re-form strippable tag syntax, breaking both idempotence and
+  // the safety story ('&lt;script&gt;' must not become a live tag).
+  val HtmlNbspPattern   = "&nbsp;"
+  val HtmlQuotPattern   = "&quot;"
+  val HtmlAposPattern   = "&apos;|&#39;"
+  val HtmlAnglePattern  = "&lt;|&gt;"
+  val HtmlAmpPattern    = "&amp;"
+  val HtmlEntityPattern =
+    "&[A-Za-z][A-Za-z0-9]*;|&#[0-9]+;|&#[xX][0-9a-fA-F]+;"
+  // horizontal runs → one space; newline runs (with flanking spaces) →
+  // one newline; strip leading/trailing whitespace via \A/\z
+  val HtmlHWsPattern   = "[\\t\\x0B\\f\\r ]+"
+  val HtmlNlPattern    = "[ ]*\\n[ \\n]*"
+  val HtmlEdgePattern  = "\\A[\\n ]+|[\\n ]+\\z"
+
+  /** HTML tag/entity stripping as one codegen'd projection chain —
+    * idempotent (stripHtml∘stripHtml == stripHtml, property-specced):
+    * script/style/comment blocks vanish wholesale, block-level tags
+    * become newlines (preserving the line structure
+    * [[Boilerplate.removeBoilerplate]] keys on), other tags become
+    * spaces, common named entities decode (&lt;/&gt; to space by
+    * policy — see the pattern-block comment), residual entities drop,
+    * whitespace canonicalizes. Known limits, standard for regex-level
+    * stripping: an attribute value containing '>' ends its tag early;
+    * an UNCLOSED script/style block keeps its content (only the open
+    * tag is removed). At 100 TB this is a narrow shuffle-free
+    * Project stage, same shape as [[cleanText]]. */
+  def stripHtml(text: Column): Column = {
+    val t0 = regexp_replace(text, HtmlScriptPattern, " ")
+    val t1 = regexp_replace(t0, HtmlStylePattern, " ")
+    val t2 = regexp_replace(t1, HtmlCommentPattern, " ")
+    val t3 = regexp_replace(t2, HtmlBlockTagPattern, "\n")
+    val t4 = regexp_replace(t3, HtmlTagPattern, " ")
+    val e0 = regexp_replace(t4, HtmlNbspPattern, " ")
+    val e1 = regexp_replace(e0, HtmlQuotPattern, "\"")
+    val e2 = regexp_replace(e1, HtmlAposPattern, "'")
+    val e3 = regexp_replace(e2, HtmlAnglePattern, " ")
+    val e4 = regexp_replace(e3, HtmlAmpPattern, "&")
+    val e5 = regexp_replace(e4, HtmlEntityPattern, " ")
+    val w0 = regexp_replace(e5, HtmlHWsPattern, " ")
+    val w1 = regexp_replace(w0, HtmlNlPattern, "\n")
+    regexp_replace(w1, HtmlEdgePattern, "")
+  }
+
+  /** DuckDB mirror of [[stripHtml]] — the same pattern CONSTANTS, 'g'
+    * flag, chr(10) for the newline replacement (DuckDB literals don't
+    * process backslash escapes — the patterns' \n/\t/\x0B escapes are
+    * interpreted by RE2 itself, which is exactly what Java does with
+    * the identical strings). */
+  def stripHtmlSql(textExpr: String): String = {
+    val t0 = s"regexp_replace($textExpr, '$HtmlScriptPattern', ' ', 'g')"
+    val t1 = s"regexp_replace($t0, '$HtmlStylePattern', ' ', 'g')"
+    val t2 = s"regexp_replace($t1, '$HtmlCommentPattern', ' ', 'g')"
+    val t3 = s"regexp_replace($t2, '$HtmlBlockTagPattern', chr(10), 'g')"
+    val t4 = s"regexp_replace($t3, '$HtmlTagPattern', ' ', 'g')"
+    val e0 = s"regexp_replace($t4, '$HtmlNbspPattern', ' ', 'g')"
+    val e1 = s"""regexp_replace($e0, '$HtmlQuotPattern', '"', 'g')"""
+    val e2 = s"regexp_replace($e1, '$HtmlAposPattern', '''', 'g')"
+    val e3 = s"regexp_replace($e2, '$HtmlAnglePattern', ' ', 'g')"
+    val e4 = s"regexp_replace($e3, '$HtmlAmpPattern', '&', 'g')"
+    val e5 = s"regexp_replace($e4, '$HtmlEntityPattern', ' ', 'g')"
+    val w0 = s"regexp_replace($e5, '$HtmlHWsPattern', ' ', 'g')"
+    val w1 = s"regexp_replace($w0, '$HtmlNlPattern', chr(10), 'g')"
+    s"regexp_replace($w1, '$HtmlEdgePattern', '', 'g')"
+  }
+
   /** Unicode NFC canonicalization — apply BEFORE [[cleanText]],
     * tokenization, or any fingerprint so composed/decomposed spellings
     * of the same text dedup together (see

@@ -106,6 +106,31 @@ object TextQueries extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // HTML tag/entity stripping (TextClean.stripHtml). The fixture is
+    // plain text, so each row is wrapped in a deterministic full HTML
+    // document on both engines (the q_redact inject-the-dirt
+    // discipline) exercising every chain stage: doctype, head with
+    // style + script blocks (the script body contains a bare '<' that
+    // must vanish WITH the block), a comment, block tags that must
+    // become newlines, and an entity sampler (decode set + numeric +
+    // unknown). clean_len rides along so length canonicalization is
+    // hash-checked too.
+    "q_html_strip" -> ((s, d) => {
+      val dirty = concat(
+        lit("<!DOCTYPE html><html><head><style>p {color: red}</style>" +
+          "<script type=\"text/javascript\">var x = 1 < 2;</script>" +
+          "</head><body><!-- hidden --><h1>Doc "),
+        col("doc_id").cast("string"),
+        lit("</h1><p>"), col("text"),
+        lit("</p><div>fish &amp; chips &lt;tag&gt; &quot;q&quot; " +
+          "&apos;a&apos; x&nbsp;y &#169; &unknown;</div></body></html>"))
+      val clean = TextClean.stripHtml(dirty)
+      Tables.documents(s, d)
+        .select(col("doc_id"), clean.as("clean_text"),
+          length(clean).cast("long").as("clean_len"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Line-level boilerplate removal (operators/Boilerplate): lines in
     // ≥ max(2, ceil(0.05·N)) docs vanish, survivors rejoin in order.
     // The fixture has no newlines, so a shared footer and a per-doc
@@ -362,6 +387,23 @@ object TextQueries extends QueryModule {
          |  CAST(length($norm) AS BIGINT) AS len_nfc,
          |  substring($norm, -5, 5) AS tail5,
          |  ${graft.functions.PolyHashF.polyHashSql(norm)} AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    // HTML-strip mirror: the identical injected document (no raw single
+    // quotes in the literal — apostrophes ride as &apos; entities), the
+    // shared stripHtmlSql chain (same pattern constants, 'g' flag).
+    "q_html_strip" -> {
+      val dirty = "'<!DOCTYPE html><html><head>" +
+        "<style>p {color: red}</style>" +
+        """<script type="text/javascript">var x = 1 < 2;</script>""" +
+        "</head><body><!-- hidden --><h1>Doc ' || " +
+        "CAST(doc_id AS VARCHAR) || '</h1><p>' || text || " +
+        "'</p><div>fish &amp; chips &lt;tag&gt; &quot;q&quot; " +
+        "&apos;a&apos; x&nbsp;y &#169; &unknown;</div></body></html>'"
+      val clean = graft.operators.TextClean.stripHtmlSql(s"($dirty)")
+      s"""SELECT doc_id, $clean AS clean_text,
+         |  CAST(length($clean) AS BIGINT) AS clean_len
          |FROM documents ORDER BY doc_id""".stripMargin
     },
 

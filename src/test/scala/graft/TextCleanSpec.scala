@@ -76,4 +76,62 @@ class TextCleanSpec extends SparkSpec {
     // two classes, uniform: entropy = ln 2 on the nano grid
     assert(got(3L) === ((4L, 2L, math.round(math.log(2.0) * 1e9))))
   }
+
+  private def stripOne(s: String): String =
+    Seq(s).toDF("t").select(TextClean.stripHtml($"t")).head().getString(0)
+
+  test("stripHtml removes script/style/comment blocks wholesale") {
+    assert(stripOne("a<script>var x = 1 < 2;</script>b") === "a b")
+    assert(stripOne("a<style>p { x: '>' }</style>b") === "a b")
+    assert(stripOne("a<!-- <b>hidden</b> -->b") === "a b")
+    assert(stripOne("a<SCRIPT SRC=\"x.js\">y</sCrIpT>b") === "a b")
+    // unclosed block: only the open tag goes (documented limit)
+    assert(stripOne("a<script>leaks") === "a leaks")
+  }
+
+  test("stripHtml turns block tags into newlines, inline tags into spaces") {
+    assert(stripOne("<h1>Title</h1><p>one</p><p>two</p>")
+      === "Title\none\ntwo")
+    assert(stripOne("x<b>bold</b>y<br/>z") === "x bold y\nz")
+    // <pre> is NOT a block tag and must not match the 'p' alternative
+    assert(stripOne("<pre>code</pre>") === "code")
+    assert(stripOne("<!DOCTYPE html><div class=\"a\">d</div>") === "d")
+    // a bare '<' that is not tag syntax survives
+    assert(stripOne("1 < 2 and 3 > 2") === "1 < 2 and 3 > 2")
+  }
+
+  test("stripHtml entity policy: decode set, angle-to-space, catch-all") {
+    assert(stripOne("fish &amp; chips") === "fish & chips")
+    assert(stripOne("&quot;q&quot; &apos;a&apos; &#39;b&#39;")
+      === "\"q\" 'a' 'b'")
+    assert(stripOne("x&nbsp;y") === "x y")
+    // &lt;/&gt; become spaces, never live syntax
+    assert(stripOne("&lt;script&gt;alert()&lt;/script&gt;")
+      === "script alert() /script")
+    // numeric + unknown entities drop to a space
+    assert(stripOne("a&#169;b &unknown; c&#xA9;d") === "a b c d")
+    // single-pass decode: '&amp;lt;' is one layer deeper than '&lt;' —
+    // the re-formed '&lt;' is caught by the catch-all (dropped), never
+    // re-decoded to a live '<'
+    assert(stripOne("&amp;lt;b&amp;gt;") === "b")
+  }
+
+  test("stripHtml is idempotent (fixpoint) on adversarial inputs") {
+    val cases = Seq(
+      "<p>plain</p>", "&amp;lt;b&amp;gt;", "&amp;amp;", "a < b > c",
+      "<script>x</script>&lt;script&gt;y&lt;/script&gt;",
+      "x<div>y</div>&#60;div&#62;z", "&amp;nbsp;", "<&lt;b>",
+      "  <h1>pad</h1>  \n\n tail \r\n", "&&amp;x;", "<a&#98;>t</a>")
+    val once = cases.toDF("t").select(TextClean.stripHtml($"t").as("o"))
+    val twice = once.select(TextClean.stripHtml($"o"))
+      .as[String].collect().toSeq
+    assert(twice === once.as[String].collect().toSeq)
+  }
+
+  test("stripHtml is a single narrow stage (no shuffle in plan)") {
+    val plan = Tables.documents(spark, sf001)
+      .select(TextClean.stripHtml($"text"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
 }

@@ -38,8 +38,54 @@ object TokenOps {
   /** `\S+` spelled in the shared subset. */
   val NonWsRun: String = s"[^$WsChars]+"
 
-  /** Tokenizer semantics: lowercase, split on runs of whitespace. */
-  def tokenize(text: Column): Column = split(lower(text), WsRun)
+  /** Character ranges of scripts written WITHOUT word-separating
+    * whitespace — CJK ideographs (unified + ext A + compatibility),
+    * kana (+ phonetic extensions), hangul syllables, Thai, Lao,
+    * Myanmar, Khmer — spelled as explicit `\x{...}` ranges because
+    * Unicode script properties are NOT in the Java∩RE2 shared subset
+    * (Java wants `\p{IsHan}`, RE2 wants `\p{Han}`); hex code-point
+    * escapes are shared. BMP only, deliberately: a supplementary-plane
+    * ideograph (Ext B+) missing from the class degrades to a whitespace
+    * token — the pre-fallback behavior — never to wrong output. */
+  val WsFreeScriptClass: String =
+    "[\\x{0E00}-\\x{0EFF}\\x{1000}-\\x{109F}\\x{1780}-\\x{17FF}" +
+    "\\x{3040}-\\x{30FF}\\x{31F0}-\\x{31FF}\\x{3400}-\\x{4DBF}" +
+    "\\x{4E00}-\\x{9FFF}\\x{AC00}-\\x{D7AF}\\x{F900}-\\x{FAFF}]"
+
+  /** Overlapping character bigrams of one token (the standard CJK
+    * indexing unit); a 1-char token yields itself. Callers guard on
+    * [[WsFreeScriptClass]] — empty tokens never reach this. */
+  private def charBigrams(t: Column): Column =
+    transform(sequence(lit(1), greatest(length(t) - 1, lit(1))),
+      i => t.substr(i, lit(2)))
+
+  /** Tokenizer semantics: lowercase, split on runs of whitespace —
+    * with a SCRIPT-AWARE FALLBACK for whitespace-free scripts. A CJK/
+    * Thai/... document is not "one token per line": any whitespace
+    * token containing a [[WsFreeScriptClass]] character is expanded to
+    * its overlapping character bigrams (mixed Latin/CJK tokens bigram
+    * wholesale — the standard unsegmented-text indexing recipe), so
+    * dedup fingerprints, BM25 df, DSIR buckets, and LM counts stay
+    * meaningful on an unsegmented corpus instead of silently
+    * collapsing. Whitespace-delimited text is UNCHANGED: a cheap
+    * row-level guard (one regex containment test on the raw text)
+    * short-circuits to the plain split, so every existing
+    * whitespace-token oracle and the reference's Tokenizer semantics
+    * (`model_logistic_regression.py:88-91` — the English-only special
+    * case) are preserved bit-exactly on such input, and ASCII rows pay
+    * one linear scan, not a per-token dispatch. */
+  def tokenize(text: Column): Column =
+    graft.functions.ColumnOps.bind(split(lower(text), WsRun), ws =>
+      when(text.rlike(WsFreeScriptClass),
+        flatten(transform(ws, t =>
+          when(t.rlike(WsFreeScriptClass), charBigrams(t))
+            .otherwise(array(t)))))
+      .otherwise(ws))
+
+  /** The pre-fallback whitespace-only split — the exact MLlib
+    * `Tokenizer` semantics, kept for callers that must match the
+    * reference stage bit-for-bit regardless of script. */
+  def tokenizeWs(text: Column): Column = split(lower(text), WsRun)
 
   /** Keep tokens not in the stoplist; preserves order and duplicates
     * (unlike array_except, which would dedup). */

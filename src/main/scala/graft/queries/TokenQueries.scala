@@ -18,7 +18,37 @@ object TokenQueries extends QueryModule {
     Tables.documents(s, d).select(col("doc_id"),
       explode(TokenOps.tokenize(col("text"))).as("token"))
 
+  // Deterministic CJK dirt for q_cjk_tokens, shared by both engines:
+  // a fixed Han word (U+6F22 U+5B57 U+51E6 U+7406) and a kana alphabet
+  // (U+3042..U+3053, the a/ka gojuon rows) a doc-varying slice is cut
+  // from. Scala \u escapes keep the source ASCII; the SQL mirror
+  // receives the identical code points through these shared constants.
+  private val HanClause = "\u6F22\u5B57\u51E6\u7406"
+  private val KanaAlpha = "\u3042\u3044\u3046\u3048\u304A" +
+    "\u304B\u304D\u304F\u3051\u3053"
+
   val queries: Map[String, Q] = Map(
+    // Script-aware tokenization fallback (TokenOps.tokenize): the
+    // fixture is ASCII, so every row gets a CJK clause appended on both
+    // engines (the q_redact inject-the-dirt discipline) — a fixed Han
+    // word, a doc_id-varying kana 4-gram slice, and the Latin token
+    // 'mixed' that must survive whole. n_ws pins the whitespace split,
+    // n_tok the bigram expansion, and fp (md5 over the ordered token
+    // join) the exact token SEQUENCE — order, overlap, and the
+    // whole-token Latin passthrough all hash-checked cross-engine.
+    "q_cjk_tokens" -> ((s, d) => {
+      val dirty = concat(col("text"), lit(s" $HanClause mixed "),
+        lit(KanaAlpha).substr(((col("doc_id") % 6) + 1).cast("int"),
+          lit(4)))
+      val saToks = TokenOps.tokenize(dirty)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(TokenOps.tokenizeWs(dirty)).cast("long").as("n_ws"),
+          size(saToks).cast("long").as("n_tok"),
+          md5(concat_ws(" ", saToks)).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Explode → global token counts. One shuffle (hash on token) with
     // map-side partial aggregation; at 100 TB this is the canonical
     // wordcount shape and needs nothing exotic.
@@ -482,9 +512,12 @@ object TokenQueries extends QueryModule {
   // shared-subset class, not \s — Java/RE2 diverge on VT), so Spark and
   // the oracle split identically on ANY input, not just the fixture.
   private val wsSql = TokenOps.WsRun
-  // Mirrors TokenOps.tokenize exactly (lowercase + split on whitespace
-  // runs), so the oracles stay correct even if the fixture ever gains
-  // uppercase or irregular spacing.
+  // Mirrors TokenOps.tokenize on WHITESPACE-DELIMITED text (lowercase +
+  // split on whitespace runs): tokenize's CJK bigram fallback never
+  // fires on input without WsFreeScriptClass characters, so these plain
+  // split mirrors stay exact on the ASCII fixture and on any script
+  // that uses whitespace; q_cjk_tokens pins the fallback branch with
+  // its own full mirror on injected CJK rows.
   private val toksSql =
     s"SELECT doc_id, unnest(regexp_split_to_array(lower(text), '$wsSql')) AS token FROM documents"
 
@@ -505,6 +538,32 @@ object TokenQueries extends QueryModule {
        |  FROM g)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // Script-aware tokenize mirror: the identical injected CJK clause,
+    // whitespace split first, then the per-token list-lambda bigram
+    // expansion — the same WsFreeScriptClass constant (explicit \x{...}
+    // ranges, valid RE2 and Java alike) gates the fallback on both
+    // engines. generate_series is inclusive like Spark's sequence;
+    // greatest(len-1, 1) makes a 1-char token yield itself.
+    "q_cjk_tokens" -> {
+      val dirty = s"(text || ' $HanClause mixed ' || " +
+        s"substring('$KanaAlpha', CAST(doc_id % 6 AS INTEGER) + 1, 4))"
+      s"""WITH w AS (SELECT doc_id,
+         |    regexp_split_to_array(lower($dirty), '$wsSql') AS ws
+         |  FROM documents),
+         |sa AS (SELECT doc_id, ws,
+         |    flatten(list_transform(ws, tok ->
+         |      CASE WHEN regexp_matches(tok, '${TokenOps.WsFreeScriptClass}')
+         |        THEN list_transform(
+         |               generate_series(1, greatest(length(tok) - 1, 1)),
+         |               i -> substring(tok, i, 2))
+         |        ELSE [tok] END)) AS toks
+         |  FROM w)
+         |SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_ws,
+         |  CAST(len(toks) AS BIGINT) AS n_tok,
+         |  md5(array_to_string(toks, ' ')) AS fp
+         |FROM sa ORDER BY doc_id""".stripMargin
+    },
+
     "q_token_explode" ->
       s"""SELECT token, CAST(count(*) AS BIGINT) AS n FROM ($toksSql)
          |GROUP BY token ORDER BY token""".stripMargin,

@@ -85,4 +85,77 @@ class TokenOpsSpec extends SparkSpec {
     assert(out(3)._2 === false && out(3)._5 > 0.1, out(3))
     assert(out(4)._2 === false && out(4)._4 < 0.7, out(4))
   }
+
+  private def tokOne(s: String): Seq[String] =
+    Seq(s).toDF("text").select(TokenOps.tokenize($"text"))
+      .as[Seq[String]].head()
+
+  test("script-aware fallback: CJK tokens bigram, Latin stays whole") {
+    // 漢字処理 (4 Han chars) → overlapping bigrams; 'abc' untouched
+    assert(tokOne("\u6F22\u5B57\u51E6\u7406 abc") ===
+      Seq("\u6F22\u5B57", "\u5B57\u51E6", "\u51E6\u7406", "abc"))
+    // single CJK char yields itself
+    assert(tokOne("\u304B") === Seq("\u304B"))
+    // mixed Latin+CJK token bigrams wholesale
+    assert(tokOne("abc\u6F22") === Seq("ab", "bc", "c\u6F22"))
+    // hangul and thai trigger the fallback too
+    assert(tokOne("\uAC00\uAC01\uAC02").size === 2)
+    assert(tokOne("\u0E01\u0E02\u0E03").size === 2)
+    // pure ASCII is bit-identical to the whitespace split (and to
+    // tokenizeWs), including lowercase
+    assert(tokOne("Hello  WORLD\tfoo") === Seq("hello", "world", "foo"))
+    val both = Seq("Mixed Case text").toDF("text")
+      .select(TokenOps.tokenize($"text").as("a"),
+        TokenOps.tokenizeWs($"text").as("b"))
+      .as[(Seq[String], Seq[String])].head()
+    assert(both._1 === both._2)
+  }
+
+  test("whitespace-free text: dedup shingles no longer collapse") {
+    // Before the fallback each CJK doc was ONE token, so 3-gram shingles
+    // were EMPTY for every doc — all CJK docs became indistinguishable
+    // to MinHash/Jaccard. With bigram tokens, overlapping docs share
+    // most shingles and disjoint docs share none.
+    import graft.operators.MinHashDedup
+    val docs = Seq(
+      (1L, "\u6F22\u5B57\u51E6\u7406\u7CFB\u7D71"),       // 漢字処理系統
+      (2L, "\u6F22\u5B57\u51E6\u7406\u7CFB\u7D71"),       // exact dup
+      (3L, "\u6F22\u5B57\u51E6\u7406\u5B66\u7FD2"),       // shares prefix
+      (4L, "\u3042\u3044\u3046\u3048\u304A\u304B"))       // disjoint kana
+      .toDF("doc_id", "text")
+    val sh = docs.select($"doc_id",
+        MinHashDedup.shingles(TokenOps.tokenize($"text"), 3).as("sh"))
+      .as[(Long, Seq[String])].collect().map(t => t._1 -> t._2.toSet).toMap
+    assert(sh(1L).nonEmpty, "CJK doc must produce shingles")
+    assert(sh(1L) === sh(2L), "exact dup shares all shingles")
+    val overlap = sh(1L).intersect(sh(3L)).size.toDouble /
+      sh(1L).union(sh(3L)).size
+    assert(overlap >= 0.2 && overlap < 1.0, s"prefix-sharing jaccard $overlap")
+    assert(sh(1L).intersect(sh(4L)).isEmpty, "disjoint scripts share none")
+    // exact-dedup fingerprints distinguish the near-pair from the dup
+    val fps = docs.select($"doc_id",
+        TokenOps.bagOfWordsFingerprint($"text").as("fp"))
+      .as[(Long, String)].collect().toMap
+    assert(fps(1L) === fps(2L))
+    assert(fps(1L) !== fps(3L))
+  }
+
+  test("whitespace-free text: BM25 df counts shared words, not lines") {
+    // 漢字 appears in docs 1 and 2 but not 3 — with one-token-per-line
+    // tokenization its df would be 0 (no posting could ever match a
+    // query term); with bigrams df = 2.
+    val dir = java.nio.file.Files.createTempDirectory("graft-cjkbm").toString
+    val docs = Seq(
+      (1L, "\u6F22\u5B57\u51E6\u7406"),
+      (2L, "\u5B66\u7FD2\u6F22\u5B57"),
+      (3L, "\u3042\u3044\u3046"))
+      .toDF("doc_id", "text")
+    graft.operators.Bm25.buildPostings(docs, "doc_id", "text",
+      s"$dir/idx", nBuckets = 4)
+    val df = graft.sources.PartitionedParquet
+      .read(spark, s"$dir/idx/terms")
+      .filter($"token" === "\u6F22\u5B57")
+      .select($"df").as[Long].collect()
+    assert(df.toSeq === Seq(2L), s"df(\u6F22\u5B57) = ${df.toSeq}")
+  }
 }

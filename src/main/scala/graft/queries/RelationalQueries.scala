@@ -694,6 +694,121 @@ object RelationalQueries extends QueryModule {
         .orderBy(col("s_suppkey"))
     }),
 
+    // TPC-H Q2 shape (minimum-cost supplier), adapted to the fixture's
+    // partsupp surrogate (lineitem is the part↔supplier bridge; a
+    // supplier's "offer" for a part is its MINIMUM extendedprice in
+    // exact cents): for each SMALL part of size ≤ 10, every EUROPE
+    // supplier tied at the part's minimum cost. The correlated min-cost
+    // subquery decorrelates to a per-part aggregate joined back by
+    // EQUALITY ON THE EXACT CENTS GRID (the q_top_supplier discipline —
+    // min-equality on BIGINT cents never drifts); the min frame is
+    // co-partitioned with its source on p_partkey, so the join-back
+    // adds no shuffle. Dims broadcast.
+    "q_min_cost_supplier" -> ((s, d) => {
+      val eu = Tables.nation(s, d)
+        .join(Tables.region(s, d).filter(col("r_name") === "EUROPE"),
+          col("n_regionkey") === col("r_regionkey"))
+      val costs = Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)
+          .filter(col("p_type") === "SMALL" && col("p_size") <= 10)
+          .select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(eu), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("p_partkey"), col("s_suppkey"), col("s_name"),
+          col("s_acctbal"), col("n_name"))
+        .agg(min(cents(col("l_extendedprice"))).as("cost_c"))
+      val minc = costs.groupBy(col("p_partkey"))
+        .agg(min(col("cost_c")).as("min_c"))
+      costs.join(minc, Seq("p_partkey"))
+        .filter(col("cost_c") === col("min_c"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"),
+          (col("cost_c").cast("double") / 1e2).as("supplycost"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+    }),
+
+    // TPC-H Q11 shape (important stock), adapted: per-part "inventory
+    // value" = Σ extendedprice·quantity (exact cents×cents products
+    // summed as DECIMAL) over one nation's suppliers, keeping parts
+    // whose value exceeds TWICE THE MEAN share. The HAVING-over-scalar-
+    // subquery decorrelates to ONE materialized aggregate reused for
+    // both sides: its 1-row (total, n) summary broadcasts back over the
+    // part-sized frame, and the threshold compares in exact integer
+    // space (val·n > 2·total — no fraction, no double drift). The
+    // mean-multiple form is scale-free where Q11's literal 0.0001
+    // fraction would empty out as the part count grows.
+    "q_important_parts" -> ((s, d) => {
+      val valueTerm = (cents(col("l_extendedprice")) *
+        cents(col("l_quantity"))).cast("decimal(30,0)")
+      val v = Tables.lineitem(s, d)
+        .join(broadcast(Tables.supplier(s, d)
+          .filter(col("s_nationkey") === 7).select(col("s_suppkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(valueTerm).as("val"))
+      val t = v.agg(sum(col("val")).as("total"),
+        count(lit(1)).as("n"))
+      v.crossJoin(broadcast(t))
+        .filter(col("val") * col("n") > col("total") * 2)
+        .select(col("l_partkey").as("p_partkey"),
+          (col("val").cast("double") / 1e4).as("value"))
+        .orderBy(col("value").desc, col("p_partkey"))
+    }),
+
+    // TPC-H Q16 shape (parts/supplier relationship count), adapted:
+    // distinct suppliers per (brand, type, size) bucket over the
+    // lineitem part↔supplier bridge, excluding negative-balance
+    // suppliers (the "customer complaints" analog). Q16's NOT IN
+    // decorrelates to a LEFT ANTI join on the filtered key set (never
+    // NOT IN's three-valued logic); the part filter broadcasts; the
+    // count-distinct is one shuffle on the group key.
+    "q_supplier_part_cnt" -> ((s, d) => {
+      val pairs = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val bad = Tables.supplier(s, d)
+        .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+      pairs
+        .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"),
+          "left_anti")
+        .join(broadcast(Tables.part(s, d)
+          .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+            col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    }),
+
+    // TPC-H Q20 shape (potential part promotion), adapted: the nested
+    // semi-join chain — suppliers who shipped > 50 units (exact cents
+    // grid) of any single 'small'-named part, restricted to one nation.
+    // Each IN level becomes a LEFT SEMI join: part-name filter
+    // broadcasts into lineitem, the (supplier, part) HAVING aggregate
+    // reduces to a supplier key set, and supplier semi-joins it; no
+    // subquery survives in the plan.
+    "q_potential_promotion" -> ((s, d) => {
+      val hot = Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)
+          .filter(col("p_name").startsWith("small "))
+          .select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(sum(cents(col("l_quantity"))).as("qty_c"))
+        .filter(col("qty_c") > 5000)
+        .select(col("l_suppkey"))
+      Tables.supplier(s, d)
+        .join(hot, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(broadcast(Tables.nation(s, d)
+          .filter(col("n_name") === "NATION_9")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_name"), col("s_acctbal"))
+        .orderBy(col("s_name"))
+    }),
+
     // TPC-H Q19 shape (discounted revenue, disjunctive predicates): the
     // equi-join on partkey carries an OR-of-ANDs residual mixing both
     // sides' columns (brand × quantity-band × size-band) — the classic
@@ -1726,6 +1841,76 @@ object RelationalQueries extends QueryModule {
         |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
         |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
         |LIMIT 100""".stripMargin,
+
+    // Q2 mirror: same decorrelation spelled as CTEs; min-equality on
+    // the exact BIGINT cents grid; identical total order + limit.
+    "q_min_cost_supplier" ->
+      s"""WITH costs AS (
+        |  SELECT p_partkey, s_suppkey, s_name, s_acctbal, n_name,
+        |         min(${centsSql("l_extendedprice")}) AS cost_c
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE p_type = 'SMALL' AND p_size <= 10 AND r_name = 'EUROPE'
+        |  GROUP BY 1, 2, 3, 4, 5),
+        |mc AS (SELECT p_partkey, min(cost_c) AS min_c
+        |       FROM costs GROUP BY 1)
+        |SELECT s_acctbal, s_name, n_name, p_partkey,
+        |  CAST(cost_c AS DOUBLE) / 1e2 AS supplycost
+        |FROM costs JOIN mc USING (p_partkey)
+        |WHERE cost_c = min_c
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+
+    // Q11 mirror: one value CTE reused for both the rows and the 1-row
+    // (total, n) summary; exact integer threshold val·n > 2·total.
+    "q_important_parts" ->
+      s"""WITH v AS (
+        |  SELECT l_partkey,
+        |    sum(CAST(${centsSql("l_extendedprice")}
+        |        * ${centsSql("l_quantity")} AS DECIMAL(30,0))) AS val
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  WHERE s_nationkey = 7
+        |  GROUP BY 1),
+        |t AS (SELECT sum(val) AS total, count(*) AS n FROM v)
+        |SELECT l_partkey AS p_partkey, CAST(val AS DOUBLE) / 1e4 AS value
+        |FROM v CROSS JOIN t
+        |WHERE val * n > total * 2
+        |ORDER BY value DESC, p_partkey""".stripMargin,
+
+    // Q16 mirror: NOT EXISTS (the anti-join spelling — never NOT IN's
+    // three-valued logic) against the negative-balance supplier set.
+    "q_supplier_part_cnt" ->
+      """WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |bad AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |SELECT p_brand, p_type, p_size,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM pairs
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+        |  AND NOT EXISTS (SELECT 1 FROM bad
+        |                  WHERE bad.s_suppkey = pairs.l_suppkey)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    // Q20 mirror: the nested IN chain kept literal (DuckDB decorrelates
+    // it itself); the engine side spells the same chain as semi joins.
+    "q_potential_promotion" ->
+      s"""SELECT s_name, s_acctbal
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_9'
+        |  AND s_suppkey IN (
+        |    SELECT l_suppkey FROM lineitem
+        |    WHERE l_partkey IN (SELECT p_partkey FROM part
+        |                        WHERE p_name LIKE 'small %')
+        |    GROUP BY l_suppkey, l_partkey
+        |    HAVING sum(${centsSql("l_quantity")}) > 5000)
+        |ORDER BY s_name""".stripMargin,
 
     "q_local_supplier_volume" ->
       s"""SELECT n_name,

@@ -109,6 +109,9 @@ class PlanSpec extends SparkSpec {
       // Q15's 1-row global-max revenue row broadcast over the
       // supplier-sized aggregate — the same no-join-key scalar shape
       "q_top_supplier",
+      // Q11's 1-row (total, n) summary broadcast over the part-sized
+      // value aggregate — the HAVING-over-scalar decorrelation
+      "q_important_parts",
       // the 1-row user-count frame broadcast over the ≤10-row pair
       // table for support/lift — the scalar-join shape again
       "q_assoc_rules",

@@ -117,4 +117,25 @@ class RelationalSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
   }
+
+  test("TPC-H Q2/Q11/Q16/Q20 shapes: dims broadcast, no residual subquery") {
+    for (q <- Seq("q_min_cost_supplier", "q_important_parts",
+        "q_supplier_part_cnt", "q_potential_promotion")) {
+      val plan = SparkEntry.queries(q)(spark, sf001)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin") ||
+        plan.contains("BroadcastNestedLoopJoin"),
+        s"$q: no broadcast join\n$plan")
+      // decorrelated by construction: the DataFrame form can't even
+      // express a correlated subquery — pin that none crept in via
+      // exprs, and that the semi/anti chains stayed joins
+      assert(!plan.contains("Subquery"), s"$q: residual subquery\n$plan")
+    }
+    val q20 = SparkEntry.queries("q_potential_promotion")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(q20.contains("LeftSemi"), s"q20 chain must stay semi joins\n$q20")
+    val q16 = SparkEntry.queries("q_supplier_part_cnt")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(q16.contains("LeftAnti"), s"q16 exclusion must stay anti join\n$q16")
+  }
 }

@@ -522,30 +522,12 @@ object Bm25 {
     fs.delete(new org.apache.hadoop.fs.Path(stage), true)
   }
 
-  /** Move staged parquet part-files into the live tree (bucket-partition
-    * subdirs when `partitioned`) — UUID file names make collisions
-    * impossible and re-moves idempotent. */
+  /** See [[graft.util.StagedCommit.moveDataFiles]] — the shared
+    * stage-then-commit discipline, one definition across index
+    * families. */
   private def moveDataFiles(fs: org.apache.hadoop.fs.FileSystem,
-      from: String, to: String, partitioned: Boolean): Unit = {
-    def moveFiles(src: org.apache.hadoop.fs.Path,
-        dst: org.apache.hadoop.fs.Path): Unit = {
-      fs.mkdirs(dst)
-      fs.listStatus(src).filter(_.isFile)
-        .filter(_.getPath.getName.endsWith(".parquet"))
-        .foreach { f =>
-          require(fs.rename(f.getPath,
-            new org.apache.hadoop.fs.Path(dst, f.getPath.getName)),
-            s"rename ${f.getPath} -> $dst failed")
-        }
-    }
-    val srcRoot = new org.apache.hadoop.fs.Path(from)
-    if (partitioned)
-      fs.listStatus(srcRoot)
-        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
-        .foreach(d => moveFiles(d.getPath,
-          new org.apache.hadoop.fs.Path(to, d.getPath.getName)))
-    else moveFiles(srcRoot, new org.apache.hadoop.fs.Path(to))
-  }
+      from: String, to: String, partitioned: Boolean): Unit =
+    graft.util.StagedCommit.moveDataFiles(fs, from, to, partitioned)
 
   /** Replace `dir` with the fully-staged `staged` via delete + rename —
     * never write into a dir a lazy read may still be scanning. */
@@ -554,31 +536,12 @@ object Bm25 {
     replaceDir(fs, new org.apache.hadoop.fs.Path(staged),
       new org.apache.hadoop.fs.Path(dir))
 
-  /** Replace `live` with `staged` with the DESTRUCTIVE step last: live
-    * first renames to a dot-prefixed trash sibling (invisible to
-    * Spark's file discovery, so a crashed commit never corrupts reads),
-    * staged renames into place, and only then the trash is deleted. The
-    * old delete-then-rename order lost the live copy with nothing in
-    * its place if the process died between the two — unlike
-    * [[moveDataFiles]], which never destroys live data. A missing
-    * staged dir means "this dir must end up absent" (a fully-deleted
-    * postings bucket); a failed staged rename restores live from trash
-    * before raising. */
+  /** See [[graft.util.StagedCommit.replaceDir]] (destructive step
+    * last, trash-sibling restore) — shared discipline. */
   private def replaceDir(fs: org.apache.hadoop.fs.FileSystem,
       staged: org.apache.hadoop.fs.Path,
-      live: org.apache.hadoop.fs.Path): Unit = {
-    val trash = new org.apache.hadoop.fs.Path(
-      live.getParent, s".trash-${java.util.UUID.randomUUID()}")
-    val hadLive = fs.exists(live)
-    if (hadLive)
-      require(fs.rename(live, trash), s"rename $live -> $trash failed")
-    if (fs.exists(staged) && !fs.rename(staged, live)) {
-      if (hadLive) fs.rename(trash, live) // best-effort restore
-      throw new IllegalStateException(
-        s"rename $staged -> $live failed; live copy restored from trash")
-    }
-    if (hadLive) fs.delete(trash, true)
-  }
+      live: org.apache.hadoop.fs.Path): Unit =
+    graft.util.StagedCommit.replaceDir(fs, staged, live)
 
   /** The buckets a query's terms live in, computed through the SAME
     * engine expression that wrote them (a local 1-row-per-term job — no

@@ -215,6 +215,107 @@ object KMeansQuant {
       .parquet(path)
   }
 
+  /** Incremental DELETION from the served layout: remove a set of ids
+    * without rebuilding — the missing lifecycle half [[appendIndex]]
+    * left open (takedown requests, retention windows, dedup survivors
+    * superseding their group). Brings the cell layout to lifecycle
+    * parity with the BM25 postings index ([[Bm25.deletePostings]]):
+    *
+    *  - only the TOUCHED cell partitions (cells actually holding a
+    *    deleted id — found by one semi-join over the index, never the
+    *    corpus) rewrite via anti-join and REPLACE; untouched cells keep
+    *    their files byte-identical. The rewrite doubles as compaction
+    *    of cells fragmented by repeated [[appendIndex]] deltas.
+    *  - a cell whose every vector is deleted ends up absent (the
+    *    replaceDir missing-staged contract).
+    *
+    * Same `.staged-<uuid>` stage + metadata-only commit discipline as
+    * the postings verbs ([[graft.util.StagedCommit]]); unknown ids are
+    * no-ops; the result is bit-indistinguishable from a from-scratch
+    * [[buildIndex]] over the surviving corpus (specced, and the
+    * declared queries share the rebuilt-from-scratch mirrors). */
+  def deleteFromIndex(ids: DataFrame, idCol: String, path: String): Unit = {
+    val spark = ids.sparkSession
+    val stage = s"$path/.staged-" + java.util.UUID.randomUUID()
+    val keys = ids.select(col(idCol)).distinct()
+      .localCheckpoint() // touched-cell probe + anti-join rewrite
+    val live = graft.sources.PartitionedParquet.read(spark, path)
+    // partition-dir inference types `cell` as int on read — normalize
+    val touched = live.join(keys, Seq(idCol), "left_semi")
+      .select(col("cell").cast("long")).distinct()
+      .collect().map(_.getLong(0)) // ≤ m.k rows by construction
+    if (touched.isEmpty) return
+    val dataCols = live.columns.filter(_ != "cell").map(col)
+    live.filter(col("cell").isin(touched.toSeq: _*))
+      .join(keys, Seq(idCol), "left_anti")
+      .select(dataCols :+ col("cell").cast("long").as("cell"): _*)
+      .repartition(touched.length, col("cell"))
+      .write.partitionBy("cell").parquet(stage)
+    val hc = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hc)
+    touched.foreach { c =>
+      graft.util.StagedCommit.replaceDir(fs,
+        new org.apache.hadoop.fs.Path(s"$stage/cell=$c"),
+        new org.apache.hadoop.fs.Path(s"$path/cell=$c"))
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+  }
+
+  /** Incremental REPLACEMENT (upsert) into the served layout: fold a
+    * batch of re-embedded vectors into an existing index in ONE staged-
+    * then-committed operation — the model-refresh/re-crawl verb. Ids
+    * already indexed lose their old row (wherever its cell is) and gain
+    * the new vector's assignment under the FROZEN quantizer; ids not
+    * yet indexed simply insert. One operation, not delete+append: both
+    * halves stage off the same live read and commit once, so no window
+    * exists where a replaced id is absent from serving.
+    *
+    * Touched cells = old rows' cells ∪ new assignments' cells; only
+    * those partitions rewrite ((live ∖ batch-ids) ∪ new rows) and
+    * REPLACE — untouched cells stay byte-identical. Batch ids must be
+    * unique (one vector per id), guarded loudly on the delta-sized
+    * frame. Result is bit-indistinguishable from [[buildIndex]] over
+    * the mutated corpus (specced; the declared probe query shares the
+    * never-mutated mirror). NOTE the frozen-centroid caveat: a batch
+    * re-embedded under a DIFFERENT embedding model shifts the vector
+    * distribution — watch the staleness monitor and refit when it
+    * trips. */
+  def replaceIndex(batch: DataFrame, idCol: String, vecCol: String,
+      m: Model, path: String): Unit = {
+    val spark = batch.sparkSession
+    val stage = s"$path/.staged-" + java.util.UUID.randomUUID()
+    val keys = batch.select(col(idCol)).distinct()
+      .localCheckpoint() // touched probe + anti-join leg
+    val nBatch = batch.count()
+    val nKeys = keys.count()
+    require(nKeys == nBatch,
+      s"replaceIndex: batch ids must be unique — $nBatch rows but " +
+        s"$nKeys distinct $idCol (which vector would win is undefined)")
+    val (cluster, _) = nearest(quantize(col(vecCol)), m)
+    val newRows = batch
+      .select(col(idCol), col(vecCol), cluster.cast("long").as("cell"))
+      .localCheckpoint() // touched-cell union + rewrite union
+    val live = graft.sources.PartitionedParquet.read(spark, path)
+    val touched = live.join(keys, Seq(idCol), "left_semi")
+      .select(col("cell").cast("long"))
+      .union(newRows.select(col("cell")))
+      .distinct().collect().map(_.getLong(0)) // ≤ m.k rows
+    live.filter(col("cell").isin(touched.toSeq: _*))
+      .join(keys, Seq(idCol), "left_anti")
+      .select(col(idCol), col(vecCol), col("cell").cast("long").as("cell"))
+      .unionAll(newRows)
+      .repartition(touched.length, col("cell"))
+      .write.partitionBy("cell").parquet(stage)
+    val hc = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hc)
+    touched.foreach { c =>
+      graft.util.StagedCommit.replaceDir(fs,
+        new org.apache.hadoop.fs.Path(s"$stage/cell=$c"),
+        new org.apache.hadoop.fs.Path(s"$path/cell=$c"))
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+  }
+
   /** Top-k by cosine from the served layout: rank cells by exact integer
     * distance (driver-side, k cells), read ONLY those cell partitions,
     * exact-rank by cosine vs the literal query vector. Bit-identical to

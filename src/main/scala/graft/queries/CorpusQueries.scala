@@ -47,6 +47,52 @@ object CorpusQueries extends QueryModule {
   /** One served IVF layout per (session, dataset). */
   private val ivfIndexCache = new graft.util.SessionCache[String]
   private val semIncrIndexCache = new graft.util.SessionCache[String]
+  private val ivfDelCache = new graft.util.SessionCache[String]
+  private val ivfReplCache = new graft.util.SessionCache[String]
+
+  /** Served layout after an incremental DELETE: full build, then
+    * vec_id % 7 == 3 removed via [[KMeansQuant.deleteFromIndex]] —
+    * the q_postings_replaced discipline ported to the vector index
+    * (the mirrors recompute from the SURVIVING corpus from scratch). */
+  private def deletedIvfIndex(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    ivfDelCache.getOrElseUpdate(s, d) {
+      val p = graft.util.IndexPaths.fresh(d, "kmeans-ivf-del")
+      KMeansQuant.buildIndex(Tables.embeddings(s, d), "vec_id",
+        "embedding", model(s, d), p)
+      KMeansQuant.deleteFromIndex(
+        Tables.embeddings(s, d).filter(col("vec_id") % 7 === 3)
+          .select(col("vec_id")),
+        "vec_id", p)
+      p
+    }
+
+  /** Served layout after an incremental REPLACE, exercising BOTH verb
+    * arms: the initial build is DELIBERATELY WRONG — vec_id % 5 == 0
+    * rows missing entirely (the insert arm), vec_id % 3 == 0 rows
+    * carrying a REVERSED embedding, i.e. a wrong vector sitting in a
+    * likely-wrong cell (the update arm) — then ONE
+    * [[KMeansQuant.replaceIndex]] staged commit folds the true rows
+    * in. The declared queries share the never-corrupted mirrors, so
+    * bit-indistinguishability from a clean build is what the oracle
+    * checks. The quantizer is the SAME session-cached model both times
+    * (frozen centroids — the IVF lifecycle contract). */
+  private def replacedIvfIndex(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    ivfReplCache.getOrElseUpdate(s, d) {
+      val p = graft.util.IndexPaths.fresh(d, "kmeans-ivf-repl")
+      val emb = Tables.embeddings(s, d)
+      val corrupted = emb.filter(col("vec_id") % 5 =!= 0)
+        .withColumn("embedding", when(col("vec_id") % 3 === 0,
+          reverse(col("embedding"))).otherwise(col("embedding")))
+      KMeansQuant.buildIndex(corrupted, "vec_id", "embedding",
+        model(s, d), p)
+      KMeansQuant.replaceIndex(
+        emb.filter(col("vec_id") % 3 === 0 || col("vec_id") % 5 === 0)
+          .select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", model(s, d), p)
+      p
+    }
 
   /** One curated-stage materialization per (session, dataset): the
     * localCheckpoint'd frame q_curate_semantic caps over. Cached so
@@ -76,7 +122,13 @@ object CorpusQueries extends QueryModule {
     "kmeans_model" -> ((s, d) => { model(s, d); () }),
     "pq_model" -> ((s, d) => { pqModel(s, d); () }),
     "bpe_merges" -> ((s, d) => { merges(s, d); () }),
-    "dsir_weights" -> ((s, d) => { dsirWeightsMemo(s, d); () })
+    "dsir_weights" -> ((s, d) => { dsirWeightsMemo(s, d); () }),
+    // the IVF lifecycle fixtures (build + staged delete/replace) are
+    // setup, not the measured verb — the bm25_del/bm25_repl precedent;
+    // the timed queries measure the SERVING path over the mutated
+    // layout (pruned census / probed top-k)
+    "ivf_del" -> ((s, d) => { deletedIvfIndex(s, d); () }),
+    "ivf_repl" -> ((s, d) => { replacedIvfIndex(s, d); () })
   )
 
   val queries: Map[String, Q] = Map(
@@ -118,6 +170,51 @@ object CorpusQueries extends QueryModule {
         .head().getSeq[Double](0)
       KMeansQuant.topKFromIndex(s, path, m, qv, k = 10, nprobe = 2,
         idCol = "vec_id", vecCol = "embedding", excludeId = Some(0L))
+    }),
+
+    // Full census of the served layout AFTER an incremental delete
+    // (vec_id % 7 == 3 removed, only touched cells rewritten): every
+    // surviving (vec_id, cell) row, hash-checked against a from-scratch
+    // assignment of the SURVIVING corpus — bit-indistinguishability of
+    // deleteFromIndex from a never-added build, the q_postings_replaced
+    // discipline on the vector side.
+    "q_ivf_deleted" -> ((s, d) =>
+      graft.sources.PartitionedParquet.read(s, deletedIvfIndex(s, d))
+        .select(col("vec_id"), col("cell").cast("long").as("cell"))
+        .orderBy(col("vec_id"))),
+
+    // Probed top-k from the deleted layout: deleted ids must be gone
+    // from the candidate set, survivors ranked exactly as a fresh build
+    // would (the mirror probes the surviving corpus from scratch).
+    "q_ivf_del_topk" -> ((s, d) => {
+      val qv = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0)
+      KMeansQuant.topKFromIndex(s, deletedIvfIndex(s, d), model(s, d),
+        qv, k = 10, nprobe = 2, idCol = "vec_id", vecCol = "embedding",
+        excludeId = Some(0L))
+    }),
+
+    // Census after an incremental REPLACE of a deliberately-wrong build
+    // (missing rows inserted, reversed-vector rows re-assigned out of
+    // their wrong cells in ONE staged commit): shares q_kmeans_assign's
+    // from-scratch assignment mirror — the layout must be
+    // bit-indistinguishable from never having been corrupted.
+    "q_ivf_replaced" -> ((s, d) =>
+      graft.sources.PartitionedParquet.read(s, replacedIvfIndex(s, d))
+        .select(col("vec_id"), col("cell").cast("long").as("cell"))
+        .orderBy(col("vec_id"))),
+
+    // Probed top-k from the replaced layout — literally the
+    // q_ivf_kmeans_served mirror (the never-mutated probe), re-verified
+    // through the replace.
+    "q_ivf_repl_topk" -> ((s, d) => {
+      val qv = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0)
+      KMeansQuant.topKFromIndex(s, replacedIvfIndex(s, d), model(s, d),
+        qv, k = 10, nprobe = 2, idCol = "vec_id", vecCol = "embedding",
+        excludeId = Some(0L))
     }),
 
     // Hard-negative mining over the SERVED cell layout — the scale path
@@ -701,7 +798,10 @@ object CorpusQueries extends QueryModule {
   /** IVF probe CTEs (cell ranking, nprobe=2 candidate set) + the ranked
     * top-10 — shared by the in-plan probe, the served-layout probe, and
     * the recall evaluation. */
-  private val ivfProbeCtes: String =
+  /** `candFilter` narrows the candidate corpus (an extra AND clause on
+    * the cands CTE) — the deleted-layout probe mirror excludes the
+    * deleted ids this way while everything else stays ONE text. */
+  private def ivfProbeCtes(candFilter: String = ""): String =
     s"""qv AS (SELECT v FROM vq WHERE vec_id = 0),
        |qd AS (SELECT generate_subscripts(v, 1) AS i, unnest(v) AS q
        |       FROM qv),
@@ -717,7 +817,7 @@ object CorpusQueries extends QueryModule {
        |  FROM embeddings e
        |  JOIN afin a ON e.vec_id = a.vec_id
        |  JOIN probecells p ON a.cluster = p.cluster
-       |  WHERE e.vec_id <> 0),
+       |  WHERE e.vec_id <> 0$candFilter),
        |ivftop AS (
        |  SELECT vec_id, round(list_dot_product(v, qdv)
        |      / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qdv, qdv))),
@@ -727,10 +827,11 @@ object CorpusQueries extends QueryModule {
 
   /** IVF probe mirror: integer cell ranking off the final centroids,
     * nprobe=2 cells, exact cosine among their members — shared by the
-    * in-plan filter query and the served-layout query. */
+    * in-plan filter query, the served-layout query, AND the
+    * replaced-layout probe (bit-indistinguishability by shared text). */
   private val ivfKmeansSql: String =
     s"""$kmeansCtes,
-       |$ivfProbeCtes
+       |${ivfProbeCtes()}
        |SELECT vec_id, cos FROM ivftop
        |ORDER BY cos DESC, vec_id""".stripMargin
 
@@ -1012,7 +1113,7 @@ object CorpusQueries extends QueryModule {
 
     "q_ivf_recall" ->
       s"""$kmeansCtes,
-         |$ivfProbeCtes,
+         |${ivfProbeCtes()},
          |brutetop AS (
          |  SELECT e.vec_id, round(list_dot_product(e.v, qe.qdv)
          |      / (sqrt(list_dot_product(e.v, e.v))
@@ -1085,6 +1186,34 @@ object CorpusQueries extends QueryModule {
 
     // served layout must equal the in-plan filter form — same mirror
     "q_ivf_kmeans_served" -> ivfKmeansSql,
+
+    // delete-lifecycle census: from-scratch assignment of the SURVIVING
+    // corpus (the quantizer stays the full-corpus fit — frozen
+    // centroids are the lifecycle contract, so afin is unchanged and
+    // only the row set shrinks)
+    "q_ivf_deleted" ->
+      s"""$kmeansCtes
+         |SELECT vec_id, CAST(cluster AS BIGINT) AS cell
+         |FROM afin WHERE vec_id % 7 <> 3 ORDER BY vec_id""".stripMargin,
+
+    // deleted-layout probe: the shared probe text with the deleted ids
+    // excluded from the candidate corpus only
+    "q_ivf_del_topk" ->
+      s"""$kmeansCtes,
+         |${ivfProbeCtes(" AND e.vec_id % 7 <> 3")}
+         |SELECT vec_id, cos FROM ivftop
+         |ORDER BY cos DESC, vec_id""".stripMargin,
+
+    // replace-lifecycle census: the NEVER-CORRUPTED from-scratch
+    // assignment (same afin rows q_kmeans_assign checks) — the replaced
+    // layout must be bit-indistinguishable from a clean build
+    "q_ivf_replaced" ->
+      s"""$kmeansCtes
+         |SELECT vec_id, CAST(cluster AS BIGINT) AS cell
+         |FROM afin ORDER BY vec_id""".stripMargin,
+
+    // replaced-layout probe: LITERALLY the served mirror text
+    "q_ivf_repl_topk" -> ivfKmeansSql,
 
     // served-layout hard negatives: per-anchor probed cells off the
     // SAME unrolled-Lloyd centroids (integer cell ranking, rank ≤ 2),

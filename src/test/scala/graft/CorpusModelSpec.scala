@@ -126,6 +126,80 @@ class CorpusModelSpec extends SparkSpec {
     assert(probe(incr) === probe(full))
   }
 
+  /** (vec_id → cell) content of a served layout — the lifecycle specs'
+    * bit-level comparison unit (file split may differ; rows must not). */
+  private def census(path: String): Map[Long, Long] =
+    graft.sources.PartitionedParquet.read(spark, path)
+      .select($"vec_id", $"cell".cast("long"))
+      .as[(Long, Long)].collect().toMap
+
+  test("kmeans ivf: delete equals a never-added build; untouched cells keep their files") {
+    val emb = Tables.embeddings(spark, sf001)
+    val m = KMeansQuant.fit(emb, "vec_id", "embedding", k = 4, iters = 2)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-kivf-del").toString
+    val mut = s"$base/mut"; val fresh = s"$base/fresh"
+    KMeansQuant.buildIndex(emb, "vec_id", "embedding", m, mut)
+    val delIds = emb.filter($"vec_id" % 7 === 3)
+    val touchedCells = KMeansQuant
+      .assign(delIds, "vec_id", "embedding", m)
+      .select($"cluster".cast("long")).as[Long].collect().toSet
+    // snapshot untouched cells' file listing before the delete
+    def files(cell: Long): Seq[(String, Long)] = {
+      val d = new java.io.File(s"$mut/cell=$cell")
+      if (!d.exists()) Seq.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length())).toSeq.sorted
+    }
+    val untouched = (0L until m.k.toLong).filterNot(touchedCells)
+    val before = untouched.map(c => c -> files(c)).toMap
+    KMeansQuant.deleteFromIndex(delIds.select($"vec_id"), "vec_id", mut)
+    KMeansQuant.buildIndex(emb.filter($"vec_id" % 7 =!= 3),
+      "vec_id", "embedding", m, fresh)
+    assert(census(mut) === census(fresh))
+    assert(census(mut).keySet.forall(_ % 7 != 3))
+    for (c <- untouched)
+      assert(files(c) === before(c),
+        s"untouched cell $c was rewritten by the delete")
+    // deleting unknown ids is a no-op
+    KMeansQuant.deleteFromIndex(Seq(999999L).toDF("vec_id"), "vec_id", mut)
+    assert(census(mut) === census(fresh))
+  }
+
+  test("kmeans ivf: replace makes a deliberately-wrong build bit-indistinguishable") {
+    val emb = Tables.embeddings(spark, sf001)
+    val m = KMeansQuant.fit(emb, "vec_id", "embedding", k = 4, iters = 2)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-kivf-repl").toString
+    val mut = s"$base/mut"; val fresh = s"$base/fresh"
+    // wrong on both arms: %5==0 rows missing (insert), %3==0 rows with
+    // reversed vectors sitting in wrong cells (update)
+    val corrupted = emb.filter($"vec_id" % 5 =!= 0)
+      .withColumn("embedding", when($"vec_id" % 3 === 0,
+        reverse($"embedding")).otherwise($"embedding"))
+    KMeansQuant.buildIndex(corrupted, "vec_id", "embedding", m, mut)
+    KMeansQuant.replaceIndex(
+      emb.filter($"vec_id" % 3 === 0 || $"vec_id" % 5 === 0)
+        .select($"vec_id", $"embedding"),
+      "vec_id", "embedding", m, mut)
+    KMeansQuant.buildIndex(emb, "vec_id", "embedding", m, fresh)
+    assert(census(mut) === census(fresh))
+    // the vectors themselves healed, not just the cells: probes agree
+    val qv = emb.filter($"vec_id" === 0)
+      .select($"embedding".cast("array<double>")).as[Seq[Double]].head()
+    def probe(p: String) = KMeansQuant.topKFromIndex(spark, p, m, qv,
+      k = 20, nprobe = 2, idCol = "vec_id", vecCol = "embedding",
+      excludeId = Some(0L)).as[(Long, Double)].collect().toSeq
+    assert(probe(mut) === probe(fresh))
+    // duplicate batch ids fail loudly
+    val dup = emb.filter($"vec_id" === 1).select($"vec_id", $"embedding")
+    val err = intercept[IllegalArgumentException] {
+      KMeansQuant.replaceIndex(dup.unionAll(dup), "vec_id", "embedding",
+        m, mut)
+    }
+    assert(err.getMessage.contains("unique"))
+  }
+
   // ---- UnigramLM ------------------------------------------------------
 
   test("unigram nll matches the closed form on a tiny corpus") {

@@ -240,7 +240,8 @@ object Bm25 {
       .write.parquet(s"$stage/stats")
     // doc-keyed twin: appends are content-monotone, so maintain it in
     // the same staged commit when it exists (the delta tf rows are
-    // already in hand) — delete/replace DROP it instead (see
+    // already in hand) — replace maintains it too (touched doc buckets
+    // only, under the epoch handshake); delete DROPS it (see
     // dropDocPostings)
     val docBuckets = docPostsBuckets(spark, path)
     docBuckets.foreach { nb =>
@@ -354,9 +355,18 @@ object Bm25 {
         (col("total_len") - col("len_del")).as("total_len"))
       .write.parquet(s"$stage/stats")
 
+    // epoch bump: staged here, committed FIRST below — see indexEpoch
+    spark.range(1)
+      .select(lit(indexEpoch(spark, path) + 1L).as("epoch"))
+      .write.parquet(s"$stage/epoch")
+
     // ---- COMMIT (metadata-only renames; window caveats as on append)
     val hc = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hc)
+    // FIRST: bump the content epoch, so a crash anywhere in the rest of
+    // this window leaves any existing twin detectably stale (its meta
+    // epoch lags) instead of silently diverging the served PRF
+    swapDir(fs, s"$stage/epoch", s"$path/epoch")
     touched.foreach { b =>
       // REPLACE each touched bucket partition: a bucket whose every row
       // was deleted has no staged dir and must end up absent (replaceDir
@@ -370,7 +380,9 @@ object Bm25 {
     swapDir(fs, s"$stage/terms", s"$path/terms")
     fs.delete(new org.apache.hadoop.fs.Path(stage), true)
     // content mutated → the doc-keyed twin may be stale; drop it so the
-    // served PRF fails loudly instead of diverging (rebuild explicitly)
+    // served PRF fails loudly instead of diverging (rebuild explicitly;
+    // even if this final step is lost to a crash, the epoch mismatch
+    // keeps the leftover twin unservable)
     dropDocPostings(spark, path)
   }
 
@@ -397,6 +409,12 @@ object Bm25 {
     *    old ∪ (−removed) ∪ (+new); df = 0 terms drop out.
     *  - `doclens/` — anti-join ∪ new lengths rewrite.
     *  - `stats/` — additive 1-row rewrite (− removed, + new).
+    *  - `docposts/` (when the twin exists) — MAINTAINED, not dropped:
+    *    only the batch ids' doc buckets rewrite ((live ∖ ids) ∪ new tf
+    *    rows — old and new rows of an id share a bucket), inside the
+    *    same staged commit, under the [[indexEpoch]] handshake (epoch
+    *    bump commits first, twin meta restamps last, so a torn commit
+    *    reads as stale-twin and fails loudly in expansionCandidates).
     *
     * Same staging/commit discipline and concurrency caveats as append
     * and delete. Batch ids must be unique (one text per id) — guarded
@@ -465,10 +483,43 @@ object Bm25 {
         (col("total_len") - col("len_del") + col("len_add"))
           .as("total_len"))
       .write.parquet(s"$stage/stats")
+    // doc-keyed twin MAINTENANCE: a replaced id's old and new rows live
+    // in the SAME doc bucket (the twin is keyed by doc_id), so only the
+    // batch's buckets rewrite — (live ∖ batch-ids) ∪ new tf rows —
+    // delta-sized work inside the same staged commit. A re-crawl no
+    // longer costs a full twin rebuild; the epoch handshake below keeps
+    // any crash window loud instead of divergent.
+    val newEpoch = indexEpoch(spark, path) + 1L
+    spark.range(1).select(lit(newEpoch).as("epoch"))
+      .write.parquet(s"$stage/epoch")
+    val docBuckets = docPostsBuckets(spark, path)
+    val touchedD: Seq[Long] = docBuckets.fold(Seq.empty[Long]) { nb =>
+      val td = ids
+        .select(pmod(col("doc_id"), lit(nb.toLong)).as("dbucket"))
+        .distinct().collect().map(_.getLong(0)).toSeq // ≤ nb rows
+      graft.sources.PartitionedParquet.read(spark, s"$path/docposts")
+        .filter(col("dbucket").isin(td: _*))
+        .join(ids, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("token"), col("tf"),
+          col("dbucket").cast("long").as("dbucket"))
+        .unionAll(tf.withColumn("dbucket",
+          pmod(col("doc_id"), lit(nb.toLong))))
+        .repartition(td.length, col("dbucket"))
+        .write.partitionBy("dbucket").parquet(s"$stage/docposts")
+      spark.range(1)
+        .select(lit(nb).as("n_buckets"), lit(newEpoch).as("epoch"))
+        .write.parquet(s"$stage/docposts_meta")
+      td
+    }
 
     // ---- COMMIT (metadata-only renames; window caveats as on append)
     val hc = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hc)
+    // FIRST: bump the content epoch — from here until the twin meta
+    // restamps (LAST), the twin reads as stale and expansionCandidates
+    // refuses loudly; a torn commit can therefore never serve a twin
+    // that disagrees with the postings
+    swapDir(fs, s"$stage/epoch", s"$path/epoch")
     touched.foreach { b =>
       replaceDir(fs,
         new org.apache.hadoop.fs.Path(s"$stage/postings/bucket=$b"),
@@ -477,10 +528,16 @@ object Bm25 {
     swapDir(fs, s"$stage/doclens", s"$path/doclens")
     swapDir(fs, s"$stage/stats", s"$path/stats")
     swapDir(fs, s"$stage/terms", s"$path/terms")
+    touchedD.foreach { b =>
+      replaceDir(fs,
+        new org.apache.hadoop.fs.Path(s"$stage/docposts/dbucket=$b"),
+        new org.apache.hadoop.fs.Path(s"$path/docposts/dbucket=$b"))
+    }
+    // LAST: restamp the twin meta to the new epoch — the handshake
+    // closes only once every rename above has landed
+    if (docBuckets.isDefined)
+      swapDir(fs, s"$stage/docposts_meta", s"$path/docposts_meta")
     fs.delete(new org.apache.hadoop.fs.Path(stage), true)
-    // content mutated → the doc-keyed twin may be stale; drop it so the
-    // served PRF fails loudly instead of diverging (rebuild explicitly)
-    dropDocPostings(spark, path)
   }
 
   /** Standalone compaction for append-fragmented postings buckets: each
@@ -657,10 +714,33 @@ object Bm25 {
         .withColumn("dbucket", pmod(col("doc_id"), lit(nDocBuckets.toLong))),
       s"$path/docposts", Seq("dbucket"))
     // the modulus is NOT recoverable from partition dirs (empty buckets
-    // leave no dir) — persist it so append/probe can never mis-bucket
+    // leave no dir) — persist it so append/probe can never mis-bucket.
+    // The meta also carries the index CONTENT EPOCH it was built
+    // against: destructive verbs bump the index epoch FIRST in their
+    // commit and restamp the twin meta LAST, so a torn commit (or a
+    // stale twin beside a mutated index) is a mismatch the served read
+    // refuses loudly instead of silently diverging.
     docs.sparkSession.range(1)
-      .select(lit(nDocBuckets).as("n_buckets"))
+      .select(lit(nDocBuckets).as("n_buckets"),
+        lit(indexEpoch(docs.sparkSession, path)).as("epoch"))
       .write.mode("overwrite").parquet(s"$path/docposts_meta")
+  }
+
+  /** The index CONTENT EPOCH: bumped by each destructive commit
+    * ([[deletePostings]], [[replacePostings]]) as its FIRST committed
+    * rename, so derived serving data stamped with an older epoch is
+    * detectably stale through any crash window. Absent file = epoch 0
+    * (a fresh [[buildPostings]] layout). Appends don't bump — an
+    * append-torn twin is a harmless SUPERSET (probes filter by ids
+    * drawn from postings), per the commit-order note in
+    * [[appendPostings]]. */
+  private def indexEpoch(spark: org.apache.spark.sql.SparkSession,
+      path: String): Long = {
+    val hc = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(s"$path/epoch")
+    if (p.getFileSystem(hc).exists(p))
+      spark.read.parquet(p.toString).head().getLong(0)
+    else 0L
   }
 
   /** The persisted doc-bucket modulus, or None when no doc-keyed twin
@@ -674,16 +754,17 @@ object Bm25 {
     else None
   }
 
-  /** Drop the doc-keyed twin (docposts + meta) — called by the
-    * DESTRUCTIVE maintenance verbs ([[deletePostings]],
-    * [[replacePostings]]) AFTER their commit so a stale twin is
-    * impossible: the twin is derived serving data, and serving it past
-    * a content mutation would silently diverge the two PRF paths.
-    * Rebuild with [[buildDocPostings]] when the serve-hot path is
-    * needed again ([[appendPostings]] MAINTAINS it instead — appends
-    * are content-monotone and the delta rows are already in hand;
-    * [[compactPostings]] never touches it — compaction moves files,
-    * not content). */
+  /** Drop the doc-keyed twin (docposts + meta) — called by
+    * [[deletePostings]] AFTER its commit so a stale twin is impossible:
+    * the twin is derived serving data, and serving it past a content
+    * mutation would silently diverge the two PRF paths. Rebuild with
+    * [[buildDocPostings]] when the serve-hot path is needed again.
+    * [[appendPostings]] and [[replacePostings]] MAINTAIN the twin
+    * instead — their delta tf rows are already in hand and (for
+    * replace) old and new rows of an id share a doc bucket, so the
+    * rewrite is batch-sized; the epoch handshake keeps every crash
+    * window loud. [[compactPostings]] never touches it — compaction
+    * moves files, not content. */
   private def dropDocPostings(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
     val hc = spark.sparkContext.hadoopConfiguration
@@ -706,8 +787,19 @@ object Bm25 {
     val nb = docPostsBuckets(spark, path).getOrElse(throw
       new IllegalArgumentException(
         s"no doc-keyed postings twin at $path — build it with " +
-          "buildDocPostings (a delete/replace mutation drops the twin " +
-          "so it can never serve stale expansion rows)"))
+          "buildDocPostings (a delete mutation drops the twin so it " +
+          "can never serve stale expansion rows; replace maintains it)"))
+    // EPOCH HANDSHAKE: the twin meta is stamped with the index epoch it
+    // was built/maintained against; destructive commits bump the index
+    // epoch first and restamp the meta last, so a torn commit or a
+    // stale twin is a mismatch here — fail loudly, never diverge.
+    val twinEpoch = spark.read.parquet(s"$path/docposts_meta")
+      .head().getAs[Long]("epoch")
+    val liveEpoch = indexEpoch(spark, path)
+    require(twinEpoch == liveEpoch,
+      s"doc-keyed twin at $path is stale (twin epoch $twinEpoch, index " +
+        s"epoch $liveEpoch) — a destructive commit was torn or the twin " +
+        "predates a mutation; rebuild with buildDocPostings")
     // floorMod, NOT %: the layout is written with pmod, so a negative
     // doc_id lives in a non-negative bucket — `%` would prune to a
     // nonexistent partition and silently drop that doc's rows

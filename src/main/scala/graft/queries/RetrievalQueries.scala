@@ -183,6 +183,11 @@ object RetrievalQueries extends QueryModule {
         .withColumn("text", when(col("doc_id") % 3 === 0,
           reverse(col("text"))).otherwise(col("text")))
       Bm25.buildPostings(corrupted, "doc_id", "text", p)
+      // the doc-keyed twin is built BEFORE the replace (on the corrupted
+      // corpus) and MAINTAINED through it — q_prf_repl_topk then shares
+      // the never-corrupted PRF mirror, so twin-through-replace
+      // bit-exactness is oracle-checked, not just specced
+      Bm25.buildDocPostings(corrupted, "doc_id", "text", p)
       Bm25.replacePostings(
         docs.filter(col("doc_id") % 3 === 0 || col("doc_id") % 5 === 0),
         "doc_id", "text", p)
@@ -259,6 +264,17 @@ object RetrievalQueries extends QueryModule {
     // scanning the term-bucketed postings.
     "q_prf_topk_srv" -> ((s, d) =>
       graft.operators.Bm25.prfTopKServed(s, postingsIndex(s, d), terms,
+        stopwords = TokenOps.englishStopwords, k = 10,
+        nFeedback = 10, nExpand = 3, k1 = k1, b = b)),
+
+    // Served PRF THROUGH A REPLACE: the twin was built on the corrupted
+    // corpus and maintained through replacePostings' staged commit
+    // (touched doc buckets only, epoch handshake) — sharing the
+    // never-corrupted PRF mirror makes twin-through-replace
+    // bit-exactness an oracle fact. A re-crawl no longer costs a full
+    // twin rebuild (r16 demand #6).
+    "q_prf_repl_topk" -> ((s, d) =>
+      graft.operators.Bm25.prfTopKServed(s, replacedIndex(s, d), terms,
         stopwords = TokenOps.englishStopwords, k = 10,
         nFeedback = 10, nExpand = 3, k1 = k1, b = b)),
 
@@ -717,6 +733,9 @@ object RetrievalQueries extends QueryModule {
     // two serving paths (the q_semdedup_incr_srv discipline).
     "q_prf_topk" -> prfMirrorSql,
     "q_prf_topk_srv" -> prfMirrorSql,
+    // LITERALLY the same mirror: the replaced index + maintained twin
+    // must serve the never-corrupted expansion
+    "q_prf_repl_topk" -> prfMirrorSql,
 
     // nDCG mirror: the same three lists, per-hit gains and the ideal
     // prefix both on the 1e-9 round(1e9/log2(rank+1)) grid, one close

@@ -134,7 +134,14 @@ class RetrievalSpec extends SparkSpec {
       s"expansion read ${cand.count()} of $full docposts rows")
   }
 
-  test("doc-keyed twin lifecycle: append maintains, replace drops loudly, rebuild restores") {
+  /** (doc_id, token, tf) content of a doc-keyed twin — the lifecycle
+    * tests' bit-level comparison unit (file split may differ). */
+  private def twinRows(path: String): Set[(Long, String, Long)] =
+    graft.sources.PartitionedParquet.read(spark, s"$path/docposts")
+      .select($"doc_id", $"token", $"tf")
+      .as[(Long, String, Long)].collect().toSet
+
+  test("doc-keyed twin lifecycle: append and replace maintain, delete drops loudly, rebuild restores") {
     val dir = java.nio.file.Files.createTempDirectory("bm25-docposts-life")
       .toString
     val fixture = Tables.documents(spark, sf001)
@@ -157,27 +164,50 @@ class RetrievalSpec extends SparkSpec {
       .as[(Long, Double)].collect().toSeq
     assert(appended === rebuilt)
     assert(appended.nonEmpty)
-    // REPLACE mutates content → the twin is dropped; serving fails
-    // loudly instead of returning stale expansion rows
+    // REPLACE maintains the twin (touched doc buckets only, epoch
+    // handshake): twin content == a never-replaced twin of the mutated
+    // corpus, bit-exact, and the served PRF keeps working through it
     Bm25.replacePostings(
       fixture.filter($"doc_id" === 0L)
         .withColumn("text", concat($"text", lit(" zzzreplaced"))),
       "doc_id", "text", dir)
-    val e = intercept[IllegalArgumentException] {
-      Bm25.prfTopKServed(spark, dir, q, stop, k = 10)
-    }
-    assert(e.getMessage.contains("buildDocPostings"))
-    // rebuild restores the served path, equal to the in-plan form over
-    // the mutated corpus
     val mutated = fixture.withColumn("text",
       when($"doc_id" === 0L, concat($"text", lit(" zzzreplaced")))
         .otherwise($"text"))
-    Bm25.buildDocPostings(mutated, "doc_id", "text", dir)
+    val freshMut = java.nio.file.Files
+      .createTempDirectory("bm25-docposts-mut").toString
+    Bm25.buildPostings(mutated, "doc_id", "text", freshMut)
+    Bm25.buildDocPostings(mutated, "doc_id", "text", freshMut)
+    assert(twinRows(dir) === twinRows(freshMut))
     val servedAfter = Bm25.prfTopKServed(spark, dir, q, stop, k = 10)
       .as[(Long, Double)].collect().toSeq
     val inPlanAfter = Bm25.prfTopK(spark, dir, q, stop, k = 10)
       .as[(Long, Double)].collect().toSeq
     assert(servedAfter === inPlanAfter)
+    // TORN COMMIT simulation: an epoch bump with no twin restamp (the
+    // exact crash window) must read as stale and fail loudly
+    val epochDir = s"$dir/epoch"
+    val cur = spark.read.parquet(epochDir).head().getLong(0)
+    spark.range(1).select(lit(cur + 1L).as("epoch"))
+      .write.mode("overwrite").parquet(s"$dir/.epoch-bump")
+    val fsPath = new org.apache.hadoop.fs.Path(epochDir)
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(fsPath, true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$dir/.epoch-bump"), fsPath)
+    val torn = intercept[IllegalArgumentException] {
+      Bm25.prfTopKServed(spark, dir, q, stop, k = 10)
+    }
+    assert(torn.getMessage.contains("stale"))
+    // rebuild restamps the handshake and restores serving
+    Bm25.buildDocPostings(mutated, "doc_id", "text", dir)
+    assert(Bm25.prfTopKServed(spark, dir, q, stop, k = 10)
+      .as[(Long, Double)].collect().toSeq === servedAfter)
+    // DELETE drops the twin; serving fails loudly, naming the rebuild
+    Bm25.deletePostings(Seq(1L).toDF("doc_id"), "doc_id", dir)
+    val e = intercept[IllegalArgumentException] {
+      Bm25.prfTopKServed(spark, dir, q, stop, k = 10)
+    }
+    assert(e.getMessage.contains("buildDocPostings"))
   }
 
   test("hybrid rrf on the fixture: a doc ranked by both retrievers beats its single-list twin") {

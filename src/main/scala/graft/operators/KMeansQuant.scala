@@ -316,6 +316,46 @@ object KMeansQuant {
     fs.delete(new org.apache.hadoop.fs.Path(stage), true)
   }
 
+  /** STALENESS MONITOR for the frozen-quantizer append stream:
+    * [[appendIndex]]/[[replaceIndex]] admit vectors under centroids fit
+    * once at build time, and a drifting source (new domain, re-embedded
+    * model version) silently erodes probe recall — appended vectors
+    * land ever farther from every centroid, so a fixed nprobe covers an
+    * ever-smaller share of their true neighborhoods. This readout makes
+    * the refit decision MEASURED: per build cell, the mean squared
+    * integer distance (the exact [[assign]] grid — no float drift) of
+    * the batch's members vs the reference (build-time) members, as
+    * `drift_ratio` (6dp-rounded BEFORE the trip comparison, the
+    * gopherRules discipline) and a `stale` 0/1 flag at `tripRatio`.
+    * An in-distribution batch sits near 1.0; a shifted batch blows the
+    * ratio up (specced) — trip ⇒ refit + [[buildIndex]].
+    *
+    * Both sides are one assignment projection + a k-row aggregate: at
+    * 100 TB the reference stats are computed once per build (k rows,
+    * cacheable) and each batch pays one scan of ITSELF, never of the
+    * corpus. Cells the batch never touches report n_new = 0, ratio 0. */
+  def stalenessByCell(reference: DataFrame, batch: DataFrame,
+      idCol: String, vecCol: String, m: Model,
+      tripRatio: Double = 1.5): DataFrame = {
+    require(tripRatio > 0, s"need tripRatio > 0, got $tripRatio")
+    def cellStats(df: DataFrame, n: String, d2: String) =
+      assign(df, idCol, vecCol, m)
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as(n), sum(col("dist2")).as(d2))
+    val ref = cellStats(reference, "n_ref", "d2_ref")
+    val nw = cellStats(batch, "n_new", "d2_new")
+    val ratio = when(col("n_new").isNotNull && col("d2_ref") > 0,
+      round((col("d2_new").cast("double") / col("n_new").cast("double")) /
+        (col("d2_ref").cast("double") / col("n_ref").cast("double")), 6))
+      .otherwise(lit(0.0))
+    ref.join(nw, Seq("cluster"), "left")
+      .select(col("cluster").cast("long").as("cluster"),
+        col("n_ref"), coalesce(col("n_new"), lit(0L)).as("n_new"),
+        ratio.as("drift_ratio"))
+      .withColumn("stale",
+        when(col("drift_ratio") > tripRatio, 1L).otherwise(0L))
+  }
+
   /** Top-k by cosine from the served layout: rank cells by exact integer
     * distance (driver-side, k cells), read ONLY those cell partitions,
     * exact-rank by cosine vs the literal query vector. Bit-identical to

@@ -172,6 +172,25 @@ object CorpusQueries extends QueryModule {
         idCol = "vec_id", vecCol = "embedding", excludeId = Some(0L))
     }),
 
+    // ANN staleness monitor (KMeansQuant.stalenessByCell): per build
+    // cell, the appended batch's mean squared integer distance vs the
+    // build-time members' — the measured refit signal for the
+    // frozen-centroid append contract. The "drifted batch" is every
+    // vec_id % 4 == 0 embedding shifted by +0.25 per dimension IN
+    // DOUBLE SPACE on both engines (cast first, then shift — the same
+    // IEEE ops), so the trip is a real cross-engine drift detection,
+    // not an identity pass.
+    "q_ann_staleness" -> ((s, d) => {
+      val ref = Tables.embeddings(s, d)
+      val batch = ref.filter(col("vec_id") % 4 === 0)
+        .withColumn("embedding",
+          transform(col("embedding").cast("array<double>"),
+            x => x + lit(0.25)))
+      KMeansQuant.stalenessByCell(ref, batch, "vec_id", "embedding",
+          model(s, d))
+        .orderBy(col("cluster"))
+    }),
+
     // Full census of the served layout AFTER an incremental delete
     // (vec_id % 7 == 3 removed, only touched cells rewritten): every
     // surviving (vec_id, cell) row, hash-checked against a from-scratch
@@ -1186,6 +1205,41 @@ object CorpusQueries extends QueryModule {
 
     // served layout must equal the in-plan filter form — same mirror
     "q_ivf_kmeans_served" -> ivfKmeansSql,
+
+    // staleness mirror: the shifted batch re-quantized and assigned
+    // under the SAME final centroids (one extra assignCte over shifted
+    // dims), then the per-cell mean-d2 ratio off exact integer sums;
+    // ratio rounds to 6dp BEFORE the 1.5 trip comparison on both
+    // engines
+    "q_ann_staleness" ->
+      s"""$kmeansCtes,
+         |stvq AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding::DOUBLE[],
+         |             x -> CAST(round((x + 0.25) * 1000000.0) AS BIGINT)) AS v
+         |  FROM embeddings WHERE vec_id % 4 = 0),
+         |stdims AS (
+         |  SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS q
+         |  FROM stvq),
+         |${assignCte("anew", s"c$ITERS", dims = "stdims")},
+         |refc AS (SELECT cluster, count(*) AS n_ref, sum(d2) AS d2_ref
+         |         FROM afin GROUP BY cluster),
+         |newc AS (SELECT cluster, count(*) AS n_new, sum(d2) AS d2_new
+         |         FROM anew GROUP BY cluster),
+         |sel AS (
+         |  SELECT r.cluster AS cluster, r.n_ref AS n_ref,
+         |         COALESCE(n.n_new, 0) AS n_new,
+         |         CASE WHEN n.n_new IS NOT NULL AND r.d2_ref > 0
+         |           THEN round((CAST(n.d2_new AS DOUBLE) / CAST(n.n_new AS DOUBLE))
+         |                    / (CAST(r.d2_ref AS DOUBLE) / CAST(r.n_ref AS DOUBLE)), 6)
+         |           ELSE 0.0 END AS drift_ratio
+         |  FROM refc r LEFT JOIN newc n ON r.cluster = n.cluster)
+         |SELECT CAST(cluster AS BIGINT) AS cluster,
+         |  CAST(n_ref AS BIGINT) AS n_ref, CAST(n_new AS BIGINT) AS n_new,
+         |  drift_ratio,
+         |  CAST(CASE WHEN drift_ratio > 1.5 THEN 1 ELSE 0 END AS BIGINT)
+         |    AS stale
+         |FROM sel ORDER BY cluster""".stripMargin,
 
     // delete-lifecycle census: from-scratch assignment of the SURVIVING
     // corpus (the quantizer stays the full-corpus fit — frozen

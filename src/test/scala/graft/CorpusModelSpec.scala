@@ -200,6 +200,33 @@ class CorpusModelSpec extends SparkSpec {
     assert(err.getMessage.contains("unique"))
   }
 
+  test("staleness monitor: a shifted append batch trips, in-distribution does not") {
+    val emb = Tables.embeddings(spark, sf001)
+    val m = KMeansQuant.fit(emb, "vec_id", "embedding", k = 4, iters = 2)
+    def rows(batch: org.apache.spark.sql.DataFrame) =
+      KMeansQuant.stalenessByCell(emb, batch, "vec_id", "embedding", m)
+        .select($"cluster", $"n_new", $"drift_ratio", $"stale")
+        .as[(Long, Long, Double, Long)].collect().toSeq.sortBy(_._1)
+    // the reference against itself: every touched cell sits exactly at 1
+    val self = rows(emb)
+    assert(self.forall { case (_, n, r, st) =>
+      n > 0 && r == 1.0 && st == 0L }, s"self-batch not ratio 1: $self")
+    // an in-distribution subset stays under the trip line everywhere
+    val subset = rows(emb.filter($"vec_id" % 4 === 0))
+    assert(subset.forall(_._4 == 0L), s"in-distribution batch tripped: $subset")
+    // a distribution shift (+2.0 per dim — far outside the unit-ish
+    // fixture vectors) blows the per-cell mean distance up and trips
+    val shifted = emb.filter($"vec_id" % 4 === 0)
+      .withColumn("embedding",
+        transform($"embedding".cast("array<double>"), x => x + lit(2.0)))
+    val drifted = rows(shifted)
+    assert(drifted.exists(_._4 == 1L), s"shifted batch did not trip: $drifted")
+    // cells the batch never touches report (0, 0.0, not-stale)
+    val one = rows(emb.filter($"vec_id" === 0))
+    assert(one.count(_._2 > 0) == 1)
+    assert(one.filter(_._2 == 0).forall(t => t._3 == 0.0 && t._4 == 0L))
+  }
+
   // ---- UnigramLM ------------------------------------------------------
 
   test("unigram nll matches the closed form on a tiny corpus") {

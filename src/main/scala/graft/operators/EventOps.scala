@@ -11,6 +11,33 @@ import org.apache.spark.sql.functions._
   * (`user_id`) or the time bucket — never on the raw event id. Window
   * functions sort per-partition only (keys are hashed apart); the tumbling/
   * sliding aggregations are plain hash aggs with map-side combine.
+  *
+  * STREAMING-TWIN AUDIT (every verb closed one way or the other —
+  * either a twin in [[graft.streaming.EventStream]] or a documented
+  * batch-only contract):
+  *
+  *  - twins: [[tumbling]]→tumblingCounts, [[sliding]]→slidingCounts,
+  *    [[sessionize]]/[[sessionStats]]→sessionCounts,
+  *    [[sessionPaths]]→sessionPathsStream, [[intervalJoin]]→
+  *    intervalJoin, [[ohlcBars]]→ohlcBars, [[decayScore]]→decayScores,
+  *    [[runningTotal]]→runningUserTotals, [[sequenceNgrams]]→
+  *    sequenceDeltas (n ≥ 2; transitionDeltas is the lean n = 2 form),
+  *    the lag-pair transition matrix→transitionDeltas, the RANGE-frame
+  *    window→rollingRange, KS/PSI drift→ksDaily/psiDaily,
+  *    dedup→dedupEvents, funnel→funnelStages, last-click
+  *    attribution→attributedPurchases.
+  *  - bounded-summary twin: [[topPerKey]]'s "who dominates" question is
+  *    served by heavyUsersByType (Misra-Gries, the PODS'12 mergeable
+  *    bound) — an EXACT streaming top-k per key would need unbounded
+  *    per-key state, so the sketch IS the honest streaming form.
+  *  - batch-only by documented contract: [[cusumChangepoint]] (a
+  *    retrospective argmax over the COMPLETE series — any prefix's
+  *    answer can be overturned by one more event; see the contract note
+  *    in EventStream.ksDaily). Likewise retrospective-by-nature
+  *    composites in the query layer (SCD2 history reconstruction, RFM
+  *    scoring at an as-of date, burstiness over closed windows,
+  *    forecast backtests) recompute from closed history by design —
+  *    their inputs are already the batch outputs of the twins above.
   */
 object EventOps {
 

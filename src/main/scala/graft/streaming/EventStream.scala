@@ -439,6 +439,51 @@ object EventStream {
       }
   }
 
+  /** Per-user tail: the last n−1 event types in event order (the next
+    * seam's prefix). */
+  final case class SeqTail(tail: Seq[String])
+  /** One micro-batch's n-gram count contribution for one user. */
+  final case class SequenceDelta(user_id: Long, gram: Seq[String], n: Long)
+
+  /** Streaming twin of `q_event_trigrams`' consecutive n-gram counts —
+    * the generalization of [[transitionDeltas]] (its n = 2 special
+    * case, kept as the lean pair form): per-user state is the LAST n−1
+    * event types — O(users · (n−1)), never the history — and each
+    * micro-batch emits the per-user gram-count DELTAS its events
+    * create, including the ≤ n−1 seam grams spanning the stored tail
+    * and the batch's first events. Summing deltas per gram equals the
+    * batch `n_occurrences`; distinct delta users per gram equal
+    * `n_users` (a user supports a gram once however many batches
+    * contribute — the sink's rollup is sum + count-distinct, specced
+    * over a median-split run). Same exactness contract as
+    * [[transitionDeltas]]: per-user event-time order across
+    * micro-batches; within a batch events fold in (ts, event_id)
+    * order. */
+  def sequenceDeltas(events: DataFrame, n: Int): Dataset[SequenceDelta] = {
+    require(n >= 2 && n <= 5, s"sequence n-gram length $n outside [2,5]")
+    import events.sparkSession.implicits._
+    val typed = events
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      .as[TransEvent]
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SeqTail, SequenceDelta](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[SeqTail]) =>
+          var tail = state.getOption.map(_.tail.toList).getOrElse(Nil)
+          val counts = scala.collection.mutable.LinkedHashMap
+            .empty[List[String], Long]
+          rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            val window = tail :+ e.event_type
+            if (window.length == n)
+              counts(window) = counts.getOrElse(window, 0L) + 1L
+            tail = window.takeRight(n - 1)
+          }
+          state.update(SeqTail(tail))
+          counts.iterator.map { case (g, c) => SequenceDelta(uid, g, c) }
+      }
+  }
+
   final case class RollEvent(user_id: Long, event_id: Long, ts_us: Long,
       cents: Long)
   /** Per-user trailing-window buffer: (ts_us, cents) of events still

@@ -383,6 +383,52 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sequence deltas roll up to the batch trigram counts and user support") {
+    // The n = 3 generalization of the transition-delta seam: the stored
+    // last-2 tail must bridge the median split, or the ≤ 2 seam grams
+    // per user under-count; user support must count once per (user,
+    // gram) however many batches contribute — hence the per-user delta
+    // rows and the count-distinct rollup.
+    val ev = Tables.events(spark, sf001)
+    val mid = ev.selectExpr("percentile(unix_micros(ts), 0.5)").head().getDouble(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-seq")
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-seq-w")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part), dir.resolve(name))
+    }
+    stage(ev.filter(unix_micros($"ts") <= mid), "a.parquet")
+    val q = EventStream.sequenceDeltas(EventStream.read(spark, dir.toString), 3)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("seq_out").start()
+    try {
+      q.processAllAvailable()
+      val afterA = spark.table("seq_out").agg(sum($"n")).head().getLong(0)
+      stage(ev.filter(unix_micros($"ts") > mid), "b.parquet")
+      q.processAllAvailable()
+      val streamed = spark.table("seq_out")
+        .groupBy($"gram")
+        .agg(sum($"n").as("n_occ"),
+          countDistinct($"user_id").as("n_users"))
+        .collect()
+        .map(r => (r.getSeq[String](0).mkString("→"),
+          r.getLong(1), r.getLong(2)))
+        .toSet
+      val batch = graft.queries.EventQueries
+        .queries("q_event_trigrams")(spark, sf001)
+        .collect()
+        .map(r => (Seq(r.getString(0), r.getString(1), r.getString(2))
+          .mkString("→"), r.getLong(3), r.getLong(4)))
+        .toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+      // batch B must actually have contributed seam + new grams
+      assert(afterA < streamed.toSeq.map(_._2).sum)
+    } finally q.stop()
+  }
+
   test("streaming heavy users keep the Misra-Gries guarantee across micro-batches") {
     // The twin's contract is the PODS'12 mergeable bound, not exact
     // equality (retained sets are fold-order dependent): after any

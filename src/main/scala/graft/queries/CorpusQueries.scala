@@ -102,6 +102,8 @@ object CorpusQueries extends QueryModule {
     * frames. */
   private val curatedCache =
     new graft.util.SessionCache[org.apache.spark.sql.DataFrame]
+  private val curatedFullCache =
+    new graft.util.SessionCache[org.apache.spark.sql.DataFrame]
 
   /** One BPE training per (session, dataset) — MERGES bounded
     * aggregations over the vocabulary-sized symbol table; the merge
@@ -400,6 +402,65 @@ object CorpusQueries extends QueryModule {
         .select(col("doc_id"), col("source"), col("n_tokens"),
           col("quality"))
         .orderBy(col("doc_id"))
+    }),
+
+    // THE FULL CURATION PIPELINE in one declared query — the
+    // q_curate_semantic discipline extended to the whole brief: Unicode
+    // NFC (over the q_nfc_clean decomposed inject, so normalization
+    // does real work) → quality/length gate → exact dedup on the
+    // NORMALIZED bag-of-words fingerprint → semantic dedup (cell-
+    // bounded cosine pairs) → leakage-relevant k-fold assignment on the
+    // normalized content → contrastive triplet assembly over the
+    // SURVIVING embeddings, each member tagged with its fold. Stages
+    // compose as ONE lazy plan over the scan — no per-stage
+    // materialization; the one localCheckpoint is the documented
+    // curatedCache discipline (the survivor set is consumed by four
+    // bounded downstream actions: anchors, two banded scans, the fold
+    // join). Anchors are the 3 smallest surviving ids — derived, not
+    // hardcoded, so the oracle recomputes them itself.
+    "q_curate_full" -> ((s, d) => {
+      graft.functions.UnicodeNormF.register(s)
+      val survivors = curatedFullCache.getOrElseUpdate(s, d) {
+        val dirty = concat(col("text"),
+          lit(" cafe\u0301 n\u0303o")) // decomposed: NFC must compose
+        val normed = Tables.documents(s, d)
+          .select(col("doc_id"),
+            graft.operators.TextClean.normalizeNfc(dirty).as("text"),
+            col("source"))
+        val (nTok, _, qual) = TokenOps.qualityScore(col("text"))
+        val gated = normed
+          .select(col("doc_id"), col("text"), col("source"),
+            nTok.as("n_tokens"), qual.as("quality"))
+          .filter(col("quality") >= 0.55 && col("n_tokens") >= 5)
+        val deduped = graft.operators.Dedup.exactByFingerprint(gated,
+          TokenOps.bagOfWordsFingerprint(col("text")), col("doc_id"))
+        val semDropped = SemDedup.pairs(Tables.embeddings(s, d), "vec_id",
+            "embedding", model(s, d), SEMTAU)
+          .select(col("id_b").as("doc_id")).distinct()
+        deduped
+          .join(broadcast(semDropped), Seq("doc_id"), "left_anti")
+          .localCheckpoint(false)
+      }
+      val folded = graft.operators.Sampling.kFoldAssign(
+        survivors.select(col("doc_id"), col("text")), col("text"), k = 5)
+      val ids = survivors.select(col("doc_id"))
+      val anchors = ids.orderBy(col("doc_id")).limit(3)
+        .collect().map(_.getLong(0)).toSeq
+      val survEmb = Tables.embeddings(s, d)
+        .join(ids.select(col("doc_id").as("vec_id")), Seq("vec_id"),
+          "left_semi")
+      def band(role: String, k: Int, lo: Double, hi: Double) =
+        graft.operators.Similarity.hardNegatives(survEmb, "vec_id",
+            "embedding", anchors, k = k, lo = lo, hi = hi)
+          .select(col("anchor_id"), lit(role).as("role"), col("rank"),
+            col("vec_id"), col("cos"))
+      band("positive", 1, 0.5, 1.1)
+        .unionAll(band("negative", 3, 0.15, 0.5))
+        .join(folded.select(col("doc_id").as("vec_id"), col("fold")),
+          Seq("vec_id"))
+        .select(col("anchor_id"), col("role"), col("rank"), col("vec_id"),
+          col("fold"), col("cos"))
+        .orderBy(col("anchor_id"), col("role"), col("rank"))
     }),
 
     // Per-cell clustering-quality audit: member count, exact integer
@@ -1043,6 +1104,76 @@ object CorpusQueries extends QueryModule {
          |      ORDER BY md5('42:' || text), doc_id) AS rn
          |  FROM nodup) WHERE rn <= 15
          |ORDER BY doc_id""".stripMargin,
+
+    // full-pipeline mirror: the q_curate_semantic chain re-rooted on
+    // NFC-normalized text (DuckDB's built-in nfc_normalize over the
+    // identical decomposed inject), then folds (the shared kFoldSql
+    // threshold chain over the SAME normalized text), anchors derived
+    // as the 3 smallest survivors, and the two banded rank windows of
+    // the q_training_triplets mirror restricted to surviving embeddings
+    "q_curate_full" -> {
+      val nfcT = "nfc_normalize(text || ' cafe' || chr(769) || ' n' " +
+        "|| chr(771) || 'o')"
+      s"""$kmeansCtes,
+         |$semdedupPairsCte,
+         |normd AS (SELECT doc_id, $nfcT AS text, source FROM documents),
+         |qx AS (
+         |  SELECT doc_id, text, source,
+         |    CAST(len(regexp_split_to_array(lower(text), '$wsSql')) AS DOUBLE) AS n_tok,
+         |    CAST(len(list_filter(regexp_split_to_array(lower(text), '$wsSql'),
+         |      t -> t IN ($stopSql))) AS DOUBLE) AS n_stop,
+         |    CAST(length(replace(text, ' ', '')) AS DOUBLE) AS n_char
+         |  FROM normd),
+         |scoredq AS (
+         |  SELECT doc_id, text, source, CAST(n_tok AS BIGINT) AS n_tokens,
+         |    round(0.5 * least(n_tok / 100.0, 1.0)
+         |        + 0.3 * (1.0 - n_stop / n_tok)
+         |        + 0.2 * least((n_char / n_tok) / 10.0, 1.0), 6) AS quality
+         |  FROM qx),
+         |gated AS (SELECT * FROM scoredq
+         |          WHERE quality >= 0.55 AND n_tokens >= 5),
+         |fpx AS (SELECT doc_id, text,
+         |    md5(array_to_string(list_sort(list_distinct(
+         |      regexp_split_to_array(lower(text), '$wsSql'))), ' ')) AS f
+         |  FROM gated),
+         |exact_d AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY f ORDER BY doc_id) AS rn
+         |    FROM fpx) WHERE rn = 1),
+         |nodup AS (
+         |  SELECT * FROM exact_d
+         |  WHERE doc_id NOT IN (SELECT id_b FROM cpairs WHERE cos >= $SEMTAU)),
+         |folds AS (SELECT doc_id,
+         |    ${graft.operators.Sampling.kFoldSql("text", 5)} AS fold
+         |  FROM nodup),
+         |anch AS (SELECT doc_id AS anchor_id FROM nodup
+         |         ORDER BY doc_id LIMIT 3),
+         |se AS (SELECT e2x.vec_id, e2x.embedding::DOUBLE[] AS v
+         |       FROM embeddings e2x JOIN nodup s ON e2x.vec_id = s.doc_id),
+         |qa AS (SELECT anchor_id, v AS qv FROM anch
+         |       JOIN se ON se.vec_id = anch.anchor_id),
+         |scoredc AS (SELECT anchor_id, vec_id,
+         |    round(list_dot_product(v, qv)
+         |      / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos
+         |  FROM se CROSS JOIN qa WHERE vec_id <> anchor_id),
+         |posx AS (SELECT anchor_id, 'positive' AS role, rank, vec_id, cos
+         |  FROM (SELECT anchor_id, vec_id, cos,
+         |      row_number() OVER (PARTITION BY anchor_id
+         |        ORDER BY cos DESC, vec_id) AS rank
+         |    FROM scoredc WHERE cos >= 0.5 AND cos < 1.1)
+         |  WHERE rank <= 1),
+         |negx AS (SELECT anchor_id, 'negative' AS role, rank, vec_id, cos
+         |  FROM (SELECT anchor_id, vec_id, cos,
+         |      row_number() OVER (PARTITION BY anchor_id
+         |        ORDER BY cos DESC, vec_id) AS rank
+         |    FROM scoredc WHERE cos >= 0.15 AND cos < 0.5)
+         |  WHERE rank <= 3)
+         |SELECT anchor_id, role, CAST(rank AS BIGINT) AS rank, t.vec_id,
+         |  f.fold, cos
+         |FROM (SELECT * FROM posx UNION ALL SELECT * FROM negx) t
+         |JOIN folds f ON t.vec_id = f.doc_id
+         |ORDER BY anchor_id, role, rank""".stripMargin
+    },
 
     "q_semdedup_pairs" ->
       s"""$kmeansCtes,

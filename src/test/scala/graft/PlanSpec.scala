@@ -78,6 +78,7 @@ class PlanSpec extends SparkSpec {
       "q_cosine_topk", "q_tfidf_topk", "q_bm25_topk", "q_hybrid_rrf",
       "q_bm25_postings_topk", "q_bm25_incr_topk", "q_bm25_del_topk",
       "q_bm25_repl_topk", "q_prf_topk", "q_prf_topk_srv",
+      "q_prf_repl_topk",
       // the eval inherits the hybrid/rerank scalar joins above plus its
       // own 1-row n_relevant frame — all broadcast single rows; the MMR
       // candidate list comes from the same fused pipeline; the nDCG
@@ -147,6 +148,9 @@ class PlanSpec extends SparkSpec {
       // the triplet assembly runs that verb twice (positive band +
       // negative band)
       "q_hard_negatives", "q_training_triplets",
+      // the full curation pipeline ends in the same twice-run banded
+      // verb, anchored at the 3 smallest SURVIVING ids
+      "q_curate_full",
       // PMI's 1-row corpus-size frame (n_docs) broadcast over the
       // vocabulary-sized pair table — the same scalar-join shape
       "q_collocations",
@@ -232,6 +236,26 @@ class PlanSpec extends SparkSpec {
       s"curated stage not materialized — curation chain would run twice:\n$tree")
     assert(!"Window \\[".r.findAllIn(tree).hasNext,
       s"no window may re-execute in the cap stage:\n$tree")
+  }
+
+  test("q_curate_full composes off one materialized survivor stage") {
+    // NFC → gate → exact dedup → semantic dedup materialize ONCE (the
+    // curatedCache checkpoint); folds and both triplet bands read the
+    // checkpointed RDD instead of re-running the curation chain per
+    // band — the stage chain may appear at most... zero times in the
+    // final plan (every consumer reads ExistingRDD).
+    val tree = SparkEntry.queries("q_curate_full")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(tree.contains("ExistingRDD"),
+      s"survivor stage not materialized:\n$tree")
+    // the curation chain itself (fingerprint window / quality filter)
+    // must NOT re-execute inside the triplet plan
+    assert(!tree.contains("nfc_normalize"),
+      s"NFC stage re-executed downstream of the checkpoint:\n$tree")
+    // the two banded verbs ride broadcast anchor sets, and the fold tag
+    // joins back without a cartesian
+    assert(tree.contains("BroadcastNestedLoopJoin") ||
+      tree.contains("BroadcastHashJoin"), s"no broadcast join:\n$tree")
   }
 
   test("semantic curation stage: dropped set broadcast-anti-joins, one fingerprint window") {

@@ -73,14 +73,23 @@ object TokenOps {
     * whitespace-token oracle and the reference's Tokenizer semantics
     * (`model_logistic_regression.py:88-91` — the English-only special
     * case) are preserved bit-exactly on such input, and ASCII rows pay
-    * one linear scan, not a per-token dispatch. */
+    * one linear scan, not a per-token dispatch.
+    *
+    * Deliberately NOT let-bound through [[graft.functions.ColumnOps
+    * .bind]]: bind rides a higher-order function, which is
+    * CodegenFallback — wrapping the split would drop the hot ASCII path
+    * out of whole-stage codegen for every token query (measured: the
+    * explode-family queries 1.2-1.7× slower in the first r17 bench cut).
+    * The textual duplication of `split` below is NOT double work: a
+    * conditional evaluates only the taken branch, so each row runs
+    * exactly one of the two copies, and the fallback branch's copy is
+    * the `transform` argument — evaluated once, not per element. */
   def tokenize(text: Column): Column =
-    graft.functions.ColumnOps.bind(split(lower(text), WsRun), ws =>
-      when(text.rlike(WsFreeScriptClass),
-        flatten(transform(ws, t =>
-          when(t.rlike(WsFreeScriptClass), charBigrams(t))
-            .otherwise(array(t)))))
-      .otherwise(ws))
+    when(text.rlike(WsFreeScriptClass),
+      flatten(transform(split(lower(text), WsRun), t =>
+        when(t.rlike(WsFreeScriptClass), charBigrams(t))
+          .otherwise(array(t)))))
+    .otherwise(split(lower(text), WsRun))
 
   /** The pre-fallback whitespace-only split — the exact MLlib
     * `Tokenizer` semantics, kept for callers that must match the

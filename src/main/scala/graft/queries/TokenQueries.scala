@@ -27,6 +27,14 @@ object TokenQueries extends QueryModule {
   private val KanaAlpha = "\u3042\u3044\u3046\u3048\u304A" +
     "\u304B\u304D\u304F\u3051\u3053"
 
+  // q_lang_id_cjk script snippets (shared constants, both engines):
+  // ja = kanji+kana mix, ko = hangul, th = thai, zh = Han only
+  private val JaSnippet =
+    "\u65E5\u672C\u8A9E\u306E\u30C6\u30AD\u30B9\u30C8\u3067\u3059"
+  private val KoSnippet = "\uD55C\uAD6D\uC5B4\uD14D\uC2A4\uD2B8"
+  private val ThSnippet = "\u0E20\u0E32\u0E29\u0E32\u0E44\u0E17\u0E22"
+  private val ZhSnippet = "\u4E2D\u6587\u6587\u672C\u5904\u7406"
+
   val queries: Map[String, Q] = Map(
     // Script-aware tokenization fallback (TokenOps.tokenize): the
     // fixture is ASCII, so every row gets a CJK clause appended on both
@@ -484,6 +492,27 @@ object TokenQueries extends QueryModule {
         LangId.detectText(col("text")).as("lang_pred"))
         .orderBy(col("doc_id"))),
 
+    // Script-tier language ID (the CJK follow-through of the tokenizer
+    // fallback): four of five doc_id arms get a repeated
+    // Japanese/Korean/Thai/Chinese snippet prepended — script-majority
+    // by construction — and must detect ja/ko/th/zh (kana outranks Han:
+    // the kanji+kana mix is the Japanese signature); the fifth arm
+    // stays Latin and must fall through to the marker argmax. Both
+    // tiers mirrored exactly: length-diff char counts with explicit 'g'
+    // and the identical WHEN order.
+    "q_lang_id_cjk" -> ((s, d) => {
+      val snippet = when(col("doc_id") % 5 === 0, lit(JaSnippet))
+        .when(col("doc_id") % 5 === 1, lit(KoSnippet))
+        .when(col("doc_id") % 5 === 2, lit(ThSnippet))
+        .when(col("doc_id") % 5 === 3, lit(ZhSnippet))
+        .otherwise(lit(""))
+      val dirty = concat(repeat(snippet, 8), lit(" "),
+        substring(col("text"), 1, 12))
+      Tables.documents(s, d)
+        .select(col("doc_id"), LangId.detectText(dirty).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Substring-level dedup (Lee et al. ACL'22 ExactSubstr, k-gram
     // form): per-doc duplicated-span profile + retention cut. k=5
     // separates incidental shared spans (1-4% of a doc here) from
@@ -711,6 +740,50 @@ object TokenQueries extends QueryModule {
          |SELECT doc_id, lang,
          |  CASE WHEN b.s > 0 THEN b.lang ELSE 'und' END AS lang_pred
          |FROM best ORDER BY doc_id""".stripMargin
+    },
+
+    // tiered language-ID mirror: the same injected dirty text, the same
+    // length-diff script counts (explicit 'g' — Java replace is global),
+    // the same majority gate and WHEN order, marker argmax fallback
+    "q_lang_id_cjk" -> {
+      val langs = LangId.markers.keys.toSeq.sorted
+      def cnt(cls: String) =
+        s"(length(t) - length(regexp_replace(t, '$cls', '', 'g')))"
+      val scores = langs.map { l =>
+        s"count(*) FILTER (WHERE token IN (${TokenOps.sqlList(LangId.markers(l))})) AS s_$l"
+      }.mkString(",\n    ")
+      val structs =
+        langs.map(l => s"{'s': coalesce(s_$l, 0), 'lang': '$l'}").mkString(", ")
+      s"""WITH d AS (SELECT doc_id,
+         |    (repeat(CASE doc_id % 5
+         |       WHEN 0 THEN '$JaSnippet' WHEN 1 THEN '$KoSnippet'
+         |       WHEN 2 THEN '$ThSnippet' WHEN 3 THEN '$ZhSnippet'
+         |       ELSE '' END, 8) || ' ' || substring(text, 1, 12)) AS t
+         |  FROM documents),
+         |tok AS (SELECT doc_id,
+         |    unnest(regexp_split_to_array(lower(t), '$wsSql')) AS token
+         |  FROM d),
+         |sc AS (SELECT doc_id, $scores FROM tok GROUP BY doc_id),
+         |p AS (SELECT d.doc_id,
+         |    ${cnt(LangId.KanaClass)} AS kana,
+         |    ${cnt(LangId.HangulClass)} AS hangul,
+         |    ${cnt(LangId.ThaiClass)} AS thai,
+         |    ${cnt(LangId.LaoClass)} AS lao,
+         |    ${cnt(LangId.MyanmarClass)} AS my,
+         |    ${cnt(LangId.KhmerClass)} AS km,
+         |    ${cnt(LangId.HanClass)} AS han,
+         |    ${cnt(s"[^${TokenOps.WsChars}]")} AS nws,
+         |    list_max([$structs]) AS b
+         |  FROM d LEFT JOIN sc ON d.doc_id = sc.doc_id)
+         |SELECT doc_id,
+         |  CASE WHEN (kana + hangul + thai + lao + my + km + han) * 2 > nws
+         |    THEN CASE WHEN kana > 0 THEN 'ja' WHEN hangul > 0 THEN 'ko'
+         |              WHEN thai > 0 THEN 'th' WHEN lao > 0 THEN 'lo'
+         |              WHEN my > 0 THEN 'my' WHEN km > 0 THEN 'km'
+         |              ELSE 'zh' END
+         |    ELSE CASE WHEN b.s > 0 THEN b.lang ELSE 'und' END
+         |  END AS lang_pred
+         |FROM p ORDER BY doc_id""".stripMargin
     },
 
     "q_span_dedup" -> {

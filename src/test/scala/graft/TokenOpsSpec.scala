@@ -55,6 +55,23 @@ class TokenOpsSpec extends SparkSpec {
     assert(rows === Seq("en", "de", "fr", "es", "und"))
   }
 
+  test("langid script tier: majority CJK decides, minority falls through") {
+    val rows = Seq(
+      "\u65E5\u672C\u8A9E\u306E\u30C6\u30AD\u30B9\u30C8\u3067\u3059", // ja: kanji+kana
+      "\uD55C\uAD6D\uC5B4\uD14D\uC2A4\uD2B8",                         // ko: hangul
+      "\u0E20\u0E32\u0E29\u0E32\u0E44\u0E17\u0E22",                   // th: thai
+      "\u4E2D\u6587\u6587\u672C\u5904\u7406",                         // zh: Han only
+      // kana outranks Han even when kanji dominates the char count
+      "\u6F22\u5B57\u51E6\u7406\u3067\u3059",
+      // a single loanword character inside Latin text never flips the
+      // doc to the script tier (majority gate): markers still decide
+      "the cat and of to in is \u6F22 you that it for",
+      "x \u6F22")                                   // no majority, no markers
+      .toDF("text").select(LangId.detectText($"text"))
+      .as[String].collect().toSeq
+    assert(rows === Seq("ja", "ko", "th", "zh", "ja", "en", "und"))
+  }
+
   test("quality score is in [0,1] and penalizes stopword soup") {
     val df = Seq(
       ("all content words here machine learning distributed systems", 1),

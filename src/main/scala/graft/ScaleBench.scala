@@ -176,7 +176,32 @@ object ScaleBench {
     "q_class_weights", "q_curriculum_grid",
     // triplet assembly = two banded anchor scans (the q_hard_negatives
     // shape, twice) — ~linear in the corpus
-    "q_training_triplets")
+    "q_training_triplets",
+    // round-17 text stages: stripHtml is a 14-regex row-local
+    // projection, the CJK query exercises the bigram fallback branch on
+    // EVERY row (injected script dirt), the tiered language ID adds 8
+    // length-diff char counts per row — all scan-stage, expected
+    // ~linear with flat-ish absolutes
+    "q_html_strip", "q_cjk_tokens", "q_lang_id_cjk",
+    // round-17 TPC-H decorrelations: Q2 = min-aggregate + co-partitioned
+    // join-back (fact ×N, dims flat); Q11 = part-keyed value aggregate +
+    // 1-row scalar broadcast (part vocabulary ×N); Q16 = distinct pairs
+    // + anti join (pairs ×N); Q20 = semi chain over the name-filtered
+    // fact (~linear, result supplier-bounded)
+    "q_min_cost_supplier", "q_important_parts", "q_supplier_part_cnt",
+    "q_potential_promotion",
+    // round-17 lifecycle serving: the mutated-layout probes read only
+    // probed cells / pruned doc buckets (run 1 carries the memoized
+    // build + staged mutation — the q_ivf_topk pattern), so the probes
+    // should hold near-flat while membership grows ×N; the staleness
+    // readout is two assignment scans + a k-row reduce (~linear)
+    "q_ivf_del_topk", "q_ivf_repl_topk", "q_prf_repl_topk",
+    "q_ann_staleness",
+    // round-17 composition: the full curation pipeline is the
+    // curate-semantic stage chain + folds + two banded scans — every
+    // stage individually rehearsed above; the composition should stay
+    // ~linear (one checkpoint materialization in run 1)
+    "q_curate_full")
 
   def generate(spark: SparkSession, sfDir: String, outDir: String,
       scale: Int): (Long, Long) = {

@@ -17,6 +17,12 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // static conf (first-session): the default 100-entry whole-stage
+      // codegen class cache thrashes under a 270-query suite — every
+      // query's stages evict earlier ones and re-runs pay Janino
+      // recompilation (see app.Sessions.local, same setting)
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4000"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -131,21 +137,25 @@ object Bench {
       .flatten.getOrElse(System.nanoTime())
     val rng = new scala.util.Random(orderSeed)
     val ordered = rng.shuffle(selected.toSeq.sortBy(_._1))
-    // INTERLEAVED rounds (default; CONSECUTIVE per-query runs via
-    // SPARK_GRAFT_BENCH_INTERLEAVE=0 for old-record comparability): the
+    // INTERLEAVED rounds (opt-in, SPARK_GRAFT_BENCH_INTERLEAVE=1): the
     // whole suite runs nRuns times, each round freshly shuffled, and a
-    // query's headline is the min ACROSS rounds. With consecutive runs
-    // a single transient slow window (page-cache eviction, THP
-    // compaction, a background task) covers EVERY run of the one or two
+    // query's headline is the min ACROSS rounds. Rationale: with
+    // consecutive runs a single transient slow window (page-cache
+    // eviction, THP compaction) covers EVERY run of the one or two
     // queries executing inside it — min-of-n can't wash out what hits
-    // all n samples, which is exactly the adjudicated-outlier class
-    // every r15-r17 record carried. Interleaving separates one query's
-    // samples by a full suite pass (~minutes), so a transient window
-    // costs at most one ROUND's sample of each affected query, and the
-    // min recovers. Memoized one-time builds warm in round 1 for every
-    // query, identical totals to the consecutive layout.
+    // all n samples, the adjudicated-outlier class every r15-r17 record
+    // carried. Interleaving separates a query's samples by a full suite
+    // pass so the min recovers — but it was MEASURED SLOWER overall
+    // (111.9 vs 97.0 s min-of-5 at sf0.1 even after the codegen-cache
+    // fix): consecutive runs reuse per-query hot state (broadcast
+    // blocks, footer caches, JIT-warm stages) that a full-suite gap
+    // evicts, a tax on every sample of every query vs smear on a
+    // handful. So consecutive stays the default record layout and the
+    // smear class is handled the established way — isolated
+    // BENCH_PARTIAL adjudication of outliers; interleave remains the
+    // cross-check tool for suspected position effects.
     val interleave =
-      !sys.env.get("SPARK_GRAFT_BENCH_INTERLEAVE").contains("0")
+      sys.env.get("SPARK_GRAFT_BENCH_INTERLEAVE").contains("1")
     // (elapsed, succeeded, gcDeltaMs, load1, storageFreeMb) per run: a
     // failed run's near-zero elapsed must never become the headline
     // min, and the record must show WHICH runs failed, not just that

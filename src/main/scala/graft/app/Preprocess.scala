@@ -129,6 +129,14 @@ object Sessions {
       .appName(name)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // static conf, must land before the first session: the default
+      // 100-entry whole-stage-codegen class cache thrashes under a
+      // 270-query session (each query's stages evict earlier ones), so
+      // every re-run pays Janino recompilation — measured +28 s on the
+      // interleaved full bench. Metaspace cost of the larger cache is
+      // a few hundred MB, off-heap, bounded by the suite's stage count.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4000"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -147,6 +147,46 @@ object SemDedup {
       .join(broadcast(dropped), col(idCol) === col("id_b"), "left_anti")
   }
 
+  /** Semantic decontamination: drop from `corpus` every vector whose
+    * cosine against ANY `evalSet` vector reaches `threshold` — the
+    * embedding-space sibling of [[Dedup.decontaminate]]'s exact
+    * fingerprint match (which misses paraphrased benchmark leakage; this
+    * is the pass that catches it). Returns corpus survivors as (id).
+    *
+    * Matching is cell-bucketed like [[pairsMultiProbe]]: both sides take
+    * their `nprobe` nearest cells under the frozen quantizer and a
+    * candidate pair is any corpus/eval pair sharing a probed cell — the
+    * same soft-assignment recall trade as multi-probe dedup, chosen
+    * per-corpus, never an all-pairs scan.
+    *
+    * Scale shape: a benchmark suite is tiny relative to a training
+    * corpus, so the exploded eval side BROADCASTS and the corpus scans
+    * once with a map-side join — no corpus shuffle at all; the
+    * contaminated-id set (bounded by the corpus rows near any benchmark
+    * item) broadcasts into the left-anti prune, the [[keep]] discipline.
+    * `maxEvalRows` is the loud guard on the broadcast side. */
+  def decontaminate(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+      vecCol: String, m: KMeansQuant.Model, threshold: Double,
+      nprobe: Int = 2, maxEvalRows: Long = 1000000L): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
+    val nEval = evalSet.count()
+    require(nEval <= maxEvalRows,
+      s"semantic decontamination broadcasts the eval side: $nEval rows > " +
+        s"maxEvalRows=$maxEvalRows. A benchmark set this large should be " +
+        "the corpus side; swap the arguments or raise maxEvalRows.")
+    val cells = KMeansQuant.cellsOf(col(vecCol), m, nprobe)
+    val c = corpus.select(explode(cells).as("cluster"), col(idCol),
+      toDouble(col(vecCol)).as("__vc"))
+    val e = evalSet.select(explode(cells).as("cluster"),
+      toDouble(col(vecCol)).as("__ve"))
+    val contaminated = c.join(broadcast(e), Seq("cluster"))
+      .filter(round(Similarity.cosineFast(col("__vc"), col("__ve")), 6)
+        >= threshold)
+      .select(col(idCol)).distinct()
+    corpus.select(col(idCol))
+      .join(broadcast(contaminated), Seq(idCol), "left_anti")
+  }
+
   /** Incremental dedup of a NEW batch against an already-ingested
     * corpus — the continuously-ingesting case, same frozen-model
     * contract as [[KMeansQuant.appendIndex]]: the quantizer does not

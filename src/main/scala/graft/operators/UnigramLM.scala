@@ -91,6 +91,74 @@ object UnigramLM {
           / count(lit(1)).cast("double"), 6).as("nll"))
   }
 
+  /** (id, n_tokens, nll): mean per-token NLL under an INTERPOLATED
+    * KNESER-NEY bigram model (Kneser & Ney 1995; Chen & Goodman 1998's
+    * interpolated form), absolute discount D:
+    *
+    *   P(t|prev) = max(c(prev,t) − D, 0) / c(prev·)
+    *             + (D · N1+(prev·) / c(prev·)) · N1+(·t) / N1+(··)
+    *
+    * where N1+(prev·) = distinct continuations observed after `prev`,
+    * N1+(·t) = distinct histories observed before `t`, and N1+(··) =
+    * total distinct bigram types. The continuation distribution is what
+    * [[bigramNll]]'s Jelinek-Mercer mixture cannot express: a token
+    * frequent only inside one collocation ("francisco") carries a LOW
+    * continuation probability despite its high raw count, so novel
+    * contexts don't inherit collocation-locked mass. A document's first
+    * token scores the add-one unigram, as in [[bigramNll]].
+    *
+    * Self-scoring totality: every scored (prev, t) occurrence is itself
+    * a fitted bigram event, so c(prev·) ≥ 1 and N1+(·t) ≥ 1 — no zero
+    * probabilities, no special cases. Plan shape = [[bigramNll]] plus
+    * ONE more vocabulary-sized aggregate (continuation-type counts);
+    * the per-history type counts ride the existing history groupBy.
+    * Same nano-grid determinism ⇒ oracle-checkable. */
+  def kneserNeyNll(docs: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"absolute discount must sit in (0, 1), got $discount")
+    val counts = tokenCounts(docs, textCol).localCheckpoint()
+    val uniStats = counts.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
+    val withPrev = docs.select(col(idCol),
+        TokenOps.tokenize(col(textCol)).as("t"))
+      .select(col(idCol), explode(zip_with(
+        col("t"),
+        concat(array(lit(null).cast("string")),
+          slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0)))),
+        (tok, prev) => struct(tok.as("token"), prev.as("prev"))))
+        .as("bg"))
+      .select(col(idCol), col("bg.token").as("token"),
+        col("bg.prev").as("prev"))
+    val bigramCounts = withPrev.filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("token")).agg(count(lit(1)).as("cb"))
+      .localCheckpoint()
+    // c(prev·) and N1+(prev·) in one pass over the bigram-type table
+    val histCounts = bigramCounts.groupBy(col("prev"))
+      .agg(sum(col("cb")).as("ch"), count(lit(1)).as("n1h"))
+    val contCounts = bigramCounts.groupBy(col("token"))
+      .agg(count(lit(1)).as("n1c"))
+    val knStats = bigramCounts.agg(count(lit(1)).as("n1tot"))
+    val pu = (col("c") + lit(1L)).cast("double") /
+      (col("n") + col("v")).cast("double")
+    val pkn = greatest(col("cb").cast("double") - lit(discount), lit(0.0)) /
+      col("ch").cast("double") +
+      (lit(discount) * col("n1h").cast("double") / col("ch").cast("double")) *
+        (col("n1c").cast("double") / col("n1tot").cast("double"))
+    val p = when(col("prev").isNull, pu).otherwise(pkn)
+    withPrev
+      .join(counts, "token")
+      .join(bigramCounts, Seq("prev", "token"), "left")
+      .join(histCounts, Seq("prev"), "left")
+      .join(contCounts, Seq("token"), "left")
+      .crossJoin(broadcast(uniStats))
+      .crossJoin(broadcast(knStats))
+      .select(col(idCol), round(-log(p) * lit(1e9)).cast("long").as("nq"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("nq")).cast("double") / lit(1e9)
+          / count(lit(1)).cast("double"), 6).as("nll"))
+  }
+
   /** (id, n_tokens, nll): mean per-token negative log-likelihood,
     * rounded to 6dp. Documents with zero tokens cannot occur under the
     * whitespace tokenizer (splitting any string yields ≥1 token, possibly

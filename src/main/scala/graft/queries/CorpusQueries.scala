@@ -300,6 +300,21 @@ object CorpusQueries extends QueryModule {
           "embedding", model(s, d), SEMTAU, nprobe = 2)
         .orderBy(col("vec_id"))),
 
+    // Semantic DECONTAMINATION: drop corpus vectors (vec_id % 20 != 0)
+    // whose cosine vs any benchmark vector (vec_id % 20 == 0) reaches
+    // SEMTAU, matched through shared nprobe=2 probe cells — the
+    // embedding-space sibling of q_decontaminate's exact-fingerprint
+    // pass (this is the one that catches paraphrased benchmark
+    // leakage). Eval side broadcasts; the corpus never shuffles.
+    "q_decontaminate_sem" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SemDedup.decontaminate(
+          emb.filter(pmod(col("vec_id"), lit(20)) =!= 0),
+          emb.filter(pmod(col("vec_id"), lit(20)) === 0),
+          "vec_id", "embedding", model(s, d), SEMTAU, nprobe = 2)
+        .orderBy(col("vec_id"))
+    }),
+
     // Semantic CLUSTER labels: connected components over the semantic
     // pair graph — the embedding-space sibling of q_dedup_groups'
     // lexical components, and the transitive view anchor-wins pruning
@@ -545,6 +560,15 @@ object CorpusQueries extends QueryModule {
     // nano-grid determinism ⇒ oracle-checked.
     "q_bigram_nll" -> ((s, d) =>
       UnigramLM.bigramNll(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // Interpolated KNESER-NEY bigram NLL (D=0.75): continuation-type
+    // probabilities instead of raw-frequency backoff, so
+    // collocation-locked tokens stop inheriting mass in novel contexts
+    // — the LM-quality screen's stronger smoothing. One extra
+    // vocabulary-sized aggregate over q_bigram_nll's plan.
+    "q_kneser_ney" -> ((s, d) =>
+      UnigramLM.kneserNeyNll(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
     // Mergeable Misra-Gries heavy hitters: per-source summaries
@@ -1220,6 +1244,27 @@ object CorpusQueries extends QueryModule {
          |  (SELECT id_b FROM mpairs WHERE cos >= $SEMTAU)
          |ORDER BY f.vec_id""".stripMargin,
 
+    // corpus = vec_id % 20 != 0, benchmark = % 20 == 0; a corpus vector
+    // is contaminated iff it shares a rank<=2 probe cell (afin2) with a
+    // benchmark vector at cos >= SEMTAU. NOT EXISTS (the anti-join
+    // form), keeping the cross-engine null contract of q_decontaminate.
+    "q_decontaminate_sem" ->
+      s"""$kmeansCtes,
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cont AS (
+         |  SELECT DISTINCT a.vec_id
+         |  FROM afin2 a JOIN afin2 b ON a.cluster = b.cluster
+         |  JOIN e ea ON ea.vec_id = a.vec_id
+         |  JOIN e eb ON eb.vec_id = b.vec_id
+         |  WHERE a.vec_id % 20 <> 0 AND b.vec_id % 20 = 0
+         |    AND round(list_dot_product(ea.v, eb.v)
+         |      / (sqrt(list_dot_product(ea.v, ea.v))
+         |         * sqrt(list_dot_product(eb.v, eb.v))), 6) >= $SEMTAU)
+         |SELECT d.vec_id FROM embeddings d
+         |WHERE d.vec_id % 20 <> 0
+         |  AND NOT EXISTS (SELECT 1 FROM cont c WHERE c.vec_id = d.vec_id)
+         |ORDER BY d.vec_id""".stripMargin,
+
     "q_semdedup_incr" ->
       s"""$kmeansCtes,
          |$semdedupPairsCte
@@ -1467,6 +1512,49 @@ object CorpusQueries extends QueryModule {
          |  LEFT JOIN bc ON bc.prev = w.prev AND bc.token = w.token
          |  LEFT JOIN hc ON hc.prev = w.prev
          |  CROSS JOIN stats)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |       round(CAST(sum(nq) AS DOUBLE) / 1000000000.0
+         |             / CAST(count(*) AS DOUBLE), 6) AS nll
+         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q_bigram_nll's counting CTEs + the two KN type tables: n1h rides
+    // hc's groupBy, cc/n1 are continuation-type counts off the bigram
+    // TYPE table. Every scored bigram is a fitted event, so ch and n1c
+    // are non-null on the prev-non-null branch (the COALESCEs cover
+    // doc-initial rows only).
+    "q_kneser_ney" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_split_to_array(lower(text), '$wsSql') AS t
+         |  FROM documents),
+         |seq AS (SELECT doc_id, generate_subscripts(t, 1) AS i,
+         |               unnest(t) AS token FROM toks),
+         |wp AS (SELECT s.doc_id, s.token, p.token AS prev
+         |       FROM seq s LEFT JOIN seq p
+         |         ON p.doc_id = s.doc_id AND p.i = s.i - 1),
+         |counts AS (SELECT token, count(*) AS c FROM seq GROUP BY token),
+         |stats AS (SELECT sum(c) AS n, count(*) AS v FROM counts),
+         |bc AS (SELECT prev, token, count(*) AS cb FROM wp
+         |       WHERE prev IS NOT NULL GROUP BY 1, 2),
+         |hc AS (SELECT prev, sum(cb) AS ch, count(*) AS n1h
+         |       FROM bc GROUP BY prev),
+         |cc AS (SELECT token, count(*) AS n1c FROM bc GROUP BY token),
+         |n1 AS (SELECT count(*) AS n1tot FROM bc),
+         |scored AS (
+         |  SELECT w.doc_id,
+         |    CAST(round(-ln(
+         |      CASE WHEN w.prev IS NULL
+         |        THEN CAST(c + 1 AS DOUBLE) / CAST(n + v AS DOUBLE)
+         |        ELSE greatest(CAST(cb AS DOUBLE) - 0.75, 0.0)
+         |               / CAST(ch AS DOUBLE)
+         |             + (0.75 * CAST(n1h AS DOUBLE) / CAST(ch AS DOUBLE))
+         |               * (CAST(COALESCE(n1c, 0) AS DOUBLE)
+         |                  / CAST(n1tot AS DOUBLE)) END)
+         |      * 1000000000.0) AS BIGINT) AS nq
+         |  FROM wp w JOIN counts USING (token)
+         |  LEFT JOIN bc ON bc.prev = w.prev AND bc.token = w.token
+         |  LEFT JOIN hc ON hc.prev = w.prev
+         |  LEFT JOIN cc ON cc.token = w.token
+         |  CROSS JOIN stats CROSS JOIN n1)
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
          |       round(CAST(sum(nq) AS DOUBLE) / 1000000000.0
          |             / CAST(count(*) AS DOUBLE), 6) AS nll

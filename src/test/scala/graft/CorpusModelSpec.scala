@@ -262,6 +262,107 @@ class CorpusModelSpec extends SparkSpec {
     assert(got(0L) < got(1L))
   }
 
+  // ---- Kneser-Ney -----------------------------------------------------
+
+  /** Independent in-memory interpolated KN bigram NLL (plain Scala),
+    * nano-grid and rounding mirrored for exact comparison. */
+  private def refKn(docs: Seq[(Long, String)],
+      d: Double = 0.75): Map[Long, (Long, Double)] = {
+    val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }
+    val uni = toks.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = uni.values.sum
+    val v = uni.size.toLong
+    val bi = toks.flatMap { case (_, ts) => ts.zip(ts.drop(1)).map(p => (p._1, p._2)) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ch = bi.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+    val n1h = bi.keys.toSeq.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n1c = bi.keys.toSeq.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val n1tot = bi.size.toLong
+    toks.map { case (id, ts) =>
+      val nqs = ts.zipWithIndex.map { case (t, i) =>
+        val p =
+          if (i == 0) (uni(t) + 1).toDouble / (n + v).toDouble
+          else {
+            val prev = ts(i - 1)
+            math.max(bi((prev, t)) - d, 0.0) / ch(prev) +
+              (d * n1h(prev) / ch(prev)) * (n1c(t).toDouble / n1tot)
+          }
+        math.round(-math.log(p) * 1e9)
+      }
+      id -> (ts.size.toLong, BigDecimal(nqs.sum.toDouble / 1e9 / ts.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toMap
+  }
+
+  test("kneser-ney nll matches an independent in-memory implementation") {
+    val docs = Seq((0L, "a b a b"), (1L, "a c b"), (2L, "c a b c"),
+      (3L, "b b a"))
+    val got = UnigramLM.kneserNeyNll(docs.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == refKn(docs))
+  }
+
+  test("kneser-ney separates continuation diversity where jelinek-mercer cannot") {
+    // b and c have EQUAL unigram counts and equal (x, ·) bigram counts,
+    // but b only ever follows a while c follows five distinct
+    // histories: KN's continuation distribution scores "x c" likelier
+    // than "x b"; the JM mixture sees them as identical.
+    val docs = (
+      (0 until 4).map(i => (i.toLong, "a b")) ++
+        Seq("p c", "q c", "r c", "s c").zipWithIndex
+          .map { case (t, i) => ((4 + i).toLong, t) } ++
+        Seq((8L, "x b"), (9L, "x c"))).toSeq
+    val kn = UnigramLM.kneserNeyNll(docs.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    val jm = UnigramLM.bigramNll(docs.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(kn(8L) > kn(9L), s"KN should disfavor the locked token: $kn")
+    assert(jm(8L) == jm(9L), s"JM cannot tell them apart: $jm")
+  }
+
+  test("kneser-ney probability mass per history sums to exactly 1") {
+    // Σ_t P(t|prev) over tokens with n1c > 0: the discounted term sums
+    // to (ch − D·n1h)/ch (every cb ≥ 1 > D) and the backoff term to
+    // D·n1h/ch — the absolute-discount bookkeeping identity.
+    val docs = Seq((0L, "a b a b"), (1L, "a c b"), (2L, "c a b c"))
+    val toks = docs.map { case (_, t) => t.split(" ").toSeq }
+    val bi = toks.flatMap(ts => ts.zip(ts.drop(1)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ch = bi.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+    val n1h = bi.keys.toSeq.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n1c = bi.keys.toSeq.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val n1tot = bi.size.toLong
+    val d = 0.75
+    ch.keys.foreach { prev =>
+      val mass = n1c.keys.toSeq.map { t =>
+        math.max(bi.getOrElse((prev, t), 0L) - d, 0.0) / ch(prev) +
+          (d * n1h(prev) / ch(prev)) * (n1c(t).toDouble / n1tot)
+      }.sum
+      assert(math.abs(mass - 1.0) < 1e-12, s"history $prev mass $mass")
+    }
+  }
+
+  test("kneser-ney is partitioning-invariant (integer-grid sums)") {
+    val docs = Tables.documents(spark, sf001)
+    val a = UnigramLM.kneserNeyNll(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val b = UnigramLM.kneserNeyNll(docs.repartition(13), "doc_id", "text")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("kneser-ney rejects a discount outside (0, 1)") {
+    val docs = Seq((0L, "a b")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      UnigramLM.kneserNeyNll(docs, "doc_id", "text", discount = 1.0)
+    }
+    assert(e.getMessage.contains("discount"))
+  }
+
   // ---- Bpe ------------------------------------------------------------
 
   /** Independent in-memory BPE (plain Scala) for cross-checking. */

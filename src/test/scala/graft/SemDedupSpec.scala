@@ -312,4 +312,51 @@ class SemDedupSpec extends SparkSpec {
     assert(tight.subsetOf(loose))
     assert(loose.size > tight.size)
   }
+
+  private def deconSplit = (
+    emb.filter(pmod($"vec_id", lit(20)) =!= 0),
+    emb.filter(pmod($"vec_id", lit(20)) === 0))
+
+  test("decontaminate == brute-force drop restricted to shared probe cells") {
+    val (corpus, evalSet) = deconSplit
+    val probes = emb.select($"vec_id",
+        KMeansQuant.cellsOf($"embedding", model, 2).as("cells"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val evalIds = evalSet.select($"vec_id").as[Long].collect().toSet
+    // exact cosines over every (corpus, eval) pair, both orders of
+    // nearDupPairs' id_a < id_b normalization
+    val exactDropped = Similarity.nearDupPairs(emb, "vec_id", "embedding", Tau)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .collect { case (c, e) if !evalIds(c) && evalIds(e) &&
+        probes(c).intersect(probes(e)).nonEmpty => c }
+      .toSet
+    val kept = SemDedup.decontaminate(corpus, evalSet, "vec_id",
+        "embedding", model, Tau)
+      .select($"vec_id").as[Long].collect().toSet
+    val corpusIds = corpus.select($"vec_id").as[Long].collect().toSet
+    assert(exactDropped.nonEmpty, "fixture produced no contamination at tau")
+    assert(kept == corpusIds -- exactDropped)
+    assert(kept.intersect(evalIds).isEmpty)
+  }
+
+  test("decontaminate is partitioning-invariant") {
+    val (corpus, evalSet) = deconSplit
+    val k1 = SemDedup.decontaminate(corpus, evalSet, "vec_id",
+      "embedding", model, Tau).as[Long].collect().sorted.toSeq
+    val k2 = SemDedup.decontaminate(corpus.repartition(7),
+      evalSet.repartition(3), "vec_id", "embedding", model, Tau)
+      .as[Long].collect().sorted.toSeq
+    assert(k1 == k2)
+  }
+
+  test("an oversized eval side fails loudly instead of broadcasting it") {
+    val (corpus, evalSet) = deconSplit
+    val e = intercept[IllegalArgumentException] {
+      SemDedup.decontaminate(corpus, evalSet, "vec_id", "embedding",
+        model, Tau, maxEvalRows = 3L).collect()
+    }
+    assert(e.getMessage.contains("maxEvalRows"))
+    assert(e.getMessage.contains("swap the arguments"))
+  }
 }

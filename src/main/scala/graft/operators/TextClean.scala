@@ -92,6 +92,47 @@ object TextClean {
     s"regexp_replace($r2, '$PiiPhonePattern', '<PHONE>', 'g')"
   }
 
+  // ---- Luhn-validated payment-card scan -------------------------------
+  // [[redact]]'s phone/IP patterns are shape-only (over-redaction is
+  // safe there); a payment-card leak detector must do better, because
+  // "replace every 16-digit run" destroys order ids, ISBNs, and hashes.
+  // The Luhn mod-10 checksum (ISO/IEC 7812-1) is the validation every
+  // real PAN carries — checking it drops the false-positive rate on
+  // random digit runs by ~10× while never missing a real card.
+
+  /** Candidate runs: 13–19 digits with optional single space/dash
+    * separators, word-bounded (shared Java∩RE2 subset — `\b` is in). */
+  val CardCandidatePattern = "\\b(?:[0-9][ -]?){12,18}[0-9]\\b"
+
+  /** Luhn mod-10 over a separator-free digit string: from the RIGHT,
+    * double every second digit, subtract 9 when that exceeds 9, sum ≡ 0
+    * (mod 10). Pure row-local HOFs — stays in whole-stage codegen. */
+  def luhnValid(pan: Column): Column = {
+    val rev = regexp_extract_all(reverse(pan), lit("[0-9]"), lit(0))
+    val summed = aggregate(
+      transform(rev, (d, i) => {
+        val v = d.cast("int")
+        when(i % 2 === 1,
+          when(v * 2 > 9, v * 2 - 9).otherwise(v * 2)).otherwise(v)
+      }),
+      lit(0), (acc, x) => acc + x)
+    summed % 10 === 0
+  }
+
+  /** (candidates, valids, redacted) columns for a text column: every
+    * card-shaped run, the Luhn-valid subset (separator-stripped check,
+    * sorted for a canonical fold order), and the text with each VALID
+    * run replaced by `<CARD>` — invalid runs are left alone by design
+    * (that's the point of validating). One codegen'd projection. */
+  def cardScan(text: Column): (Column, Column, Column) = {
+    val cands = regexp_extract_all(text, lit(CardCandidatePattern), lit(0))
+    val valids = array_sort(filter(cands,
+      c => luhnValid(regexp_replace(c, "[ -]", ""))))
+    val redacted = aggregate(valids, text,
+      (acc, c) => replace(acc, c, lit("<CARD>")))
+    (cands, valids, redacted)
+  }
+
   // ---- HTML stripping (tags, script/style/comment blocks, entities) —
   // the stage a raw web crawl needs BEFORE the line-level
   // [[Boilerplate.removeBoilerplate]] scrub sees it. Same Java∩RE2

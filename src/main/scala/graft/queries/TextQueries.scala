@@ -83,6 +83,27 @@ object TextQueries extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // Luhn-validated payment-card scan (TextClean.cardScan): the fixture
+    // carries no digit runs, so three card-shaped candidates are injected
+    // per row (the q_redact discipline) — a Luhn-VALID spaced PAN, an
+    // INVALID dashed one (check digit off by one), and a doc_id-derived
+    // 16-digit run whose validity varies per row, so both engines compute
+    // the checksum independently on every row. Only the valid subset
+    // redacts — that's the point of validating.
+    "q_pii_cards" -> ((s, d) => {
+      val dirty = concat(col("text"),
+        lit(" pay 4111 1111 1111 1111 ref 4111-1111-1111-1112 acct 4024"),
+        lpad((col("doc_id") * 7919 % 1000000000).cast("string"), 9, "0"),
+        lit("007"))
+      val (cands, valids, redacted) = TextClean.cardScan(dirty)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(cands).cast("long").as("n_candidates"),
+          size(valids).cast("long").as("n_valid"),
+          redacted.as("redacted"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Unicode NFC canonicalization (functions.UnicodeNormalize). The
     // fixture corpus is pure ASCII — already NFC — so a DECOMPOSED-form
     // suffix is appended first (' cafe' + U+0301 combining acute, ' n' +
@@ -416,6 +437,46 @@ object TextQueries extends QueryModule {
         " || ' tel +1555010' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
       s"""SELECT doc_id, ${TextClean.redactSql(s"($dirty)")} AS redacted
          |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "q_pii_cards" -> {
+      val dirty = "text || ' pay 4111 1111 1111 1111 " +
+        "ref 4111-1111-1111-1112 acct 4024'" +
+        " || lpad(CAST(doc_id * 7919 % 1000000000 AS VARCHAR), 9, '0')" +
+        " || '007'"
+      // generate_subscripts keeps duplicate candidate OCCURRENCES apart
+      // (Spark's arrays count occurrences); reversed-position parity is
+      // (len - i) % 2 for 1-based i — the same digits Spark doubles.
+      s"""WITH dirty AS (
+         |  SELECT doc_id, $dirty AS t FROM documents),
+         |cl AS (SELECT doc_id, t,
+         |  regexp_extract_all(t, '${TextClean.CardCandidatePattern}') AS r
+         |  FROM dirty),
+         |cands AS (SELECT doc_id, generate_subscripts(r, 1) AS ci,
+         |                 unnest(r) AS cand FROM cl),
+         |norm AS (SELECT doc_id, ci, cand,
+         |  replace(replace(cand, ' ', ''), '-', '') AS pan FROM cands),
+         |dig AS (SELECT doc_id, ci, cand, (len(pan) - i) % 2 AS odd,
+         |               CAST(substr(pan, i, 1) AS INT) AS dv
+         |        FROM norm, unnest(generate_series(1, len(pan))) AS u(i)),
+         |luhn AS (SELECT doc_id, ci, cand,
+         |    sum(CASE WHEN odd = 1
+         |        THEN CASE WHEN dv*2 > 9 THEN dv*2 - 9 ELSE dv*2 END
+         |        ELSE dv END) AS s
+         |  FROM dig GROUP BY doc_id, ci, cand),
+         |valids AS (SELECT doc_id, ci, cand FROM luhn WHERE s % 10 = 0),
+         |vl AS (SELECT doc_id, list(cand ORDER BY cand) AS vs,
+         |              count(*) AS nv FROM valids GROUP BY doc_id),
+         |nc AS (SELECT doc_id, count(*) AS n FROM cands GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(nc.n, 0) AS BIGINT) AS n_candidates,
+         |  CAST(coalesce(vl.nv, 0) AS BIGINT) AS n_valid,
+         |  CASE WHEN vl.vs IS NULL THEN d.t
+         |       ELSE list_reduce([d.t] || vl.vs,
+         |                        (acc, x) -> replace(acc, x, '<CARD>')) END
+         |    AS redacted
+         |FROM dirty d LEFT JOIN nc USING (doc_id) LEFT JOIN vl USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
     },
 
     "q_case_when" ->

@@ -134,4 +134,45 @@ class TextCleanSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
+
+  private def luhnOne(s: String): Boolean =
+    Seq(s).toDF("pan").select(TextClean.luhnValid($"pan")).as[Boolean].head()
+
+  test("luhn checksum accepts the published test PANs and rejects off-by-one") {
+    assert(luhnOne("4111111111111111"))   // Visa test number
+    assert(luhnOne("5500005555555559"))   // Mastercard test number
+    assert(luhnOne("378282246310005"))    // Amex test number (15 digits)
+    assert(luhnOne("79927398713"))        // the ISO/IEC 7812 worked example
+    assert(!luhnOne("4111111111111112"))
+    assert(!luhnOne("79927398710"))
+  }
+
+  test("cardScan redacts only Luhn-valid candidates, counts both") {
+    val t = "pay 4111 1111 1111 1111 ref 4111-1111-1111-1112 done"
+    val (c, v, r) = TextClean.cardScan($"text")
+    val got = Seq(t).toDF("text")
+      .select(size(c).as("nc"), size(v).as("nv"), r.as("red"))
+      .as[(Int, Int, String)].head()
+    assert(got._1 == 2 && got._2 == 1)
+    assert(got._3 == "pay <CARD> ref 4111-1111-1111-1112 done")
+  }
+
+  test("cardScan leaves candidate-free and short-run text untouched") {
+    // 12 digits is below the candidate floor; 20 contiguous digits only
+    // ever yields a 19-digit (Luhn-agreed) sub-candidate, never a card
+    val t = "order 123456789012 hash 11111111111111111111 ok"
+    val (c, v, r) = TextClean.cardScan($"text")
+    val got = Seq(t).toDF("text")
+      .select(size(c).as("nc"), size(v).as("nv"), r.as("red"))
+      .as[(Int, Int, String)].head()
+    assert(got._2 == 0 && got._3 == t)
+  }
+
+  test("cardScan is a single narrow stage (no shuffle in plan)") {
+    val (c, v, r) = TextClean.cardScan($"text")
+    val plan = Tables.documents(spark, sf001)
+      .select(c, v, r)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
 }

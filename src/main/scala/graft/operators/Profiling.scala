@@ -108,6 +108,86 @@ object Profiling {
         round(sum(col("t")).cast("double") / lit(1e9), 6).as("mi_nats"))
   }
 
+  /** Welch's unequal-variance two-sample t-test between groups `a` and
+    * `b` of `groupCol` — the A/B readout (treatment vs control metric
+    * means) run without the equal-variance assumption Student's t
+    * needs. Returns one row: (n_a, n_b, mean_a, mean_b, t_stat,
+    * df_welch) with the Welch–Satterthwaite degrees of freedom.
+    *
+    * Cross-engine arithmetic: values quantize to exact integer cents
+    * ([[graft.functions.Money.cents]] — the money-sum discipline), Σx
+    * sums as long and Σx² in DECIMAL(38,0) (a long wraps once
+    * rows × cents² passes ~9e18 — trillions of rows at typical
+    * magnitudes), so the moments are order-free exact integers and
+    * every derived double is deterministic. ONE map-side-combined
+    * aggregate over the filtered scan — no shuffle beyond the 1-row
+    * reduce, nothing corpus-shaped. */
+  def welchTTest(df: DataFrame, valueCol: Column, groupCol: Column,
+      a: String, b: String): DataFrame = {
+    require(a != b, s"the two samples must differ, got '$a' twice")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val q = graft.functions.Money.cents(valueCol)
+    def side(g: String) = Seq(
+      sum(when(groupCol === g, 1L).otherwise(0L)),
+      sum(when(groupCol === g, q).otherwise(0L)),
+      sum(when(groupCol === g, dec(q) * dec(q)).otherwise(dec(lit(0)))))
+    val Seq(naC, s1aC, s2aC) = side(a)
+    val Seq(nbC, s1bC, s2bC) = side(b)
+    // the isin prefilter reaches the scan (PushedFilters) — at scale
+    // the two arms are usually a sliver of the event stream
+    val agg = df.filter(groupCol.isin(a, b))
+      .agg(naC.as("na"), s1aC.as("s1a"), s2aC.as("s2a"),
+        nbC.as("nb"), s1bC.as("s1b"), s2bC.as("s2b"))
+    def d(c: Column) = c.cast("double")
+    def mean(s1: Column, n: Column) = d(s1) / d(n) / 100.0
+    def variance(s2: Column, s1: Column, n: Column) =
+      (d(s2) - d(s1) * d(s1) / d(n)) / (d(n) - 1.0) / 10000.0
+    val (na, nb) = (col("na"), col("nb"))
+    val ma = mean(col("s1a"), na)
+    val mb = mean(col("s1b"), nb)
+    val va = variance(col("s2a"), col("s1a"), na)
+    val vb = variance(col("s2b"), col("s1b"), nb)
+    val se2 = va / d(na) + vb / d(nb)
+    val tStat = (ma - mb) / sqrt(se2)
+    val dfw = se2 * se2 /
+      ((va / d(na)) * (va / d(na)) / (d(na) - 1.0) +
+        (vb / d(nb)) * (vb / d(nb)) / (d(nb) - 1.0))
+    agg.select(na.as("n_a"), nb.as("n_b"),
+      round(ma, 6).as("mean_a"), round(mb, 6).as("mean_b"),
+      round(tStat, 6).as("t_stat"), round(dfw, 6).as("df_welch"))
+  }
+
+  /** Cohen's kappa — chance-corrected agreement between a truth label
+    * and a prediction: κ = (p_o − p_e)/(1 − p_e) with p_e = Σ_k r_k·c_k
+    * / n², the margin-product chance rate. The honesty companion to a
+    * raw-accuracy readout (a 90%-majority-class predictor scores 0.9
+    * accuracy and ~0 kappa). Returns one row: (n, po, pe, kappa).
+    *
+    * Scale shape: ONE corpus aggregate to class-pair cells; margins,
+    * products, and the diagonal all derive from that contingency-sized
+    * table (checkpointed so its lineage runs once). Margin products
+    * accumulate in DECIMAL(38,0) — r·c reaches n², past a long at
+    * ~3e9 rows — and every derived double comes from exact integers. */
+  def cohensKappa(df: DataFrame, truthCol: String,
+      predCol: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val cells = df.groupBy(col(truthCol).as("t"), col(predCol).as("p"))
+      .agg(count(lit(1)).as("o")).localCheckpoint()
+    val rm = cells.groupBy(col("t")).agg(sum(col("o")).as("r"))
+    val cm = cells.groupBy(col("p")).agg(sum(col("o")).as("c"))
+    val tot = cells.agg(sum(col("o")).as("n"),
+      sum(when(col("t") === col("p"), col("o")).otherwise(0L)).as("agree"))
+    val rc = rm.join(cm, col("t") === col("p"))
+      .agg(coalesce(sum(dec(col("r")) * dec(col("c"))),
+        dec(lit(0))).as("rc"))
+    def d(c: Column) = c.cast("double")
+    val po = d(col("agree")) / d(col("n"))
+    val pe = d(col("rc")) / (d(col("n")) * d(col("n")))
+    tot.crossJoin(rc).select(col("n"),
+      round(po, 6).as("po"), round(pe, 6).as("pe"),
+      round((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
+  }
+
   /** Zipf-law slope of the token frequency distribution — the corpus
     * health diagnostic LLM pipelines run on every ingest: natural text
     * follows freq ∝ rank^(−α) with α ≈ 1; a slope far from −1 flags

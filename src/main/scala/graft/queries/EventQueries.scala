@@ -151,6 +151,14 @@ object EventQueries extends QueryModule {
           col("n_events"))
         .orderBy(col("user_id"), col("session_start"))),
 
+    // Welch's unequal-variance t-test between the click and purchase
+    // value distributions — the A/B readout. Exact-integer moments
+    // (cents long, cents² decimal) in ONE map-side-combined aggregate
+    // behind a pushed isin filter; every derived double deterministic.
+    "q_ab_welch" -> ((s, d) =>
+      graft.operators.Profiling.welchTTest(Tables.events(s, d),
+        col("value"), col("event_type"), "click", "purchase")),
+
     // Ordered conversion funnel signup -> click -> purchase: per user,
     // first signup, first click AT OR AFTER it, first purchase at or
     // after that click. Three chained unbounded window mins over the
@@ -828,6 +836,41 @@ object EventQueries extends QueryModule {
         |  CAST(count(*) AS BIGINT) AS n_events
         |FROM y GROUP BY user_id, session_id
         |ORDER BY user_id, session_start""".stripMargin,
+
+    // exact-integer moments (sum(BIGINT) lands in HUGEINT — cast after,
+    // mirroring the engine's long/DECIMAL accumulators), then the same
+    // double-expression order as Profiling.welchTTest
+    "q_ab_welch" -> {
+      val c = graft.functions.Money.centsSql("value")
+      def mean(p: String) =
+        s"CAST(s1$p AS DOUBLE) / CAST(n$p AS DOUBLE) / 100.0"
+      def vr(p: String) =
+        s"""(CAST(s2$p AS DOUBLE) - CAST(s1$p AS DOUBLE)
+           | * CAST(s1$p AS DOUBLE) / CAST(n$p AS DOUBLE))
+           | / (CAST(n$p AS DOUBLE) - 1.0) / 10000.0""".stripMargin
+          .replace("\n", "")
+      def se(p: String) = s"(${vr(p)}) / CAST(n$p AS DOUBLE)"
+      val se2 = s"(${se("a")} + ${se("b")})"
+      s"""WITH q AS (SELECT event_type, $c AS cq FROM events
+         |           WHERE event_type IN ('click', 'purchase')),
+         |m AS (SELECT
+         |    count(*) FILTER (WHERE event_type = 'click') AS na,
+         |    sum(cq) FILTER (WHERE event_type = 'click') AS s1a,
+         |    sum(cq * cq) FILTER (WHERE event_type = 'click') AS s2a,
+         |    count(*) FILTER (WHERE event_type = 'purchase') AS nb,
+         |    sum(cq) FILTER (WHERE event_type = 'purchase') AS s1b,
+         |    sum(cq * cq) FILTER (WHERE event_type = 'purchase') AS s2b
+         |  FROM q)
+         |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+         |  round(${mean("a")}, 6) AS mean_a,
+         |  round(${mean("b")}, 6) AS mean_b,
+         |  round((${mean("a")} - ${mean("b")}) / sqrt($se2), 6) AS t_stat,
+         |  round($se2 * $se2 /
+         |    ((${se("a")}) * (${se("a")}) / (CAST(na AS DOUBLE) - 1.0)
+         |     + (${se("b")}) * (${se("b")}) / (CAST(nb AS DOUBLE) - 1.0)),
+         |    6) AS df_welch
+         |FROM m""".stripMargin
+    },
 
     "q_funnel" ->
       """WITH s AS (

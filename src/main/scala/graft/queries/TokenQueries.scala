@@ -492,6 +492,17 @@ object TokenQueries extends QueryModule {
         LangId.detectText(col("text")).as("lang_pred"))
         .orderBy(col("doc_id"))),
 
+    // Cohen's kappa between the corpus lang label and the marker-argmax
+    // prediction — the chance-corrected honesty companion to raw
+    // langid agreement (en is the majority class; accuracy alone
+    // flatters a majority guesser). One corpus aggregate to cells;
+    // everything else contingency-sized.
+    "q_cohens_kappa" -> ((s, d) =>
+      graft.operators.Profiling.cohensKappa(
+        Tables.documents(s, d).select(col("lang"),
+          LangId.detectText(col("text")).as("lang_pred")),
+        "lang", "lang_pred")),
+
     // Script-tier language ID (the CJK follow-through of the tokenizer
     // fallback): four of five doc_id arms get a repeated
     // Japanese/Korean/Thai/Chinese snippet prepended — script-majority
@@ -549,6 +560,34 @@ object TokenQueries extends QueryModule {
   // its own full mirror on injected CJK rows.
   private val toksSql =
     s"SELECT doc_id, unnest(regexp_split_to_array(lower(text), '$wsSql')) AS token FROM documents"
+
+  /** Mirrors LangId.detect as a shared WITH block ending in
+    * `lpred(doc_id, lang, lang_pred)`: per-language marker-hit counts
+    * over the shared tokenizer, argmax via struct ordering (DuckDB's
+    * list_max compares structs field-wise exactly like Spark's
+    * array_max, so score ties break to the lexicographically greatest
+    * lang in both engines), "und" when nothing hits. Marker IN-lists
+    * are generated from LangId.markers — one definition, two engines.
+    * LEFT JOIN + coalesced scores keep the cross-engine contract for
+    * nullable corpora: a NULL-text doc tokenizes to zero rows but Spark
+    * still emits it as "und", so it must survive the join as all-zero.
+    * Consumed by q_lang_id and q_cohens_kappa. */
+  private val langIdPredCtes: String = {
+    val langs = LangId.markers.keys.toSeq.sorted
+    val scores = langs.map { l =>
+      s"count(*) FILTER (WHERE token IN (${TokenOps.sqlList(LangId.markers(l))})) AS s_$l"
+    }.mkString(",\n    ")
+    val structs =
+      langs.map(l => s"{'s': coalesce(s_$l, 0), 'lang': '$l'}").mkString(", ")
+    s"""WITH sc AS (SELECT doc_id,
+       |    $scores
+       |  FROM ($toksSql) GROUP BY doc_id),
+       |lbest AS (SELECT d.doc_id, d.lang, list_max([$structs]) AS b
+       |  FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id),
+       |lpred AS (SELECT doc_id, lang,
+       |    CASE WHEN b.s > 0 THEN b.lang ELSE 'und' END AS lang_pred
+       |  FROM lbest)""".stripMargin
+  }
 
   /** Shared CTE prefix for the span-dedup mirrors: tokenized docs (t)
     * and the 1-based k-token sliding grams (g2), textually mirroring
@@ -716,31 +755,38 @@ object TokenQueries extends QueryModule {
          |FROM b GROUP BY q_decile, len_bucket
          |ORDER BY q_decile, len_bucket""".stripMargin,
 
-    // Mirrors LangId.detect: per-language marker-hit counts over the
-    // shared tokenizer, argmax via struct ordering (DuckDB's list_max
-    // compares structs field-wise exactly like Spark's array_max, so
-    // score ties break to the lexicographically greatest lang in both
-    // engines), "und" when nothing hits. Marker IN-lists are generated
-    // from LangId.markers — one definition, two engines. LEFT JOIN +
-    // coalesced scores keep the cross-engine contract for nullable
-    // corpora: a NULL-text doc tokenizes to zero rows here but Spark
-    // still emits it as "und", so it must survive the join as all-zero.
-    "q_lang_id" -> {
-      val langs = LangId.markers.keys.toSeq.sorted
-      val scores = langs.map { l =>
-        s"count(*) FILTER (WHERE token IN (${TokenOps.sqlList(LangId.markers(l))})) AS s_$l"
-      }.mkString(",\n    ")
-      val structs =
-        langs.map(l => s"{'s': coalesce(s_$l, 0), 'lang': '$l'}").mkString(", ")
-      s"""WITH sc AS (SELECT doc_id,
-         |    $scores
-         |  FROM ($toksSql) GROUP BY doc_id),
-         |best AS (SELECT d.doc_id, d.lang, list_max([$structs]) AS b
-         |  FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id)
-         |SELECT doc_id, lang,
-         |  CASE WHEN b.s > 0 THEN b.lang ELSE 'und' END AS lang_pred
-         |FROM best ORDER BY doc_id""".stripMargin
-    },
+    // the shared langIdPredCtes mirror (see its scaladoc), projected
+    "q_lang_id" ->
+      s"""$langIdPredCtes
+         |SELECT doc_id, lang, lang_pred FROM lpred
+         |ORDER BY doc_id""".stripMargin,
+
+    // Cohen's kappa over the SAME marker-argmax prediction CTEs as
+    // q_lang_id (one mirror, two consumers): margins/products/diagonal
+    // derive from the contingency cells; rc accumulates exact integer
+    // margin products (DuckDB sums BIGINT into HUGEINT — cast after,
+    // mirroring the engine's DECIMAL accumulator).
+    "q_cohens_kappa" ->
+      s"""$langIdPredCtes,
+         |cells AS (SELECT lang, lang_pred, count(*) AS o
+         |          FROM lpred GROUP BY 1, 2),
+         |rm AS (SELECT lang, sum(o) AS r FROM cells GROUP BY lang),
+         |cm AS (SELECT lang_pred, sum(o) AS c FROM cells GROUP BY lang_pred),
+         |tot AS (SELECT sum(o) AS n,
+         |    sum(CASE WHEN lang = lang_pred THEN o ELSE 0 END) AS agree
+         |  FROM cells),
+         |rcx AS (SELECT coalesce(sum(r * c), 0) AS rc
+         |        FROM rm JOIN cm ON rm.lang = cm.lang_pred)
+         |SELECT CAST(n AS BIGINT) AS n,
+         |  round(CAST(agree AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
+         |  round(CAST(rc AS DOUBLE)
+         |        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS pe,
+         |  round((CAST(agree AS DOUBLE) / CAST(n AS DOUBLE)
+         |         - CAST(rc AS DOUBLE)
+         |           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+         |        / (1.0 - CAST(rc AS DOUBLE)
+         |           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6) AS kappa
+         |FROM tot CROSS JOIN rcx""".stripMargin,
 
     // tiered language-ID mirror: the same injected dirty text, the same
     // length-diff script counts (explicit 'g' — Java replace is global),

@@ -130,4 +130,65 @@ class SeriesStatsSpec extends SparkSpec {
     assert(fn >= 20L)
     assert(fslope < 0.0 && fslope > -3.0, s"fixture slope $fslope")
   }
+
+  test("welch t-test: identical samples = t 0; textbook case matches hand math") {
+    import graft.operators.Profiling
+    val same = (1 to 20).flatMap(i =>
+      Seq(("a", i.toDouble), ("b", i.toDouble))).toDF("g", "v")
+    val eq = Profiling.welchTTest(same, $"v", $"g", "a", "b")
+      .as[(Long, Long, Double, Double, Double, Double)].head()
+    assert(eq._1 == 20 && eq._2 == 20)
+    assert(eq._3 == eq._4 && eq._5 == 0.0)
+    // a = {1,2,3,4,5} (mean 3, var 2.5), b = {2,4,6,8,10} (mean 6,
+    // var 10): se2 = 2.5/5 + 10/5 = 2.5, t = -3/sqrt(2.5),
+    // df = 2.5^2 / (0.5^2/4 + 2^2/4) = 6.25/1.0625
+    val ab = (Seq(1, 2, 3, 4, 5).map(v => ("a", v.toDouble)) ++
+      Seq(2, 4, 6, 8, 10).map(v => ("b", v.toDouble))).toDF("g", "v")
+    val got = Profiling.welchTTest(ab, $"v", $"g", "a", "b")
+      .as[(Long, Long, Double, Double, Double, Double)].head()
+    assert(got._3 == 3.0 && got._4 == 6.0)
+    assert(got._5 == BigDecimal(-3.0 / math.sqrt(2.5))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got._6 == BigDecimal(6.25 / 1.0625)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("welch t-test is partitioning-invariant (integer-moment sums)") {
+    import graft.operators.Profiling
+    val ev = Tables.events(spark, sf001)
+    val a = Profiling.welchTTest(ev, $"value", $"event_type",
+      "click", "purchase").collect().toSeq
+    val b = Profiling.welchTTest(ev.repartition(17), $"value",
+      $"event_type", "click", "purchase").collect().toSeq
+    assert(a == b)
+  }
+
+  test("cohen's kappa: perfect agreement = 1, majority guessing = 0") {
+    import graft.operators.Profiling
+    val perfect = Seq(("x", "x"), ("y", "y"), ("x", "x"), ("z", "z"))
+      .toDF("t", "p")
+    val k1 = Profiling.cohensKappa(perfect, "t", "p")
+      .as[(Long, Double, Double, Double)].head()
+    assert(k1._2 == 1.0 && k1._4 == 1.0)
+    // constant prediction: po equals the majority share AND pe equals
+    // the same share (r_x·n / n² = p_x) -> kappa exactly 0
+    val const = Seq(("x", "x"), ("x", "x"), ("x", "x"), ("y", "x"))
+      .toDF("t", "p")
+    val k0 = Profiling.cohensKappa(const, "t", "p")
+      .as[(Long, Double, Double, Double)].head()
+    assert(k0._2 == 0.75 && k0._3 == 0.75 && k0._4 == 0.0)
+  }
+
+  test("cohen's kappa matches the textbook two-rater example") {
+    import graft.operators.Profiling
+    // the standard worked example: 50 items, agreement 20+15=35,
+    // margins a=(25,25), b=(30,20): pe = (25*30 + 25*20)/2500 = 0.5,
+    // kappa = (0.7 - 0.5)/0.5 = 0.4
+    val rows =
+      Seq.fill(20)(("yes", "yes")) ++ Seq.fill(5)(("yes", "no")) ++
+        Seq.fill(10)(("no", "yes")) ++ Seq.fill(15)(("no", "no"))
+    val got = Profiling.cohensKappa(rows.toDF("t", "p"), "t", "p")
+      .as[(Long, Double, Double, Double)].head()
+    assert(got == ((50L, 0.7, 0.5, 0.4)))
+  }
 }

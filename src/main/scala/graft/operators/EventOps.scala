@@ -36,7 +36,9 @@ import org.apache.spark.sql.functions._
   *    in EventStream.ksDaily). Likewise retrospective-by-nature
   *    composites in the query layer (SCD2 history reconstruction, RFM
   *    scoring at an as-of date, burstiness over closed windows,
-  *    forecast backtests) recompute from closed history by design —
+  *    forecast backtests — [[expSmoothDaily]]'s rmse included: its
+  *    LEVEL recurrence is prefix-computable, but the backtest score is
+  *    over closed history) recompute from closed history by design —
   *    their inputs are already the batch outputs of the twins above.
   */
 object EventOps {
@@ -276,6 +278,49 @@ object EventOps {
     * the 1e-9 integer grid (UnigramLM's −ln p discipline); the per-row
     * product cents·w_nano is exact integer (≤1e13, inside the long),
     * summed as decimal, divided once at the close. */
+  /** Simple exponential smoothing over each key's DAILY value grid
+    * (Brown 1956): level_t = α·x_t + (1−α)·level_{t−1} with level_1 =
+    * x_1. Returns per key: (key, n_days, level, rmse) — `level` is the
+    * one-step-ahead forecast for the next day, `rmse` the in-sample
+    * one-step forecast error (the α-tuning readout, the smoothing
+    * sibling of the seasonal-naive MASE backtest).
+    *
+    * Scale shape: ONE wordcount-shaped reduce to the (key, day) grid;
+    * the grid is TIME-bounded, not corpus-bounded (the q_forecast_mase
+    * argument), so the per-key sorted array is bounded and the
+    * recurrence folds row-locally — no window, no second shuffle.
+    * Daily totals are exact integer cents and the fold runs in one
+    * fixed day-sorted order, so the double level/rmse are deterministic
+    * across engines and partitionings (oracle-checked). Batch-only by
+    * the forecast-backtest contract in the header audit. */
+  def expSmoothDaily(df: DataFrame, key: String, ts: Column, value: Column,
+      alpha: Double = 0.3): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0,
+      s"smoothing weight must sit in (0, 1], got $alpha")
+    val us = unix_micros(ts)
+    val daily = df
+      .groupBy(col(key), (us - pmod(us, lit(86400000000L))).as("day_us"))
+      .agg(sum(graft.functions.Money.cents(value)).as("cents"))
+    val series = daily.groupBy(col(key)).agg(
+      count(lit(1)).as("n_days"),
+      transform(array_sort(collect_list(struct(col("day_us"), col("cents")))),
+        e => e.getField("cents").cast("double") / lit(100.0)).as("xs"))
+    val folded = aggregate(
+      slice(col("xs"), lit(2), greatest(size(col("xs")) - 1, lit(0))),
+      struct(element_at(col("xs"), 1).as("level"), lit(0.0).as("sse")),
+      (acc, x) => struct(
+        (lit(alpha) * x + lit(1.0 - alpha) * acc.getField("level"))
+          .as("level"),
+        (acc.getField("sse") +
+          (x - acc.getField("level")) * (x - acc.getField("level")))
+          .as("sse")))
+    series.select(col(key), col("n_days"),
+      round(folded.getField("level"), 6).as("level"),
+      round(when(col("n_days") > 1,
+          sqrt(folded.getField("sse") / (col("n_days").cast("double") - 1.0)))
+        .otherwise(0.0), 6).as("rmse"))
+  }
+
   def decayScore(df: DataFrame, key: String, ts: Column, value: Column,
       asOf: String, tauDays: Double = 7.0): DataFrame = {
     // FUTURE-dated events (ts > asOf) make exp(−age) EXPLODE instead of

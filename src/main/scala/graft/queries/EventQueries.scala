@@ -463,6 +463,15 @@ object EventQueries extends QueryModule {
         .orderBy(col("event_type"))
     }),
 
+    // Simple exponential smoothing (alpha=0.3) over per-type daily
+    // value totals: next-day level forecast + in-sample one-step rmse —
+    // the smoothing sibling of q_forecast_mase's seasonal-naive
+    // backtest. Day-grid reduce, then a row-local sorted fold.
+    "q_exp_smooth" -> ((s, d) =>
+      graft.operators.EventOps.expSmoothDaily(Tables.events(s, d),
+          "event_type", col("ts"), col("value"))
+        .orderBy(col("event_type"))),
+
     // The PSI MONITOR: per-day PSI of the bucketed value distribution
     // against the global one — "which day's scorecard moved", one
     // frame, dense union-support grid (days × buckets, size-guarded)
@@ -1093,6 +1102,41 @@ object EventQueries extends QueryModule {
         |  round(CAST(s7 AS DOUBLE) / CAST(c7 AS DOUBLE), 6) AS mae_seasonal,
         |  round(CAST(s7 * c1 AS DOUBLE) / CAST(s1 * c7 AS DOUBLE), 6) AS mase
         |FROM a ORDER BY event_type""".stripMargin,
+
+    // The recurrence mirrors as a RECURSIVE CTE stepping the day index,
+    // NOT list_reduce: duckdb v1.0 misfolds a struct accumulator
+    // (probed: the sse member reads a level from the wrong step), and a
+    // closed-form pow(0.7, k) rewrite would diverge in the last bit
+    // from the engine's iterated multiply. Recursion keeps the double
+    // operation order IDENTICAL to Spark's fold.
+    "q_exp_smooth" ->
+      s"""WITH RECURSIVE daily AS (
+         |  SELECT event_type,
+         |    epoch_us(ts)
+         |      - ((epoch_us(ts) % 86400000000) + 86400000000) % 86400000000
+         |      AS day_us,
+         |    sum(${graft.functions.Money.centsSql("value")}) AS cents
+         |  FROM events GROUP BY 1, 2),
+         |di AS (SELECT event_type, CAST(cents AS DOUBLE) / 100.0 AS x,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY day_us)
+         |      AS i,
+         |    count(*) OVER (PARTITION BY event_type) AS n_days
+         |  FROM daily),
+         |rec AS (
+         |  SELECT event_type, i, n_days, x AS level, CAST(0.0 AS DOUBLE) AS sse
+         |  FROM di WHERE i = 1
+         |  UNION ALL
+         |  SELECT d.event_type, d.i, d.n_days,
+         |    0.3 * d.x + 0.7 * r.level,
+         |    r.sse + (d.x - r.level) * (d.x - r.level)
+         |  FROM rec r JOIN di d
+         |    ON d.event_type = r.event_type AND d.i = r.i + 1)
+         |SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+         |  round(level, 6) AS level,
+         |  round(CASE WHEN n_days > 1
+         |    THEN sqrt(sse / (CAST(n_days AS DOUBLE) - 1.0))
+         |    ELSE 0.0 END, 6) AS rmse
+         |FROM rec WHERE i = n_days ORDER BY event_type""".stripMargin,
 
     // per-day PSI mirror: dense day×bucket grid (0-fill), global
     // proportions as expected, the identical floored IEEE term chain

@@ -267,4 +267,52 @@ class EventOpsSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("after asOf"))
   }
+
+  test("expSmoothDaily: hand-computed fold, alpha=1 degenerates to naive") {
+    // one event per day: daily x = {10, 20, 30}
+    // level: 10 -> .3*20+.7*10 = 13 -> .3*30+.7*13 = 18.1
+    // sse: (20-10)^2 + (30-13)^2 = 389, rmse = sqrt(389/2)
+    val days = Seq(
+      (1L, ts("2024-01-01 05:00:00"), 10.0),
+      (1L, ts("2024-01-02 05:00:00"), 20.0),
+      (1L, ts("2024-01-03 05:00:00"), 30.0)).toDF("user_id", "ts", "value")
+    val got = EventOps.expSmoothDaily(days, "user_id", $"ts", $"value")
+      .as[(Long, Long, Double, Double)].head()
+    assert(got._2 == 3L && got._3 == 18.1)
+    assert(got._4 == BigDecimal(math.sqrt(389.0 / 2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // alpha = 1: level tracks the last observation exactly and rmse is
+    // the one-step-naive error — the MASE denominator's statistic
+    val naive = EventOps.expSmoothDaily(days, "user_id", $"ts", $"value",
+        alpha = 1.0)
+      .as[(Long, Long, Double, Double)].head()
+    assert(naive._3 == 30.0)
+    assert(naive._4 == BigDecimal(math.sqrt((100.0 + 100.0) / 2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // a single day: level = the day's total, rmse defined as 0
+    val one = EventOps.expSmoothDaily(days.limit(1), "user_id", $"ts",
+        $"value")
+      .as[(Long, Long, Double, Double)].head()
+    assert(one._2 == 1L && one._3 == 10.0 && one._4 == 0.0)
+  }
+
+  test("expSmoothDaily aggregates within-day values and is partition-stable") {
+    // two events on day 1 sum to one grid point (exact cents)
+    val days = Seq(
+      (1L, ts("2024-01-01 01:00:00"), 4.25),
+      (1L, ts("2024-01-01 23:00:00"), 5.75),
+      (1L, ts("2024-01-02 12:00:00"), 20.0)).toDF("user_id", "ts", "value")
+    val got = EventOps.expSmoothDaily(days, "user_id", $"ts", $"value")
+      .as[(Long, Long, Double, Double)].head()
+    assert(got._2 == 2L && got._3 == 13.0) // .3*20 + .7*10
+    val ev = Tables.events(spark, sf001)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      EventOps.expSmoothDaily(df, "event_type", $"ts", $"value")
+        .as[(String, Long, Double, Double)].collect().toSet
+    assert(run(ev) === run(ev.repartition(13)))
+    val bad = intercept[IllegalArgumentException] {
+      EventOps.expSmoothDaily(days, "user_id", $"ts", $"value", alpha = 0.0)
+    }
+    assert(bad.getMessage.contains("smoothing weight"))
+  }
 }

@@ -117,13 +117,17 @@ object Bpe {
   def encodeWord(word: Column, merges: Seq[Merge]): Column =
     merges.foldLeft(charSymbols(word))((s, m) => applyMerge(s, m.left, m.right))
 
+  /** The encoded-token array of a text column — tokenize, per-word fold,
+    * flatten; the row-local core [[encode]] and the fertility readout
+    * share. */
+  def encodeTokens(text: Column, merges: Seq[Merge]): Column =
+    flatten(transform(TokenOps.tokenize(text), w => encodeWord(w, merges)))
+
   /** (id, n_bpe_tokens, tokens): every document encoded through the
-    * merge list — tokenize, per-word fold, flatten. Scan-stage. */
+    * merge list. Scan-stage. */
   def encode(docs: DataFrame, idCol: String, textCol: String,
       merges: Seq[Merge]): DataFrame =
-    docs.select(col(idCol),
-      flatten(transform(TokenOps.tokenize(col(textCol)),
-        w => encodeWord(w, merges))).as("tokens"))
+    docs.select(col(idCol), encodeTokens(col(textCol), merges).as("tokens"))
       .select(col(idCol), size(col("tokens")).cast("long").as("n_bpe_tokens"),
         col("tokens"))
 }

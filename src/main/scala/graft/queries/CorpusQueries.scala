@@ -673,6 +673,23 @@ object CorpusQueries extends QueryModule {
           concat_ws(" ", slice(col("tokens"), 1, 5)).as("head_tokens"))
         .orderBy(col("doc_id"))),
 
+    // Tokenizer FERTILITY per language: chars per trained-BPE token —
+    // the tokenizer-efficiency readout every multilingual budget audit
+    // runs (a language the merges underserve pays more tokens per char
+    // of training signal). One scan, row-local encode, 5-group reduce.
+    "q_token_fertility" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"), length(col("text")).cast("long").as("nch"),
+          size(Bpe.encodeTokens(col("text"), merges(s, d))).cast("long")
+            .as("ntok"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nch")).as("n_chars"),
+          sum(col("ntok")).as("n_bpe_tokens"),
+          round(sum(col("nch")).cast("double")
+            / sum(col("ntok")).cast("double"), 6).as("chars_per_token"))
+        .orderBy(col("lang"))),
+
     // DSIR importance weights (Xie et al. '23): every document scored
     // against the English subcorpus as target domain in a 4096-bucket
     // hashed unigram+bigram space. poly_hash makes the feature hashing
@@ -1612,6 +1629,26 @@ object CorpusQueries extends QueryModule {
          |  FROM docw JOIN r$MERGES USING (word) GROUP BY doc_id)
          |SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_bpe_tokens,
          |       array_to_string(tokens[1:5], ' ') AS head_tokens
-         |FROM enc ORDER BY doc_id""".stripMargin
+         |FROM enc ORDER BY doc_id""".stripMargin,
+
+    // q_bpe_encode's enc CTE joined back to lang/length — the same
+    // trained symbol table, aggregated to the per-language budget
+    "q_token_fertility" ->
+      s"""$bpeCtes,
+         |docw AS (
+         |  SELECT doc_id, generate_subscripts(ws, 1) AS wi, unnest(ws) AS word
+         |  FROM (SELECT doc_id,
+         |          regexp_split_to_array(lower(text), '$wsSql') AS ws
+         |        FROM documents)),
+         |enc AS (
+         |  SELECT doc_id, sum(len(s)) AS ntok
+         |  FROM docw JOIN r$MERGES USING (word) GROUP BY doc_id)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+         |  CAST(sum(ntok) AS BIGINT) AS n_bpe_tokens,
+         |  round(CAST(sum(length(text)) AS DOUBLE)
+         |        / CAST(sum(ntok) AS DOUBLE), 6) AS chars_per_token
+         |FROM enc JOIN documents USING (doc_id)
+         |GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

@@ -355,6 +355,23 @@ class CorpusModelSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("token fertility reconciles with the per-doc encode and raw chars") {
+    val fert = graft.queries.CorpusQueries.queries("q_token_fertility")(
+      spark, sf001).collect()
+    assert(fert.length >= 2)
+    val encTotal = graft.queries.CorpusQueries.queries("q_bpe_encode")(
+        spark, sf001)
+      .agg(sum($"n_bpe_tokens")).as[Long].head()
+    assert(fert.map(_.getLong(3)).sum == encTotal)
+    val chars = Tables.documents(spark, sf001).groupBy($"lang")
+      .agg(sum(length($"text"))).as[(String, Long)].collect().toMap
+    fert.foreach { r =>
+      assert(r.getLong(2) == chars(r.getString(0)))
+      assert(math.abs(r.getDouble(4) -
+        r.getLong(2).toDouble / r.getLong(3).toDouble) < 1e-6)
+    }
+  }
+
   test("kneser-ney rejects a discount outside (0, 1)") {
     val docs = Seq((0L, "a b")).toDF("doc_id", "text")
     val e = intercept[IllegalArgumentException] {

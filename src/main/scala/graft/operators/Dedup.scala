@@ -45,6 +45,43 @@ object Dedup {
     df.groupBy(keys.map(col): _*)
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
 
+  /** Cross-source duplicate OVERLAP matrix: for every unordered source
+    * pair with at least one shared content fingerprint, the shared
+    * distinct-fingerprint count, both sides' distinct totals, and the
+    * Jaccard overlap — the mix audit that surfaces two mirrors of the
+    * same crawl BEFORE any pairwise dedup runs (a high-Jaccard pair
+    * means one side is mostly redundant signal and should lose its
+    * sampling budget).
+    *
+    * Scale shape: one distinct (fp, source) reduce (wordcount-shaped),
+    * then a self equi-join on fp whose per-key width is bounded by the
+    * SOURCE CATALOG (a fingerprint appears in at most |sources| rows —
+    * never corpus-shaped), a pair-keyed rollup, and two broadcast joins
+    * against the source-sized margin table. */
+  def sourceOverlap(df: DataFrame, sourceCol: String,
+      textCol: String): DataFrame = {
+    val fps = df.select(
+        TokenOps.bagOfWordsFingerprint(col(textCol)).as("fp"),
+        col(sourceCol).as("src"))
+      .distinct()
+    val margins = fps.groupBy(col("src")).agg(count(lit(1)).as("n_src"))
+    val shared = fps.select(col("fp"), col("src").as("source_a"))
+      .join(fps.select(col("fp"), col("src").as("source_b")), Seq("fp"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(broadcast(margins.select(col("src").as("source_a"),
+        col("n_src").as("n_a"))), Seq("source_a"))
+      .join(broadcast(margins.select(col("src").as("source_b"),
+        col("n_src").as("n_b"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        col("n_a"), col("n_b"),
+        round(col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")).cast("double"), 6)
+          .as("jaccard"))
+  }
+
   /** Benchmark decontamination: drop corpus rows whose content
     * fingerprint appears in `benchmark` (the train/eval-overlap removal
     * every training-data pipeline runs before release). Fingerprints are

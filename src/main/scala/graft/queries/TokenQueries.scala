@@ -356,6 +356,15 @@ object TokenQueries extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // Cross-source duplicate overlap matrix: shared distinct
+    // fingerprints + Jaccard per source pair — the mix audit that
+    // surfaces mirrored crawls before any pairwise dedup runs. Self
+    // equi-join on fp, per-key width bounded by the source catalog.
+    "q_source_overlap" -> ((s, d) =>
+      graft.operators.Dedup.sourceOverlap(
+          Tables.documents(s, d), "source", "text")
+        .orderBy(col("source_a"), col("source_b"))),
+
     // Corpus-level duplicated-gram fraction: share of each doc's
     // distinct 5-grams that appear in another document — the signal
     // within-doc repetition can't see. Wordcount-shaped (linear), no
@@ -946,6 +955,27 @@ object TokenQueries extends QueryModule {
          |SELECT d.doc_id FROM documents d
          |WHERE NOT EXISTS (SELECT 1 FROM bench b WHERE b.bfp = ${fp("d.text")})
          |ORDER BY d.doc_id""".stripMargin
+    },
+
+    "q_source_overlap" -> {
+      val fp = "md5(array_to_string(list_sort(list_distinct(" +
+        s"regexp_split_to_array(lower(text), '$wsSql'))), ' '))"
+      s"""WITH fps AS (SELECT DISTINCT $fp AS fp, source AS src
+         |             FROM documents),
+         |m AS (SELECT src, count(*) AS n_src FROM fps GROUP BY src),
+         |sh AS (SELECT a.src AS source_a, b.src AS source_b,
+         |              count(*) AS n_shared
+         |       FROM fps a JOIN fps b ON a.fp = b.fp AND a.src < b.src
+         |       GROUP BY 1, 2)
+         |SELECT source_a, source_b,
+         |  CAST(n_shared AS BIGINT) AS n_shared,
+         |  CAST(ma.n_src AS BIGINT) AS n_a, CAST(mb.n_src AS BIGINT) AS n_b,
+         |  round(CAST(n_shared AS DOUBLE)
+         |        / CAST(ma.n_src + mb.n_src - n_shared AS DOUBLE), 6)
+         |    AS jaccard
+         |FROM sh JOIN m ma ON sh.source_a = ma.src
+         |        JOIN m mb ON sh.source_b = mb.src
+         |ORDER BY source_a, source_b""".stripMargin
     },
 
     "q_dup_gram_fraction" ->

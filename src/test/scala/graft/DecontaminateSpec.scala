@@ -107,4 +107,34 @@ class DecontaminateSpec extends SparkSpec {
     // 43 not inserted: overwhelmingly likely false at fpp=1%
     assert(r.getBoolean(1) === false)
   }
+
+  test("source overlap counts shared fingerprints, reordered copies included") {
+    val docs = Seq(
+      ("A", "alpha beta gamma"), ("A", "one two"), ("A", "solo a"),
+      ("B", "gamma beta alpha"), // reordered copy of A's first doc
+      ("B", "one two"), ("B", "solo b"),
+      ("C", "one two")).toDF("source", "text")
+    val got = Dedup.sourceOverlap(docs, "source", "text")
+      .as[(String, String, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // A∩B = {alpha-beta-gamma bag, one-two} = 2; margins 3 and 3
+    assert(got(("A", "B"))._3 == 2 && got(("A", "B"))._4 == 3)
+    assert(got(("A", "B"))._6 == 0.5) // 2 / (3 + 3 - 2)
+    assert(got(("A", "C"))._3 == 1 && got(("B", "C"))._3 == 1)
+    assert(got(("A", "C"))._6 == BigDecimal(1.0 / 3.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // pairs are unordered: only (a < b) rows exist
+    assert(got.keys.forall { case (a, b) => a < b })
+  }
+
+  test("source overlap: duplicate rows within one source count once") {
+    val docs = Seq(
+      ("A", "same text"), ("A", "same text"), ("B", "same text"))
+      .toDF("source", "text")
+    val got = Dedup.sourceOverlap(docs, "source", "text")
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    assert(got.length == 1)
+    assert(got.head._3 == 1 && got.head._4 == 1 && got.head._5 == 1)
+    assert(got.head._6 == 1.0)
+  }
 }

@@ -278,6 +278,65 @@ object EventOps {
     * the 1e-9 integer grid (UnigramLM's −ln p discipline); the per-row
     * product cents·w_nano is exact integer (≤1e13, inside the long),
     * summed as decimal, divided once at the close. */
+  /** Stationary distribution of the first-order event-type Markov chain
+    * — where user behavior settles in the long run, the ranking signal
+    * behind "which state dominates steady-state traffic" (PageRank's
+    * 1-D cousin over the behavior graph). `iters` power-iteration
+    * rounds π' = πP from uniform, over the row-normalized transition
+    * counts (the q_transition_matrix lag pass).
+    *
+    * Scale shape: the corpus pays ONE lag window + pair count (the
+    * transition matrix, vocabulary² rows); the iteration runs on that
+    * bounded matrix DRIVER-SIDE — the codebook pattern (KMeansQuant
+    * centroids), guarded by `maxCells` with a limit probe so a
+    * high-cardinality type column fails loudly before materializing.
+    * Mass on states without outgoing edges vanishes rather than
+    * redistributing (documented; absorbing-state handling is a modeling
+    * choice, not a default).
+    *
+    * Determinism: each π(prev)·P(next|prev) product quantizes onto the
+    * 1e-9 grid BEFORE the per-state sum (exact long accumulation, the
+    * UnigramLM discipline), so the iterate is bit-stable and the query
+    * oracle-checks against 20 unrolled CTE rounds. */
+  def markovStationary(df: DataFrame, userCol: String, ts: Column,
+      tiebreak: Column, typeCol: String, iters: Int = 20,
+      maxCells: Int = 10000): DataFrame = {
+    require(iters >= 1, s"need at least one iteration, got $iters")
+    val w = Window.partitionBy(col(userCol)).orderBy(ts, tiebreak)
+    val rows = df
+      .select(col(userCol), ts, tiebreak, col(typeCol))
+      .withColumn("prev", lag(col(typeCol), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col(typeCol).as("next"))
+      .agg(count(lit(1)).as("c"))
+      .limit(maxCells + 1).collect()
+    require(rows.nonEmpty, "no transitions: every user has one event")
+    require(rows.length <= maxCells,
+      s"transition matrix exceeds maxCells=$maxCells cells — a " +
+        "high-cardinality state column; bucket it or raise maxCells")
+    val states = rows.flatMap(r => Seq(r.getString(0), r.getString(1)))
+      .distinct.sorted.toSeq
+    val outTot = rows.groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getLong(2)).sum).toMap
+    var piq: Map[String, Long] =
+      states.map(_ -> math.round(1e9 / states.length)).toMap
+    for (_ <- 1 to iters) {
+      val next = scala.collection.mutable.Map(states.map(_ -> 0L): _*)
+      rows.foreach { r =>
+        val (p, s, c) = (r.getString(0), r.getString(1), r.getLong(2))
+        next(s) += math.round((piq(p).toDouble / 1e9) *
+          (c.toDouble / outTot(p).toDouble) * 1e9)
+      }
+      piq = next.toMap
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    states.map { s =>
+      (s, BigDecimal(piq(s).toDouble / 1e9)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toDF("state", "pi")
+  }
+
   /** Simple exponential smoothing over each key's DAILY value grid
     * (Brown 1956): level_t = α·x_t + (1−α)·level_{t−1} with level_1 =
     * x_1. Returns per key: (key, n_days, level, rmse) — `level` is the

@@ -599,6 +599,15 @@ object EventQueries extends QueryModule {
         .orderBy(col("prev_type"), col("next_type"))
     }),
 
+    // Stationary distribution of the event-type Markov chain: 20
+    // quantized power-iteration rounds over the row-normalized
+    // transition matrix (PageRank's 1-D cousin on the behavior graph).
+    // Corpus pays one lag pass; the iteration is codebook-sized.
+    "q_markov_stationary" -> ((s, d) =>
+      graft.operators.EventOps.markovStationary(Tables.events(s, d),
+          "user_id", col("ts"), col("event_id"), "event_type")
+        .orderBy(col("state"))),
+
     // Time-weighted average value (TWAP): each event's exact-cents value
     // weighted by its holding duration (micros until the next event of
     // the same user). Both factors are exact integers; the products sum
@@ -1301,6 +1310,43 @@ object EventQueries extends QueryModule {
         |  CAST(count(*) AS BIGINT) AS n
         |FROM x WHERE prev_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // 20 unrolled power-iteration CTE rounds (the kmeans-mirror
+    // discipline): each round quantizes every pi(prev)*P(next|prev)
+    // product to the 1e-9 grid before the per-state sum, matching the
+    // engine's exact-long accumulation. The final projection LEFT JOINs
+    // the state list so a state with no incoming edges reads pi = 0
+    // instead of vanishing.
+    "q_markov_stationary" -> {
+      val rounds = (1 to 20).map { i =>
+        s"""pi$i AS (SELECT t2.next AS s,
+           |  sum(CAST(round((CAST(piq AS DOUBLE) / 1e9) * p * 1e9)
+           |      AS BIGINT)) AS piq
+           |  FROM pi${i - 1} JOIN t2 ON t2.prev = pi${i - 1}.s
+           |  GROUP BY t2.next)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH x AS (
+         |  SELECT user_id, event_type,
+         |    lag(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS prev
+         |  FROM events),
+         |trans AS (SELECT prev, event_type AS next, count(*) AS c
+         |          FROM x WHERE prev IS NOT NULL GROUP BY 1, 2),
+         |tot AS (SELECT prev, sum(c) AS ct FROM trans GROUP BY prev),
+         |t2 AS (SELECT t.prev, t.next,
+         |         CAST(t.c AS DOUBLE) / CAST(tot.ct AS DOUBLE) AS p
+         |       FROM trans t JOIN tot USING (prev)),
+         |states AS (SELECT DISTINCT s FROM
+         |  (SELECT prev AS s FROM trans UNION SELECT next FROM trans)),
+         |ns AS (SELECT count(*) AS n FROM states),
+         |pi0 AS (SELECT s, CAST(round(1e9 / n) AS BIGINT) AS piq
+         |        FROM states CROSS JOIN ns),
+         |$rounds
+         |SELECT states.s AS state,
+         |  round(CAST(coalesce(pi20.piq, 0) AS DOUBLE) / 1e9, 6) AS pi
+         |FROM states LEFT JOIN pi20 ON pi20.s = states.s
+         |ORDER BY state""".stripMargin
+    },
 
     "q_twap" ->
       s"""WITH ev AS (

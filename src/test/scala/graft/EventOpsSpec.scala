@@ -268,6 +268,34 @@ class EventOpsSpec extends SparkSpec {
     assert(ex.getMessage.contains("after asOf"))
   }
 
+  test("markovStationary converges to the analytic fixed point") {
+    // one user, sequence a a a a b a: c(a,a)=3, c(a,b)=1, c(b,a)=1 →
+    // P(a|a)=.75, P(b|a)=.25, P(a|b)=1; solve pi = piP: pi = (0.8, 0.2)
+    val seq = Seq("a", "a", "a", "a", "b", "a").zipWithIndex.map {
+      case (t, i) => (i.toLong, ts(f"2024-01-01 00:0$i:00"), 1L, t, 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val pi = EventOps.markovStationary(seq, "user_id", $"ts", $"event_id",
+        "event_type")
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(pi("a") - 0.8) < 1e-3, s"pi=$pi")
+    assert(math.abs(pi("b") - 0.2) < 1e-3)
+    // mass conserved up to quantization drift (1e-9 per product-sum)
+    assert(math.abs(pi.values.sum - 1.0) < 1e-6)
+    // fixture: distribution over the 5 types, partitioning-invariant
+    val ev = Tables.events(spark, sf001)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      EventOps.markovStationary(df, "user_id", $"ts", $"event_id",
+        "event_type").as[(String, Double)].collect().sorted.toSeq
+    val base = run(ev)
+    assert(base.size == 5 && base.forall(_._2 > 0.0))
+    assert(base == run(ev.repartition(13)))
+    val ex = intercept[IllegalArgumentException] {
+      EventOps.markovStationary(ev, "user_id", $"ts", $"event_id",
+        "event_type", maxCells = 3)
+    }
+    assert(ex.getMessage.contains("maxCells"))
+  }
+
   test("expSmoothDaily: hand-computed fold, alpha=1 degenerates to naive") {
     // one event per day: daily x = {10, 20, 30}
     // level: 10 -> .3*20+.7*10 = 13 -> .3*30+.7*13 = 18.1

@@ -278,6 +278,48 @@ object EventOps {
     * the 1e-9 integer grid (UnigramLM's −ln p discipline); the per-row
     * product cents·w_nano is exact integer (≤1e13, inside the long),
     * summed as decimal, divided once at the close. */
+  /** Theil-Sen robust trend of each key's daily value totals: the
+    * MEDIAN over all day-pair slopes (y_j − y_i)/(x_j − x_i) — the
+    * outlier-proof alternative to the OLS trend (one corrupted day
+    * moves OLS arbitrarily; Theil-Sen tolerates ~29% corruption). The
+    * robust-trend sibling of [[expSmoothDaily]]'s level forecast.
+    *
+    * Scale shape: one reduce to the TIME-bounded (key, day) grid, then
+    * a per-key day-pair equi-join — grid², still time²-bounded, never
+    * corpus-shaped (the q_forecast_mase argument squared; a decade of
+    * days is ~6.6M pairs per key, a reduce-side rounding error at this
+    * engine's scale). Slopes are exact-cents differences over integer
+    * day gaps; the median picks sorted elements directly (no
+    * interpolation semantics to mirror), so the result is deterministic
+    * and oracle-checked. */
+  def theilSenDaily(df: DataFrame, key: String, ts: Column,
+      value: Column): DataFrame = {
+    val us = unix_micros(ts)
+    val daily = df
+      .groupBy(col(key),
+        ((us - pmod(us, lit(86400000000L))) / lit(86400000000L))
+          .cast("long").as("day"))
+      .agg(sum(graft.functions.Money.cents(value)).as("cents"))
+    val a = daily.select(col(key), col("day").as("da"), col("cents").as("ca"))
+    val b = daily.select(col(key), col("day").as("db"), col("cents").as("cb"))
+    val slopes = a.join(b, Seq(key))
+      .filter(col("da") < col("db"))
+      .select(col(key),
+        ((col("cb") - col("ca")).cast("double") / lit(100.0) /
+          (col("db") - col("da")).cast("double")).as("m"))
+    val n = size(col("ms"))
+    // Column `/` is double division — cast the (exact-in-branch)
+    // positions back to int for element_at
+    def pos(c: Column) = c.cast("int")
+    val med = when(n % 2 === 1, element_at(col("ms"), pos((n + lit(1)) / 2)))
+      .otherwise((element_at(col("ms"), pos(n / 2)) +
+        element_at(col("ms"), pos(n / 2) + 1)) / 2.0)
+    slopes.groupBy(col(key))
+      .agg(count(lit(1)).as("n_pairs"),
+        array_sort(collect_list(col("m"))).as("ms"))
+      .select(col(key), col("n_pairs"), round(med, 6).as("slope_per_day"))
+  }
+
   /** Stationary distribution of the first-order event-type Markov chain
     * — where user behavior settles in the long run, the ranking signal
     * behind "which state dominates steady-state traffic" (PageRank's

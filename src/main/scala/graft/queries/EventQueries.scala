@@ -599,6 +599,15 @@ object EventQueries extends QueryModule {
         .orderBy(col("prev_type"), col("next_type"))
     }),
 
+    // Theil-Sen robust daily trend per event type: median over all
+    // day-pair slopes — the outlier-proof trend beside q_exp_smooth's
+    // level and q_forecast_mase's backtest. Grid-pair join, time²-
+    // bounded; direct sorted-element median (no interpolation).
+    "q_theil_sen" -> ((s, d) =>
+      graft.operators.EventOps.theilSenDaily(Tables.events(s, d),
+          "event_type", col("ts"), col("value"))
+        .orderBy(col("event_type"))),
+
     // Stationary distribution of the event-type Markov chain: 20
     // quantized power-iteration rounds over the row-normalized
     // transition matrix (PageRank's 1-D cousin on the behavior graph).
@@ -1310,6 +1319,28 @@ object EventQueries extends QueryModule {
         |  CAST(count(*) AS BIGINT) AS n
         |FROM x WHERE prev_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_theil_sen" ->
+      s"""WITH daily AS (
+         |  SELECT event_type,
+         |    (epoch_us(ts)
+         |      - ((epoch_us(ts) % 86400000000) + 86400000000) % 86400000000)
+         |      // 86400000000 AS day,
+         |    sum(${graft.functions.Money.centsSql("value")}) AS cents
+         |  FROM events GROUP BY 1, 2),
+         |sl AS (SELECT a.event_type,
+         |    CAST(b.cents - a.cents AS DOUBLE) / 100.0
+         |      / CAST(b.day - a.day AS DOUBLE) AS m
+         |  FROM daily a JOIN daily b
+         |    ON a.event_type = b.event_type AND a.day < b.day),
+         |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+         |        list_sort(list(m)) AS ms
+         |      FROM sl GROUP BY event_type)
+         |SELECT event_type, n_pairs,
+         |  round(CASE WHEN len(ms) % 2 = 1 THEN ms[(len(ms) + 1) // 2]
+         |        ELSE (ms[len(ms) // 2] + ms[len(ms) // 2 + 1]) / 2.0 END,
+         |    6) AS slope_per_day
+         |FROM g ORDER BY event_type""".stripMargin,
 
     // 20 unrolled power-iteration CTE rounds (the kmeans-mirror
     // discipline): each round quantizes every pi(prev)*P(next|prev)

@@ -268,6 +268,36 @@ class EventOpsSpec extends SparkSpec {
     assert(ex.getMessage.contains("after asOf"))
   }
 
+  test("theilSenDaily: exact-line slope, robust to one corrupted day") {
+    def mk(vals: Seq[Double]) = vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong, ts(f"2024-01-${i + 1}%02d 05:00:00"), 1L, "t", v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // y = 3x + 10: every pair slope is exactly 3
+    val line = EventOps.theilSenDaily(mk(Seq(10, 13, 16, 19, 22).map(_.toDouble)),
+        "event_type", $"ts", $"value")
+      .as[(String, Long, Double)].head()
+    assert(line._2 == 10 && line._3 == 3.0)
+    // one wild outlier day: the MEDIAN slope stays 3 (OLS would not)
+    val robust = EventOps.theilSenDaily(
+        mk(Seq(10, 13, 16, 1000, 22, 25, 28).map(_.toDouble)),
+        "event_type", $"ts", $"value")
+      .as[(String, Long, Double)].head()
+    assert(robust._2 == 21 && robust._3 == 3.0, s"got $robust")
+    // even pair count averages the two middles: days {0,1,2} values
+    // {0, 10, 40} -> slopes {10, 20, 30}, median 20 (odd); drop to 2
+    // days -> single slope
+    val two = EventOps.theilSenDaily(mk(Seq(0.0, 10.0)),
+        "event_type", $"ts", $"value")
+      .as[(String, Long, Double)].head()
+    assert(two._2 == 1 && two._3 == 10.0)
+    // partitioning invariance on the fixture
+    val ev = Tables.events(spark, sf001)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      EventOps.theilSenDaily(df, "event_type", $"ts", $"value")
+        .as[(String, Long, Double)].collect().sorted.toSeq
+    assert(run(ev) == run(ev.repartition(13)))
+  }
+
   test("markovStationary converges to the analytic fixed point") {
     // one user, sequence a a a a b a: c(a,a)=3, c(a,b)=1, c(b,a)=1 →
     // P(a|a)=.75, P(b|a)=.25, P(a|b)=1; solve pi = piP: pi = (0.8, 0.2)

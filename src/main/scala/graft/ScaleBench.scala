@@ -201,7 +201,18 @@ object ScaleBench {
     // curate-semantic stage chain + folds + two banded scans — every
     // stage individually rehearsed above; the composition should stay
     // ~linear (one checkpoint materialization in run 1)
-    "q_curate_full")
+    "q_curate_full",
+    // round-17 continuation: semantic decontamination is the
+    // broadcast-eval cell join (corpus scans once, never shuffles);
+    // Kneser-Ney adds one vocabulary-sized aggregate to the bigram
+    // plan (vocab ~×N under the rotation — the realistic axis); the
+    // Luhn scan and fertility encode are row-local scan stages; Welch /
+    // kappa / source-overlap / exp-smooth / Theil-Sen / stationary all
+    // reduce to bounded grids (2 arms, class pairs, source pairs, day
+    // grid, type matrix) — the flat-reduce regime
+    "q_decontaminate_sem", "q_kneser_ney", "q_pii_cards", "q_ab_welch",
+    "q_cohens_kappa", "q_token_fertility", "q_source_overlap",
+    "q_exp_smooth", "q_theil_sen", "q_markov_stationary")
 
   def generate(spark: SparkSession, sfDir: String, outDir: String,
       scale: Int): (Long, Long) = {

@@ -187,6 +187,50 @@ object SemDedup {
       .join(broadcast(contaminated), Seq(idCol), "left_anti")
   }
 
+  /** Served-layout decontamination SCAN: the contaminated-id (takedown)
+    * list of a cell-partitioned corpus index against a benchmark batch —
+    * the form a running service uses when a new eval suite lands: feed
+    * the result straight to [[KMeansQuant.deleteFromIndex]].
+    *
+    * CONTRACT DIFFERENCE from [[decontaminate]] (deliberate, each
+    * oracle-checked): here the corpus side matches on its HARD cell and
+    * only the eval side probes `nprobe` cells — that is exactly what
+    * lets the partitioned read prune to the eval batch's probed cells
+    * (PartitionFilters; the in-plan form's corpus-side soft assignment
+    * cannot prune a hard-cell layout, because a row's runner-up cell is
+    * not its partition). The recall trade is one-sided boundary
+    * straddle, the [[KMeansQuant.topKFromIndex]] regime.
+    *
+    * Scale shape: I/O is the eval batch's touched-cell footprint, never
+    * the corpus; the eval side broadcasts ([[decontaminate]]'s guard). */
+  def decontaminateFromIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, m: KMeansQuant.Model, evalSet: DataFrame,
+      idCol: String, vecCol: String, threshold: Double, nprobe: Int = 2,
+      maxEvalRows: Long = 1000000L): DataFrame = {
+    VectorFunctions.register(spark)
+    // materialized once: feeds the touched-cell probe and the join leg
+    // (and keeps the runtime InSubquery decorator off a live scan — the
+    // appendKeepFromIndex lesson)
+    val eval = evalSet.select(col(vecCol)).localCheckpoint()
+    val nEval = eval.count()
+    require(nEval <= maxEvalRows,
+      s"served decontamination broadcasts the eval side: $nEval rows > " +
+        s"maxEvalRows=$maxEvalRows; swap roles or raise the bound.")
+    val probed = eval.select(
+      explode(KMeansQuant.cellsOf(col(vecCol), m, nprobe)).as("cluster"),
+      toDouble(col(vecCol)).as("__ve"))
+    val touched = probed.select(col("cluster")).distinct()
+      .collect().map(_.getLong(0)) // ≤ m.k values by construction
+    val corpus = graft.sources.PartitionedParquet.read(spark, path)
+      .filter(col("cell").isin(touched.toSeq: _*))
+      .select(col("cell").cast("long").as("cluster"), col(idCol),
+        toDouble(col(vecCol)).as("__vc"))
+    corpus.join(broadcast(probed), Seq("cluster"))
+      .filter(round(Similarity.cosineFast(col("__vc"), col("__ve")), 6)
+        >= threshold)
+      .select(col(idCol)).distinct()
+  }
+
   /** Incremental dedup of a NEW batch against an already-ingested
     * corpus — the continuously-ingesting case, same frozen-model
     * contract as [[KMeansQuant.appendIndex]]: the quantizer does not

@@ -159,6 +159,47 @@ object UnigramLM {
           / count(lit(1)).cast("double"), 6).as("nll"))
   }
 
+  /** Per-group token-distribution divergence from the corpus: for each
+    * value of `groupCol` (a source, a shard, a date slice), the
+    * entropy, cross-entropy under the corpus-global add-one unigram
+    * model, and KL(P_group ‖ Q_corpus) in nats — the corpus-mix drift
+    * diagnostic (a source whose KL jumps is no longer writing like the
+    * corpus: template spam, a scraper gone wrong, an injection).
+    *
+    * EXACT on the observed support, no dense grid: p is the group's
+    * UNSMOOTHED MLE, so every p·ln(·) term vanishes at p = 0 and the
+    * sums range over observed (group, token) pairs only — while the
+    * smoothed global q > 0 keeps each term finite. Wordcount-shaped:
+    * one (group, token) reduce, a vocabulary-sized equi-join to the
+    * global counts, and a group-sized rollup; each term quantizes onto
+    * the 1e-9 grid before its order-free sum (the [[nll]] discipline). */
+  def groupDivergence(docs: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val gc = docs.select(col(groupCol).as("g"),
+        explode(TokenOps.tokenize(col(textCol))).as("token"))
+      .groupBy(col("g"), col("token")).agg(count(lit(1)).as("cs"))
+      .localCheckpoint()
+    val global = gc.groupBy(col("token")).agg(sum(col("cs")).as("cg"))
+    val stats = global.agg(sum(col("cg")).as("nn"), count(lit(1)).as("v"))
+    val gn = gc.groupBy(col("g")).agg(sum(col("cs")).as("ns"))
+    val p = col("cs").cast("double") / col("ns").cast("double")
+    val q = (col("cg") + lit(1L)).cast("double") /
+      (col("nn") + col("v")).cast("double")
+    def grid(c: Column) = round(c * lit(1e9)).cast("long")
+    gc.join(global, "token").join(gn, "g").crossJoin(broadcast(stats))
+      .select(col("g"), col("ns"),
+        grid(-(p * log(p))).as("th"),
+        grid(-(p * log(q))).as("tce"),
+        grid(p * log(p / q)).as("tkl"))
+      .groupBy(col("g"))
+      .agg(max(col("ns")).as("n_tokens"),
+        round(sum(col("th")).cast("double") / lit(1e9), 6).as("entropy"),
+        round(sum(col("tce")).cast("double") / lit(1e9), 6)
+          .as("cross_entropy"),
+        round(sum(col("tkl")).cast("double") / lit(1e9), 6).as("kl_nats"))
+      .withColumnRenamed("g", groupCol)
+  }
+
   /** (id, n_tokens, nll): mean per-token negative log-likelihood,
     * rounded to 6dp. Documents with zero tokens cannot occur under the
     * whitespace tokenizer (splitting any string yields ≥1 token, possibly

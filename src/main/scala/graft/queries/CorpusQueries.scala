@@ -315,6 +315,28 @@ object CorpusQueries extends QueryModule {
         .orderBy(col("vec_id"))
     }),
 
+    // The SERVED decontamination scan: the takedown list off the
+    // cell-partitioned layout, I/O pruned to the eval batch's probed
+    // cells (PartitionFilters — plan-pinned in SemDedupSpec). Corpus
+    // matches on its HARD cell, eval probes 2 — the documented
+    // layout-prunable contract (see decontaminateFromIndex's scaladoc);
+    // eval rows themselves are excluded from the takedown output.
+    "q_decontaminate_sem_srv" -> ((s, d) => {
+      val m = model(s, d)
+      val path = ivfIndexCache.getOrElseUpdate(s, d) {
+        val p = graft.util.IndexPaths.fresh(d, "kmeans-ivf")
+        KMeansQuant.buildIndex(Tables.embeddings(s, d), "vec_id",
+          "embedding", m, p)
+        p
+      }
+      SemDedup.decontaminateFromIndex(s, path, m,
+          Tables.embeddings(s, d)
+            .filter(pmod(col("vec_id"), lit(20)) === 0),
+          "vec_id", "embedding", SEMTAU, nprobe = 2)
+        .filter(pmod(col("vec_id"), lit(20)) =!= 0)
+        .orderBy(col("vec_id"))
+    }),
+
     // Semantic CLUSTER labels: connected components over the semantic
     // pair graph — the embedding-space sibling of q_dedup_groups'
     // lexical components, and the transitive view anchor-wins pruning
@@ -561,6 +583,15 @@ object CorpusQueries extends QueryModule {
     "q_bigram_nll" -> ((s, d) =>
       UnigramLM.bigramNll(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("doc_id"))),
+
+    // Per-source KL divergence from the corpus unigram distribution
+    // (plus entropy and cross-entropy): the corpus-mix drift diagnostic
+    // — a source whose KL jumps is no longer writing like the corpus.
+    // Exact on observed support (MLE p zeroes absent terms; smoothed
+    // global q keeps each finite), wordcount-shaped.
+    "q_source_kl" -> ((s, d) =>
+      UnigramLM.groupDivergence(Tables.documents(s, d), "source", "text")
+        .orderBy(col("source"))),
 
     // Interpolated KNESER-NEY bigram NLL (D=0.75): continuation-type
     // probabilities instead of raw-frequency backoff, so
@@ -1282,6 +1313,21 @@ object CorpusQueries extends QueryModule {
          |  AND NOT EXISTS (SELECT 1 FROM cont c WHERE c.vec_id = d.vec_id)
          |ORDER BY d.vec_id""".stripMargin,
 
+    // the served takedown list: corpus hard assignment (afin) × eval
+    // rank<=2 probes (afin2) — the layout-prunable contract
+    "q_decontaminate_sem_srv" ->
+      s"""$kmeansCtes,
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+         |SELECT DISTINCT a.vec_id
+         |FROM afin a JOIN afin2 b ON a.cluster = b.cluster
+         |JOIN e ea ON ea.vec_id = a.vec_id
+         |JOIN e eb ON eb.vec_id = b.vec_id
+         |WHERE a.vec_id % 20 <> 0 AND b.vec_id % 20 = 0
+         |  AND round(list_dot_product(ea.v, eb.v)
+         |    / (sqrt(list_dot_product(ea.v, ea.v))
+         |       * sqrt(list_dot_product(eb.v, eb.v))), 6) >= $SEMTAU
+         |ORDER BY a.vec_id""".stripMargin,
+
     "q_semdedup_incr" ->
       s"""$kmeansCtes,
          |$semdedupPairsCte
@@ -1533,6 +1579,33 @@ object CorpusQueries extends QueryModule {
          |       round(CAST(sum(nq) AS DOUBLE) / 1000000000.0
          |             / CAST(count(*) AS DOUBLE), 6) AS nll
          |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // MLE p over the group's support, add-one-smoothed global q; each
+    // p·ln(·) term quantizes to the 1e-9 grid before its per-group sum
+    "q_source_kl" ->
+      s"""WITH toks AS (
+         |  SELECT source AS g,
+         |    unnest(regexp_split_to_array(lower(text), '$wsSql')) AS token
+         |  FROM documents),
+         |gc AS (SELECT g, token, count(*) AS cs FROM toks GROUP BY 1, 2),
+         |gl AS (SELECT token, sum(cs) AS cg FROM gc GROUP BY token),
+         |st AS (SELECT sum(cg) AS nn, count(*) AS v FROM gl),
+         |gn AS (SELECT g, sum(cs) AS ns FROM gc GROUP BY g),
+         |t AS (SELECT gc.g, gn.ns,
+         |    CAST(gc.cs AS DOUBLE) / CAST(gn.ns AS DOUBLE) AS p,
+         |    CAST(gl.cg + 1 AS DOUBLE) / CAST(st.nn + st.v AS DOUBLE) AS q
+         |  FROM gc JOIN gl USING (token) JOIN gn USING (g) CROSS JOIN st),
+         |terms AS (SELECT g, ns,
+         |    CAST(round(-(p * ln(p)) * 1000000000.0) AS BIGINT) AS th,
+         |    CAST(round(-(p * ln(q)) * 1000000000.0) AS BIGINT) AS tce,
+         |    CAST(round(p * ln(p / q) * 1000000000.0) AS BIGINT) AS tkl
+         |  FROM t)
+         |SELECT g AS source, CAST(max(ns) AS BIGINT) AS n_tokens,
+         |  round(CAST(sum(th) AS DOUBLE) / 1000000000.0, 6) AS entropy,
+         |  round(CAST(sum(tce) AS DOUBLE) / 1000000000.0, 6)
+         |    AS cross_entropy,
+         |  round(CAST(sum(tkl) AS DOUBLE) / 1000000000.0, 6) AS kl_nats
+         |FROM terms GROUP BY g ORDER BY source""".stripMargin,
 
     // q_bigram_nll's counting CTEs + the two KN type tables: n1h rides
     // hc's groupBy, cc/n1 are continuation-type counts off the bigram

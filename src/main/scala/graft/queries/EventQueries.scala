@@ -151,6 +151,17 @@ object EventQueries extends QueryModule {
           col("n_events"))
         .orderBy(col("user_id"), col("session_start"))),
 
+    // CUPED variance-reduced A/B difference: per-user pre-period
+    // (Jan 1-15) spend adjusts the post-period metric; arms are the
+    // deterministic user_id parity. One unit-keyed shuffle, exact
+    // integer moments, every derived double deterministic.
+    "q_cuped" -> ((s, d) =>
+      graft.operators.Profiling.cupedDiff(Tables.events(s, d),
+        col("user_id"),
+        concat(lit("arm"), pmod(col("user_id"), lit(2)).cast("string")),
+        col("ts") < lit("2024-01-16").cast("timestamp"),
+        col("value"), "arm0", "arm1")),
+
     // Welch's unequal-variance t-test between the click and purchase
     // value distributions — the A/B readout. Exact-integer moments
     // (cents long, cents² decimal) in ONE map-side-combined aggregate
@@ -863,6 +874,51 @@ object EventQueries extends QueryModule {
         |  CAST(count(*) AS BIGINT) AS n_events
         |FROM y GROUP BY user_id, session_id
         |ORDER BY user_id, session_start""".stripMargin,
+
+    // per-unit exact-cents X/Y, pooled second moments, the same double
+    // expression order as Profiling.cupedDiff
+    "q_cuped" -> {
+      val c = graft.functions.Money.centsSql("value")
+      s"""WITH pu AS (
+         |  SELECT user_id,
+         |    'arm' || CAST(user_id % 2 AS VARCHAR) AS g,
+         |    sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN $c
+         |        ELSE 0 END) AS x,
+         |    sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0
+         |        ELSE $c END) AS y
+         |  FROM events GROUP BY 1, 2),
+         |m AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         |    sum(x * x) AS sxx, sum(x * y) AS sxy,
+         |    count(*) FILTER (WHERE g = 'arm0') AS na,
+         |    sum(x) FILTER (WHERE g = 'arm0') AS sxa,
+         |    sum(y) FILTER (WHERE g = 'arm0') AS sya,
+         |    count(*) FILTER (WHERE g = 'arm1') AS nb,
+         |    sum(x) FILTER (WHERE g = 'arm1') AS sxb,
+         |    sum(y) FILTER (WHERE g = 'arm1') AS syb
+         |  FROM pu)
+         |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+         |  round((CAST(sxy AS DOUBLE)
+         |         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+         |           / CAST(n AS DOUBLE))
+         |        / (CAST(sxx AS DOUBLE)
+         |           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+         |             / CAST(n AS DOUBLE)), 6) AS theta,
+         |  round(CAST(syb AS DOUBLE) / CAST(nb AS DOUBLE) / 100.0
+         |        - CAST(sya AS DOUBLE) / CAST(na AS DOUBLE) / 100.0, 6)
+         |    AS diff_raw,
+         |  round((CAST(syb AS DOUBLE) / CAST(nb AS DOUBLE) / 100.0
+         |         - CAST(sya AS DOUBLE) / CAST(na AS DOUBLE) / 100.0)
+         |        - ((CAST(sxy AS DOUBLE)
+         |            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+         |              / CAST(n AS DOUBLE))
+         |           / (CAST(sxx AS DOUBLE)
+         |              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+         |                / CAST(n AS DOUBLE)))
+         |          * (CAST(sxb AS DOUBLE) / CAST(nb AS DOUBLE) / 100.0
+         |             - CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE) / 100.0),
+         |    6) AS diff_cuped
+         |FROM m""".stripMargin
+    },
 
     // exact-integer moments (sum(BIGINT) lands in HUGEINT — cast after,
     // mirroring the engine's long/DECIMAL accumulators), then the same

@@ -355,6 +355,34 @@ class CorpusModelSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("group divergence: conforming group reads near zero, divergent jumps") {
+    import graft.operators.UnigramLM
+    // A and B share one distribution and dominate the corpus; C is a
+    // small disjoint-vocab group (small, so the global model it is
+    // scored against stays shaped like A/B)
+    val docs = Seq(
+      ("A", "x y z x y z x y z x"), ("A", "x y z x y z x y z x"),
+      ("B", "x y z x y z x y z x"), ("B", "x y z x y z x y z x"),
+      ("C", "q r q r")).toDF("source", "text")
+    val got = UnigramLM.groupDivergence(docs, "source", "text")
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // KL >= 0 everywhere; the disjoint-vocab group dominates
+    got.values.foreach(r => assert(r._5 >= 0.0, s"negative KL: $r"))
+    assert(got("C")._5 > got("A")._5 * 3 && got("C")._5 > 1.0)
+    assert(got("A")._5 < 0.3 && got("B")._5 < 0.3)
+    // the three readouts cohere: KL ~= CE - H (independent grids)
+    got.values.foreach { r =>
+      assert(math.abs(r._5 - (r._4 - r._3)) < 1e-5, s"incoherent: $r")
+    }
+    // partitioning invariance on the fixture
+    val fx = Tables.documents(spark, sf001)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      UnigramLM.groupDivergence(df, "source", "text")
+        .as[(String, Long, Double, Double, Double)].collect().sorted.toSeq
+    assert(run(fx) == run(fx.repartition(13)))
+  }
+
   test("token fertility reconciles with the per-doc encode and raw chars") {
     val fert = graft.queries.CorpusQueries.queries("q_token_fertility")(
       spark, sf001).collect()

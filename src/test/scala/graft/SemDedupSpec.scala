@@ -350,6 +350,43 @@ class SemDedupSpec extends SparkSpec {
     assert(k1 == k2)
   }
 
+  test("decontaminateFromIndex == its in-plan contract, partition-pruned") {
+    val (corpus, evalSet) = deconSplit
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-deconidx").toString + "/idx"
+    KMeansQuant.buildIndex(corpus, "vec_id", "embedding", model, path)
+    val served = SemDedup.decontaminateFromIndex(spark, path, model,
+      evalSet, "vec_id", "embedding", Tau)
+    // the in-plan statement of the SAME contract: corpus hard cell ∈
+    // eval's probed-cell set, cos >= tau — computed from raw frames
+    val hard = KMeansQuant.assign(corpus, "vec_id", "embedding", model)
+      .select($"vec_id", $"cluster").as[(Long, Long)].collect().toMap
+    val evProbes = evalSet.select($"vec_id",
+        KMeansQuant.cellsOf($"embedding", model, 2))
+      .as[(Long, Seq[Long])].collect().toMap
+    val evalIds = evProbes.keySet
+    val expect = graft.operators.Similarity
+      .nearDupPairs(emb, "vec_id", "embedding", Tau)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .collect { case (c, e) if !evalIds(c) && evalIds(e) &&
+        evProbes(e).contains(hard(c)) => c }
+      .toSet
+    assert(served.as[Long].collect().toSet == expect)
+    assert(expect.nonEmpty, "fixture produced no served contamination")
+    // plan pin: the layout scan is pruned to the eval batch's probed
+    // cells before any file opens
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("cell#"),
+      s"expected a cell partition filter on the index scan:\n$plan")
+    // and the served contract ⊆ the both-sides-probed in-plan form's
+    // dropped set (one-sided probing can only lose matches)
+    val inPlanKept = SemDedup.decontaminate(corpus, evalSet, "vec_id",
+      "embedding", model, Tau).as[Long].collect().toSet
+    val corpusIds = corpus.select($"vec_id").as[Long].collect().toSet
+    assert(expect.subsetOf(corpusIds -- inPlanKept))
+  }
+
   test("an oversized eval side fails loudly instead of broadcasting it") {
     val (corpus, evalSet) = deconSplit
     val e = intercept[IllegalArgumentException] {

@@ -163,6 +163,43 @@ class SeriesStatsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("cuped: a purely pre-existing difference cancels; effect survives") {
+    import graft.operators.Profiling
+    def ev(user: Long, day: Int, v: Double) =
+      (user, new java.sql.Timestamp(
+        java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00").getTime), v)
+    def run(ys: Map[Long, Double]) = {
+      val xs = Map(1L -> 10.0, 2L -> 20.0, 3L -> 30.0, 4L -> 40.0)
+      val rows = xs.toSeq.map { case (u, x) => ev(u, 10, x) } ++
+        ys.toSeq.map { case (u, y) => ev(u, 20, y) }
+      Profiling.cupedDiff(rows.toDF("user_id", "ts", "value"),
+          $"user_id",
+          concat(lit("arm"), pmod($"user_id", lit(2)).cast("string")),
+          $"ts" < lit("2024-01-16").cast("timestamp"),
+          $"value", "arm1", "arm0") // arm1 = odd users {1,3}, arm0 = {2,4}
+        .as[(Long, Long, Double, Double, Double)].head()
+    }
+    // Y = 2X exactly: theta = 2 and the raw arm gap is ALL pre-period —
+    // CUPED cancels it to 0
+    val pure = run(Map(1L -> 20.0, 2L -> 40.0, 3L -> 60.0, 4L -> 80.0))
+    assert(pure._3 == 2.0 && pure._4 == 20.0 && pure._5 == 0.0)
+    // +5 planted effect on arm0 (even users): Sxy = 6300 - 5250 = 1050,
+    // Sxx = 500 -> theta = 2.1; diff_raw = 65 - 40 = 25;
+    // diff_cuped = 25 - 2.1*10 = 4 (the pre-existing 20 cancels, the
+    // pooled-theta bias eats 1 of the planted 5 - the textbook trade)
+    val eff = run(Map(1L -> 20.0, 2L -> 45.0, 3L -> 60.0, 4L -> 85.0))
+    assert(eff._3 == 2.1 && eff._4 == 25.0 && eff._5 == 4.0)
+    // partitioning invariance on the fixture
+    import graft.Tables
+    val events = Tables.events(spark, sf001)
+    def fix(df: org.apache.spark.sql.DataFrame) =
+      Profiling.cupedDiff(df, $"user_id",
+        concat(lit("arm"), pmod($"user_id", lit(2)).cast("string")),
+        $"ts" < lit("2024-01-16").cast("timestamp"),
+        $"value", "arm0", "arm1").collect().toSeq
+    assert(fix(events) == fix(events.repartition(17)))
+  }
+
   test("cohen's kappa: perfect agreement = 1, majority guessing = 0") {
     import graft.operators.Profiling
     val perfect = Seq(("x", "x"), ("y", "y"), ("x", "x"), ("z", "z"))

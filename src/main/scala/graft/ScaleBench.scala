@@ -210,9 +210,20 @@ object ScaleBench {
     // kappa / source-overlap / exp-smooth / Theil-Sen / stationary all
     // reduce to bounded grids (2 arms, class pairs, source pairs, day
     // grid, type matrix) — the flat-reduce regime
-    "q_decontaminate_sem", "q_kneser_ney", "q_pii_cards", "q_ab_welch",
+    "q_kneser_ney", "q_pii_cards", "q_ab_welch",
     "q_cohens_kappa", "q_token_fertility", "q_source_overlap",
-    "q_exp_smooth", "q_theil_sen", "q_markov_stationary")
+    "q_exp_smooth", "q_theil_sen", "q_markov_stationary",
+    // CUPED is the welch shape (one unit-keyed reduce + moments); the
+    // KL readout is wordcount-shaped (vocab ~×N under the rotation).
+    // The two decontamination queries are deliberately NOT here: their
+    // % 20 eval derivation grows the BENCHMARK with the corpus, and
+    // under the ±1 mask construction a same-vector cross-copy pair
+    // reads a spuriously high cosine (Σ m₁m₂·x_j² — all-positive
+    // energy, so the variance artifact class the embeddings comment
+    // documents), turning the rehearsal quadratic for measurement
+    // reasons. Their production axis — a FIXED benchmark against a
+    // growing corpus — is the decon_fixed_eval rehearsal below.
+    "q_cuped", "q_source_kl")
 
   def generate(spark: SparkSession, sfDir: String, outDir: String,
       scale: Int): (Long, Long) = {
@@ -416,6 +427,70 @@ object ScaleBench {
         results += (("semdedup_pairs_k_scaled", base, scaled, ratio,
           exponent, baseRows, scaledRows))
         completed += 1
+      }
+
+      // Semantic-decontamination production-axis rehearsal: the
+      // benchmark stays FIXED (copy 0's % 20 rows) while the corpus
+      // grows ×N — the regime the operator claims (a takedown batch or
+      // eval suite does not grow with the training corpus). The
+      // declared queries are excluded from the list above (their eval
+      // side grows with the corpus and the mask construction then
+      // manufactures quadratic same-vector match volume — measurement,
+      // not operator cost). Both forms timed: the in-plan broadcast
+      // join and the partition-pruned served scan (run 1 carries the
+      // per-dir fit + index build, min-of-N isolates the scan).
+      if (args.isEmpty || args.contains("decon_fixed_eval")) {
+        import graft.operators.{KMeansQuant, SemDedup}
+        val evalCut = Tables.embeddings(spark, sfDir)
+          .agg(max(col("vec_id"))).head().getLong(0) + 1
+        def split(dir: String) = {
+          val emb = Tables.embeddings(spark, dir)
+          val isEval = col("vec_id") < evalCut &&
+            pmod(col("vec_id"), lit(20)) === 0
+          (emb.filter(!isEval), emb.filter(isEval))
+        }
+        def timeDecon(dir: String): (Seq[Double], Long) = {
+          val (corpus, evalSet) = split(dir)
+          val m = KMeansQuant.fit(corpus, "vec_id", "embedding", 4,
+            iters = 2)
+          var rows = 0L
+          val runs = (1 to nRuns).map { _ =>
+            val t0 = System.nanoTime()
+            rows = SemDedup.decontaminate(corpus, evalSet, "vec_id",
+              "embedding", m, 0.35).count()
+            (System.nanoTime() - t0) / 1e9
+          }
+          (runs, rows)
+        }
+        def timeDeconSrv(dir: String): (Seq[Double], Long) = {
+          val (corpus, evalSet) = split(dir)
+          val m = KMeansQuant.fit(corpus, "vec_id", "embedding", 4,
+            iters = 2)
+          val p = graft.util.IndexPaths.fresh(dir, "scale-decon-ivf")
+          KMeansQuant.buildIndex(corpus, "vec_id", "embedding", m, p)
+          var rows = 0L
+          val runs = (1 to nRuns).map { _ =>
+            val t0 = System.nanoTime()
+            rows = SemDedup.decontaminateFromIndex(spark, p, m, evalSet,
+              "vec_id", "embedding", 0.35).count()
+            (System.nanoTime() - t0) / 1e9
+          }
+          (runs, rows)
+        }
+        for ((label, f) <- Seq(
+            ("decon_fixed_eval", timeDecon _),
+            ("decon_srv_fixed_eval", timeDeconSrv _))) {
+          val (base, baseRows) = f(sfDir)
+          val (scaled, scaledRows) = f(outDir)
+          val ratio = scaled.min / base.min
+          val exponent = math.log(ratio) / math.log(scale.toDouble)
+          System.err.println(f"[scale] $label%-28s 1x ${base.min}%6.2f s" +
+            f" -> ${scale}x ${scaled.min}%6.2f s  ratio ${ratio}%5.2f  " +
+            f"exp $exponent%5.2f  rows $baseRows -> $scaledRows")
+          results += ((label, base, scaled, ratio, exponent, baseRows,
+            scaledRows))
+          completed += 1
+        }
       }
 
       // Skewed-graph triangle rehearsal (judge r13 #6): a hub star +

@@ -38,8 +38,11 @@ import org.apache.spark.sql.functions._
   *    scoring at an as-of date, burstiness over closed windows,
   *    forecast backtests — [[expSmoothDaily]]'s rmse included: its
   *    LEVEL recurrence is prefix-computable, but the backtest score is
-  *    over closed history) recompute from closed history by design —
-  *    their inputs are already the batch outputs of the twins above.
+  *    over closed history; [[theilSenDaily]]'s median-of-pair-slopes
+  *    and [[markovStationary]]'s fixed point are likewise whole-series
+  *    statistics any prefix answer can overturn) recompute from closed
+  *    history by design — their inputs are already the batch outputs
+  *    of the twins above.
   */
 object EventOps {
 

@@ -223,7 +223,10 @@ object ScaleBench {
     // documents), turning the rehearsal quadratic for measurement
     // reasons. Their production axis — a FIXED benchmark against a
     // growing corpus — is the decon_fixed_eval rehearsal below.
-    "q_cuped", "q_source_kl")
+    "q_cuped", "q_source_kl",
+    // the GK winsorize: one sketch-buffer aggregate (state constant in
+    // rows — the q_cms_cells flat case) + the clip scan
+    "q_winsorize_gk")
 
   def generate(spark: SparkSession, sfDir: String, outDir: String,
       scale: Int): (Long, Long) = {

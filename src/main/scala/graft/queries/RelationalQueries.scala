@@ -1232,6 +1232,11 @@ object RelationalQueries extends QueryModule {
     // back — the fact table scans twice, never shuffles for the clip.
     "q_winsorize" -> ((s, d) => winsorize(s, d)),
 
+    // The GK-digest form of q_winsorize — the scale path its guard
+    // message points at, now a declared query instead of a doc note.
+    // Rows-only (digest cut points are merge-order dependent within ε).
+    "q_winsorize_gk" -> ((s, d) => winsorizeGk(s, d)),
+
     // Median/MAD robust outliers over PER-ORDER totals (uniform unit
     // prices have no tails; order totals compound into them). The
     // half-grid trick keeps everything integer: a median of integers is
@@ -1265,6 +1270,13 @@ object RelationalQueries extends QueryModule {
     val st = li.groupBy(col("l_returnflag")).agg(
       round(expr("percentile(cents, 0.25)")).cast("long").as("lo_cents"),
       round(expr("percentile(cents, 0.75)")).cast("long").as("hi_cents"))
+    clipMean(li, st)
+  }
+
+  /** The winsorize tail shared by the exact and GK-digest clip-point
+    * sources: clip to [lo, hi], exact-decimal sum, 2dp mean. */
+  private def clipMean(li: org.apache.spark.sql.DataFrame,
+      st: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     li.join(broadcast(st), "l_returnflag")
       .select(col("l_returnflag"), col("lo_cents"), col("hi_cents"),
         least(greatest(col("cents"), col("lo_cents")), col("hi_cents"))
@@ -1277,6 +1289,28 @@ object RelationalQueries extends QueryModule {
         round(col("sw").cast("double") / col("n").cast("double") / 100.0,
           6).as("winsorized_mean"))
       .orderBy(col("l_returnflag"))
+
+  /** q_winsorize_gk body — the 100 TB path the exact form's guard
+    * points at: the same winsorized mean with p25/p75 clip points read
+    * from the mergeable GK digests (ε=0.01), O(1/ε·log(εn)) state per
+    * group at ANY row count, no ExactStats guard needed. Digest cut
+    * points are merge-order dependent within the ε rank guarantee ⇒
+    * rows-only; QuantileSketchSpec bounds the clips by exact rank-ε
+    * envelopes and the means against the exact form. */
+  private[graft] def winsorizeGk(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    graft.functions.QuantileSketch.register(s)
+    val li = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), cents(col("l_extendedprice")).as("cents"))
+    val st = li.groupBy(col("l_returnflag"))
+      .agg(graft.functions.QuantileSketch
+        .gk_sketch_agg(col("cents").cast("double"), 0.01).as("sk"))
+      .select(col("l_returnflag"), graft.functions.QuantileSketch
+        .gk_quantiles(col("sk"), array(lit(0.25), lit(0.75))).as("q"))
+      .select(col("l_returnflag"),
+        round(element_at(col("q"), 1)).cast("long").as("lo_cents"),
+        round(element_at(col("q"), 2)).cast("long").as("hi_cents"))
+    clipMean(li, st)
   }
 
   /** q_robust_outliers body, guard parameterized (see [[winsorize]]).

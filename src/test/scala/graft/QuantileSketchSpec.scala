@@ -87,4 +87,38 @@ class QuantileSketchSpec extends SparkSpec {
       .as[Seq[Double]].head()
     assert(out.size == 1 && out.head >= 1.0 && out.head <= 4.0)
   }
+
+  test("GK winsorize: clip points inside the rank-eps envelope of exact") {
+    import org.apache.spark.sql.functions._
+    val gk = graft.queries.RelationalQueries.winsorizeGk(spark, sf001)
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val exact = graft.queries.RelationalQueries.winsorize(spark, sf001)
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(gk.keySet == exact.keySet && gk.nonEmpty)
+    val byFlag = Tables.lineitem(spark, sf001)
+      .select($"l_returnflag",
+        graft.functions.Money.cents($"l_extendedprice"))
+      .as[(String, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    gk.foreach { case (flag, (_, n, lo, hi, gkMean)) =>
+      val sorted = byFlag(flag)
+      assert(n == sorted.size)
+      // each GK clip's RANK sits within eps*n (+1 interpolation slack)
+      // of its target rank — the digest's guarantee, applied to the
+      // two cut points the winsorize consumes
+      for ((clip, p) <- Seq((lo, 0.25), (hi, 0.75))) {
+        val rank = sorted.count(_ <= clip)
+        assert(math.abs(rank - p * n) <= eps * n + 1,
+          s"$flag p$p clip $clip at rank $rank of $n")
+      }
+      // and the winsorized means agree to the tail-mass envelope: the
+      // clip differences act on at most ~2*eps of the mass at the
+      // clipped magnitudes — loose but honest fixture bound
+      val exMean = exact(flag)._5
+      assert(math.abs(gkMean - exMean) <= math.max(1.0, 0.05 * exMean),
+        s"$flag gk $gkMean vs exact $exMean")
+    }
+  }
 }

@@ -169,11 +169,16 @@ object SemDedup {
       vecCol: String, m: KMeansQuant.Model, threshold: Double,
       nprobe: Int = 2, maxEvalRows: Long = 1000000L): DataFrame = {
     VectorFunctions.register(corpus.sparkSession)
-    val nEval = evalSet.count()
-    require(nEval <= maxEvalRows,
-      s"semantic decontamination broadcasts the eval side: $nEval rows > " +
-        s"maxEvalRows=$maxEvalRows. A benchmark set this large should be " +
-        "the corpus side; swap the arguments or raise maxEvalRows.")
+    // limit probe, not a full count: the guard's job is only to refuse
+    // an over-budget broadcast side, and a count would scan whatever
+    // frame the eval derives from once per invocation (the eager-probe
+    // class the hardNegatives review closed)
+    val overBudget = evalSet.limit(maxEvalRows.toInt + 1).count() > maxEvalRows
+    require(!overBudget,
+      s"semantic decontamination broadcasts the eval side: more than " +
+        s"maxEvalRows=$maxEvalRows rows. A benchmark set this large " +
+        "should be the corpus side; swap the arguments or raise " +
+        "maxEvalRows.")
     val cells = KMeansQuant.cellsOf(col(vecCol), m, nprobe)
     val c = corpus.select(explode(cells).as("cluster"), col(idCol),
       toDouble(col(vecCol)).as("__vc"))
@@ -208,14 +213,16 @@ object SemDedup {
       idCol: String, vecCol: String, threshold: Double, nprobe: Int = 2,
       maxEvalRows: Long = 1000000L): DataFrame = {
     VectorFunctions.register(spark)
-    // materialized once: feeds the touched-cell probe and the join leg
-    // (and keeps the runtime InSubquery decorator off a live scan — the
-    // appendKeepFromIndex lesson)
+    // limit probe BEFORE the checkpoint so an over-budget eval refuses
+    // without materializing; then one checkpoint feeds the touched-cell
+    // probe and the join leg (and keeps the runtime InSubquery
+    // decorator off a live scan — the appendKeepFromIndex lesson)
+    val overBudget =
+      evalSet.limit(maxEvalRows.toInt + 1).count() > maxEvalRows
+    require(!overBudget,
+      s"served decontamination broadcasts the eval side: more than " +
+        s"maxEvalRows=$maxEvalRows rows; swap roles or raise the bound.")
     val eval = evalSet.select(col(vecCol)).localCheckpoint()
-    val nEval = eval.count()
-    require(nEval <= maxEvalRows,
-      s"served decontamination broadcasts the eval side: $nEval rows > " +
-        s"maxEvalRows=$maxEvalRows; swap roles or raise the bound.")
     val probed = eval.select(
       explode(KMeansQuant.cellsOf(col(vecCol), m, nprobe)).as("cluster"),
       toDouble(col(vecCol)).as("__ve"))

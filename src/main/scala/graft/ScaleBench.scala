@@ -226,7 +226,12 @@ object ScaleBench {
     "q_cuped", "q_source_kl",
     // the GK winsorize: one sketch-buffer aggregate (state constant in
     // rows — the q_cms_cells flat case) + the clip scan
-    "q_winsorize_gk")
+    "q_winsorize_gk",
+    // proportions = one unit-keyed reduce to 4 counts; the seasonal
+    // decomposition reduces to the time-bounded day grid and every
+    // window/median after moves grid-sized rows — the flat-reduce
+    // regime growing only on the first reduce's input
+    "q_ab_proportions", "q_seasonal_decomp")
 
   def generate(spark: SparkSession, sfDir: String, outDir: String,
       scale: Int): (Long, Long) = {

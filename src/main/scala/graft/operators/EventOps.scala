@@ -38,11 +38,12 @@ import org.apache.spark.sql.functions._
   *    scoring at an as-of date, burstiness over closed windows,
   *    forecast backtests — [[expSmoothDaily]]'s rmse included: its
   *    LEVEL recurrence is prefix-computable, but the backtest score is
-  *    over closed history; [[theilSenDaily]]'s median-of-pair-slopes
-  *    and [[markovStationary]]'s fixed point are likewise whole-series
-  *    statistics any prefix answer can overturn) recompute from closed
-  *    history by design — their inputs are already the batch outputs
-  *    of the twins above.
+  *    over closed history; [[theilSenDaily]]'s median-of-pair-slopes,
+  *    [[markovStationary]]'s fixed point, and [[seasonalDecompose]]'s
+  *    CENTERED trend (each day's value needs days after it) are
+  *    likewise whole-series statistics any prefix answer can overturn)
+  *    recompute from closed history by design — their inputs are
+  *    already the batch outputs of the twins above.
   */
 object EventOps {
 
@@ -281,6 +282,80 @@ object EventOps {
     * the 1e-9 integer grid (UnigramLM's −ln p discipline); the per-row
     * product cents·w_nano is exact integer (≤1e13, inside the long),
     * summed as decimal, divided once at the close. */
+  /** Classical additive seasonal decomposition of each key's daily
+    * value totals (x = trend + seasonal + residual) plus a robust
+    * anomaly flag — the monitoring readout behind "is today actually
+    * unusual, or is it just Saturday":
+    *
+    *   - trend: centered `period`-wide moving average, NULL until the
+    *     window is full (the classical edge rule);
+    *   - seasonal: per day-slot (day index mod `period`) mean of the
+    *     detrended series, centered so the slots sum to ~0;
+    *   - residual = x − trend − seasonal; a day flags anomalous when
+    *     |residual| > 3 × MAD of the key's residuals (exact median —
+    *     day-grid-sized, the [[theilSenDaily]] boundedness argument).
+    *
+    * Determinism: the trend is an exact-cents window sum over a counted
+    * full window; detrended values and dow means quantize onto the
+    * 1e-9 grid before every cross-row mean (order-free sums), and the
+    * MAD medians are direct sorted-element picks. One corpus reduce;
+    * everything after moves grid-sized rows. */
+  def seasonalDecompose(df: DataFrame, key: String, ts: Column,
+      value: Column, period: Int = 7): DataFrame = {
+    require(period >= 2, s"period must be at least 2, got $period")
+    val us = unix_micros(ts)
+    val daily = df
+      .groupBy(col(key),
+        ((us - pmod(us, lit(86400000000L))) / lit(86400000000L))
+          .cast("long").as("day"))
+      .agg(sum(graft.functions.Money.cents(value)).as("cents"))
+    val half = (period - 1) / 2
+    val w = Window.partitionBy(col(key)).orderBy(col("day"))
+      .rowsBetween(-half, period - 1 - half)
+    def grid(c: Column) = round(c * lit(1e9)).cast("long")
+    val withTrend = daily
+      .withColumn("x", col("cents").cast("double") / 100.0)
+      .withColumn("trend",
+        when(count(lit(1)).over(w) === period,
+          (sum(col("cents")).over(w).cast("double") /
+            lit(period.toDouble)) / 100.0))
+      .withColumn("slot", pmod(col("day"), lit(period.toLong)))
+      .withColumn("detq", grid(col("x") - col("trend")))
+    val slotMeans = withTrend.filter(col("detq").isNotNull)
+      .groupBy(col(key), col("slot"))
+      .agg((sum(col("detq")).cast("double") / lit(1e9) /
+        count(lit(1)).cast("double")).as("slot_mean"))
+    val centered = slotMeans
+      .groupBy(col(key))
+      .agg((sum(grid(col("slot_mean"))).cast("double") / lit(1e9) /
+        count(lit(1)).cast("double")).as("slot_center"))
+    val seasonal = slotMeans.join(centered, key)
+      .select(col(key), col("slot"),
+        (col("slot_mean") - col("slot_center")).as("seasonal"))
+    val withResid = withTrend
+      .join(broadcast(seasonal), Seq(key, "slot"), "left")
+      .withColumn("residual", col("x") - col("trend") - col("seasonal"))
+    // robust per-key scale: MAD of the residuals (day-grid-sized sorted
+    // pick; 0-residual series get MAD 0 and flag nothing: 0 > 3*0 fails)
+    val madF = withResid.filter(col("residual").isNotNull)
+      .groupBy(col(key))
+      .agg(array_sort(collect_list(abs(col("residual")))).as("rs"))
+      .select(col(key), {
+        val n = size(col("rs"))
+        def pos(c: Column) = c.cast("int")
+        when(n % 2 === 1, element_at(col("rs"), pos((n + lit(1)) / 2)))
+          .otherwise((element_at(col("rs"), pos(n / 2)) +
+            element_at(col("rs"), pos(n / 2) + 1)) / 2.0).as("mad")
+      })
+    withResid.join(broadcast(madF), Seq(key), "left")
+      .select(col(key), col("day"), round(col("x"), 2).as("x"),
+        round(col("trend"), 6).as("trend"),
+        round(col("seasonal"), 6).as("seasonal"),
+        round(col("residual"), 6).as("residual"),
+        (col("residual").isNotNull &&
+          abs(col("residual")) > col("mad") * 3.0).as("is_anomaly"))
+  }
+
   /** Theil-Sen robust trend of each key's daily value totals: the
     * MEDIAN over all day-pair slopes (y_j − y_i)/(x_j − x_i) — the
     * outlier-proof alternative to the OLS trend (one corrupted day

@@ -157,6 +157,40 @@ object Profiling {
       round(tStat, 6).as("t_stat"), round(dfw, 6).as("df_welch"))
   }
 
+  /** Two-proportion z-test between arms `a` and `b`: unit-level
+    * conversion rates compared under the pooled-variance normal
+    * approximation — the A/B readout for BINARY outcomes ([[welchTTest]]
+    * covers continuous metrics, [[cupedDiff]] their variance-reduced
+    * form; this completes the trio). Returns one row: (n_a, n_b,
+    * conv_a, conv_b, z_stat). Everything derives from four exact
+    * integer counts (one unit-keyed reduce, then a 1-row aggregate), so
+    * the statistic is deterministic by construction. */
+  def proportionZTest(df: DataFrame, unit: Column, arm: Column,
+      converted: Column, a: String, b: String): DataFrame = {
+    require(a != b, s"the two arms must differ, got '$a' twice")
+    val perUnit = df.filter(arm.isin(a, b))
+      .groupBy(unit.as("u"), arm.as("g"))
+      .agg(max(when(converted, 1L).otherwise(0L)).as("c"))
+    val m = perUnit.agg(
+      sum(when(col("g") === a, 1L).otherwise(0L)).as("na"),
+      sum(when(col("g") === a, col("c")).otherwise(0L)).as("ca"),
+      sum(when(col("g") === b, 1L).otherwise(0L)).as("nb"),
+      sum(when(col("g") === b, col("c")).otherwise(0L)).as("cb"))
+    def d(c: Column) = c.cast("double")
+    val pa = d(col("ca")) / d(col("na"))
+    val pb = d(col("cb")) / d(col("nb"))
+    val pp = (d(col("ca")) + d(col("cb"))) / (d(col("na")) + d(col("nb")))
+    // a degenerate pooled rate (nobody or everybody converts) has zero
+    // pooled variance and an undefined z — present NULL, not an ANSI
+    // divide-by-zero from inside codegen
+    val z = when(pp > 0.0 && pp < 1.0, (pa - pb) /
+      sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / d(col("na")) +
+        lit(1.0) / d(col("nb")))))
+    m.select(col("na").as("n_a"), col("nb").as("n_b"),
+      round(pa, 6).as("conv_a"), round(pb, 6).as("conv_b"),
+      round(z, 6).as("z_stat"))
+  }
+
   /** CUPED variance-reduced A/B difference (Deng et al., WSDM 2013):
     * adjust each unit's post-period metric Y by its pre-period
     * covariate X — Y′ = Y − θ·X with θ = cov(X,Y)/var(X) pooled across

@@ -151,6 +151,18 @@ object EventQueries extends QueryModule {
           col("n_events"))
         .orderBy(col("user_id"), col("session_start"))),
 
+    // Two-proportion z-test: per-user HIGH-VALUE purchase conversion
+    // (value >= 100 — the fixture's every user has a plain purchase, a
+    // saturated outcome with zero pooled variance) between the parity
+    // arms — the binary-outcome member of the A/B trio (t-test for
+    // means, CUPED for variance reduction, this for rates).
+    "q_ab_proportions" -> ((s, d) =>
+      graft.operators.Profiling.proportionZTest(Tables.events(s, d),
+        col("user_id"),
+        concat(lit("arm"), pmod(col("user_id"), lit(2)).cast("string")),
+        col("event_type") === "purchase" && col("value") >= 100.0,
+        "arm0", "arm1")),
+
     // CUPED variance-reduced A/B difference: per-user pre-period
     // (Jan 1-15) spend adjusts the post-period metric; arms are the
     // deterministic user_id parity. One unit-keyed shuffle, exact
@@ -610,6 +622,15 @@ object EventQueries extends QueryModule {
         .orderBy(col("prev_type"), col("next_type"))
     }),
 
+    // Classical additive seasonal decomposition + robust anomaly flag
+    // per event type: trend (centered 7-day MA), day-slot seasonal,
+    // residual, and |residual| > 3*MAD — "is today unusual, or just
+    // Saturday". One corpus reduce; grid-sized everything after.
+    "q_seasonal_decomp" -> ((s, d) =>
+      graft.operators.EventOps.seasonalDecompose(Tables.events(s, d),
+          "event_type", col("ts"), col("value"))
+        .orderBy(col("event_type"), col("day"))),
+
     // Theil-Sen robust daily trend per event type: median over all
     // day-pair slopes — the outlier-proof trend beside q_exp_smooth's
     // level and q_forecast_mase's backtest. Grid-pair join, time²-
@@ -874,6 +895,35 @@ object EventQueries extends QueryModule {
         |  CAST(count(*) AS BIGINT) AS n_events
         |FROM y GROUP BY user_id, session_id
         |ORDER BY user_id, session_start""".stripMargin,
+
+    "q_ab_proportions" ->
+      """WITH pu AS (
+        |  SELECT user_id, 'arm' || CAST(user_id % 2 AS VARCHAR) AS g,
+        |    max(CASE WHEN event_type = 'purchase' AND value >= 100.0
+        |        THEN 1 ELSE 0 END) AS c
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT
+        |    count(*) FILTER (WHERE g = 'arm0') AS na,
+        |    sum(c) FILTER (WHERE g = 'arm0') AS ca,
+        |    count(*) FILTER (WHERE g = 'arm1') AS nb,
+        |    sum(c) FILTER (WHERE g = 'arm1') AS cb
+        |  FROM pu)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  round(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE), 6) AS conv_a,
+        |  round(CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE), 6) AS conv_b,
+        |  round(CASE WHEN (CAST(ca AS DOUBLE) + CAST(cb AS DOUBLE))
+        |               / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)) > 0.0
+        |          AND (CAST(ca AS DOUBLE) + CAST(cb AS DOUBLE))
+        |               / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)) < 1.0
+        |    THEN (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+        |          - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+        |    / sqrt(((CAST(ca AS DOUBLE) + CAST(cb AS DOUBLE))
+        |            / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))
+        |      * (1.0 - (CAST(ca AS DOUBLE) + CAST(cb AS DOUBLE))
+        |               / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))
+        |      * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE)))
+        |    END, 6) AS z_stat
+        |FROM m""".stripMargin,
 
     // per-unit exact-cents X/Y, pooled second moments, the same double
     // expression order as Profiling.cupedDiff
@@ -1375,6 +1425,55 @@ object EventQueries extends QueryModule {
         |  CAST(count(*) AS BIGINT) AS n
         |FROM x WHERE prev_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the same grid-quantized means and direct sorted-pick MAD; trend
+    // NULLs where the centered window is short of 7 rows
+    "q_seasonal_decomp" ->
+      s"""WITH daily AS (
+         |  SELECT event_type,
+         |    (epoch_us(ts)
+         |      - ((epoch_us(ts) % 86400000000) + 86400000000) % 86400000000)
+         |      // 86400000000 AS day,
+         |    sum(${graft.functions.Money.centsSql("value")}) AS cents
+         |  FROM events GROUP BY 1, 2),
+         |wt AS (SELECT event_type, day,
+         |    CAST(cents AS DOUBLE) / 100.0 AS x,
+         |    CASE WHEN count(*) OVER w = 7
+         |      THEN (CAST(sum(cents) OVER w AS DOUBLE) / 7.0) / 100.0
+         |    END AS trend,
+         |    day % 7 AS slot
+         |  FROM daily
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+         |               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         |dq AS (SELECT *, CAST(round((x - trend) * 1e9) AS BIGINT) AS detq
+         |       FROM wt),
+         |sm AS (SELECT event_type, slot,
+         |         CAST(sum(detq) AS DOUBLE) / 1e9 / count(*) AS slot_mean
+         |       FROM dq WHERE detq IS NOT NULL GROUP BY 1, 2),
+         |ct AS (SELECT event_type,
+         |         CAST(sum(CAST(round(slot_mean * 1e9) AS BIGINT))
+         |              AS DOUBLE) / 1e9 / count(*) AS slot_center
+         |       FROM sm GROUP BY event_type),
+         |se AS (SELECT sm.event_type, sm.slot,
+         |         sm.slot_mean - ct.slot_center AS seasonal
+         |       FROM sm JOIN ct USING (event_type)),
+         |wr AS (SELECT dq.event_type, dq.day, dq.x, dq.trend, se.seasonal,
+         |         dq.x - dq.trend - se.seasonal AS residual
+         |       FROM dq LEFT JOIN se
+         |         ON dq.event_type = se.event_type AND dq.slot = se.slot),
+         |md AS (SELECT event_type, list_sort(list(abs(residual))) AS rs
+         |       FROM wr WHERE residual IS NOT NULL GROUP BY event_type),
+         |mad AS (SELECT event_type,
+         |    CASE WHEN len(rs) % 2 = 1 THEN rs[(len(rs) + 1) // 2]
+         |    ELSE (rs[len(rs) // 2] + rs[len(rs) // 2 + 1]) / 2.0 END AS mad
+         |  FROM md)
+         |SELECT wr.event_type, wr.day, round(wr.x, 2) AS x,
+         |  round(wr.trend, 6) AS trend, round(wr.seasonal, 6) AS seasonal,
+         |  round(wr.residual, 6) AS residual,
+         |  (wr.residual IS NOT NULL AND abs(wr.residual) > mad.mad * 3.0)
+         |    AS is_anomaly
+         |FROM wr LEFT JOIN mad USING (event_type)
+         |ORDER BY event_type, day""".stripMargin,
 
     "q_theil_sen" ->
       s"""WITH daily AS (

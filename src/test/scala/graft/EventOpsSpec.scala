@@ -298,6 +298,52 @@ class EventOpsSpec extends SparkSpec {
     assert(run(ev) == run(ev.repartition(13)))
   }
 
+  test("seasonalDecompose recovers a planted weekly pattern exactly") {
+    def mk(vals: Seq[Double]) = vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong, ts(f"2024-01-${i + 1}%02d 05:00:00"), 1L, "t", v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // x = 100 + 5*[day%7 == 2] over 21 days: every full 7-window holds
+    // exactly one boosted slot, so trend = 100 + 5/7 everywhere the
+    // window is full, seasonal(slot 2) = 5 - 5/7, others = -5/7, and
+    // every interior residual is EXACTLY 0
+    val days = (0 until 21).map(i => if (i % 7 == 2) 105.0 else 100.0)
+    val got = EventOps.seasonalDecompose(mk(days), "event_type", $"ts",
+        $"value")
+      .as[(String, Long, Double, Option[Double], Option[Double],
+        Option[Double], Boolean)]
+      .collect().map(r => r._2 -> r).toMap
+    val epoch0 = got.keys.min
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    (0 until 21).foreach { i =>
+      val row = got(epoch0 + i)
+      if (i < 3 || i > 17) {
+        assert(row._4.isEmpty && row._6.isEmpty && !row._7,
+          s"edge day $i should have no trend/residual: $row")
+      } else {
+        assert(row._4.contains(r6(100.0 + 5.0 / 7.0)), s"trend day $i: $row")
+        assert(row._6.contains(0.0), s"residual day $i: $row")
+        assert(!row._7)
+      }
+      val expSeason = if (i % 7 == 2) r6(5.0 - 5.0 / 7.0) else r6(-5.0 / 7.0)
+      assert(row._5.contains(expSeason), s"seasonal day $i: $row")
+    }
+    // a planted spike flags anomalous under the robust MAD gate
+    val spiked = days.updated(10, 200.0)
+    val flagged = EventOps.seasonalDecompose(mk(spiked), "event_type",
+        $"ts", $"value")
+      .filter($"is_anomaly").select($"day").as[Long].collect().toSet
+    assert(flagged.contains(epoch0 + 10), s"spike not flagged: $flagged")
+  }
+
+  test("seasonalDecompose is partitioning-invariant on the fixture") {
+    val ev = Tables.events(spark, sf001)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      EventOps.seasonalDecompose(df, "event_type", $"ts", $"value")
+        .collect().map(_.toString).sorted.toSeq
+    assert(run(ev) == run(ev.repartition(13)))
+  }
+
   test("markovStationary converges to the analytic fixed point") {
     // one user, sequence a a a a b a: c(a,a)=3, c(a,b)=1, c(b,a)=1 →
     // P(a|a)=.75, P(b|a)=.25, P(a|b)=1; solve pi = piP: pi = (0.8, 0.2)

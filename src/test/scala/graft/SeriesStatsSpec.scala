@@ -200,6 +200,37 @@ class SeriesStatsSpec extends SparkSpec {
     assert(fix(events) == fix(events.repartition(17)))
   }
 
+  test("proportion z-test: hand case, equal rates = 0, saturation = NULL") {
+    import graft.operators.Profiling
+    def mk(rows: Seq[(Long, String, Boolean)]) =
+      rows.toDF("u", "g", "c")
+    def run(rows: Seq[(Long, String, Boolean)]) =
+      Profiling.proportionZTest(mk(rows), $"u", $"g", $"c", "a", "b")
+        .as[(Long, Long, Double, Double, Option[Double])].head()
+    // a: 8/10 convert, b: 4/10: pooled 0.6,
+    // z = 0.4 / sqrt(0.6*0.4*(0.1+0.1))
+    val hand = run(
+      (1 to 10).map(i => (i.toLong, "a", i <= 8)) ++
+        (11 to 20).map(i => (i.toLong, "b", i <= 14)))
+    assert(hand._1 == 10 && hand._2 == 10)
+    assert(hand._3 == 0.8 && hand._4 == 0.4)
+    assert(hand._5.contains(BigDecimal(0.4 / math.sqrt(0.6 * 0.4 * 0.2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    // identical rates: z exactly 0
+    val same = run((1 to 10).map(i => (i.toLong, "a", i % 2 == 0)) ++
+      (11 to 20).map(i => (i.toLong, "b", i % 2 == 0)))
+    assert(same._5.contains(0.0))
+    // saturation (everyone converts): zero pooled variance, z NULL
+    // instead of an ANSI divide-by-zero out of codegen
+    val sat = run((1 to 4).map(i =>
+      (i.toLong, if (i <= 2) "a" else "b", true)))
+    assert(sat._3 == 1.0 && sat._4 == 1.0 && sat._5.isEmpty)
+    // a unit with MULTIPLE rows converts if ANY row converts
+    val multi = run(Seq((1L, "a", false), (1L, "a", true), (2L, "a", false),
+      (3L, "b", false), (4L, "b", false)))
+    assert(multi._1 == 2 && multi._3 == 0.5 && multi._4 == 0.0)
+  }
+
   test("cohen's kappa: perfect agreement = 1, majority guessing = 0") {
     import graft.operators.Profiling
     val perfect = Seq(("x", "x"), ("y", "y"), ("x", "x"), ("z", "z"))

@@ -231,7 +231,9 @@ object ScaleBench {
     // decomposition reduces to the time-bounded day grid and every
     // window/median after moves grid-sized rows — the flat-reduce
     // regime growing only on the first reduce's input
-    "q_ab_proportions", "q_seasonal_decomp")
+    "q_ab_proportions", "q_seasonal_decomp",
+    // Holt rides the exp-smooth shape: day-grid reduce + row-local fold
+    "q_holt_forecast")
 
   def generate(spark: SparkSession, sfDir: String, outDir: String,
       scale: Int): (Long, Long) = {

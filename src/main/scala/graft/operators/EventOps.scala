@@ -282,6 +282,59 @@ object EventOps {
     * the 1e-9 integer grid (UnigramLM's −ln p discipline); the per-row
     * product cents·w_nano is exact integer (≤1e13, inside the long),
     * summed as decimal, divided once at the close. */
+  /** Holt linear-trend forecast with a conformal interval: double
+    * exponential smoothing over each key's daily cents grid —
+    * l′ = α·x + (1−α)(l+b), b′ = β(l′−l) + (1−β)b, l₁ = x₁, b₁ = 0 —
+    * returning the one-step-ahead point forecast l+b AND an honest
+    * uncertainty band: the 90th percentile of the |one-step residuals|
+    * (split-conformal, distribution-free — the coverage claim needs no
+    * normality the residuals don't have). The trended sibling of
+    * [[expSmoothDaily]]; same day-sorted row-local fold, same
+    * time-bounded grid, no window, no second shuffle.
+    *
+    * Determinism: one fixed fold order; b′ recomputes l′'s expression
+    * textually (mirrored identically); the quantile is a direct
+    * sorted-element pick at ceil(0.9·m). */
+  def holtForecast(df: DataFrame, key: String, ts: Column, value: Column,
+      alpha: Double = 0.3, beta: Double = 0.2): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0 && beta >= 0.0 && beta <= 1.0,
+      s"need alpha in (0,1] and beta in [0,1], got ($alpha, $beta)")
+    val us = unix_micros(ts)
+    val daily = df
+      .groupBy(col(key), (us - pmod(us, lit(86400000000L))).as("day_us"))
+      .agg(sum(graft.functions.Money.cents(value)).as("cents"))
+    val series = daily.groupBy(col(key)).agg(
+      count(lit(1)).as("n_days"),
+      transform(array_sort(collect_list(struct(col("day_us"), col("cents")))),
+        e => e.getField("cents").cast("double") / lit(100.0)).as("xs"))
+    val folded = aggregate(
+      slice(col("xs"), lit(2), greatest(size(col("xs")) - 1, lit(0))),
+      struct(element_at(col("xs"), 1).as("l"), lit(0.0).as("b"),
+        array().cast("array<double>").as("rs")),
+      (acc, x) => {
+        val f = acc.getField("l") + acc.getField("b")
+        val lNew = lit(alpha) * x + lit(1.0 - alpha) * f
+        struct(lNew.as("l"),
+          (lit(beta) * (lNew - acc.getField("l")) +
+            lit(1.0 - beta) * acc.getField("b")).as("b"),
+          concat(acc.getField("rs"), array(x - f)).as("rs"))
+      })
+    val rs = array_sort(transform(col("r").getField("rs"), abs(_)))
+    val m = size(rs)
+    val halfWidth = when(m > 0,
+      element_at(rs, greatest(lit(1), ceil(m * lit(0.9)).cast("int"))))
+      .otherwise(0.0)
+    val forecast = col("r").getField("l") + col("r").getField("b")
+    series.select(col(key), col("n_days"), folded.as("r"))
+      .select(col(key), col("n_days"),
+        round(col("r").getField("l"), 6).as("level"),
+        round(col("r").getField("b"), 6).as("trend"),
+        round(forecast, 6).as("forecast"),
+        round(halfWidth, 6).as("half_width"),
+        round(forecast - halfWidth, 6).as("lo"),
+        round(forecast + halfWidth, 6).as("hi"))
+  }
+
   /** Classical additive seasonal decomposition of each key's daily
     * value totals (x = trend + seasonal + residual) plus a robust
     * anomaly flag — the monitoring readout behind "is today actually

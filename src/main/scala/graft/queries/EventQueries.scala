@@ -622,6 +622,14 @@ object EventQueries extends QueryModule {
         .orderBy(col("prev_type"), col("next_type"))
     }),
 
+    // Holt linear-trend forecast + conformal interval per event type:
+    // the trended sibling of q_exp_smooth with a distribution-free
+    // uncertainty band (90th |one-step residual| percentile).
+    "q_holt_forecast" -> ((s, d) =>
+      graft.operators.EventOps.holtForecast(Tables.events(s, d),
+          "event_type", col("ts"), col("value"))
+        .orderBy(col("event_type"))),
+
     // Classical additive seasonal decomposition + robust anomaly flag
     // per event type: trend (centered 7-day MA), day-slot seasonal,
     // residual, and |residual| > 3*MAD — "is today unusual, or just
@@ -1425,6 +1433,54 @@ object EventQueries extends QueryModule {
         |  CAST(count(*) AS BIGINT) AS n
         |FROM x WHERE prev_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the Holt recurrence as a RECURSIVE CTE (the q_exp_smooth duckdb
+    // list_reduce caveat); b' repeats l''s expression textually exactly
+    // as the engine's fold does; residuals recompute from the (l, b)
+    // sequence via an i-1 self-join, quantile is a direct sorted pick
+    "q_holt_forecast" ->
+      s"""WITH RECURSIVE daily AS (
+         |  SELECT event_type,
+         |    epoch_us(ts)
+         |      - ((epoch_us(ts) % 86400000000) + 86400000000) % 86400000000
+         |      AS day_us,
+         |    sum(${graft.functions.Money.centsSql("value")}) AS cents
+         |  FROM events GROUP BY 1, 2),
+         |di AS (SELECT event_type, CAST(cents AS DOUBLE) / 100.0 AS x,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY day_us)
+         |      AS i,
+         |    count(*) OVER (PARTITION BY event_type) AS n_days
+         |  FROM daily),
+         |rec AS (
+         |  SELECT event_type, i, n_days, x, x AS l, CAST(0.0 AS DOUBLE) AS b
+         |  FROM di WHERE i = 1
+         |  UNION ALL
+         |  SELECT d.event_type, d.i, d.n_days, d.x,
+         |    0.3 * d.x + 0.7 * (r.l + r.b),
+         |    0.2 * ((0.3 * d.x + 0.7 * (r.l + r.b)) - r.l) + 0.8 * r.b
+         |  FROM rec r JOIN di d
+         |    ON d.event_type = r.event_type AND d.i = r.i + 1),
+         |resid AS (
+         |  SELECT c.event_type, abs(c.x - (p.l + p.b)) AS ar
+         |  FROM rec c JOIN rec p
+         |    ON p.event_type = c.event_type AND p.i = c.i - 1),
+         |q AS (SELECT event_type, list_sort(list(ar)) AS rs
+         |      FROM resid GROUP BY event_type),
+         |hw AS (SELECT event_type,
+         |    CASE WHEN len(rs) > 0
+         |      THEN rs[greatest(1, CAST(ceil(len(rs) * 0.9) AS INT))]
+         |      ELSE 0.0 END AS half_width
+         |  FROM q),
+         |fin AS (SELECT event_type, n_days, l, b FROM rec
+         |        WHERE i = n_days)
+         |SELECT f.event_type, CAST(f.n_days AS BIGINT) AS n_days,
+         |  round(f.l, 6) AS level, round(f.b, 6) AS trend,
+         |  round(f.l + f.b, 6) AS forecast,
+         |  round(coalesce(h.half_width, 0.0), 6) AS half_width,
+         |  round((f.l + f.b) - coalesce(h.half_width, 0.0), 6) AS lo,
+         |  round((f.l + f.b) + coalesce(h.half_width, 0.0), 6) AS hi
+         |FROM fin f LEFT JOIN hw h USING (event_type)
+         |ORDER BY event_type""".stripMargin,
 
     // the same grid-quantized means and direct sorted-pick MAD; trend
     // NULLs where the centered window is short of 7 rows

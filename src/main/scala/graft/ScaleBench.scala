@@ -233,7 +233,11 @@ object ScaleBench {
     // regime growing only on the first reduce's input
     "q_ab_proportions", "q_seasonal_decomp",
     // Holt rides the exp-smooth shape: day-grid reduce + row-local fold
-    "q_holt_forecast")
+    "q_holt_forecast",
+    // TextRank: the bigram-pair graph grows ~xN under the rotation
+    // (fresh vocab per copy), PageRank iterates join+agg over it -
+    // the q_pagerank shape on the word graph, expected ~linear
+    "q_textrank")
 
   def generate(spark: SparkSession, sfDir: String, outDir: String,
       scale: Int): (Long, Long) = {

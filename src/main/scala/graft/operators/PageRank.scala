@@ -34,6 +34,26 @@ object PageRank {
 
   private val Nano = 1e9
 
+  /** SQL twin of [[ranks]]' loop body — unrolled (contrib, in-sum,
+    * rank) CTE triples `pc_k/ps_k/pr_k`. Callers provide `nodes(id)`,
+    * `edges(src, dst)`, `deg(src, deg)`, `stats(n)`, and `pr0(id, pr)`
+    * CTEs; ONE definition serves every PageRank mirror (the doc
+    * near-dup graph and the TextRank word graph). */
+  def iterSql(iters: Int): String =
+    (1 to iters).map { k =>
+      s"""pc$k AS (SELECT p.id,
+         |           CAST(round(CAST(p.pr AS DOUBLE) / d.deg) AS BIGINT) AS c
+         |         FROM pr${k - 1} p JOIN deg d ON p.id = d.src),
+         |ps$k AS (SELECT e.dst AS id, sum(c.c) AS s
+         |         FROM edges e JOIN pc$k c ON e.src = c.id GROUP BY e.dst),
+         |pr$k AS (SELECT n2.id,
+         |           CAST(round((1.0 - 0.85) * 1000000000.0 / st.n) AS BIGINT)
+         |           + CAST(round(0.85 * CAST(COALESCE(s.s, 0) AS DOUBLE))
+         |                  AS BIGINT) AS pr
+         |         FROM nodes n2 CROSS JOIN stats st
+         |         LEFT JOIN ps$k s ON n2.id = s.id)""".stripMargin
+    }.mkString(",\n")
+
   /** (id, pr_nano) for every id in `ids`; `pairs` holds undirected edges
     * (id_a, id_b). `damping` defaults to the classic 0.85. */
   def ranks(ids: DataFrame, idCol: String, pairs: DataFrame,

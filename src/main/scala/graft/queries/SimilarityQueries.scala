@@ -574,23 +574,11 @@ object SimilarityQueries extends QueryModule {
        |pr0 AS MATERIALIZED (SELECT id, CAST(round(1000000000.0 / st.n) AS BIGINT) AS pr
        |        FROM nodes CROSS JOIN stats st)""".stripMargin
 
-  /** Unrolled power-iteration rounds on the integer nano grid — the SQL
-    * twin of PageRank.ranks' loop body, one (contrib, in-sum, rank)
-    * CTE triple per round. */
+  /** Unrolled power-iteration rounds — now ONE definition in
+    * [[graft.operators.PageRank.iterSql]], shared with the TextRank
+    * word-graph mirror. */
   private def prIterCtes(iters: Int): String =
-    (1 to iters).map { k =>
-      s"""pc$k AS (SELECT p.id,
-         |           CAST(round(CAST(p.pr AS DOUBLE) / d.deg) AS BIGINT) AS c
-         |         FROM pr${k - 1} p JOIN deg d ON p.id = d.src),
-         |ps$k AS (SELECT e.dst AS id, sum(c.c) AS s
-         |         FROM edges e JOIN pc$k c ON e.src = c.id GROUP BY e.dst),
-         |pr$k AS (SELECT n2.id,
-         |           CAST(round((1.0 - 0.85) * 1000000000.0 / st.n) AS BIGINT)
-         |           + CAST(round(0.85 * CAST(COALESCE(s.s, 0) AS DOUBLE))
-         |                  AS BIGINT) AS pr
-         |         FROM nodes n2 CROSS JOIN stats st
-         |         LEFT JOIN ps$k s ON n2.id = s.id)""".stripMargin
-    }.mkString(",\n")
+    graft.operators.PageRank.iterSql(iters)
 
   /** Unrolled k-core peel rounds — the SQL twin of GraphMetrics.kCore's
     * fixed-round loop. Needs [[prGraphCtes]]'s nodes + edges. Every

@@ -501,6 +501,39 @@ object TokenQueries extends QueryModule {
         LangId.detectText(col("text")).as("lang_pred"))
         .orderBy(col("doc_id"))),
 
+    // TextRank keywords (Mihalcea & Tarau 2004): PageRank over the
+    // word co-occurrence graph — adjacent-token edges (row-local zip,
+    // stopwords and self-loops dropped), 3 quantized power-iteration
+    // rounds on the SHARED PageRank kernel, top-20 by centrality. The
+    // graph-centrality keyword extractor beside the tf-idf one
+    // (q_doc_keywords): corpus-level, degree-aware, unsupervised.
+    "q_textrank" -> ((s, d) => {
+      val stop = TokenOps.englishStopwords
+      val toks = Tables.documents(s, d)
+        .select(TokenOps.tokenize(col("text")).as("t"))
+      val bg = toks.select(explode(zip_with(
+          col("t"),
+          concat(array(lit(null).cast("string")),
+            slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0)))),
+          (tok, prev) => struct(prev.as("a"), tok.as("b")))).as("bg"))
+        .select(col("bg.a"), col("bg.b"))
+        .filter(col("a").isNotNull && col("a") =!= col("b"))
+        .filter(!col("a").isInCollection(stop) &&
+          !col("b").isInCollection(stop))
+      // the edge set materializes once: ranks' n-count plus 3
+      // iteration joins would otherwise re-derive the corpus bigram
+      // explode seven times
+      val und = bg.select(least(col("a"), col("b")).as("id_a"),
+          greatest(col("a"), col("b")).as("id_b"))
+        .distinct().localCheckpoint()
+      val vocab = und.select(col("id_a").as("token"))
+        .union(und.select(col("id_b"))).distinct()
+      graft.operators.PageRank.ranks(vocab, "token", und, iters = 3)
+        .select(col("id").as("token"), col("pr_nano"))
+        .orderBy(col("pr_nano").desc, col("token"))
+        .limit(20)
+    }),
+
     // Cohen's kappa between the corpus lang label and the marker-argmax
     // prediction — the chance-corrected honesty companion to raw
     // langid agreement (en is the majority class; accuracy alone
@@ -763,6 +796,34 @@ object TokenQueries extends QueryModule {
          |SELECT q_decile, len_bucket, CAST(count(*) AS BIGINT) AS n
          |FROM b GROUP BY q_decile, len_bucket
          |ORDER BY q_decile, len_bucket""".stripMargin,
+
+    // word-graph TextRank: the bigram edge derivation + the SHARED
+    // PageRank.iterSql kernel (one definition with the doc-graph mirror)
+    "q_textrank" -> {
+      val stopSql = TokenOps.sqlList(TokenOps.englishStopwords)
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_split_to_array(lower(text), '$wsSql') AS t
+         |  FROM documents),
+         |seq AS (SELECT doc_id, generate_subscripts(t, 1) AS i,
+         |               unnest(t) AS token FROM toks),
+         |bg AS (SELECT p.token AS a, s.token AS b
+         |       FROM seq s JOIN seq p
+         |         ON p.doc_id = s.doc_id AND p.i = s.i - 1),
+         |jp AS (SELECT DISTINCT least(a, b) AS id_a, greatest(a, b) AS id_b
+         |       FROM bg WHERE a <> b
+         |         AND a NOT IN ($stopSql) AND b NOT IN ($stopSql)),
+         |nodes AS (SELECT DISTINCT id FROM
+         |  (SELECT id_a AS id FROM jp UNION SELECT id_b FROM jp)),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM jp
+         |          UNION ALL SELECT id_b, id_a FROM jp),
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         |stats AS (SELECT count(*) AS n FROM nodes),
+         |pr0 AS (SELECT id, CAST(round(1000000000.0 / n) AS BIGINT) AS pr
+         |        FROM nodes CROSS JOIN stats),
+         |${graft.operators.PageRank.iterSql(3)}
+         |SELECT id AS token, pr AS pr_nano FROM pr3
+         |ORDER BY pr_nano DESC, token LIMIT 20""".stripMargin
+    },
 
     // the shared langIdPredCtes mirror (see its scaladoc), projected
     "q_lang_id" ->

@@ -57,4 +57,26 @@ class PageRankSpec extends SparkSpec {
     // in the connected block that's node 2 or 3; symmetry tie → lower id
     assert(c.find(_._1 == 0L).get._4 == 2L)
   }
+
+  test("textrank: the hub word tops the list; stopwords and self-loops never appear") {
+    // "engine" co-occurs with six distinct words; the satellites only
+    // ever touch "engine" (star graph) — the hub must rank first. "the"
+    // is a stopword and must never become a node; "solo solo" is a
+    // self-loop and contributes no edge.
+    val docs = Seq(
+      (0L, "the engine parses"), (1L, "the engine optimizes"),
+      (2L, "engine shuffles"), (3L, "engine broadcasts"),
+      (4L, "engine partitions"), (5L, "engine compiles"),
+      (6L, "solo solo")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-textrank")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.TokenQueries.queries("q_textrank")(
+        spark, dir.toString)
+      .as[(String, Long)].collect()
+    assert(got.head._1 == "engine", s"hub should rank first: ${got.toSeq}")
+    assert(got.head._2 > got(1)._2)
+    val tokens = got.map(_._1).toSet
+    assert(!tokens.contains("the") && !tokens.contains("solo"))
+    assert(tokens.contains("parses") && tokens.contains("shuffles"))
+  }
 }

@@ -237,7 +237,10 @@ object ScaleBench {
     // TextRank: the bigram-pair graph grows ~xN under the rotation
     // (fresh vocab per copy), PageRank iterates join+agg over it -
     // the q_pagerank shape on the word graph, expected ~linear
-    "q_textrank")
+    "q_textrank",
+    // k-anonymity is one wordcount reduce (QI cells constant under the
+    // cohort construction); readability is a row-local projection
+    "q_k_anonymity", "q_readability")
 
   def generate(spark: SparkSession, sfDir: String, outDir: String,
       scale: Int): (Long, Long) = {

@@ -331,6 +331,22 @@ object Profiling {
     * blow up the bin count. Null text is EXCLUDED (Spark's `least` skips
     * nulls, which would otherwise count null rows as clamp-length
     * documents). Oracle-checked as `q_length_histogram`. */
+  /** k-anonymity audit over a quasi-identifier tuple: every QI group
+    * with fewer than `k` members — the re-identification risk readout a
+    * governance review runs before a corpus ships (a (lang, source,
+    * length-band) combination held by one document can identify its
+    * author even after PII redaction). One wordcount-shaped reduce to
+    * QI-group cells, then a cell-sized filter; returns the violating
+    * groups with their sizes, smallest first. */
+  def kAnonymityViolations(df: DataFrame, quasiIds: Seq[Column],
+      k: Long): DataFrame = {
+    require(quasiIds.nonEmpty, "need at least one quasi-identifier")
+    require(k >= 2, s"k-anonymity below 2 is vacuous, got $k")
+    df.groupBy(quasiIds: _*)
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") < k)
+  }
+
   def lengthHistogram(df: DataFrame, textCol: String = "text",
       binWidth: Int = 5, clampLen: Int = 300): DataFrame =
     df.where(col(textCol).isNotNull)

@@ -202,6 +202,30 @@ object TokenOps {
     (nTokens, stopRatio, q)
   }
 
+  /** Flesch reading-ease columns (n_sentences, n_words, n_syllables,
+    * flesch): 206.835 − 1.015·(W/S) − 84.6·(Syl/W), with sentences =
+    * terminal-punctuation runs (floored at 1 — a fragment is one
+    * sentence) and syllables approximated as vowel GROUPS per token
+    * ([aeiouy]+ — the standard regex proxy; off by the silent-e class,
+    * consistently on both engines, which is what a filter threshold
+    * needs). The readability screen beside [[qualityScore]]: a corpus
+    * scored far off the 60–70 plain-English band is either legalese or
+    * word salad. Row-local, codegen-friendly. */
+  def readability(text: Column): (Column, Column, Column, Column) = {
+    val nSent = greatest(lit(1L),
+      size(regexp_extract_all(text, lit("[.!?]+"), lit(0))).cast("long"))
+    val toks = tokenize(text)
+    val nWords = size(toks).cast("long")
+    val nSyl = aggregate(
+      transform(toks,
+        t => size(regexp_extract_all(t, lit("[aeiouy]+"), lit(0)))),
+      lit(0L), (acc, x) => acc + x.cast("long"))
+    val flesch = round(lit(206.835) -
+      lit(1.015) * (nWords.cast("double") / nSent.cast("double")) -
+      lit(84.6) * (nSyl.cast("double") / nWords.cast("double")), 6)
+    (nSent, nWords, nSyl, flesch)
+  }
+
   /** Within-document repetition ratio (Gopher-style quality signal):
     * 1 − distinct n-gram shingles / total shingles. High values flag
     * boilerplate/spam. Row-local. */

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.TextClean
+import graft.operators.{TextClean, TokenOps}
 
 /** Preprocessing-surface queries (SURVEY.md §2.2–2.4): scan/project, dropna,
   * string clean chain, filter, case/when label normalization, counts,
@@ -80,6 +80,30 @@ object TextQueries extends QueryModule {
         lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
       Tables.documents(s, d)
         .select(col("doc_id"), TextClean.redact(dirty).as("redacted"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // k-anonymity audit over the (lang, source, 50-char length band)
+    // quasi-identifier: every group smaller than k=5 — the
+    // re-identification risk readout a governance review runs before a
+    // corpus ships (redaction does not help when the METADATA tuple is
+    // unique). Wordcount-shaped reduce, cell-sized filter.
+    "q_k_anonymity" -> ((s, d) =>
+      graft.operators.Profiling.kAnonymityViolations(
+          Tables.documents(s, d),
+          Seq(col("lang"), col("source"),
+            (floor(col("n_chars") / 50) * 50).cast("long").as("len_band")),
+          k = 5)
+        .orderBy(col("n"), col("lang"), col("source"), col("len_band"))),
+
+    // Flesch reading ease per document (vowel-group syllable proxy,
+    // terminal-punctuation sentences floored at 1) — the readability
+    // screen beside the quality score. Row-local projection.
+    "q_readability" -> ((s, d) => {
+      val (ns, nw, nsy, fl) = TokenOps.readability(col("text"))
+      Tables.documents(s, d).select(col("doc_id"),
+          ns.as("n_sentences"), nw.as("n_words"),
+          nsy.as("n_syllables"), fl.as("flesch"))
         .orderBy(col("doc_id"))
     }),
 
@@ -437,6 +461,34 @@ object TextQueries extends QueryModule {
         " || ' tel +1555010' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
       s"""SELECT doc_id, ${TextClean.redactSql(s"($dirty)")} AS redacted
          |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "q_k_anonymity" ->
+      """SELECT lang, source,
+        |  CAST(floor(n_chars / 50) * 50 AS BIGINT) AS len_band,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM documents GROUP BY 1, 2, 3 HAVING count(*) < 5
+        |ORDER BY n, lang, source, len_band""".stripMargin,
+
+    "q_readability" -> {
+      val ws = graft.operators.TokenOps.WsRun
+      s"""WITH t AS (SELECT doc_id,
+         |    regexp_split_to_array(lower(text), '$ws') AS toks,
+         |    greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS ns
+         |  FROM documents),
+         |m AS (SELECT doc_id, CAST(ns AS BIGINT) AS n_sentences,
+         |    CAST(len(toks) AS BIGINT) AS n_words,
+         |    CAST(list_sum(list_transform(toks,
+         |      x -> len(regexp_extract_all(x, '[aeiouy]+'))))
+         |      AS BIGINT) AS n_syllables
+         |  FROM t)
+         |SELECT doc_id, n_sentences, n_words, n_syllables,
+         |  round(206.835
+         |    - 1.015 * (CAST(n_words AS DOUBLE)
+         |               / CAST(n_sentences AS DOUBLE))
+         |    - 84.6 * (CAST(n_syllables AS DOUBLE)
+         |              / CAST(n_words AS DOUBLE)), 6) AS flesch
+         |FROM m ORDER BY doc_id""".stripMargin
     },
 
     "q_pii_cards" -> {

@@ -200,6 +200,44 @@ class SeriesStatsSpec extends SparkSpec {
     assert(fix(events) == fix(events.repartition(17)))
   }
 
+  test("k-anonymity: exactly the under-k groups surface, k guard trips") {
+    import graft.operators.Profiling
+    val rows = Seq.fill(5)(("en", "a")) ++ Seq.fill(2)(("en", "b")) ++
+      Seq(("de", "a"))
+    val df = rows.toDF("lang", "src")
+    val got = Profiling.kAnonymityViolations(df,
+        Seq($"lang", $"src"), k = 5)
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(("en", "b", 2L), ("de", "a", 1L)))
+    // the 5-member group satisfies k = 5 (strict less-than contract)
+    assert(!got.exists(g => g._1 == "en" && g._2 == "a"))
+    val e = intercept[IllegalArgumentException] {
+      Profiling.kAnonymityViolations(df, Seq($"lang"), k = 1)
+    }
+    assert(e.getMessage.contains("vacuous"))
+  }
+
+  test("readability: hand-counted flesch, fragment floors at one sentence") {
+    import graft.operators.TokenOps
+    def run(s: String) = {
+      val (ns, nw, nsy, fl) = TokenOps.readability($"text")
+      Seq(s).toDF("text").select(ns, nw, nsy, fl)
+        .as[(Long, Long, Long, Double)].head()
+    }
+    // "the cat sat. it ran!" -> 2 sentences, 5 words,
+    // syllables: the(1) cat(1) sat.(1) it(1) ran!(1) = 5
+    // flesch = 206.835 - 1.015*2.5 - 84.6*1 = 119.6975
+    val simple = run("the cat sat. it ran!")
+    assert(simple._1 == 2 && simple._2 == 5 && simple._3 == 5)
+    assert(simple._4 == BigDecimal(206.835 - 1.015 * 2.5 - 84.6)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // no terminal punctuation: one sentence by the floor rule
+    assert(run("just a fragment")._1 == 1)
+    // polysyllabic words score lower (harder) than monosyllabic ones
+    assert(run("extraordinarily complicated vocabulary manifests")._4 <
+      run("the cat sat on the mat")._4)
+  }
+
   test("proportion z-test: hand case, equal rates = 0, saturation = NULL") {
     import graft.operators.Profiling
     def mk(rows: Seq[(Long, String, Boolean)]) =

@@ -240,7 +240,10 @@ object ScaleBench {
     "q_textrank",
     // k-anonymity is one wordcount reduce (QI cells constant under the
     // cohort construction); readability is a row-local projection
-    "q_k_anonymity", "q_readability")
+    "q_k_anonymity", "q_readability",
+    // bootstrap: grid x B resample frame + one grid equi-join - the
+    // day grid is time-bounded so the whole thing is ~flat
+    "q_bootstrap_ci")
 
   def generate(spark: SparkSession, sfDir: String, outDir: String,
       scale: Int): (Long, Long) = {

@@ -282,6 +282,61 @@ object EventOps {
     * the 1e-9 integer grid (UnigramLM's −ln p discipline); the per-row
     * product cents·w_nano is exact integer (≤1e13, inside the long),
     * summed as decimal, divided once at the close. */
+  /** Percentile-bootstrap confidence interval for each key's MEAN daily
+    * value — the error bar a dashboard should carry, with the
+    * randomness made ORACLE-RECOMPUTABLE (the Gumbel-sampling trick a
+    * third time): resample j of replicate b draws day index
+    * pmod(poly_hash("boot:key:b:j"), n) + 1, so both engines rebuild
+    * the identical B resamples and the interval itself hash-checks —
+    * unlike every rand()-based bootstrap, which could only ever be
+    * property-tested.
+    *
+    * Scale shape: one corpus reduce to the day grid, then a generated
+    * (key × B × n) resample frame — grid-sized × B, never
+    * corpus-shaped — one equi-join back to the grid and exact-cents
+    * means per replicate; the CI is a direct sorted pick of the B
+    * replicate means (floor/ceil index rule, no interpolation). */
+  def bootstrapMeanCi(df: DataFrame, key: String, ts: Column,
+      value: Column, b: Int = 50, conf: Double = 0.95): DataFrame = {
+    require(b >= 10, s"need at least 10 replicates, got $b")
+    require(conf > 0.0 && conf < 1.0, s"conf must sit in (0,1), got $conf")
+    val us = unix_micros(ts)
+    val daily = df
+      .groupBy(col(key),
+        ((us - pmod(us, lit(86400000000L))) / lit(86400000000L))
+          .cast("long").as("day"))
+      .agg(sum(graft.functions.Money.cents(value)).as("cents"))
+    val w = Window.partitionBy(col(key)).orderBy(col("day"))
+    val grid = daily
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col(key)))
+        .cast("long"))
+    val draws = grid.filter(col("i") === 1)
+      .select(col(key), col("n"),
+        explode(sequence(lit(1), lit(b))).as("rep"))
+      .select(col(key), col("n"), col("rep"),
+        explode(sequence(lit(1L), col("n"))).as("j"))
+      .withColumn("idx", pmod(graft.functions.PolyHashF.poly_hash(
+        concat(lit("boot:"), col(key), lit(":"),
+          col("rep").cast("string"), lit(":"), col("j").cast("string"))),
+        col("n")) + 1L)
+    val means = draws
+      .join(grid.select(col(key), col("i"), col("cents")),
+        draws(key) === grid(key) && col("idx") === col("i"))
+      .groupBy(draws(key).as(key), col("rep"), col("n"))
+      .agg((sum(col("cents")).cast("double") / col("n").cast("double")
+        / 100.0).as("m"))
+    val alpha = 1.0 - conf
+    val loIdx = math.max(1, math.ceil(b * (alpha / 2.0)).toInt)
+    val hiIdx = math.min(b, math.ceil(b * (1.0 - alpha / 2.0)).toInt)
+    means.groupBy(col(key))
+      .agg(max(col("n")).as("n_days"),
+        array_sort(collect_list(col("m"))).as("ms"))
+      .select(col(key), col("n_days"),
+        round(element_at(col("ms"), loIdx), 6).as("lo"),
+        round(element_at(col("ms"), hiIdx), 6).as("hi"))
+  }
+
   /** Holt linear-trend forecast with a conformal interval: double
     * exponential smoothing over each key's daily cents grid —
     * l′ = α·x + (1−α)(l+b), b′ = β(l′−l) + (1−β)b, l₁ = x₁, b₁ = 0 —

@@ -622,6 +622,17 @@ object EventQueries extends QueryModule {
         .orderBy(col("prev_type"), col("next_type"))
     }),
 
+    // Percentile-bootstrap CI for the mean daily value per type, with
+    // poly_hash-derived resampling so even the randomness is
+    // oracle-recomputable (B=50 replicates, 95%): the dashboard error
+    // bar, hash-checked instead of property-tested.
+    "q_bootstrap_ci" -> ((s, d) => {
+      graft.functions.PolyHashF.register(s)
+      graft.operators.EventOps.bootstrapMeanCi(Tables.events(s, d),
+          "event_type", col("ts"), col("value"))
+        .orderBy(col("event_type"))
+    }),
+
     // Holt linear-trend forecast + conformal interval per event type:
     // the trended sibling of q_exp_smooth with a distribution-free
     // uncertainty band (90th |one-step residual| percentile).
@@ -1433,6 +1444,46 @@ object EventQueries extends QueryModule {
         |  CAST(count(*) AS BIGINT) AS n
         |FROM x WHERE prev_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // identical resample derivation: the same poly_hash string, the
+    // same pmod idiom, exact-cents replicate means, direct sorted picks
+    // at ceil(B*alpha/2) / ceil(B*(1-alpha/2))
+    "q_bootstrap_ci" -> {
+      val ph = graft.functions.PolyHashF.polyHashSql(
+        "('boot:' || event_type || ':' || CAST(rep AS VARCHAR)" +
+          " || ':' || CAST(j AS VARCHAR))")
+      s"""WITH daily AS (
+         |  SELECT event_type,
+         |    (epoch_us(ts)
+         |      - ((epoch_us(ts) % 86400000000) + 86400000000) % 86400000000)
+         |      // 86400000000 AS day,
+         |    sum(${graft.functions.Money.centsSql("value")}) AS cents
+         |  FROM events GROUP BY 1, 2),
+         |grid AS (SELECT event_type, cents,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+         |    count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM daily),
+         |ks AS (SELECT DISTINCT event_type, n FROM grid),
+         |draws AS (
+         |  SELECT event_type, n, rep, j,
+         |    ((($ph) % n) + n) % n + 1 AS idx
+         |  FROM ks,
+         |       unnest(generate_series(1, 50)) AS r(rep),
+         |       unnest(generate_series(1, CAST(n AS BIGINT))) AS s(j)),
+         |mm AS (SELECT d.event_type, d.rep,
+         |    CAST(sum(g.cents) AS DOUBLE) / CAST(d.n AS DOUBLE) / 100.0 AS m
+         |  FROM draws d JOIN grid g
+         |    ON g.event_type = d.event_type AND g.i = d.idx
+         |  GROUP BY d.event_type, d.rep, d.n),
+         |agg AS (SELECT event_type, list_sort(list(m)) AS ms
+         |        FROM mm GROUP BY event_type),
+         |nn AS (SELECT event_type, max(n) AS n_days FROM grid
+         |       GROUP BY event_type)
+         |SELECT a.event_type, CAST(nn.n_days AS BIGINT) AS n_days,
+         |  round(ms[2], 6) AS lo, round(ms[49], 6) AS hi
+         |FROM agg a JOIN nn USING (event_type)
+         |ORDER BY event_type""".stripMargin
+    },
 
     // the Holt recurrence as a RECURSIVE CTE (the q_exp_smooth duckdb
     // list_reduce caveat); b' repeats l''s expression textually exactly

@@ -298,6 +298,37 @@ class EventOpsSpec extends SparkSpec {
     assert(run(ev) == run(ev.repartition(13)))
   }
 
+  test("bootstrapMeanCi: constant series collapses, CI brackets the mean") {
+    def mk(vals: Seq[Double]) = vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong, ts(f"2024-01-${i + 1}%02d 05:00:00"), 1L, "t", v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    graft.functions.PolyHashF.register(spark)
+    // every resample of a constant series has the same mean
+    val const = EventOps.bootstrapMeanCi(mk(Seq.fill(12)(25.0)),
+        "event_type", $"ts", $"value")
+      .as[(String, Long, Double, Double)].head()
+    assert(const._2 == 12 && const._3 == 25.0 && const._4 == 25.0)
+    // a varied series: lo < hi, both inside the value envelope, and
+    // the interval brackets the plain mean on this (symmetric) data
+    val varied = EventOps.bootstrapMeanCi(
+        mk((1 to 20).map(_.toDouble * 10)), "event_type", $"ts", $"value")
+      .as[(String, Long, Double, Double)].head()
+    assert(varied._3 < varied._4)
+    assert(varied._3 >= 10.0 && varied._4 <= 200.0)
+    val mean = (1 to 20).map(_.toDouble * 10).sum / 20
+    assert(varied._3 <= mean && mean <= varied._4)
+    // deterministic randomness: bit-identical across partitionings
+    val ev = Tables.events(spark, sf001)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      EventOps.bootstrapMeanCi(df, "event_type", $"ts", $"value")
+        .collect().map(_.toString).sorted.toSeq
+    assert(run(ev) == run(ev.repartition(13)))
+    val e = intercept[IllegalArgumentException] {
+      EventOps.bootstrapMeanCi(ev, "event_type", $"ts", $"value", b = 5)
+    }
+    assert(e.getMessage.contains("replicates"))
+  }
+
   test("holtForecast: hand-computed fold and in-sample conformal coverage") {
     def mk(vals: Seq[Double]) = vals.zipWithIndex.map { case (v, i) =>
       (i.toLong, ts(f"2024-01-${i + 1}%02d 05:00:00"), 1L, "t", v, "{}")

@@ -60,10 +60,12 @@ object Dedup {
     * against the source-sized margin table. */
   def sourceOverlap(df: DataFrame, sourceCol: String,
       textCol: String): DataFrame = {
+    // three consumers (margins + both self-join sides) — checkpoint the
+    // distinct reduce so the corpus fingerprints once, not three times
     val fps = df.select(
         TokenOps.bagOfWordsFingerprint(col(textCol)).as("fp"),
         col(sourceCol).as("src"))
-      .distinct()
+      .distinct().localCheckpoint()
     val margins = fps.groupBy(col("src")).agg(count(lit(1)).as("n_src"))
     val shared = fps.select(col("fp"), col("src").as("source_a"))
       .join(fps.select(col("fp"), col("src").as("source_b")), Seq("fp"))

@@ -307,10 +307,13 @@ object EventOps {
           .cast("long").as("day"))
       .agg(sum(graft.functions.Money.cents(value)).as("cents"))
     val w = Window.partitionBy(col(key)).orderBy(col("day"))
+    // consumed by both the draw generator and the resample join —
+    // checkpoint the grid-sized frame so the corpus reduces once
     val grid = daily
       .withColumn("i", row_number().over(w).cast("long"))
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col(key)))
         .cast("long"))
+      .localCheckpoint()
     val draws = grid.filter(col("i") === 1)
       .select(col(key), col("n"),
         explode(sequence(lit(1), lit(b))).as("rep"))
@@ -412,11 +415,15 @@ object EventOps {
       value: Column, period: Int = 7): DataFrame = {
     require(period >= 2, s"period must be at least 2, got $period")
     val us = unix_micros(ts)
+    // the grid is consumed by four legs (trend window, slot means,
+    // residuals, MAD) — checkpoint the grid-sized reduce so the corpus
+    // scans once, not once per leg
     val daily = df
       .groupBy(col(key),
         ((us - pmod(us, lit(86400000000L))) / lit(86400000000L))
           .cast("long").as("day"))
       .agg(sum(graft.functions.Money.cents(value)).as("cents"))
+      .localCheckpoint()
     val half = (period - 1) / 2
     val w = Window.partitionBy(col(key)).orderBy(col("day"))
       .rowsBetween(-half, period - 1 - half)

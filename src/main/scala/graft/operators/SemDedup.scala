@@ -173,7 +173,8 @@ object SemDedup {
     // an over-budget broadcast side, and a count would scan whatever
     // frame the eval derives from once per invocation (the eager-probe
     // class the hardNegatives review closed)
-    val overBudget = evalSet.limit(maxEvalRows.toInt + 1).count() > maxEvalRows
+    val probeCap = math.min(maxEvalRows, Int.MaxValue - 1L).toInt
+    val overBudget = evalSet.limit(probeCap + 1).count() > probeCap
     require(!overBudget,
       s"semantic decontamination broadcasts the eval side: more than " +
         s"maxEvalRows=$maxEvalRows rows. A benchmark set this large " +
@@ -217,8 +218,8 @@ object SemDedup {
     // without materializing; then one checkpoint feeds the touched-cell
     // probe and the join leg (and keeps the runtime InSubquery
     // decorator off a live scan — the appendKeepFromIndex lesson)
-    val overBudget =
-      evalSet.limit(maxEvalRows.toInt + 1).count() > maxEvalRows
+    val probeCap = math.min(maxEvalRows, Int.MaxValue - 1L).toInt
+    val overBudget = evalSet.limit(probeCap + 1).count() > probeCap
     require(!overBudget,
       s"served decontamination broadcasts the eval side: more than " +
         s"maxEvalRows=$maxEvalRows rows; swap roles or raise the bound.")

@@ -243,7 +243,14 @@ object ScaleBench {
     "q_k_anonymity", "q_readability",
     // bootstrap: grid x B resample frame + one grid equi-join - the
     // day grid is time-bounded so the whole thing is ~flat
-    "q_bootstrap_ci")
+    "q_bootstrap_ci",
+    // C4 flags are a row-local projection; alignment/uniformity's
+    // probe leg is one corpus equi-join per offset (~linear) while its
+    // POSITIVES leg is SemDedup.pairs under the query family's FIXED
+    // k=4 — the Σ|cell|² regime whose production discipline (k ∝ n) is
+    // the semdedup_pairs_k_scaled rehearsal below; expect the measured
+    // exponent to carry that fixed-k surcharge (0.68 at 10×)
+    "q_c4_rules", "q_embed_quality")
 
   def generate(spark: SparkSession, sfDir: String, outDir: String,
       scale: Int): (Long, Long) = {

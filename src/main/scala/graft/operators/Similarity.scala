@@ -41,6 +41,54 @@ object Similarity {
 
   private def toDouble(c: Column): Column = c.cast("array<double>")
 
+  /** Alignment / uniformity of an embedding space (Wang & Isola, ICML
+    * 2020) — the two numbers that say whether a representation is
+    * HEALTHY before anyone trains on it: alignment = mean squared
+    * distance over POSITIVE pairs (should be small — duplicates sit
+    * together), uniformity = log mean exp(−2·d²) over a background
+    * pair sample (should be very negative — the space isn't collapsed
+    * onto a point). Distances are on the unit sphere via the rounded
+    * cosine (d² = 2 − 2·cos₆ — the SemDedup rounding, so both engines
+    * agree bit-for-bit), each term quantized to the 1e-9 grid before
+    * its order-free sum.
+    *
+    * The background sample is DETERMINISTIC id-offset probing: each id
+    * pairs with id + o for the given offsets (missing partners drop) —
+    * arbitrary-but-fixed, which is all an estimate needs and what an
+    * oracle can recompute; never an all-pairs scan. One corpus-sized
+    * equi-join per offset, positives-sized work for alignment. */
+  def alignmentUniformity(emb: DataFrame, idCol: String, vecCol: String,
+      positives: DataFrame, offsets: Seq[Long]): DataFrame = {
+    require(offsets.nonEmpty, "need at least one probe offset")
+    VectorFunctions.register(emb.sparkSession)
+    val e = emb.select(col(idCol).as("__id"), toDouble(col(vecCol)).as("__v"))
+    def cos6(a: Column, b: Column) = round(cosineFast(a, b), 6)
+    def grid(c: Column) = round(c * lit(1e9)).cast("long")
+    val pos = positives
+      .join(e.withColumnRenamed("__id", "id_a")
+        .withColumnRenamed("__v", "__va"), "id_a")
+      .join(e.withColumnRenamed("__id", "id_b")
+        .withColumnRenamed("__v", "__vb"), "id_b")
+      .select(grid(lit(2.0) - lit(2.0) * cos6(col("__va"), col("__vb")))
+        .as("dq"))
+      .agg(count(lit(1)).as("n_pos"),
+        (sum(col("dq")).cast("double") / lit(1e9) /
+          count(lit(1)).cast("double")).as("alignment"))
+    val probes = offsets.map { o =>
+      e.select((col("__id") + lit(o)).as("__pid"), col("__v").as("__va"))
+        .join(e.select(col("__id").as("__pid"), col("__v").as("__vb")),
+          "__pid")
+    }.reduce(_.unionAll(_))
+      .select(grid(exp(lit(-2.0) *
+        (lit(2.0) - lit(2.0) * cos6(col("__va"), col("__vb"))))).as("uq"))
+      .agg(count(lit(1)).as("n_probe"),
+        log(sum(col("uq")).cast("double") / lit(1e9) /
+          count(lit(1)).cast("double")).as("uniformity"))
+    pos.crossJoin(broadcast(probes))
+      .select(col("n_pos"), round(col("alignment"), 6).as("alignment"),
+        col("n_probe"), round(col("uniformity"), 6).as("uniformity"))
+  }
+
   /** Exact top-k most-cosine-similar vectors to the vector with id
     * `queryId`. The 1-row query side is broadcast; ranking is a
     * TakeOrderedAndProject (never a full sort). */

@@ -202,6 +202,34 @@ object TokenOps {
     (nTokens, stopRatio, q)
   }
 
+  /** C4-style document quality flags (Raffel et al. 2020 §2.2) as one
+    * struct column: sentence count, line count, the share of lines
+    * ending in terminal punctuation, the code/boilerplate tells (a
+    * curly brace anywhere; "lorem ipsum" case-insensitive), and the
+    * document-level `pass` = no brace ∧ no lorem ∧ ≥ `minSentences`
+    * sentences — the C4 screen beside [[gopherRules]]' token-shape one.
+    * `\z` (not `$`) anchors the line-punct regex: Java's `$` matches
+    * before a final newline, RE2's does not — the shared-subset rule
+    * the stripHtml chain documents. Row-local, codegen-friendly. */
+  def c4Rules(text: Column, minSentences: Int = 3): Column =
+    graft.functions.ColumnOps.bind(split(text, "\n"), lines => {
+      val nLines = size(lines).cast("long")
+      val nPunct = size(filter(lines,
+        l => l.rlike("[.!?\"'][ \\t]*\\z"))).cast("long")
+      val nSent = size(regexp_extract_all(text, lit("[.!?]+"), lit(0)))
+        .cast("long")
+      val hasBrace = text.contains("{") || text.contains("}")
+      val hasLorem = lower(text).contains("lorem ipsum")
+      struct(
+        nSent.as("n_sentences"),
+        nLines.as("n_lines"),
+        round(nPunct.cast("double") / nLines.cast("double"), 6)
+          .as("punct_line_ratio"),
+        hasBrace.as("has_brace"),
+        hasLorem.as("has_lorem"),
+        (!hasBrace && !hasLorem && nSent >= minSentences).as("pass"))
+    })
+
   /** Flesch reading-ease columns (n_sentences, n_words, n_syllables,
     * flesch): 206.835 − 1.015·(W/S) − 84.6·(Syl/W), with sentences =
     * terminal-punctuation runs (floored at 1 — a fragment is one

@@ -315,6 +315,20 @@ object CorpusQueries extends QueryModule {
         .orderBy(col("vec_id"))
     }),
 
+    // Alignment/uniformity (Wang & Isola 2020): is the embedding space
+    // HEALTHY — positives (the semantic-dedup pair set) close, the
+    // background (deterministic id-offset probes) spread out. The
+    // representation-quality readout run before anyone trains on the
+    // vectors.
+    "q_embed_quality" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val pos = SemDedup.pairs(emb, "vec_id", "embedding",
+          model(s, d), SEMTAU)
+        .select(col("id_a"), col("id_b"))
+      graft.operators.Similarity.alignmentUniformity(emb, "vec_id",
+        "embedding", pos, Seq(137L, 211L, 389L))
+    }),
+
     // The SERVED decontamination scan: the takedown list off the
     // cell-partitioned layout, I/O pruned to the eval batch's probed
     // cells (PartitionFilters — plan-pinned in SemDedupSpec). Corpus
@@ -1312,6 +1326,36 @@ object CorpusQueries extends QueryModule {
          |WHERE d.vec_id % 20 <> 0
          |  AND NOT EXISTS (SELECT 1 FROM cont c WHERE c.vec_id = d.vec_id)
          |ORDER BY d.vec_id""".stripMargin,
+
+    // positives off the shared cpairs CTE; probes are the same three
+    // id offsets; both metrics on the 1e-9 grid from the rounded cosine
+    "q_embed_quality" ->
+      s"""$kmeansCtes,
+         |$semdedupPairsCte,
+         |pq AS (SELECT CAST(round((2.0 - 2.0 * cos) * 1e9) AS BIGINT)
+         |         AS dq
+         |       FROM cpairs WHERE cos >= $SEMTAU),
+         |al AS (SELECT count(*) AS n_pos,
+         |    CAST(sum(dq) AS DOUBLE) / 1e9 / count(*) AS alignment
+         |  FROM pq),
+         |ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |pr AS (
+         |  SELECT CAST(round(exp(-2.0 * (2.0 - 2.0 *
+         |      round(list_dot_product(a.v, b.v)
+         |        / (sqrt(list_dot_product(a.v, a.v))
+         |           * sqrt(list_dot_product(b.v, b.v))), 6))) * 1e9)
+         |      AS BIGINT) AS uq
+         |  FROM (SELECT unnest([137, 211, 389]) AS o) offs
+         |  JOIN ev a ON TRUE
+         |  JOIN ev b ON b.vec_id = a.vec_id + offs.o),
+         |un AS (SELECT count(*) AS n_probe,
+         |    ln(CAST(sum(uq) AS DOUBLE) / 1e9 / count(*)) AS uniformity
+         |  FROM pr)
+         |SELECT CAST(al.n_pos AS BIGINT) AS n_pos,
+         |  round(al.alignment, 6) AS alignment,
+         |  CAST(un.n_probe AS BIGINT) AS n_probe,
+         |  round(un.uniformity, 6) AS uniformity
+         |FROM al CROSS JOIN un""".stripMargin,
 
     // the served takedown list: corpus hard assignment (afin) × eval
     // rank<=2 probes (afin2) — the layout-prunable contract

@@ -424,6 +424,26 @@ object TokenQueries extends QueryModule {
           col("g.alpha_ratio"), col("g.symbol_ratio"), col("g.pass"))
         .orderBy(col("doc_id"))),
 
+    // C4 document-quality flags (the rule set beside the Gopher one):
+    // the fixture is single-line and unpunctuated, so per-arm dirt is
+    // injected (brace arm, lorem arm, three-sentence arm, clean arm)
+    // plus two trailing lines — every flag varies per row on both
+    // engines (the q_redact discipline).
+    "q_c4_rules" -> ((s, d) => {
+      val dirty = concat(col("text"),
+        when(pmod(col("doc_id"), lit(4)) === 0, lit(" {code}"))
+          .when(pmod(col("doc_id"), lit(4)) === 1, lit(" Lorem Ipsum dolor"))
+          .when(pmod(col("doc_id"), lit(4)) === 2, lit(". Two. Three."))
+          .otherwise(lit("")),
+        lit("\nends well.\nno punct end"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), TokenOps.c4Rules(dirty).as("c"))
+        .select(col("doc_id"), col("c.n_sentences"), col("c.n_lines"),
+          col("c.punct_line_ratio"), col("c.has_brace"),
+          col("c.has_lorem"), col("c.pass"))
+        .orderBy(col("doc_id"))
+    }),
+
     // C4-style per-source cap (<= 20 docs per source, smallest content
     // hash survives) via the native bottom_k aggregate — no corpus-wide
     // window sort; the hot-source case ships <= k entries per task.
@@ -796,6 +816,35 @@ object TokenQueries extends QueryModule {
          |SELECT q_decile, len_bucket, CAST(count(*) AS BIGINT) AS n
          |FROM b GROUP BY q_decile, len_bucket
          |ORDER BY q_decile, len_bucket""".stripMargin,
+
+    // the same per-arm dirt; regexp_matches is a partial match like
+    // rlike; \z anchors (not $ — the Java/RE2 final-newline split)
+    "q_c4_rules" ->
+      s"""WITH dirty AS (
+         |  SELECT doc_id, text ||
+         |    CASE doc_id % 4 WHEN 0 THEN ' {code}'
+         |      WHEN 1 THEN ' Lorem Ipsum dolor'
+         |      WHEN 2 THEN '. Two. Three.' ELSE '' END
+         |    || chr(10) || 'ends well.' || chr(10) || 'no punct end' AS t
+         |  FROM documents),
+         |l AS (SELECT doc_id, t, string_split(t, chr(10)) AS lines
+         |      FROM dirty),
+         |f AS (SELECT doc_id,
+         |    CAST(len(regexp_extract_all(t, '[.!?]+')) AS BIGINT)
+         |      AS n_sentences,
+         |    CAST(len(lines) AS BIGINT) AS n_lines,
+         |    CAST(len(list_filter(lines,
+         |      x -> regexp_matches(x, '[.!?"''][ \\t]*\\z'))) AS BIGINT)
+         |      AS np,
+         |    (contains(t, '{') OR contains(t, '}')) AS has_brace,
+         |    contains(lower(t), 'lorem ipsum') AS has_lorem
+         |  FROM l)
+         |SELECT doc_id, n_sentences, n_lines,
+         |  round(CAST(np AS DOUBLE) / CAST(n_lines AS DOUBLE), 6)
+         |    AS punct_line_ratio,
+         |  has_brace, has_lorem,
+         |  (NOT has_brace AND NOT has_lorem AND n_sentences >= 3) AS pass
+         |FROM f ORDER BY doc_id""".stripMargin,
 
     // word-graph TextRank: the bigram edge derivation + the SHARED
     // PageRank.iterSql kernel (one definition with the doc-graph mirror)

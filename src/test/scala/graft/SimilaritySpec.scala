@@ -309,4 +309,29 @@ class SimilaritySpec extends SparkSpec {
     val recall = (exact & ann).size.toDouble / exact.size
     assert(recall >= 0.6, s"ANN recall $recall (exact=$exact ann=$ann)")
   }
+
+  test("alignment/uniformity landmarks: duplicates read 0, collapse reads 0") {
+    import graft.operators.Similarity
+    // four orthogonal unit vectors + one exact duplicate of vector 0
+    def unit(i: Int) = Array.tabulate(8)(j => if (j == i) 1.0f else 0.0f).toSeq
+    val emb = Seq(
+      (0L, unit(0)), (1L, unit(1)), (2L, unit(2)), (3L, unit(3)),
+      (4L, unit(0))).toDF("vec_id", "embedding")
+    val pos = Seq((0L, 4L)).toDF("id_a", "id_b")
+    val got = Similarity.alignmentUniformity(emb, "vec_id", "embedding",
+        pos, Seq(1L))
+      .as[(Long, Double, Long, Double)].head()
+    // the duplicate pair: d^2 = 0 exactly
+    assert(got._1 == 1 && got._2 == 0.0)
+    // offset-1 probes: (0,1),(1,2),(2,3),(3,4) all orthogonal -> each
+    // exp(-2*2) = e^-4, so uniformity = ln(e^-4) = -4
+    assert(got._3 == 4)
+    assert(math.abs(got._4 - (-4.0)) < 1e-6, s"uniformity ${got._4}")
+    // a COLLAPSED space (every vector identical): uniformity = ln(1) = 0
+    val flat = (0L to 4L).map(i => (i, unit(0))).toDF("vec_id", "embedding")
+    val coll = Similarity.alignmentUniformity(flat, "vec_id", "embedding",
+        pos, Seq(1L))
+      .as[(Long, Double, Long, Double)].head()
+    assert(coll._4 == 0.0 && coll._2 == 0.0)
+  }
 }

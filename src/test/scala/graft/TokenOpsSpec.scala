@@ -175,4 +175,23 @@ class TokenOpsSpec extends SparkSpec {
       .select($"df").as[Long].collect()
     assert(df.toSeq === Seq(2L), s"df(\u6F22\u5B57) = ${df.toSeq}")
   }
+
+  test("c4 rules: each flag fires on its own tell, pass needs all three") {
+    def run(s: String) =
+      Seq(s).toDF("text").select(TokenOps.c4Rules($"text").as("c"))
+        .select($"c.n_sentences", $"c.n_lines", $"c.punct_line_ratio",
+          $"c.has_brace", $"c.has_lorem", $"c.pass")
+        .as[(Long, Long, Double, Boolean, Boolean, Boolean)].head()
+    val good = run("One sentence. Two here. And three!")
+    assert(good._1 == 3 && !good._4 && !good._5 && good._6)
+    assert(run("Has code { inside }. Two. Three.")._4)
+    assert(!run("Has code { inside }. Two. Three.")._6)
+    assert(run("Lorem IPSUM dolor. Two. Three.")._5)
+    assert(!run("Only two. Sentences here.")._6) // < 3 sentences
+    // line accounting: punct ratio counts terminal-punctuation lines,
+    // \z semantics (a line ending in a quote after punctuation counts)
+    val lines = run("ends well.\nno punct\nquoted end!\"")
+    assert(lines._2 == 3 && lines._3 == BigDecimal(2.0 / 3.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
 }

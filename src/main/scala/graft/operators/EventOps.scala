@@ -26,6 +26,12 @@ import org.apache.spark.sql.functions._
   *    window→rollingRange, KS/PSI drift→ksDaily/psiDaily,
   *    dedup→dedupEvents, funnel→funnelStages, last-click
   *    attribution→attributedPurchases.
+  *  - twin (moment state): the A/B readouts (Profiling.welchTTest /
+  *    cupedDiff / proportionZTest) close over exact integer moments,
+  *    and EventStream.armMoments maintains that state incrementally —
+  *    the ≤2-row t/θ close stays consumer-side by design (chained
+  *    streaming aggregations would force complete mode); specced:
+  *    prefix-exact moments + the streamed close == q_ab_welch's t.
   *  - bounded-summary twin: [[topPerKey]]'s "who dominates" question is
   *    served by heavyUsersByType (Misra-Gries, the PODS'12 mergeable
   *    bound) — an EXACT streaming top-k per key would need unbounded

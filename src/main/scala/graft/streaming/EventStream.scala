@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -247,6 +247,26 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"),
         graft.operators.EventOps.decayScoreAgg(col("ts"), col("value"),
           asOf, tauDays).as("decay_score"))
+
+  /** Streaming per-arm moment state for the A/B readouts: (arm, n, s1
+    * exact cents, s2 cents² in DECIMAL) in update mode — the
+    * exact-integer moments [[graft.operators.Profiling.welchTTest]] and
+    * `cupedDiff` close over, maintained incrementally as native
+    * streaming aggregates (counts and sums are commutative, so there is
+    * no seam hazard — the spec's claim is prefix exactness: after any
+    * micro-batch split the state equals the batch moments over the
+    * events so far, and the Welch t computed from the final state
+    * equals the batch query's). The t/θ close itself is a ≤2-row
+    * consumer-side formula, deliberately NOT a second streaming
+    * aggregation (chained aggregations need complete mode and lose the
+    * incremental update). */
+  def armMoments(events: DataFrame, arm: Column,
+      valueCol: Column): DataFrame = {
+    val q = graft.functions.Money.cents(valueCol)
+    events.groupBy(arm.as("arm"))
+      .agg(count(lit(1)).as("n"), sum(q).as("s1"),
+        sum(q.cast("decimal(38,0)") * q.cast("decimal(38,0)")).as("s2"))
+  }
 
   /** Stream-stream interval join: left-type events joined to right-type
     * events of the same user within [l_ts, l_ts + within) — streaming

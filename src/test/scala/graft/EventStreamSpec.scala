@@ -533,6 +533,64 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming arm moments == batch after every prefix; Welch t closes equal") {
+    val ev = Tables.events(spark, sf001)
+    val mid = ev.selectExpr("percentile(unix_micros(ts), 0.5)").head().getDouble(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-armmom")
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-armmom-w")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part), dir.resolve(name))
+    }
+    val armOf = col("event_type")
+    def latest(): Map[String, (Long, Long, BigDecimal)] =
+      spark.table("armmom_out")
+        .groupBy($"arm").agg(max_by(struct($"n", $"s1", $"s2"), $"n").as("s"))
+        .select($"arm", $"s.n", $"s.s1", $"s.s2")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), BigDecimal(r.getDecimal(3)))).toMap
+    def batchOver(df: org.apache.spark.sql.DataFrame) =
+      EventStream.armMoments(df, armOf, $"value")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), BigDecimal(r.getDecimal(3)))).toMap
+    val a = ev.filter(unix_micros($"ts") <= mid)
+    stage(a, "a.parquet")
+    val q = EventStream.armMoments(
+        EventStream.read(spark, dir.toString), armOf, $"value")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("armmom_out").start()
+    try {
+      q.processAllAvailable()
+      assert(latest() === batchOver(a))
+      stage(ev.filter(unix_micros($"ts") > mid), "b.parquet")
+      q.processAllAvailable()
+      val fin = latest()
+      assert(fin === batchOver(ev) && fin.nonEmpty)
+      // the consumer-side close: Welch t from the streamed final state
+      // equals the declared batch query bit-for-bit
+      def m(g: String) = fin(g)
+      def close(g: String) = {
+        val (n, s1, s2) = m(g)
+        val nd = n.toDouble
+        val mean = s1.toDouble / nd / 100.0
+        val vr = (s2.toDouble - s1.toDouble * s1.toDouble / nd) /
+          (nd - 1.0) / 10000.0
+        (nd, mean, vr)
+      }
+      val (na, ma, va) = close("click")
+      val (nb, mb, vb) = close("purchase")
+      val se2 = va / na + vb / nb
+      val t = BigDecimal((ma - mb) / math.sqrt(se2))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val declared = graft.queries.EventQueries.queries("q_ab_welch")(
+        spark, sf001).head()
+      assert(declared.getDouble(4) == t,
+        s"streamed-close t $t vs declared ${declared.getDouble(4)}")
+    } finally q.stop()
+  }
+
   test("streaming rolling RANGE window == batch q_rolling_range across micro-batches") {
     // The cross-batch hazard: an event near the seam whose trailing-hour
     // frame reaches back into batch A — a stateless per-batch window

@@ -95,8 +95,10 @@ class PlanSpec extends SparkSpec {
       "q_bigram_nll", "q_merge_upsert", "q_cdc_apply",
       // Kneser-Ney adds the 1-row N1+(··) frame beside the (N, V) stats
       // row; kappa crosses its two 1-row summaries (totals × margin
-      // products); the divergence readout carries the same (N, V) row
-      "q_kneser_ney", "q_cohens_kappa", "q_source_kl",
+      // products); the divergence readout carries the same (N, V) row;
+      // embed-quality crosses its two 1-row metric summaries
+      // (alignment × uniformity)
+      "q_kneser_ney", "q_cohens_kappa", "q_source_kl", "q_embed_quality",
       // recall eval joins the IVF and brute-force top-10s — both carry
       // the 1-row query-vector scalar join by construction; the
       // matryoshka curve is four such brute-force scans (full + 3

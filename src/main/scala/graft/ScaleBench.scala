@@ -250,7 +250,11 @@ object ScaleBench {
     // k=4 — the Σ|cell|² regime whose production discipline (k ∝ n) is
     // the semdedup_pairs_k_scaled rehearsal below; expect the measured
     // exponent to carry that fixed-k surcharge (0.68 at 10×)
-    "q_c4_rules", "q_embed_quality")
+    "q_c4_rules", "q_embed_quality",
+    // the rank ensemble: four signal projections + five doc-frame
+    // windows (global sorts - the curriculum-grid regime; GK cuts are
+    // the 1e9-doc swap) + the NLL vocab join
+    "q_quality_ensemble")
 
   def generate(spark: SparkSession, sfDir: String, outDir: String,
       scale: Int): (Long, Long) = {

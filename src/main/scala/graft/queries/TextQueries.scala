@@ -83,6 +83,48 @@ object TextQueries extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // Mean-rank quality ENSEMBLE: four independent signals (heuristic
+    // quality, Flesch readability — higher better; repetition, unigram
+    // NLL — lower better) combined by rank, not value, so no signal's
+    // scale dominates and outliers can't capsize the blend (the
+    // rank-fusion idea from RRF applied to curation scores). keep =
+    // the top 60% by mean rank. Four doc-frame windows + one final —
+    // at 1e9 docs swap the exact row_numbers for GK-digest cuts, the
+    // q_curriculum_grid note.
+    "q_quality_ensemble" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val (_, _, q) = TokenOps.qualityScore(col("text"))
+      val (_, _, _, fl) = TokenOps.readability(col("text"))
+      val rep = TokenOps.repetitionRatio(col("text"), 2)
+      val base = docs.select(col("doc_id"), q.as("quality"),
+          fl.as("flesch"), rep.as("rep2"))
+        .join(graft.operators.UnigramLM.nll(docs, "doc_id", "text")
+          .select(col("doc_id"), col("nll")), "doc_id")
+      def rk(c: org.apache.spark.sql.Column, asc: Boolean) =
+        row_number().over(Window.orderBy(
+          if (asc) c.asc else c.desc, col("doc_id"))).cast("long")
+      val ranked = base.select(col("doc_id"),
+        rk(col("quality"), asc = false).as("r_quality"),
+        rk(col("flesch"), asc = false).as("r_flesch"),
+        rk(col("rep2"), asc = true).as("r_rep"),
+        rk(col("nll"), asc = true).as("r_nll"))
+      val mean = (col("r_quality") + col("r_flesch") + col("r_rep") +
+        col("r_nll")).cast("double") / 4.0
+      val n = count(lit(1)).over(Window.partitionBy())
+      ranked
+        .withColumn("mean_rank", mean)
+        .withColumn("ens_rank",
+          row_number().over(Window.orderBy(col("mean_rank"), col("doc_id")))
+            .cast("long"))
+        .withColumn("keep", col("ens_rank") <=
+          ceil(n.cast("double") * 0.6).cast("long"))
+        .select(col("doc_id"), col("r_quality"), col("r_flesch"),
+          col("r_rep"), col("r_nll"),
+          round(col("mean_rank"), 6).as("mean_rank"), col("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // k-anonymity audit over the (lang, source, 50-char length band)
     // quasi-identifier: every group smaller than k=5 — the
     // re-identification risk readout a governance review runs before a
@@ -461,6 +503,70 @@ object TextQueries extends QueryModule {
         " || ' tel +1555010' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
       s"""SELECT doc_id, ${TextClean.redactSql(s"($dirty)")} AS redacted
          |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    // the four signal formulas copied textually from their own mirrors
+    // (quality, readability, rep2, unigram NLL), ranked on the ROUNDED
+    // values with doc_id tiebreaks exactly as the engine ranks
+    "q_quality_ensemble" -> {
+      val ws = graft.operators.TokenOps.WsRun
+      val stopSql = graft.operators.TokenOps.sqlList(
+        graft.operators.TokenOps.englishStopwords)
+      val grams = "[array_to_string(t[i:i+1], ' ') " +
+        "FOR i IN generate_series(1, greatest(len(t) - 1, 0))]"
+      s"""WITH toks AS (SELECT doc_id, text,
+         |    regexp_split_to_array(lower(text), '$ws') AS t
+         |  FROM documents),
+         |sig AS (SELECT doc_id,
+         |    round(0.5 * least(CAST(len(t) AS DOUBLE) / 100.0, 1.0)
+         |      + 0.3 * (1.0
+         |        - CAST(len(list_filter(t, x -> x IN ($stopSql))) AS DOUBLE)
+         |          / CAST(len(t) AS DOUBLE))
+         |      + 0.2 * least((CAST(length(replace(text, ' ', '')) AS DOUBLE)
+         |          / CAST(len(t) AS DOUBLE)) / 10.0, 1.0), 6) AS quality,
+         |    round(206.835
+         |      - 1.015 * (CAST(len(t) AS DOUBLE)
+         |        / CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+         |               AS DOUBLE))
+         |      - 84.6 * (CAST(list_sum(list_transform(t,
+         |          x -> len(regexp_extract_all(x, '[aeiouy]+')))) AS DOUBLE)
+         |        / CAST(len(t) AS DOUBLE)), 6) AS flesch,
+         |    CASE WHEN len($grams) = 0 THEN 0.0 ELSE
+         |      round(1.0 - CAST(len(list_distinct($grams)) AS DOUBLE)
+         |        / len($grams), 6) END AS rep2
+         |  FROM toks),
+         |tk AS (SELECT doc_id, unnest(t) AS token FROM toks),
+         |counts AS (SELECT token, count(*) AS c FROM tk GROUP BY token),
+         |stats AS (SELECT sum(c) AS n, count(*) AS v FROM counts),
+         |scored AS (
+         |  SELECT tk.doc_id,
+         |    CAST(round(-ln(CAST(c + 1 AS DOUBLE) / CAST(n + v AS DOUBLE))
+         |      * 1000000000.0) AS BIGINT) AS nq
+         |  FROM tk JOIN counts USING (token) CROSS JOIN stats),
+         |nlltab AS (SELECT doc_id,
+         |    round(CAST(sum(nq) AS DOUBLE) / 1000000000.0
+         |      / CAST(count(*) AS DOUBLE), 6) AS nll
+         |  FROM scored GROUP BY doc_id),
+         |r AS (SELECT sig.doc_id,
+         |    CAST(row_number() OVER (ORDER BY quality DESC, sig.doc_id)
+         |      AS BIGINT) AS r_quality,
+         |    CAST(row_number() OVER (ORDER BY flesch DESC, sig.doc_id)
+         |      AS BIGINT) AS r_flesch,
+         |    CAST(row_number() OVER (ORDER BY rep2 ASC, sig.doc_id)
+         |      AS BIGINT) AS r_rep,
+         |    CAST(row_number() OVER (ORDER BY nll ASC, sig.doc_id)
+         |      AS BIGINT) AS r_nll,
+         |    count(*) OVER () AS nn
+         |  FROM sig JOIN nlltab ON sig.doc_id = nlltab.doc_id),
+         |m AS (SELECT *, CAST(r_quality + r_flesch + r_rep + r_nll
+         |        AS DOUBLE) / 4.0 AS mean_rank FROM r),
+         |f AS (SELECT *, row_number() OVER (ORDER BY mean_rank, doc_id)
+         |        AS ens_rank FROM m)
+         |SELECT doc_id, r_quality, r_flesch, r_rep, r_nll,
+         |  round(mean_rank, 6) AS mean_rank,
+         |  (ens_rank <= CAST(ceil(CAST(nn AS DOUBLE) * 0.6) AS BIGINT))
+         |    AS keep
+         |FROM f ORDER BY doc_id""".stripMargin
     },
 
     "q_k_anonymity" ->

@@ -176,6 +176,47 @@ class TokenOpsSpec extends SparkSpec {
     assert(df.toSeq === Seq(2L), s"df(\u6F22\u5B57) = ${df.toSeq}")
   }
 
+  test("quality ensemble: a dominator ranks first, keep cut is exact") {
+    // doc 0 dominates every signal: long varied prose with sentences
+    // (best quality + readability, no repetition, typical vocabulary);
+    // doc 3 is worst everywhere (short, repeated, rare-token salad)
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over a lazy dog near town. " +
+        "a bright sun warms the green field today and more. " +
+        "small birds sing near the quiet river bank at dawn. " +
+        "people walk along the shore and smile at the waves."),
+      (1L, "the small cat sat on the mat. it was a good day."),
+      (2L, "some plain words about the weather and the sea."),
+      (3L, "zzgx zzgx zzgx zzgx")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ens")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.TextQueries.queries("q_quality_ensemble")(
+        spark, dir.toString)
+      .as[(Long, Long, Long, Long, Long, Double, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    // keep cut: ceil(0.6 * 4) = 3 docs kept, and the kept set IS the
+    // three smallest mean ranks (cut consistency — which doc falls is
+    // signal interplay: the vowel-less salad scores 0 syllables, so
+    // Flesch loves it even as repetition buries it)
+    assert(got.values.count(_._7) == 3)
+    val keepSet = got.values.filter(_._7).map(_._1).toSet
+    val bestByMean =
+      got.values.toSeq.sortBy(r => (r._6, r._1)).take(3).map(_._1).toSet
+    assert(keepSet == bestByMean)
+    // per-signal sanity: varied prose beats the salad on the signals
+    // that measure what they claim (quality, repetition) — the BLEND's
+    // verdict on a 4-doc corpus is the signals' interplay, not a fact
+    // to pin (tiny-corpus NLL finds zzgx frequent; Flesch finds it
+    // vowel-less and easy — exactly why ensembling beats any one)
+    assert(got(0L)._2 < got(3L)._2, s"quality: $got")
+    assert(got(0L)._4 < got(3L)._4, s"repetition: $got")
+    // every rank column is a permutation of 1..n
+    Seq[((Long, Long, Long, Long, Long, Double, Boolean)) => Long](
+      _._2, _._3, _._4, _._5).foreach { f =>
+      assert(got.values.map(f).toSeq.sorted == Seq(1L, 2L, 3L, 4L))
+    }
+  }
+
   test("c4 rules: each flag fires on its own tell, pass needs all three") {
     def run(s: String) =
       Seq(s).toDF("text").select(TokenOps.c4Rules($"text").as("c"))

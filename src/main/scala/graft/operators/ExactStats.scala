@@ -28,6 +28,25 @@ object ExactStats {
     * executor, far above any survey fixture. */
   val DefaultMaxGroupRows: Long = 10000000L
 
+  /** Require that a frame about to ride EXACT corpus-wide rank windows
+    * (`row_number`/`ntile` over an unpartitioned `Window.orderBy`) is
+    * small enough for the single-partition sort those windows plan.
+    * Returns the counted total so the caller can fold it into the plan
+    * as a literal (the kmeans-centroid discipline: one bounded driver
+    * scalar, no scalar-join close). The failure message names the
+    * GK-digest band-cut sibling as the over-threshold path. */
+  def guardExactRank(frame: DataFrame, what: String,
+      maxRows: Long = DefaultMaxGroupRows): Long = {
+    val n = frame.count()
+    require(n <= maxRows,
+      s"$what: $n rows > maxRows=$maxRows — an exact corpus-wide rank " +
+        "window sorts the WHOLE frame in one partition. At this scale " +
+        "use the GK-digest band cuts (q_quality_ensemble_gk / " +
+        "q_quantile_rollup) with an explicit rank-error bound, or pass " +
+        "maxRows to opt into the bigger sort.")
+    n
+  }
+
   /** Require that no percentile group of `values` exceeds `maxGroupRows`.
     * `groupCols` empty means one GLOBAL group (a global percentile's
     * buffer holds the whole frame). `what` names the calling computation

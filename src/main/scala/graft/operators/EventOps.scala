@@ -405,7 +405,11 @@ object EventOps {
     * unusual, or is it just Saturday":
     *
     *   - trend: centered `period`-wide moving average, NULL until the
-    *     window is full (the classical edge rule);
+    *     window is full (the classical edge rule). `period` must be ODD
+    *     — an even period has no symmetric window (classical
+    *     decomposition uses a 2×m double MA there, which this verb does
+    *     not implement), so it is rejected rather than silently
+    *     computed over an asymmetric rowsBetween;
     *   - seasonal: per day-slot (day index mod `period`) mean of the
     *     detrended series, centered so the slots sum to ~0;
     *   - residual = x − trend − seasonal; a day flags anomalous when
@@ -419,7 +423,10 @@ object EventOps {
     * everything after moves grid-sized rows. */
   def seasonalDecompose(df: DataFrame, key: String, ts: Column,
       value: Column, period: Int = 7): DataFrame = {
-    require(period >= 2, s"period must be at least 2, got $period")
+    require(period >= 3 && period % 2 == 1,
+      s"period must be an odd integer >= 3 (a centered $period-wide " +
+        "moving average needs a symmetric window; even periods need the " +
+        s"2×m double MA this verb does not implement), got $period")
     val us = unix_micros(ts)
     // the grid is consumed by four legs (trend window, slot means,
     // residuals, MAD) — checkpoint the grid-sized reduce so the corpus

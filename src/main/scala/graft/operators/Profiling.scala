@@ -152,9 +152,16 @@ object Profiling {
     val dfw = se2 * se2 /
       ((va / d(na)) * (va / d(na)) / (d(na) - 1.0) +
         (vb / d(nb)) * (vb / d(nb)) / (d(nb) - 1.0))
+    // degenerate-arm contract (the proportionZTest convention): an empty
+    // or single-unit arm has no sample variance and zero pooled SE —
+    // present NULL instead of leaking IEEE NaN/Inf (mirrored in
+    // q_ab_welch so both engines agree on the degenerate row too)
+    val ok = na > 1 && nb > 1 && se2 > 0.0
     agg.select(na.as("n_a"), nb.as("n_b"),
-      round(ma, 6).as("mean_a"), round(mb, 6).as("mean_b"),
-      round(tStat, 6).as("t_stat"), round(dfw, 6).as("df_welch"))
+      when(na > 0, round(ma, 6)).as("mean_a"),
+      when(nb > 0, round(mb, 6)).as("mean_b"),
+      when(ok, round(tStat, 6)).as("t_stat"),
+      when(ok, round(dfw, 6)).as("df_welch"))
   }
 
   /** Two-proportion z-test between arms `a` and `b`: unit-level
@@ -264,9 +271,12 @@ object Profiling {
     def d(c: Column) = c.cast("double")
     val po = d(col("agree")) / d(col("n"))
     val pe = d(col("rc")) / (d(col("n")) * d(col("n")))
+    // degenerate contract: pe = 1 (a single class on both axes) makes
+    // κ 0/0 — present NULL explicitly (the proportionZTest zero-variance
+    // convention) instead of relying on both engines' NaN behavior
     tot.crossJoin(rc).select(col("n"),
       round(po, 6).as("po"), round(pe, 6).as("pe"),
-      round((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
+      when(pe < 1.0, round((po - pe) / (lit(1.0) - pe), 6)).as("kappa"))
   }
 
   /** Zipf-law slope of the token frequency distribution — the corpus

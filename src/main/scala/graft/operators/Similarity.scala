@@ -60,6 +60,14 @@ object Similarity {
   def alignmentUniformity(emb: DataFrame, idCol: String, vecCol: String,
       positives: DataFrame, offsets: Seq[Long]): DataFrame = {
     require(offsets.nonEmpty, "need at least one probe offset")
+    // id-offset probing computes __id + o: with a string id the addition
+    // is NULL, the probe join silently empties, and uniformity comes
+    // back NULL — fail loudly at the door instead (the library's guard
+    // convention)
+    require(emb.schema(idCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"alignmentUniformity needs a numeric id column for offset " +
+        s"probing; '$idCol' is ${emb.schema(idCol).dataType.simpleString}")
     VectorFunctions.register(emb.sparkSession)
     val e = emb.select(col(idCol).as("__id"), toDouble(col(vecCol)).as("__v"))
     def cos6(a: Column, b: Column) = round(cosineFast(a, b), 6)

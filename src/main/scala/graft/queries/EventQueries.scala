@@ -1014,13 +1014,17 @@ object EventQueries extends QueryModule {
          |    sum(cq * cq) FILTER (WHERE event_type = 'purchase') AS s2b
          |  FROM q)
          |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
-         |  round(${mean("a")}, 6) AS mean_a,
-         |  round(${mean("b")}, 6) AS mean_b,
-         |  round((${mean("a")} - ${mean("b")}) / sqrt($se2), 6) AS t_stat,
-         |  round($se2 * $se2 /
-         |    ((${se("a")}) * (${se("a")}) / (CAST(na AS DOUBLE) - 1.0)
-         |     + (${se("b")}) * (${se("b")}) / (CAST(nb AS DOUBLE) - 1.0)),
-         |    6) AS df_welch
+         |  CASE WHEN na > 0 THEN round(${mean("a")}, 6) END AS mean_a,
+         |  CASE WHEN nb > 0 THEN round(${mean("b")}, 6) END AS mean_b,
+         |  CASE WHEN na > 1 AND nb > 1 AND $se2 > 0 THEN
+         |    round((${mean("a")} - ${mean("b")}) / sqrt($se2), 6)
+         |  END AS t_stat,
+         |  CASE WHEN na > 1 AND nb > 1 AND $se2 > 0 THEN
+         |    round($se2 * $se2 /
+         |      ((${se("a")}) * (${se("a")}) / (CAST(na AS DOUBLE) - 1.0)
+         |       + (${se("b")}) * (${se("b")}) / (CAST(nb AS DOUBLE) - 1.0)),
+         |      6)
+         |  END AS df_welch
          |FROM m""".stripMargin
     },
 
@@ -1548,7 +1552,7 @@ object EventQueries extends QueryModule {
          |    CASE WHEN count(*) OVER w = 7
          |      THEN (CAST(sum(cents) OVER w AS DOUBLE) / 7.0) / 100.0
          |    END AS trend,
-         |    day % 7 AS slot
+         |    ((day % 7) + 7) % 7 AS slot
          |  FROM daily
          |  WINDOW w AS (PARTITION BY event_type ORDER BY day
          |               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),

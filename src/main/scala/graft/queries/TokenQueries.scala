@@ -900,11 +900,14 @@ object TokenQueries extends QueryModule {
          |  round(CAST(agree AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
          |  round(CAST(rc AS DOUBLE)
          |        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS pe,
-         |  round((CAST(agree AS DOUBLE) / CAST(n AS DOUBLE)
-         |         - CAST(rc AS DOUBLE)
-         |           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
-         |        / (1.0 - CAST(rc AS DOUBLE)
-         |           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6) AS kappa
+         |  CASE WHEN CAST(rc AS DOUBLE)
+         |            / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) < 1.0 THEN
+         |    round((CAST(agree AS DOUBLE) / CAST(n AS DOUBLE)
+         |           - CAST(rc AS DOUBLE)
+         |             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+         |          / (1.0 - CAST(rc AS DOUBLE)
+         |             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6)
+         |  END AS kappa
          |FROM tot CROSS JOIN rcx""".stripMargin,
 
     // tiered language-ID mirror: the same injected dirty text, the same

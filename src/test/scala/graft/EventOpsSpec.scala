@@ -377,6 +377,16 @@ class EventOpsSpec extends SparkSpec {
     }
   }
 
+  test("seasonalDecompose rejects even periods (no symmetric window exists)") {
+    val df = Seq((1L, ts("2024-01-01 05:00:00"), 1L, "t", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val e = intercept[IllegalArgumentException] {
+      EventOps.seasonalDecompose(df, "event_type", $"ts", $"value",
+        period = 4)
+    }
+    assert(e.getMessage.contains("odd"), e.getMessage)
+  }
+
   test("seasonalDecompose recovers a planted weekly pattern exactly") {
     def mk(vals: Seq[Double]) = vals.zipWithIndex.map { case (v, i) =>
       (i.toLong, ts(f"2024-01-${i + 1}%02d 05:00:00"), 1L, "t", v, "{}")

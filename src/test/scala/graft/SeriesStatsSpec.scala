@@ -153,6 +153,23 @@ class SeriesStatsSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("welch t-test presents NULL, not NaN, on degenerate arms") {
+    import graft.operators.Profiling
+    // single-unit arm: no sample variance exists (n−1 = 0)
+    val single = Seq(("a", 3.0), ("b", 1.0), ("b", 2.0)).toDF("g", "v")
+    val r1 = Profiling.welchTTest(single, $"v", $"g", "a", "b").head()
+    assert(r1.getLong(0) == 1 && r1.isNullAt(4) && r1.isNullAt(5))
+    // empty arm
+    val empty = Seq(("b", 1.0), ("b", 2.0)).toDF("g", "v")
+    val r2 = Profiling.welchTTest(empty, $"v", $"g", "a", "b").head()
+    assert(r2.getLong(0) == 0 && r2.isNullAt(4) && r2.isNullAt(5))
+    // zero pooled SE: both arms constant
+    val const = Seq(("a", 5.0), ("a", 5.0), ("b", 7.0), ("b", 7.0))
+      .toDF("g", "v")
+    val r3 = Profiling.welchTTest(const, $"v", $"g", "a", "b").head()
+    assert(r3.isNullAt(4) && r3.isNullAt(5))
+  }
+
   test("welch t-test is partitioning-invariant (integer-moment sums)") {
     import graft.operators.Profiling
     val ev = Tables.events(spark, sf001)
@@ -283,6 +300,13 @@ class SeriesStatsSpec extends SparkSpec {
     val k0 = Profiling.cohensKappa(const, "t", "p")
       .as[(Long, Double, Double, Double)].head()
     assert(k0._2 == 0.75 && k0._3 == 0.75 && k0._4 == 0.0)
+  }
+
+  test("cohen's kappa presents NULL, not NaN, when pe = 1 (single class)") {
+    import graft.operators.Profiling
+    val mono = Seq(("x", "x"), ("x", "x"), ("x", "x")).toDF("t", "p")
+    val r = Profiling.cohensKappa(mono, "t", "p").head()
+    assert(r.getDouble(1) == 1.0 && r.getDouble(2) == 1.0 && r.isNullAt(3))
   }
 
   test("cohen's kappa matches the textbook two-rater example") {

@@ -333,5 +333,13 @@ class SimilaritySpec extends SparkSpec {
         pos, Seq(1L))
       .as[(Long, Double, Long, Double)].head()
     assert(coll._4 == 0.0 && coll._2 == 0.0)
+    // a string id cannot offset-probe (id + o is NULL, the probe join
+    // silently empties) — the guard must trip at the door
+    val strId = Seq(("a", unit(0))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.alignmentUniformity(strId, "vec_id", "embedding",
+        Seq(("a", "a")).toDF("id_a", "id_b"), Seq(1L))
+    }
+    assert(e.getMessage.contains("numeric id"), e.getMessage)
   }
 }

@@ -35,6 +35,28 @@ object TokenQueries extends QueryModule {
   private val ThSnippet = "\u0E20\u0E32\u0E29\u0E32\u0E44\u0E17\u0E22"
   private val ZhSnippet = "\u4E2D\u6587\u6587\u672C\u5904\u7406"
 
+  // q_lang_id_ngram seed/eval snippets (shared constants, both engines):
+  // one lowercase sentence per Latin-script language, apostrophe-free so
+  // each embeds verbatim in a SQL literal. pt and nl are DELIBERATELY
+  // outside LangId.markers \u2014 the trained tier must learn languages the
+  // marker tier cannot see (that extensibility is the tier's point).
+  // Accents spelled as \u escapes to keep the source ASCII.
+  private val NgramLangs: Seq[(String, String)] = Seq(
+    "de" -> ("der schnelle braune fuchs springt \u00FCber den faulen " +
+      "hund und l\u00E4uft schnell davon in den dunklen wald"),
+    "en" -> ("the quick brown fox jumps over the lazy dog and runs " +
+      "away with the red ball into the dark woods"),
+    "es" -> ("el r\u00E1pido zorro marr\u00F3n salta sobre el perro " +
+      "perezoso y se escapa corriendo hacia el bosque oscuro"),
+    "fr" -> ("le renard brun rapide saute par-dessus le chien " +
+      "paresseux et court tres vite vers la foret sombre"),
+    "it" -> ("la volpe marrone veloce salta sopra il cane pigro e " +
+      "scappa via molto veloce verso il bosco scuro"),
+    "nl" -> ("de snelle bruine vos springt over de luie hond en rent " +
+      "heel snel weg naar het donkere bos"),
+    "pt" -> ("a raposa marrom r\u00E1pida pula sobre o c\u00E3o " +
+      "pregui\u00E7oso e foge correndo para a floresta escura"))
+
   val queries: Map[String, Q] = Map(
     // Script-aware tokenization fallback (TokenOps.tokenize): the
     // fixture is ASCII, so every row gets a CJK clause appended on both
@@ -586,6 +608,50 @@ object TokenQueries extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // TRAINED language ID (LangIdNgram): char-trigram profiles fit
+    // in-engine on a labeled seed HALF (doc_id parity split), argmax
+    // log-odds scoring on the held-out half. The corpus labels carry no
+    // textual signal (the fixture text is label-independent word soup —
+    // that is exactly why the marker tier's q_cohens_kappa reads ≈0),
+    // so the demonstration rides injected REAL language text, the
+    // q_lang_id_cjk discipline: doc_id%7 arms get one of seven
+    // language snippets (incl. pt/nl, which the marker tier cannot
+    // see). Fully mirrored: fit AND score replayed in SQL.
+    "q_lang_id_ngram" -> ((s, d) => {
+      val (seed, ev) = ngramSeedEval(s, d)
+      val model = graft.operators.LangIdNgram.fit(
+        seed, "lang_true", "dirty")
+      graft.operators.LangIdNgram.predict(ev, "doc_id", "dirty", model)
+        .join(ev.select(col("doc_id"), col("lang_true")), "doc_id")
+        .select(col("doc_id"), col("lang_true"), col("lang_pred"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // The honesty readout for the trained tier, beside the marker
+    // tier's — SAME eval half, SAME truth, both predictors: Cohen's
+    // kappa per tier in one result. The trained tier must sit near 1
+    // on text that HAS language signal while the marker tier (blind to
+    // pt/nl, confused by shared function words) sits far below — the
+    // measured argument for shipping the third tier.
+    "q_lang_id_ngram_kappa" -> ((s, d) => {
+      val (seed, ev) = ngramSeedEval(s, d)
+      val model = graft.operators.LangIdNgram.fit(
+        seed, "lang_true", "dirty")
+      val ngram = graft.operators.LangIdNgram
+        .predict(ev, "doc_id", "dirty", model)
+        .join(ev.select(col("doc_id"), col("lang_true")), "doc_id")
+      val marker = ev.select(col("lang_true"),
+        LangId.detectText(col("dirty")).as("lang_pred"))
+      graft.operators.Profiling.cohensKappa(marker, "lang_true", "lang_pred")
+        .withColumn("tier", lit("marker"))
+        .unionByName(graft.operators.Profiling
+          .cohensKappa(ngram.select(col("lang_true"), col("lang_pred")),
+            "lang_true", "lang_pred")
+          .withColumn("tier", lit("ngram")))
+        .select(col("tier"), col("n"), col("po"), col("pe"), col("kappa"))
+        .orderBy(col("tier"))
+    }),
+
     // Substring-level dedup (Lee et al. ACL'22 ExactSubstr, k-gram
     // form): per-doc duplicated-span profile + retention cut. k=5
     // separates incidental shared spans (1-4% of a doc here) from
@@ -650,6 +716,113 @@ object TokenQueries extends QueryModule {
        |    CASE WHEN b.s > 0 THEN b.lang ELSE 'und' END AS lang_pred
        |  FROM lbest)""".stripMargin
   }
+
+  /** q_lang_id_ngram labeled fixture: every doc gets its doc_id%7 arm
+    * snippet repeated 3× plus an 8-char corpus slice (per-doc noise);
+    * lang_true is the arm. Parity split — seed even, eval odd (7 and 2
+    * are coprime, so both halves see all seven arms). Checkpointed: the
+    * fit and two predictor legs all reread it. */
+  private def ngramLabeled(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val arm = col("doc_id") % 7
+    def pick(f: ((String, String)) => String) =
+      NgramLangs.zipWithIndex.foldLeft(lit(null).cast("string")) {
+        case (acc, (p, i)) => when(arm === i, lit(f(p))).otherwise(acc)
+      }
+    Tables.documents(s, d).select(col("doc_id"),
+      pick(_._1).as("lang_true"),
+      concat(repeat(pick(_._2), 3), lit(" "),
+        substring(col("text"), 1, 8)).as("dirty"))
+      .localCheckpoint()
+  }
+
+  private def ngramSeedEval(s: org.apache.spark.sql.SparkSession,
+      d: String): (org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame) = {
+    val lab = ngramLabeled(s, d)
+    (lab.filter(col("doc_id") % 2 === 0),
+      lab.filter(col("doc_id") % 2 === 1))
+  }
+
+  /** Shared SQL for the trained-tier mirrors: the labeled fixture, the
+    * char-trigram FIT on the even half (counts → nano-grid log-prob
+    * profile + per-language add-1 defaults), and argmax scoring of the
+    * odd half, ending in `predng(doc_id, lang_true, lang_pred)` —
+    * textually one definition, consumed by q_lang_id_ngram and the
+    * kappa readout. Gram construction floors the position range at 1
+    * exactly like LangIdNgram.charGrams. */
+  private val ngramPredCtes: String = {
+    def armSql(f: ((String, String)) => String) =
+      "CASE doc_id % 7 " + NgramLangs.zipWithIndex.map {
+        case (p, i) => s"WHEN $i THEN '${f(p)}'"
+      }.mkString(" ") + " END"
+    val grams = "[substring(t, i, 3) FOR i IN " +
+      "generate_series(1, greatest(length(t) - 2, 1))]"
+    s"""lab AS (SELECT doc_id, ${armSql(_._1)} AS lang_true,
+       |    lower(repeat(${armSql(_._2)}, 3) || ' ' ||
+       |      substring(text, 1, 8)) AS t
+       |  FROM documents),
+       |sg AS (SELECT lang_true AS lang, unnest($grams) AS g
+       |  FROM lab WHERE doc_id % 2 = 0 AND t IS NOT NULL),
+       |cnts AS (SELECT lang, g, count(*) AS c FROM sg GROUP BY 1, 2),
+       |ltot AS (SELECT lang, sum(c) AS nl FROM cnts GROUP BY 1),
+       |voc AS (SELECT count(DISTINCT g) AS v FROM cnts),
+       |prof AS (SELECT lang, g,
+       |    CAST(round(ln((CAST(c AS DOUBLE) + 1.0)
+       |      / (CAST(nl AS DOUBLE) + CAST(v AS DOUBLE))) * 1e9)
+       |      AS BIGINT) AS lp
+       |  FROM cnts JOIN ltot USING (lang) CROSS JOIN voc),
+       |dflt AS (SELECT lang,
+       |    CAST(round(ln(1.0 / (CAST(nl AS DOUBLE) + CAST(v AS DOUBLE)))
+       |      * 1e9) AS BIGINT) AS lp0
+       |  FROM ltot CROSS JOIN voc),
+       |eg AS (SELECT doc_id, g, count(*) AS cnt FROM (
+       |    SELECT doc_id, unnest($grams) AS g
+       |    FROM lab WHERE doc_id % 2 = 1 AND t IS NOT NULL) egs
+       |  GROUP BY 1, 2),
+       |tt AS (SELECT doc_id, sum(cnt) AS tg FROM eg GROUP BY 1),
+       |mt AS (SELECT eg.doc_id, prof.lang,
+       |    sum(eg.cnt * prof.lp) AS s_hit, sum(eg.cnt) AS m_hit
+       |  FROM eg JOIN prof USING (g) GROUP BY 1, 2),
+       |grid AS (SELECT tt.doc_id, dflt.lang,
+       |    coalesce(mt.s_hit, 0)
+       |      + (tt.tg - coalesce(mt.m_hit, 0)) * dflt.lp0 AS score
+       |  FROM tt CROSS JOIN dflt
+       |  LEFT JOIN mt ON mt.doc_id = tt.doc_id AND mt.lang = dflt.lang),
+       |bestng AS (SELECT doc_id, max({'s': score, 'lang': lang}) AS b
+       |  FROM grid GROUP BY 1),
+       |predng AS (SELECT l.doc_id, l.lang_true,
+       |    coalesce(b.lang, 'und') AS lang_pred
+       |  FROM (SELECT doc_id, lang_true FROM lab WHERE doc_id % 2 = 1) l
+       |  LEFT JOIN bestng USING (doc_id))""".stripMargin
+  }
+
+  /** Cohen's kappa over a `(t, p)` relation as a parenthesized
+    * WITH-subquery — the q_cohens_kappa formula (including its pe = 1
+    * NULL guard) applied to an arbitrary prediction table so the
+    * two-tier readout can run it twice in one statement. `rel` must be
+    * an aliased FROM-able relation. */
+  private def kappaSql(rel: String): String =
+    s"""(WITH cells AS (SELECT t, p, count(*) AS o FROM $rel GROUP BY 1, 2),
+       |rm2 AS (SELECT t, sum(o) AS r FROM cells GROUP BY 1),
+       |cm2 AS (SELECT p, sum(o) AS c FROM cells GROUP BY 1),
+       |tot2 AS (SELECT sum(o) AS n,
+       |    sum(CASE WHEN t = p THEN o ELSE 0 END) AS agree FROM cells),
+       |rcx2 AS (SELECT coalesce(sum(r * c), 0) AS rc
+       |  FROM rm2 JOIN cm2 ON rm2.t = cm2.p)
+       |SELECT CAST(n AS BIGINT) AS n,
+       |  round(CAST(agree AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
+       |  round(CAST(rc AS DOUBLE)
+       |        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS pe,
+       |  CASE WHEN CAST(rc AS DOUBLE)
+       |            / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) < 1.0 THEN
+       |    round((CAST(agree AS DOUBLE) / CAST(n AS DOUBLE)
+       |           - CAST(rc AS DOUBLE)
+       |             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+       |          / (1.0 - CAST(rc AS DOUBLE)
+       |             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6)
+       |  END AS kappa
+       |FROM tot2 CROSS JOIN rcx2)""".stripMargin
 
   /** Shared CTE prefix for the span-dedup mirrors: tokenized docs (t)
     * and the 1-based k-token sliding grams (g2), textually mirroring
@@ -952,6 +1125,44 @@ object TokenQueries extends QueryModule {
          |    ELSE CASE WHEN b.s > 0 THEN b.lang ELSE 'und' END
          |  END AS lang_pred
          |FROM p ORDER BY doc_id""".stripMargin
+    },
+
+    "q_lang_id_ngram" ->
+      s"""WITH $ngramPredCtes
+         |SELECT doc_id, lang_true, lang_pred
+         |FROM predng ORDER BY doc_id""".stripMargin,
+
+    // two-tier kappa: the trained tier's preds come from the shared
+    // fit/score CTEs; the marker tier re-runs the q_lang_id argmax over
+    // the SAME lowered dirty text (the fixture is Latin-script by
+    // construction, so the engine's script tier never fires — the
+    // q_lang_id mirror precedent)
+    "q_lang_id_ngram_kappa" -> {
+      val langs = LangId.markers.keys.toSeq.sorted
+      val scores = langs.map { l =>
+        s"count(*) FILTER (WHERE token IN (${TokenOps.sqlList(LangId.markers(l))})) AS s_$l"
+      }.mkString(",\n    ")
+      val structs = langs
+        .map(l => s"{'s': coalesce(s_$l, 0), 'lang': '$l'}").mkString(", ")
+      s"""WITH $ngramPredCtes,
+         |tokm AS (SELECT doc_id,
+         |    unnest(regexp_split_to_array(t, '$wsSql')) AS token
+         |  FROM lab WHERE doc_id % 2 = 1),
+         |scm AS (SELECT doc_id, $scores FROM tokm GROUP BY doc_id),
+         |predmk AS (SELECT l.doc_id, l.lang_true,
+         |    CASE WHEN b.s > 0 THEN b.lang ELSE 'und' END AS lang_pred
+         |  FROM (SELECT doc_id, lang_true, list_max([$structs]) AS b
+         |        FROM (SELECT doc_id, lang_true FROM lab
+         |              WHERE doc_id % 2 = 1) ll
+         |        LEFT JOIN scm USING (doc_id)) l)
+         |SELECT 'marker' AS tier, k.*
+         |FROM ${kappaSql(
+              "(SELECT lang_true AS t, lang_pred AS p FROM predmk) pr")} k
+         |UNION ALL
+         |SELECT 'ngram' AS tier, k.*
+         |FROM ${kappaSql(
+              "(SELECT lang_true AS t, lang_pred AS p FROM predng) pr")} k
+         |ORDER BY tier""".stripMargin
     },
 
     "q_span_dedup" -> {

@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.LangIdNgram
+
+/** The trained char-n-gram language-ID tier: it must actually LEARN —
+  * recover the injected arm languages on a held-out half (including
+  * pt/nl, which the marker tier has no word lists for), post a kappa
+  * near 1 where the marker tier posts a materially lower one, fall
+  * back to "und" when a document has no n-grams, and trip its
+  * broadcast-size vocabulary guard loudly. */
+class LangIdNgramSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("fit+predict recovers all seven injected languages on the held-out half") {
+    val got = SparkEntry.queries("q_lang_id_ngram")(spark, sf001)
+      .as[(Long, String, String)].collect()
+    assert(got.nonEmpty)
+    val acc = got.count(r => r._2 == r._3).toDouble / got.length
+    assert(acc >= 0.95, s"accuracy $acc over ${got.length} docs")
+    // the extensibility claim: languages OUTSIDE LangId.markers
+    Seq("pt", "nl").foreach { l =>
+      val arm = got.filter(_._2 == l)
+      assert(arm.nonEmpty && arm.forall(_._3 == l),
+        s"$l mispredicted: ${arm.filterNot(_._3 == l).toSeq}")
+    }
+  }
+
+  test("kappa readout: trained tier near 1 and materially above the marker tier") {
+    val k = SparkEntry.queries("q_lang_id_ngram_kappa")(spark, sf001)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(k("ngram") > 0.9, s"ngram kappa ${k("ngram")}")
+    assert(k("ngram") >= k("marker") + 0.2,
+      s"trained tier not materially above marker: $k")
+  }
+
+  test("no-gram documents predict und; the vocab guard trips") {
+    val m = LangIdNgram.fit(
+      Seq(("xx", "aaabbbccc"), ("yy", "dddeeefff")).toDF("l", "t"),
+      "l", "t")
+    val docs = Seq((1L, "aaabbb"), (2L, null.asInstanceOf[String]))
+      .toDF("id", "txt")
+    val p = LangIdNgram.predict(docs, "id", "txt", m)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(p(1L) == "xx", s"got $p")
+    assert(p(2L) == "und", s"null text must predict und: $p")
+    val e = intercept[IllegalArgumentException] {
+      LangIdNgram.fit(Seq(("xx", "abcdefghij")).toDF("l", "t"), "l", "t",
+        maxVocab = 2)
+    }
+    assert(e.getMessage.contains("maxVocab=2"), e.getMessage)
+  }
+}

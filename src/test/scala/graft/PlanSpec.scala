@@ -160,6 +160,12 @@ class PlanSpec extends SparkSpec {
       // PMI's 1-row corpus-size frame (n_docs) broadcast over the
       // vocabulary-sized pair table — the same scalar-join shape
       "q_collocations",
+      // the trained language-ID grid: the L-row (7-language) defaults
+      // frame broadcast over per-doc totals so unseen grams score the
+      // add-1 floor — a bounded grid BY CONSTRUCTION (languages, never
+      // the corpus); the kappa readout runs the same predictor twice
+      // plus cohensKappa's 1-row totals×margins close
+      "q_lang_id_ngram", "q_lang_id_ngram_kappa",
       // the KS/PSI monitors' union-support dense grids are DELIBERATE
       // partitions x |support| cross joins — bounded by the value
       // domain (never the corpus) and loudly size-guarded in

@@ -68,12 +68,14 @@ object TokenOps {
     * dedup fingerprints, BM25 df, DSIR buckets, and LM counts stay
     * meaningful on an unsegmented corpus instead of silently
     * collapsing. Whitespace-delimited text is UNCHANGED: a cheap
-    * row-level guard (one regex containment test on the raw text)
-    * short-circuits to the plain split, so every existing
-    * whitespace-token oracle and the reference's Tokenizer semantics
+    * row-level guard ([[graft.functions.ScriptGuard]] — a codegen'd
+    * UTF-8 byte scan, regex-free since the r17 bench flagged the rlike
+    * form as the round's only regressions) short-circuits to the plain
+    * split, so every existing whitespace-token oracle and the
+    * reference's Tokenizer semantics
     * (`model_logistic_regression.py:88-91` — the English-only special
     * case) are preserved bit-exactly on such input, and ASCII rows pay
-    * one linear scan, not a per-token dispatch.
+    * one branch per byte, not a regex match.
     *
     * Deliberately NOT let-bound through [[graft.functions.ColumnOps
     * .bind]]: bind rides a higher-order function, which is
@@ -84,12 +86,14 @@ object TokenOps {
     * conditional evaluates only the taken branch, so each row runs
     * exactly one of the two copies, and the fallback branch's copy is
     * the `transform` argument — evaluated once, not per element. */
-  def tokenize(text: Column): Column =
-    when(text.rlike(WsFreeScriptClass),
+  def tokenize(text: Column): Column = {
+    import graft.functions.ScriptGuard.containsWsFreeScript
+    when(containsWsFreeScript(text),
       flatten(transform(split(lower(text), WsRun), t =>
-        when(t.rlike(WsFreeScriptClass), charBigrams(t))
+        when(containsWsFreeScript(t), charBigrams(t))
           .otherwise(array(t)))))
     .otherwise(split(lower(text), WsRun))
+  }
 
   /** The pre-fallback whitespace-only split — the exact MLlib
     * `Tokenizer` semantics, kept for callers that must match the

@@ -254,7 +254,20 @@ object ScaleBench {
     // the rank ensemble: four signal projections + five doc-frame
     // windows (global sorts - the curriculum-grid regime; GK cuts are
     // the 1e9-doc swap) + the NLL vocab join
-    "q_quality_ensemble")
+    "q_quality_ensemble",
+    // round-18: the GK band-cut sibling IS that 1e9-doc swap — two
+    // sketch-buffer aggregates (state constant in rows) + row-local
+    // binary searches; the contrast case to the exact form's sorts
+    "q_quality_ensemble_gk",
+    // round-18: trained language ID = seed-half trigram fit (wordcount
+    // shuffle; gram vocabulary ~xN under the rotation) + broadcast
+    // profile scoring of the eval half (~linear)
+    "q_lang_id_ngram",
+    // round-18 refit loop: run 1 carries the memoized
+    // build+append+trip+refit fixture; the census is one pruned layout
+    // read (~linear) and the recall probe reads 2 cell partitions plus
+    // one brute-force scan (~linear, the q_ivf_recall shape)
+    "q_ivf_refit", "q_ann_refit_recall")
 
   def generate(spark: SparkSession, sfDir: String, outDir: String,
       scale: Int): (Long, Long) = {

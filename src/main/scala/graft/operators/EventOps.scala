@@ -25,7 +25,10 @@ import org.apache.spark.sql.functions._
   *    the lag-pair transition matrix→transitionDeltas, the RANGE-frame
   *    window→rollingRange, KS/PSI drift→ksDaily/psiDaily,
   *    dedup→dedupEvents, funnel→funnelStages, last-click
-  *    attribution→attributedPurchases.
+  *    attribution→attributedPurchases, SCD2 history ([[graft.operators
+  *    .Scd.history]])→scdIntervals (closed intervals stream, the open
+  *    interval is state — the r18 twin; snapshotAt stays a batch range
+  *    read over the emitted history).
   *  - twin (moment state): the A/B readouts (Profiling.welchTTest /
   *    cupedDiff / proportionZTest) close over exact integer moments,
   *    and EventStream.armMoments maintains that state incrementally —
@@ -40,11 +43,18 @@ import org.apache.spark.sql.functions._
   *    retrospective argmax over the COMPLETE series — any prefix's
   *    answer can be overturned by one more event; see the contract note
   *    in EventStream.ksDaily). Likewise retrospective-by-nature
-  *    composites in the query layer (SCD2 history reconstruction, RFM
+  *    composites in the query layer (RFM
   *    scoring at an as-of date, burstiness over closed windows,
   *    forecast backtests — [[expSmoothDaily]]'s rmse included: its
   *    LEVEL recurrence is prefix-computable, but the backtest score is
-  *    over closed history; [[theilSenDaily]]'s median-of-pair-slopes,
+  *    over closed history; [[holtForecast]] is the same split one level
+  *    up (the level+trend recurrences are prefix-computable, but its
+  *    CONFORMAL band is a quantile of the COMPLETE one-step residual
+  *    history — a prefix band would un-calibrate with every event);
+  *    [[bootstrapMeanCi]] resamples the CLOSED window by construction
+  *    (the deterministic index scheme is a function of the final n —
+  *    resamples under n and n+1 share nothing);
+  *    [[theilSenDaily]]'s median-of-pair-slopes,
   *    [[markovStationary]]'s fixed point, and [[seasonalDecompose]]'s
   *    CENTERED trend (each day's value needs days after it) are
   *    likewise whole-series statistics any prefix answer can overturn)

@@ -356,6 +356,81 @@ object KMeansQuant {
         when(col("drift_ratio") > tripRatio, 1L).otherwise(0L))
   }
 
+  /** CLOSE the staleness loop — [[stalenessByCell]]'s "trip ⇒ refit"
+    * arrow as a verb. Refit the quantizer from the drifted region and
+    * bring the served layout to BIT-EQUIVALENCE with a from-scratch
+    * [[buildIndex]] under the new model, rewriting only the partitions
+    * whose membership actually changes:
+    *
+    *  1. REFIT: each tripped cell's centroid is replaced by the exact
+    *    grid mean of that cell's CURRENT members (build-time rows plus
+    *    every frozen-quantizer append — read from the cell partitions
+    *    only, PartitionFilters pruned). A k=1 Lloyd round per tripped
+    *    cell, k unchanged, untouched centroids byte-identical — the
+    *    centroid follows the drift it admitted. Same empty-cell rule as
+    *    [[fit]]: a memberless tripped cell keeps its centroid.
+    *  2. RELAYOUT: one column-pruned scan assigns every live row under
+    *    the new model; cells that gain or lose any row are rewritten
+    *    (staged + [[graft.util.StagedCommit.replaceDir]], the
+    *    delete/replace discipline), every other partition keeps its
+    *    files byte-identical. The result is bit-indistinguishable from
+    *    buildIndex(live rows, newModel) — the census query shares the
+    *    from-scratch mirror, so the equivalence is oracle-checked.
+    *
+    * Cost: tripped-cells-sized aggregate + one assignment scan + the
+    * changed partitions' rewrite — far below a full rebuild's global
+    * shuffle-and-write, and rare by construction (the monitor gates
+    * it). Returns the refit model; callers must probe with it from
+    * then on (centroids and layout move together). */
+  def refitIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      m: Model, staleCells: Seq[Long], idCol: String,
+      vecCol: String): Model = {
+    require(staleCells.nonEmpty, "refitIndex needs at least one stale cell")
+    require(staleCells.forall(c => c >= 0 && c < m.k),
+      s"stale cells ${staleCells.mkString(",")} outside [0, ${m.k})")
+    val stale = staleCells.distinct.sorted
+    val live = graft.sources.PartitionedParquet.read(spark, path)
+    val means = live.filter(col("cell").isin(stale: _*))
+      .select(col("cell").cast("long").as("cell"),
+        posexplode(quantize(col(vecCol))).as(Seq("i", "q")))
+      .groupBy(col("cell"), col("i"))
+      .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+      .collect() // ≤ |stale|·dim rows by construction
+    val next = m.centroids.map(_.clone())
+    means.foreach { r =>
+      next(r.getLong(0).toInt)(r.getInt(1)) =
+        roundHalfUp(r.getLong(2).toDouble / r.getLong(3).toDouble)
+    }
+    val m2 = Model(next)
+    val (cluster2, _) = nearest(quantize(col(vecCol)), m2)
+    // changed-membership probe: one scan, cell-pair-sized result
+    val moved = live
+      .select(col("cell").cast("long").as("cell"),
+        cluster2.cast("long").as("new_cell"))
+      .filter(col("new_cell") =!= col("cell"))
+    val touched = moved.select(col("cell"))
+      .union(moved.select(col("new_cell")))
+      .distinct().collect().map(_.getLong(0)).sorted // ≤ 2k rows
+    if (touched.isEmpty) return m2
+    // every row whose NEW cell is touched has a touched OLD cell too
+    // (moved rows touch both ends), so reading the touched partitions
+    // covers the full rewrite set
+    val stage = s"$path/.staged-" + java.util.UUID.randomUUID()
+    live.filter(col("cell").isin(touched.toSeq: _*))
+      .select(col(idCol), col(vecCol), cluster2.cast("long").as("cell"))
+      .repartition(touched.length, col("cell"))
+      .write.partitionBy("cell").parquet(stage)
+    val hc = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hc)
+    touched.foreach { c =>
+      graft.util.StagedCommit.replaceDir(fs,
+        new org.apache.hadoop.fs.Path(s"$stage/cell=$c"),
+        new org.apache.hadoop.fs.Path(s"$path/cell=$c"))
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    m2
+  }
+
   /** Top-k by cosine from the served layout: rank cells by exact integer
     * distance (driver-side, k cells), read ONLY those cell partitions,
     * exact-rank by cosine vs the literal query vector. Bit-identical to

@@ -94,6 +94,54 @@ object CorpusQueries extends QueryModule {
       p
     }
 
+  private val ivfRefitCache =
+    new graft.util.SessionCache[(String, KMeansQuant.Model)]
+
+  /** The staleness→refit LOOP as one fixture: build under the session
+    * model, append a DRIFTED batch (the q_ann_staleness +0.25 shift,
+    * re-keyed to vec_id+100000 — frozen-quantizer ingestion of a moved
+    * distribution), let the monitor trip, then
+    * [[KMeansQuant.refitIndex]] every tripped cell. The declared
+    * queries census the refit layout against a FROM-SCRATCH assignment
+    * of the union under the refit model replayed in SQL, and re-read
+    * probe recall for a drifted query — the monitor's trip provably
+    * CONSUMED, not just reported. */
+  private def refitIvfIndex(s: org.apache.spark.sql.SparkSession,
+      d: String): (String, KMeansQuant.Model) =
+    ivfRefitCache.getOrElseUpdate(s, d) {
+      val p = graft.util.IndexPaths.fresh(d, "kmeans-ivf-refit")
+      // the layout holds DOUBLE vectors end to end: the drifted batch is
+      // double by construction, and parquet will not mix float and
+      // double files inside one cell partition (float→double widening
+      // is exact, so the quantized grid is unchanged)
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+      val m = model(s, d)
+      KMeansQuant.buildIndex(emb, "vec_id", "embedding", m, p)
+      val batch = driftBatch(s, d)
+      KMeansQuant.appendIndex(batch, "vec_id", "embedding", m, p)
+      val stale = KMeansQuant.stalenessByCell(emb, batch, "vec_id",
+          "embedding", m)
+        .filter(col("stale") === 1L).select(col("cluster"))
+        .collect().map(_.getLong(0)).toSeq.sorted
+      require(stale.nonEmpty,
+        "refit fixture: the drift batch failed to trip the staleness monitor")
+      val m2 = KMeansQuant.refitIndex(s, p, m, stale, "vec_id", "embedding")
+      (p, m2)
+    }
+
+  /** The drifted append batch (shared by fixture and recall probe):
+    * every vec_id % 4 == 0 embedding shifted +0.25 per dimension in
+    * DOUBLE space (the q_ann_staleness drift), re-keyed +100000 so the
+    * append is genuinely new rows. */
+  private def driftBatch(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Tables.embeddings(s, d).filter(col("vec_id") % 4 === 0)
+      .select((col("vec_id") + lit(100000L)).as("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => x + lit(0.25)).as("embedding"))
+
   /** One curated-stage materialization per (session, dataset): the
     * localCheckpoint'd frame q_curate_semantic caps over. Cached so
     * repeated invocations (bench re-runs, the PlanSpec sweep, verify)
@@ -130,7 +178,8 @@ object CorpusQueries extends QueryModule {
     // the timed queries measure the SERVING path over the mutated
     // layout (pruned census / probed top-k)
     "ivf_del" -> ((s, d) => { deletedIvfIndex(s, d); () }),
-    "ivf_repl" -> ((s, d) => { replacedIvfIndex(s, d); () })
+    "ivf_repl" -> ((s, d) => { replacedIvfIndex(s, d); () }),
+    "ivf_refit" -> ((s, d) => { refitIvfIndex(s, d); () })
   )
 
   val queries: Map[String, Q] = Map(
@@ -236,6 +285,44 @@ object CorpusQueries extends QueryModule {
       KMeansQuant.topKFromIndex(s, replacedIvfIndex(s, d), model(s, d),
         qv, k = 10, nprobe = 2, idCol = "vec_id", vecCol = "embedding",
         excludeId = Some(0L))
+    }),
+
+    // Census of the layout after the full staleness→refit loop (build →
+    // drifted append → monitor trip → refitIndex on every tripped
+    // cell): every (vec_id, cell) row must hash-match a FROM-SCRATCH
+    // assignment of the union corpus under the refit model, replayed in
+    // SQL — refitIndex's bit-equivalence-to-buildIndex contract,
+    // oracle-checked.
+    "q_ivf_refit" -> ((s, d) =>
+      graft.sources.PartitionedParquet.read(s, refitIvfIndex(s, d)._1)
+        .select(col("vec_id"), col("cell").cast("long").as("cell"))
+        .orderBy(col("vec_id"))),
+
+    // Probe recall for a DRIFTED query (the appended copy of vec 0)
+    // from the refit layout under the refit model, vs brute force over
+    // the union corpus — the judge of whether the refit actually
+    // restored the probe for the drifted region. Same recall@10 shape
+    // as q_ivf_recall; fully mirrored (fit, drift, refit means, and
+    // probe all replayed in SQL).
+    "q_ann_refit_recall" -> ((s, d) => {
+      val (path, m2) = refitIvfIndex(s, d)
+      val union = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>")
+          .as("embedding"))
+        .unionAll(driftBatch(s, d))
+      val qv = union.filter(col("vec_id") === 100000L)
+        .select(col("embedding")).head().getSeq[Double](0)
+      val ivf = KMeansQuant.topKFromIndex(s, path, m2, qv, k = 10,
+          nprobe = 2, idCol = "vec_id", vecCol = "embedding",
+          excludeId = Some(100000L))
+        .select(col("vec_id"))
+      val brute = graft.operators.Similarity.bruteForceTopK(
+          union, "vec_id", "embedding", queryId = 100000L, k = 10)
+        .select(col("vec_id"))
+      ivf.join(brute, Seq("vec_id"))
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(10L).as("k"), col("hits"),
+          round(col("hits").cast("double") / 10.0, 6).as("recall"))
     }),
 
     // Hard-negative mining over the SERVED cell layout — the scale path
@@ -848,6 +935,46 @@ object CorpusQueries extends QueryModule {
 
   private val kmeansCtes: String = s"WITH $gridBase,\n$kmeansBody"
 
+  /** Refit-loop CTE body (appended after [[kmeansCtes]]): the union
+    * grid (drifted batch re-keyed +100000, the q_ann_staleness shift),
+    * its frozen-model assignment `ua` (what build+append produced), the
+    * per-cell staleness trip, the tripped cells' refit MEANS over their
+    * current members, the refit centroid table `cref`, and the
+    * from-scratch union assignment `refin` under c2 — the relayout
+    * refitIndex must be bit-indistinguishable from. */
+  private val refitCtes: String =
+    s"""uq AS (
+       |  SELECT vec_id, v FROM vq
+       |  UNION ALL
+       |  SELECT vec_id + 100000,
+       |         list_transform(list_transform(embedding::DOUBLE[],
+       |                                       x -> x + 0.25),
+       |                        x -> CAST(round(x * 1000000.0) AS BIGINT))
+       |  FROM embeddings WHERE vec_id % 4 = 0),
+       |udims AS (
+       |  SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS q
+       |  FROM uq),
+       |${assignCte("ua", s"c$ITERS", dims = "udims")},
+       |rstat AS (SELECT cluster, count(*) AS n_ref, sum(d2) AS d2_ref
+       |          FROM afin GROUP BY 1),
+       |bstat AS (SELECT cluster, count(*) AS n_new, sum(d2) AS d2_new
+       |          FROM ua WHERE vec_id >= 100000 GROUP BY 1),
+       |stalec AS (SELECT r.cluster
+       |  FROM rstat r JOIN bstat b USING (cluster)
+       |  WHERE d2_ref > 0
+       |    AND round((CAST(d2_new AS DOUBLE) / n_new)
+       |              / (CAST(d2_ref AS DOUBLE) / n_ref), 6) > 1.5),
+       |mstale AS (SELECT a.cluster, d.i,
+       |    CAST(round(CAST(sum(d.q) AS DOUBLE)
+       |               / CAST(count(*) AS DOUBLE)) AS BIGINT) AS q
+       |  FROM udims d JOIN ua a USING (vec_id)
+       |  JOIN stalec s ON a.cluster = s.cluster
+       |  GROUP BY a.cluster, d.i),
+       |cref AS (SELECT p.cluster, p.i, COALESCE(m.q, p.q) AS q
+       |  FROM c$ITERS p LEFT JOIN mstale m
+       |    ON p.cluster = m.cluster AND p.i = m.i),
+       |${assignCte("refin", "cref", dims = "udims")}""".stripMargin
+
   // -- product quantization: per-subspace unrolled Lloyd mirrors -------
 
   /** The embeddings fixture is 64-dim; the Spark side derives dsub from
@@ -1434,6 +1561,51 @@ object CorpusQueries extends QueryModule {
          |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
          |       CAST(d2 AS BIGINT) AS dist2
          |FROM afin ORDER BY vec_id""".stripMargin,
+
+    // the refit census: from-scratch assignment of the union under the
+    // refit centroids — refitIndex's bit-equivalence contract
+    "q_ivf_refit" ->
+      s"""$kmeansCtes,
+         |$refitCtes
+         |SELECT vec_id, CAST(cluster AS BIGINT) AS cell
+         |FROM refin ORDER BY vec_id""".stripMargin,
+
+    // recall@10 for the drifted query (id 100000) probed under the
+    // refit model vs brute force over the union — the q_ivf_recall
+    // pattern with c2/refin standing in for the build-time model/layout
+    "q_ann_refit_recall" ->
+      s"""$kmeansCtes,
+         |$refitCtes,
+         |qd2 AS (SELECT i, q FROM udims WHERE vec_id = 100000),
+         |qc2 AS (SELECT c.cluster, sum((d.q - c.q)*(d.q - c.q)) AS d2
+         |        FROM qd2 d JOIN cref c USING (i) GROUP BY c.cluster),
+         |probed2 AS (SELECT cluster FROM qc2 ORDER BY d2, cluster LIMIT 2),
+         |ud AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000,
+         |         list_transform(embedding::DOUBLE[], x -> x + 0.25)
+         |  FROM embeddings WHERE vec_id % 4 = 0),
+         |qdv2 AS (SELECT v AS qdv FROM ud WHERE vec_id = 100000),
+         |ivftop2 AS (
+         |  SELECT u.vec_id, round(list_dot_product(u.v, q.qdv)
+         |      / (sqrt(list_dot_product(u.v, u.v))
+         |         * sqrt(list_dot_product(q.qdv, q.qdv))), 6) AS cos
+         |  FROM ud u JOIN refin r USING (vec_id) CROSS JOIN qdv2 q
+         |  WHERE r.cluster IN (SELECT cluster FROM probed2)
+         |    AND u.vec_id <> 100000
+         |  ORDER BY cos DESC, u.vec_id LIMIT 10),
+         |brute2 AS (
+         |  SELECT u.vec_id, round(list_dot_product(u.v, q.qdv)
+         |      / (sqrt(list_dot_product(u.v, u.v))
+         |         * sqrt(list_dot_product(q.qdv, q.qdv))), 6) AS cos
+         |  FROM ud u CROSS JOIN qdv2 q
+         |  WHERE u.vec_id <> 100000
+         |  ORDER BY cos DESC, u.vec_id LIMIT 10)
+         |SELECT CAST(10 AS BIGINT) AS k,
+         |       CAST(count(*) AS BIGINT) AS hits,
+         |       round(CAST(count(*) AS DOUBLE) / 10.0, 6) AS recall
+         |FROM ivftop2 JOIN brute2 USING (vec_id)""".stripMargin,
 
     "q_kmeans_centroids" ->
       s"""$kmeansCtes

@@ -733,7 +733,9 @@ object EventQueries extends QueryModule {
 
   /** props.k (0–99) bucketed into 4 tiers — the slowly-changing
     * attribute the SCD2 queries version. */
-  private def tierAttr =
+  // private[graft]: the streaming twin's seam spec feeds the SAME
+  // attribute expression to EventStream.scdIntervals — one definition
+  private[graft] def tierAttr =
     floor(get_json_object(col("props"), "$.k").cast("long") / lit(25))
 
   /** 2024-01-16T00:00:00Z in unix micros — the snapshot instant. */

@@ -504,6 +504,59 @@ object EventStream {
       }
   }
 
+  final case class ScdEvent(user_id: Long, ts_us: Long, event_id: Long,
+      attr: Option[Long])
+  /** Per-key open interval: the attribute run that has not closed yet. */
+  final case class ScdOpen(attr: Option[Long], from_us: Long, version: Long)
+  final case class ScdClosed(user_id: Long, version: Long,
+      attr: Option[Long], valid_from: Long, valid_to: Long)
+
+  /** Streaming twin of [[graft.operators.Scd.history]] — the CDC feed
+    * is a natural stream, and dimension history is a natural
+    * flatMapGroupsWithState: per-key state is ONE open interval
+    * (attr, valid_from, version) — O(keys), never the history — and a
+    * micro-batch emits an interval exactly when an arriving event's
+    * attribute differs (null-safely: Option equality IS `<=>`) from the
+    * open run's, closing it at the change's timestamp. The batch form's
+    * first-row rule holds at the seam for free: a key's first event
+    * ever finds empty state and opens version 1 without emitting.
+    *
+    * Output is the CLOSED intervals only — the open interval is state,
+    * not output (an `is_current` row would have to be retracted on
+    * every change, which append mode cannot do); a sink wanting the
+    * current rows unions a state flush at end-of-feed, the
+    * [[sessionCounts]] flushing contract. Closed-rows-== batch history
+    * minus its open rows is the seam spec. Same exactness contract as
+    * [[transitionDeltas]]: per-user event-time order ACROSS
+    * micro-batches (append-log arrival); within a batch events fold in
+    * (ts, event_id) order — the batch window's exact sort key. */
+  def scdIntervals(events: DataFrame, attr: Column): Dataset[ScdClosed] = {
+    import events.sparkSession.implicits._
+    val typed = events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), attr.cast("long").as("attr"))
+      .as[ScdEvent]
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[ScdOpen, ScdClosed](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[ScdOpen]) =>
+          var open = state.getOption
+          val out = scala.collection.mutable.ListBuffer.empty[ScdClosed]
+          rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            open match {
+              case None =>
+                open = Some(ScdOpen(e.attr, e.ts_us, 1L))
+              case Some(o) if o.attr != e.attr =>
+                out += ScdClosed(uid, o.version, o.attr, o.from_us, e.ts_us)
+                open = Some(ScdOpen(e.attr, e.ts_us, o.version + 1L))
+              case _ => ()
+            }
+          }
+          open.foreach(state.update)
+          out.iterator
+      }
+  }
+
   final case class RollEvent(user_id: Long, event_id: Long, ts_us: Long,
       cents: Long)
   /** Per-user trailing-window buffer: (ts_us, cents) of events still

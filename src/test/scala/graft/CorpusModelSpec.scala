@@ -200,6 +200,66 @@ class CorpusModelSpec extends SparkSpec {
     assert(err.getMessage.contains("unique"))
   }
 
+  test("kmeans ivf: refit consumes the staleness trip and equals a from-scratch build under the refit model") {
+    // double vectors end to end — parquet will not mix float and double
+    // files inside one cell partition (widening is exact on the grid)
+    val emb = Tables.embeddings(spark, sf001)
+      .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+    val m = KMeansQuant.fit(emb, "vec_id", "embedding", k = 4, iters = 2)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-kivf-refit").toString
+    val mut = s"$base/mut"; val fresh = s"$base/fresh"
+    KMeansQuant.buildIndex(emb, "vec_id", "embedding", m, mut)
+    val batch = emb.filter($"vec_id" % 4 === 0)
+      .select(($"vec_id" + 100000L).as("vec_id"),
+        transform($"embedding".cast("array<double>"), x => x + lit(2.0))
+          .as("embedding"))
+    KMeansQuant.appendIndex(batch, "vec_id", "embedding", m, mut)
+    val union = emb
+      .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+      .unionAll(batch)
+    val qv = union.filter($"vec_id" === 100000L)
+      .select($"embedding").as[Seq[Double]].head()
+    def recall(model: KMeansQuant.Model): Long =
+      KMeansQuant.topKFromIndex(spark, mut, model, qv, k = 10, nprobe = 2,
+          idCol = "vec_id", vecCol = "embedding",
+          excludeId = Some(100000L))
+        .select($"vec_id")
+        .join(graft.operators.Similarity.bruteForceTopK(union, "vec_id",
+          "embedding", queryId = 100000L, k = 10).select($"vec_id"),
+          Seq("vec_id"))
+        .count()
+    val pre = recall(m)
+    val stale = KMeansQuant.stalenessByCell(emb, batch, "vec_id",
+        "embedding", m)
+      .filter($"stale" === 1L).select($"cluster")
+      .as[Long].collect().toSeq.sorted
+    assert(stale.nonEmpty, "fixture drift failed to trip the monitor")
+    val m2 = KMeansQuant.refitIndex(spark, mut, m, stale,
+      "vec_id", "embedding")
+    // tripped centroids moved, untouched ones are byte-identical
+    stale.foreach(c => assert(
+      m2.centroids(c.toInt).toSeq != m.centroids(c.toInt).toSeq, s"cell $c"))
+    (0L until m.k.toLong).filterNot(stale.contains).foreach(c => assert(
+      m2.centroids(c.toInt).toSeq == m.centroids(c.toInt).toSeq, s"cell $c"))
+    // the layout is bit-indistinguishable from a from-scratch build of
+    // the union under the refit model
+    KMeansQuant.buildIndex(union, "vec_id", "embedding", m2, fresh)
+    assert(census(mut) === census(fresh))
+    // the refit never degrades the drifted query's probe
+    val post = recall(m2)
+    assert(post >= pre, s"refit degraded recall: pre=$pre post=$post")
+    // guards: empty and out-of-range stale sets fail loudly
+    intercept[IllegalArgumentException] {
+      KMeansQuant.refitIndex(spark, mut, m2, Seq.empty,
+        "vec_id", "embedding")
+    }
+    intercept[IllegalArgumentException] {
+      KMeansQuant.refitIndex(spark, mut, m2, Seq(99L),
+        "vec_id", "embedding")
+    }
+  }
+
   test("staleness monitor: a shifted append batch trips, in-distribution does not") {
     val emb = Tables.embeddings(spark, sf001)
     val m = KMeansQuant.fit(emb, "vec_id", "embedding", k = 4, iters = 2)

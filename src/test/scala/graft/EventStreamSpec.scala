@@ -429,6 +429,56 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming SCD2 closed intervals equal the batch history minus its open rows") {
+    // The dimension-history seam: a tier run spanning the median split
+    // must close at its TRUE change timestamp in batch B using the open
+    // interval stored in state — a stateless per-batch lag would both
+    // fabricate a version at the seam and mis-time the close. The open
+    // intervals (batch is_current rows) are state, not output, by the
+    // twin's append-mode contract.
+    val ev = Tables.events(spark, sf001)
+    val mid = ev.selectExpr("percentile(unix_micros(ts), 0.5)").head().getDouble(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-scd")
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-scd-w")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part), dir.resolve(name))
+    }
+    stage(ev.filter(unix_micros($"ts") <= mid), "a.parquet")
+    val q = EventStream.scdIntervals(EventStream.read(spark, dir.toString),
+        graft.queries.EventQueries.tierAttr)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("scd_out").start()
+    try {
+      q.processAllAvailable()
+      val afterA = spark.table("scd_out").count()
+      stage(ev.filter(unix_micros($"ts") > mid), "b.parquet")
+      q.processAllAvailable()
+      val streamed = spark.table("scd_out")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          r.getLong(3), r.getLong(4)))
+        .toSet
+      val batchRows = graft.queries.EventQueries
+        .queries("q_scd2_history")(spark, sf001).collect()
+      val batchClosed = batchRows.filter(!_.getBoolean(5))
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          r.getLong(3), r.getLong(4)))
+        .toSet
+      assert(streamed === batchClosed)
+      assert(streamed.nonEmpty)
+      // batch B must have closed seam intervals the stored state opened
+      assert(afterA < streamed.size)
+      // exactly the open rows are withheld: one per key, the last version
+      val open = batchRows.filter(_.getBoolean(5))
+      assert(open.map(_.getLong(0)).distinct.length == open.length)
+    } finally q.stop()
+  }
+
   test("streaming heavy users keep the Misra-Gries guarantee across micro-batches") {
     // The twin's contract is the PODS'12 mergeable bound, not exact
     // equality (retained sets are fold-order dependent): after any

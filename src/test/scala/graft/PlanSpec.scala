@@ -104,6 +104,9 @@ class PlanSpec extends SparkSpec {
       // matryoshka curve is four such brute-force scans (full + 3
       // truncation budgets), each with its own 1-row query join
       "q_ivf_recall", "q_matryoshka_recall", "q_int8_recall",
+      // the refit-loop recall eval carries the same brute-force /
+      // probe 1-row query-vector scalar joins as q_ivf_recall
+      "q_ann_refit_recall",
       // the 1-row (N, k) class-totals frame broadcast over the
       // label-cardinality counts — the scalar-join shape
       "q_class_weights",

@@ -259,6 +259,8 @@ object ScaleBench {
     // sketch-buffer aggregates (state constant in rows) + row-local
     // binary searches; the contrast case to the exact form's sorts
     "q_quality_ensemble_gk",
+    // same regime, single-signal: one digest + row-local decile bands
+    "q_curriculum_grid_gk",
     // round-18: trained language ID = seed-half trigram fit (wordcount
     // shuffle; gram vocabulary ~xN under the rotation) + broadcast
     // profile scoring of the eval half (~linear)

@@ -190,11 +190,43 @@ object TokenQueries extends QueryModule {
     "q_curriculum_grid" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val (nTok, _, q) = TokenOps.qualityScore(col("text"))
-      Tables.documents(s, d)
+      val base = Tables.documents(s, d)
         .select(col("doc_id"), nTok.as("n_tokens"), q.as("quality"))
+      graft.operators.ExactStats.guardExactRank(base,
+        "curriculum decile grid (exact doc-frame ntile)")
+      base
         .withColumn("q_decile", ntile(10)
           .over(Window.orderBy(col("quality"), col("doc_id"))).cast("long"))
         .select(col("q_decile"),
+          when(col("n_tokens") < 20, "0-short")
+            .when(col("n_tokens") < 40, "1-mid")
+            .otherwise("2-long").as("len_bucket"))
+        .groupBy(col("q_decile"), col("len_bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("q_decile"), col("len_bucket"))
+    }),
+
+    // The 1e9-doc path of the curriculum grid (the q_quality_ensemble_gk
+    // pattern on a single signal): decile cut points from ONE mergeable
+    // GK digest, band assignment row-local against the literal cuts —
+    // no doc-frame ntile, no single-partition sort. Band deciles are
+    // merge-order dependent within ε ⇒ rows-only; the envelope spec
+    // bounds every decile population and the joint grid against the
+    // exact form.
+    "q_curriculum_grid_gk" -> ((s, d) => {
+      graft.functions.QuantileSketch.register(s)
+      val (nTok, _, q) = TokenOps.qualityScore(col("text"))
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), nTok.as("n_tokens"), q.as("quality"))
+        .localCheckpoint() // digest pass + band pass share one compute
+      val probs = array((1 until 10).map(i => lit(i / 10.0)): _*)
+      val cuts = base.agg(graft.functions.QuantileSketch.gk_quantiles(
+          graft.functions.QuantileSketch.gk_sketch_agg(col("quality"),
+            0.002), probs))
+        .head().getSeq[Double](0).toArray
+      base.select(
+          (graft.functions.BandExprs.bandOf(col("quality"), cuts,
+            desc = false) + lit(1)).cast("long").as("q_decile"),
           when(col("n_tokens") < 20, "0-short")
             .when(col("n_tokens") < 40, "1-mid")
             .otherwise("2-long").as("len_bucket"))

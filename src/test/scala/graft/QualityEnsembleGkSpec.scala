@@ -107,6 +107,30 @@ class QualityEnsembleGkSpec extends SparkSpec {
     check(4, 4, 0.0) // nll
   }
 
+  test("curriculum GK deciles stay inside the exact ntile envelope") {
+    val exact = SparkEntry.queries("q_curriculum_grid")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val gk = SparkEntry.queries("q_curriculum_grid_gk")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val n = exact.values.sum
+    assert(gk.values.sum == n, "grid must cover every document")
+    // per-decile population: ntile gives n/10 ± 1 by construction; the
+    // GK bands may shift boundary docs by the digest guarantee + ties
+    val tol = math.max(3L, n / 10)
+    (1L to 10L).foreach { d =>
+      val e = exact.collect { case ((dd, _), c) if dd == d => c }.sum
+      val g = gk.collect { case ((dd, _), c) if dd == d => c }.sum
+      assert(math.abs(e - g) <= tol, s"decile $d: exact $e vs gk $g")
+    }
+    // joint cells drift only by the same boundary docs
+    (exact.keySet ++ gk.keySet).foreach { k =>
+      assert(math.abs(exact.getOrElse(k, 0L) - gk.getOrElse(k, 0L)) <= tol,
+        s"cell $k")
+    }
+  }
+
   test("keep cut lands near the exact 60% line and agrees on the clear middle") {
     val exact = TextQueries.qualityEnsemble(spark, sf001).collect()
       .map(r => r.getLong(0) -> r.getBoolean(6)).toMap

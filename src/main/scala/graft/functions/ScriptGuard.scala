@@ -44,22 +44,36 @@ object ScriptGuard {
     (cp >= 0x3400 && cp <= 0x4DBF) || // Han ext A
     (cp >= 0xF900 && cp <= 0xFAFF)    // Han compatibility
 
-  /** True iff the string contains any WsFreeScriptClass character. */
+  /** True iff the string contains any WsFreeScriptClass character.
+    * Malformed UTF-8 (possible in a dirty web corpus — Spark does not
+    * validate parquet string bytes) must not DESYNC the scan: a lead
+    * byte only consumes its sequence when the continuation bytes are
+    * actually continuations, otherwise the scan advances ONE byte —
+    * the replacement-decoder resync rule, so a stray byte can never
+    * swallow the lead of a following CJK character (the rlike path
+    * decodes it to U+FFFD and still sees the CJK char; so must we).
+    * Malformed sequences can't FALSE-POSITIVE either: overlong and
+    * CESU surrogate encodings compute code points outside the ranges
+    * (D800–DFFF is deliberately not in the class). */
   def containsWsFree(s: UTF8String): Boolean = {
     val n = s.numBytes
+    def cont(j: Int): Boolean = j < n && (s.getByte(j) & 0xC0) == 0x80
     var i = 0
     while (i < n) {
       val b = s.getByte(i) & 0xFF
-      if (b < 0x80) i += 1 // ASCII
-      else if (b < 0xE0) i += 2 // two-byte lead: U+0080–U+07FF, below all ranges
-      else if (b < 0xF0) { // three-byte lead: U+0800–U+FFFF
-        if (i + 2 < n) {
+      if (b < 0xC0) i += 1 // ASCII, or a stray continuation byte: resync
+      else if (b < 0xE0) { // two-byte lead: U+0080–U+07FF, below all ranges
+        if (cont(i + 1)) i += 2 else i += 1
+      } else if (b < 0xF0) { // three-byte lead: U+0800–U+FFFF
+        if (cont(i + 1) && cont(i + 2)) {
           val cp = ((b & 0x0F) << 12) |
             ((s.getByte(i + 1) & 0x3F) << 6) | (s.getByte(i + 2) & 0x3F)
           if (inRanges(cp)) return true
-        }
-        i += 3
-      } else i += 4 // four-byte lead: supplementary plane, not in class
+          i += 3
+        } else i += 1
+      } else { // four-byte lead: supplementary plane, not in class
+        if (cont(i + 1) && cont(i + 2) && cont(i + 3)) i += 4 else i += 1
+      }
     }
     false
   }

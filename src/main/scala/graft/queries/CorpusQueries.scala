@@ -99,7 +99,7 @@ object CorpusQueries extends QueryModule {
 
   /** The staleness→refit LOOP as one fixture: build under the session
     * model, append a DRIFTED batch (the q_ann_staleness +0.25 shift,
-    * re-keyed to vec_id+100000 — frozen-quantizer ingestion of a moved
+    * re-keyed past max(vec_id) — frozen-quantizer ingestion of a moved
     * distribution), let the monitor trip, then
     * [[KMeansQuant.refitIndex]] every tripped cell. The declared
     * queries census the refit layout against a FROM-SCRATCH assignment
@@ -133,12 +133,20 @@ object CorpusQueries extends QueryModule {
 
   /** The drifted append batch (shared by fixture and recall probe):
     * every vec_id % 4 == 0 embedding shifted +0.25 per dimension in
-    * DOUBLE space (the q_ann_staleness drift), re-keyed +100000 so the
-    * append is genuinely new rows. */
+    * DOUBLE space (the q_ann_staleness drift), re-keyed past the
+    * corpus maximum so the append is genuinely new rows at ANY corpus
+    * size (a fixed offset collides once the corpus outgrows it — the
+    * ScaleBench regime; the mirrors derive the same offset with a
+    * max-subquery). The drifted copy of vec 0 — the recall probe's
+    * query — therefore has id exactly `driftOffset`. */
+  private def driftOffset(s: org.apache.spark.sql.SparkSession,
+      d: String): Long =
+    Tables.embeddings(s, d).agg(max(col("vec_id"))).head().getLong(0) + 1L
+
   private def driftBatch(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
     Tables.embeddings(s, d).filter(col("vec_id") % 4 === 0)
-      .select((col("vec_id") + lit(100000L)).as("vec_id"),
+      .select((col("vec_id") + lit(driftOffset(s, d))).as("vec_id"),
         transform(col("embedding").cast("array<double>"),
           x => x + lit(0.25)).as("embedding"))
 
@@ -310,14 +318,15 @@ object CorpusQueries extends QueryModule {
         .select(col("vec_id"), col("embedding").cast("array<double>")
           .as("embedding"))
         .unionAll(driftBatch(s, d))
-      val qv = union.filter(col("vec_id") === 100000L)
+      val off = driftOffset(s, d)
+      val qv = union.filter(col("vec_id") === off)
         .select(col("embedding")).head().getSeq[Double](0)
       val ivf = KMeansQuant.topKFromIndex(s, path, m2, qv, k = 10,
           nprobe = 2, idCol = "vec_id", vecCol = "embedding",
-          excludeId = Some(100000L))
+          excludeId = Some(off))
         .select(col("vec_id"))
       val brute = graft.operators.Similarity.bruteForceTopK(
-          union, "vec_id", "embedding", queryId = 100000L, k = 10)
+          union, "vec_id", "embedding", queryId = off, k = 10)
         .select(col("vec_id"))
       ivf.join(brute, Seq("vec_id"))
         .agg(count(lit(1)).as("hits"))
@@ -936,17 +945,18 @@ object CorpusQueries extends QueryModule {
   private val kmeansCtes: String = s"WITH $gridBase,\n$kmeansBody"
 
   /** Refit-loop CTE body (appended after [[kmeansCtes]]): the union
-    * grid (drifted batch re-keyed +100000, the q_ann_staleness shift),
+    * grid (drifted batch re-keyed past max(vec_id) via the voff CTE, the q_ann_staleness shift),
     * its frozen-model assignment `ua` (what build+append produced), the
     * per-cell staleness trip, the tripped cells' refit MEANS over their
     * current members, the refit centroid table `cref`, and the
     * from-scratch union assignment `refin` under c2 — the relayout
     * refitIndex must be bit-indistinguishable from. */
   private val refitCtes: String =
-    s"""uq AS (
+    s"""voff AS (SELECT max(vec_id) + 1 AS off FROM embeddings),
+       |uq AS (
        |  SELECT vec_id, v FROM vq
        |  UNION ALL
-       |  SELECT vec_id + 100000,
+       |  SELECT vec_id + (SELECT off FROM voff),
        |         list_transform(list_transform(embedding::DOUBLE[],
        |                                       x -> x + 0.25),
        |                        x -> CAST(round(x * 1000000.0) AS BIGINT))
@@ -958,7 +968,8 @@ object CorpusQueries extends QueryModule {
        |rstat AS (SELECT cluster, count(*) AS n_ref, sum(d2) AS d2_ref
        |          FROM afin GROUP BY 1),
        |bstat AS (SELECT cluster, count(*) AS n_new, sum(d2) AS d2_new
-       |          FROM ua WHERE vec_id >= 100000 GROUP BY 1),
+       |          FROM ua WHERE vec_id >= (SELECT off FROM voff)
+       |          GROUP BY 1),
        |stalec AS (SELECT r.cluster
        |  FROM rstat r JOIN bstat b USING (cluster)
        |  WHERE d2_ref > 0
@@ -1570,37 +1581,39 @@ object CorpusQueries extends QueryModule {
          |SELECT vec_id, CAST(cluster AS BIGINT) AS cell
          |FROM refin ORDER BY vec_id""".stripMargin,
 
-    // recall@10 for the drifted query (id 100000) probed under the
+    // recall@10 for the drifted query (id = the voff offset) probed under the
     // refit model vs brute force over the union — the q_ivf_recall
     // pattern with c2/refin standing in for the build-time model/layout
     "q_ann_refit_recall" ->
       s"""$kmeansCtes,
          |$refitCtes,
-         |qd2 AS (SELECT i, q FROM udims WHERE vec_id = 100000),
+         |qd2 AS (SELECT i, q FROM udims
+         |        WHERE vec_id = (SELECT off FROM voff)),
          |qc2 AS (SELECT c.cluster, sum((d.q - c.q)*(d.q - c.q)) AS d2
          |        FROM qd2 d JOIN cref c USING (i) GROUP BY c.cluster),
          |probed2 AS (SELECT cluster FROM qc2 ORDER BY d2, cluster LIMIT 2),
          |ud AS (
          |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
          |  UNION ALL
-         |  SELECT vec_id + 100000,
+         |  SELECT vec_id + (SELECT off FROM voff),
          |         list_transform(embedding::DOUBLE[], x -> x + 0.25)
          |  FROM embeddings WHERE vec_id % 4 = 0),
-         |qdv2 AS (SELECT v AS qdv FROM ud WHERE vec_id = 100000),
+         |qdv2 AS (SELECT v AS qdv FROM ud
+         |         WHERE vec_id = (SELECT off FROM voff)),
          |ivftop2 AS (
          |  SELECT u.vec_id, round(list_dot_product(u.v, q.qdv)
          |      / (sqrt(list_dot_product(u.v, u.v))
          |         * sqrt(list_dot_product(q.qdv, q.qdv))), 6) AS cos
          |  FROM ud u JOIN refin r USING (vec_id) CROSS JOIN qdv2 q
          |  WHERE r.cluster IN (SELECT cluster FROM probed2)
-         |    AND u.vec_id <> 100000
+         |    AND u.vec_id <> (SELECT off FROM voff)
          |  ORDER BY cos DESC, u.vec_id LIMIT 10),
          |brute2 AS (
          |  SELECT u.vec_id, round(list_dot_product(u.v, q.qdv)
          |      / (sqrt(list_dot_product(u.v, u.v))
          |         * sqrt(list_dot_product(q.qdv, q.qdv))), 6) AS cos
          |  FROM ud u CROSS JOIN qdv2 q
-         |  WHERE u.vec_id <> 100000
+         |  WHERE u.vec_id <> (SELECT off FROM voff)
          |  ORDER BY cos DESC, u.vec_id LIMIT 10)
          |SELECT CAST(10 AS BIGINT) AS k,
          |       CAST(count(*) AS BIGINT) AS hits,

@@ -758,18 +758,25 @@ object TextQueries extends QueryModule {
     * which carries UnigramLM.nll's token explode and its 1-row (N, V)
     * corpus-stats join — runs exactly ONCE (the q_textrank
     * materialize-once discipline; ~40 B/row, executor-local). */
+  private val ensembleSignalCache =
+    new graft.util.SessionCache[org.apache.spark.sql.DataFrame]
+
   private def ensembleSignals(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
-    val docs = Tables.documents(s, d)
-    val (_, _, q) = TokenOps.qualityScore(col("text"))
-    val (_, _, _, fl) = TokenOps.readability(col("text"))
-    val rep = TokenOps.repetitionRatio(col("text"), 2)
-    docs.select(col("doc_id"), q.as("quality"),
-        fl.as("flesch"), rep.as("rep2"))
-      .join(graft.operators.UnigramLM.nll(docs, "doc_id", "text")
-        .select(col("doc_id"), col("nll")), "doc_id")
-      .localCheckpoint()
-  }
+      d: String): org.apache.spark.sql.DataFrame =
+    // memoized per (session, dataset) — both ensemble forms and every
+    // bench re-run reuse ONE checkpointed RDD instead of accumulating
+    // storage blocks per invocation (the curatedCache discipline)
+    ensembleSignalCache.getOrElseUpdate(s, d) {
+      val docs = Tables.documents(s, d)
+      val (_, _, q) = TokenOps.qualityScore(col("text"))
+      val (_, _, _, fl) = TokenOps.readability(col("text"))
+      val rep = TokenOps.repetitionRatio(col("text"), 2)
+      docs.select(col("doc_id"), q.as("quality"),
+          fl.as("flesch"), rep.as("rep2"))
+        .join(graft.operators.UnigramLM.nll(docs, "doc_id", "text")
+          .select(col("doc_id"), col("nll")), "doc_id")
+        .localCheckpoint()
+    }
 
   /** q_quality_ensemble body — the EXACT form, with the corpus-wide
     * rank-window scale guard parameterized so EnsembleGuardSpec can

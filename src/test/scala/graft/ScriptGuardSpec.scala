@@ -50,6 +50,27 @@ class ScriptGuardSpec extends SparkSpec {
     }
   }
 
+  test("malformed UTF-8 never desyncs the scan past a CJK character") {
+    // what rlike sees: the bytes decoded with the replacement policy
+    def viaDecode(bytes: Array[Byte]): Boolean =
+      regexContains(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+    val ni = Array(0xE4, 0xBD, 0xA0).map(_.toByte) // 你
+    val cases = Seq(
+      Array(0x85.toByte) ++ ni, // stray continuation before the CJK char
+      Array(0xC3.toByte) ++ ni, // truncated 2-byte lead swallowing nothing
+      Array(0xE4.toByte, 0x20.toByte) ++ ni, // truncated 3-byte lead
+      Array(0xF0.toByte) ++ ni, // truncated 4-byte lead
+      ni ++ Array(0x85.toByte), // trailing garbage
+      Array(0xE0.toByte, 0x80.toByte, 0x80.toByte), // overlong: cp 0, no hit
+      Array(0xED.toByte, 0xA0.toByte, 0x80.toByte), // CESU surrogate: no hit
+      Array(0x85.toByte, 0x41.toByte)) // garbage + ascii only
+    cases.foreach { bytes =>
+      assert(ScriptGuard.containsWsFree(UTF8String.fromBytes(bytes)) ==
+        viaDecode(bytes),
+        bytes.map(b => f"${b & 0xFF}%02X").mkString(" "))
+    }
+  }
+
   test("codegen path (df.select) agrees with interpreted eval and rlike") {
     val vals = Seq("plain ascii", "", "café crème",
       "你好 world", "あ", "mixed 😀 emoji",

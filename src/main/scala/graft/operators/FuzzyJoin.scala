@@ -159,7 +159,14 @@ object FuzzyJoin {
     // window + df join + per-string sort) executes once PER SIDE —
     // measured as the dominant cost on the 15k-name hot-prefix bench.
     // The frame is (2d+1)·n rows — prefix-sized, not candidate-sized.
-    val prefixesMat = prefixes.localCheckpoint()
+    // REPARTITIONED BY THE JOIN KEY first: localCheckpoint freezes the
+    // upstream partitioning (often ONE scan partition on a compact
+    // input, serializing the whole candidate join into a single task),
+    // and hash-partitioning on (__gram, __occ) is exactly the join's
+    // requirement, so both self-join legs reuse this one exchange
+    // instead of shuffling twice (guide §2.4).
+    val prefixesMat = prefixes
+      .repartition(col("__gram"), col("__occ")).localCheckpoint()
     val cand = prefixesMat.select(col("__id").as("id_a"), col("__len").as("la"),
         col("__s").as("__sa"), col("__gram"), col("__occ"))
       .join(prefixesMat.select(col("__id").as("id_b"), col("__len").as("lb"),
@@ -250,8 +257,15 @@ object FuzzyJoin {
     val keys = if (maxDist == 1) del1 else concat(del1, del2)
     // Materialized once — the self-join references it twice (the
     // SimHash/gram-join lesson); key-sized, guarded above for d=2.
+    // Repartitioned by the join key BEFORE the checkpoint: the frozen
+    // upstream layout is often one scan partition (the whole collision
+    // join then runs as a single task — measured 3.8 s single-threaded
+    // on the sf0.1 customer bench), and partitioning on __k is the
+    // join's own requirement, so both legs reuse this exchange instead
+    // of shuffling twice (guide §2.4).
     val keyed = base.select(col("__id"), col("__s"),
         explode(keys).as("__k"))
+      .repartition(col("__k"))
       .localCheckpoint()
     keyed.select(col("__id").as("id_a"), col("__s").as("__sa"), col("__k"))
       .join(keyed.select(col("__id").as("id_b"), col("__s").as("__sb"),

@@ -155,13 +155,18 @@ object KMeansQuant {
       .select(quantize(col(vecCol))).head().getSeq[Long](0).toArray
     val cells = rankCells(m, qQuant, nprobe)
     val (cluster, _) = nearest(quantize(col(vecCol)), m)
+    // the query norm rides the 1-row broadcast; each probed row pays
+    // one dot + its own norm (Similarity.cosinePre — bit-identical)
     val q = emb.filter(col(idCol) === queryId)
-      .select(col(vecCol).cast("array<double>").as("__qv"))
+      .select(col(vecCol).cast("array<double>").as("__qv"),
+        Similarity.normFast(col(vecCol).cast("array<double>")).as("__qn"))
     emb.filter(col(idCol) =!= queryId)
       .filter(cluster.isin(cells: _*))
       .crossJoin(broadcast(q))
-      .select(col(idCol), round(Similarity.cosineFast(
-        col(vecCol).cast("array<double>"), col("__qv")), 6).as("cos"))
+      .select(col(idCol), round(Similarity.cosinePre(
+        col(vecCol).cast("array<double>"), col("__qv"),
+        Similarity.normFast(col(vecCol).cast("array<double>")),
+        col("__qn")), 6).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
   }
@@ -446,11 +451,17 @@ object KMeansQuant {
       s"query dimension ${qQuant.length} != model dimension ${m.dim}")
     val cells = rankCells(m, qQuant, nprobe)
     val qLit = array(queryVec.map(lit): _*)
+    // query norm computed DRIVER-SIDE with vec_dot's exact fold
+    // (left-to-right acc += x*x, then sqrt — bit-identical), so each
+    // probed row pays one dot + its own norm (Similarity.cosinePre)
+    val qn = math.sqrt(queryVec.foldLeft(0.0)((acc, x) => acc + x * x))
     val base = graft.sources.PartitionedParquet.read(spark, path)
       .filter(col("cell").isin(cells: _*))
     excludeId.fold(base)(id => base.filter(col(idCol) =!= id))
-      .select(col(idCol), round(Similarity.cosineFast(
-        col(vecCol).cast("array<double>"), qLit), 6).as("cos"))
+      .select(col(idCol), round(Similarity.cosinePre(
+        col(vecCol).cast("array<double>"), qLit,
+        Similarity.normFast(col(vecCol).cast("array<double>")),
+        lit(qn)), 6).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
   }
@@ -494,12 +505,18 @@ object KMeansQuant {
       .select(col(idCol), col(vecCol).cast("array<double>").as("__v"),
         col("cell").cast("long").as("__cell"))
     val probe = broadcast(probePairs.toDF("anchor_id", "__cell"))
-    val anchorVecs = broadcast(anchors.toDF("anchor_id", "__qa"))
-    val scored = cand.join(probe, Seq("__cell"))
+    // anchor norms ride the broadcast; the candidate norm is hoisted
+    // before the per-anchor fan-out (Similarity.cosinePre, bit-identical)
+    val anchorVecs = broadcast(anchors.toDF("anchor_id", "__qa")
+      .withColumn("__qan", Similarity.normFast(col("__qa"))))
+    val scored = cand
+      .withColumn("__vn", Similarity.normFast(col("__v")))
+      .join(probe, Seq("__cell"))
       .filter(col(idCol) =!= col("anchor_id"))
       .join(anchorVecs, Seq("anchor_id"))
       .withColumn("cos",
-        round(Similarity.cosineFast(col("__v"), col("__qa")), 6))
+        round(Similarity.cosinePre(col("__v"), col("__qa"),
+          col("__vn"), col("__qan")), 6))
       .filter(col("cos") >= lo && col("cos") < hi)
     // the shared banded-top-k tail (Similarity.bandTopK): grid,
     // tie-break, and cut are ONE definition across both serving paths

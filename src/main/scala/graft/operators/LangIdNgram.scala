@@ -39,19 +39,19 @@ object LangIdNgram {
     * plain DataFrames so serving layouts can persist them. */
   case class Model(profile: DataFrame, defaults: DataFrame, n: Int)
 
-  /** All overlapping character n-grams of lower(text), 1-based. The
-    * upper bound floors at 1 (the [[TokenOps.charBigrams]] guard:
-    * Spark's `sequence(1, 0)` steps BACKWARD, it is not empty), so a
-    * text shorter than n yields itself as its only gram. NULL text
-    * yields a NULL array — greatest() ignores the NULL length, so
-    * without the outer guard a null row would leak one NULL gram and
-    * score the add-1 floor instead of falling through to "und". */
-  def charGrams(text: Column, n: Int): Column = {
-    val t = lower(text)
-    when(t.isNotNull,
-      transform(sequence(lit(1), greatest(length(t) - (n - 1), lit(1))),
-        i => t.substr(i, lit(n))))
-  }
+  /** All overlapping character n-grams of lower(text), 1-based; the
+    * gram count floors at 1, so a text shorter than n yields itself as
+    * its only gram, and NULL text yields a NULL array (null-intolerant
+    * expression), so a null row falls through to "und" instead of
+    * scoring the add-1 floor. */
+  def charGrams(text: Column, n: Int): Column =
+    // ONE codegen'd O(L) pass ([[graft.functions.CharNGramsExpr]] —
+    // same grams, specced). The previous `transform(sequence(...),
+    // i -> t.substr(i, n))` HOF ran interpreted with the ICU
+    // `lower(text)` re-evaluated per element AND an O(i) byte walk per
+    // substr — O(L²) per row, measured as the dominant cost of the
+    // q_lang_id_ngram_kappa contingency pass at sf0.1.
+    graft.functions.CharNGramsExpr.grams(lower(text), n)
 
   /** Fit per-language profiles over `seed` (labelCol, textCol). One
     * wordcount shuffle; the distinct-gram count probes BEFORE the
@@ -83,19 +83,28 @@ object LangIdNgram {
   }
 
   /** Argmax language per document: (idCol, lang_pred). "und" when the
-    * document has no n-grams. */
+    * document has no n-grams.
+    *
+    * Plan shape (one corpus-keyed shuffle, not three): gram instances
+    * explode STRAIGHT onto the broadcast profile and aggregate directly
+    * to (doc, lang) — the score is an order-free integer sum of
+    * per-instance lp, so pre-counting per (doc, gram) bought nothing
+    * the map-side partial aggregation doesn't already do, while costing
+    * a corpus-keyed shuffle plus a per-call localCheckpoint
+    * materialization (measured as ~95% of q_lang_id_ngram's bench time
+    * at sf0.1). Per-doc gram totals are `size(grams)` — map-side, no
+    * explode, no shuffle. */
   def predict(docs: DataFrame, idCol: String, textCol: String,
       model: Model): DataFrame = {
-    val eg = docs
-      .select(col(idCol).as("__id"),
-        explode(charGrams(col(textCol), model.n)).as("g"))
-      .groupBy(col("__id"), col("g")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
-    val hits = eg.join(broadcast(model.profile), "g")
+    val base = docs.select(col(idCol).as("__id"),
+      charGrams(col(textCol), model.n).as("__gs"))
+    val totals = base.filter(col("__gs").isNotNull)
+      .select(col("__id"), size(col("__gs")).cast("long").as("tg"))
+    val hits = base.select(col("__id"), explode(col("__gs")).as("g"))
+      .join(broadcast(model.profile), "g")
       .groupBy(col("__id"), col("lang"))
-      .agg(sum(col("cnt") * col("lp")).as("s_hit"),
-        sum(col("cnt")).as("m_hit"))
-    val totals = eg.groupBy(col("__id")).agg(sum(col("cnt")).as("tg"))
+      .agg(sum(col("lp")).as("s_hit"),
+        count(lit(1)).as("m_hit"))
     // docs × L grid: the L-row defaults frame broadcast over per-doc
     // totals (bounded nested loop BY CONSTRUCTION — L languages), so
     // unseen grams score the add-1 floor for every language

@@ -54,8 +54,11 @@ object SemDedup {
       maxCellRows: Long = 100000L): DataFrame = {
     VectorFunctions.register(emb.sparkSession)
     val cell = KMeansQuant.cellOf(col(vecCol), m)
+    // per-side norms hoisted ([[Similarity.cosinePre]], bit-identical):
+    // a within-cell candidate pair pays ONE dot product, not three
     val e = emb.select(cell.as("cluster"), col(idCol),
       toDouble(col(vecCol)).as("__v"))
+      .withColumn("__n", Similarity.normFast(col("__v")))
     val hot = e.groupBy(col("cluster")).count()
       .filter(col("count") > maxCellRows).limit(1).collect()
     require(hot.isEmpty, {
@@ -65,12 +68,15 @@ object SemDedup {
         "candidate pairs). Refit with a larger k so cells stay bounded, " +
         "or pass maxCellRows explicitly to override."
     })
-    val a = e.select(col("cluster"), col(idCol).as("id_a"), col("__v").as("__va"))
-    val b = e.select(col("cluster"), col(idCol).as("id_b"), col("__v").as("__vb"))
+    val a = e.select(col("cluster"), col(idCol).as("id_a"),
+      col("__v").as("__va"), col("__n").as("__na"))
+    val b = e.select(col("cluster"), col(idCol).as("id_b"),
+      col("__v").as("__vb"), col("__n").as("__nb"))
     a.join(b, Seq("cluster"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos",
-        round(Similarity.cosineFast(col("__va"), col("__vb")), 6))
+        round(Similarity.cosinePre(col("__va"), col("__vb"),
+          col("__na"), col("__nb")), 6))
       .filter(col("cos") >= threshold)
       .select(col("cluster"), col("id_a"), col("id_b"), col("cos"))
   }
@@ -90,9 +96,14 @@ object SemDedup {
       m: KMeansQuant.Model, threshold: Double, nprobe: Int = 2,
       maxCellRows: Long = 100000L): DataFrame = {
     VectorFunctions.register(emb.sparkSession)
-    val cells = KMeansQuant.cellsOf(col(vecCol), m, nprobe)
-    val e = emb.select(explode(cells).as("cluster"), col(idCol),
-      toDouble(col(vecCol)).as("__v"))
+    // norms hoisted BEFORE the probe explode: each vector's norm is
+    // computed once, not nprobe× — and each candidate pair pays one dot
+    // (cellsOf over the cast __v quantizes identically: the cast is
+    // idempotent inside quantize)
+    val e = emb.select(col(idCol), toDouble(col(vecCol)).as("__v"))
+      .withColumn("__n", Similarity.normFast(col("__v")))
+      .select(explode(KMeansQuant.cellsOf(col("__v"), m, nprobe))
+        .as("cluster"), col(idCol), col("__v"), col("__n"))
     val hot = e.groupBy(col("cluster")).count()
       .filter(col("count") > maxCellRows).limit(1).collect()
     require(hot.isEmpty, {
@@ -102,12 +113,15 @@ object SemDedup {
         s"maxCellRows=$maxCellRows. Refit with a larger k, lower " +
         "nprobe, or pass maxCellRows to override."
     })
-    val a = e.select(col("cluster"), col(idCol).as("id_a"), col("__v").as("__va"))
-    val b = e.select(col("cluster"), col(idCol).as("id_b"), col("__v").as("__vb"))
+    val a = e.select(col("cluster"), col(idCol).as("id_a"),
+      col("__v").as("__va"), col("__n").as("__na"))
+    val b = e.select(col("cluster"), col(idCol).as("id_b"),
+      col("__v").as("__vb"), col("__n").as("__nb"))
     a.join(b, Seq("cluster"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos",
-        round(Similarity.cosineFast(col("__va"), col("__vb")), 6))
+        round(Similarity.cosinePre(col("__va"), col("__vb"),
+          col("__na"), col("__nb")), 6))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
       .distinct()
@@ -181,12 +195,18 @@ object SemDedup {
         "should be the corpus side; swap the arguments or raise " +
         "maxEvalRows.")
     val cells = KMeansQuant.cellsOf(col(vecCol), m, nprobe)
+    // both sides carry their hoisted norm through the probe explode
+    // ([[Similarity.cosinePre]], bit-identical): a candidate pair pays
+    // one dot product, not three
     val c = corpus.select(explode(cells).as("cluster"), col(idCol),
-      toDouble(col(vecCol)).as("__vc"))
+      toDouble(col(vecCol)).as("__vc"),
+      Similarity.normFast(toDouble(col(vecCol))).as("__nc"))
     val e = evalSet.select(explode(cells).as("cluster"),
-      toDouble(col(vecCol)).as("__ve"))
+      toDouble(col(vecCol)).as("__ve"),
+      Similarity.normFast(toDouble(col(vecCol))).as("__ne"))
     val contaminated = c.join(broadcast(e), Seq("cluster"))
-      .filter(round(Similarity.cosineFast(col("__vc"), col("__ve")), 6)
+      .filter(round(Similarity.cosinePre(col("__vc"), col("__ve"),
+        col("__nc"), col("__ne")), 6)
         >= threshold)
       .select(col(idCol)).distinct()
     corpus.select(col(idCol))
@@ -226,15 +246,18 @@ object SemDedup {
     val eval = evalSet.select(col(vecCol)).localCheckpoint()
     val probed = eval.select(
       explode(KMeansQuant.cellsOf(col(vecCol), m, nprobe)).as("cluster"),
-      toDouble(col(vecCol)).as("__ve"))
+      toDouble(col(vecCol)).as("__ve"),
+      Similarity.normFast(toDouble(col(vecCol))).as("__ne"))
     val touched = probed.select(col("cluster")).distinct()
       .collect().map(_.getLong(0)) // ≤ m.k values by construction
     val corpus = graft.sources.PartitionedParquet.read(spark, path)
       .filter(col("cell").isin(touched.toSeq: _*))
       .select(col("cell").cast("long").as("cluster"), col(idCol),
-        toDouble(col(vecCol)).as("__vc"))
+        toDouble(col(vecCol)).as("__vc"),
+        Similarity.normFast(toDouble(col(vecCol))).as("__nc"))
     corpus.join(broadcast(probed), Seq("cluster"))
-      .filter(round(Similarity.cosineFast(col("__vc"), col("__ve")), 6)
+      .filter(round(Similarity.cosinePre(col("__vc"), col("__ve"),
+        col("__nc"), col("__ne")), 6)
         >= threshold)
       .select(col(idCol)).distinct()
   }
@@ -320,13 +343,17 @@ object SemDedup {
       threshold: Double, maxCellRows: Long): DataFrame = {
     VectorFunctions.register(newVecs.sparkSession)
     val cell = KMeansQuant.cellOf(col(vecCol), m)
-    def shaped(id: String, vec: String) =
+    def shaped(id: String, vec: String, n: String) =
       newVecs.select(cell.as("cluster"), col(idCol).as(id),
-        toDouble(col(vecCol)).as(vec))
-    val newE = shaped("id_b", "__vb")
+        toDouble(col(vecCol)).as(vec),
+        Similarity.normFast(toDouble(col(vecCol))).as(n))
+    val newE = shaped("id_b", "__vb", "__nb")
     // anchors = old corpus ∪ lower-id new rows (the within-batch
-    // anchor-wins pass rides the same join)
-    val anchors = oldAnchors.unionByName(shaped("id_a", "__va"))
+    // anchor-wins pass rides the same join); the anchor leg's norm is
+    // hoisted per row too (cosinePre, bit-identical)
+    val anchors = oldAnchors
+      .withColumn("__na", Similarity.normFast(col("__va")))
+      .unionByName(shaped("id_a", "__va", "__na"))
     val hot = anchors
       .join(broadcast(newE.select(col("cluster")).distinct()), Seq("cluster"))
       .groupBy(col("cluster")).count()
@@ -340,7 +367,8 @@ object SemDedup {
     })
     val dropped = anchors.join(broadcast(newE), Seq("cluster"))
       .filter(col("id_a") < col("id_b"))
-      .filter(round(Similarity.cosineFast(col("__va"), col("__vb")), 6)
+      .filter(round(Similarity.cosinePre(col("__va"), col("__vb"),
+        col("__na"), col("__nb")), 6)
         >= threshold)
       .select(col("id_b")).distinct()
     newVecs.select(col(idCol), cell.as("cluster"))

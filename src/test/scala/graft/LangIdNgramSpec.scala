@@ -34,6 +34,41 @@ class LangIdNgramSpec extends SparkSpec {
       s"trained tier not materially above marker: $k")
   }
 
+  test("CharNGramsExpr equals the substr HOF form (unicode, short, empty, null)") {
+    import org.apache.spark.sql.functions._
+    val texts = Seq("hello world", "Déjà vu straße", "日本語テキスト",
+      "ab", "a", "", "xy z", null)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+    Seq(1, 2, 3, 5).foreach { n =>
+      // the reference form charGrams replaced: interpreted HOF substr
+      val hof = when(lower(col("t")).isNotNull,
+        transform(
+          sequence(lit(1), greatest(length(lower(col("t"))) - (n - 1), lit(1))),
+          i => lower(col("t")).substr(i, lit(n))))
+      val rows = df.select(col("id"),
+          LangIdNgram.charGrams(col("t"), n).as("fast"), hof.as("ref"))
+        .collect()
+      rows.foreach { r =>
+        def seqOf(c: String): Seq[String] = Option(r.getAs[AnyRef](c))
+          .map(_.asInstanceOf[scala.collection.Seq[String]].toSeq).orNull
+        assert(seqOf("fast") == seqOf("ref"),
+          s"n=$n id=${r.getLong(0)}: ${seqOf("fast")} != ${seqOf("ref")}")
+      }
+      // interpreted eval parity with the codegen path (the DotProduct
+      // codegen==interpreted discipline)
+      val expr = graft.functions.CharNGramsExpr(
+        org.apache.spark.sql.catalyst.expressions.Literal("déjà vu"), n)
+      val interp = expr.eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toObjectArray(org.apache.spark.sql.types.StringType).toSeq
+      val viaDf = Seq("déjà vu").toDF("t")
+        .select(graft.functions.CharNGramsExpr.grams(col("t"), n))
+        .head().getSeq[String](0)
+      assert(interp.map(_.toString) == viaDf, s"n=$n: $interp != $viaDf")
+    }
+  }
+
   test("no-gram documents predict und; the vocab guard trips") {
     val m = LangIdNgram.fit(
       Seq(("xx", "aaabbbccc"), ("yy", "dddeeefff")).toDF("l", "t"),

@@ -95,10 +95,6 @@ object BandOfExpr {
 
 object BandExprs {
 
-  private def registry(spark: org.apache.spark.sql.SparkSession) =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry
-
   /** Content-hashed name: equal cut sets share one registration, new
     * cuts (a re-fit digest) re-register under a fresh name. */
   private def nameFor(cuts: Array[Double], desc: Boolean): String = {
@@ -118,8 +114,10 @@ object BandExprs {
   def bandOf(value: Column, cuts: Array[Double], desc: Boolean): Column = {
     val spark = org.apache.spark.sql.SparkSession.active
     val name = nameFor(cuts, desc)
-    registry(spark).createOrReplaceTempFunction(name,
-      Builders.unary(name)(BandOfExpr(_, cuts, desc)), "scala_udf")
+    // register-once: the SHA-256 content-hashed name pins the cut array,
+    // so an existing registration is by construction the same expression
+    Builders.registerOnce(spark, name,
+      Builders.unary(name)(BandOfExpr(_, cuts, desc)))
     org.apache.spark.sql.functions.call_function(name, value)
   }
 

@@ -73,11 +73,8 @@ object BloomFunctions {
     * (idempotent); same registry + call_function route as
     * [[VectorFunctions.register]]. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry.createOrReplaceTempFunction(
-        "bloom_might_contain",
-        Builders.binary("bloom_might_contain")(BloomMightContain.apply),
-        "scala_udf")
+    Builders.registerOnce(spark, "bloom_might_contain",
+      Builders.binary("bloom_might_contain")(BloomMightContain.apply))
 
   /** Membership probe of a BIGINT fingerprint column against a
     * serialized bloom filter (pass as `lit(bytes)`).

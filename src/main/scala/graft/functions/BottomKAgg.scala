@@ -159,15 +159,12 @@ object BottomK {
     * The analyzer wraps the returned AggregateFunction in a Complete
     * AggregateExpression — usable from SQL and the Column API alike. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry.createOrReplaceTempFunction(
-        "bottom_k",
-        { exprs =>
-          require(exprs.size == 3,
-            s"bottom_k expects exactly 3 arguments, got ${exprs.size}")
-          BottomK(exprs(0), exprs(1), exprs(2))
-        },
-        "scala_udf")
+    Builders.registerOnce(spark, "bottom_k",
+      { exprs =>
+        require(exprs.size == 3,
+          s"bottom_k expects exactly 3 arguments, got ${exprs.size}")
+        BottomK(exprs(0), exprs(1), exprs(2))
+      })
 
   /** Column form: ids of the k smallest (key, id) pairs per group,
     * ascending. Requires [[register]] on the session first. */

@@ -20,4 +20,21 @@ private[graft] object Builders {
       s"$name expects exactly 2 arguments, got ${exprs.size}")
     mk(exprs(0), exprs(1))
   }
+
+  /** Register `name` only when absent from the session's registry.
+    * Re-registration via createOrReplaceTempFunction is harmless to
+    * results but pays registry work per Column construction and logs
+    * "replaced a previously registered function" on every call — the
+    * Verify entry tail was wall-to-wall with it (r18 verdict #9). Every
+    * caller registers a CONSTANT builder under a fixed or content-hashed
+    * name (same name ⇒ same expression), so skip-if-present is sound.
+    * The registry is per-session state, so this needs no extra cache. */
+  def registerOnce(spark: org.apache.spark.sql.SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit = {
+    val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+  }
 }

@@ -82,9 +82,8 @@ object CharNGramsExpr {
   def grams(text: Column, n: Int): Column = {
     val spark = org.apache.spark.sql.SparkSession.active
     val name = s"char_ngrams_$n"
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry.createOrReplaceTempFunction(
-        name, Builders.unary(name)(CharNGramsExpr(_, n)), "scala_udf")
+    Builders.registerOnce(spark, name,
+      Builders.unary(name)(CharNGramsExpr(_, n)))
     org.apache.spark.sql.functions.call_function(name, text)
   }
 }

@@ -89,21 +89,18 @@ object CountMin {
   val resultType: DataType = ArrayType(LongType, containsNull = false)
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val registry = spark
-      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry
-    registry.createOrReplaceTempFunction("count_min",
+    Builders.registerOnce(spark, "count_min",
       { exprs =>
         require(exprs.size == 3,
           s"count_min expects (item, width, depth), got ${exprs.size} args")
         CountMinAgg(exprs(0), exprs(1), exprs(2))
-      }, "scala_udf")
-    registry.createOrReplaceTempFunction("count_min_merge",
+      })
+    Builders.registerOnce(spark, "count_min_merge",
       { exprs =>
         require(exprs.size == 3,
           s"count_min_merge expects (sketch, width, depth), got ${exprs.size} args")
         CountMinMergeAgg(exprs(0), exprs(1), exprs(2))
-      }, "scala_udf")
+      })
   }
 
   def count_min(item: Column, width: Int, depth: Int): Column =

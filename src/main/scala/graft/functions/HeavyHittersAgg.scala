@@ -137,21 +137,18 @@ object HeavyHitters {
   /** Register both aggregates (idempotent; same registry route as
     * [[BottomK.register]]). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val registry = spark
-      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry
-    registry.createOrReplaceTempFunction("heavy_hitters",
+    Builders.registerOnce(spark, "heavy_hitters",
       { exprs =>
         require(exprs.size == 2,
           s"heavy_hitters expects (item, capacity), got ${exprs.size} args")
         HeavyHittersAgg(exprs(0), exprs(1))
-      }, "scala_udf")
-    registry.createOrReplaceTempFunction("heavy_hitters_merge",
+      })
+    Builders.registerOnce(spark, "heavy_hitters_merge",
       { exprs =>
         require(exprs.size == 2,
           s"heavy_hitters_merge expects (summary, capacity), got ${exprs.size} args")
         HeavyHittersMergeAgg(exprs(0), exprs(1))
-      }, "scala_udf")
+      })
   }
 
   def heavy_hitters(item: Column, capacity: Int): Column =

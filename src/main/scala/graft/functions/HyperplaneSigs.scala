@@ -92,14 +92,21 @@ object HyperplaneSigs {
     val flat = planes.flatten.toArray
     // Content hash (not array identity) keyed into the name so equal
     // plane sets reuse one registration; unsigned hex keeps the name a
-    // valid unquoted SQL identifier.
+    // valid unquoted SQL identifier. SHA-256 (not a 32-bit hash): with
+    // register-once semantics a name collision between two DISTINCT
+    // plane sets would silently serve the older set — the
+    // KMeansAssignExprs.nameFor discipline makes that impossible.
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val bb = java.nio.ByteBuffer.allocate(8)
+    flat.foreach { v =>
+      bb.clear(); bb.putLong(java.lang.Double.doubleToLongBits(v))
+      md.update(bb.array())
+    }
     val name = "hyperplane_sigs_" +
-      java.lang.Integer.toUnsignedString(java.util.Arrays.hashCode(flat), 16) +
+      md.digest().take(8).map(b => f"$b%02x").mkString +
       s"_${tables}_$bitsPerTable"
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry.createOrReplaceTempFunction(
-        name, exprs => HyperplaneSigs(exprs.head, flat, dim, tables,
-          bitsPerTable), "scala_udf")
+    Builders.registerOnce(spark, name,
+      exprs => HyperplaneSigs(exprs.head, flat, dim, tables, bitsPerTable))
     org.apache.spark.sql.functions.call_function(name, vec)
   }
 }

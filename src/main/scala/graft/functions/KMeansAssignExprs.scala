@@ -291,7 +291,13 @@ object KMeansAssignExprs {
           fresh
         }
       }
-      registry(spark).createOrReplaceTempFunction(name, builder, "scala_udf")
+      // register-once: the SHA-256 content-hashed name pins the matrix,
+      // so a LIVE name is by construction the same builder — skip the
+      // replace (registry work + "replaced function" log churn per
+      // Column construction, r18 verdict #9) and only refresh its LRU
+      // position; an evicted (absent) name re-registers.
+      if (!q.contains(name))
+        registry(spark).createOrReplaceTempFunction(name, builder, "scala_udf")
       // LRU, not FIFO: a re-registered live name moves to the tail so a
       // constantly-reused model is the LAST evicted, not the first.
       q.dequeueFirst(_ == name)

@@ -71,10 +71,8 @@ object PolyHashF {
 
   /** Register `poly_hash` in the session registry (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry.createOrReplaceTempFunction(
-        "poly_hash", Builders.unary("poly_hash")(PolyHash.apply),
-        "scala_udf")
+    Builders.registerOnce(spark, "poly_hash",
+      Builders.unary("poly_hash")(PolyHash.apply))
 
   /** Codegen'd polynomial hash of a string column.
     * Requires [[register]] on the session first. */

@@ -85,27 +85,24 @@ object QuantileSketch {
   }
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val registry = spark
-      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry
-    registry.createOrReplaceTempFunction("gk_sketch_agg",
+    Builders.registerOnce(spark, "gk_sketch_agg",
       { exprs =>
         require(exprs.size == 2,
           s"gk_sketch_agg expects (value, eps), got ${exprs.size} args")
         GkSketchAgg(exprs(0), exprs(1))
-      }, "scala_udf")
-    registry.createOrReplaceTempFunction("gk_union_agg",
+      })
+    Builders.registerOnce(spark, "gk_union_agg",
       { exprs =>
         require(exprs.size == 1,
           s"gk_union_agg expects (sketch), got ${exprs.size} args")
         GkUnionAgg(exprs(0))
-      }, "scala_udf")
-    registry.createOrReplaceTempFunction("gk_quantiles",
+      })
+    Builders.registerOnce(spark, "gk_quantiles",
       { exprs =>
         require(exprs.size == 2,
           s"gk_quantiles expects (sketch, probs), got ${exprs.size} args")
         GkQuantiles(exprs(0), exprs(1))
-      }, "scala_udf")
+      })
   }
 
   def gk_sketch_agg(value: Column, eps: Double): Column =

@@ -85,9 +85,8 @@ object ScriptGuard {
     * KMeansAssignExprs discipline). */
   def containsWsFreeScript(text: Column): Column = {
     val spark = org.apache.spark.sql.SparkSession.active
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry.createOrReplaceTempFunction(
-        Name, Builders.unary(Name)(ContainsWsFreeScript.apply), "scala_udf")
+    Builders.registerOnce(spark, Name,
+      Builders.unary(Name)(ContainsWsFreeScript.apply))
     org.apache.spark.sql.functions.call_function(Name, text)
   }
 }

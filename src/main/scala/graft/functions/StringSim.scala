@@ -110,10 +110,8 @@ object StringSim {
 
   /** Register `jaro_winkler` in the session registry (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry.createOrReplaceTempFunction(
-        "jaro_winkler", Builders.binary("jaro_winkler")(JaroWinkler.apply),
-        "scala_udf")
+    Builders.registerOnce(spark, "jaro_winkler",
+      Builders.binary("jaro_winkler")(JaroWinkler.apply))
 
   /** Codegen'd Jaro-Winkler similarity of two string columns.
     * Requires [[register]] on the session first. */

@@ -84,14 +84,10 @@ object UnicodeNormF {
     * registry (idempotent). The NFC name deliberately matches DuckDB's
     * built-in so shared SQL fragments read identically on both engines. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("nfc_normalize",
-      Builders.unary("nfc_normalize")(UnicodeNormalize(_, "NFC")),
-      "scala_udf")
-    reg.createOrReplaceTempFunction("nfkc_normalize",
-      Builders.unary("nfkc_normalize")(UnicodeNormalize(_, "NFKC")),
-      "scala_udf")
+    Builders.registerOnce(spark, "nfc_normalize",
+      Builders.unary("nfc_normalize")(UnicodeNormalize(_, "NFC")))
+    Builders.registerOnce(spark, "nfkc_normalize",
+      Builders.unary("nfkc_normalize")(UnicodeNormalize(_, "NFKC")))
   }
 
   /** Codegen'd NFC normalization. Requires [[register]] first. */

@@ -88,9 +88,8 @@ object VectorFunctions {
     * Expression to the analyzer in Spark 4 (the Column(expr) constructor
     * went private[sql]); it also makes the function usable from SQL. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry.createOrReplaceTempFunction(
-        "vec_dot", Builders.binary("vec_dot")(DotProduct.apply), "scala_udf")
+    Builders.registerOnce(spark, "vec_dot",
+      Builders.binary("vec_dot")(DotProduct.apply))
 
   /** Codegen'd dot product of two array<double> columns.
     * Requires [[register]] on the session first. */

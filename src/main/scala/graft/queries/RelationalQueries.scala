@@ -1266,10 +1266,18 @@ object RelationalQueries extends QueryModule {
       .select(col("l_returnflag"), cents(col("l_extendedprice")).as("cents"))
     graft.operators.ExactStats.guardExactPercentile(
       li, Seq("l_returnflag"), "winsorized mean (exact p25/p75 clip)",
-      maxGroupRows)
-    val st = li.groupBy(col("l_returnflag")).agg(
-      round(expr("percentile(cents, 0.25)")).cast("long").as("lo_cents"),
-      round(expr("percentile(cents, 0.75)")).cast("long").as("hi_cents"))
+      maxGroupRows, memoKey = Some(s"winsorize|$d"))
+    // BOTH cut points from ONE percentile buffer: two scalar
+    // `percentile(cents, p)` calls each buffered every group value
+    // independently (the plan showed one ObjectHashAggregate carrying
+    // two full-group buffers); the array form sorts one buffer and
+    // reads both ranks off it — identical interpolation arithmetic per
+    // element, half the aggregation state (guide §5; r18 verdict #3).
+    val st = li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(cents, array(0.25D, 0.75D))").as("pq"))
+      .select(col("l_returnflag"),
+        round(element_at(col("pq"), 1)).cast("long").as("lo_cents"),
+        round(element_at(col("pq"), 2)).cast("long").as("hi_cents"))
     clipMean(li, st)
   }
 
@@ -1320,9 +1328,17 @@ object RelationalQueries extends QueryModule {
       d: String,
       maxGroupRows: Long = graft.operators.ExactStats.DefaultMaxGroupRows)
       : org.apache.spark.sql.DataFrame = {
+    // localCheckpoint: med, mad and the closing filter are FOUR distinct
+    // consumers of the per-order totals (med's broadcast subtree, mad's —
+    // which nests med's again — and the main leg); uncheckpointed, each
+    // re-ran the lineitem groupBy, 5 corpus aggregations per invocation
+    // for one result (guide §5 — materialize a reused intermediate). The
+    // checkpoint is order-count sized (~150k rows at sf0.1), built once
+    // per invocation inside the timed region.
     val t = Tables.lineitem(s, d)
       .groupBy(col("l_orderkey"))
       .agg(sum(cents(col("l_extendedprice"))).as("tot"))
+      .localCheckpoint()
     graft.operators.ExactStats.guardExactPercentile(
       t, Seq.empty, "median/MAD outliers (exact global percentiles)",
       maxGroupRows)

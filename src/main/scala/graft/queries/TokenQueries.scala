@@ -193,7 +193,8 @@ object TokenQueries extends QueryModule {
       val base = Tables.documents(s, d)
         .select(col("doc_id"), nTok.as("n_tokens"), q.as("quality"))
       graft.operators.ExactStats.guardExactRank(base,
-        "curriculum decile grid (exact doc-frame ntile)")
+        "curriculum decile grid (exact doc-frame ntile)",
+        memoKey = Some(s"curriculum-grid|$d"))
       base
         .withColumn("q_decile", ntile(10)
           .over(Window.orderBy(col("quality"), col("doc_id"))).cast("long"))
@@ -217,12 +218,7 @@ object TokenQueries extends QueryModule {
       graft.functions.QuantileSketch.register(s)
       // digest pass + band pass share one memoized compute (the
       // curatedCache discipline — bench re-runs reuse one RDD)
-      val base = curriculumBaseCache.getOrElseUpdate(s, d) {
-        val (nTok, _, q) = TokenOps.qualityScore(col("text"))
-        Tables.documents(s, d)
-          .select(col("doc_id"), nTok.as("n_tokens"), q.as("quality"))
-          .localCheckpoint()
-      }
+      val base = curriculumBase(s, d)
       val probs = array((1 until 10).map(i => lit(i / 10.0)): _*)
       val cuts = base.agg(graft.functions.QuantileSketch.gk_quantiles(
           graft.functions.QuantileSketch.gk_sketch_agg(col("quality"),
@@ -771,6 +767,19 @@ object TokenQueries extends QueryModule {
   private val curriculumBaseCache =
     new graft.util.SessionCache[org.apache.spark.sql.DataFrame]
 
+  /** The curriculum GK base frame (doc_id, n_tokens, quality), one
+    * localCheckpoint per (session, dataset) — named in Bench's warm
+    * ledger so the memoized first build is attributed, not silently
+    * excluded from the headline (r18 verdict #8). */
+  private def curriculumBase(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    curriculumBaseCache.getOrElseUpdate(s, d) {
+      val (nTok, _, q) = TokenOps.qualityScore(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), nTok.as("n_tokens"), q.as("quality"))
+        .localCheckpoint()
+    }
+
   /** One labeled fixture + one trigram fit per (session, dataset) —
     * q_lang_id_ngram and the kappa readout share both (the kappa query
     * would otherwise re-run the whole fit; the kmeans_model memoization
@@ -789,7 +798,10 @@ object TokenQueries extends QueryModule {
 
   override val warmups: Map[String,
       (org.apache.spark.sql.SparkSession, String) => Unit] = Map(
-    "langid_ngram_model" -> ((s, d) => { ngramEvalAndModel(s, d); () }))
+    "langid_ngram_model" -> ((s, d) => { ngramEvalAndModel(s, d); () }),
+    // curriculum GK base frame — memoized shared intermediate, attributed
+    // by name like the model fits (r18 verdict #8)
+    "curriculum_base" -> ((s, d) => { curriculumBase(s, d); () }))
 
   /** Shared SQL for the trained-tier mirrors: the labeled fixture, the
     * char-trigram FIT on the even half (counts → nano-grid log-prob

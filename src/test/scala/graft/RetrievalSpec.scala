@@ -488,4 +488,20 @@ class RetrievalSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(math.abs(out(1L) - expect1) < 2e-6, s"${out(1L)} vs $expect1")
   }
+
+  test("termBuckets driver eval == the engine's pmod(xxhash64) column, byte for byte") {
+    // the write path buckets postings with functions.xxhash64/pmod in a
+    // distributed job; the probe's driver-side Catalyst eval must land
+    // on the SAME buckets for any term or a probe would silently read
+    // the wrong partitions (empty results, not an error)
+    val terms = Seq("spark", "dup", "batch", "ZzZ", "héllo", "",
+      "a b", "中文", "0", "-1")
+    for (n <- Seq(1, 2, 64, 97)) {
+      val engine = terms.toDF("token")
+        .select(pmod(xxhash64($"token"), lit(n.toLong))).as[Long]
+        .collect().toSeq.distinct
+      assert(Bm25.termBuckets(spark, terms, n) === engine,
+        s"driver eval drifted from the engine at nBuckets=$n")
+    }
+  }
 }

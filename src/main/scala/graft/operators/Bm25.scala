@@ -275,7 +275,7 @@ object Bm25 {
     swapDir(fs, s"$stage/stats", s"$path/stats")
     swapDir(fs, s"$stage/terms", s"$path/terms")
     fs.delete(new org.apache.hadoop.fs.Path(stage), true)
-    invalidateTwinMeta(path)
+    invalidateTwinMeta(path); invalidateStatsMeta(path)
   }
 
   /** Incremental index DELETION: remove a set of documents from an
@@ -385,7 +385,7 @@ object Bm25 {
     // even if this final step is lost to a crash, the epoch mismatch
     // keeps the leftover twin unservable)
     dropDocPostings(spark, path)
-    invalidateTwinMeta(path)
+    invalidateTwinMeta(path); invalidateStatsMeta(path)
   }
 
   /** Incremental document REPLACEMENT (upsert): fold a batch of NEW
@@ -540,7 +540,7 @@ object Bm25 {
     if (docBuckets.isDefined)
       swapDir(fs, s"$stage/docposts_meta", s"$path/docposts_meta")
     fs.delete(new org.apache.hadoop.fs.Path(stage), true)
-    invalidateTwinMeta(path)
+    invalidateTwinMeta(path); invalidateStatsMeta(path)
   }
 
   /** Standalone compaction for append-fragmented postings buckets: each
@@ -628,6 +628,37 @@ object Bm25 {
     }.distinct
   }
 
+  /** The 1-row corpus stats of an index layout, memoized per path and
+    * keyed on the `stats/` directory's modification time (the
+    * twinMetaCache freshness discipline): every probe used to scan the
+    * 1-row parquet and crossJoin-broadcast it into the plan — one more
+    * scan + broadcast per scoring pass, pure overhead on an unchanged
+    * layout. Folding the two scalars back as LITERALS is arithmetic-
+    * identical (same doubles reach the same expression tree). Mutating
+    * verbs rewrite `stats/` (its mtime moves) and also invalidate
+    * explicitly. */
+  private val statsCache =
+    new scala.collection.concurrent.TrieMap[String, (Long, Long, Long)]
+
+  private[operators] def invalidateStatsMeta(path: String): Unit =
+    statsCache.remove(path)
+
+  private def corpusStatsOf(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Long, Long) = {
+    val hp = new org.apache.hadoop.fs.Path(s"$path/stats")
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = if (fs.exists(hp)) fs.getFileStatus(hp).getModificationTime
+      else -1L
+    statsCache.get(path).filter(_._1 == m) match {
+      case Some((_, n, t)) => (n, t)
+      case None =>
+        val r = spark.read.parquet(s"$path/stats").head()
+        val v = (r.getAs[Long]("n_docs"), r.getAs[Long]("total_len"))
+        statsCache.put(path, (m, v._1, v._2))
+        v
+    }
+  }
+
   /** BM25 from the materialized index: reads ONLY the query terms'
     * bucket partitions (PartitionFilters prune the rest), broadcasts the
     * query's postings against the doclens scan, and aggregates per-term
@@ -635,14 +666,10 @@ object Bm25 {
     * order varies with the physical plan, integer sums don't, so the
     * score is bit-stable across engines and partitionings (the
     * money-sum discipline). Semantics match [[score]] to ≤1.5e-9 per
-    * term (pre-round). */
-  /** The pre-round integer core of [[scoreFromPostings]]: per-document
-    * quantized partial-sum LONGS (doc_id, pql) over `terms`. Exposed
-    * separately so the PRF second pass can REUSE the first pass's
-    * scored frame — Σ pql over terms ∪ expansion ≡ pql(terms) +
-    * pql(expansion) term-by-term (exact integer sums, order-free), so
-    * a union of partial frames closes to the identical score without
-    * rescanning the original terms' buckets. */
+    * term (pre-round). `partialSums` is the pre-round integer core
+    * (doc_id, pql); [[closeScores]] rounds it. (A PRF second pass that
+    * unions these partials instead of rescoring was measured SLOWER —
+    * see the note in [[prfTopK]].) */
   private def partialSums(spark: org.apache.spark.sql.SparkSession,
       path: String, terms: Seq[String],
       k1: Double, b: Double, nBuckets: Int): DataFrame = {
@@ -655,9 +682,12 @@ object Bm25 {
     val qp = pruned("postings")
       .join(broadcast(pruned("terms").select(col("token"), col("df"))),
         "token")
-    val stats = spark.read.parquet(s"$path/stats")
-    val nDocs = col("n_docs").cast("double")
-    val avgdl = col("total_len").cast("double") / nDocs
+    // corpus stats as literals: exactly the doubles the old 1-row
+    // crossJoin produced (long → double cast == toDouble), one less
+    // scan + broadcast per probe
+    val (nDocsL, totalLenL) = corpusStatsOf(spark, path)
+    val nDocs = lit(nDocsL.toDouble)
+    val avgdl = lit(totalLenL.toDouble) / nDocs
     val (dfD, tfD, dlD) =
       (col("df").cast("double"), col("tf").cast("double"),
         col("dl").cast("double"))
@@ -666,7 +696,6 @@ object Bm25 {
       (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * dlD / avgdl))
     spark.read.parquet(s"$path/doclens")
       .join(broadcast(qp), "doc_id")
-      .crossJoin(broadcast(stats))
       .select(col("doc_id"),
         round(partial * lit(1e9)).cast("long").as("pq"))
       .groupBy(col("doc_id"))
@@ -719,18 +748,17 @@ object Bm25 {
     require(nExpand > 0 && nExpand <= 16,
       s"nExpand must be in [1, 16] (bounded driver collect), got $nExpand")
     require(nFeedback > 0, s"nFeedback must be positive, got $nFeedback")
-    // Pass 1 materialized ONCE (localCheckpoint): the scored frame feeds
-    // the feedback top-k, the expansion's broadcast side, AND closes the
-    // expanded score — the second pass used to rescore the original
-    // terms from the index (pass 1's work thrown away, r18 verdict #2);
-    // now it unions the expansion terms' partials against this frame
-    // (integer sums — bit-identical totals, see [[partialSums]]). The
-    // frame is bounded by docs matching the query terms; it was already
-    // fully computed per query before, this just keeps it.
-    val base = partialSums(spark, path, terms, k1, b, 64).localCheckpoint()
-    val fb = closeScores(base)
-      .orderBy(col("bm25").desc, col("doc_id")).limit(nFeedback)
-      .select(col("doc_id"))
+    // MEASURED AND KEPT AS A RESCORE (r19): reusing pass 1's scored
+    // frame for the final pass (localCheckpoint the per-doc partial
+    // sums, union only the expansion terms' partials) is bit-identical
+    // but SLOWER — the checkpoint materialization job costs more than
+    // the pruned re-probe it saves, because the second pass reads
+    // buckets(terms ∪ expansion) in ONE doclens-joined probe anyway
+    // (matched-box bench: 1.156 s rescore vs 1.340 s reuse). The same
+    // holds at scale: the pass-1 frame is matching-docs-sized, while
+    // the rescore stays a bucket-pruned index probe.
+    val fb = topKFromPostings(spark, path, terms, k = nFeedback,
+      k1 = k1, b = b).select(col("doc_id"))
     val expansion = graft.sources.PartitionedParquet
       .read(spark, s"$path/postings")
       .join(broadcast(fb), "doc_id")
@@ -740,25 +768,7 @@ object Bm25 {
       .orderBy(col("w").desc, col("token"))
       .limit(nExpand)
       .collect().map(_.getString(0)).toSeq
-    expandedTopK(spark, path, base, expansion, k, k1, b)
-  }
-
-  /** The shared PRF closing pass: union the expansion terms' partial
-    * sums onto the checkpointed pass-1 frame, re-aggregate the exact
-    * integer partials, round once, top-k. Bit-identical to rescoring
-    * terms ∪ expansion from the index (order-free long sums over the
-    * same per-posting quanta) without re-reading the original terms'
-    * buckets. */
-  private def expandedTopK(spark: org.apache.spark.sql.SparkSession,
-      path: String, base: DataFrame, expansion: Seq[String], k: Int,
-      k1: Double, b: Double): DataFrame = {
-    val total =
-      if (expansion.isEmpty) base
-      else base.unionAll(partialSums(spark, path, expansion, k1, b, 64))
-        .groupBy(col("doc_id")).agg(sum(col("pql")).as("pql"))
-    closeScores(total)
-      .orderBy(col("bm25").desc, col("doc_id"))
-      .limit(k)
+    topKFromPostings(spark, path, terms ++ expansion, k, k1, b)
   }
 
   /** Doc-keyed postings twin — the layout [[prfTopK]]'s scaladoc trades
@@ -787,7 +797,7 @@ object Bm25 {
       .select(lit(nDocBuckets).as("n_buckets"),
         lit(indexEpoch(docs.sparkSession, path)).as("epoch"))
       .write.mode("overwrite").parquet(s"$path/docposts_meta")
-    invalidateTwinMeta(path)
+    invalidateTwinMeta(path); invalidateStatsMeta(path)
   }
 
   /** The index CONTENT EPOCH: bumped by each destructive commit
@@ -922,11 +932,9 @@ object Bm25 {
       s"nExpand must be in [1, 16] (bounded driver collect), got $nExpand")
     require(nFeedback > 0 && nFeedback <= 1000,
       s"nFeedback must be in [1, 1000] (bounded driver collect), got $nFeedback")
-    // pass 1 kept and reused exactly as in [[prfTopK]]
-    val base = partialSums(spark, path, terms, k1, b, 64).localCheckpoint()
-    val fbIds = closeScores(base)
-      .orderBy(col("bm25").desc, col("doc_id")).limit(nFeedback)
-      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    // rescore, not reuse — see the measurement note in [[prfTopK]]
+    val fbIds = topKFromPostings(spark, path, terms, k = nFeedback,
+      k1 = k1, b = b).select(col("doc_id")).collect().map(_.getLong(0)).toSeq
     val expansion = expansionCandidates(spark, path, fbIds)
       .filter(!col("token").isin(terms: _*) &&
         !col("token").isin(stopwords: _*))
@@ -934,6 +942,6 @@ object Bm25 {
       .orderBy(col("w").desc, col("token"))
       .limit(nExpand)
       .collect().map(_.getString(0)).toSeq
-    expandedTopK(spark, path, base, expansion, k, k1, b)
+    topKFromPostings(spark, path, terms ++ expansion, k, k1, b)
   }
 }
